@@ -1,0 +1,206 @@
+"""Embedding similarity search (north star; SURVEY.md §2.B "similarity").
+
+- s01: brute-force cosine top-k — the exactness baseline. Query set is
+  broadcast; the big side streams once. At 100 TB this is the pattern
+  for "small query batch × huge corpus" (broadcast-nested-loop with
+  vectorized dot products), NOT corpus × corpus.
+- s02: LSH (random-hyperplane) bucketed ANN — the scale path: corpus is
+  hashed once into 2^P sign buckets; probes only touch matching buckets
+  (+ multiprobe neighbors), turning O(N·Q) into O(N/2^P · Q) per probe.
+
+Dot products are computed with JVM higher-order functions in DOUBLE with
+left-to-right folds so Spark and the DuckDB oracle agree bit-for-bit
+(then rounded to 6dp for the hash anyway).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def dot(a, b):
+    """Σ a[i]*b[i] in double, strict left-to-right fold (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "s01_topk_bruteforce",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6)
+           AS cos_sim
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def s01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s02 — LSH random-hyperplane ANN (rows-only check; recall vs s01 is
+# asserted in tests/test_similarity.py)
+# ---------------------------------------------------------------------------
+N_PLANES = 8  # 2^8 = 256 sign buckets
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded; no container RNG state)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
+@register("s02_ann_lsh")  # no oracle: approximate by construction
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim)
+
+    def bucket(col):
+        # Sign bit per hyperplane, packed into an int bucket id (JVM-side).
+        bits = [
+            F.when(dot(col, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1 << i).otherwise(0)
+            for i, p in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        bucket(F.col("embedding")).alias("qbucket"),
+    )
+    # Multiprobe: query probes its own bucket + all 1-bit-flip neighbors,
+    # recovering most of the recall the sign quantization loses.
+    probes = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        probes.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s03 — vector norms + per-label centroid distance (SQL-expressible
+# aggregate over vectors: the "is my embedding column healthy" audit)
+# ---------------------------------------------------------------------------
+@register(
+    "s03_norm_stats",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm,
+       ROUND(AVG(nrm), 4) AS avg_norm
+FROM n
+GROUP BY label
+""",
+)
+def s03_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Text-analysis operators for training-data pipelines (north star;
+absent in the reference — SURVEY.md §2.B "Extension" rows).
+
+Everything here is JVM built-ins (split/filter/transform/regexp) — the
+hot path of a 100 TB text pipeline must not cross into Python per row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+# A small function-word inventory per language for the lang-id heuristic.
+# (Real pipelines use fastText/CLD3 — not available in this container; the
+# n-gram/stopword heuristic is the deterministic, SQL-expressible stand-in.)
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# t01 — token & char statistics
+# ---------------------------------------------------------------------------
+@register(
+    "t01_text_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, n_chars, string_split(LOWER(TRIM(text)), ' ') AS tok
+  FROM documents
+)
+SELECT doc_id,
+       n_chars,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(tok)) AS INTEGER) AS n_unique_tokens,
+       ROUND(CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE), 6)
+         AS ttr
+FROM toks
+""",
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = F.split(F.lower(F.trim(F.col("text"))), " ")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.round(
+            F.size(F.array_distinct(tok)).cast("double") / F.size(tok).cast("double"), 6
+        ).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t02 — quality scoring: length bounds, stopword ratio, mean token length
+# (the classic Gopher/C4-style filters, deterministic subset)
+# ---------------------------------------------------------------------------
+@register(
+    "t02_quality_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(LOWER(TRIM(text)), ' ') AS tok, LENGTH(text) AS c
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(tok) AS INTEGER) AS n_tokens,
+         ROUND(CAST(len(list_filter(tok, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(tok) AS DOUBLE), 6) AS stopword_ratio,
+         ROUND(CAST(c - len(tok) + 1 AS DOUBLE) / CAST(len(tok) AS DOUBLE), 6) AS mean_token_len
+  FROM toks
+)
+SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
+       CASE WHEN n_tokens BETWEEN 5 AND 1000
+             AND stopword_ratio >= 0.01
+             AND mean_token_len BETWEEN 2.0 AND 12.0
+            THEN TRUE ELSE FALSE END AS passes_quality
+FROM feat
+""",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    feat = docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.round(
+            F.size(F.filter(tok, lambda x: F.array_contains(sw, x))).cast("double")
+            / F.size(tok).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        # chars minus (n_tokens-1) separators, over n_tokens
+        F.round(
+            (F.length("text") - F.size(tok) + 1).cast("double") / F.size(tok).cast("double"),
+            6,
+        ).alias("mean_token_len"),
+    )
+    return feat.withColumn(
+        "passes_quality",
+        F.col("n_tokens").between(5, 1000)
+        & (F.col("stopword_ratio") >= 0.01)
+        & F.col("mean_token_len").between(2.0, 12.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t03 — language-ID heuristic (stopword-hit ratio → en / unknown)
+# ---------------------------------------------------------------------------
+@register(
+    "t03_lang_id",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(LOWER(TRIM(text)), ' ') AS tok
+  FROM documents
+),
+score AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(tok, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+           / CAST(len(tok) AS DOUBLE) AS en_score
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       ROUND(en_score, 6) AS en_score
+FROM score
+""",
+)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    score = F.size(F.filter(tok, lambda x: F.array_contains(sw, x))).cast("double") / F.size(
+        tok
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(score >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
+        F.round(score, 6).alias("en_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprinting: md5 digest + BPE-ish token estimate
+# ---------------------------------------------------------------------------
+@register(
+    "t04_fingerprint_tokens",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS digest,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+         AS n_bpeish_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens_est
+FROM documents
+""",
+)
+def t04_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # BPE-ish pre-tokenizer regex: letter runs, digit runs, lone symbols —
+    # same pattern dialect in both engines (RE2/Java compatible subset).
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_bpeish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("n_tokens_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t05 — corpus-level source statistics (the aggregation layer of a
+# data-mixing pipeline)
+# ---------------------------------------------------------------------------
+@register(
+    "t05_source_mix",
+    oracle="""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY source, lang
+""",
+)
+def t05_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1,0 +1,42 @@
+"""Query registry: named queries + their DuckDB oracle SQL.
+
+The driver's correctness gate (BASELINE.md) runs every entry of
+``__spark_entry__.queries()`` against ``oracle_sql()`` via DuckDB at
+sf0.01 and compares row-count + schema + order-insensitive value hash.
+Operator modules register here with the ``@register`` decorator; queries
+without SQL-expressible semantics register with ``oracle=None`` and get
+the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its @register calls run."""
+    import icebergplus_spark.operators.relational  # noqa: F401
+    import icebergplus_spark.operators.windows  # noqa: F401
+    import icebergplus_spark.operators.scalar_funcs  # noqa: F401
+    import icebergplus_spark.operators.events_ops  # noqa: F401
+    import icebergplus_spark.operators.dedup  # noqa: F401
+    import icebergplus_spark.operators.similarity  # noqa: F401
+    import icebergplus_spark.operators.textops  # noqa: F401
+    import icebergplus_spark.operators.multimodal  # noqa: F401

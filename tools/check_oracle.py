@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, sorted column
+names, and an order-insensitive value comparison (exact, stricter than
+a hash — any mismatch the driver could see, we see first).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        else:
+            df[c] = s.astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from icebergplus_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in sorted(qs.items()):
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) [rows-only check]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        issues = []
+        if len(sdf) != len(ddf):
+            issues.append(f"rowcount spark={len(sdf)} duckdb={len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            issues.append(f"cols spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}")
+        if not issues:
+            a, b = canon(sdf), canon(ddf)
+            # dtype drift report (driver may compare schemas more strictly)
+            raw_a = sdf.reindex(sorted(sdf.columns), axis=1).dtypes
+            raw_b = ddf.reindex(sorted(ddf.columns), axis=1).dtypes
+            def _norm_dt(d: str) -> str:
+                # datetime64 unit (ns vs us) is a pandas interchange
+                # artifact, not a schema difference
+                return "datetime64" if d.startswith("datetime64") else d
+
+            dt_diff = [
+                f"{c}: spark={raw_a[c]} duckdb={raw_b[c]}"
+                for c in raw_a.index
+                if _norm_dt(str(raw_a[c])) != _norm_dt(str(raw_b[c]))
+            ]
+            if not a.equals(b):
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad_cols = [c for c in a.columns if neq[c].any()]
+                row = neq.any(axis=1).idxmax()
+                issues.append(
+                    f"values differ in cols {bad_cols}; first bad row spark={a.loc[row].to_dict()} duckdb={b.loc[row].to_dict()}"
+                )
+            elif dt_diff:
+                issues.append(f"dtype drift: {dt_diff}")
+        if issues:
+            print(f"FAIL {name}: {'; '.join(issues)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
