@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with total + per-query wall seconds.
+
+Queries are forced with a noop-format write (full pipeline execution,
+no driver-side collection cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icebergplus_spark import registry  # noqa: E402
+from icebergplus_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# shapes where the 100 TB plan quality shows up.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q09_outer_join",
+    "q16_scalar_subquery",
+    "q20_topk_per_group",
+    "q40_tumbling_window",
+    "q42_sessionize",
+    "q43_asof_join",
+    "d02_fingerprint_dedup",
+    "d04_minhash_lsh",
+    "s01_topk_bruteforce",
+    "t02_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("icebergplus-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches outside the timed region.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -167,46 +167,63 @@ def d03_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("d04_minhash_lsh")  # no oracle: LSH banding → rows-only check
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sig = docs.select(
-        "doc_id",
-        shingles("text", 3).alias("sh"),
-    ).select(
-        "doc_id", "sh", minhash_signature(F.col("sh")).alias("sig")
+    # Shingle sets are read 3× (signature + both verify sides): cache the
+    # computed sets. At 100 TB this becomes persist(DISK_ONLY) or a
+    # checkpoint table — recomputing the tokenize+shingle pass is the
+    # dominant cost otherwise.
+    sets = docs.select("doc_id", shingles("text", 3).alias("sh")).cache()
+    # One explode + one groupBy computes all k min-hashes in a single
+    # pass (map-side partial min per seed) — NOT k transforms per row.
+    exploded = sets.select("doc_id", F.explode("sh").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    # Explode into (band_id, band_hash) bucket keys — one row per band.
+    # Band keys: hash r consecutive signature slots per band. Only
+    # (doc_id, band) pairs flow into the self-join — shingle sets stay
+    # behind (carrying them through the shuffle is the 100 TB anti-pattern).
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col("sig")[i] for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)])
+                    F.xxhash64(
+                        *[F.col(f"h{i}") for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)]
+                    )
                     for b in range(LSH_BANDS)
                 ]
             )
         ).alias("band_id", "band_hash"),
     )
-    # Self-join within (band_id, band_hash) buckets → candidate pairs.
-    left = bands.select(
-        "band_id", "band_hash", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    right = bands.select(
-        "band_id", "band_hash", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
     cands = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify candidates with exact shingle-set Jaccard (bucket-mates only).
+    # Verify ONLY candidate pairs with exact shingle-set Jaccard; sets are
+    # fetched by two id-equi joins (shuffle of candidates, not of corpus).
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union_n = F.size("sh_a") + F.size("sh_b") - inter
-    return cands.select(
-        "doc_a",
-        "doc_b",
-        F.round(inter.cast("double") / union_n.cast("double"), 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.5)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union_n.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 # ---------------------------------------------------------------------------

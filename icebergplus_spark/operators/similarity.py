@@ -102,50 +102,61 @@ def s01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # s02 — LSH random-hyperplane ANN (rows-only check; recall vs s01 is
 # asserted in tests/test_similarity.py)
+#
+# Multi-table sign-LSH: T tables × P planes, querying each table's own
+# bucket plus all 1-bit flips (multiprobe). The testdata embeddings are
+# near-random (true-neighbor cos ≈ 0.3 → per-plane agreement ≈ 0.6),
+# the adversarial case for sign-LSH — real text embeddings cluster much
+# tighter and hit far higher recall at the same cost. Candidates stay
+# sublinear: T·(P+1)·N/2^P expected bucket-mates per query.
 # ---------------------------------------------------------------------------
-N_PLANES = 8  # 2^8 = 256 sign buckets
+N_PLANES = 8  # per table → 2^8 = 256 sign buckets
+N_TABLES = 8
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
-    """Deterministic random hyperplanes (seeded; no container RNG state)."""
+def _hyperplanes(dim: int, table: int):
+    """Deterministic seeded hyperplanes for one LSH table."""
     import numpy as np
 
-    rng = np.random.RandomState(42)
+    rng = np.random.RandomState(42 + table)
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
 @register("s02_ann_lsh")  # no oracle: approximate by construction
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    planes = _hyperplanes(dim)
+    dim = emb.select(F.size("embedding")).first()[0]
 
-    def bucket(col):
+    def bucket(col, planes):
         # Sign bit per hyperplane, packed into an int bucket id (JVM-side).
-        bits = [
-            F.when(dot(col, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1 << i).otherwise(0)
-            for i, p in enumerate(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
+        out = F.lit(0)
+        for i, p in enumerate(planes):
+            out = out + F.when(
+                dot(col, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1 << i
+            ).otherwise(0)
         return out
 
+    all_planes = [_hyperplanes(dim, t) for t in range(N_TABLES)]
+    # Corpus: one (table, bucket) row per table — T rows per vector.
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        bucket(F.col("embedding")).alias("bucket"),
+        F.posexplode(
+            F.array(*[bucket(F.col("embedding"), p) for p in all_planes])
+        ).alias("table_id", "bucket"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        bucket(F.col("embedding")).alias("qbucket"),
+        F.posexplode(
+            F.array(*[bucket(F.col("embedding"), p) for p in all_planes])
+        ).alias("table_id", "qbucket"),
     )
-    # Multiprobe: query probes its own bucket + all 1-bit-flip neighbors,
-    # recovering most of the recall the sign quantization loses.
+    # Multiprobe: each table probes the query's bucket + all 1-bit flips.
     probes = queries.select(
         "query_id",
         "qv",
+        "table_id",
         F.explode(
             F.array(
                 F.col("qbucket"),
@@ -153,14 +164,16 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    scored = (
-        probes.join(corpus, "bucket")
+    cands = (
+        probes.join(corpus, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])  # dedupe across tables
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (

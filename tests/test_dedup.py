@@ -1,0 +1,63 @@
+"""Dedup operator unit tests: MinHash/LSH finds planted near-dups,
+SimHash collides on identical docs, shingles behave."""
+
+import pyspark.sql.functions as F
+
+from icebergplus_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    shingles,
+)
+
+
+def test_lsh_config():
+    assert MINHASH_K == LSH_BANDS * LSH_ROWS
+
+
+def test_shingles_distinct_and_ordered(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b",)], "text string")
+    rows = df.select(shingles("text", 3).alias("sh")).collect()
+    assert sorted(rows[0]["sh"]) == ["a b c", "b c d", "c d e"]
+    # shorter than n → whole text as single shingle
+    assert rows[1]["sh"] == ["a b"]
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text").first()
+    # Plant a near-duplicate: copy of doc 0 with a couple words changed.
+    words = base["text"].split()
+    words[3] = "ZZZ"
+    near = " ".join(words)
+    planted = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        spark.createDataFrame(
+            [(100000, near, "en", "synthetic", len(near))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    out_dir = str(tmp_path / "docs_planted")
+    planted.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    from icebergplus_spark.registry import QUERIES
+
+    pairs = QUERIES["d04_minhash_lsh"](spark, out_dir).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert (0, 100000) in found
+    assert found[(0, 100000)] > 0.7
+
+
+def test_simhash_identical_docs_collide(spark, tmp_path):
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en", "s", 35) for i in range(2)]
+    rows.append((2, "totally different words entirely here now", "en", "s", 41))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out_dir = str(tmp_path / "docs_sim")
+    df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    from icebergplus_spark.registry import QUERIES
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in QUERIES["d05_simhash"](spark, out_dir).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs

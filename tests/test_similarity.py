@@ -1,0 +1,53 @@
+"""Similarity search tests: brute-force agrees with numpy; LSH recall."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from icebergplus_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _numpy_topk(sf_dir, n_queries=10, k=5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    mat = np.stack(t["embedding"].map(np.asarray)).astype("float64")
+    ids = t["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= n_queries:
+            continue
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        # mirror the query's ordering: (-cos rounded to 6dp, neighbor id)
+        order = sorted(range(len(ids)), key=lambda i: (-round(cos[i], 6), ids[i]))[:k]
+        out[ids[qi]] = [ids[i] for i in order]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, sf_dir):
+    expected = _numpy_topk(sf_dir)
+    got = {}
+    for r in QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append((r["rk"], r["neighbor_id"]))
+    for q, lst in got.items():
+        assert [n for _, n in sorted(lst)] == expected[q]
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
+    approx = QUERIES["s02_ann_lsh"](spark, sf_dir).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # testdata embeddings are near-random (true-neighbor cos ≈ 0.3), the
+    # adversarial case for sign-LSH — multi-table multiprobe still has to
+    # beat chance (5/500 = 1%) by a wide margin
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_norms_positive(spark, sf_dir):
+    rows = QUERIES["s03_norm_stats"](spark, sf_dir).collect()
+    assert all(r["min_norm"] > 0 for r in rows)
