@@ -1,0 +1,25 @@
+from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
+from icebergplus_spark.lake.maintenance import compact, expire_snapshots
+from icebergplus_spark.lake.metrics import (
+    COMMIT_COUNTER_FIELDS,
+    SCAN_COUNTER_FIELDS,
+    CommitReport,
+    MetricsReporter,
+    MetricsSink,
+    ScanReport,
+)
+from icebergplus_spark.lake.table import LakeTable
+
+__all__ = [
+    "LocalLakeCatalog",
+    "Status",
+    "LakeTable",
+    "compact",
+    "expire_snapshots",
+    "MetricsSink",
+    "MetricsReporter",
+    "CommitReport",
+    "ScanReport",
+    "COMMIT_COUNTER_FIELDS",
+    "SCAN_COUNTER_FIELDS",
+]

@@ -1,0 +1,150 @@
+"""LocalLakeCatalog — restartable local catalog over a warehouse dir.
+
+Parity with the reference's ``LocalIcebergCatalog`` (SURVEY.md §2.A rows
+1-3, 6-7): the reference boots a MinIO container + embedded H2 JDBC
+catalog (LocalIcebergCatalog.java:99-142); Spark-native needs neither —
+the warehouse is a directory (local fs in tests, s3a:// on a cluster)
+and the "catalog database" is a ``_catalog/`` directory of JSON pointer
+files. Restartability (LocalIcebergCatalogTest.java:114-156) falls out:
+state is all on disk, a new instance over the same dir sees every table.
+
+Concurrency stance: pointer updates are atomic renames — safe for a
+single writer per table, the same guarantee the reference's H2-backed
+CAS gives in-process. The 100 TB/multi-writer upgrade point is a real
+CAS (DynamoDB/JDBC catalog), isolated behind this class.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from enum import Enum
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from icebergplus_spark.lake.metrics import MetricsReporter, MetricsSink
+from icebergplus_spark.lake.table import LakeTable
+
+
+class Status(Enum):  # LocalIcebergCatalog.java:40-46 state machine
+    STOPPED = "STOPPED"
+    STARTING = "STARTING"
+    STARTED = "STARTED"
+
+
+class LocalLakeCatalog:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_dir: str,
+        metrics_sink: MetricsSink | None = None,
+        prefix: str = "iceberg.",
+    ) -> None:
+        self.spark = spark
+        self.root_dir = root_dir
+        self._status = Status.STOPPED
+        self._reporter = MetricsReporter(metrics_sink, prefix)
+
+    # -- lifecycle (LocalIcebergCatalog.java:99-141, :174-187) -------------
+    def start(self) -> "LocalLakeCatalog":
+        if self._status is not Status.STOPPED:  # CAS guard parity
+            raise RuntimeError(f"catalog not stopped: {self._status}")
+        self._status = Status.STARTING
+        os.makedirs(self._catalog_dir, exist_ok=True)
+        self._status = Status.STARTED
+        return self
+
+    def stop(self) -> None:
+        # All state is on disk already — stop only flips the gate, like
+        # the reference stopping MinIO but keeping its data dir.
+        self._status = Status.STOPPED
+
+    def is_stopped(self) -> bool:
+        return self._status is Status.STOPPED
+
+    def set_metrics_reporter(self, reporter: MetricsReporter) -> None:
+        """Direct injection — no reflection needed (SURVEY.md §2.A row 5)."""
+        self._reporter = reporter
+
+    # -- catalog operations ------------------------------------------------
+    @property
+    def _catalog_dir(self) -> str:
+        return os.path.join(self.root_dir, "_catalog")
+
+    def _pointer_file(self, identifier: str) -> str:
+        return os.path.join(self._catalog_dir, f"{identifier}.json")
+
+    def _require_started(self) -> None:
+        if self._status is not Status.STARTED:
+            raise RuntimeError("catalog is not started")
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        self._require_started()
+        out = []
+        for fn in sorted(os.listdir(self._catalog_dir)):
+            if fn.endswith(".json"):
+                ident = fn[: -len(".json")]
+                if namespace is None or ident.startswith(namespace + "."):
+                    out.append(ident)
+        return out
+
+    def table_exists(self, identifier: str) -> bool:
+        self._require_started()
+        return os.path.exists(self._pointer_file(identifier))
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: StructType,
+        partition_cols: list[str] | None = None,
+    ) -> LakeTable:
+        """createTable parity (LocalIcebergCatalogTest.java:75): registers
+        schema (+ generated Iceberg-style field IDs) and an empty
+        snapshot log, then drops the catalog pointer in place."""
+        self._require_started()
+        if self.table_exists(identifier):
+            raise ValueError(f"table already exists: {identifier}")
+        namespace, _, name = identifier.rpartition(".")
+        table_dir = os.path.join(self.root_dir, namespace or "default", name)
+        meta_dir = os.path.join(table_dir, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        meta = {
+            "identifier": identifier,
+            "schema": schema.jsonValue(),
+            "field_ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
+            "partition_cols": partition_cols or [],
+            "snapshots": [],
+            "current_snapshot_id": None,
+        }
+        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = os.path.join(meta_dir, f"ptr-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write("1")
+        os.replace(tmp, os.path.join(meta_dir, "version-pointer.txt"))
+        with open(self._pointer_file(identifier), "w") as f:
+            json.dump({"table_dir": table_dir}, f)
+        return self.load_table(identifier)
+
+    def load_table(self, identifier: str) -> LakeTable:
+        """loadTable parity (LocalIcebergCatalogTest.java:76-84)."""
+        self._require_started()
+        if not self.table_exists(identifier):
+            raise KeyError(f"no such table: {identifier}")
+        with open(self._pointer_file(identifier)) as f:
+            table_dir = json.load(f)["table_dir"]
+        return LakeTable(self.spark, table_dir, identifier, self._reporter)
+
+    def drop_table(self, identifier: str, purge: bool = False) -> None:
+        self._require_started()
+        if not self.table_exists(identifier):
+            raise KeyError(f"no such table: {identifier}")
+        with open(self._pointer_file(identifier)) as f:
+            table_dir = json.load(f)["table_dir"]
+        os.remove(self._pointer_file(identifier))
+        if purge:
+            import shutil
+
+            shutil.rmtree(table_dir, ignore_errors=True)

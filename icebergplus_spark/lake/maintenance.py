@@ -1,0 +1,117 @@
+"""Table maintenance: compaction (bin-pack small-file rewrite) and
+snapshot expiry (BASELINE.json ``spark_approach``; SURVEY.md §2.B
+"Maintenance" — not present in the reference itself, §2.C).
+
+Compaction strategy (100 TB-aware):
+- Pick data files smaller than ``small_file_threshold``.
+- Rewrite them with Spark in bins of ``target_file_size`` — the read is
+  one distributed parquet scan of just the small files; large files are
+  left untouched (rewrite amplification stays proportional to the small
+  tail, not the table).
+- Commit a REPLACE snapshot whose manifest = untouched files + new
+  files. Old snapshots stay readable (time travel) until
+  ``expire_snapshots`` removes them and deletes files no live snapshot
+  references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from icebergplus_spark.lake.table import LakeTable, _harvest_footer
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # 128 MiB — standard lake target
+DEFAULT_SMALL_FILE_THRESHOLD = 96 * 1024 * 1024
+
+
+def compact(
+    table: LakeTable,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    small_file_threshold: int = DEFAULT_SMALL_FILE_THRESHOLD,
+) -> dict:
+    """Bin-pack compaction. Returns a summary dict (files before/after)."""
+    t0 = time.time()
+    files = table.plan_files()
+    small = [f for f in files if f["file_size_bytes"] < small_file_threshold]
+    if len(small) <= 1:
+        return {"compacted": 0, "reason": "nothing to compact"}
+    big = [f for f in files if f["file_size_bytes"] >= small_file_threshold]
+
+    total_small_bytes = sum(f["file_size_bytes"] for f in small)
+    n_out = max(1, -(-total_small_bytes // target_file_size))  # ceil div
+    out_dir = os.path.join(table.table_dir, "data", f"compact-{uuid.uuid4().hex}")
+    df = table.spark.read.schema(table.schema).parquet(
+        *[f["file_path"] for f in small]
+    )
+    # coalesce, not repartition: bin-packing needs no shuffle, just fewer
+    # write tasks (at cluster scale use repartitionByRange on a sort key
+    # to also cluster data for pruning)
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+
+    new_entries = []
+    for root, _dirs, fns in os.walk(out_dir):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                new_entries.append(_harvest_footer(os.path.join(root, fn)))
+    new_entries.sort(key=lambda e: e["file_path"])
+    # Consolidated manifest: untouched big files + the new compacted files.
+    all_entries = sorted(big + new_entries, key=lambda e: e["file_path"])
+    manifest = table._write_manifest(all_entries)
+    table._commit_snapshot("replace", [manifest], new_entries, t0)
+    return {
+        "compacted": len(small),
+        "files_before": len(files),
+        "files_after": len(all_entries),
+        "bytes_rewritten": total_small_bytes,
+    }
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
+    """Drop all but the last ``keep_last`` snapshots and delete data/
+    manifest files no retained snapshot references (SURVEY.md §2.B
+    "Snapshot expiry / vacuum")."""
+    snaps = table.history()
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "deleted_files": 0}
+    retained = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+
+    def live_paths(snapshots) -> tuple[set, set]:
+        manifests, data = set(), set()
+        for s in snapshots:
+            for m in s["manifests"]:
+                manifests.add(m)
+                t = pq.read_table(os.path.join(table._meta_dir, m))
+                data.update(t.column("file_path").to_pylist())
+        return manifests, data
+
+    keep_manifests, keep_data = live_paths(retained)
+    old_manifests, old_data = live_paths(expired)
+
+    deleted = 0
+    for p in old_data - keep_data:
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+    for m in old_manifests - keep_manifests:
+        mp = os.path.join(table._meta_dir, m)
+        if os.path.exists(mp):
+            os.remove(mp)
+
+    # Write new metadata version with only retained snapshots.
+    meta = dict(table._meta)
+    version = meta.pop("_version") + 1
+    meta["snapshots"] = retained
+    with open(os.path.join(table._meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    tmp = table._pointer_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, table._pointer_path)
+    table.refresh()
+    return {"expired": len(expired), "deleted_files": deleted}

@@ -1,0 +1,69 @@
+"""Compaction + snapshot expiry tests (BASELINE.json spark_approach):
+content-preserving rewrite, file-count reduction, vacuum semantics."""
+
+import os
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from icebergplus_spark.lake import LocalLakeCatalog, compact, expire_snapshots
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
+)
+
+
+@pytest.fixture
+def small_file_table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.smallfiles", SCHEMA)
+    # 5 appends × 2 files each = 10 small files
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(i * 100 + j, f"val{i}-{j}") for j in range(50)], SCHEMA
+        )
+        t.append(df.repartition(2))
+    return t
+
+
+def test_compact_preserves_content_and_reduces_files(spark, small_file_table):
+    t = small_file_table
+    before_files = t.plan_files()
+    before_rows = sorted((r["k"], r["v"]) for r in t.scan().collect())
+    assert len(before_files) == 10
+
+    summary = compact(t, target_file_size=64 * 1024 * 1024)
+    assert summary["compacted"] == 10
+    after_files = t.plan_files()
+    assert len(after_files) < len(before_files)
+    after_rows = sorted((r["k"], r["v"]) for r in t.scan().collect())
+    assert after_rows == before_rows  # content identical
+    assert t.snapshot()["operation"] == "replace"
+
+    # old snapshot still readable (time travel through the rewrite)
+    assert t.scan(snapshot_id=5).count() == 250
+
+
+def test_compact_noop_when_nothing_small(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = cat.create_table("db.one", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA).coalesce(1))
+    assert compact(t)["compacted"] == 0
+
+
+def test_expire_snapshots_vacuums_dead_files(spark, small_file_table):
+    t = small_file_table
+    compact(t)
+    old_paths = {
+        f["file_path"] for f in t.plan_files(snapshot_id=5)
+    }
+    live_paths = {f["file_path"] for f in t.plan_files()}
+    dead = old_paths - live_paths
+    assert dead  # compaction orphaned the small files
+
+    result = expire_snapshots(t, keep_last=1)
+    assert result["expired"] == 5
+    assert all(not os.path.exists(p) for p in dead)
+    assert all(os.path.exists(p) for p in live_paths)
+    assert len(t.history()) == 1
+    assert t.scan().count() == 250  # current view unaffected
