@@ -1,0 +1,129 @@
+"""Structured Streaming pipelines (SURVEY.md §2.B "Streaming" rows,
+extension phase §7 step 6).
+
+Each builder takes an events-shaped streaming DataFrame (event_id, ts,
+user_id, event_type, value, props) and returns a transformed streaming
+DataFrame — the SAME declarative ops as the batch versions in
+``operators/events_ops.py`` (q40-q42), lifted to ``readStream`` with
+watermarks for state cleanup.
+
+Scale notes: watermarks bound the state store (without one, windowed
+state grows forever at 100 TB/day event rates); ``stream_to_lake``
+commits each micro-batch as one lake snapshot, giving exactly-once
+table-level visibility via the snapshot log + Spark's checkpoint.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: StructType | str = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data handling (streaming
+    twin of q40_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregation (streaming twin of q41)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (streaming twin of q42's gaps-and-islands;
+    ``session_window`` keeps per-user state until the gap closes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming face of d01/d02 (state bounded by the watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_to_lake(stream: DataFrame, table, checkpoint_dir: str, query_name: str = "to_lake"):
+    """Sink a stream into a LakeTable: one append-commit (snapshot) per
+    micro-batch via foreachBatch. Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
