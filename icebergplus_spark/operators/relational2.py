@@ -1,0 +1,243 @@
+"""Second relational battery: statistical aggregates, pivot, ordered
+string aggregation, full-outer/cross joins, null handling, casts, and an
+end-to-end lake round-trip (SURVEY.md §2.B; all absent in the reference,
+§2.C).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q18 — exact percentiles + dispersion statistics
+# ---------------------------------------------------------------------------
+@register(
+    "q18_percentile_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4)  AS median_price,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4)  AS p90_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4)         AS sd_price,
+       ROUND(VAR_SAMP(l_quantity), 4)                 AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 6)    AS qty_price_corr
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q18_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — ordered collect/string aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "q19_string_agg",
+    oracle="""
+SELECT r_regionkey,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+""",
+)
+def q19_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        region.join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(
+            # sort before join: collect_list order is nondeterministic
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — pivot (returnflag × linestatus matrix)
+# ---------------------------------------------------------------------------
+@register(
+    "q44_pivot",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_F,
+       ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 2) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — full outer join with coalesced keys
+# ---------------------------------------------------------------------------
+@register(
+    "q45_full_outer",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def q45_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, F.col("cnk") == F.col("snk"), "full_outer").select(
+        F.coalesce(F.col("cnk"), F.col("snk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — cross join (intentional small×small cartesian)
+# ---------------------------------------------------------------------------
+@register(
+    "q46_cross_join",
+    oracle="""
+SELECT r_name, seg.c_mktsegment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+""",
+)
+def q46_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").select("r_name")
+    segs = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(F.broadcast(segs))
+
+
+# ---------------------------------------------------------------------------
+# q47 — null handling: NULLIF / COALESCE / GREATEST / LEAST
+# ---------------------------------------------------------------------------
+@register(
+    "q47_null_funcs",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O')                          AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')        AS status_label,
+       GREATEST(o_totalprice, 100000.0)                    AS price_floor,
+       LEAST(o_totalprice, 200000.0)                       AS price_cap
+FROM orders
+WHERE o_orderkey % 7 = 0
+""",
+)
+def q47_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("price_cap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — casts incl. try_cast failure → NULL
+# ---------------------------------------------------------------------------
+@register(
+    "q48_casts",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_custkey AS VARCHAR)                       AS key_str,
+       CAST(CAST(c_acctbal AS INTEGER) AS INTEGER)      AS bal_int,
+       TRY_CAST(c_name AS DOUBLE)                       AS name_as_num,
+       CAST(c_acctbal > 0 AS BOOLEAN)                   AS in_credit
+FROM customer
+WHERE c_custkey % 11 = 0
+""",
+)
+def q48_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("key_str"),
+        # DuckDB CAST(double AS INT) rounds half away; Spark truncates —
+        # use round-then-cast for identical semantics
+        F.round("c_acctbal", 0).cast("int").alias("bal_int"),
+        F.expr("try_cast(c_name AS double)").alias("name_as_num"),
+        (F.col("c_acctbal") > 0).alias("in_credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — lake round-trip: create → 2 append commits → compact → scan.
+# The oracle never sees the lake: identical results prove the versioned
+# write/commit/compact/scan path is lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "q49_lake_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_linenumber <= 2
+GROUP BY l_returnflag
+""",
+)
+def q49_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    root = tempfile.mkdtemp(prefix="lake_roundtrip_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.lineitem_rt", li.schema)
+    # two append commits (snapshot log grows), then bin-pack compaction
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(4))
+    compact(t, target_file_size=256 * 1024 * 1024)
+    return (
+        t.scan()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
