@@ -120,12 +120,115 @@ class LakeTable:
 
     @property
     def schema(self) -> StructType:
+        """Logical (current) schema."""
         return StructType.fromJson(self._meta["schema"])
 
     @property
     def field_ids(self) -> dict[str, int]:
         """Iceberg-style stable field IDs (SURVEY.md §1.1 Schema row)."""
         return dict(self._meta["field_ids"])
+
+    # -- column mapping (field-ID-based schema evolution) ------------------
+    # Parquet files store PHYSICAL names (the column's name when first
+    # written); the table schema holds LOGICAL names. Renames/drops/adds
+    # are metadata-only — no data rewrite — exactly Iceberg's field-ID
+    # resolution re-expressed as a physical→logical aliasing layer
+    # (SURVEY.md §7 "field-ID-based schema evolution").
+    @property
+    def _column_mapping(self) -> dict[str, str]:
+        """logical name → physical name."""
+        return dict(self._meta.get("column_mapping") or {
+            f.name: f.name for f in self.schema.fields
+        })
+
+    @property
+    def physical_schema(self) -> StructType:
+        """Schema with the names data files actually carry."""
+        mapping = self._column_mapping
+        return StructType(
+            [
+                type(f)(mapping[f.name], f.dataType, f.nullable)
+                for f in self.schema.fields
+            ]
+        )
+
+    def _evolve(self, mutate) -> "LakeTable":
+        """Apply a metadata-only schema change as a new metadata version."""
+        meta = dict(self._meta)
+        version = meta.pop("_version") + 1
+        meta.setdefault("column_mapping", self._column_mapping)
+        mutate(meta)
+        with open(os.path.join(self._meta_dir, f"v{version}.metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = self._pointer_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer_path)
+        return self.refresh()
+
+    def add_column(self, name: str, data_type, nullable: bool = True) -> "LakeTable":
+        """Metadata-only ADD COLUMN; existing files read as NULL."""
+        from pyspark.sql.types import StructField
+
+        if name in [f.name for f in self.schema.fields]:
+            raise ValueError(f"column exists: {name}")
+        new_id = max(self.field_ids.values(), default=0) + 1
+        # physical name must be unique across ALL physical names ever used
+        physical = name if name not in self._column_mapping.values() else f"f{new_id}_{name}"
+
+        def mutate(meta):
+            sch = StructType.fromJson(meta["schema"])
+            sch = StructType(sch.fields + [StructField(name, data_type, nullable)])
+            meta["schema"] = sch.jsonValue()
+            meta["field_ids"] = {**meta["field_ids"], name: new_id}
+            meta["column_mapping"] = {**meta["column_mapping"], name: physical}
+
+        return self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> "LakeTable":
+        """Metadata-only RENAME: field ID + physical name are stable, only
+        the logical name changes (no data rewrite)."""
+        if old not in [f.name for f in self.schema.fields]:
+            raise KeyError(f"no such column: {old}")
+        if new in [f.name for f in self.schema.fields]:
+            raise ValueError(f"column exists: {new}")
+
+        def mutate(meta):
+            sch = StructType.fromJson(meta["schema"])
+            sch = StructType(
+                [
+                    type(f)(new if f.name == old else f.name, f.dataType, f.nullable)
+                    for f in sch.fields
+                ]
+            )
+            meta["schema"] = sch.jsonValue()
+            ids = dict(meta["field_ids"])
+            ids[new] = ids.pop(old)
+            meta["field_ids"] = ids
+            cm = dict(meta["column_mapping"])
+            cm[new] = cm.pop(old)
+            meta["column_mapping"] = cm
+
+        return self._evolve(mutate)
+
+    def drop_column(self, name: str) -> "LakeTable":
+        """Metadata-only DROP: data stays in files, pruned on read."""
+        if name not in [f.name for f in self.schema.fields]:
+            raise KeyError(f"no such column: {name}")
+
+        def mutate(meta):
+            sch = StructType.fromJson(meta["schema"])
+            meta["schema"] = StructType(
+                [f for f in sch.fields if f.name != name]
+            ).jsonValue()
+            meta["field_ids"] = {
+                k: v for k, v in meta["field_ids"].items() if k != name
+            }
+            meta["column_mapping"] = {
+                k: v for k, v in meta["column_mapping"].items() if k != name
+            }
+
+        return self._evolve(mutate)
 
     @property
     def partition_cols(self) -> list[str]:
@@ -234,10 +337,15 @@ class LakeTable:
             raise ValueError(
                 f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
             )
+        # store under physical names so renames stay metadata-only
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        df = df.select(*[_F.col(c).alias(mapping[c]) for c in df.columns])
         snap_dir = os.path.join(self.table_dir, "data", f"snap-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
+            writer = writer.partitionBy(*[mapping[c] for c in self.partition_cols])
         writer.parquet(snap_dir)
         entries = []
         for root, _dirs, files in os.walk(snap_dir):
@@ -273,7 +381,12 @@ class LakeTable:
         for m in snap["manifests"]:
             t = pq.read_table(os.path.join(self._meta_dir, m))
             rows.extend(t.to_pylist())
-        kept = [r for r in rows if _file_matches(r, predicates)]
+        # manifest stats are keyed by physical column names
+        mapping = self._column_mapping
+        phys_preds = (
+            {mapping.get(c, c): v for c, v in predicates.items()} if predicates else None
+        )
+        kept = [r for r in rows if _file_matches(r, phys_preds)]
         self.reporter.report(
             ScanReport(
                 table_name=self.identifier,
@@ -299,8 +412,17 @@ class LakeTable:
         files = self.plan_files(predicates, snapshot_id)
         if not files:
             return self.spark.createDataFrame([], self.schema)
-        reader = self.spark.read.schema(self.schema)
-        df = reader.parquet(*[f["file_path"] for f in files])
+        from pyspark.sql import functions as _F
+
+        # read physical columns, then alias back to logical names —
+        # columns added after a file was written come back as NULL
+        mapping = self._column_mapping
+        df = self.spark.read.schema(self.physical_schema).parquet(
+            *[f["file_path"] for f in files]
+        )
+        df = df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
         if predicates:
             for col, (op, val) in predicates.items():
                 c = df[col]

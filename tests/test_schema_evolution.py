@@ -1,0 +1,75 @@
+"""Field-ID-based schema evolution: add/rename/drop are metadata-only
+(no data rewrite), old files stay readable (SURVEY.md §7 hard point e).
+"""
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from icebergplus_spark.lake import LocalLakeCatalog
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.evolve", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    return t
+
+
+def test_add_column_reads_null_for_old_files(spark, table):
+    t = table.add_column("score", IntegerType())
+    assert [f.name for f in t.schema.fields] == ["k", "v", "score"]
+    assert t.field_ids["score"] == 3
+    rows = {r["k"]: r["score"] for r in t.scan().collect()}
+    assert rows == {1: None, 2: None}
+    # new appends carry the column
+    t.append(spark.createDataFrame([(3, "c", 30)], t.schema))
+    rows = {r["k"]: r["score"] for r in t.scan().collect()}
+    assert rows == {1: None, 2: None, 3: 30}
+
+
+def test_rename_is_metadata_only_and_preserves_id(spark, table):
+    files_before = {f["file_path"] for f in table.plan_files()}
+    old_id = table.field_ids["v"]
+    t = table.rename_column("v", "label")
+    assert {f["file_path"] for f in t.plan_files()} == files_before  # no rewrite
+    assert t.field_ids["label"] == old_id
+    rows = sorted((r["k"], r["label"]) for r in t.scan().collect())
+    assert rows == [(1, "a"), (2, "b")]
+    # appends after the rename use the new logical name; scan still unifies
+    t.append(spark.createDataFrame([(3, "c")], t.schema))
+    assert sorted((r["k"], r["label"]) for r in t.scan().collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_rename_then_add_same_name_no_collision(spark, table):
+    t = table.rename_column("v", "label").add_column("v", StringType())
+    # old physical 'v' belongs to 'label'; new 'v' must not read old data
+    rows = sorted((r["k"], r["label"], r["v"]) for r in t.scan().collect())
+    assert rows == [(1, "a", None), (2, "b", None)]
+
+
+def test_drop_column_prunes(spark, table):
+    t = table.drop_column("v")
+    assert [f.name for f in t.schema.fields] == ["k"]
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
+    with pytest.raises(KeyError):
+        t.drop_column("nope")
+
+
+def test_stats_pruning_survives_rename(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = cat.create_table("db.prune_ren", SCHEMA)
+    t.append(spark.createDataFrame([(i, "x") for i in range(10)], SCHEMA).coalesce(1))
+    t.append(
+        spark.createDataFrame([(i, "y") for i in range(100, 110)], SCHEMA).coalesce(1)
+    )
+    t = t.rename_column("k", "key")
+    # predicate on the NEW logical name still prunes via old physical stats
+    assert len(t.plan_files({"key": (">=", 100)})) == 1
+    assert t.scan({"key": (">=", 100)}).count() == 10
