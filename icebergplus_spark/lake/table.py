@@ -359,6 +359,69 @@ class LakeTable:
         self._commit_snapshot("append", manifests, entries, t0)
         return self
 
+    def overwrite(self, df: DataFrame) -> "LakeTable":
+        """Truncate-and-replace commit: new snapshot references ONLY the
+        new files; history keeps the old data readable (time travel)."""
+        t0 = time.time()
+        snap_before = self.current_snapshot_id
+        self.append(df)  # writes files + interim append snapshot
+        appended = self.snapshot()
+        new_manifest = appended["manifests"][-1]
+        # rewrite metadata so the final snapshot is a clean REPLACE over
+        # only the newly written manifest
+        entries = pq.read_table(os.path.join(self._meta_dir, new_manifest)).to_pylist()
+        meta = dict(self._meta)
+        meta["_version"] = meta["_version"]
+        # drop the interim append snapshot
+        self._meta["snapshots"] = [
+            s for s in self._meta["snapshots"] if s["snapshot_id"] != appended["snapshot_id"]
+        ]
+        self._meta["current_snapshot_id"] = snap_before
+        self._commit_snapshot("overwrite", [new_manifest], entries, t0)
+        return self
+
+    def delete(self, predicates: dict[str, tuple[str, Any]]) -> "LakeTable":
+        """Copy-on-write row-level DELETE (beyond the append-only
+        reference, SURVEY.md §2.C): only files whose stats ranges
+        intersect the predicate are rewritten; untouched files carry over
+        to the new REPLACE snapshot unchanged.
+        ``predicates`` rows matching ALL conditions are removed."""
+        t0 = time.time()
+        all_files = self.plan_files()
+        affected = self.plan_files(predicates)
+        affected_paths = {f["file_path"] for f in affected}
+        untouched = [f for f in all_files if f["file_path"] not in affected_paths]
+        new_entries: list[dict[str, Any]] = []
+        if affected:
+            from pyspark.sql import functions as _F
+
+            mapping = self._column_mapping
+            df = self.spark.read.schema(self.physical_schema).parquet(
+                *sorted(affected_paths)
+            )
+            # keep rows that do NOT match the conjunction of predicates
+            keep_cond = _F.lit(False)
+            for col, (op, val) in predicates.items():
+                c = _F.col(mapping.get(col, col))
+                cond = {
+                    "<": c < val, "<=": c <= val, ">": c > val,
+                    ">=": c >= val, "=": c == val,
+                }[op]
+                keep_cond = keep_cond | ~cond | c.isNull()
+            survivors = df.filter(keep_cond)
+            out_dir = os.path.join(self.table_dir, "data", f"delete-{uuid.uuid4().hex}")
+            survivors.write.mode("overwrite").parquet(out_dir)
+            for root, _dirs, fns in os.walk(out_dir):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        new_entries.append(_harvest_footer(os.path.join(root, fn)))
+            new_entries.sort(key=lambda e: e["file_path"])
+        manifest = self._write_manifest(
+            sorted(untouched + new_entries, key=lambda e: e["file_path"])
+        )
+        self._commit_snapshot("delete", [manifest], new_entries, t0)
+        return self
+
     # -- scan machinery ----------------------------------------------------
     def plan_files(
         self,

@@ -1,0 +1,59 @@
+"""SQL front-end: the engine's queries are equally expressible as
+``spark.sql`` over registered views (SURVEY.md §2.B — Catalyst compiles
+SQL and DataFrame code to the same plans). These entries prove the SQL
+surface end-to-end with the same oracle discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], query: str) -> DataFrame:
+    prepare_session(spark)
+    register_views(spark, sf_dir, tables)
+    return spark.sql(query)
+
+
+# shipping-modes style: CASE buckets + two-level agg, pure SQL
+_Q50 = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_totalprice <  150000 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q50_sql_frontend", oracle=_Q50)
+def q50_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME SQL text runs on Spark and on the DuckDB oracle
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _Q50)
+
+
+_Q51 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q51_sql_top_supplier", oracle=_Q51)
+def q51_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CTE + scalar subquery in the WHERE clause (TPC-H Q15 shape)
+    return _sql(spark, sf_dir, ["supplier", "lineitem"], _Q51)

@@ -41,3 +41,4 @@ def load_all() -> None:
     import icebergplus_spark.operators.similarity  # noqa: F401
     import icebergplus_spark.operators.textops  # noqa: F401
     import icebergplus_spark.operators.multimodal  # noqa: F401
+    import icebergplus_spark.operators.sql_frontend  # noqa: F401
