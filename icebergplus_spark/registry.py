@@ -42,3 +42,5 @@ def load_all() -> None:
     import icebergplus_spark.operators.textops  # noqa: F401
     import icebergplus_spark.operators.multimodal  # noqa: F401
     import icebergplus_spark.operators.sql_frontend  # noqa: F401
+    import icebergplus_spark.operators.udf_surface  # noqa: F401
+    import icebergplus_spark.operators.file_formats  # noqa: F401
