@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from icebergplus_spark.functions.exact import dsum
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
@@ -49,9 +50,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE)                                  AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE)               AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
   ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
   ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
   ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -68,17 +69,15 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_disc_price"
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -128,7 +127,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_orderkey,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -157,9 +156,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -206,7 +203,8 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_local_supplier_volume",
     oracle="""
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey  = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -241,9 +239,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
         )
     )
 
@@ -255,7 +251,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -274,7 +270,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -359,7 +355,7 @@ def q08_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
-       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent
+       COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE), 0.0) AS total_spent
 FROM customer
 LEFT JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -373,7 +369,7 @@ def q09_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(dsum("o_totalprice", 2), F.lit(0.0)).alias("total_spent"),
         )
     )
 
@@ -430,7 +426,7 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -439,7 +435,7 @@ def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dsum("o_totalprice", 2).alias("sum_price"),
     )
 
 
@@ -512,7 +508,7 @@ def q14_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
        COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
-       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_value
+       CAST(ROUND(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,2))), 2) AS DOUBLE) AS urgent_value
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 GROUP BY o_orderstatus
@@ -527,12 +523,10 @@ def q15_in_subquery_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
-            F.round(
-                F.sum(
-                    F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
-                        0.0
-                    )
-                ),
+            dsum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                ).otherwise(0.0),
                 2,
             ).alias("urgent_value"),
         )
@@ -546,7 +540,7 @@ def q15_in_subquery_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q16_scalar_subquery",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN (SELECT l_partkey AS a_partkey, 0.8 * AVG(l_quantity) AS qty_threshold
       FROM lineitem GROUP BY l_partkey) t
@@ -565,7 +559,13 @@ def q16_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 

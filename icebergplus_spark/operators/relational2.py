@@ -11,6 +11,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from icebergplus_spark.functions.exact import dsum
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
@@ -216,7 +217,7 @@ def q48_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        COUNT(*) AS n_lines,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price
 FROM lineitem
 WHERE l_linenumber <= 2
 GROUP BY l_returnflag
@@ -238,6 +239,6 @@ def q49_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
         )
     )

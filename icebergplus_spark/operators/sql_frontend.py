@@ -41,7 +41,7 @@ def q50_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q51 = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'

@@ -44,3 +44,4 @@ def load_all() -> None:
     import icebergplus_spark.operators.sql_frontend  # noqa: F401
     import icebergplus_spark.operators.udf_surface  # noqa: F401
     import icebergplus_spark.operators.file_formats  # noqa: F401
+    import icebergplus_spark.operators.tpch_suite  # noqa: F401
