@@ -351,13 +351,47 @@ class LakeTable:
         for root, _dirs, files in os.walk(snap_dir):
             for fn in files:
                 if fn.endswith(".parquet"):
-                    entries.append(_harvest_footer(os.path.join(root, fn)))
+                    entry = _harvest_footer(os.path.join(root, fn))
+                    self._add_partition_stats(entry)
+                    entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
         current = self.snapshot()
         manifests = (current["manifests"] if current else []) + [manifest]
         self._commit_snapshot("append", manifests, entries, t0)
         return self
+
+    def scan_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read only rows ADDED after ``from_snapshot_id`` (exclusive) up
+        to ``to_snapshot_id`` (inclusive; default current) — CDC-style
+        incremental consumption of an append stream without re-reading
+        the table. Replace/compact snapshots rewrite existing rows, so
+        their manifests are skipped (no additions)."""
+        to_id = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
+        seen: set[str] = set()
+        new_files: list[str] = []
+        for s in self._meta["snapshots"]:
+            if s["snapshot_id"] > to_id:
+                break
+            is_wanted = s["snapshot_id"] > from_snapshot_id
+            for m in s["manifests"]:
+                if m in seen:
+                    continue
+                seen.add(m)
+                if is_wanted and s["operation"] in ("append", "overwrite"):
+                    t = pq.read_table(os.path.join(self._meta_dir, m))
+                    new_files.extend(t.column("file_path").to_pylist())
+        if not new_files:
+            return self.spark.createDataFrame([], self.schema)
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        df = self.spark.read.schema(self.physical_schema).parquet(*sorted(new_files))
+        return df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
 
     def overwrite(self, df: DataFrame) -> "LakeTable":
         """Truncate-and-replace commit: new snapshot references ONLY the
@@ -422,6 +456,33 @@ class LakeTable:
         self._commit_snapshot("delete", [manifest], new_entries, t0)
         return self
 
+    def _add_partition_stats(self, entry: dict[str, Any]) -> None:
+        """Partition values live in the Hive-style path, not the footer:
+        parse them into min==max stats so partition pruning is just the
+        ordinary stats pruning (SURVEY.md §4 partition-pruning row)."""
+        if not self.partition_cols:
+            return
+        from urllib.parse import unquote
+
+        types = {f.name: f.dataType.simpleString() for f in self.physical_schema.fields}
+        mins = json.loads(entry["column_mins"])
+        maxs = json.loads(entry["column_maxs"])
+        for seg in entry["file_path"].split(os.sep):
+            if "=" not in seg:
+                continue
+            col, _, raw = seg.partition("=")
+            if col not in types:
+                continue
+            val: Any = unquote(raw)
+            if types[col] in ("int", "bigint", "smallint", "tinyint"):
+                val = int(val)
+            elif types[col] in ("double", "float"):
+                val = float(val)
+            mins[col] = val
+            maxs[col] = val
+        entry["column_mins"] = json.dumps(mins, default=str)
+        entry["column_maxs"] = json.dumps(maxs, default=str)
+
     # -- scan machinery ----------------------------------------------------
     def plan_files(
         self,
@@ -480,9 +541,12 @@ class LakeTable:
         # read physical columns, then alias back to logical names —
         # columns added after a file was written come back as NULL
         mapping = self._column_mapping
-        df = self.spark.read.schema(self.physical_schema).parquet(
-            *[f["file_path"] for f in files]
-        )
+        reader = self.spark.read.schema(self.physical_schema)
+        if self.partition_cols:
+            # partition values come from Hive-style path segments; basePath
+            # lets Spark derive them for an explicit file list
+            reader = reader.option("basePath", os.path.join(self.table_dir, "data"))
+        df = reader.parquet(*[f["file_path"] for f in files])
         df = df.select(
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
