@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from icebergplus_spark.functions.exact import dsum
+from icebergplus_spark.functions.exact import dsum, dsum_raw
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
@@ -559,13 +559,7 @@ def q16_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double")
-                / 7.0,
-                2,
-            ).alias("avg_yearly")
-        )
+        .agg(F.round(dsum_raw("l_extendedprice", 2) / 7.0, 2).alias("avg_yearly"))
     )
 
 

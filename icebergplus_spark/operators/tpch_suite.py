@@ -78,16 +78,9 @@ def q60_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        # money sums land EXACTLY on half-cents, where double rounding
-        # diverges between engines. price/discount are 2dp → volume is an
-        # exact 4dp number: cast each row to DECIMAL(38,4) (unambiguous,
-        # double is within 1e-9 of the true 4dp value), sum exactly and
-        # round in decimal — order-independent and tie-free.
-        .agg(
-            F.round(F.sum(F.col("volume").cast("decimal(38,4)")), 2)
-            .cast("double")
-            .alias("revenue")
-        )
+        # exact fixed-point sum (see functions/exact.py): money sums land
+        # exactly on half-cents where double rounding diverges by engine
+        .agg(dsum("volume", 4).alias("revenue"))
     )
 
 
