@@ -414,6 +414,64 @@ class LakeTable:
         self._commit_snapshot("overwrite", [new_manifest], entries, t0)
         return self
 
+    def merge(self, df: DataFrame, key: str) -> "LakeTable":
+        """Copy-on-write MERGE (upsert) on a key column: rows in ``df``
+        replace same-key rows in the table; new keys are inserted. Only
+        files whose stats range intersects the incoming key range are
+        rewritten (stats-targeted, like ``delete``)."""
+        t0 = time.time()
+        if [f.name for f in df.schema.fields] != [f.name for f in self.schema.fields]:
+            raise ValueError(
+                f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
+            )
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        bounds = df.agg(
+            _F.min(key).alias("lo"), _F.max(key).alias("hi")
+        ).first()
+        all_files = self.plan_files()
+        if bounds["lo"] is None:
+            return self  # empty merge input
+        affected = self.plan_files({key: (">=", bounds["lo"])})
+        affected = [
+            f
+            for f in affected
+            if _file_matches(
+                f, {mapping.get(key, key): ("<=", bounds["hi"])}
+            )
+        ]
+        affected_paths = {f["file_path"] for f in affected}
+        untouched = [f for f in all_files if f["file_path"] not in affected_paths]
+
+        incoming = df.select(
+            *[_F.col(c).alias(mapping[c]) for c in df.columns]
+        )
+        pkey = mapping.get(key, key)
+        new_entries: list[dict[str, Any]] = []
+        out_dir = os.path.join(self.table_dir, "data", f"merge-{uuid.uuid4().hex}")
+        if affected:
+            existing = self.spark.read.schema(self.physical_schema).parquet(
+                *sorted(affected_paths)
+            )
+            keep = existing.join(
+                incoming.select(pkey), on=pkey, how="left_anti"
+            )
+            merged = keep.unionByName(incoming)
+        else:
+            merged = incoming
+        merged.write.mode("overwrite").parquet(out_dir)
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    new_entries.append(_harvest_footer(os.path.join(root, fn)))
+        new_entries.sort(key=lambda e: e["file_path"])
+        manifest = self._write_manifest(
+            sorted(untouched + new_entries, key=lambda e: e["file_path"])
+        )
+        self._commit_snapshot("merge", [manifest], new_entries, t0)
+        return self
+
     def delete(self, predicates: dict[str, tuple[str, Any]]) -> "LakeTable":
         """Copy-on-write row-level DELETE (beyond the append-only
         reference, SURVEY.md §2.C): only files whose stats ranges

@@ -60,3 +60,28 @@ def test_overwrite_replaces_current_but_keeps_history(spark, table):
     assert [(r["k"], r["v"]) for r in t.scan().collect()] == [(42, "new")]
     assert t.snapshot()["operation"] == "overwrite"
     assert t.scan(snapshot_id=2).count() == 20  # pre-overwrite view intact
+
+
+def test_merge_upserts(spark, table):
+    updates = spark.createDataFrame([(5, "UPDATED"), (999, "NEW")], SCHEMA)
+    t = table.merge(updates, key="k")
+    rows = dict((r["k"], r["v"]) for r in t.scan().collect())
+    assert rows[5] == "UPDATED"        # existing key replaced
+    assert rows[999] == "NEW"          # new key inserted
+    assert rows[101] == "b101"         # untouched rows intact
+    assert len(rows) == 21
+    assert t.snapshot()["operation"] == "merge"
+
+
+def test_merge_only_rewrites_intersecting_files(spark, table):
+    files_before = {f["file_path"] for f in table.plan_files()}
+    # incoming keys 0-5 only intersect the first file (k 0..9)
+    t = table.merge(spark.createDataFrame([(3, "X")], SCHEMA), key="k")
+    files_after = {f["file_path"] for f in t.plan_files()}
+    assert len(files_before & files_after) == 1  # second file untouched
+
+
+def test_merge_empty_input_noop(spark, table):
+    snap = table.current_snapshot_id
+    t = table.merge(spark.createDataFrame([], SCHEMA), key="k")
+    assert t.current_snapshot_id == snap
