@@ -46,14 +46,22 @@ def main() -> None:
     # Warm the JVM + parquet footer caches outside the timed region.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    def run(name: str) -> None:
+        registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     per_query: dict[str, float] = {}
-    t_all = time.time()
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
+        # one untimed warm-up (codegen/JIT compile), then clear any data
+        # cached by the warm-up so the timed run does real work
+        run(name)
+        spark.catalog.clearCache()
         t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        run(name)
         per_query[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        spark.catalog.clearCache()
+    total = round(sum(per_query.values()), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
