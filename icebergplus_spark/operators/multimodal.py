@@ -58,6 +58,77 @@ def _extract_meta(batches: Iterator, /):
         )
 
 
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
+    """Resize an image payload. STUB: no pillow/libvips in container."""
+    raise NotImplementedError("image resize requires pillow — not in container")
+
+
+def sample_video_frames(payload: bytes, n_frames: int):  # pragma: no cover
+    """Decode + sample frames from a video payload. STUB: no ffmpeg."""
+    raise NotImplementedError("video decode requires ffmpeg — not in container")
+
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
+
+
+def _extract_features(batches: Iterator, /):
+    """mapInPandas worker: deterministic fake 'embedding model' — a
+    FEATURE_DIM float vector derived from the payload's md5 digest. The
+    real model would be loaded once per worker here (the pattern this
+    stub preserves: per-batch numpy work, per-worker init)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        feats = []
+        for b in pdf["payload"]:
+            digest = hashlib.md5(bytes(b)).digest()
+            raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+            v = np.resize(raw, FEATURE_DIM) / 255.0
+            feats.append(v.tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_bytes binary"
+
+
+def _sample_frames(n_frames: int):
+    """mapInPandas worker factory: deterministic fake 'frame sampler' —
+    splits the payload at n evenly-spaced offsets and emits ONE ROW PER
+    FRAME (the expanding-output shape a real video sampler has)."""
+
+    def worker(batches: Iterator, /):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(b) - 1, 0))
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(b[off : off + step])
+            yield pd.DataFrame(rows)
+
+    return worker
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary payload → fixed-dim float feature vector (Arrow-batched)."""
+    return media.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """binary payload → one row per sampled frame (expanding mapInPandas)."""
+    return media.mapInPandas(_sample_frames(n_frames), schema=FRAME_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # m01 — binary-column metadata extraction via mapInPandas
 # (payload synthesized from documents.text so the oracle can replicate it)
@@ -80,3 +151,30 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = media.mapInPandas(_extract_meta, schema=META_SCHEMA)
     # DuckDB hex() is uppercase; normalize ours to match.
     return out.withColumn("header_hex", F.upper("header_hex"))
+
+
+# ---------------------------------------------------------------------------
+# m02 — feature extraction + similarity join over extracted features
+# (rows-only: md5-derived fake features are not SQL-expressible; the
+# determinism and batch-shape contracts are pytest-verified)
+# ---------------------------------------------------------------------------
+@register("m02_multimodal_features")
+def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = extract_features(media)
+    # aggregate feature statistics per dimension bucket — exercises the
+    # array<float> output column downstream of the Python worker
+    return feats.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("feature_sum"),
+        F.size("feature").alias("dim"),
+    )

@@ -184,6 +184,105 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s04 — IVF (inverted-file) ANN: coarse k-means quantizer + nprobe search
+# (the other scale path the north star names alongside LSH).
+#
+# Train: deterministic k-means on a driver-side sample (at 100 TB: a
+# 100k-row sample — centroid training is O(sample), never O(corpus)).
+# Index: each vector assigned to its nearest centroid (one JVM-side pass;
+# at scale this is the partition/bucket key for a write).
+# Search: each query probes its NPROBE nearest centroids → candidates are
+# corpus rows in those cells only (~NPROBE/K of the corpus per query).
+# ---------------------------------------------------------------------------
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def _train_centroids(emb: DataFrame, dim: int):
+    import numpy as np
+
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")  # deterministic sample
+        .limit(512)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in sample], dtype="float64")
+    rng = np.random.RandomState(7)
+    cents = x[rng.choice(len(x), IVF_K, replace=False)]
+    for _ in range(10):  # plain Lloyd iterations, fixed count
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(IVF_K):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents.tolist()
+
+
+@register("s04_ann_ivf")  # no oracle: approximate by construction
+def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dim = emb.select(F.size("embedding")).first()[0]
+    cents = _train_centroids(emb, dim)
+
+    def dist2_to(col, c):
+        # squared L2 distance to one centroid, JVM-side fold
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cell_ranking(col):
+        # array<struct<d,i>> sorted ascending by distance
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(dist2_to(col, c).alias("d"), F.lit(i).alias("i"))
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.element_at(cell_ranking(F.col("embedding")), 1)["i"].alias("cell"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col("embedding")), 1, IVF_NPROBE),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        queries.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # s03 — vector norms + per-label centroid distance (SQL-expressible
 # aggregate over vectors: the "is my embedding column healthy" audit)
 # ---------------------------------------------------------------------------

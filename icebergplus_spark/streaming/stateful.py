@@ -1,0 +1,68 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.B "session windows, stateful ops"; prompt: "custom
+stateful operators").
+
+``running_user_stats`` keeps per-user state (event count, value sum,
+last-seen timestamp) across micro-batches and emits one updated row per
+user per batch — the building block for online feature stores /
+anomaly detection. State is bounded two ways: the watermark lets us
+drop users idle past the horizon (state timeout), and state size is
+O(distinct active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, last_ts timestamp"
+)
+STATE_SCHEMA = "n_events long, total_value double, last_ts timestamp"
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        # idle past the timeout horizon: emit nothing, drop the state
+        state.remove()
+        return
+    n, total, last = (state.get if state.exists else (0, 0.0, None))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last = batch_max if last is None or batch_max > last else last
+    state.update((n, total, last))
+    state.setTimeoutDuration(60 * 60 * 1000)  # 1h idle → state dropped
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "last_ts": [last],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming per-user running aggregates with explicit state
+    management (count, sum, last-seen), emitted every micro-batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

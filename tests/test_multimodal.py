@@ -1,0 +1,62 @@
+"""Multimodal plumbing tests: schema/batch shapes of the mapInPandas
+media pipeline, expanding frame sampler, stubbed decoders."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergplus_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    resize_image,
+    sample_frames,
+    sample_video_frames,
+)
+from icebergplus_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+@pytest.fixture
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+
+def test_decoder_stubs_are_marked(media):
+    for fn, args in [
+        (decode_image, (b"x",)),
+        (resize_image, (b"x", 10, 10)),
+        (sample_video_frames, (b"x", 4)),
+    ]:
+        with pytest.raises(NotImplementedError):
+            fn(*args)
+
+
+def test_extract_features_shape_and_determinism(spark, media):
+    feats = extract_features(media)
+    assert dict(feats.dtypes) == {"doc_id": "bigint", "feature": "array<float>"}
+    rows = feats.orderBy("doc_id").limit(5).collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    rows2 = extract_features(media).orderBy("doc_id").limit(5).collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in rows2]
+
+
+def test_sample_frames_expands_rows(spark, media):
+    n_docs = media.count()
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == 4 * n_docs
+    one = frames.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in one] == [0, 1, 2, 3]
+    # offsets are monotonically increasing and payload-bounded
+    offs = [r["frame_offset"] for r in one]
+    assert offs == sorted(offs)
+    assert all(len(r["frame_bytes"]) > 0 for r in one)
+
+
+def test_m02_query_runs(spark, sf_dir):
+    df = QUERIES["m02_multimodal_features"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r["dim"] == FEATURE_DIM for r in rows)

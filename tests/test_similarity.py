@@ -51,3 +51,20 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
 def test_norms_positive(spark, sf_dir):
     rows = QUERIES["s03_norm_stats"](spark, sf_dir).collect()
     assert all(r["min_norm"] > 0 for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
+    approx = QUERIES["s04_ann_ivf"](spark, sf_dir).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=4 of 16 cells scans ~25% of the corpus; near-random data is
+    # the hard case — must still clearly beat the scan fraction
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["s04_ann_ivf"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["s04_ann_ivf"](spark, sf_dir).collect()))
+    assert a == b

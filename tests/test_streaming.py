@@ -113,3 +113,40 @@ def test_stream_to_lake_snapshots(spark, events_dir, tmp_path):
     # one snapshot per non-empty micro-batch; metrics-ready history
     assert len(t.history()) >= 1
     assert all(s["operation"] == "append" for s in t.history())
+
+
+def test_stateful_running_user_stats(spark, events_dir):
+    """applyInPandasWithState: state accumulates across micro-batches —
+    the final per-user totals must equal the batch aggregate."""
+    from icebergplus_spark.streaming.stateful import running_user_stats
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per batch; the LAST emission per
+    # user carries the accumulated totals
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM user_stats
+        ) WHERE rn = 1
+        """
+    ).toPandas()
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .toPandas()
+    )
+    merged = out.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) > 0
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 0.05).all()
