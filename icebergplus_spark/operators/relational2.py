@@ -187,7 +187,7 @@ def q47_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        CAST(c_custkey AS VARCHAR)                       AS key_str,
-       CAST(CAST(c_acctbal AS INTEGER) AS INTEGER)      AS bal_int,
+       CAST(FLOOR(c_acctbal) AS INTEGER)                AS bal_int,
        TRY_CAST(c_name AS DOUBLE)                       AS name_as_num,
        CAST(c_acctbal > 0 AS BOOLEAN)                   AS in_credit
 FROM customer
@@ -199,9 +199,9 @@ def q48_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.filter(F.col("c_custkey") % 11 == 0).select(
         "c_custkey",
         F.col("c_custkey").cast("string").alias("key_str"),
-        # DuckDB CAST(double AS INT) rounds half away; Spark truncates —
-        # use round-then-cast for identical semantics
-        F.round("c_acctbal", 0).cast("int").alias("bal_int"),
+        # half-to-int is tie-ambiguous across engines (HALF_UP vs
+        # ties-to-even) — FLOOR is unambiguous
+        F.floor("c_acctbal").cast("int").alias("bal_int"),
         F.expr("try_cast(c_name AS double)").alias("name_as_num"),
         (F.col("c_acctbal") > 0).alias("in_credit"),
     )
