@@ -31,9 +31,13 @@ HEADLINE = [
     "q40_tumbling_window",
     "q42_sessionize",
     "q43_asof_join",
+    "q60_nation_volume",
+    "q65_large_orders",
     "d02_fingerprint_dedup",
     "d04_minhash_lsh",
     "s01_topk_bruteforce",
+    "s04_ann_ivf",
+    "m02_multimodal_features",
     "t02_quality_score",
 ]
 

@@ -15,6 +15,7 @@ left-to-right folds so Spark and the DuckDB oracle agree bit-for-bit
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -222,47 +223,36 @@ def _train_centroids(emb: DataFrame, dim: int):
 
 @register("s04_ann_ivf")  # no oracle: approximate by construction
 def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     emb = _emb(spark, sf_dir)
     dim = emb.select(F.size("embedding")).first()[0]
-    cents = _train_centroids(emb, dim)
+    cents_np = np.array(_train_centroids(emb, dim), dtype="float64")
 
-    def dist2_to(col, c):
-        # squared L2 distance to one centroid, JVM-side fold
-        return F.aggregate(
-            F.zip_with(
-                col,
-                F.array(*[F.lit(float(v)) for v in c]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # Dense linear algebra (distances to all K centroids) is the one place
+    # JVM higher-order folds lose badly to Arrow-batched numpy: one matmul
+    # per batch vs K interpreted folds per row (~5× wall time here).
+    @pandas_udf("array<int>")
+    def nearest_cells(col: pd.Series) -> pd.Series:
+        x = np.stack(col.map(lambda a: np.asarray(a, dtype="float64")))
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row → drop
+        d = -2.0 * (x @ cents_np.T) + (cents_np**2).sum(axis=1)[None, :]
+        order = np.argsort(d, axis=1, kind="stable")
+        return pd.Series([row.astype("int32").tolist() for row in order])
 
-    def cell_ranking(col):
-        # array<struct<d,i>> sorted ascending by distance
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(dist2_to(col, c).alias("d"), F.lit(i).alias("i"))
-                    for i, c in enumerate(cents)
-                ]
-            )
-        )
-
-    corpus = emb.select(
+    ranked = emb.select(
+        "vec_id", "embedding", nearest_cells("embedding").alias("cells")
+    )
+    corpus = ranked.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.element_at(cell_ranking(F.col("embedding")), 1)["i"].alias("cell"),
+        F.element_at("cells", 1).alias("cell"),
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = ranked.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.explode(
-            F.transform(
-                F.slice(cell_ranking(F.col("embedding")), 1, IVF_NPROBE),
-                lambda s: s["i"],
-            )
-        ).alias("cell"),
+        F.explode(F.slice("cells", 1, IVF_NPROBE)).alias("cell"),
     )
     scored = (
         queries.join(corpus, "cell")
