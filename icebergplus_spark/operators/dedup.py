@@ -238,27 +238,33 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
-        # Arrow-batched, numpy-vectorized per batch; deterministic
-        # (hashlib md5 per token — no PYTHONHASHSEED dependence).
+        # Arrow-batched + vocabulary-deduped: md5 runs once per UNIQUE
+        # token in the batch (corpus vocabularies are tiny relative to
+        # token counts), then per-doc signatures are numpy row-gathers.
+        # Deterministic: hashlib, no PYTHONHASHSEED dependence.
         import hashlib
 
         import numpy as np
 
+        docs_tokens = [(t or "").lower().split() for t in texts]
+        vocab: dict[str, int] = {}
+        for toks in docs_tokens:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        shifts = np.arange(64, dtype=np.uint64)
+        bitmat = np.empty((max(len(vocab), 1), 64), dtype=np.int64)
+        for tok, i in vocab.items():
+            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+            bitmat[i] = np.where(((h >> shifts) & np.uint64(1)) == 1, 1, -1)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
         out = []
-        for t in texts:
-            toks = (t or "").lower().split()
+        for toks in docs_tokens:
             if not toks:
                 out.append(0)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+            acc = bitmat[[vocab[t] for t in toks]].sum(axis=0)
+            sig = int((acc > 0).astype(np.uint64) @ powers)
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out)
 

@@ -125,33 +125,39 @@ def _hyperplanes(dim: int, table: int):
 
 @register("s02_ann_lsh")  # no oracle: approximate by construction
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     emb = _emb(spark, sf_dir)
     dim = emb.select(F.size("embedding")).first()[0]
+    # (T*P, dim) matrix of all tables' hyperplanes — one matmul per batch
+    # computes every sign bit (vectorized Arrow path; interpreted JVM
+    # folds cost ~T*P per-row expression evaluations).
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, t), dtype="float64") for t in range(N_TABLES)]
+    )
+    powers = (1 << np.arange(N_PLANES, dtype=np.int64))
 
-    def bucket(col, planes):
-        # Sign bit per hyperplane, packed into an int bucket id (JVM-side).
-        out = F.lit(0)
-        for i, p in enumerate(planes):
-            out = out + F.when(
-                dot(col, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1 << i
-            ).otherwise(0)
-        return out
+    @pandas_udf("array<int>")
+    def table_buckets(col: pd.Series) -> pd.Series:
+        x = np.stack(col.map(lambda a: np.asarray(a, dtype="float64")))
+        bits = (x @ planes.T) >= 0  # (n, T*P)
+        b = bits.reshape(len(x), N_TABLES, N_PLANES) @ powers  # (n, T)
+        return pd.Series([row.astype("int32").tolist() for row in b])
 
-    all_planes = [_hyperplanes(dim, t) for t in range(N_TABLES)]
+    bucketed = emb.select(
+        "vec_id", "embedding", table_buckets("embedding").alias("buckets")
+    )
     # Corpus: one (table, bucket) row per table — T rows per vector.
-    corpus = emb.select(
+    corpus = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.posexplode(
-            F.array(*[bucket(F.col("embedding"), p) for p in all_planes])
-        ).alias("table_id", "bucket"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.posexplode(
-            F.array(*[bucket(F.col("embedding"), p) for p in all_planes])
-        ).alias("table_id", "qbucket"),
+        F.posexplode("buckets").alias("table_id", "qbucket"),
     )
     # Multiprobe: each table probes the query's bucket + all 1-bit flips.
     probes = queries.select(
