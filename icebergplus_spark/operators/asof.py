@@ -30,18 +30,48 @@ def asof_join(
     payload_cols: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` on the same key (backward as-of).
+    """For each left row, attach the nearest right row on the same key:
+    ``direction='backward'`` → latest right with ``right_ts <= left_ts``;
+    ``direction='forward'``  → earliest right with ``right_ts >= left_ts``.
 
     ``tiebreak``: right-side column ordering ties on equal ``right_ts``
-    (max wins) — REQUIRED for deterministic results when right rows can
-    share a timestamp. ``how``: 'inner' drops unmatched left rows,
-    'left' keeps them with null payload.
+    (the row nearest in the scan order wins) — REQUIRED for
+    deterministic results when right rows can share a timestamp.
+    ``how``: 'inner' drops unmatched left rows, 'left' keeps them with
+    null payload. ``tolerance_seconds``: matches farther than this from
+    the probe time are discarded (pandas.merge_asof tolerance parity).
     """
+    if direction == "forward":
+        # reflect time: forward as-of == backward as-of on negated axis
+        neg = lambda df, c: df.withColumn(  # noqa: E731
+            "__asof_negts", -F.col(c).cast("double")
+        )
+        out = asof_join(
+            neg(left, left_ts),
+            neg(right, right_ts),
+            left_key,
+            right_key,
+            "__asof_negts",
+            "__asof_negts",
+            payload_cols,
+            tiebreak=tiebreak,
+            how=how,
+            direction="backward",
+            tolerance_seconds=tolerance_seconds,
+        )
+        return out.drop("__asof_negts")
+    if direction != "backward":
+        raise ValueError(f"asof_join: unsupported direction={direction!r}")
     # Pack the right payload into one struct so a single last() resolves
     # all columns consistently (no column-wise tearing between ties).
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__asof_payload")
+    # The matched right timestamp rides along for tolerance checks.
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(right_ts).cast("double").alias("__asof_rts"),
+    ).alias("__asof_payload")
     r = right.select(
         F.col(right_key).alias("__asof_key"),
         F.col(right_ts).alias("__asof_ts"),
@@ -67,8 +97,15 @@ def asof_join(
     out = (
         matched.withColumn("__asof_match", F.last("__asof_payload", ignorenulls=True).over(w))
         .filter(F.col("__asof_side") == 1)  # keep probe rows only
-        .select(*left_cols, F.col("__asof_match"))
+        .select(*left_cols, F.col("__asof_ts"), F.col("__asof_match"))
     )
+    if tolerance_seconds is not None:
+        # distance from probe to match (≥0 by construction on this axis)
+        dist = F.col("__asof_ts").cast("double") - F.col("__asof_match.__asof_rts")
+        out = out.withColumn(
+            "__asof_match",
+            F.when(dist <= float(tolerance_seconds), F.col("__asof_match")),
+        )
     if how == "inner":
         out = out.filter(F.col("__asof_match").isNotNull())
     elif how != "left":
@@ -76,4 +113,4 @@ def asof_join(
     # Unpack payload struct back to named columns.
     for c in payload_cols:
         out = out.withColumn(c, F.col(f"__asof_match.{c}"))
-    return out.drop("__asof_match")
+    return out.drop("__asof_match", "__asof_ts")

@@ -1,0 +1,164 @@
+"""Third relational battery: distribution window functions, pattern
+matching, unpivot, correlated scalar subqueries, keep-best dedup
+(SURVEY.md §2.B breadth).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q26 — distribution windows: percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "q26_percent_rank",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ROUND(PERCENT_RANK() OVER w, 8) AS bal_pct_rank,
+       ROUND(CUME_DIST()    OVER w, 8) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q26_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 8).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("bal_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — pattern-matching battery: LIKE / NOT LIKE / ILIKE / regexp
+# ---------------------------------------------------------------------------
+@register(
+    "q37_pattern_match",
+    oracle="""
+SELECT
+  COUNT(CASE WHEN p_name LIKE 'small%' THEN 1 END)          AS n_small_prefix,
+  COUNT(CASE WHEN p_name NOT LIKE '%o%' THEN 1 END)         AS n_no_o,
+  COUNT(CASE WHEN p_name ILIKE '%GEAR%' THEN 1 END)         AS n_gear_ci,
+  COUNT(CASE WHEN p_name LIKE '%\\_%' ESCAPE '\\' THEN 1 END) AS n_underscore,
+  COUNT(CASE WHEN regexp_matches(p_name, '^(red|blue) ')
+             THEN 1 END)                                    AS n_color_regex
+FROM part
+""",
+)
+def q37_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.agg(
+        F.count(F.when(F.col("p_name").like("small%"), 1)).alias("n_small_prefix"),
+        F.count(F.when(~F.col("p_name").like("%o%"), 1)).alias("n_no_o"),
+        F.count(F.when(F.col("p_name").ilike("%GEAR%"), 1)).alias("n_gear_ci"),
+        F.count(F.when(F.col("p_name").like(r"%\_%"), 1)).alias("n_underscore"),
+        F.count(F.when(F.col("p_name").rlike("^(red|blue) "), 1)).alias("n_color_regex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — unpivot / melt (wide → long)
+# ---------------------------------------------------------------------------
+@register(
+    "q38_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey % 500 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS val
+FROM lineitem WHERE l_orderkey % 500 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax' AS measure, l_tax AS val
+FROM lineitem WHERE l_orderkey % 500 = 0
+""",
+)
+def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))  # l_quantity→quantity
+
+
+# ---------------------------------------------------------------------------
+# q68 — correlated scalar subquery: each order vs its customer's max
+# ---------------------------------------------------------------------------
+@register(
+    "q68_correlated_scalar",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_totalprice = (
+         SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+       ) AS BOOLEAN) AS is_biggest_order
+FROM orders o
+WHERE o_orderkey % 20 = 0
+""",
+)
+def q68_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_cust_max = orders.groupBy(F.col("o_custkey").alias("mc_custkey")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .join(F.broadcast(per_cust_max), F.col("o_custkey") == F.col("mc_custkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_totalprice") == F.col("max_price")).alias("is_biggest_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d06 — keep-best dedup policy: one survivor per fingerprint, chosen by
+# quality (longest text, doc_id tiebreak) — the policy layer over d02
+# ---------------------------------------------------------------------------
+@register(
+    "d06_keep_best_dedup",
+    oracle="""
+SELECT fingerprint, doc_id AS keeper_id, n_chars AS keeper_chars
+FROM (
+  SELECT md5(LOWER(TRIM(text))) AS fingerprint, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(LOWER(TRIM(text)))
+           ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+""",
+)
+def d06_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            "doc_id",
+            "n_chars",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+    )

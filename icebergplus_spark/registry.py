@@ -34,6 +34,7 @@ def load_all() -> None:
     """Import every operator module so its @register calls run."""
     import icebergplus_spark.operators.relational  # noqa: F401
     import icebergplus_spark.operators.relational2  # noqa: F401
+    import icebergplus_spark.operators.relational3  # noqa: F401
     import icebergplus_spark.operators.windows  # noqa: F401
     import icebergplus_spark.operators.scalar_funcs  # noqa: F401
     import icebergplus_spark.operators.events_ops  # noqa: F401
