@@ -1,0 +1,167 @@
+"""Duplicate-cluster resolution + deterministic sampling/mixing —
+the policy layer of a dedup pipeline (SURVEY.md §2.B MinHash row:
+"connected components via iterative joins").
+
+Connected components turns pairwise near-dup candidates (d04/d05) into
+dedup groups: every doc in a component keeps/drops together. Implemented
+as iterative label propagation (small-star style): each node adopts the
+minimum label in its neighborhood until a fixed point. Iterations are
+bounded by the component diameter (near-dup clusters are shallow);
+each round is one join + one aggregation, all shuffle-on-key.
+
+Deterministic hash sampling uses md5 (identical in Spark and DuckDB) so
+the SAME rows are selected in both engines — reproducible train/eval
+splits that survive re-runs and engine changes, unlike rand()-based
+sampling.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component id =
+    min node id in the component. Label propagation to fixed point."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # undirected adjacency incl. self-loop (keeps isolated endpoints)
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(max_iter):
+        # each node adopts min(label of neighbors ∪ self)
+        new_labels = (
+            adj.join(labels, adj["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# d07 — near-dup clusters: LSH candidate pairs → components → keep min id
+# (rows-only: depends on d04's non-SQL pipeline)
+# ---------------------------------------------------------------------------
+@register("d07_dup_clusters")
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.dedup import d04_minhash_lsh
+
+    pairs = d04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    return comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keeper_id"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t07 — deterministic hash split: reproducible train/eval assignment
+# (md5 agrees across engines → fully oracle-checkable)
+# ---------------------------------------------------------------------------
+@register(
+    "t07_hash_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM h
+GROUP BY 1
+""",
+)
+def t07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t08 — deterministic source mixing: per-source hash-rate downsampling
+# (data-mixing layer of a training pipeline; same rows in both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "t08_source_mix_sample",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 100
+           AS bucket
+  FROM documents
+),
+sampled AS (
+  SELECT * FROM h
+  WHERE (source IN ('src0','src1','src2','src3','src4') AND bucket < 50)
+     OR (source NOT IN ('src0','src1','src2','src3','src4') AND bucket < 100)
+)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM sampled
+GROUP BY source
+""",
+)
+def t08_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    downsampled = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    keep = (downsampled & (bucket < 50)) | (~downsampled & (bucket < 100))
+    return (
+        docs.filter(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Connected-components and deterministic sampling tests."""
+
+import pyspark.sql.functions as F
+
+from icebergplus_spark.operators.clusters import connected_components
+from icebergplus_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20} (self-edge only)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "doc_a long, doc_b long"
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a 12-node chain needs multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    comps = connected_components(edges)
+    assert comps.select("comp").distinct().count() == 1
+    assert comps.count() == 13
+
+
+def test_hash_split_is_deterministic_and_disjoint(spark, sf_dir):
+    a = QUERIES["t07_hash_split"](spark, sf_dir).collect()
+    b = QUERIES["t07_hash_split"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total = sum(r["n_docs"] for r in a)
+    assert total == 500  # every doc in exactly one split
+    frac = {r["split"]: r["n_docs"] / total for r in a}
+    assert 0.7 < frac["train"] < 0.9  # ~80/10/10
+
+
+def test_dup_clusters_cover_pair_nodes(spark, sf_dir):
+    pairs = QUERIES["d04_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    n_nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .union(pairs.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    clusters = QUERIES["d07_dup_clusters"](spark, sf_dir).collect()
+    assert sum(r["cluster_size"] for r in clusters) == n_nodes
+    # keeper is always the smallest member
+    assert all(r["keeper_id"] == min(r["members"]) for r in clusters)
