@@ -36,6 +36,7 @@ def load_all() -> None:
     import icebergplus_spark.operators.relational2  # noqa: F401
     import icebergplus_spark.operators.relational3  # noqa: F401
     import icebergplus_spark.operators.clusters  # noqa: F401
+    import icebergplus_spark.operators.map_udaf  # noqa: F401
     import icebergplus_spark.operators.windows  # noqa: F401
     import icebergplus_spark.operators.scalar_funcs  # noqa: F401
     import icebergplus_spark.operators.events_ops  # noqa: F401
