@@ -81,6 +81,13 @@ def _harvest_footer(path: str) -> dict[str, Any]:
     }
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table since this handle last
+    refreshed. Retry: ``table.refresh()`` then re-apply (the reference
+    surfaces the same situation as the ``attempts`` commit counter,
+    IntegrationTest.java:107)."""
+
+
 class LakeTable:
     """Handle over one versioned lake table (Iceberg ``Table`` parity:
     SURVEY.md §1.1; refresh/newAppend/newScan analogues below)."""
@@ -297,6 +304,18 @@ class LakeTable:
         }
         meta = dict(self._meta)
         version = meta.pop("_version") + 1
+        # Optimistic concurrency check: if the on-disk pointer moved past
+        # the version this handle read, another writer committed — refuse
+        # rather than silently drop their snapshot. (Single-writer rename
+        # CAS; a catalog-service CAS replaces this check at multi-writer
+        # scale, SURVEY.md §7.)
+        with open(self._pointer_path) as f:
+            on_disk = int(f.read().strip())
+        if on_disk != version - 1:
+            raise ConcurrentCommitError(
+                f"{self.identifier}: expected metadata v{version - 1}, found "
+                f"v{on_disk} — refresh() and retry"
+            )
         meta["snapshots"] = meta["snapshots"] + [snapshot]
         meta["current_snapshot_id"] = snap_id
         meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")

@@ -162,3 +162,95 @@ def d06_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("keeper_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — NOT IN subquery (three-valued-logic semantics: any NULL in the
+# subquery empties the result; here the key is non-null so it's the
+# plain anti-join — the semantics both engines must agree on)
+# ---------------------------------------------------------------------------
+@register(
+    "q69_not_in_subquery",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_totalprice > 150000
+)
+GROUP BY c_mktsegment
+""",
+)
+def q69_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big_buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big_buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — multi-EXISTS self-join (TPC-H Q21 shape): suppliers with a
+# "late" line in a multi-supplier order where NO other supplier was late
+# ---------------------------------------------------------------------------
+@register(
+    "q70_multi_exists",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN late l1 ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+""",
+)
+def q70_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey"))
+    # EXISTS other-supplier line in the same order
+    other_line = li.select(
+        F.col("l_orderkey").alias("e_okey"), F.col("l_suppkey").alias("e_skey")
+    )
+    has_other = l1.join(
+        other_line,
+        (F.col("okey") == F.col("e_okey")) & (F.col("skey") != F.col("e_skey")),
+        "left_semi",
+    )
+    # NOT EXISTS other-supplier LATE line in the same order
+    other_late = late.select(
+        F.col("l_orderkey").alias("a_okey"), F.col("l_suppkey").alias("a_skey")
+    )
+    only_late = has_other.join(
+        other_late,
+        (F.col("okey") == F.col("a_okey")) & (F.col("skey") != F.col("a_skey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(supp), F.col("skey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

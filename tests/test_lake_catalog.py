@@ -142,3 +142,18 @@ def test_drop_table(spark, catalog):
     t.append(spark.createDataFrame([(1,)], t.schema))
     catalog.drop_table("db.gone", purge=True)
     assert not catalog.table_exists("db.gone")
+
+
+def test_concurrent_commit_detected(spark, catalog):
+    from icebergplus_spark.lake.table import ConcurrentCommitError
+
+    t = catalog.create_table("db.concurrent", REF_SCHEMA)
+    # two handles over the same table; the second commits first
+    stale = catalog.load_table("db.concurrent")
+    fresh = catalog.load_table("db.concurrent")
+    fresh.append(spark.createDataFrame([ROW1], REF_SCHEMA))
+    with pytest.raises(ConcurrentCommitError):
+        stale.append(spark.createDataFrame([ROW2], REF_SCHEMA))
+    # the documented retry path succeeds
+    stale.refresh().append(spark.createDataFrame([ROW2], REF_SCHEMA))
+    assert stale.scan().count() == 2
