@@ -483,20 +483,31 @@ SELECT 'either' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y96 UNION SELECT * 
 def q14_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
 
-    def year_keys(y: int) -> DataFrame:
-        return orders.filter(
+    def in_year(y: int):
+        return (
             (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
-        ).select("o_custkey").distinct()
+        ).cast("int")
 
-    y96, y97 = year_keys(1996), year_keys(1997)
-    spark_sess = y96.sparkSession
-    rows = [
-        ("both", y96.intersect(y97).count()),
-        ("only_96", y96.exceptAll(y97).distinct().count()),
-        ("either", y96.union(y97).distinct().count()),
-    ]
-    return spark_sess.createDataFrame(rows, "cohort string, n long")
+    # Single distributed pass (no driver-side counts): per-key membership
+    # flags, then one aggregation derives all three set-op cardinalities.
+    flags = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(in_year(1996)).alias("in96"),
+            F.max(in_year(1997)).alias("in97"),
+        )
+        .filter((F.col("in96") == 1) | (F.col("in97") == 1))
+    )
+    totals = flags.agg(
+        F.sum(((F.col("in96") == 1) & (F.col("in97") == 1)).cast("long")).alias("both"),
+        F.sum(((F.col("in96") == 1) & (F.col("in97") == 0)).cast("long")).alias("only_96"),
+        F.count(F.lit(1)).alias("either"),
+    )
+    return totals.unpivot(
+        ids=[], values=["both", "only_96", "either"],
+        variableColumnName="cohort", valueColumnName="n",
+    )
 
 
 # ---------------------------------------------------------------------------

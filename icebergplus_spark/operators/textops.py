@@ -201,3 +201,36 @@ def t05_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t09 — word count (explode-group-count over the corpus; the canonical
+# distributed-text benchmark, oracle-checked top-k with total order)
+# ---------------------------------------------------------------------------
+@register(
+    "t09_wordcount",
+    oracle="""
+SELECT word, n
+FROM (
+  SELECT word, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+  FROM (
+    SELECT unnest(string_split(LOWER(TRIM(text)), ' ')) AS word
+    FROM documents
+  ) w
+  GROUP BY word
+) t
+WHERE rk <= 20
+""",
+)
+def t09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )

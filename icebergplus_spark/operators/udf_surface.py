@@ -119,3 +119,18 @@ def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — approximate percentile sketch (KLL-style). Approximation ≠
+# oracle-hashable → rows-only; tests bound the error vs the exact value.
+# ---------------------------------------------------------------------------
+@register("q59_approx_percentile")  # no oracle: approximate by construction
+def q59_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+    )

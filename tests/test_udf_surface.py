@@ -35,3 +35,10 @@ def test_grouped_pandas_matches_window_twin(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    for r in QUERIES["q59_approx_percentile"](spark, sf_dir).collect():
+        for a, e in [("approx_median", "exact_median"), ("approx_p99", "exact_p99")]:
+            rel = abs(r[a] - r[e]) / max(abs(r[e]), 1e-9)
+            assert rel < 0.02, f"{r['l_returnflag']} {a}: rel err {rel:.4f}"
