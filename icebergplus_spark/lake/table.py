@@ -412,6 +412,12 @@ class LakeTable:
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
 
+    def to_view(self, name: str, snapshot_id: int | None = None) -> str:
+        """Register the table's current (or time-traveled) scan as a temp
+        view so ``spark.sql`` queries the lake table directly."""
+        self.scan(snapshot_id=snapshot_id).createOrReplaceTempView(name)
+        return name
+
     def overwrite(self, df: DataFrame) -> "LakeTable":
         """Truncate-and-replace commit: new snapshot references ONLY the
         new files; history keeps the old data readable (time travel)."""

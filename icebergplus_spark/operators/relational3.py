@@ -254,3 +254,36 @@ def q70_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q27 — explicit GROUPING SETS with grouping() disambiguation
+# (rollup/cube are q11/q12; this is the general form)
+# ---------------------------------------------------------------------------
+@register(
+    "q27_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER)  AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER)  AS g_ls,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    # Spark SQL GROUPING SETS — the DataFrame API has no direct form
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

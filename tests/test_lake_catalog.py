@@ -157,3 +157,17 @@ def test_concurrent_commit_detected(spark, catalog):
     # the documented retry path succeeds
     stale.refresh().append(spark.createDataFrame([ROW2], REF_SCHEMA))
     assert stale.scan().count() == 2
+
+
+def test_sql_over_lake_view(spark, catalog):
+    t = catalog.create_table("db.sqlview", REF_SCHEMA)
+    t.append(spark.createDataFrame([ROW1, ROW2], REF_SCHEMA))
+    t.to_view("lake_mytable")
+    got = spark.sql(
+        "SELECT count FROM lake_mytable WHERE amazing ORDER BY count"
+    ).collect()
+    assert [r["count"] for r in got] == [22]
+    # time-traveled view
+    t.append(spark.createDataFrame([("Hello sun", 44, True, ROW1[3])], REF_SCHEMA))
+    t.to_view("lake_v1", snapshot_id=1)
+    assert spark.sql("SELECT COUNT(*) n FROM lake_v1").first()["n"] == 2
