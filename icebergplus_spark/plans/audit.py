@@ -33,11 +33,12 @@ class PlanAudit:
     has_sort_merge_join: bool
     pushed_filters: list[str]
     read_schemas: list[str]
-    n_exchanges: int
+    n_shuffles: int  # shuffle exchanges only
+    n_broadcasts: int
 
     @property
     def shuffle_count(self) -> int:
-        return self.n_exchanges
+        return self.n_shuffles
 
 
 def audit(df: DataFrame) -> PlanAudit:
@@ -49,6 +50,12 @@ def audit(df: DataFrame) -> PlanAudit:
         pushed.append(part.split("]")[0])
     for part in fmt.split("ReadSchema: ")[1:]:
         reads.append(part.splitlines()[0])
+    # "BroadcastExchange" also contains the substring "Exchange " — count
+    # shuffles by their partitioning spec, not the bare word
+    n_shuffles = sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
     return PlanAudit(
         has_broadcast_join="BroadcastHashJoin" in plan
         or "BroadcastNestedLoopJoin" in plan,
@@ -56,5 +63,6 @@ def audit(df: DataFrame) -> PlanAudit:
         has_sort_merge_join="SortMergeJoin" in plan,
         pushed_filters=pushed,
         read_schemas=reads,
-        n_exchanges=plan.count("Exchange "),
+        n_shuffles=n_shuffles,
+        n_broadcasts=plan.count("BroadcastExchange"),
     )

@@ -82,3 +82,30 @@ def test_aggregates_are_partial_final(spark, sf_dir):
 def test_extension_ops_avoid_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name}: LSH must bucket, not cross-join"
+
+
+def test_star_join_single_shuffle(spark, sf_dir):
+    """The star joins must shuffle exactly once (the final aggregation) —
+    every dimension rides a broadcast. A second shuffle appearing here
+    means a dimension fell off the broadcast path."""
+    from icebergplus_spark.plans import audit
+
+    for name, max_shuffles in [
+        ("q05_local_supplier_volume", 1),
+        ("q03_shipping_priority", 1),
+        ("q07_brand_volume", 1),
+        ("q62_returned_items", 1),
+    ]:
+        a = audit(QUERIES[name](spark, sf_dir))
+        assert a.n_shuffles <= max_shuffles, (
+            f"{name}: {a.n_shuffles} shuffles (expected <= {max_shuffles})"
+        )
+        assert a.n_broadcasts >= 1, f"{name}: no broadcast in plan"
+
+
+def test_scan_only_queries_have_no_shuffle(spark, sf_dir):
+    from icebergplus_spark.plans import audit
+
+    for name in ("q02_filter_project", "q13_sort_limit", "m01_multimodal_meta"):
+        a = audit(QUERIES[name](spark, sf_dir))
+        assert a.n_shuffles == 0, f"{name}: unexpected shuffle"
