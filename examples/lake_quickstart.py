@@ -1,0 +1,49 @@
+"""Quickstart: the lake layer end-to-end in ~40 lines.
+
+    python examples/lake_quickstart.py
+
+Creates a versioned table, commits data, evolves the schema, compacts,
+time-travels, and reads everything back with SQL.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from icebergplus_spark import get_spark  # noqa: E402
+from icebergplus_spark.lake import LocalLakeCatalog, MetricsSink, compact  # noqa: E402
+
+spark = get_spark("lake-quickstart", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+
+sink = MetricsSink()
+catalog = LocalLakeCatalog(spark, tempfile.mkdtemp(), metrics_sink=sink).start()
+
+# create + append (each append = one atomic snapshot)
+docs = catalog.create_table(
+    "demo.docs", spark.createDataFrame([], "doc_id long, text string").schema
+)
+docs.append(spark.createDataFrame([(1, "hello world"), (2, "hello lake")], docs.schema))
+docs.append(spark.createDataFrame([(3, "third commit")], docs.schema))
+print("rows:", docs.scan().count(), "| snapshots:", len(docs.history()))
+
+# schema evolution: metadata-only, old files read as NULL / renamed
+docs = docs.add_column("lang", "string").rename_column("text", "content")
+docs.append(spark.createDataFrame([(4, "vierter", "de")], docs.schema))
+docs.to_view("docs")
+spark.sql("SELECT doc_id, content, lang FROM docs ORDER BY doc_id").show()
+
+# time travel: the world before the rename/append
+print("at snapshot 1:", docs.scan(snapshot_id=1).count(), "rows")
+
+# maintenance: bin-pack small files, stats-pruned scan planning
+print("compaction:", compact(docs))
+print("files matching doc_id>=3:", len(docs.plan_files({"doc_id": (">=", 3)})))
+
+# observability: the reference's commit counters, accumulated
+for name in sorted(sink.meter_names):
+    print(f"{name} = {sink.get(name).value}")

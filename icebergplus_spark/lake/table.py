@@ -174,9 +174,12 @@ class LakeTable:
         return self.refresh()
 
     def add_column(self, name: str, data_type, nullable: bool = True) -> "LakeTable":
-        """Metadata-only ADD COLUMN; existing files read as NULL."""
-        from pyspark.sql.types import StructField
+        """Metadata-only ADD COLUMN; existing files read as NULL.
+        ``data_type`` may be a DataType or a DDL string ('string', 'int')."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
 
+        if isinstance(data_type, str):
+            data_type = _parse_datatype_string(data_type)
         if name in [f.name for f in self.schema.fields]:
             raise ValueError(f"column exists: {name}")
         new_id = max(self.field_ids.values(), default=0) + 1
