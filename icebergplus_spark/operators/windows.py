@@ -200,3 +200,39 @@ def q25_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("richest_name"),
         F.last("c_name").over(w).alias("poorest_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — RANGE frame (value-based window): sum of balances within 1000
+# of each customer's balance, per nation
+# ---------------------------------------------------------------------------
+@register(
+    "q28_range_frame",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ROUND(SUM(c_acctbal) OVER (
+         PARTITION BY c_nationkey
+         ORDER BY c_acctbal
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+       ), 2) AS near_bal_sum,
+       CAST(COUNT(*) OVER (
+         PARTITION BY c_nationkey
+         ORDER BY c_acctbal
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS near_bal_n
+FROM customer
+""",
+)
+def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.sum("c_acctbal").over(w), 2).alias("near_bal_sum"),
+        F.count(F.lit(1)).over(w).alias("near_bal_n"),
+    )

@@ -127,3 +127,42 @@ def stream_to_lake(stream: DataFrame, table, checkpoint_dir: str, query_name: st
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    join_window_minutes: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events of the SAME USER within ±``join_window_minutes``.
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so Spark can expire buffered state — the required shape
+    for an unbounded stream-stream join (state is O(events within the
+    window horizon), never O(stream)).
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    bound = F.expr(
+        f"r_ts BETWEEN l_ts - INTERVAL {join_window_minutes} MINUTES "
+        f"AND l_ts + INTERVAL {join_window_minutes} MINUTES"
+    )
+    return l.join(
+        r,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("l_event_id") < F.col("r_event_id"))
+        & bound,
+        "inner",
+    )
