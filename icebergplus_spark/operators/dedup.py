@@ -290,3 +290,41 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 6
     )
+
+
+# ---------------------------------------------------------------------------
+# d08 — embedding-cosine near-dup pairs (exact, oracle-checked).
+# Exact all-pairs is inherently O(n²) — fine for the oracle contract at
+# this corpus size; the sublinear scale path for the same predicate is
+# the LSH/IVF bucketing in s02/s04 (candidate pairs, then this exact
+# cosine as the verify step).
+# ---------------------------------------------------------------------------
+@register(
+    "d08_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         6) >= 0.35
+""",
+)
+def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.similarity import cosine
+
+    prepare_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return pairs.select("doc_a", "doc_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.35
+    )

@@ -234,3 +234,36 @@ def t09_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — rolling-hash document fingerprint (Rabin-Karp style polynomial
+# fold over token keys, mod a large prime — identical arithmetic in both
+# engines, so fully oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "t10_rolling_hash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(LOWER(TRIM(text)), ' '),
+                        t -> CAST(LENGTH(t) * 31 + unicode(t) AS BIGINT)) AS ks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ks),
+                        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)
+         AS rolling_hash
+FROM toks
+""",
+)
+def t10_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    keys = F.transform(
+        toks, lambda t: (F.length(t) * 31 + F.ascii(t)).cast("long")
+    )
+    rolling = F.aggregate(
+        keys, F.lit(0).cast("long"), lambda a, b: (a * 31 + b) % 1000000007
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash"))
