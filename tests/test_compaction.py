@@ -67,3 +67,40 @@ def test_expire_snapshots_vacuums_dead_files(spark, small_file_table):
     assert all(os.path.exists(p) for p in live_paths)
     assert len(t.history()) == 1
     assert t.scan().count() == 250  # current view unaffected
+
+
+def test_sorted_compaction_improves_pruning(spark, tmp_path):
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whs")).start()
+    t = cat.create_table("db.sorted", SCHEMA)
+    # interleaved appends: every file spans the whole key range → a key
+    # predicate can prune nothing
+    for i in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(j, f"v{j}") for j in range(i, 1000, 4)], SCHEMA
+            ).coalesce(1)
+        )
+    assert len(t.plan_files({"k": ("<", 100)})) == 4  # no pruning possible
+
+    summary = compact(t, target_file_size=2048, sort_by=["k"])
+    assert summary["compacted"] == 4
+    files_after = t.plan_files()
+    assert len(files_after) > 1  # multiple range-clustered outputs
+    pruned = t.plan_files({"k": ("<", 100)})
+    assert len(pruned) < len(files_after)  # clustering bought pruning
+    assert sorted(r["k"] for r in t.scan().collect()) == list(range(1000))
+
+
+def test_compaction_after_rename_reads_physical_names(spark, tmp_path):
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whr")).start()
+    t = cat.create_table("db.renamed", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([(2, "b")], SCHEMA).coalesce(1))
+    t = t.rename_column("v", "label")
+    compact(t)
+    rows = sorted((r["k"], r["label"]) for r in t.scan().collect())
+    assert rows == [(1, "a"), (2, "b")]
