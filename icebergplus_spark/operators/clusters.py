@@ -43,23 +43,22 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
+    prev_sum: int | None = None
     for _ in range(max_iter):
         # each node adopts min(label of neighbors ∪ self)
         new_labels = (
             adj.join(labels, adj["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("comp"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage
-        if changed == 0:
+        ).localCheckpoint(eager=True)  # cut the lineage each round
+        # labels only decrease under min-propagation → the label sum is
+        # strictly monotone until the fixed point: one cheap aggregate
+        # per round instead of a join-based change detector
+        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
