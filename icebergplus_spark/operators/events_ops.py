@@ -192,3 +192,61 @@ def q43_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="o_orderkey",
         how="inner",
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# q72 — funnel analysis: users who view → click → purchase in order,
+# each step within 24h of the previous (sequential pattern over streams)
+# ---------------------------------------------------------------------------
+@register(
+    "q72_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     funnel AS (
+       SELECT DISTINCT v.user_id
+       FROM v
+       JOIN c ON c.user_id = v.user_id
+              AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+       JOIN p ON p.user_id = v.user_id
+              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+     )
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT) AS n_viewers
+FROM funnel
+""",
+)
+def q72_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    converted = (
+        v.join(
+            c,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + day),
+        )
+        .join(
+            p,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + day),
+        )
+        .select(F.col("vu").alias("user_id"))
+        .distinct()
+    )
+    n_viewers = v.select(F.col("vu")).distinct().count()
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.lit(n_viewers).cast("long").alias("n_viewers"),
+    )

@@ -362,3 +362,48 @@ def q67_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — composite: revenue rank of each nation within its region
+# (join → aggregate → window over the aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "q71_nation_rank_in_region",
+    oracle="""
+WITH nation_rev AS (
+  SELECT r_name, n_name,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue,
+       CAST(RANK() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS INTEGER)
+         AS rev_rank
+FROM nation_rev
+""",
+)
+def q71_nation_rank_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(F.col("revenue").desc(), "n_name")
+    return rev.withColumn("rev_rank", F.rank().over(w))
