@@ -1,0 +1,185 @@
+"""Training-data pipeline text ops, round 2: normalization-aware
+dedup, context-window sequence packing, and corpus n-gram contamination.
+
+These are the document-preparation steps that sit between raw-crawl
+ingest and tokenizer sharding in an LLM data pipeline. All three are
+pure JVM-side DataFrame plans (no Python UDFs) with DuckDB oracle
+twins, and each states its 100 TB scaling story in the docstring.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+# Context-window budget for sequence packing (tokens per chunk). Docs
+# average ~60 whitespace tokens, so ~8 docs/chunk at test scale.
+PACK_BUDGET = 512
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm(col):
+    """Aggressive normalization for dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse runs, trim. Mirrors the
+    oracle's regexp_replace(…, 'g') chain exactly."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+# ---------------------------------------------------------------------------
+# t11 — normalization-aware dedup stats: how many docs per source
+# collapse once text is canonicalized (the "soft duplicate" rate that
+# exact-hash dedup misses). One scan + one partial-agg shuffle on
+# source; COUNT(DISTINCT) expands to a two-phase distinct aggregate
+# that stays map-side-partial at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "t11_normalized_dedup",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT norm) AS n_distinct_norm,
+       COUNT(*) - COUNT(DISTINCT norm) AS n_soft_dups
+FROM (
+  SELECT source,
+         TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+GROUP BY source
+""",
+)
+def t11_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", _norm(F.col("text")).alias("norm"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("norm").alias("n_distinct_norm"),
+        (F.count(F.lit(1)) - F.countDistinct("norm")).alias("n_soft_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t12 — sequence packing: concatenate each source's docs in doc_id
+# order and cut into PACK_BUDGET-token context windows (chunk_id =
+# running-token-offset // budget — the streaming concat-then-chunk
+# packing used for pretraining shards). The window partitions by
+# source (20 strata here); at 100 TB the stratum is (source,
+# shard = hash(doc_id) % N) so no single sort partition exceeds an
+# executor, at the cost of one partial chunk per shard.
+# ---------------------------------------------------------------------------
+@register(
+    "t12_sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tok) / 512.0) AS INTEGER) AS chunk_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
+FROM c
+GROUP BY source, chunk_id
+""",
+)
+def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / float(PACK_BUDGET))
+            .cast("int")
+            .alias("chunk_id"),
+            "n_tok",
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("chunk_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t13 — n-gram contamination: per document, the fraction of its
+# distinct word 5-grams that occur in at least one OTHER scope of the
+# corpus (nd > 1) — the standard duplicated-span contamination metric.
+# Plan: shingle (JVM higher-order fns, dedup.shingles) → explode →
+# window COUNT over the shingle key → re-group by doc. Two shuffles
+# (by shingle, by doc); both partial-aggregate. At 100 TB the shingle
+# count becomes a pre-aggregated frequency table joined in, so hot
+# shingles ("the of and …") don't skew a window partition.
+# ---------------------------------------------------------------------------
+@register(
+    "t13_ngram_contamination",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 5 THEN array_to_string(w[i:i+4], ' ')
+              ELSE array_to_string(w, ' ') END AS g
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+    FROM words
+  )
+),
+cnt AS (SELECT g, COUNT(*) AS nd FROM sh GROUP BY g)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+       ROUND(CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate
+FROM sh s JOIN cnt c ON s.g = c.g
+GROUP BY s.doc_id
+""",
+)
+def t13_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    # shingles() is already distinct-per-doc and falls back to the whole
+    # text for docs shorter than n — the oracle mirrors both behaviors.
+    sh = docs.select("doc_id", F.explode(shingles("text", 5)).alias("g"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        sh.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            dup.alias("dup_shingles"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )

@@ -48,3 +48,5 @@ def load_all() -> None:
     import icebergplus_spark.operators.udf_surface  # noqa: F401
     import icebergplus_spark.operators.file_formats  # noqa: F401
     import icebergplus_spark.operators.tpch_suite  # noqa: F401
+    import icebergplus_spark.operators.tpch_suite2  # noqa: F401
+    import icebergplus_spark.operators.textops2  # noqa: F401
