@@ -99,13 +99,28 @@ class LocalLakeCatalog:
         identifier: str,
         schema: StructType,
         partition_cols: list[str] | None = None,
+        partition_spec: list[str] | None = None,
     ) -> LakeTable:
         """createTable parity (LocalIcebergCatalogTest.java:75): registers
         schema (+ generated Iceberg-style field IDs) and an empty
-        snapshot log, then drops the catalog pointer in place."""
+        snapshot log, then drops the catalog pointer in place.
+
+        ``partition_spec`` accepts Iceberg-style transform entries —
+        ``["days(ts)", "bucket(8, user_id)", "truncate(3, code)",
+        "region"]`` (hidden partitioning; PartitionSpec.builderFor
+        parity). ``partition_cols`` is the identity-only shorthand."""
+        from icebergplus_spark.lake.transforms import parse_spec
+
         self._require_started()
         if self.table_exists(identifier):
             raise ValueError(f"table already exists: {identifier}")
+        if partition_cols and partition_spec:
+            raise ValueError("pass partition_cols or partition_spec, not both")
+        spec = parse_spec(partition_spec or partition_cols or [])
+        names = {f.name for f in schema.fields}
+        for f in spec:
+            if f["source"] not in names:
+                raise ValueError(f"partition source not in schema: {f['source']}")
         namespace, _, name = identifier.rpartition(".")
         table_dir = os.path.join(self.root_dir, namespace or "default", name)
         meta_dir = os.path.join(table_dir, "metadata")
@@ -114,7 +129,10 @@ class LocalLakeCatalog:
             "identifier": identifier,
             "schema": schema.jsonValue(),
             "field_ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
-            "partition_cols": partition_cols or [],
+            "partition_cols": [
+                f["source"] for f in spec if f["transform"] == "identity"
+            ],
+            "partition_spec": spec,
             "snapshots": [],
             "current_snapshot_id": None,
         }

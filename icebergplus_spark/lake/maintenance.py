@@ -53,24 +53,31 @@ def compact(
     total_small_bytes = sum(f["file_size_bytes"] for f in small)
     n_out = max(1, -(-total_small_bytes // target_file_size))  # ceil div
     out_dir = os.path.join(table.table_dir, "data", f"compact-{uuid.uuid4().hex}")
-    df = table.spark.read.schema(table.physical_schema).parquet(
-        *[f["file_path"] for f in small]
-    )
+    # _read_physical recovers identity-partition values from the Hive
+    # path (they are not in the files); the rewrite re-applies the
+    # partition transforms so layout — and pruning — survive compaction.
+    df = table._read_physical([f["file_path"] for f in small])
     if sort_by:
         mapping = table._column_mapping
         cols = [mapping.get(c, c) for c in sort_by]
         df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
-        df.write.mode("overwrite").parquet(out_dir)
     else:
         # coalesce, not repartition: plain bin-packing needs no shuffle,
         # just fewer write tasks
-        df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+        df = df.coalesce(n_out)
+    df, pcols = table._apply_partition_transforms(df)
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
 
     new_entries = []
     for root, _dirs, fns in os.walk(out_dir):
         for fn in fns:
             if fn.endswith(".parquet"):
-                new_entries.append(_harvest_footer(os.path.join(root, fn)))
+                entry = _harvest_footer(os.path.join(root, fn))
+                table._add_partition_stats(entry)
+                new_entries.append(entry)
     new_entries.sort(key=lambda e: e["file_path"])
     # Consolidated manifest: untouched big files + the new compacted files.
     all_entries = sorted(big + new_entries, key=lambda e: e["file_path"])
@@ -87,12 +94,17 @@ def compact(
 def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
     """Drop all but the last ``keep_last`` snapshots and delete data/
     manifest files no retained snapshot references (SURVEY.md §2.B
-    "Snapshot expiry / vacuum")."""
+    "Snapshot expiry / vacuum"). Snapshots pinned by a named ref (tag or
+    branch head, incl. main) are always retained — expiring a tagged
+    snapshot would silently break ``scan(ref=...)``."""
     snaps = table.history()
-    if len(snaps) <= keep_last:
+    ref_ids = {r["snapshot_id"] for r in table.refs.values()}
+    tail_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}
+    keep_ids = ref_ids | tail_ids
+    retained = [s for s in snaps if s["snapshot_id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+    if not expired:
         return {"expired": 0, "deleted_files": 0}
-    retained = snaps[-keep_last:]
-    expired = snaps[:-keep_last]
 
     def live_paths(snapshots) -> tuple[set, set]:
         manifests, data = set(), set()

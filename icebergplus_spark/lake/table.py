@@ -245,6 +245,19 @@ class LakeTable:
         return list(self._meta.get("partition_cols", []))
 
     @property
+    def partition_spec(self) -> list[dict[str, Any]]:
+        """Parsed partition spec (hidden-partitioning transforms). Tables
+        created before spec support fall back to identity fields from
+        partition_cols."""
+        spec = self._meta.get("partition_spec")
+        if spec is not None:
+            return [dict(f) for f in spec]
+        return [
+            {"transform": "identity", "source": c, "param": None}
+            for c in self.partition_cols
+        ]
+
+    @property
     def location(self) -> str:
         return self.table_dir
 
@@ -254,6 +267,80 @@ class LakeTable:
 
     def history(self) -> list[dict[str, Any]]:
         return list(self._meta["snapshots"])
+
+    # -- snapshot refs: tags + branches (Iceberg SnapshotRef parity) -------
+    # A tag is an immutable named pointer to a snapshot; a branch is a
+    # mutable head that writes can advance independently of the main
+    # table state (write-audit-publish). "main" is implicit: it tracks
+    # current_snapshot_id. Refs are plain metadata — creating one is a
+    # metadata-only commit, exactly like Iceberg's manageSnapshots().
+    @property
+    def refs(self) -> dict[str, dict[str, Any]]:
+        out = {
+            k: dict(v) for k, v in (self._meta.get("refs") or {}).items()
+        }
+        if self.current_snapshot_id is not None:
+            out.setdefault(
+                "main",
+                {"snapshot_id": self.current_snapshot_id, "type": "branch"},
+            )
+        return out
+
+    def _resolve_ref(self, ref: str) -> int:
+        r = self.refs.get(ref)
+        if r is None:
+            raise KeyError(f"{self.identifier}: no such ref: {ref}")
+        return r["snapshot_id"]
+
+    def _set_ref(self, name: str, ref_type: str, snapshot_id: int | None) -> "LakeTable":
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None or self.snapshot(sid) is None:
+            raise ValueError(f"{self.identifier}: no snapshot {sid} to reference")
+        if name == "main":
+            raise ValueError("'main' is reserved for the current table state")
+        existing = (self._meta.get("refs") or {}).get(name)
+        if existing and existing["type"] == "tag":
+            raise ValueError(f"tag already exists (tags are immutable): {name}")
+
+        def mutate(meta):
+            refs = dict(meta.get("refs") or {})
+            refs[name] = {"snapshot_id": sid, "type": ref_type}
+            meta["refs"] = refs
+
+        return self._evolve(mutate)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> "LakeTable":
+        """Immutable named ref to a snapshot (default: current)."""
+        return self._set_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> "LakeTable":
+        """Mutable branch head starting at a snapshot (default: current).
+        ``append(df, branch=name)`` advances it without touching main."""
+        return self._set_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> "LakeTable":
+        if name not in (self._meta.get("refs") or {}):
+            raise KeyError(f"no such ref: {name}")
+
+        def mutate(meta):
+            refs = dict(meta.get("refs") or {})
+            del refs[name]
+            meta["refs"] = refs
+
+        return self._evolve(mutate)
+
+    def fast_forward(self, branch: str) -> "LakeTable":
+        """Publish a branch: point main (current_snapshot_id) at the
+        branch head — the write-audit-publish pattern's final step.
+        Metadata-only; the branch ref remains."""
+        head = self._resolve_ref(branch)
+        if (self.refs.get(branch) or {}).get("type") != "branch":
+            raise ValueError(f"not a branch: {branch}")
+
+        def mutate(meta):
+            meta["current_snapshot_id"] = head
+
+        return self._evolve(mutate)
 
     def snapshot(self, snapshot_id: int | None = None) -> dict[str, Any] | None:
         if snapshot_id is None:
@@ -278,6 +365,7 @@ class LakeTable:
         manifests: list[str],
         added_entries: list[dict[str, Any]],
         t0: float,
+        branch: str | None = None,
     ) -> None:
         """Atomic snapshot commit: write vN+1 metadata, then atomically
         swap the pointer file (single-writer rename CAS — the documented
@@ -290,7 +378,11 @@ class LakeTable:
             total_records += sum(t.column("record_count").to_pylist())
             total_bytes += sum(t.column("file_size_bytes").to_pylist())
             total_files += t.num_rows
-        snap_id = (self.current_snapshot_id or 0) + 1
+        # max over ALL snapshot ids (not current+1): branch commits
+        # interleave with main commits in the same log
+        snap_id = max(
+            [s["snapshot_id"] for s in self._meta["snapshots"]], default=0
+        ) + 1
         snapshot = {
             "snapshot_id": snap_id,
             "timestamp_ms": int(time.time() * 1000),
@@ -320,7 +412,13 @@ class LakeTable:
                 f"v{on_disk} — refresh() and retry"
             )
         meta["snapshots"] = meta["snapshots"] + [snapshot]
-        meta["current_snapshot_id"] = snap_id
+        if branch is None:
+            meta["current_snapshot_id"] = snap_id
+        else:
+            # branch write: advance the branch head, main stays put
+            refs = dict(meta.get("refs") or {})
+            refs[branch] = {"snapshot_id": snap_id, "type": "branch"}
+            meta["refs"] = refs
         meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)
@@ -350,11 +448,84 @@ class LakeTable:
             )
         )
 
-    def append(self, df: DataFrame) -> "LakeTable":
+    def _read_physical(self, paths: list[str]) -> DataFrame:
+        """Read data files under the physical schema, recovering
+        identity-partition values from the Hive path (they are NOT in
+        the files — reading without basePath returns them as NULL,
+        which silently corrupts any rewrite).
+
+        Partitioned reads group files by their write directory and set
+        ``basePath`` per group: Spark's partition discovery requires one
+        consistent root, and a table's files span many ``snap-*``/
+        ``compact-*`` dirs — one reader over all of them throws
+        CONFLICTING_DIRECTORY_STRUCTURES. Group count is bounded by the
+        snapshot count, and Catalyst unions the scans into one plan."""
+        cols = [f.name for f in self.physical_schema.fields]
+        if not self.partition_spec:
+            df = self.spark.read.schema(self.physical_schema).parquet(*sorted(paths))
+            return df.select(*cols)
+        data_root = os.path.join(self.table_dir, "data")
+        groups: dict[str, list[str]] = {}
+        for p in sorted(paths):
+            rel = os.path.relpath(p, data_root)
+            top = rel.split(os.sep)[0]
+            groups.setdefault(os.path.join(data_root, top), []).append(p)
+        out: DataFrame | None = None
+        for base, ps in sorted(groups.items()):
+            d = (
+                self.spark.read.schema(self.physical_schema)
+                .option("basePath", base)
+                .parquet(*ps)
+                .select(*cols)  # drops hidden _p_* discovery columns
+            )
+            out = d if out is None else out.unionByName(d)
+        assert out is not None
+        return out
+
+    def _apply_partition_transforms(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Compute the partition columns for a physical-schema frame:
+        identity sources pass through, transform fields materialize as
+        hidden ``_p_*`` columns. Returns (df, partitionBy column list).
+        Every rewrite path (append/compact/delete/merge) MUST route its
+        writes through this so the Hive layout — and with it partition
+        pruning — survives file rewrites."""
+        spec = self.partition_spec
+        if not spec:
+            return df, []
+        from pyspark.sql import functions as _F
+
+        from icebergplus_spark.lake.transforms import field_name, spark_expr
+
+        mapping = self._column_mapping
+        types = {
+            f.name: f.dataType.simpleString() for f in self.physical_schema.fields
+        }
+        pcols = []
+        for pf in spec:
+            phys_src = mapping.get(pf["source"], pf["source"])
+            if pf["transform"] == "identity":
+                pcols.append(phys_src)
+            else:
+                hidden = field_name(pf)
+                df = df.withColumn(
+                    hidden, spark_expr(pf, _F.col(phys_src), types[phys_src])
+                )
+                pcols.append(hidden)
+        return df, pcols
+
+    def append(self, df: DataFrame, branch: str | None = None) -> "LakeTable":
         """Append commit (newAppend().appendFile(...).commit() parity,
         LocalIcebergCatalogTest.java:100-106): write parquet data files,
-        harvest footer stats, add one manifest, commit a snapshot."""
+        harvest footer stats, add one manifest, commit a snapshot.
+        ``branch``: commit onto that branch head instead of main
+        (write-audit-publish; create the branch first)."""
         t0 = time.time()
+        if branch is not None:
+            r = self.refs.get(branch)
+            if r is None:
+                raise KeyError(f"no such branch: {branch}")
+            if r["type"] != "branch":
+                raise ValueError(f"cannot write to a tag: {branch}")
         if [f.name for f in df.schema.fields] != [f.name for f in self.schema.fields]:
             raise ValueError(
                 f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
@@ -365,9 +536,10 @@ class LakeTable:
         mapping = self._column_mapping
         df = df.select(*[_F.col(c).alias(mapping[c]) for c in df.columns])
         snap_dir = os.path.join(self.table_dir, "data", f"snap-{uuid.uuid4().hex}")
+        df, pcols = self._apply_partition_transforms(df)
         writer = df.write.mode("overwrite")
-        if self.partition_cols:
-            writer = writer.partitionBy(*[mapping[c] for c in self.partition_cols])
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(snap_dir)
         entries = []
         for root, _dirs, files in os.walk(snap_dir):
@@ -378,9 +550,11 @@ class LakeTable:
                     entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
-        current = self.snapshot()
-        manifests = (current["manifests"] if current else []) + [manifest]
-        self._commit_snapshot("append", manifests, entries, t0)
+        base = (
+            self.snapshot(self._resolve_ref(branch)) if branch else self.snapshot()
+        )
+        manifests = (base["manifests"] if base else []) + [manifest]
+        self._commit_snapshot("append", manifests, entries, t0, branch=branch)
         return self
 
     def scan_incremental(
@@ -410,7 +584,7 @@ class LakeTable:
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
-        df = self.spark.read.schema(self.physical_schema).parquet(*sorted(new_files))
+        df = self._read_physical(new_files)
         return df.select(
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
@@ -479,20 +653,24 @@ class LakeTable:
         new_entries: list[dict[str, Any]] = []
         out_dir = os.path.join(self.table_dir, "data", f"merge-{uuid.uuid4().hex}")
         if affected:
-            existing = self.spark.read.schema(self.physical_schema).parquet(
-                *sorted(affected_paths)
-            )
+            existing = self._read_physical(sorted(affected_paths))
             keep = existing.join(
                 incoming.select(pkey), on=pkey, how="left_anti"
             )
             merged = keep.unionByName(incoming)
         else:
             merged = incoming
-        merged.write.mode("overwrite").parquet(out_dir)
+        merged, pcols = self._apply_partition_transforms(merged)
+        writer = merged.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out_dir)
         for root, _dirs, fns in os.walk(out_dir):
             for fn in fns:
                 if fn.endswith(".parquet"):
-                    new_entries.append(_harvest_footer(os.path.join(root, fn)))
+                    entry = _harvest_footer(os.path.join(root, fn))
+                    self._add_partition_stats(entry)
+                    new_entries.append(entry)
         new_entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
@@ -516,9 +694,7 @@ class LakeTable:
             from pyspark.sql import functions as _F
 
             mapping = self._column_mapping
-            df = self.spark.read.schema(self.physical_schema).parquet(
-                *sorted(affected_paths)
-            )
+            df = self._read_physical(sorted(affected_paths))
             # keep rows that do NOT match the conjunction of predicates
             keep_cond = _F.lit(False)
             for col, (op, val) in predicates.items():
@@ -528,13 +704,18 @@ class LakeTable:
                     ">=": c >= val, "=": c == val,
                 }[op]
                 keep_cond = keep_cond | ~cond | c.isNull()
-            survivors = df.filter(keep_cond)
+            survivors, pcols = self._apply_partition_transforms(df.filter(keep_cond))
             out_dir = os.path.join(self.table_dir, "data", f"delete-{uuid.uuid4().hex}")
-            survivors.write.mode("overwrite").parquet(out_dir)
+            writer = survivors.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(out_dir)
             for root, _dirs, fns in os.walk(out_dir):
                 for fn in fns:
                     if fn.endswith(".parquet"):
-                        new_entries.append(_harvest_footer(os.path.join(root, fn)))
+                        entry = _harvest_footer(os.path.join(root, fn))
+                        self._add_partition_stats(entry)
+                        new_entries.append(entry)
             new_entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
@@ -545,29 +726,144 @@ class LakeTable:
     def _add_partition_stats(self, entry: dict[str, Any]) -> None:
         """Partition values live in the Hive-style path, not the footer:
         parse them into min==max stats so partition pruning is just the
-        ordinary stats pruning (SURVEY.md §4 partition-pruning row)."""
-        if not self.partition_cols:
+        ordinary stats pruning (SURVEY.md §4 partition-pruning row).
+        Hidden transform columns (``_p_*``) get stats too — that's what
+        makes hidden partitioning prunable."""
+        spec = self.partition_spec
+        if not spec:
             return
         from urllib.parse import unquote
 
-        types = {f.name: f.dataType.simpleString() for f in self.physical_schema.fields}
+        from icebergplus_spark.lake.transforms import field_name, partition_value_type
+
+        mapping = self._column_mapping
+        phys_types = {
+            f.name: f.dataType.simpleString() for f in self.physical_schema.fields
+        }
+        # seg name → value type for every partition path segment
+        seg_types: dict[str, str] = {}
+        for pf in spec:
+            src_type = phys_types[mapping.get(pf["source"], pf["source"])]
+            if pf["transform"] == "identity":
+                seg_types[mapping.get(pf["source"], pf["source"])] = src_type
+            else:
+                seg_types[field_name(pf)] = partition_value_type(pf, src_type)
         mins = json.loads(entry["column_mins"])
         maxs = json.loads(entry["column_maxs"])
         for seg in entry["file_path"].split(os.sep):
             if "=" not in seg:
                 continue
             col, _, raw = seg.partition("=")
-            if col not in types:
+            if col not in seg_types:
                 continue
             val: Any = unquote(raw)
-            if types[col] in ("int", "bigint", "smallint", "tinyint"):
+            if seg_types[col] in ("int", "bigint", "smallint", "tinyint"):
                 val = int(val)
-            elif types[col] in ("double", "float"):
+            elif seg_types[col] in ("double", "float"):
                 val = float(val)
             mins[col] = val
             maxs[col] = val
         entry["column_mins"] = json.dumps(mins, default=str)
         entry["column_maxs"] = json.dumps(maxs, default=str)
+
+    # -- metadata tables (Iceberg's db.t.snapshots/files/refs/… parity) ----
+    def metadata_df(self, kind: str) -> DataFrame:
+        """Queryable metadata as a DataFrame — the Spark-side analogue of
+        Iceberg's metadata tables (SELECT * FROM db.t.snapshots etc.).
+        Kinds: snapshots, history, files, manifests, refs, partitions.
+        Built from the (small) metadata log on the driver; at 100 TB the
+        file inventory is already parquet manifests, so ``files`` reads
+        those distributed instead of materializing driver-side rows."""
+        if kind == "snapshots":
+            rows = [
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "timestamp_ms": s["timestamp_ms"],
+                    "operation": s["operation"],
+                    "total_data_files": s["summary"]["total-data-files"],
+                    "total_records": s["summary"]["total-records"],
+                    "added_data_files": s["summary"]["added-data-files"],
+                    "added_records": s["summary"]["added-records"],
+                }
+                for s in self._meta["snapshots"]
+            ]
+            schema = (
+                "snapshot_id long, timestamp_ms long, operation string, "
+                "total_data_files long, total_records long, "
+                "added_data_files long, added_records long"
+            )
+        elif kind == "history":
+            cur = self.current_snapshot_id
+            rows = [
+                {
+                    "made_current_at_ms": s["timestamp_ms"],
+                    "snapshot_id": s["snapshot_id"],
+                    "is_current": s["snapshot_id"] == cur,
+                }
+                for s in self._meta["snapshots"]
+            ]
+            schema = "made_current_at_ms long, snapshot_id long, is_current boolean"
+        elif kind == "refs":
+            rows = [
+                {"name": k, "type": v["type"], "snapshot_id": v["snapshot_id"]}
+                for k, v in sorted(self.refs.items())
+            ]
+            schema = "name string, type string, snapshot_id long"
+        elif kind == "manifests":
+            snap = self.snapshot()
+            rows = [
+                {"path": m, "snapshot_id": snap["snapshot_id"]}
+                for m in (snap["manifests"] if snap else [])
+            ]
+            schema = "path string, snapshot_id long"
+        elif kind == "files":
+            snap = self.snapshot()
+            if not snap:
+                return self.spark.createDataFrame(
+                    [], "file_path string, record_count long, file_size_bytes long, "
+                    "column_mins string, column_maxs string"
+                )
+            # distributed read of the manifest parquet files themselves
+            return self.spark.read.parquet(
+                *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
+            )
+        elif kind == "partitions":
+            from pyspark.sql import functions as _F
+
+            from icebergplus_spark.lake.transforms import field_name
+
+            if not self.partition_spec:
+                return self.spark.createDataFrame(
+                    [], "partition string, file_count long, record_count long"
+                )
+            files = self.metadata_df("files")
+            mapping = self._column_mapping
+            phys = [
+                mapping.get(pf["source"], pf["source"])
+                if pf["transform"] == "identity"
+                else field_name(pf)
+                for pf in self.partition_spec
+            ]
+            part = _F.concat_ws(
+                "/",
+                *[
+                    _F.concat(
+                        _F.lit(p + "="),
+                        _F.get_json_object(_F.col("column_mins"), f"$.{p}"),
+                    )
+                    for p in phys
+                ],
+            )
+            return (
+                files.groupBy(part.alias("partition"))
+                .agg(
+                    _F.count(_F.lit(1)).alias("file_count"),
+                    _F.sum("record_count").alias("record_count"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown metadata table: {kind}")
+        return self.spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
 
     # -- scan machinery ----------------------------------------------------
     def plan_files(
@@ -596,6 +892,38 @@ class LakeTable:
         phys_preds = (
             {mapping.get(c, c): v for c, v in predicates.items()} if predicates else None
         )
+        if predicates:
+            # hidden partitioning: map source-column predicates onto the
+            # transformed partition values (the Iceberg trick — queries
+            # never mention partition columns, pruning still happens).
+            # Range ops relax to inclusive on the transformed domain:
+            # ts > X prunes days(ts) >= days(X), never the boundary day.
+            from icebergplus_spark.lake.transforms import (
+                MONOTONE,
+                field_name,
+                py_apply,
+            )
+
+            phys_types = {
+                f.name: f.dataType.simpleString()
+                for f in self.physical_schema.fields
+            }
+            relax = {">": ">=", ">=": ">=", "<": "<=", "<=": "<=", "=": "="}
+            for pf in self.partition_spec:
+                if pf["transform"] == "identity":
+                    continue  # predicate already on the source column
+                src = pf["source"]
+                if src not in predicates:
+                    continue
+                op, val = predicates[src]
+                src_type = phys_types[mapping.get(src, src)]
+                if pf["transform"] in MONOTONE:
+                    phys_preds[field_name(pf)] = (
+                        relax[op],
+                        py_apply(pf, val, src_type),
+                    )
+                elif pf["transform"] == "bucket" and op == "=":
+                    phys_preds[field_name(pf)] = ("=", py_apply(pf, val, src_type))
         kept = [r for r in rows if _file_matches(r, phys_preds)]
         self.reporter.report(
             ScanReport(
@@ -614,25 +942,27 @@ class LakeTable:
         self,
         predicates: dict[str, tuple[str, Any]] | None = None,
         snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot (IcebergGenerics.read parity +
-        time travel). File set comes from the manifest (never a directory
-        listing); residual predicates are re-applied by Spark so pruning
-        is only ever an optimization."""
+        time travel, incl. by named ref: ``scan(ref="audit-tag")``).
+        File set comes from the manifest (never a directory listing);
+        residual predicates are re-applied by Spark so pruning is only
+        ever an optimization."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self._resolve_ref(ref)
         files = self.plan_files(predicates, snapshot_id)
         if not files:
             return self.spark.createDataFrame([], self.schema)
         from pyspark.sql import functions as _F
 
-        # read physical columns, then alias back to logical names —
-        # columns added after a file was written come back as NULL
+        # read physical columns (identity-partition values recovered from
+        # the path, per-write-dir basePath), then alias back to logical
+        # names — columns added after a file was written come back NULL
         mapping = self._column_mapping
-        reader = self.spark.read.schema(self.physical_schema)
-        if self.partition_cols:
-            # partition values come from Hive-style path segments; basePath
-            # lets Spark derive them for an explicit file list
-            reader = reader.option("basePath", os.path.join(self.table_dir, "data"))
-        df = reader.parquet(*[f["file_path"] for f in files])
+        df = self._read_physical([f["file_path"] for f in files])
         df = df.select(
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )

@@ -242,3 +242,45 @@ def q49_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — lake refs round-trip: append → tag → branch-write (audit) →
+# publish (fast-forward) → overwrite main → scan the TAG. The oracle
+# never sees the lake; matching the original parquet aggregate proves
+# tag time-travel returns exactly the pre-overwrite table through the
+# whole write-audit-publish cycle.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_lake_refs_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q80_lake_refs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_refs_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_refs", orders.schema)
+    # write-audit-publish: half lands on main, half goes through a branch
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
+    t.create_branch("audit")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2), branch="audit")
+    t.fast_forward("audit")
+    t.create_tag("complete")  # pin the full table
+    # main moves on; the tag must still see the complete data
+    t.overwrite(orders.limit(1))
+    return (
+        t.scan(ref="complete")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+    )
