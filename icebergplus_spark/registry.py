@@ -51,3 +51,4 @@ def load_all() -> None:
     import icebergplus_spark.operators.tpch_suite2  # noqa: F401
     import icebergplus_spark.operators.textops2  # noqa: F401
     import icebergplus_spark.operators.analytics2  # noqa: F401
+    import icebergplus_spark.operators.semistructured  # noqa: F401
