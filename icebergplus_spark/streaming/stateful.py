@@ -66,3 +66,77 @@ def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): the
+# successor to applyInPandasWithState — named state variables
+# (value/list/map), timers, and TTL owned by the runtime instead of a
+# single packed tuple. Same O(distinct keys) state bound; at 100 TB
+# state lives in the RocksDB state store per partition, so key
+# cardinality — not event volume — sizes the cluster.
+# ---------------------------------------------------------------------------
+import importlib.util
+
+# transformWithStateInPandas speaks protobuf to the JVM state server;
+# the module gates on BOTH the Spark 4 API and the protobuf runtime
+# (absent in some images — this one included; no-install environment).
+try:
+    HAS_TWS_DEPS = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+    HAS_TWS_DEPS = False
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeStatsProcessor(StatefulProcessor):
+        """Per-event-type running (count, total, max value) via a named
+        ValueState; emits the updated row every micro-batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "type_stats", "n long, total double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmax = (0, 0.0, float("-inf"))
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_type_stats(events: DataFrame) -> DataFrame:
+        """Streaming per-event-type totals via transformWithStateInPandas."""
+        return events.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=_TypeStatsProcessor(),
+            outputStructType=(
+                "event_type string, n_events long, "
+                "total_value double, max_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - Spark 3.x fallback
+
+    def running_type_stats(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0"
+        )

@@ -181,3 +181,58 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     # must be correct, and coverage must be (near-)complete
     assert got <= want
     assert len(got) >= 0.9 * len(want)
+
+
+def test_transform_with_state_type_stats(spark, events_dir):
+    """transformWithStateInPandas: named ValueState accumulates across
+    micro-batches — final per-type totals equal the batch aggregate."""
+    from icebergplus_spark.streaming.stateful import HAS_TWS_DEPS, running_type_stats
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
+
+    # transformWithStateInPandas requires the RocksDB state store
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_type_stats(stream)
+        .writeStream.format("memory")
+        .queryName("type_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = spark.sql(
+        """
+        SELECT event_type, n_events, total_value, max_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n_events DESC) rn
+          FROM type_stats
+        ) WHERE rn = 1
+        """
+    ).toPandas()
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    merged = out.merge(batch, on="event_type", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) > 0
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 0.05).all()
+    assert (merged["max_value_s"] == merged["max_value_b"]).all()
