@@ -52,3 +52,4 @@ def load_all() -> None:
     import icebergplus_spark.operators.textops2  # noqa: F401
     import icebergplus_spark.operators.analytics2  # noqa: F401
     import icebergplus_spark.operators.semistructured  # noqa: F401
+    import icebergplus_spark.operators.dedup2  # noqa: F401
