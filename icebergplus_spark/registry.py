@@ -49,6 +49,7 @@ def load_all() -> None:
     import icebergplus_spark.operators.file_formats  # noqa: F401
     import icebergplus_spark.operators.tpch_suite  # noqa: F401
     import icebergplus_spark.operators.tpch_suite2  # noqa: F401
+    import icebergplus_spark.operators.tpch_suite3  # noqa: F401
     import icebergplus_spark.operators.textops2  # noqa: F401
     import icebergplus_spark.operators.analytics2  # noqa: F401
     import icebergplus_spark.operators.semistructured  # noqa: F401
