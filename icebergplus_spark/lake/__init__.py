@@ -1,5 +1,10 @@
 from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
-from icebergplus_spark.lake.maintenance import compact, expire_snapshots
+from icebergplus_spark.lake.maintenance import (
+    compact,
+    expire_snapshots,
+    remove_orphan_files,
+    rollback,
+)
 from icebergplus_spark.lake.metrics import (
     COMMIT_COUNTER_FIELDS,
     SCAN_COUNTER_FIELDS,
@@ -16,6 +21,8 @@ __all__ = [
     "LakeTable",
     "compact",
     "expire_snapshots",
+    "remove_orphan_files",
+    "rollback",
     "MetricsSink",
     "MetricsReporter",
     "CommitReport",

@@ -91,6 +91,59 @@ def compact(
     }
 
 
+def rollback(table: LakeTable, snapshot_id: int) -> dict:
+    """Roll the table back to an earlier snapshot (Iceberg's
+    ``rollback_to_snapshot``). Implemented as a NEW commit whose manifest
+    list is the target snapshot's — history is preserved (the bad
+    snapshots stay time-travelable until ``expire_snapshots``), and the
+    single-writer pointer CAS in ``_commit_snapshot`` still guards
+    against concurrent writers.
+    """
+    t0 = time.time()
+    target = table.snapshot(snapshot_id)
+    if target is None:
+        raise ValueError(f"{table.identifier}: no snapshot {snapshot_id}")
+    current = table.current_snapshot_id
+    if current == snapshot_id:
+        return {"rolled_back": False, "reason": "already current"}
+    table._commit_snapshot("rollback", list(target["manifests"]), [], t0)
+    return {
+        "rolled_back": True,
+        "from_snapshot_id": current,
+        "to_snapshot_id": snapshot_id,
+        "new_snapshot_id": table.current_snapshot_id,
+    }
+
+
+def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -> dict:
+    """Delete data files under the table location that no snapshot (on
+    any branch/tag) references — debris from failed/aborted writes
+    (Iceberg's ``remove_orphan_files``). Only files older than
+    ``older_than_s`` are touched so in-flight writer output survives;
+    pass 0 in tests. Never deletes anything a manifest mentions, so it
+    is safe to run alongside readers at any scale (the scan path lists
+    files from manifests, never from the directory)."""
+    live: set[str] = set()
+    for s in table.history():
+        for m in s["manifests"]:
+            t = pq.read_table(os.path.join(table._meta_dir, m))
+            live.update(t.column("file_path").to_pylist())
+    cutoff = time.time() - older_than_s
+    deleted = 0
+    scanned = 0
+    data_root = os.path.join(table.table_dir, "data")
+    for root, _dirs, fns in os.walk(data_root):
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            scanned += 1
+            if p not in live and os.path.getmtime(p) < cutoff:
+                os.remove(p)
+                deleted += 1
+    return {"scanned": scanned, "deleted": deleted, "live": len(live)}
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
     """Drop all but the last ``keep_last`` snapshots and delete data/
     manifest files no retained snapshot references (SURVEY.md §2.B

@@ -1,0 +1,91 @@
+"""Rollback + orphan-file cleanup (Iceberg `rollback_to_snapshot` /
+`remove_orphan_files` parity — maintenance ops beyond the reference's
+append-only surface, SURVEY.md §2.C)."""
+
+import os
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from icebergplus_spark.lake import (
+    LocalLakeCatalog,
+    expire_snapshots,
+    remove_orphan_files,
+    rollback,
+)
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
+)
+
+
+@pytest.fixture
+def two_snapshot_table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.rb", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA).coalesce(1))
+    return t
+
+
+def test_rollback_restores_old_state_and_preserves_history(spark, two_snapshot_table):
+    t = two_snapshot_table
+    first = t.history()[0]["snapshot_id"]
+    assert t.scan().count() == 3
+
+    res = rollback(t, first)
+    assert res["rolled_back"] and res["to_snapshot_id"] == first
+    # current state == snapshot 1's content, via a NEW snapshot
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
+    assert t.snapshot()["operation"] == "rollback"
+    # the rolled-past snapshot remains time-travelable
+    bad = res["from_snapshot_id"]
+    assert t.scan(snapshot_id=bad).count() == 3
+    # appends continue from the rolled-back state
+    t.append(spark.createDataFrame([(9, "z")], SCHEMA).coalesce(1))
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2, 9]
+
+
+def test_rollback_unknown_snapshot_raises(two_snapshot_table):
+    with pytest.raises(ValueError):
+        rollback(two_snapshot_table, 999)
+
+
+def test_rollback_to_current_is_noop(two_snapshot_table):
+    t = two_snapshot_table
+    res = rollback(t, t.current_snapshot_id)
+    assert res == {"rolled_back": False, "reason": "already current"}
+
+
+def test_remove_orphan_files(spark, two_snapshot_table):
+    t = two_snapshot_table
+    # plant an orphan (aborted-write debris) next to live data files
+    orphan_dir = os.path.join(t.table_dir, "data", "aborted-write")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-dead.parquet")
+    spark.createDataFrame([(99, "dead")], SCHEMA).toPandas().to_parquet(orphan)
+
+    # default grace period protects fresh files (in-flight writers)
+    res = remove_orphan_files(t)
+    assert res["deleted"] == 0 and os.path.exists(orphan)
+
+    res = remove_orphan_files(t, older_than_s=0)
+    assert res["deleted"] == 1
+    assert not os.path.exists(orphan)
+    # live data untouched; table still scans identically
+    assert t.scan().count() == 3
+    # idempotent
+    assert remove_orphan_files(t, older_than_s=0)["deleted"] == 0
+
+
+def test_expire_after_rollback_drops_bad_snapshot_files(spark, two_snapshot_table):
+    t = two_snapshot_table
+    first = t.history()[0]["snapshot_id"]
+    bad_files = {f["file_path"] for f in t.plan_files()} - {
+        f["file_path"] for f in t.plan_files(snapshot_id=first)
+    }
+    rollback(t, first)
+    expire_snapshots(t, keep_last=1)
+    # snapshot-2's exclusive file is gone, current scan unaffected
+    assert all(not os.path.exists(p) for p in bad_files)
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
