@@ -23,10 +23,29 @@ import uuid
 
 import pyarrow.parquet as pq
 
+import pyspark.sql.functions as F
+
 from icebergplus_spark.lake.table import LakeTable, _harvest_footer
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # 128 MiB — standard lake target
 DEFAULT_SMALL_FILE_THRESHOLD = 96 * 1024 * 1024
+
+_Z_BITS = 8  # 256 buckets per dimension — plenty for file-level pruning
+
+
+def _zvalue(bucket_cols: list, nbits: int = _Z_BITS):
+    """Interleave the bits of per-column bucket indexes into one long
+    (Morton code). Pure JVM bitwise expressions — stays inside
+    whole-stage codegen, no UDF."""
+    ncols = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(nbits):
+        for j, b in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"),
+                i * ncols + j,
+            )
+    return z
 
 
 def compact(
@@ -34,6 +53,7 @@ def compact(
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     small_file_threshold: int = DEFAULT_SMALL_FILE_THRESHOLD,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack compaction. Returns a summary dict (files before/after).
 
@@ -42,6 +62,17 @@ def compact(
     file covers a narrow value range → manifest min/max stats prune far
     more files on those columns afterwards (z-order-lite; at 100 TB this
     is how scan-heavy columns earn their pruning).
+
+    ``zorder_by``: MULTI-column clustering via Morton codes — each
+    numeric column is bucketed into 2^8 equal-width cells between its
+    manifest-wide min/max (no extra data pass: the bounds come from the
+    footer stats already in the manifest), the cell indexes are
+    bit-interleaved into one z-value, and the rewrite range-partitions +
+    sorts on it. Every listed column then prunes independently, unlike
+    ``sort_by`` where only the leading column's stats are narrow.
+    Equal-width cells degrade under heavy value skew — the documented
+    upgrade point is sampled equal-depth bounds (range_partition_id
+    style). Mutually exclusive with ``sort_by``.
     """
     t0 = time.time()
     files = table.plan_files()
@@ -57,7 +88,42 @@ def compact(
     # path (they are not in the files); the rewrite re-applies the
     # partition transforms so layout — and pruning — survive compaction.
     df = table._read_physical([f["file_path"] for f in small])
-    if sort_by:
+    if zorder_by and sort_by:
+        raise ValueError("pass either sort_by or zorder_by, not both")
+    if zorder_by:
+        mapping = table._column_mapping
+        cols = [mapping.get(c, c) for c in zorder_by]
+        # global bounds per column from the manifest footer stats
+        bounds: dict[str, tuple[float, float]] = {}
+        for c in cols:
+            lo = min(float(json.loads(f["column_mins"])[c]) for f in small)
+            hi = max(float(json.loads(f["column_maxs"])[c]) for f in small)
+            bounds[c] = (lo, hi if hi > lo else lo + 1.0)
+        buckets = [
+            F.least(
+                F.lit(2**_Z_BITS - 1),
+                F.greatest(
+                    F.lit(0),
+                    (
+                        F.width_bucket(
+                            F.col(c).cast("double"),
+                            F.lit(bounds[c][0]),
+                            F.lit(bounds[c][1]),
+                            F.lit(2**_Z_BITS),
+                        )
+                        - 1
+                    ).cast("int"),
+                ),
+            )
+            for c in cols
+        ]
+        df = (
+            df.withColumn("__z", _zvalue(buckets))
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by:
         mapping = table._column_mapping
         cols = [mapping.get(c, c) for c in sort_by]
         df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)

@@ -156,3 +156,37 @@ def q83_gap_fill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rev", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d11 — time-window (debounce) dedup: drop an event arriving within 10
+# minutes of the previous KEPT event of the same (user_id, event_type).
+# A greedy chain-collapse would be iterative; the standard streaming-
+# compatible approximation — and what production click-dedup actually
+# ships — keys each event to its previous NEIGHBOR via LAG over one
+# shuffle of (user, type). Deterministic, so both engines agree.
+# ---------------------------------------------------------------------------
+@register(
+    "d11_window_dedup",
+    oracle="""
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM lagged
+WHERE prev_ts IS NULL OR ts >= prev_ts + INTERVAL 10 MINUTE
+""",
+)
+def d11_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select("event_id", "user_id", "event_type", "ts").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    return lagged.filter(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") >= F.col("prev_ts") + F.expr("interval 10 minutes"))
+    ).drop("prev_ts")

@@ -3,6 +3,8 @@ content-preserving rewrite, file-count reduction, vacuum semantics."""
 
 import os
 
+import pyspark.sql.functions as F
+
 import pytest
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -104,3 +106,41 @@ def test_compaction_after_rename_reads_physical_names(spark, tmp_path):
     compact(t)
     rows = sorted((r["k"], r["label"]) for r in t.scan().collect())
     assert rows == [(1, "a"), (2, "b")]
+
+
+def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    xy = StructType(
+        [StructField("x", IntegerType(), True), StructField("y", IntegerType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whz")).start()
+    t = cat.create_table("db.zorder", xy)
+    # interleaved appends over a 32x32 grid: every file spans the full
+    # range of BOTH columns, so neither predicate can prune anything
+    for i in range(4):
+        rows = [(x, y) for x in range(32) for y in range(32) if (x + y) % 4 == i]
+        t.append(spark.createDataFrame(rows, xy).coalesce(1))
+    assert len(t.plan_files({"x": ("<", 8)})) == 4
+    assert len(t.plan_files({"y": ("<", 8)})) == 4
+
+    with pytest.raises(ValueError):
+        compact(t, sort_by=["x"], zorder_by=["y"])
+
+    # small target → ~8 output files: z-range cuts then land on
+    # BOTH dimensions (3 files would cut only the leading bit's dim)
+    summary = compact(t, target_file_size=700, zorder_by=["x", "y"])
+    assert summary["compacted"] == 4
+    files_after = t.plan_files()
+    assert len(files_after) >= 4
+    # z-clustering narrows min/max on BOTH dimensions (sort_by would
+    # narrow only the leading column)
+    assert len(t.plan_files({"x": ("<", 8)})) < len(files_after)
+    assert len(t.plan_files({"y": ("<", 8)})) < len(files_after)
+    # content preserved
+    assert t.scan().count() == 1024
+    assert t.scan().select(F.sum("x").alias("s")).collect()[0]["s"] == sum(
+        x for x in range(32) for _ in range(32)
+    )
