@@ -54,6 +54,7 @@ def compact(
     small_file_threshold: int = DEFAULT_SMALL_FILE_THRESHOLD,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    purge_deletes: bool = False,
 ) -> dict:
     """Bin-pack compaction. Returns a summary dict (files before/after).
 
@@ -75,11 +76,24 @@ def compact(
     style). Mutually exclusive with ``sort_by``.
     """
     t0 = time.time()
+    snap = table.snapshot()
     files = table.plan_files()
     small = [f for f in files if f["file_size_bytes"] < small_file_threshold]
+    if purge_deletes and snap:
+        # pull every delete-affected data file into the rewrite set so the
+        # tombstones can be dropped afterwards (Iceberg's
+        # rewrite_data_files + rewrite_position_delete_files in one pass)
+        affected = _delete_affected_paths(table, snap)
+        small_paths = {f["file_path"] for f in small}
+        small += [
+            f
+            for f in files
+            if f["file_path"] in affected and f["file_path"] not in small_paths
+        ]
     if len(small) <= 1:
         return {"compacted": 0, "reason": "nothing to compact"}
-    big = [f for f in files if f["file_size_bytes"] >= small_file_threshold]
+    small_set = {f["file_path"] for f in small}
+    big = [f for f in files if f["file_path"] not in small_set]
 
     total_small_bytes = sum(f["file_size_bytes"] for f in small)
     n_out = max(1, -(-total_small_bytes // target_file_size))  # ceil div
@@ -87,7 +101,9 @@ def compact(
     # _read_physical recovers identity-partition values from the Hive
     # path (they are not in the files); the rewrite re-applies the
     # partition transforms so layout — and pruning — survive compaction.
-    df = table._read_physical([f["file_path"] for f in small])
+    # _read_live applies merge-on-read tombstones — the rewrite must not
+    # resurrect deleted rows
+    df = table._read_live([f["file_path"] for f in small], snap)
     if zorder_by and sort_by:
         raise ValueError("pass either sort_by or zorder_by, not both")
     if zorder_by:
@@ -148,13 +164,54 @@ def compact(
     # Consolidated manifest: untouched big files + the new compacted files.
     all_entries = sorted(big + new_entries, key=lambda e: e["file_path"])
     manifest = table._write_manifest(all_entries)
-    table._commit_snapshot("replace", [manifest], new_entries, t0)
+    # Tombstones still apply to the untouched files; rewritten files were
+    # born after every delete's applies_before, so equality deletes are
+    # exempt and position deletes reference only now-dead paths. When NO
+    # untouched file is still affected, the tombstones are dead weight —
+    # drop them (auto-purge).
+    carry = list(snap.get("delete_manifests", [])) if snap else []
+    if carry:
+        untouched = {f["file_path"] for f in big}
+        if not (untouched & _delete_affected_paths(table, snap)):
+            carry = []
+    table._commit_snapshot(
+        "replace", [manifest], new_entries, t0, delete_manifests=carry
+    )
     return {
         "compacted": len(small),
         "files_before": len(files),
         "files_after": len(all_entries),
         "bytes_rewritten": total_small_bytes,
+        "purged_deletes": bool(snap and snap.get("delete_manifests")) and not carry,
     }
+
+
+def _delete_affected_paths(table: LakeTable, snap: dict) -> set:
+    """Data-file paths a live tombstone can still hit: position-delete
+    referenced paths, plus (for equality deletes) every file born
+    at-or-before the delete's commit."""
+    entries = table._delete_entries(snap)
+    if not entries:
+        return set()
+    from icebergplus_spark.lake.table import _as_uri
+
+    births = table._file_births()
+    current = {f["file_path"] for f in table.plan_files()}
+    uri_to_path = {_as_uri(p): p for p in current}
+    out: set = set()
+    for e in entries:
+        if e["content"] == "position":
+            refs = pq.read_table(e["file_path"], columns=["file_path"])
+            out.update(
+                uri_to_path[u]
+                for u in set(refs.column("file_path").to_pylist())
+                if u in uri_to_path
+            )
+        else:
+            out.update(
+                p for p in current if births.get(p, 0) <= e["applies_before"]
+            )
+    return out
 
 
 def rollback(table: LakeTable, snapshot_id: int) -> dict:
@@ -172,7 +229,13 @@ def rollback(table: LakeTable, snapshot_id: int) -> dict:
     current = table.current_snapshot_id
     if current == snapshot_id:
         return {"rolled_back": False, "reason": "already current"}
-    table._commit_snapshot("rollback", list(target["manifests"]), [], t0)
+    table._commit_snapshot(
+        "rollback",
+        list(target["manifests"]),
+        [],
+        t0,
+        delete_manifests=target.get("delete_manifests", []),
+    )
     return {
         "rolled_back": True,
         "from_snapshot_id": current,
@@ -191,7 +254,7 @@ def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -
     files from manifests, never from the directory)."""
     live: set[str] = set()
     for s in table.history():
-        for m in s["manifests"]:
+        for m in list(s["manifests"]) + list(s.get("delete_manifests", [])):
             t = pq.read_table(os.path.join(table._meta_dir, m))
             live.update(t.column("file_path").to_pylist())
     cutoff = time.time() - older_than_s
@@ -228,7 +291,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
     def live_paths(snapshots) -> tuple[set, set]:
         manifests, data = set(), set()
         for s in snapshots:
-            for m in s["manifests"]:
+            # delete manifests/files are retained and expired exactly
+            # like data manifests/files
+            for m in list(s["manifests"]) + list(s.get("delete_manifests", [])):
                 manifests.add(m)
                 t = pq.read_table(os.path.join(table._meta_dir, m))
                 data.update(t.column("file_path").to_pylist())

@@ -47,6 +47,31 @@ MANIFEST_SCHEMA = pa.schema(
     ]
 )
 
+# Merge-on-read delete manifests (Iceberg v2 delete-file parity).
+# content: "position" (rows of file_uri+pos, Iceberg position deletes) or
+# "equality" (rows of key-column values, Iceberg equality deletes).
+# applies_before: the snapshot id current when the delete was committed —
+# data files born in a LATER snapshot are exempt (our stand-in for
+# Iceberg's sequence numbers, which is what makes append-after-delete
+# keep the new rows).
+DELETE_MANIFEST_SCHEMA = pa.schema(
+    [
+        ("file_path", pa.string()),
+        ("record_count", pa.int64()),
+        ("file_size_bytes", pa.int64()),
+        ("content", pa.string()),
+        ("equality_cols", pa.string()),  # JSON [physical col, ...] ("" for position)
+        ("applies_before", pa.int64()),
+    ]
+)
+
+
+def _as_uri(path: str) -> str:
+    """Spark's _metadata.file_path is a Hadoop-form file URI
+    (``file:/abs/path`` — single slash, unencoded); manifests store
+    plain paths. One canonical form for joins/lookups."""
+    return path if path.startswith("file:") else "file:" + os.path.abspath(path)
+
 
 def _harvest_footer(path: str) -> dict[str, Any]:
     """Read row count / size / per-column min-max from a parquet footer —
@@ -366,6 +391,7 @@ class LakeTable:
         added_entries: list[dict[str, Any]],
         t0: float,
         branch: str | None = None,
+        delete_manifests: list[str] | None = None,
     ) -> None:
         """Atomic snapshot commit: write vN+1 metadata, then atomically
         swap the pointer file (single-writer rename CAS — the documented
@@ -378,6 +404,15 @@ class LakeTable:
             total_records += sum(t.column("record_count").to_pylist())
             total_bytes += sum(t.column("file_size_bytes").to_pylist())
             total_files += t.num_rows
+        delete_manifests = delete_manifests or []
+        pos_deletes = eq_deletes = delete_files = 0
+        for m in delete_manifests:
+            for e in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
+                delete_files += 1
+                if e["content"] == "position":
+                    pos_deletes += e["record_count"]
+                else:
+                    eq_deletes += e["record_count"]
         # max over ALL snapshot ids (not current+1): branch commits
         # interleave with main commits in the same log
         snap_id = max(
@@ -388,6 +423,7 @@ class LakeTable:
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "manifests": manifests,
+            "delete_manifests": delete_manifests,
             "summary": {
                 "added-data-files": len(added_entries),
                 "added-records": sum(e["record_count"] for e in added_entries),
@@ -395,6 +431,9 @@ class LakeTable:
                 "total-data-files": total_files,
                 "total-records": total_records,
                 "total-files-size": total_bytes,
+                "total-delete-files": delete_files,
+                "total-position-deletes": pos_deletes,
+                "total-equality-deletes": eq_deletes,
             },
         }
         meta = dict(self._meta)
@@ -435,20 +474,20 @@ class LakeTable:
                 metrics={
                     "attempts": 1,
                     "addedDataFiles": s["added-data-files"],
-                    "totalPositionalDeletes": 0,
+                    "totalPositionalDeletes": s["total-position-deletes"],
                     "totalDataFiles": s["total-data-files"],
                     "addedRecords": s["added-records"],
-                    "totalDeleteFiles": 0,
+                    "totalDeleteFiles": s["total-delete-files"],
                     "totalFilesSizeInBytes": s["total-files-size"],
                     "totalRecords": s["total-records"],
-                    "totalEqualityDeletes": 0,
+                    "totalEqualityDeletes": s["total-equality-deletes"],
                     "addedFilesSizeInBytes": s["added-files-size"],
                     "totalDuration": time.time() - t0,
                 },
             )
         )
 
-    def _read_physical(self, paths: list[str]) -> DataFrame:
+    def _read_physical(self, paths: list[str], with_meta: bool = False) -> DataFrame:
         """Read data files under the physical schema, recovering
         identity-partition values from the Hive path (they are NOT in
         the files — reading without basePath returns them as NULL,
@@ -460,10 +499,23 @@ class LakeTable:
         ``compact-*`` dirs — one reader over all of them throws
         CONFLICTING_DIRECTORY_STRUCTURES. Group count is bounded by the
         snapshot count, and Catalyst unions the scans into one plan."""
+        from pyspark.sql import functions as _F
+
         cols = [f.name for f in self.physical_schema.fields]
+        # ``with_meta`` attaches the file URI + row position (Spark's
+        # _metadata column, computed by the scan itself — zero cost) for
+        # merge-on-read delete application.
+        meta = (
+            [
+                _F.col("_metadata.file_path").alias("__file"),
+                _F.col("_metadata.row_index").alias("__pos"),
+            ]
+            if with_meta
+            else []
+        )
         if not self.partition_spec:
             df = self.spark.read.schema(self.physical_schema).parquet(*sorted(paths))
-            return df.select(*cols)
+            return df.select(*cols, *meta)
         data_root = os.path.join(self.table_dir, "data")
         groups: dict[str, list[str]] = {}
         for p in sorted(paths):
@@ -476,11 +528,204 @@ class LakeTable:
                 self.spark.read.schema(self.physical_schema)
                 .option("basePath", base)
                 .parquet(*ps)
-                .select(*cols)  # drops hidden _p_* discovery columns
+                .select(*cols, *meta)  # drops hidden _p_* discovery columns
             )
             out = d if out is None else out.unionByName(d)
         assert out is not None
         return out
+
+    # -- merge-on-read deletes (Iceberg v2 delete files) -------------------
+    def _delete_entries(self, snap: dict[str, Any] | None) -> list[dict[str, Any]]:
+        if not snap:
+            return []
+        rows: list[dict[str, Any]] = []
+        for m in snap.get("delete_manifests", []):
+            rows.extend(pq.read_table(os.path.join(self._meta_dir, m)).to_pylist())
+        return rows
+
+    def _write_delete_manifest(self, entries: list[dict[str, Any]]) -> str:
+        name = f"delete-manifest-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(entries, schema=DELETE_MANIFEST_SCHEMA),
+            os.path.join(self._meta_dir, name),
+        )
+        return name
+
+    def _file_births(self) -> dict[str, int]:
+        """First snapshot id each data file appears in (stand-in for
+        Iceberg sequence numbers; drives equality-delete exemption).
+        Driver-side walk of the manifest log — the 100 TB upgrade point
+        is stamping the birth id into the manifest entry at write time."""
+        births: dict[str, int] = {}
+        for s in self._meta["snapshots"]:
+            for m in s["manifests"]:
+                t = pq.read_table(os.path.join(self._meta_dir, m))
+                for p in t.column("file_path").to_pylist():
+                    births.setdefault(p, s["snapshot_id"])
+        return births
+
+    def _apply_deletes(
+        self, df: DataFrame, snap: dict[str, Any], paths: list[str]
+    ) -> DataFrame:
+        """Anti-join merge-on-read tombstones out of a physical read.
+        ``df`` must carry __file/__pos (with_meta=True). Position deletes
+        join on (file, pos); equality deletes join on their key columns,
+        applied only to data files born at-or-before the delete's commit
+        (append-after-delete keeps new rows, like Iceberg sequence
+        numbers). Delete sets are broadcast — they are tombstones, small
+        relative to data by construction; a sort-merge fallback on
+        __file is the documented upgrade if one accumulates GBs."""
+        entries = self._delete_entries(snap)
+        if not entries:
+            return df
+        from pyspark.sql import functions as _F
+
+        pos_files = [e["file_path"] for e in entries if e["content"] == "position"]
+        if pos_files:
+            tomb = self.spark.read.parquet(*sorted(pos_files))
+            df = df.join(
+                _F.broadcast(tomb),
+                (df["__file"] == tomb["file_path"]) & (df["__pos"] == tomb["pos"]),
+                "left_anti",
+            )
+        eq_entries = [e for e in entries if e["content"] == "equality"]
+        if eq_entries:
+            births = self._file_births()
+            uri_births = {_as_uri(p): b for p, b in births.items()}
+            for e in eq_entries:
+                cols = json.loads(e["equality_cols"])
+                exempt_uris = [
+                    u
+                    for p, u in ((p, _as_uri(p)) for p in paths)
+                    if uri_births.get(u, 0) > e["applies_before"]
+                ]
+                keys = self.spark.read.parquet(e["file_path"])
+                subject = df
+                exempt = None
+                if exempt_uris:
+                    is_exempt = _F.col("__file").isin(exempt_uris)
+                    exempt = df.filter(is_exempt)
+                    subject = df.filter(~is_exempt)
+                subject = subject.join(_F.broadcast(keys), on=cols, how="left_anti")
+                df = subject.unionByName(exempt) if exempt is not None else subject
+        return df
+
+    def _read_live(self, paths: list[str], snap: dict[str, Any] | None) -> DataFrame:
+        """Physical read with the snapshot's merge-on-read deletes
+        applied — what every rewrite path (compact/cow-delete/merge) must
+        read, or tombstoned rows would resurrect in the rewrite."""
+        if not paths:
+            return self.spark.createDataFrame([], self.physical_schema)
+        if not (snap and snap.get("delete_manifests")):
+            return self._read_physical(paths)
+        df = self._read_physical(paths, with_meta=True)
+        return self._apply_deletes(df, snap, paths).drop("__file", "__pos")
+
+    def delete_where(
+        self, predicates: dict[str, tuple[str, Any]]
+    ) -> "LakeTable":
+        """Merge-on-read row-level DELETE: writes POSITION delete files
+        (file URI + row index of each matching row) and commits — no
+        data file is rewritten, so the commit cost is proportional to
+        the deleted rows, not the touched files (the write-side win MOR
+        buys at 100 TB; ``delete()`` is the copy-on-write read-side
+        twin). Scans anti-join the tombstones back out."""
+        t0 = time.time()
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot()
+        affected = self.plan_files(predicates)
+        if not affected:
+            return self
+        paths = sorted(f["file_path"] for f in affected)
+        df = self._read_physical(paths, with_meta=True)
+        # apply existing tombstones so already-deleted rows aren't re-tombstoned
+        df = self._apply_deletes(df, snap, paths)
+        mapping = self._column_mapping
+        cond = _F.lit(True)
+        for col, (op, val) in predicates.items():
+            c = _F.col(mapping.get(col, col))
+            cond = cond & {
+                "<": c < val, "<=": c <= val, ">": c > val,
+                ">=": c >= val, "=": c == val,
+            }[op]
+        matches = df.filter(cond).select(
+            _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
+        )
+        out_dir = os.path.join(self.table_dir, "data", "deletes", f"pos-{uuid.uuid4().hex}")
+        matches.write.mode("overwrite").parquet(out_dir)
+        new_entries = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    f = _harvest_footer(os.path.join(root, fn))
+                    new_entries.append(
+                        {
+                            "file_path": f["file_path"],
+                            "record_count": f["record_count"],
+                            "file_size_bytes": f["file_size_bytes"],
+                            "content": "position",
+                            "equality_cols": "",
+                            "applies_before": snap["snapshot_id"] if snap else 0,
+                        }
+                    )
+        if sum(e["record_count"] for e in new_entries) == 0:
+            for e in new_entries:
+                os.remove(e["file_path"])
+            return self  # nothing matched — no snapshot churn
+        dmanifest = self._write_delete_manifest(new_entries)
+        self._commit_snapshot(
+            "delete",
+            list(snap["manifests"]) if snap else [],
+            [],
+            t0,
+            delete_manifests=(snap.get("delete_manifests", []) if snap else [])
+            + [dmanifest],
+        )
+        return self
+
+    def delete_by_key(self, keys: DataFrame) -> "LakeTable":
+        """Merge-on-read EQUALITY delete: ``keys``'s columns name the
+        equality columns (logical names); every current row matching any
+        key row is tombstoned. Rows appended LATER with the same key
+        survive (applies_before semantics) — this is what makes equality
+        deletes usable as the delete half of a streaming upsert."""
+        t0 = time.time()
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot()
+        if snap is None:
+            return self
+        mapping = self._column_mapping
+        phys_cols = [mapping.get(c, c) for c in keys.columns]
+        out_dir = os.path.join(self.table_dir, "data", "deletes", f"eq-{uuid.uuid4().hex}")
+        keys.select(
+            *[_F.col(c).alias(p) for c, p in zip(keys.columns, phys_cols)]
+        ).dropDuplicates().write.mode("overwrite").parquet(out_dir)
+        new_entries = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    f = _harvest_footer(os.path.join(root, fn))
+                    new_entries.append(
+                        {
+                            "file_path": f["file_path"],
+                            "record_count": f["record_count"],
+                            "file_size_bytes": f["file_size_bytes"],
+                            "content": "equality",
+                            "equality_cols": json.dumps(phys_cols),
+                            "applies_before": snap["snapshot_id"],
+                        }
+                    )
+        dmanifest = self._write_delete_manifest(new_entries)
+        self._commit_snapshot(
+            "delete",
+            list(snap["manifests"]),
+            [],
+            t0,
+            delete_manifests=snap.get("delete_manifests", []) + [dmanifest],
+        )
+        return self
 
     def _apply_partition_transforms(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
         """Compute the partition columns for a physical-schema frame:
@@ -554,7 +799,14 @@ class LakeTable:
             self.snapshot(self._resolve_ref(branch)) if branch else self.snapshot()
         )
         manifests = (base["manifests"] if base else []) + [manifest]
-        self._commit_snapshot("append", manifests, entries, t0, branch=branch)
+        self._commit_snapshot(
+            "append",
+            manifests,
+            entries,
+            t0,
+            branch=branch,
+            delete_manifests=base.get("delete_manifests", []) if base else [],
+        )
         return self
 
     def scan_incremental(
@@ -653,7 +905,9 @@ class LakeTable:
         new_entries: list[dict[str, Any]] = []
         out_dir = os.path.join(self.table_dir, "data", f"merge-{uuid.uuid4().hex}")
         if affected:
-            existing = self._read_physical(sorted(affected_paths))
+            # _read_live: apply MOR tombstones so deleted rows don't
+            # resurrect through the rewrite
+            existing = self._read_live(sorted(affected_paths), self.snapshot())
             keep = existing.join(
                 incoming.select(pkey), on=pkey, how="left_anti"
             )
@@ -675,7 +929,14 @@ class LakeTable:
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
         )
-        self._commit_snapshot("merge", [manifest], new_entries, t0)
+        snap = self.snapshot()
+        self._commit_snapshot(
+            "merge",
+            [manifest],
+            new_entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", []) if snap else [],
+        )
         return self
 
     def delete(self, predicates: dict[str, tuple[str, Any]]) -> "LakeTable":
@@ -694,7 +955,8 @@ class LakeTable:
             from pyspark.sql import functions as _F
 
             mapping = self._column_mapping
-            df = self._read_physical(sorted(affected_paths))
+            # _read_live: MOR tombstones must not resurrect in the rewrite
+            df = self._read_live(sorted(affected_paths), self.snapshot())
             # keep rows that do NOT match the conjunction of predicates
             keep_cond = _F.lit(False)
             for col, (op, val) in predicates.items():
@@ -720,7 +982,14 @@ class LakeTable:
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
         )
-        self._commit_snapshot("delete", [manifest], new_entries, t0)
+        snap = self.snapshot()
+        self._commit_snapshot(
+            "delete",
+            [manifest],
+            new_entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", []) if snap else [],
+        )
         return self
 
     def _add_partition_stats(self, entry: dict[str, Any]) -> None:
@@ -925,13 +1194,17 @@ class LakeTable:
                 elif pf["transform"] == "bucket" and op == "=":
                     phys_preds[field_name(pf)] = ("=", py_apply(pf, val, src_type))
         kept = [r for r in rows if _file_matches(r, phys_preds)]
+        n_delete_files = sum(
+            pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
+            for m in snap.get("delete_manifests", [])
+        )
         self.reporter.report(
             ScanReport(
                 table_name=self.identifier,
                 snapshot_id=snap["snapshot_id"],
                 metrics={
                     "resultDataFiles": len(kept),
-                    "resultDeleteFiles": 0,
+                    "resultDeleteFiles": n_delete_files,
                     "totalFileSizeInBytes": sum(r["file_size_bytes"] for r in kept),
                 },
             )
@@ -960,9 +1233,13 @@ class LakeTable:
 
         # read physical columns (identity-partition values recovered from
         # the path, per-write-dir basePath), then alias back to logical
-        # names — columns added after a file was written come back NULL
+        # names — columns added after a file was written come back NULL.
+        # Merge-on-read tombstones of the scanned snapshot are anti-joined
+        # out by _read_live.
         mapping = self._column_mapping
-        df = self._read_physical([f["file_path"] for f in files])
+        df = self._read_live(
+            [f["file_path"] for f in files], self.snapshot(snapshot_id)
+        )
         df = df.select(
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
