@@ -1039,7 +1039,8 @@ class LakeTable:
     def metadata_df(self, kind: str) -> DataFrame:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
         Iceberg's metadata tables (SELECT * FROM db.t.snapshots etc.).
-        Kinds: snapshots, history, files, manifests, refs, partitions.
+        Kinds: snapshots, history, files, delete_files, manifests,
+        refs, partitions.
         Built from the (small) metadata log on the driver; at 100 TB the
         file inventory is already parquet manifests, so ``files`` reads
         those distributed instead of materializing driver-side rows."""
@@ -1095,6 +1096,28 @@ class LakeTable:
             # distributed read of the manifest parquet files themselves
             return self.spark.read.parquet(
                 *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
+            )
+        elif kind == "delete_files":
+            # Iceberg's db.t.delete_files metadata table
+            snap = self.snapshot()
+            rows = (
+                [
+                    {
+                        "file_path": e["file_path"],
+                        "content": e["content"],
+                        "record_count": e["record_count"],
+                        "file_size_bytes": e["file_size_bytes"],
+                        "equality_cols": e["equality_cols"],
+                        "applies_before": e["applies_before"],
+                    }
+                    for e in self._delete_entries(snap)
+                ]
+                if snap
+                else []
+            )
+            schema = (
+                "file_path string, content string, record_count long, "
+                "file_size_bytes long, equality_cols string, applies_before long"
             )
         elif kind == "partitions":
             from pyspark.sql import functions as _F

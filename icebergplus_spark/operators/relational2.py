@@ -284,3 +284,48 @@ def q80_lake_refs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — merge-on-read round trip: lake writes, a position delete
+# (predicate tombstones, no data rewrite), an equality delete (key
+# tombstones), then an aggregate over the tombstone-filtered scan. The
+# oracle states the same result as plain SQL filters — proving the
+# tombstone anti-joins reproduce exact relational semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_lake_mor_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_linenumber <= 2
+  AND NOT (l_quantity < 5)
+  AND l_orderkey % 97 <> 0
+GROUP BY l_returnflag
+""",
+)
+def q87_lake_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    root = tempfile.mkdtemp(prefix="lake_mor_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.lineitem_mor", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(2))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(2))
+    # position delete: tombstone small-quantity lines in place
+    t.delete_where({"l_quantity": ("<", 5)})
+    # equality delete: tombstone every line of orders divisible by 97
+    t.delete_by_key(
+        li.filter(F.col("l_orderkey") % 97 == 0).select("l_orderkey").distinct()
+    )
+    return (
+        t.scan()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
+        )
+    )

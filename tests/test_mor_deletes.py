@@ -64,6 +64,18 @@ def test_position_delete_stacks_and_double_delete_is_noop(table):
     assert _keys(table) == [3, 4, 5, 6, 7]
 
 
+def test_delete_files_metadata_table(spark, table):
+    assert table.metadata_df("delete_files").count() == 0
+    table.delete_where({"k": ("<", 3)})
+    table.delete_by_key(
+        spark.createDataFrame([(9,)], StructType([StructField("k", IntegerType(), True)]))
+    )
+    rows = table.metadata_df("delete_files").collect()
+    by_content = {r["content"] for r in rows}
+    assert by_content == {"position", "equality"}
+    assert sum(r["record_count"] for r in rows if r["content"] == "position") == 3
+
+
 def test_predicate_scan_with_tombstones(table):
     table.delete_where({"k": ("=", 6)})
     got = sorted(
