@@ -282,6 +282,29 @@ class LakeTable:
             for c in self.partition_cols
         ]
 
+    def update_partition_spec(self, spec: list[str] | None) -> "LakeTable":
+        """Partition evolution (Iceberg ``updateSpec`` parity):
+        metadata-only — existing data files keep their old Hive layout
+        and stay readable/prunable (their partition values were baked
+        into manifest stats at write time, and reads pick the layout per
+        write directory); only NEW writes use the new spec. Accepts the
+        same transform strings as ``create_table(partition_spec=...)``,
+        or ``None``/``[]`` to make new writes unpartitioned."""
+        from icebergplus_spark.lake.transforms import parse_spec
+
+        parsed = parse_spec(spec or [])
+        for pf in parsed:
+            if pf["source"] not in self.field_ids:
+                raise KeyError(f"unknown partition source column: {pf['source']}")
+
+        def mutate(meta):
+            meta["partition_spec"] = parsed
+            meta["partition_cols"] = [
+                f["source"] for f in parsed if f["transform"] == "identity"
+            ]
+
+        return self._evolve(mutate)
+
     @property
     def location(self) -> str:
         return self.table_dir
@@ -513,7 +536,12 @@ class LakeTable:
             if with_meta
             else []
         )
-        if not self.partition_spec:
+        # Layout is decided per FILE, not from the current spec: after
+        # partition evolution a table holds dirs written under older
+        # specs, and reading a Hive-layout file without basePath returns
+        # its identity-partition values as NULL.
+        any_partition_dirs = any("=" in os.path.basename(os.path.dirname(p)) for p in paths)
+        if not self.partition_spec and not any_partition_dirs:
             df = self.spark.read.schema(self.physical_schema).parquet(*sorted(paths))
             return df.select(*cols, *meta)
         data_root = os.path.join(self.table_dir, "data")
