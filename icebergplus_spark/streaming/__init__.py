@@ -5,6 +5,7 @@ from icebergplus_spark.streaming.pipelines import (
     session_windows,
     sliding_counts,
     stream_to_lake,
+    stream_upsert_to_lake,
     windowed_counts,
 )
 
@@ -16,4 +17,5 @@ __all__ = [
     "session_windows",
     "dedup_stream",
     "stream_to_lake",
+    "stream_upsert_to_lake",
 ]

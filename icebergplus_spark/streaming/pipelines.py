@@ -16,7 +16,7 @@ table-level visibility via the snapshot log + Spark's checkpoint.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StructType
 
 EVENTS_SCHEMA = (
@@ -119,6 +119,59 @@ def stream_to_lake(stream: DataFrame, table, checkpoint_dir: str, query_name: st
         if batch_df.isEmpty():
             return
         table.append(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_upsert_to_lake(
+    stream: DataFrame,
+    table,
+    key: str,
+    checkpoint_dir: str,
+    query_name: str = "upsert_to_lake",
+):
+    """CDC-upsert sink: per micro-batch, tombstone the incoming keys with
+    a merge-on-read EQUALITY delete, then append the new rows — the
+    streaming upsert pattern Iceberg v2 delete files exist for. Write
+    cost per batch is O(batch), never O(table) (the copy-on-write
+    ``table.merge`` rewrite this replaces touches every file whose key
+    range intersects the batch). Latest-row-per-key semantics inside a
+    batch are resolved by max event order before the write.
+
+    The two commits per batch are NOT atomic together — between them a
+    reader sees the key deleted but not yet re-inserted; the documented
+    upgrade is committing both manifests in one snapshot via the
+    write-audit-publish branch flow (append to a branch + fast_forward).
+    """
+    from pyspark.sql import functions as _F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # collapse to the last row per key within the batch (by ts if
+        # present, else arbitrary-but-deterministic max struct order)
+        order = [c for c in ("ts",) if c in batch_df.columns]
+        latest = (
+            batch_df.withColumn(
+                "__rn",
+                _F.row_number().over(
+                    Window.partitionBy(key).orderBy(
+                        *([_F.col(c).desc() for c in order] or [_F.lit(1)])
+                    )
+                ),
+            )
+            .filter(_F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if table.snapshot() is not None:
+            table.delete_by_key(latest.select(key))
+        table.append(latest)
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -236,3 +236,38 @@ def test_transform_with_state_type_stats(spark, events_dir):
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 0.05).all()
     assert (merged["max_value_s"] == merged["max_value_b"]).all()
+
+
+def test_stream_upsert_to_lake_latest_per_key(spark, sf_dir, events_dir, tmp_path):
+    from pyspark.sql import Window
+    from pyspark.sql.types import _parse_datatype_string
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming import EVENTS_SCHEMA, stream_upsert_to_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whu")).start()
+    t = cat.create_table("db.user_state", _parse_datatype_string(EVENTS_SCHEMA))
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = stream_upsert_to_lake(stream, t, key="user_id", checkpoint_dir=str(tmp_path / "ckptu"))
+    q.awaitTermination(120)
+    t.refresh()
+
+    ev = spark.read.parquet(events_dir)
+    expected = (
+        ev.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    got = t.scan()
+    assert got.count() == expected.count()  # exactly one row per user
+    # chunks arrive in time order, so streaming latest == global latest
+    g = {r["user_id"]: r["ts"] for r in got.collect()}
+    e = {r["user_id"]: r["ts"] for r in expected.collect()}
+    assert g == e
+    # MOR equality tombstones did the upserts: delete snapshots in history
+    assert any(s["operation"] == "delete" for s in t.history())
