@@ -1267,16 +1267,28 @@ class LakeTable:
         predicates: dict[str, tuple[str, Any]] | None = None,
         snapshot_id: int | None = None,
         ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot (IcebergGenerics.read parity +
-        time travel, incl. by named ref: ``scan(ref="audit-tag")``).
+        time travel: by id, by named ref ``scan(ref="audit-tag")``, or by
+        wall-clock ``scan(as_of_ms=...)`` — SQL's FOR TIMESTAMP AS OF,
+        resolved to the last snapshot committed at or before that time).
         File set comes from the manifest (never a directory listing);
         residual predicates are re-applied by Spark so pruning is only
         ever an optimization."""
+        if sum(x is not None for x in (snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError("pass at most one of snapshot_id, ref, as_of_ms")
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or ref, not both")
             snapshot_id = self._resolve_ref(ref)
+        if as_of_ms is not None:
+            eligible = [
+                s for s in self._meta["snapshots"] if s["timestamp_ms"] <= as_of_ms
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"{self.identifier}: no snapshot at or before {as_of_ms}"
+                )
+            snapshot_id = max(eligible, key=lambda s: s["timestamp_ms"])["snapshot_id"]
         files = self.plan_files(predicates, snapshot_id)
         if not files:
             return self.spark.createDataFrame([], self.schema)

@@ -89,3 +89,15 @@ def test_expire_after_rollback_drops_bad_snapshot_files(spark, two_snapshot_tabl
     # snapshot-2's exclusive file is gone, current scan unaffected
     assert all(not os.path.exists(p) for p in bad_files)
     assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
+
+
+def test_scan_as_of_timestamp(spark, two_snapshot_table):
+    t = two_snapshot_table
+    s1, s2 = t.history()[0], t.history()[1]
+    # at s1's commit time → s1's content; after s2 → s2's
+    assert t.scan(as_of_ms=s1["timestamp_ms"]).count() == 2
+    assert t.scan(as_of_ms=s2["timestamp_ms"] + 1).count() == 3
+    with pytest.raises(ValueError):
+        t.scan(as_of_ms=s1["timestamp_ms"] - 1)  # before first commit
+    with pytest.raises(ValueError):
+        t.scan(snapshot_id=s1["snapshot_id"], as_of_ms=s2["timestamp_ms"])
