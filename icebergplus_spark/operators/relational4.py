@@ -1,0 +1,148 @@
+"""Fourth relational battery: recursive CTEs, LATERAL correlated
+subqueries, regression/covariance aggregates, boolean + bitwise
+aggregates (SURVEY.md §2.B breadth — all absent in the reference,
+which delegates query processing entirely; SURVEY.md §2.C).
+
+Recursive CTE support is native in Spark 4 SQL (WITH RECURSIVE), so
+the same SQL text runs on Spark and on the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q88 — recursive CTE: generated month spine LEFT JOINed to 1995 orders.
+# The spine is 12 rows produced by recursion, so the join is a broadcast
+# of the recursive side at any scale; decimal-sum keeps revenue exact.
+# ---------------------------------------------------------------------------
+_Q88 = """
+WITH RECURSIVE months(m) AS (
+  SELECT 1
+  UNION ALL
+  SELECT m + 1 FROM months WHERE m < 12
+)
+SELECT m AS order_month,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2), 0)
+            AS DOUBLE) AS month_revenue
+FROM months
+LEFT JOIN orders
+  ON EXTRACT(MONTH FROM o_orderdate) = m
+ AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+ AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY m
+"""
+
+
+@register("q88_recursive_cte", oracle=_Q88)
+def q88_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_Q88)
+
+
+# ---------------------------------------------------------------------------
+# q89 — LATERAL correlated subquery: top-2 customers by balance per
+# nation. Spark decorrelates the LATERAL into a ranked window join —
+# the same plan shape as the explicit row_number() formulation, so no
+# per-nation re-scan happens at scale.
+# ---------------------------------------------------------------------------
+_Q89 = """
+SELECT n_name, l.c_custkey, l.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) l
+"""
+
+
+@register("q89_lateral_topk", oracle=_Q89)
+def q89_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(_Q89)
+
+
+# ---------------------------------------------------------------------------
+# q90 — regression/covariance aggregate battery. Single distributed
+# pass (partial + final aggregation); rounding absorbs the float
+# summation-order difference between Spark's tree aggregation and the
+# oracle's sequential one.
+# ---------------------------------------------------------------------------
+@register(
+    "q90_regr_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2)  AS qty_price_covar_pop,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS price_per_qty,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS price_at_zero,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6)    AS fit_r2,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4)  AS avg_qty,
+       ROUND(REGR_AVGY(l_extendedprice, l_quantity), 2)  AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q90_regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.covar_samp(q, p), 2).alias("qty_price_covar"),
+        F.round(F.covar_pop(q, p), 2).alias("qty_price_covar_pop"),
+        F.round(F.regr_slope(p, q), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept(p, q), 2).alias("price_at_zero"),
+        F.round(F.regr_r2(p, q), 6).alias("fit_r2"),
+        F.regr_count(p, q).alias("n_pairs"),
+        F.round(F.regr_avgx(p, q), 4).alias("avg_qty"),
+        F.round(F.regr_avgy(p, q), 2).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — boolean + bitwise aggregates and exact median per order
+# priority. Integer domains, so every value is exact cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q91_bool_bit_aggregates",
+    oracle="""
+SELECT o_orderpriority,
+       BOOL_AND(o_totalprice > 900)    AS all_above_900,
+       BOOL_OR(o_totalprice > 400000)  AS any_jumbo,
+       CAST(BIT_AND(o_custkey) AS BIGINT) AS key_bit_and,
+       CAST(BIT_OR(o_custkey)  AS BIGINT) AS key_bit_or,
+       CAST(BIT_XOR(o_custkey) AS BIGINT) AS key_bit_xor,
+       ROUND(MEDIAN(EXTRACT(DAY FROM o_orderdate)), 1) AS median_orderday
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q91_bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("bigint")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_above_900"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.bit_and(key).alias("key_bit_and"),
+        F.bit_or(key).alias("key_bit_or"),
+        F.bit_xor(key).alias("key_bit_xor"),
+        F.round(F.median(F.dayofmonth("o_orderdate").cast("double")), 1).alias(
+            "median_orderday"
+        ),
+    )
