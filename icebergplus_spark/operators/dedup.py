@@ -39,6 +39,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's full parallelism.
+
+    The testdata document files are single-row-group parquet, so the
+    scan yields ONE split and any CPU-heavy per-row pipeline (shingling,
+    hashing) would run on one core out of 32. One cheap narrow-input
+    shuffle before the expensive compute fixes that. At 100 TB the scan
+    itself has thousands of splits and this becomes a no-op choice, but
+    the same pattern still applies right after a highly selective filter
+    collapses the effective partition count."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _tokens(col: str = "text"):
     """Whitespace tokenization of normalized text (JVM-side)."""
     return F.split(F.trim(F.lower(F.col(col))), r"\s+")
@@ -174,7 +187,7 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed sets. At 100 TB this becomes persist(DISK_ONLY) or a
     # checkpoint table — recomputing the tokenize+shingle pass is the
     # dominant cost otherwise.
-    sets = docs.select("doc_id", shingles("text", 3).alias("sh")).cache()
+    sets = _spread(docs).select("doc_id", shingles("text", 3).alias("sh")).cache()
     # One explode + one groupBy computes all k min-hashes in a single
     # pass (map-side partial min per seed) — NOT k transforms per row.
     exploded = sets.select("doc_id", F.explode("sh").alias("s"))
@@ -269,7 +282,7 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     docs = _docs(spark, sf_dir)
-    sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
+    sigs = _spread(docs).select("doc_id", simhash64("text").alias("simhash"))
     # Band the 64-bit signature into 4×16-bit chunks: near-dups (hamming
     # distance ≤ 3) must collide on ≥1 chunk (pigeonhole).
     chunks = sigs.select(

@@ -119,6 +119,42 @@ def _sample_frames(n_frames: int):
     return worker
 
 
+def ingest_binary_dir(
+    spark: SparkSession,
+    directory: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest raw media files as opaque binary rows via Spark's built-in
+    ``binaryFile`` source: one row per file with (path, modificationTime,
+    length, content). This is the on-ramp from an object-store dump of
+    images/audio/video into the binary-column pipeline above.
+
+    Scale notes: the source parallelizes over files (one split per file,
+    capped by ``spark.sql.files.maxPartitionBytes`` grouping), and
+    ``pathGlobFilter`` prunes at listing time — no bytes are read for
+    filtered-out files. Metadata-only queries (path/length) still fetch
+    file contents with this source, so project early and persist to
+    parquet if the payload is reread."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(directory)
+    return df.select(
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("content").alias("payload"),
+        F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1).alias("ext"),
+        F.substring(F.hex(F.substring(F.col("content"), 1, 4)), 1, 8).alias(
+            "magic_hex"
+        ),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """binary payload → fixed-dim float feature vector (Arrow-batched)."""
     return media.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)

@@ -60,3 +60,33 @@ def test_m02_query_runs(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 500
     assert all(r["dim"] == FEATURE_DIM for r in rows)
+
+
+def test_ingest_binary_dir(spark, tmp_path):
+    from icebergplus_spark.operators.multimodal import ingest_binary_dir
+
+    # fake media dump: two "PNGs" (real magic number) and one text file
+    png_magic = b"\x89PNG\r\n\x1a\n"
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "img1.png").write_bytes(png_magic + b"payload-one")
+    (tmp_path / "img2.png").write_bytes(png_magic + b"payload-two-longer")
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    allf = ingest_binary_dir(spark, str(tmp_path))
+    assert allf.count() == 3  # recursive listing picks up the subdir
+
+    pngs = ingest_binary_dir(spark, str(tmp_path), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in pngs.collect()}
+    assert set(rows) == {"img1.png", "img2.png"}
+    for r in rows.values():
+        assert r["ext"] == "png"
+        assert r["magic_hex"] == "89504E47"  # PNG magic, first 4 bytes
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+    # ingested payloads feed the existing feature pipeline unchanged
+    from icebergplus_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    feats = extract_features(
+        pngs.select(F.monotonically_increasing_id().alias("doc_id"), "payload")
+    ).collect()
+    assert len(feats) == 2
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
