@@ -3,6 +3,7 @@ from icebergplus_spark.lake.maintenance import (
     compact,
     expire_snapshots,
     remove_orphan_files,
+    rewrite_manifests,
     rollback,
 )
 from icebergplus_spark.lake.metrics import (
@@ -22,6 +23,7 @@ __all__ = [
     "compact",
     "expire_snapshots",
     "remove_orphan_files",
+    "rewrite_manifests",
     "rollback",
     "MetricsSink",
     "MetricsReporter",

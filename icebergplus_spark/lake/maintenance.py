@@ -324,3 +324,49 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
     os.replace(tmp, table._pointer_path)
     table.refresh()
     return {"expired": len(expired), "deleted_files": deleted}
+
+
+def rewrite_manifests(
+    table: LakeTable, target_entries_per_manifest: int = 100_000
+) -> dict:
+    """Manifest compaction (Iceberg's ``rewrite_manifests`` action):
+    consolidate the current snapshot's many small manifests — one per
+    append — into ceil(n/target) packed ones, committed as a new
+    metadata-only snapshot. No data file is touched or moved.
+
+    Why it matters at 100 TB: scan PLANNING cost is proportional to
+    manifest count (each is opened and filtered at plan time, here and
+    in Iceberg alike). A table fed by a streaming sink accretes one
+    manifest per micro-batch — thousands per day — until planning, not
+    scanning, dominates short queries. Rewriting manifests restores
+    O(files/target) planning. Time travel is unaffected: prior
+    snapshots keep their original manifest lists until
+    ``expire_snapshots`` reclaims them, and ``scan_incremental`` skips
+    the rewrite commit (it adds no rows)."""
+    t0 = time.time()
+    snap = table.snapshot()
+    if snap is None:
+        return {"manifests_before": 0, "manifests_after": 0, "entries": 0}
+    entries: list[dict] = []
+    for m in snap["manifests"]:
+        entries.extend(
+            pq.read_table(os.path.join(table._meta_dir, m)).to_pylist()
+        )
+    entries.sort(key=lambda e: e["file_path"])
+    chunks = [
+        entries[i : i + target_entries_per_manifest]
+        for i in range(0, len(entries), target_entries_per_manifest)
+    ]
+    names = [table._write_manifest(c) for c in chunks]
+    table._commit_snapshot(
+        "rewrite-manifests",
+        names,
+        [],
+        t0,
+        delete_manifests=snap.get("delete_manifests", []),
+    )
+    return {
+        "manifests_before": len(snap["manifests"]),
+        "manifests_after": len(names),
+        "entries": len(entries),
+    }

@@ -44,6 +44,12 @@ MANIFEST_SCHEMA = pa.schema(
         ("file_size_bytes", pa.int64()),
         ("column_mins", pa.string()),  # JSON {col: min} (strings/numbers)
         ("column_maxs", pa.string()),
+        # JSON {col: null_count}; a column absent here has UNKNOWN null
+        # count (e.g. entries harvested before this field existed, or a
+        # row group whose writer omitted the statistic). Needed for
+        # metadata-only aggregates: a file "fully matches" a predicate
+        # only if its nulls for that column are provably zero.
+        ("column_null_counts", pa.string()),
     ]
 )
 
@@ -79,11 +85,18 @@ def _harvest_footer(path: str) -> dict[str, Any]:
     md = pq.ParquetFile(path).metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    no_nulls: set[str] = set()  # columns where some row group lacks the stat
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
             st = col.statistics
+            if st is None or not st.has_null_count:
+                no_nulls.add(name)
+                nulls.pop(name, None)
+            elif name not in no_nulls:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
@@ -103,6 +116,7 @@ def _harvest_footer(path: str) -> dict[str, Any]:
         "file_size_bytes": os.path.getsize(path),
         "column_mins": json.dumps(mins, default=str),
         "column_maxs": json.dumps(maxs, default=str),
+        "column_null_counts": json.dumps(nulls),
     }
 
 
@@ -415,6 +429,7 @@ class LakeTable:
         t0: float,
         branch: str | None = None,
         delete_manifests: list[str] | None = None,
+        extra_summary: dict[str, Any] | None = None,
     ) -> None:
         """Atomic snapshot commit: write vN+1 metadata, then atomically
         swap the pointer file (single-writer rename CAS — the documented
@@ -457,6 +472,7 @@ class LakeTable:
                 "total-delete-files": delete_files,
                 "total-position-deletes": pos_deletes,
                 "total-equality-deletes": eq_deletes,
+                **(extra_summary or {}),
             },
         }
         meta = dict(self._meta)
@@ -808,12 +824,31 @@ class LakeTable:
 
         mapping = self._column_mapping
         df = df.select(*[_F.col(c).alias(mapping[c]) for c in df.columns])
+        # Single-pass column NDV stats: Observation metrics are computed
+        # BY the write action itself (map-side partial aggregates piggy-
+        # backing on the scan) — no second pass over the data. This is
+        # how the engine gets Iceberg-puffin-style distinct-count stats
+        # "for free" at 100 TB; stored in the snapshot summary under
+        # added-ndv and usable for join-strategy decisions.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ndv-{uuid.uuid4().hex}")
+        phys_cols = list(df.columns)
+        df = df.observe(
+            obs,
+            *[_F.approx_count_distinct(c).alias(c) for c in phys_cols],
+        )
         snap_dir = os.path.join(self.table_dir, "data", f"snap-{uuid.uuid4().hex}")
         df, pcols = self._apply_partition_transforms(df)
         writer = df.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(snap_dir)
+        inverse = {p: l for l, p in mapping.items()}
+        try:
+            ndv = {inverse.get(c, c): int(v) for c, v in obs.get.items()}
+        except Exception:
+            ndv = {}  # observation unavailable (e.g. empty plan) — stats are optional
         entries = []
         for root, _dirs, files in os.walk(snap_dir):
             for fn in files:
@@ -834,6 +869,7 @@ class LakeTable:
             t0,
             branch=branch,
             delete_manifests=base.get("delete_manifests", []) if base else [],
+            extra_summary={"added-ndv": ndv} if ndv else None,
         )
         return self
 
@@ -1047,11 +1083,18 @@ class LakeTable:
                 seg_types[field_name(pf)] = partition_value_type(pf, src_type)
         mins = json.loads(entry["column_mins"])
         maxs = json.loads(entry["column_maxs"])
+        nulls = json.loads(entry.get("column_null_counts") or "{}")
         for seg in entry["file_path"].split(os.sep):
             if "=" not in seg:
                 continue
             col, _, raw = seg.partition("=")
             if col not in seg_types:
+                continue
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                # null partition value: no usable min/max, all rows null
+                mins.pop(col, None)
+                maxs.pop(col, None)
+                nulls[col] = entry["record_count"]
                 continue
             val: Any = unquote(raw)
             if seg_types[col] in ("int", "bigint", "smallint", "tinyint"):
@@ -1060,8 +1103,10 @@ class LakeTable:
                 val = float(val)
             mins[col] = val
             maxs[col] = val
+            nulls[col] = 0  # every row in the file carries this exact value
         entry["column_mins"] = json.dumps(mins, default=str)
         entry["column_maxs"] = json.dumps(maxs, default=str)
+        entry["column_null_counts"] = json.dumps(nulls)
 
     # -- metadata tables (Iceberg's db.t.snapshots/files/refs/… parity) ----
     def metadata_df(self, kind: str) -> DataFrame:
@@ -1262,6 +1307,96 @@ class LakeTable:
         )
         return kept
 
+    # -- metadata-only aggregates ------------------------------------------
+    # Iceberg engines answer SELECT COUNT(*) (and min/max) from manifest
+    # statistics without touching a single data file; at 100 TB that is
+    # the difference between milliseconds of driver work and a full
+    # cluster scan. Both methods below degrade gracefully: whenever the
+    # statistics cannot prove the answer (merge-on-read tombstones
+    # pending, missing stats, a file only partially covered by the
+    # predicate), they fall back to the distributed scan — the result is
+    # always exact, never approximate.
+    def count_rows(
+        self,
+        predicates: dict[str, tuple[str, Any]] | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Exact row count, answered from manifest stats when possible.
+
+        Without predicates: pure metadata (sum of per-file record
+        counts). With predicates: files whose stats prove EVERY row
+        matches are counted from metadata; only boundary files that
+        partially overlap the predicate range are scanned."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        if snap.get("delete_manifests"):
+            # tombstones change live counts in ways stats can't see
+            return self.scan(predicates, snapshot_id).count()
+        kept = self.plan_files(predicates, snapshot_id)
+        if not predicates:
+            return sum(r["record_count"] for r in kept)
+        mapping = self._column_mapping
+        phys_preds = {mapping.get(c, c): v for c, v in predicates.items()}
+        full = [r for r in kept if _file_fully_matches(r, phys_preds)]
+        partial = [r for r in kept if not _file_fully_matches(r, phys_preds)]
+        total = sum(r["record_count"] for r in full)
+        if partial:
+            from pyspark.sql import functions as _F
+
+            df = self._read_live([r["file_path"] for r in partial], snap)
+            df = df.select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+            )
+            for col, (op, val) in predicates.items():
+                c = df[col]
+                df = df.filter(
+                    {"<": c < val, "<=": c <= val, ">": c > val,
+                     ">=": c >= val, "=": c == val}[op]
+                )
+            total += df.count()
+        return total
+
+    def stats_min_max(
+        self, column: str, snapshot_id: int | None = None
+    ) -> tuple[Any, Any]:
+        """(min, max) of a column from manifest stats — no data scan when
+        every live file carries stats for it and no tombstones are
+        pending. Values come back in the stats domain (numbers/strings;
+        timestamps as ISO strings — parquet footer stats are typed, the
+        JSON manifest encoding is not). Falls back to a real aggregate
+        otherwise, and for all-null columns returns (None, None)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return (None, None)
+        phys = self._column_mapping.get(column, column)
+        files = self.plan_files(None, snapshot_id)
+        if not snap.get("delete_manifests"):
+            lo: Any = None
+            hi: Any = None
+            ok = True
+            for r in files:
+                mins = json.loads(r["column_mins"])
+                maxs = json.loads(r["column_maxs"])
+                if phys not in mins or phys not in maxs:
+                    nulls = json.loads(r.get("column_null_counts") or "{}")
+                    if nulls.get(phys) == r["record_count"]:
+                        continue  # all-null file contributes nothing
+                    ok = False  # stats missing for live rows → can't prove
+                    break
+                lo = mins[phys] if lo is None or mins[phys] < lo else lo
+                hi = maxs[phys] if hi is None or maxs[phys] > hi else hi
+            if ok:
+                return (lo, hi)
+        from pyspark.sql import functions as _F
+
+        row = (
+            self.scan(snapshot_id=snapshot_id)
+            .agg(_F.min(column).alias("mn"), _F.max(column).alias("mx"))
+            .collect()[0]
+        )
+        return (row["mn"], row["mx"])
+
     def scan(
         self,
         predicates: dict[str, tuple[str, Any]] | None = None,
@@ -1334,4 +1469,34 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, tuple[str, Any]] | 
                 return False
         except TypeError:
             continue  # incomparable stat types → keep file
+    return True
+
+
+def _file_fully_matches(
+    row: dict[str, Any], predicates: dict[str, tuple[str, Any]]
+) -> bool:
+    """True only if the stats PROVE every row of the file satisfies all
+    predicates: [min,max] entirely inside the predicate range AND a
+    known-zero null count (nulls never satisfy a comparison, and min/max
+    stats say nothing about them). Anything unprovable → False, which
+    just routes the file to the scan path — never wrong, only slower."""
+    mins = json.loads(row["column_mins"])
+    maxs = json.loads(row["column_maxs"])
+    nulls = json.loads(row.get("column_null_counts") or "{}")
+    for col, (op, val) in predicates.items():
+        if col not in mins or col not in maxs or nulls.get(col) != 0:
+            return False
+        mn, mx = mins[col], maxs[col]
+        try:
+            proven = {
+                "<": mx < val,
+                "<=": mx <= val,
+                ">": mn > val,
+                ">=": mn >= val,
+                "=": mn == val == mx,
+            }[op]
+        except TypeError:
+            return False
+        if not proven:
+            return False
     return True

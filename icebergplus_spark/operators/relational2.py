@@ -329,3 +329,53 @@ def q87_lake_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — metadata-only aggregates: count/min/max answered from manifest
+# statistics (count_rows / stats_min_max — zero data files opened for
+# the no-predicate paths), plus a stats-refined predicate count where
+# only boundary files are scanned. The oracle states the same answers
+# as plain SQL over the raw parquet — proving the manifest-stat math is
+# exact, not approximate. Iceberg-parity: engines short-circuit
+# SELECT COUNT(*) on Iceberg tables the same way.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_lake_metadata_agg",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice >= 100000.0) AS BIGINT)
+           AS n_big
+FROM orders
+""",
+)
+def q92_lake_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, rewrite_manifests
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_magg_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_magg", orders.schema)
+    # two appends (two manifests), then consolidate to one: the
+    # metadata aggregates must read through the rewritten manifest
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    rewrite_manifests(t)
+    n_rows = t.count_rows()
+    min_key, max_key = t.stats_min_max("o_orderkey")
+    n_big = t.count_rows({"o_totalprice": (">=", 100000.0)})
+    out_schema = StructType(
+        [
+            StructField("n_rows", LongType(), False),
+            StructField("min_key", LongType(), False),
+            StructField("max_key", LongType(), False),
+            StructField("n_big", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n_rows, int(min_key), int(max_key), n_big)], out_schema
+    )

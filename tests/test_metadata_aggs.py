@@ -1,0 +1,136 @@
+"""Metadata-only aggregates + manifest rewrite.
+
+Iceberg engines answer COUNT(*) / MIN / MAX from manifest statistics
+without opening a data file; `rewrite_manifests` keeps scan-planning
+cost O(files/target) on streaming-fed tables. Both are pure-metadata
+paths, proven here by deleting the physical data files and showing the
+answers survive (a scan would throw)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog, rewrite_manifests
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("s", StringType(), True)]
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.magg", SCHEMA)
+    # three appends → three manifests; disjoint k ranges per file
+    t.append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(0, 10)], SCHEMA).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(i, f"b{i}") for i in range(10, 30)], SCHEMA).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, None if i % 2 else f"c{i}") for i in range(30, 35)], SCHEMA
+        ).coalesce(1)
+    )
+    return t
+
+
+def _nuke_data_files(t):
+    for f in t.plan_files():
+        os.remove(f["file_path"])
+
+
+def test_count_rows_is_metadata_only(table):
+    t = table
+    assert t.count_rows() == 35
+    _nuke_data_files(t)  # a real scan would now fail
+    assert t.count_rows() == 35
+
+
+def test_count_rows_predicate_full_vs_partial(table):
+    t = table
+    # k < 10: first file fully matches, others fully pruned → metadata only
+    # k < 15: file 2 partially overlaps → that ONE file is scanned
+    assert t.count_rows({"k": ("<", 10)}) == 10
+    assert t.count_rows({"k": ("<", 15)}) == 15
+    assert t.count_rows({"k": (">=", 30)}) == 5
+    assert t.count_rows({"k": ("=", 12)}) == 1
+    # cross-check every shape against the scan path
+    for pred in ({"k": ("<", 10)}, {"k": ("<", 15)}, {"k": (">=", 30)}):
+        assert t.count_rows(pred) == t.scan(pred).count()
+    # fully-covered predicate needs no data: nuke files, boundary-free
+    # predicates still answer
+    _nuke_data_files(t)
+    assert t.count_rows({"k": ("<", 10)}) == 10
+    assert t.count_rows({"k": ("<=", 29)}) == 30
+
+
+def test_count_rows_null_guard(table):
+    # s has nulls in file 3: stats must NOT claim full match there
+    t = table
+    assert t.count_rows({"s": (">=", "")}) == 35 - 2  # 2 nulls in 30..34
+
+
+def test_count_rows_falls_back_under_deletes(table):
+    t = table
+    t.delete_where({"k": ("<", 3)})  # merge-on-read tombstones
+    assert t.count_rows() == 32
+    assert t.count_rows({"k": ("<", 10)}) == 7
+
+
+def test_stats_min_max_metadata_only(table):
+    t = table
+    assert t.stats_min_max("k") == (0, 34)
+    lo, hi = t.stats_min_max("s")
+    assert lo == "a0" and hi == "c34"
+    _nuke_data_files(t)
+    assert t.stats_min_max("k") == (0, 34)
+
+
+def test_stats_min_max_survives_rename(table):
+    t = table.rename_column("k", "key")
+    assert t.stats_min_max("key") == (0, 34)
+
+
+def test_append_records_ndv_stats(table):
+    s = table.snapshot()["summary"]
+    ndv = s.get("added-ndv")
+    assert ndv is not None
+    # approx_count_distinct on 5 distinct k values: exact at this size
+    assert ndv["k"] == 5
+    assert ndv["s"] == 3  # 3 non-null strings (nulls don't count)
+
+
+def test_rewrite_manifests_consolidates(table):
+    t = table
+    pre_snap = t.current_snapshot_id
+    assert len(t.snapshot()["manifests"]) == 3
+    res = rewrite_manifests(t)
+    assert res == {"manifests_before": 3, "manifests_after": 1, "entries": 3}
+    assert len(t.snapshot()["manifests"]) == 1
+    # contents identical, counts identical, metadata count still works
+    assert t.count_rows() == 35
+    assert sorted(r["k"] for r in t.scan().collect()) == list(range(35))
+    # prior snapshot still time-travels through its ORIGINAL manifests
+    assert t.scan(snapshot_id=pre_snap).count() == 35
+    # incremental consumers see no phantom rows from the rewrite
+    assert t.scan_incremental(from_snapshot_id=pre_snap).count() == 0
+    # stats pruning still effective through the consolidated manifest
+    assert len(t.plan_files({"k": ("<", 10)})) == 1
+
+
+def test_rewrite_manifests_after_append_keeps_planning_small(table):
+    t = table
+    rewrite_manifests(t)
+    t.append(t.spark.createDataFrame([(100, "z")], SCHEMA).coalesce(1))
+    assert len(t.snapshot()["manifests"]) == 2  # consolidated + new append
+    assert t.count_rows() == 36
+    assert t.count_rows({"k": ("=", 100)}) == 1
