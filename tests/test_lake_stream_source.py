@@ -1,0 +1,83 @@
+"""Streaming reads FROM the lake (snapshot-offset Python streaming
+source): each append commit becomes a micro-batch; compaction and
+manifest rewrites emit nothing; schema evolution and identity
+partitions resolve exactly as in batch scans."""
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog, compact, rewrite_manifests
+from icebergplus_spark.streaming.lake_source import read_lake_stream
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("s", StringType(), True)]
+)
+
+
+def _drain(spark, stream, tmp_path, name):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_emits_appends_and_skips_rewrites(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.src", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA).coalesce(1))
+
+    out = _drain(spark, read_lake_stream(spark, t.table_dir), tmp_path, "lk1")
+    assert sorted((r["k"], r["s"]) for r in out.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+    # metadata-only + data rewrites add no rows → the stream must stay
+    # silent for them, then pick up the NEXT real append
+    mark = t.current_snapshot_id
+    rewrite_manifests(t)
+    compact(t, target_file_size=1 << 28, small_file_threshold=1 << 28)
+    t.append(spark.createDataFrame([(4, "d")], SCHEMA).coalesce(1))
+    out2 = _drain(
+        spark,
+        read_lake_stream(spark, t.table_dir, from_snapshot_id=mark),
+        tmp_path,
+        "lk2",
+    )
+    assert [(r["k"], r["s"]) for r in out2.collect()] == [(4, "d")]
+
+
+def test_stream_maps_renamed_and_added_columns(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = cat.create_table("db.ev", SCHEMA)
+    t.append(spark.createDataFrame([(1, "old")], SCHEMA).coalesce(1))
+    t = t.rename_column("s", "label").add_column("extra", IntegerType())
+    new_schema = t.schema
+    t.append(
+        spark.createDataFrame([(2, "new", 7)], new_schema).coalesce(1)
+    )
+    out = _drain(spark, read_lake_stream(spark, t.table_dir), tmp_path, "lk3")
+    rows = {r["k"]: r for r in out.collect()}
+    assert out.schema.fieldNames() == ["k", "label", "extra"]
+    assert rows[1]["label"] == "old" and rows[1]["extra"] is None  # pre-rename file
+    assert rows[2]["label"] == "new" and rows[2]["extra"] == 7
+
+
+def test_stream_recovers_identity_partition_values(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh3")).start()
+    t = cat.create_table("db.pt", SCHEMA, partition_cols=["k"])
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], SCHEMA))
+    out = _drain(spark, read_lake_stream(spark, t.table_dir), tmp_path, "lk4")
+    assert sorted((r["k"], r["s"]) for r in out.collect()) == [(1, "x"), (2, "y")]
