@@ -100,6 +100,7 @@ class LocalLakeCatalog:
         schema: StructType,
         partition_cols: list[str] | None = None,
         partition_spec: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> LakeTable:
         """createTable parity (LocalIcebergCatalogTest.java:75): registers
         schema (+ generated Iceberg-style field IDs) and an empty
@@ -108,7 +109,12 @@ class LocalLakeCatalog:
         ``partition_spec`` accepts Iceberg-style transform entries —
         ``["days(ts)", "bucket(8, user_id)", "truncate(3, code)",
         "region"]`` (hidden partitioning; PartitionSpec.builderFor
-        parity). ``partition_cols`` is the identity-only shorthand."""
+        parity). ``partition_cols`` is the identity-only shorthand.
+
+        ``bloom_cols``: columns that get a per-file bloom filter in the
+        manifest at write time, enabling plan-time file skipping for
+        equality predicates on high-cardinality columns (stored under
+        the columns' physical names, so it survives renames)."""
         from icebergplus_spark.lake.transforms import parse_spec
 
         self._require_started()
@@ -121,6 +127,9 @@ class LocalLakeCatalog:
         for f in spec:
             if f["source"] not in names:
                 raise ValueError(f"partition source not in schema: {f['source']}")
+        for c in bloom_cols or []:
+            if c not in names:
+                raise ValueError(f"bloom column not in schema: {c}")
         namespace, _, name = identifier.rpartition(".")
         table_dir = os.path.join(self.root_dir, namespace or "default", name)
         meta_dir = os.path.join(table_dir, "metadata")
@@ -133,6 +142,7 @@ class LocalLakeCatalog:
                 f["source"] for f in spec if f["transform"] == "identity"
             ],
             "partition_spec": spec,
+            "bloom_cols": list(bloom_cols or []),
             "snapshots": [],
             "current_snapshot_id": None,
         }

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 import pyspark.sql.functions as F
 
-from icebergplus_spark.lake.table import LakeTable, _harvest_footer
+from icebergplus_spark.lake.table import LakeTable
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # 128 MiB — standard lake target
 DEFAULT_SMALL_FILE_THRESHOLD = 96 * 1024 * 1024
@@ -157,8 +157,7 @@ def compact(
     for root, _dirs, fns in os.walk(out_dir):
         for fn in fns:
             if fn.endswith(".parquet"):
-                entry = _harvest_footer(os.path.join(root, fn))
-                table._add_partition_stats(entry)
+                entry = table._harvest_data_file(os.path.join(root, fn))
                 new_entries.append(entry)
     new_entries.sort(key=lambda e: e["file_path"])
     # Consolidated manifest: untouched big files + the new compacted files.

@@ -24,6 +24,7 @@ footers at write time — the same stats Iceberg collects via
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -50,8 +51,60 @@ MANIFEST_SCHEMA = pa.schema(
         # metadata-only aggregates: a file "fully matches" a predicate
         # only if its nulls for that column are provably zero.
         ("column_null_counts", pa.string()),
+        # JSON {physical col: hex bitset} — per-file bloom filters for
+        # the table's opted-in ``bloom_cols``. Prunes EQUALITY
+        # predicates on high-cardinality columns where min/max spans
+        # everything (Iceberg-puffin / parquet-bloom parity at the
+        # manifest level, so pruning happens at PLAN time, before any
+        # file is opened).
+        ("column_blooms", pa.string()),
     ]
 )
+
+# Bloom geometry: 4096 bits / 5 hashes ≈ 1% false positives at 400
+# distinct values per file; FPs only cost a wasted file read, never
+# correctness. 512 bytes per (file, column) of manifest weight.
+_BLOOM_M = 4096
+_BLOOM_K = 5
+
+
+def _bloom_key(v: Any) -> bytes:
+    """Canonical bytes for bloom hashing — build and probe must agree
+    for values arriving as parquet-decoded Python objects OR as user
+    predicate literals."""
+    if isinstance(v, bool):
+        s = "1" if v else "0"
+    elif isinstance(v, float):
+        s = repr(v)
+    elif hasattr(v, "isoformat"):
+        s = v.isoformat()
+    elif isinstance(v, bytes):
+        return v
+    else:
+        s = str(v)
+    return s.encode("utf-8")
+
+
+def _bloom_bits(v: Any) -> list[int]:
+    h = hashlib.md5(_bloom_key(v)).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") or 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _build_bloom_hex(values) -> str:
+    bits = bytearray(_BLOOM_M // 8)
+    for v in values:
+        if v is None:
+            continue
+        for b in _bloom_bits(v):
+            bits[b // 8] |= 1 << (b % 8)
+    return bits.hex()
+
+
+def _bloom_might_contain(hex_bits: str, v: Any) -> bool:
+    bits = bytes.fromhex(hex_bits)
+    return all(bits[b // 8] & (1 << (b % 8)) for b in _bloom_bits(v))
 
 # Merge-on-read delete manifests (Iceberg v2 delete-file parity).
 # content: "position" (rows of file_uri+pos, Iceberg position deletes) or
@@ -853,8 +906,7 @@ class LakeTable:
         for root, _dirs, files in os.walk(snap_dir):
             for fn in files:
                 if fn.endswith(".parquet"):
-                    entry = _harvest_footer(os.path.join(root, fn))
-                    self._add_partition_stats(entry)
+                    entry = self._harvest_data_file(os.path.join(root, fn))
                     entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
@@ -986,8 +1038,7 @@ class LakeTable:
         for root, _dirs, fns in os.walk(out_dir):
             for fn in fns:
                 if fn.endswith(".parquet"):
-                    entry = _harvest_footer(os.path.join(root, fn))
-                    self._add_partition_stats(entry)
+                    entry = self._harvest_data_file(os.path.join(root, fn))
                     new_entries.append(entry)
         new_entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(
@@ -1039,8 +1090,7 @@ class LakeTable:
             for root, _dirs, fns in os.walk(out_dir):
                 for fn in fns:
                     if fn.endswith(".parquet"):
-                        entry = _harvest_footer(os.path.join(root, fn))
-                        self._add_partition_stats(entry)
+                        entry = self._harvest_data_file(os.path.join(root, fn))
                         new_entries.append(entry)
             new_entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(
@@ -1055,6 +1105,36 @@ class LakeTable:
             delete_manifests=snap.get("delete_manifests", []) if snap else [],
         )
         return self
+
+    def _harvest_data_file(self, path: str) -> dict[str, Any]:
+        """Full write-time stats for one new data file: footer min/max/
+        null counts, path-derived partition stats, and — for the
+        table's opted-in ``bloom_cols`` — a per-file bloom filter built
+        from the column's distinct values (one extra single-column read
+        of the file just written, still page-cache-hot; at 100 TB this
+        moves into the executor write path alongside the footer)."""
+        entry = _harvest_footer(path)
+        self._add_partition_stats(entry)
+        bloom_cols = self._meta.get("bloom_cols") or []
+        if bloom_cols:
+            import pyarrow.compute as pc
+
+            pf = pq.ParquetFile(path)
+            file_cols = set(pf.schema_arrow.names)
+            mins = json.loads(entry["column_mins"])
+            maxs = json.loads(entry["column_maxs"])
+            blooms: dict[str, str] = {}
+            for col in bloom_cols:
+                if col in file_cols:
+                    vals = pc.unique(
+                        pq.read_table(path, columns=[col]).column(0)
+                    ).to_pylist()
+                    blooms[col] = _build_bloom_hex(vals)
+                elif col in mins and mins[col] == maxs[col]:
+                    # identity-partition column: constant from the path
+                    blooms[col] = _build_bloom_hex([mins[col]])
+            entry["column_blooms"] = json.dumps(blooms)
+        return entry
 
     def _add_partition_stats(self, entry: dict[str, Any]) -> None:
         """Partition values live in the Hive-style path, not the footer:
@@ -1456,7 +1536,13 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, tuple[str, Any]] | 
         return True
     mins = json.loads(row["column_mins"])
     maxs = json.loads(row["column_maxs"])
+    blooms = json.loads(row.get("column_blooms") or "{}")
     for col, (op, val) in predicates.items():
+        # bloom probe first: equality on a bloom column prunes even when
+        # [min,max] spans the value (the high-cardinality point-lookup
+        # case min/max can never prune)
+        if op == "=" and col in blooms and not _bloom_might_contain(blooms[col], val):
+            return False
         if col not in mins:
             continue  # no stats → cannot prune
         mn, mx = mins[col], maxs[col]

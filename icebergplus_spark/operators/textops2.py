@@ -183,3 +183,70 @@ def t13_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t16 — balanced shard assignment: distribute docs over N_SHARDS data-
+# parallel training shards so per-shard token totals stay even, with a
+# deterministic serpentine (boustrophedon) rank→shard layout: rank by
+# token count desc, then snake across shards (0..7, 7..0, …) so each
+# shard gets one doc per "round" from alternating ends of the size
+# distribution. One global sort (rank window) + one small agg; at
+# 100 TB the global rank becomes rank-within-size-bucket (the same
+# evenness guarantee, no single-partition window) — this query is the
+# exact version. Balance is asserted in the test; evenness here comes
+# out < 1% spread. Ties broken by doc_id so both engines agree.
+# ---------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+@register(
+    "t16_balanced_shards",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id,
+         LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS n_tok,
+         ROW_NUMBER() OVER (
+           ORDER BY LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1
+                    DESC, doc_id) - 1 AS rk
+  FROM documents
+),
+assigned AS (
+  SELECT n_tok,
+         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END AS shard
+  FROM ranked
+)
+SELECT CAST(shard AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM assigned
+GROUP BY shard
+""",
+)
+def t16_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        # whitespace token count via space positions — identical formula
+        # both engines (split-based size() counts differently on DuckDB)
+        (
+            F.length(F.trim("text"))
+            - F.length(F.regexp_replace(F.trim("text"), " ", ""))
+            + 1
+        ).alias("n_tok"),
+    )
+    rk = (
+        F.row_number().over(Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))) - 1
+    )
+    ranked = docs.select("n_tok", rk.alias("rk"))
+    fwd = F.col("rk") % N_SHARDS
+    shard = F.when(
+        (F.col("rk") / N_SHARDS).cast("long") % 2 == 0, fwd
+    ).otherwise(N_SHARDS - 1 - fwd)
+    return (
+        ranked.select("n_tok", shard.cast("int").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Bloom-filter file skipping: per-file bloom bitsets in the manifest
+(built at write time for opted-in columns) prune EQUALITY predicates at
+plan time even when every file's [min,max] spans the probed value — the
+high-cardinality point-lookup case min/max stats can never prune.
+Iceberg-puffin / parquet-bloom parity, lifted to the manifest so no
+file is opened at all."""
+
+import json
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog, compact
+from icebergplus_spark.lake.table import _bloom_might_contain, _build_bloom_hex
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", StringType(), True),
+        StructField("v", IntegerType(), True),
+    ]
+)
+
+# interleaved lexicographic ranges: min/max of BOTH files span a..z, so
+# range stats can never separate them — only the bloom can
+FILE1 = [("alpha", 1), ("mike", 2), ("zulu", 3)]
+FILE2 = [("bravo", 4), ("november", 5), ("yankee", 6)]
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.bloom", SCHEMA, bloom_cols=["user_id"])
+    t.append(spark.createDataFrame(FILE1, SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame(FILE2, SCHEMA).coalesce(1))
+    return t
+
+
+def test_bloom_unit_roundtrip():
+    h = _build_bloom_hex(["a", 5, 2.5, None])
+    assert _bloom_might_contain(h, "a")
+    assert _bloom_might_contain(h, 5)
+    assert _bloom_might_contain(h, 2.5)
+    assert not _bloom_might_contain(h, "absent-value")
+    assert not _bloom_might_contain(_build_bloom_hex([]), "anything")
+
+
+def test_bloom_prunes_where_minmax_cannot(table):
+    t = table
+    # sanity: range stats alone keep BOTH files for any mid-range probe
+    files = t.plan_files({"user_id": ("=", "mike")})
+    assert len(files) == 1  # bloom pruned file2
+    assert t.scan({"user_id": ("=", "mike")}).count() == 1
+    assert len(t.plan_files({"user_id": ("=", "november")})) == 1
+    # absent value: both files pruned, scan still correct (empty)
+    assert t.plan_files({"user_id": ("=", "quebec")}) == []
+    assert t.scan({"user_id": ("=", "quebec")}).count() == 0
+    # non-equality predicates ignore blooms
+    assert len(t.plan_files({"user_id": (">", "a")})) == 2
+
+
+def test_bloom_never_drops_a_true_match(table):
+    t = table
+    for uid, v in FILE1 + FILE2:
+        rows = t.scan({"user_id": ("=", uid)}).collect()
+        assert [(r["user_id"], r["v"]) for r in rows] == [(uid, v)]
+
+
+def test_bloom_survives_rename_and_compaction(spark, table):
+    t = table.rename_column("user_id", "uid")
+    assert len(t.plan_files({"uid": ("=", "mike")})) == 1
+    compact(t)  # rewrites into one file; bloom rebuilt for the new file
+    files = t.plan_files()
+    assert len(files) == 1
+    blooms = json.loads(files[0]["column_blooms"])
+    assert "user_id" in blooms  # physical name persists through rename
+    assert t.scan({"uid": ("=", "mike")}).count() == 1
+    assert t.plan_files({"uid": ("=", "quebec")}) == []
+
+
+def test_bloom_on_identity_partition_column(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = cat.create_table(
+        "db.bloomp", SCHEMA, partition_cols=["user_id"], bloom_cols=["user_id"]
+    )
+    t.append(spark.createDataFrame(FILE1, SCHEMA))
+    assert len(t.plan_files({"user_id": ("=", "mike")})) == 1
+    assert t.plan_files({"user_id": ("=", "quebec")}) == []
+
+
+def test_no_bloom_cols_means_no_blooms(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh3")).start()
+    t = cat.create_table("db.nobloom", SCHEMA)
+    t.append(spark.createDataFrame(FILE1, SCHEMA).coalesce(1))
+    f = t.plan_files()[0]
+    assert json.loads(f.get("column_blooms") or "{}") == {}
+    # and min/max keeps the file for a mid-range probe (no bloom to help)
+    assert len(t.plan_files({"user_id": ("=", "mike")})) == 1
+
+
+def test_bloom_col_validation(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh4")).start()
+    with pytest.raises(ValueError, match="bloom column"):
+        cat.create_table("db.bad", SCHEMA, bloom_cols=["nope"])
