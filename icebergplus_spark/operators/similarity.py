@@ -312,3 +312,129 @@ def s03_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s05 — product-quantization ANN (PQ + exact re-rank): the memory-bound
+# scale path. Vectors are L2-normalized, split into PQ_M subspaces, and
+# each subspace is k-means-coded to one of PQ_K ids — the corpus
+# becomes PQ_M small ints per vector (8 bytes vs 256 bytes of float32
+# here, 32×; the reason billion-vector indexes fit in RAM). Queries
+# never touch raw corpus vectors during the scan: per-query lookup
+# tables LUT[m][code] = q_sub·codebook[m][code] turn the inner product
+# into PQ_M table lookups per candidate (asymmetric distance, ADC) — an
+# Arrow-batched numpy gather, memory-bandwidth-bound by design. The
+# top PQ_RERANK ADC candidates per query are then re-ranked with exact
+# cosine (the standard PQ accuracy restore). At 100 TB: combine with
+# the IVF cells of s04 (IVF-PQ) so each probe gathers over one cell's
+# codes, and replace the global candidate window with per-partition
+# top-C + final merge. Deterministic end-to-end (fixed sample, fixed
+# seed, stable argmins).
+# ---------------------------------------------------------------------------
+PQ_M = 8       # subspaces (64-dim → 8 dims each)
+PQ_K = 32      # codes per subspace → 5 bits; 8 codes ≈ 8 bytes/vector
+PQ_RERANK = 10 * TOP_K
+
+
+def _train_pq_codebooks(emb: DataFrame, dim: int):
+    """Per-subspace Lloyd k-means on a deterministic normalized sample."""
+    import numpy as np
+
+    sample = emb.select("embedding").orderBy("vec_id").limit(512).collect()
+    x = np.array([r["embedding"] for r in sample], dtype="float64")
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(11)
+    dm = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, dm))
+    for m in range(PQ_M):
+        xm = x[:, m * dm : (m + 1) * dm]
+        cents = xm[rng.choice(len(xm), PQ_K, replace=False)]
+        for _ in range(10):
+            d = ((xm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(PQ_K):
+                pts = xm[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+@register("s05_ann_pq")  # no oracle: approximate by construction
+def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _emb(spark, sf_dir)
+    dim = emb.select(F.size("embedding")).first()[0]
+    dm = dim // PQ_M
+    books = _train_pq_codebooks(emb, dim)  # (M, K, dm)
+    bnorm2 = (books**2).sum(axis=2)  # (M, K)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qmat = np.array(
+        [r["embedding"] for r in sorted(qrows, key=lambda r: r["vec_id"])],
+        dtype="float64",
+    )
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    # LUT[q, m, k] = q's m-th subvector · codebook[m][k]
+    lut = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), PQ_M, dm), books)
+
+    @pandas_udf("array<int>")
+    def pq_encode(col: pd.Series) -> pd.Series:
+        x = np.stack(col.map(lambda a: np.asarray(a, dtype="float64")))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        codes = np.empty((len(x), PQ_M), dtype="int32")
+        for m in range(PQ_M):
+            xm = x[:, m * dm : (m + 1) * dm]
+            d = -2.0 * (xm @ books[m].T) + bnorm2[m][None, :]
+            codes[:, m] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @pandas_udf("array<double>")
+    def adc_scores(col: pd.Series) -> pd.Series:
+        codes = np.stack(col.map(np.asarray))  # (B, M)
+        s = np.zeros((len(codes), lut.shape[0]))
+        for m in range(PQ_M):
+            s += lut[:, m, :][:, codes[:, m]].T  # (B, Q) gather
+        return pd.Series([row.tolist() for row in s])
+
+    enc = emb.select("vec_id", "embedding", pq_encode("embedding").alias("codes"))
+    cand = (
+        enc.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode(adc_scores("codes")).alias("query_id", "adc_ip"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_ip").desc(), "neighbor_id"
+    )
+    shortlist = (
+        cand.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rer = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -68,3 +68,25 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["s04_ann_ivf"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["s04_ann_ivf"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
+    approx = QUERIES["s05_ann_pq"](spark, sf_dir).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # ADC scans ALL codes (no cell pruning) then exact-re-ranks 10k — on
+    # near-random data the quantization error is the only loss source
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+
+def test_pq_deterministic_and_shaped(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["s05_ann_pq"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["s05_ann_pq"](spark, sf_dir).collect()))
+    assert a == b
+    per_q = {}
+    for q, n, c, rk in a:
+        per_q.setdefault(q, []).append(rk)
+    assert set(per_q) == set(range(10))
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
