@@ -1,6 +1,7 @@
 from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
 from icebergplus_spark.lake.maintenance import (
     compact,
+    expire_metadata_versions,
     expire_snapshots,
     remove_orphan_files,
     rewrite_manifests,
@@ -22,6 +23,7 @@ __all__ = [
     "LakeTable",
     "compact",
     "expire_snapshots",
+    "expire_metadata_versions",
     "remove_orphan_files",
     "rewrite_manifests",
     "rollback",

@@ -369,3 +369,26 @@ def rewrite_manifests(
         "manifests_after": len(names),
         "entries": len(entries),
     }
+
+
+def expire_metadata_versions(table: LakeTable, keep_last: int = 10) -> dict:
+    """Vacuum old ``v{N}.metadata.json`` files (every commit and every
+    metadata-only evolution writes one; a busy table accretes thousands).
+    Keeps the newest ``keep_last`` versions; the pointer file always
+    names the newest, so concurrent readers of retained versions are
+    unaffected. Iceberg's ``write.metadata.delete-after-commit`` parity,
+    run on demand instead of per-commit."""
+    current = table._meta["_version"]
+    cutoff = current - max(keep_last, 1) + 1
+    removed = 0
+    for fn in os.listdir(table._meta_dir):
+        if not (fn.startswith("v") and fn.endswith(".metadata.json")):
+            continue
+        try:
+            v = int(fn[1:].split(".")[0])
+        except ValueError:
+            continue
+        if v < cutoff:
+            os.remove(os.path.join(table._meta_dir, fn))
+            removed += 1
+    return {"removed_versions": removed, "current_version": current}

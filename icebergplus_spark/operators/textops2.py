@@ -250,3 +250,63 @@ def t16_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("shard_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t17 — temperature-based source mixture weights: the data-recipe step
+# that up-weights small/rare sources (w ∝ p^α, α=0.5) when composing a
+# pretraining mixture. Token totals are exact BIGINT sums; the derived
+# weights are expressed as sqrt of an exact ratio and normalized by the
+# MAX weight (max is order-independent, unlike a float SUM across
+# sources — that's what keeps both engines bit-identical). One scan +
+# one 20-group agg + one tiny window.
+# ---------------------------------------------------------------------------
+@register(
+    "t17_mixture_weights",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1)
+              AS BIGINT) AS tok_total
+  FROM documents
+  GROUP BY source
+),
+w AS (
+  SELECT *,
+         SQRT(CAST(tok_total AS DOUBLE) / (SELECT SUM(tok_total) FROM s)) AS w_raw
+  FROM s
+)
+SELECT source,
+       n_docs,
+       tok_total,
+       ROUND(w_raw, 6) AS w_raw,
+       ROUND(w_raw / MAX(w_raw) OVER (), 6) AS w_rel
+FROM w
+""",
+)
+def t17_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_tok = (
+        F.length(F.trim("text"))
+        - F.length(F.regexp_replace(F.trim("text"), " ", ""))
+        + 1
+    )
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("tok_total"),
+    )
+    # corpus total via an unpartitioned window over the 20 source rows
+    # (exact: BIGINT sum), then the α=0.5 temperature weight
+    total = F.sum("tok_total").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    w = s.withColumn(
+        "w_raw", F.sqrt(F.col("tok_total").cast("double") / total)
+    )
+    wmax = F.max("w_raw").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return w.select(
+        "source",
+        "n_docs",
+        "tok_total",
+        F.round("w_raw", 6).alias("w_raw"),
+        F.round(F.col("w_raw") / wmax, 6).alias("w_rel"),
+    )

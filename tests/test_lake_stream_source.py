@@ -81,3 +81,60 @@ def test_stream_recovers_identity_partition_values(spark, tmp_path):
     t.append(spark.createDataFrame([(1, "x"), (2, "y")], SCHEMA))
     out = _drain(spark, read_lake_stream(spark, t.table_dir), tmp_path, "lk4")
     assert sorted((r["k"], r["s"]) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_medallion_bronze_to_silver_exactly_once(spark, tmp_path):
+    """bronze lake table → stream source → declarative transform →
+    lake sink (silver). Re-running with the SAME checkpoint after new
+    bronze commits processes ONLY the increment — exactly-once from the
+    checkpointed snapshot offsets, no dedup logic anywhere."""
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.streaming.pipelines import stream_to_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_med")).start()
+    bronze = cat.create_table("db.bronze", SCHEMA)
+    bronze.append(
+        spark.createDataFrame([(1, "keep"), (2, "drop"), (3, "keep")], SCHEMA)
+        .coalesce(1)
+    )
+
+    silver_schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("s", StringType(), True),
+            StructField("k2", IntegerType(), True),
+        ]
+    )
+    silver = cat.create_table("db.silver", silver_schema)
+    ckpt = str(tmp_path / "ckpt_med")
+
+    def run_once():
+        stream = (
+            read_lake_stream(spark, bronze.table_dir)
+            .filter(F.col("s") == "keep")
+            .withColumn("k2", (F.col("k") * F.col("k")).cast("int"))
+        )
+        q = stream_to_lake(stream, silver, ckpt, query_name="medallion")
+        q.awaitTermination(120)
+
+    run_once()
+    silver.refresh()
+    assert sorted((r["k"], r["k2"]) for r in silver.scan().collect()) == [
+        (1, 1),
+        (3, 9),
+    ]
+
+    # more bronze commits: one new append + a compaction (must be skipped)
+    bronze.append(spark.createDataFrame([(4, "keep"), (5, "drop")], SCHEMA).coalesce(1))
+    compact(bronze, target_file_size=1 << 28, small_file_threshold=1 << 28)
+    run_once()
+    silver.refresh()
+    # ONLY row 4 was added — nothing reprocessed, nothing from the rewrite
+    assert sorted((r["k"], r["k2"]) for r in silver.scan().collect()) == [
+        (1, 1),
+        (3, 9),
+        (4, 16),
+    ]
+    # silver history: exactly two streamed commits landed
+    assert [s["operation"] for s in silver.history()] == ["append", "append"]

@@ -101,3 +101,23 @@ def test_scan_as_of_timestamp(spark, two_snapshot_table):
         t.scan(as_of_ms=s1["timestamp_ms"] - 1)  # before first commit
     with pytest.raises(ValueError):
         t.scan(snapshot_id=s1["snapshot_id"], as_of_ms=s2["timestamp_ms"])
+
+
+def test_expire_metadata_versions(spark, two_snapshot_table):
+    import os
+
+    from icebergplus_spark.lake import expire_metadata_versions
+
+    t = two_snapshot_table
+    for i in range(4):  # churn more metadata versions
+        t.append(spark.createDataFrame([(10 + i, "x")], SCHEMA).coalesce(1))
+    files = [f for f in os.listdir(t._meta_dir) if f.endswith(".metadata.json")]
+    assert len(files) == 7  # v1 (create) + 6 commits
+    res = expire_metadata_versions(t, keep_last=2)
+    assert res["removed_versions"] == 5
+    left = sorted(f for f in os.listdir(t._meta_dir) if f.endswith(".metadata.json"))
+    assert len(left) == 2
+    # table still fully readable: current state + refresh + time travel
+    t.refresh()
+    assert t.scan().count() == 7
+    assert t.scan(snapshot_id=t.history()[-2]["snapshot_id"]).count() == 6
