@@ -146,3 +146,73 @@ def q91_bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_orderday"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — SCD type-2 dimension build: per-customer order-status history
+# with [valid_from, valid_to) intervals and an is_current flag, derived
+# from the orders fact with lag/lead windows (the standard "statusline
+# dimension from event stream" warehouse load). Change detection keeps
+# only rows where status differs from the previous order (lag), then
+# validity windows come from lead. One shuffle on o_custkey; window
+# partitions are per-customer (bounded), so the plan is skew-safe at
+# 100 TB. Ties within a date are broken by o_orderkey so both engines
+# pick identical change rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_scd2_history",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM ordered
+  WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+),
+hist AS (
+  SELECT o_custkey, o_orderstatus,
+         CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+         CAST(LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS TIMESTAMP) AS valid_to
+  FROM changes
+)
+SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+       CASE WHEN valid_to IS NULL THEN TRUE ELSE FALSE END AS is_current
+FROM hist
+WHERE o_custkey % 10 = 0
+""",
+)
+def q93_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    changes = ordered.filter(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    hist = changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("timestamp")).over(w).alias("valid_to"),
+    )
+    return hist.filter(F.col("o_custkey") % 10 == 0).select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
