@@ -855,7 +855,12 @@ class LakeTable:
                 pcols.append(hidden)
         return df, pcols
 
-    def append(self, df: DataFrame, branch: str | None = None) -> "LakeTable":
+    def append(
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        distribution: str = "none",
+    ) -> "LakeTable":
         """Append commit (newAppend().appendFile(...).commit() parity,
         LocalIcebergCatalogTest.java:100-106): write parquet data files,
         harvest footer stats, add one manifest, commit a snapshot.
@@ -893,6 +898,20 @@ class LakeTable:
         )
         snap_dir = os.path.join(self.table_dir, "data", f"snap-{uuid.uuid4().hex}")
         df, pcols = self._apply_partition_transforms(df)
+        # Write distribution (Iceberg write.distribution-mode parity):
+        # a partitionBy write emits one file PER (task, partition value)
+        # — N upstream tasks × P values = N·P small files, the classic
+        # partitioned-ingest file explosion. "hash" clusters rows by
+        # partition value first (one file per value); "range" globally
+        # range-partitions for sorted, clustered output. "none" keeps
+        # the upstream layout (right when the stream is already
+        # partition-local).
+        if distribution not in ("none", "hash", "range"):
+            raise ValueError(f"unknown distribution mode: {distribution}")
+        if pcols and distribution == "hash":
+            df = df.repartition(*[_F.col(c) for c in pcols])
+        elif pcols and distribution == "range":
+            df = df.repartitionByRange(*[_F.col(c) for c in pcols])
         writer = df.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -922,6 +941,48 @@ class LakeTable:
             branch=branch,
             delete_manifests=base.get("delete_manifests", []) if base else [],
             extra_summary={"added-ndv": ndv} if ndv else None,
+        )
+        return self
+
+    def add_files(self, paths: list[str]) -> "LakeTable":
+        """Register EXISTING parquet files as table data without moving
+        or rewriting a byte (Iceberg's ``add_files`` migration
+        procedure): footer-harvest stats per file, write one manifest,
+        commit an append snapshot. This is how a directory-of-parquet
+        dataset becomes a versioned lake table in O(files) metadata
+        work — at 100 TB the difference between a weekend of rewriting
+        and a minutes-long migration.
+
+        The files' columns must be (a subset of) the table's physical
+        schema; missing columns read back as NULL, extra columns are
+        ignored by the scan projection. The table takes OWNERSHIP:
+        ``expire_snapshots`` will eventually delete replaced files, so
+        don't register files another system still owns. Unpartitioned
+        tables only (identity-partition recovery assumes the table's
+        own directory layout)."""
+        if self.partition_spec:
+            raise ValueError("add_files: unpartitioned tables only")
+        t0 = time.time()
+        phys_names = {f.name for f in self.physical_schema.fields}
+        entries = []
+        for p in paths:
+            p = os.path.abspath(p)
+            cols = set(pq.ParquetFile(p).schema_arrow.names)
+            if not (cols & phys_names):
+                raise ValueError(
+                    f"add_files: {p} shares no columns with the table "
+                    f"(physical schema: {sorted(phys_names)})"
+                )
+            entries.append(self._harvest_data_file(p))
+        entries.sort(key=lambda e: e["file_path"])
+        manifest = self._write_manifest(entries)
+        base = self.snapshot()
+        self._commit_snapshot(
+            "append",
+            (base["manifests"] if base else []) + [manifest],
+            entries,
+            t0,
+            delete_manifests=base.get("delete_manifests", []) if base else [],
         )
         return self
 

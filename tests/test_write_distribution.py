@@ -1,0 +1,92 @@
+"""Write distribution modes (Iceberg write.distribution-mode parity)
+and add_files (zero-copy migration of existing parquet into the lake)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog
+
+SCHEMA = StructType(
+    [
+        StructField("part", StringType(), True),
+        StructField("v", IntegerType(), True),
+    ]
+)
+
+
+def _rows(spark):
+    # 3 partition values × many rows, spread over 8 upstream partitions
+    data = [(f"p{i % 3}", i) for i in range(240)]
+    return spark.createDataFrame(data, SCHEMA).repartition(8)
+
+
+def test_hash_distribution_collapses_small_files(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t1 = cat.create_table("db.d_none", SCHEMA, partition_cols=["part"])
+    t1.append(_rows(spark))  # default: one file per (task, value)
+    t2 = cat.create_table("db.d_hash", SCHEMA, partition_cols=["part"])
+    t2.append(_rows(spark), distribution="hash")
+
+    files_none = len(t1.plan_files())
+    files_hash = len(t2.plan_files())
+    assert files_none > 3  # the classic partitioned-ingest explosion
+    assert files_hash == 3  # one file per partition value
+    # identical contents either way
+    assert sorted(map(tuple, t1.scan().collect())) == sorted(
+        map(tuple, t2.scan().collect())
+    )
+
+
+def test_range_distribution_clusters_and_reads_back(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = cat.create_table("db.d_range", SCHEMA, partition_cols=["part"])
+    t.append(_rows(spark), distribution="range")
+    assert t.scan().count() == 240
+    assert len(t.plan_files({"part": ("=", "p1")})) == 1
+    with pytest.raises(ValueError, match="distribution"):
+        t.append(_rows(spark), distribution="bogus")
+
+
+def test_add_files_registers_external_parquet(spark, tmp_path):
+    ext = str(tmp_path / "external")
+    spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA).coalesce(1).write.parquet(ext)
+    paths = [
+        os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")
+    ]
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh3")).start()
+    t = cat.create_table("db.migrated", SCHEMA)
+    t.add_files(paths)
+    assert sorted(map(tuple, t.scan().collect())) == [("a", 1), ("b", 2)]
+    assert t.snapshot()["operation"] == "append"
+    assert t.count_rows() == 2  # stats were harvested normally
+    # bytes untouched: the registered file is the original, in place
+    assert t.plan_files()[0]["file_path"] == os.path.abspath(paths[0])
+
+    # appends continue normally on top of migrated files
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA).coalesce(1))
+    assert t.count_rows() == 3
+    # stats pruning applies to migrated files like any other
+    assert len(t.plan_files({"v": ("=", 3)})) == 1
+
+
+def test_add_files_guards(spark, tmp_path):
+    other = str(tmp_path / "other")
+    spark.createDataFrame([(1.5,)], "x double").coalesce(1).write.parquet(other)
+    bad = [os.path.join(other, f) for f in os.listdir(other) if f.endswith(".parquet")]
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh4")).start()
+    t = cat.create_table("db.guard", SCHEMA)
+    with pytest.raises(ValueError, match="shares no columns"):
+        t.add_files(bad)
+    tp = cat.create_table("db.guard_p", SCHEMA, partition_cols=["part"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.add_files(bad)
