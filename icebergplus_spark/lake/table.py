@@ -313,6 +313,51 @@ class LakeTable:
 
         return self._evolve(mutate)
 
+    # Iceberg's allowed type promotions (Schema evolution spec): safe
+    # widenings only — every value representable in the old type is
+    # exactly representable in the new one, so old files need no rewrite
+    # (Spark 4's parquet reader up-casts int32→int64 / float32→float64
+    # natively under the wider read schema).
+    _WIDENINGS = {
+        ("int", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, name: str, new_type) -> "LakeTable":
+        """Metadata-only type widening (Iceberg type-promotion parity:
+        int→long, float→double, …). Old data files keep their narrow
+        physical type; the scan's wider read schema up-casts losslessly.
+        Narrowing or any lossy change is refused."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        fields = {f.name: f for f in self.schema.fields}
+        if name not in fields:
+            raise KeyError(f"no such column: {name}")
+        old_s = fields[name].dataType.simpleString()
+        new_s = new_type.simpleString()
+        if (old_s, new_s) not in self._WIDENINGS:
+            raise ValueError(
+                f"widen_column: {old_s} → {new_s} is not a safe widening"
+            )
+
+        def mutate(meta):
+            sch = StructType.fromJson(meta["schema"])
+            meta["schema"] = StructType(
+                [
+                    type(f)(f.name, new_type if f.name == name else f.dataType, f.nullable)
+                    for f in sch.fields
+                ]
+            ).jsonValue()
+
+        return self._evolve(mutate)
+
     def drop_column(self, name: str) -> "LakeTable":
         """Metadata-only DROP: data stays in files, pruned on read."""
         if name not in [f.name for f in self.schema.fields]:

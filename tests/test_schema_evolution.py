@@ -73,3 +73,52 @@ def test_stats_pruning_survives_rename(spark, tmp_path):
     # predicate on the NEW logical name still prunes via old physical stats
     assert len(t.plan_files({"key": (">=", 100)})) == 1
     assert t.scan({"key": (">=", 100)}).count() == 10
+
+
+def test_widen_column_int_to_long_and_float_to_double(spark, tmp_path):
+    from pyspark.sql.types import (
+        FloatType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("x", FloatType(), True),
+            StructField("s", StringType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_widen")).start()
+    t = cat.create_table("db.widen", schema)
+    t.append(spark.createDataFrame([(1, 1.5, "a"), (2, 2.5, "b")], schema).coalesce(1))
+
+    t = t.widen_column("k", "long").widen_column("x", "double")
+    assert [f.dataType.simpleString() for f in t.schema.fields] == [
+        "bigint",
+        "double",
+        "string",
+    ]
+    # old (narrow) files read losslessly under the wide schema
+    rows = sorted(map(tuple, t.scan().collect()))
+    assert rows == [(1, 1.5, "a"), (2, 2.5, "b")]
+    assert isinstance(rows[0][0], int)
+    # appends in the NEW type coexist with old narrow files
+    t.append(
+        spark.createDataFrame([(2**40, 3.25, "c")], t.schema).coalesce(1)
+    )
+    assert t.scan().count() == 3
+    assert t.scan({"k": ("=", 2**40)}).count() == 1
+    # stats pruning still works across mixed-width files
+    assert len(t.plan_files({"k": ("<=", 2)})) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a safe widening"):
+        t.widen_column("k", "int")  # narrowing refused
+    with _pytest.raises(ValueError, match="not a safe widening"):
+        t.widen_column("s", "long")
