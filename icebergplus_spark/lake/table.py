@@ -265,6 +265,32 @@ class LakeTable:
         os.replace(tmp, self._pointer_path)
         return self.refresh()
 
+    # -- table properties (Iceberg ALTER TABLE SET TBLPROPERTIES parity) ----
+    @property
+    def properties(self) -> dict[str, str]:
+        """String key/value table properties, persisted in metadata and
+        versioned like every other metadata change. Recognized keys:
+        ``write.distribution-mode`` (default for ``append``'s
+        ``distribution`` argument, Iceberg's property of the same name)."""
+        return dict(self._meta.get("properties") or {})
+
+    def set_property(self, key: str, value: str) -> "LakeTable":
+        def mutate(meta):
+            meta["properties"] = {
+                **(meta.get("properties") or {}),
+                key: str(value),
+            }
+
+        return self._evolve(mutate)
+
+    def unset_property(self, key: str) -> "LakeTable":
+        def mutate(meta):
+            props = dict(meta.get("properties") or {})
+            props.pop(key, None)
+            meta["properties"] = props
+
+        return self._evolve(mutate)
+
     def add_column(self, name: str, data_type, nullable: bool = True) -> "LakeTable":
         """Metadata-only ADD COLUMN; existing files read as NULL.
         ``data_type`` may be a DataType or a DDL string ('string', 'int')."""
@@ -554,8 +580,16 @@ class LakeTable:
         snap_id = max(
             [s["snapshot_id"] for s in self._meta["snapshots"]], default=0
         ) + 1
+        # Iceberg parent-snapshot-id parity: branch commits interleave in
+        # the shared log, so the parent pointer (not log order) defines
+        # each lineage — changelog reads walk it.
+        if branch is not None and (self._meta.get("refs") or {}).get(branch):
+            parent = self._meta["refs"][branch]["snapshot_id"]
+        else:
+            parent = self._meta.get("current_snapshot_id")
         snapshot = {
             "snapshot_id": snap_id,
+            "parent_snapshot_id": parent,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "manifests": manifests,
@@ -904,7 +938,7 @@ class LakeTable:
         self,
         df: DataFrame,
         branch: str | None = None,
-        distribution: str = "none",
+        distribution: str | None = None,
     ) -> "LakeTable":
         """Append commit (newAppend().appendFile(...).commit() parity,
         LocalIcebergCatalogTest.java:100-106): write parquet data files,
@@ -951,6 +985,8 @@ class LakeTable:
         # range-partitions for sorted, clustered output. "none" keeps
         # the upstream layout (right when the stream is already
         # partition-local).
+        if distribution is None:  # table property supplies the default
+            distribution = self.properties.get("write.distribution-mode", "none")
         if distribution not in ("none", "hash", "range"):
             raise ValueError(f"unknown distribution mode: {distribution}")
         if pcols and distribution == "hash":
@@ -1062,6 +1098,116 @@ class LakeTable:
         return df.select(
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
+
+    def _snapshot_paths(self, snap: dict[str, Any] | None) -> set[str]:
+        if snap is None:
+            return set()
+        paths: set[str] = set()
+        for m in snap["manifests"]:
+            t = pq.read_table(
+                os.path.join(self._meta_dir, m), columns=["file_path"]
+            )
+            paths.update(t.column("file_path").to_pylist())
+        return paths
+
+    def _lineage(self, to_id: int) -> list[dict[str, Any]]:
+        """Snapshots from the root to ``to_id`` following parent
+        pointers (branch commits interleave in the log, so log order is
+        NOT lineage). Legacy snapshots without a parent field fall back
+        to log order."""
+        by_id = {s["snapshot_id"]: s for s in self._meta["snapshots"]}
+        log = self._meta["snapshots"]
+        chain: list[dict[str, Any]] = []
+        cur = by_id.get(to_id)
+        while cur is not None:
+            chain.append(cur)
+            if "parent_snapshot_id" in cur:
+                pid = cur["parent_snapshot_id"]
+                cur = by_id.get(pid) if pid is not None else None
+            else:
+                idx = log.index(cur)
+                cur = log[idx - 1] if idx > 0 else None
+        return list(reversed(chain))
+
+    def scan_changelog(
+        self, from_snapshot_id: int = 0, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Row-level CDC between snapshots (Iceberg
+        ``create_changelog_view`` parity): every row the table gained or
+        lost in ``(from_snapshot_id, to_snapshot_id]``, tagged with
+        ``_change_type`` ('insert' | 'delete') and
+        ``_commit_snapshot_id``. An UPDATE surfaces as its pre-image
+        delete + post-image insert.
+
+        Cost model (the 100 TB contract): append commits read ONLY the
+        appended files (no diffing); copy-on-write commits diff ONLY the
+        rewritten file set; pure merge-on-read delete commits diff full
+        snapshot state (scale upgrade: restrict to the files the new
+        tombstones reference). Compaction / manifest rewrites change no
+        logical rows and are skipped entirely."""
+        from functools import reduce
+
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        out_schema = StructType(
+            self.schema.fields
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_snapshot_id", LongType(), False),
+            ]
+        )
+        to_id = (
+            to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
+        )
+        if to_id is None:
+            return self.spark.createDataFrame([], out_schema)
+        mapping = self._column_mapping
+
+        def logical(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+            )
+
+        empty = self.spark.createDataFrame([], self.schema)
+        frames: list[DataFrame] = []
+        prev: dict[str, Any] | None = None
+        for s in self._lineage(to_id):
+            sid = s["snapshot_id"]
+            if sid <= from_snapshot_id or s["operation"] in (
+                "replace",
+                "rewrite-manifests",
+            ):
+                prev = s
+                continue
+            p_prev = self._snapshot_paths(prev)
+            p_s = self._snapshot_paths(s)
+            dm_prev = set(prev.get("delete_manifests", [])) if prev else set()
+            dm_added = set(s.get("delete_manifests", [])) - dm_prev
+            if dm_added:
+                # new tombstones can hit ANY pre-existing file
+                pre_paths, post_paths = sorted(p_prev), sorted(p_s)
+            else:
+                pre_paths = sorted(p_prev - p_s)
+                post_paths = sorted(p_s - p_prev)
+            pre = logical(self._read_live(pre_paths, prev)) if pre_paths else empty
+            post = logical(self._read_live(post_paths, s)) if post_paths else empty
+            if pre_paths:
+                ins, dels = post.exceptAll(pre), pre.exceptAll(post)
+            else:
+                ins, dels = post, None  # pure append: no diff needed
+            for df, tag in ((ins, "insert"), (dels, "delete")):
+                if df is None:
+                    continue
+                frames.append(
+                    df.withColumn("_change_type", _F.lit(tag)).withColumn(
+                        "_commit_snapshot_id", _F.lit(sid).cast("long")
+                    )
+                )
+            prev = s
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     def to_view(self, name: str, snapshot_id: int | None = None) -> str:
         """Register the table's current (or time-traveled) scan as a temp
@@ -1205,6 +1351,92 @@ class LakeTable:
         snap = self.snapshot()
         self._commit_snapshot(
             "delete",
+            [manifest],
+            new_entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", []) if snap else [],
+        )
+        return self
+
+    def update_where(
+        self,
+        predicates: dict[str, tuple[str, Any]],
+        assignments: dict[str, Any],
+    ) -> "LakeTable":
+        """Copy-on-write row-level UPDATE: rows matching ALL
+        ``predicates`` get each ``assignments`` column replaced; only
+        files whose stats range intersects the predicate are rewritten
+        (stats-targeted, like ``delete``), everything else carries over
+        to the new snapshot untouched. Assignment values are literals,
+        or ``Column`` expressions over the table's logical columns
+        (pre-update values, standard UPDATE semantics).
+        Iceberg/Delta ``UPDATE t SET ... WHERE ...`` parity — absent in
+        the append-only reference (SURVEY.md §2.C)."""
+        t0 = time.time()
+        from pyspark.sql import Column
+        from pyspark.sql import functions as _F
+
+        names = self.schema.fieldNames()
+        bad = [c for c in assignments if c not in names]
+        if bad:
+            raise KeyError(f"no such column(s): {bad}")
+        all_files = self.plan_files()
+        affected = self.plan_files(predicates)
+        if not affected:
+            return self
+        affected_paths = {f["file_path"] for f in affected}
+        untouched = [f for f in all_files if f["file_path"] not in affected_paths]
+        mapping = self._column_mapping
+        # rewrite in LOGICAL space (assignments reference logical names),
+        # then map back to physical so renames stay metadata-only
+        logical = self._read_live(sorted(affected_paths), self.snapshot()).select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
+        cond = _F.lit(True)
+        for col, (op, val) in predicates.items():
+            c = _F.col(col)
+            cond = cond & {
+                "<": c < val, "<=": c <= val, ">": c > val,
+                ">=": c >= val, "=": c == val,
+            }[op]
+        updated = logical.select(
+            *[
+                _F.when(
+                    cond,
+                    (
+                        assignments[f.name]
+                        if isinstance(assignments[f.name], Column)
+                        else _F.lit(assignments[f.name])
+                    ).cast(f.dataType),
+                )
+                .otherwise(_F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else _F.col(f.name)
+                for f in self.schema.fields
+            ]
+        )
+        phys = updated.select(
+            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields]
+        )
+        phys, pcols = self._apply_partition_transforms(phys)
+        out_dir = os.path.join(self.table_dir, "data", f"update-{uuid.uuid4().hex}")
+        writer = phys.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out_dir)
+        new_entries: list[dict[str, Any]] = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    new_entries.append(self._harvest_data_file(os.path.join(root, fn)))
+        new_entries.sort(key=lambda e: e["file_path"])
+        manifest = self._write_manifest(
+            sorted(untouched + new_entries, key=lambda e: e["file_path"])
+        )
+        snap = self.snapshot()
+        self._commit_snapshot(
+            "update",
             [manifest],
             new_entries,
             t0,

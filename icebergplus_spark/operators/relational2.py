@@ -332,6 +332,64 @@ def q87_lake_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q94 — copy-on-write UPDATE + row-level CDC changelog round trip: a lake
+# table takes an append, a stats-targeted UPDATE (pre-image delete +
+# post-image insert in the changelog), and a copy-on-write DELETE; the
+# changelog is then aggregated by change type. The oracle rebuilds the
+# exact expected change stream with plain SQL set logic — proving
+# update_where rewrites exactly the matching rows and scan_changelog
+# reconstructs row-level history (Iceberg UPDATE + create_changelog_view
+# parity; the update and delete predicates are disjoint so each change
+# row has one unambiguous provenance).
+# ---------------------------------------------------------------------------
+@register(
+    "q94_lake_update_changelog",
+    oracle="""
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+upd AS (SELECT * FROM base WHERE o_totalprice >= 200000.0),
+del AS (SELECT * FROM base WHERE o_totalprice < 50000.0),
+changes AS (
+  SELECT 'insert' AS change_type, FALSE AS updated, o_totalprice FROM base
+  UNION ALL SELECT 'delete', FALSE, o_totalprice FROM upd
+  UNION ALL SELECT 'insert', TRUE, o_totalprice FROM upd
+  UNION ALL SELECT 'delete', FALSE, o_totalprice FROM del
+)
+SELECT change_type, updated,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+           AS sum_price
+FROM changes
+GROUP BY change_type, updated
+""",
+)
+def q94_lake_update_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    root = tempfile.mkdtemp(prefix="lake_cdc_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_cdc", orders.schema)
+    t.append(orders.repartition(4))
+    t.update_where(
+        {"o_totalprice": (">=", 200000.0)}, {"o_orderpriority": "X-URGENT"}
+    )
+    t.delete({"o_totalprice": ("<", 50000.0)})
+    cl = t.scan_changelog()
+    return (
+        cl.select(
+            F.col("_change_type").alias("change_type"),
+            (F.col("o_orderpriority") == "X-URGENT").alias("updated"),
+            "o_totalprice",
+        )
+        .groupBy("change_type", "updated")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q92 — metadata-only aggregates: count/min/max answered from manifest
 # statistics (count_rows / stats_min_max — zero data files opened for
 # the no-predicate paths), plus a stats-refined predicate count where
