@@ -173,6 +173,332 @@ def _make_source():
     return LakeStreamSource
 
 
+CDC_SOURCE_NAME = "lake_cdc_stream"
+
+
+def _make_cdc_source():
+    """Streaming CDC (changelog) source: each micro-batch carries the
+    row-level changes of the snapshot range, tagged ``_change_type``
+    ('insert' | 'delete') and ``_commit_snapshot_id``.
+
+    Iceberg changelog-scan parity at FILE granularity (Iceberg's
+    ``net_changes=false`` default): an added data file emits its rows
+    as inserts, a removed data file emits its rows as deletes — a
+    copy-on-write UPDATE therefore surfaces as deletes of the old file
+    plus inserts of the new one, not a minimal row diff (the batch
+    ``LakeTable.scan_changelog`` computes the net diff when that is
+    wanted). Merge-on-read commits emit exactly the tombstoned rows:
+    position tombstones are resolved by reading the referenced rows
+    back at their row index; equality tombstones fan out one partition
+    per (tombstone, affected data file) and semi-match executor-side.
+    Compaction / manifest rewrites change no logical rows and emit
+    nothing. Everything read()-side is stdlib+pyarrow only, per-file
+    parallel, Arrow-batch vectorized."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    def load_meta(table_dir: str) -> dict:
+        meta_dir = os.path.join(table_dir, "metadata")
+        with open(os.path.join(meta_dir, "version-pointer.txt")) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+            return json.load(f)
+
+    def parse_path_values(path: str) -> dict:
+        from urllib.parse import unquote
+
+        out: dict[str, str | None] = {}
+        for seg in path.split(os.sep)[:-1]:
+            if "=" in seg:
+                col, _, raw = seg.partition("=")
+                out[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                )
+        return out
+
+    def uri_to_path(p: str) -> str:
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path)
+        return p
+
+    class LakeCdcStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.table_dir = options["table_dir"]
+            self.start_id = int(options.get("from_snapshot_id", 0))
+
+        def initialOffset(self):
+            return {"snapshot_id": self.start_id}
+
+        def latestOffset(self):
+            meta = load_meta(self.table_dir)
+            return {"snapshot_id": meta.get("current_snapshot_id") or 0}
+
+        def _manifest_paths(self, meta_dir, manifests, cache):
+            import pyarrow.parquet as pq
+
+            paths: set[str] = set()
+            for m in manifests:
+                if m not in cache:
+                    cache[m] = pq.read_table(
+                        os.path.join(meta_dir, m), columns=["file_path"]
+                    ).column("file_path").to_pylist()
+                paths.update(cache[m])
+            return paths
+
+        def partitions(self, start, end):
+            import pyarrow.parquet as pq
+
+            meta = load_meta(self.table_dir)
+            lo, hi = start["snapshot_id"], end["snapshot_id"]
+            meta_dir = os.path.join(self.table_dir, "metadata")
+            mapping = meta.get("column_mapping") or {
+                f["name"]: f["name"] for f in meta["schema"]["fields"]
+            }
+            common = {
+                "schema_json": json.dumps(meta["schema"]),
+                "mapping": mapping,
+            }
+            log = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+            by_id = {s["snapshot_id"]: s for s in log}
+
+            def parent(s):
+                if "parent_snapshot_id" in s:
+                    pid = s["parent_snapshot_id"]
+                    return by_id.get(pid) if pid is not None else None
+                i = log.index(s)
+                return log[i - 1] if i > 0 else None
+
+            # main lineage within (lo, hi] via parent pointers — branch
+            # commits interleaved in the log are not main's changes
+            chain = []
+            cur = by_id.get(hi)
+            while cur is not None and cur["snapshot_id"] > lo:
+                chain.append(cur)
+                cur = parent(cur)
+            chain.reverse()
+
+            mcache: dict[str, list[str]] = {}
+            births: dict[str, int] | None = None
+            parts: list[InputPartition] = []
+            for s in chain:
+                if s["operation"] in ("replace", "rewrite-manifests"):
+                    continue
+                sid = s["snapshot_id"]
+                prev = parent(s)
+                p_prev = (
+                    self._manifest_paths(meta_dir, prev["manifests"], mcache)
+                    if prev
+                    else set()
+                )
+                p_s = self._manifest_paths(meta_dir, s["manifests"], mcache)
+                for p in sorted(p_s - p_prev):
+                    parts.append(
+                        InputPartition(
+                            {
+                                **common,
+                                "kind": "data",
+                                "change_type": "insert",
+                                "commit_id": sid,
+                                "path": p,
+                                "path_values": parse_path_values(p),
+                            }
+                        )
+                    )
+                for p in sorted(p_prev - p_s):
+                    parts.append(
+                        InputPartition(
+                            {
+                                **common,
+                                "kind": "data",
+                                "change_type": "delete",
+                                "commit_id": sid,
+                                "path": p,
+                                "path_values": parse_path_values(p),
+                            }
+                        )
+                    )
+                dm_prev = set(prev.get("delete_manifests", [])) if prev else set()
+                for dm in s.get("delete_manifests", []):
+                    if dm in dm_prev:
+                        continue
+                    for e in pq.read_table(os.path.join(meta_dir, dm)).to_pylist():
+                        if e["content"] == "position":
+                            parts.append(
+                                InputPartition(
+                                    {
+                                        **common,
+                                        "kind": "pos",
+                                        "commit_id": sid,
+                                        "tombstone_path": e["file_path"],
+                                    }
+                                )
+                            )
+                        else:
+                            # equality tombstone hits files of the PREV
+                            # state born at-or-before its commit
+                            if births is None:
+                                births = {}
+                                for t in log:
+                                    for p in self._manifest_paths(
+                                        meta_dir, t["manifests"], mcache
+                                    ):
+                                        births.setdefault(p, t["snapshot_id"])
+                            for p in sorted(p_prev):
+                                if births.get(p, 0) > e["applies_before"]:
+                                    continue
+                                parts.append(
+                                    InputPartition(
+                                        {
+                                            **common,
+                                            "kind": "eq",
+                                            "commit_id": sid,
+                                            "keys_path": e["file_path"],
+                                            "eq_cols": json.loads(
+                                                e["equality_cols"]
+                                            ),
+                                            "path": p,
+                                            "path_values": parse_path_values(p),
+                                        }
+                                    )
+                                )
+            return parts
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            spec = partition.value
+            logical = StructType.fromJson(json.loads(spec["schema_json"]))
+            target = to_arrow_schema(logical)
+
+            def project(tbl, path_values):
+                n = tbl.num_rows
+                arrays = []
+                for i, f in enumerate(logical.fields):
+                    phys = spec["mapping"].get(f.name, f.name)
+                    t = target.field(i).type
+                    if phys in tbl.column_names:
+                        col = tbl[phys].combine_chunks()
+                    elif phys in path_values:
+                        raw = path_values[phys]
+                        col = pa.array(
+                            [None if raw is None else raw] * n, type=pa.string()
+                        )
+                    else:
+                        col = pa.nulls(n, type=t)
+                    arrays.append(col.cast(t))
+                return pa.table(arrays, schema=target), n
+
+            def tagged(tbl, path_values, change_type):
+                out, n = project(tbl, path_values)
+                out = out.append_column(
+                    "_change_type", pa.array([change_type] * n, pa.string())
+                ).append_column(
+                    "_commit_snapshot_id",
+                    pa.array([spec["commit_id"]] * n, pa.int64()),
+                )
+                yield from out.to_batches()
+
+            kind = spec["kind"]
+            if kind == "data":
+                tbl = pq.read_table(spec["path"])
+                yield from tagged(tbl, spec["path_values"], spec["change_type"])
+            elif kind == "pos":
+                tomb = pq.read_table(spec["tombstone_path"])
+                by_file: dict[str, list[int]] = {}
+                for fp, pos in zip(
+                    tomb.column("file_path").to_pylist(),
+                    tomb.column("pos").to_pylist(),
+                ):
+                    by_file.setdefault(fp, []).append(pos)
+                for fp, positions in sorted(by_file.items()):
+                    local = uri_to_path(fp)
+                    rows = pq.read_table(local).take(sorted(positions))
+                    yield from tagged(rows, parse_path_values(local), "delete")
+            else:  # eq
+                keys = pq.read_table(spec["keys_path"])
+                cols = spec["eq_cols"]
+                data = pq.read_table(spec["path"])
+                have = [c for c in cols if c in data.column_names]
+                if len(have) != len(cols):
+                    return  # file lacks the key columns — nothing matches
+                key_set = set(
+                    zip(*[keys.column(c).to_pylist() for c in cols])
+                )
+                mask = [
+                    t in key_set
+                    for t in zip(*[data.column(c).to_pylist() for c in cols])
+                ]
+                matched = data.filter(pa.array(mask, pa.bool_()))
+                if matched.num_rows:
+                    yield from tagged(
+                        matched, parse_path_values(spec["path"]), "delete"
+                    )
+
+        def commit(self, end):
+            pass
+
+    class LakeCdcStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return CDC_SOURCE_NAME
+
+        def schema(self):
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            base = StructType.fromJson(
+                load_meta(self.options["table_dir"])["schema"]
+            )
+            return StructType(
+                base.fields
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_snapshot_id", LongType(), False),
+                ]
+            )
+
+        def streamReader(self, schema):
+            return LakeCdcStreamReader(self.options)
+
+    return LakeCdcStreamSource
+
+
+def register_lake_cdc_stream_source(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(_make_cdc_source())
+    except Exception:
+        pass  # already registered in this session
+
+
+def read_lake_cdc_stream(
+    spark: SparkSession, table_dir: str, from_snapshot_id: int = 0
+) -> DataFrame:
+    """``spark.readStream`` of a lake table's CHANGES: each committed
+    snapshot's row-level inserts/deletes become micro-batch rows tagged
+    ``_change_type`` / ``_commit_snapshot_id`` (start after
+    ``from_snapshot_id``). File-granular Iceberg changelog semantics —
+    see ``_make_cdc_source``."""
+    register_lake_cdc_stream_source(spark)
+    return (
+        spark.readStream.format(CDC_SOURCE_NAME)
+        .option("table_dir", table_dir)
+        .option("from_snapshot_id", from_snapshot_id)
+        .load()
+    )
+
+
 def register_lake_stream_source(spark: SparkSession) -> None:
     try:
         spark.dataSource.register(_make_source())
