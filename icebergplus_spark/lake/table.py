@@ -1306,6 +1306,143 @@ class LakeTable:
         )
         return self
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched_update: dict[str, Any] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+        matched_condition: Any | None = None,
+    ) -> "LakeTable":
+        """Multi-clause MERGE (Iceberg/Delta ``MERGE INTO`` parity,
+        beyond the single-clause upsert ``merge``):
+
+        - ``when_matched_update``: column → literal or Column expression;
+          expressions see the TARGET row's columns and the source row's
+          columns prefixed ``src_`` (e.g. ``F.col("val") + F.col("src_val")``).
+          ``None`` with ``when_matched_delete=False`` leaves matches as-is.
+        - ``when_matched_delete=True``: matched target rows are removed
+          (mutually exclusive with an update clause).
+        - ``when_not_matched_insert``: source rows with no target match
+          are appended (their non-``on`` columns must align by name).
+        - ``matched_condition``: extra Column predicate (same namespace)
+          gating the matched clause, like SQL's ``WHEN MATCHED AND ...``.
+
+        Copy-on-write and stats-targeted like ``merge``: only files whose
+        key range intersects the source's [min,max] are rewritten."""
+        t0 = time.time()
+        from pyspark.sql import Column
+        from pyspark.sql import functions as _F
+
+        keys = [on] if isinstance(on, str) else list(on)
+        if when_matched_update and when_matched_delete:
+            raise ValueError("update and delete matched-clauses are exclusive")
+        names = self.schema.fieldNames()
+        for c in keys:
+            if c not in names or c not in source.columns:
+                raise KeyError(f"merge key {c!r} missing from table or source")
+        bad = [c for c in (when_matched_update or {}) if c not in names]
+        if bad:
+            raise KeyError(f"no such column(s): {bad}")
+        mapping = self._column_mapping
+
+        # stats-target affected files by the source's key range (first key)
+        k0 = keys[0]
+        bounds = source.agg(
+            _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return self  # empty source
+        all_files = self.plan_files()
+        affected = self.plan_files({k0: (">=", bounds["lo"])})
+        affected = [
+            f
+            for f in affected
+            if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
+        ]
+        affected_paths = {f["file_path"] for f in affected}
+        untouched = [f for f in all_files if f["file_path"] not in affected_paths]
+
+        # presence markers, not key-nullness: a legitimately-NULL key in
+        # either side must not be misclassified after the full outer join
+        src = source.select(
+            *[_F.col(c).alias(f"src_{c}") for c in source.columns]
+        ).withColumn("__s", _F.lit(True))
+        target = (
+            self._read_live(sorted(affected_paths), self.snapshot()).select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+            )
+            if affected
+            else self.spark.createDataFrame([], self.schema)
+        ).withColumn("__t", _F.lit(True))
+        join_cond = _F.lit(True)
+        for c in keys:
+            join_cond = join_cond & (_F.col(c) == _F.col(f"src_{c}"))
+        joined = target.join(src, join_cond, "full_outer")
+        is_matched = _F.col("__t").isNotNull() & _F.col("__s").isNotNull()
+        gate = (
+            is_matched & matched_condition
+            if matched_condition is not None
+            else is_matched
+        )
+        is_source_only = _F.col("__t").isNull()
+
+        def as_col(v, dtype):
+            return (v if isinstance(v, Column) else _F.lit(v)).cast(dtype)
+
+        out_cols = []
+        for f in self.schema.fields:
+            col = _F.col(f.name)
+            if when_matched_update and f.name in when_matched_update:
+                col = _F.when(
+                    gate, as_col(when_matched_update[f.name], f.dataType)
+                ).otherwise(col)
+            if when_not_matched_insert:
+                src_col = (
+                    _F.col(f"src_{f.name}")
+                    if f"src_{f.name}" in joined.columns
+                    else _F.lit(None)
+                )
+                col = _F.when(is_source_only, src_col.cast(f.dataType)).otherwise(col)
+            out_cols.append(col.alias(f.name))
+        result = joined
+        if when_matched_delete:
+            result = result.filter(~gate)
+        if not when_not_matched_insert:
+            result = result.filter(~is_source_only)
+        # unmatched-source rows with insert disabled are gone; matched &
+        # target-only rows keep/compute target columns
+        result = result.select(*out_cols)
+
+        phys = result.select(
+            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields]
+        )
+        phys, pcols = self._apply_partition_transforms(phys)
+        out_dir = os.path.join(self.table_dir, "data", f"merge-{uuid.uuid4().hex}")
+        writer = phys.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out_dir)
+        new_entries: list[dict[str, Any]] = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    new_entries.append(self._harvest_data_file(os.path.join(root, fn)))
+        new_entries.sort(key=lambda e: e["file_path"])
+        manifest = self._write_manifest(
+            sorted(untouched + new_entries, key=lambda e: e["file_path"])
+        )
+        snap = self.snapshot()
+        self._commit_snapshot(
+            "merge",
+            [manifest],
+            new_entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", []) if snap else [],
+        )
+        return self
+
     def delete(self, predicates: dict[str, tuple[str, Any]]) -> "LakeTable":
         """Copy-on-write row-level DELETE (beyond the append-only
         reference, SURVEY.md §2.C): only files whose stats ranges

@@ -390,6 +390,66 @@ def q94_lake_update_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q95 — multi-clause MERGE INTO round trip: conditional matched-update
+# with an expression over BOTH sides (target balance += source balance,
+# gated on positive target balance) plus not-matched insert, then an
+# aggregate over the merged table. The oracle restates the merge as
+# explicit SQL set logic (left join for the matched branch, anti join
+# for inserts) — proving merge_into's full-outer-join rewrite implements
+# exact MERGE semantics (Iceberg/Delta MERGE INTO parity).
+# ---------------------------------------------------------------------------
+@register(
+    "q95_lake_merge_into",
+    oracle="""
+WITH target AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+src AS (SELECT * FROM customer WHERE c_custkey % 6 = 0 OR c_custkey % 3 = 1),
+merged AS (
+  SELECT t.c_mktsegment,
+         CASE WHEN s.c_custkey IS NOT NULL AND t.c_acctbal > 0
+              THEN t.c_acctbal + s.c_acctbal ELSE t.c_acctbal END AS bal
+  FROM target t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+  UNION ALL
+  SELECT s.c_mktsegment, s.c_acctbal
+  FROM src s LEFT JOIN target t ON s.c_custkey = t.c_custkey
+  WHERE t.c_custkey IS NULL
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(bal AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_bal
+FROM merged
+GROUP BY c_mktsegment
+""",
+)
+def q95_lake_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_merge_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_merge", cust.schema)
+    t.append(cust.filter(F.col("c_custkey") % 3 == 0).repartition(4))
+    src = cust.filter(
+        (F.col("c_custkey") % 6 == 0) | (F.col("c_custkey") % 3 == 1)
+    )
+    t.merge_into(
+        src,
+        on="c_custkey",
+        when_matched_update={
+            "c_acctbal": F.col("c_acctbal") + F.col("src_c_acctbal")
+        },
+        matched_condition=F.col("c_acctbal") > 0,
+    )
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("c_acctbal", 2).alias("sum_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q92 — metadata-only aggregates: count/min/max answered from manifest
 # statistics (count_rows / stats_min_max — zero data files opened for
 # the no-predicate paths), plus a stats-refined predicate count where

@@ -1,0 +1,99 @@
+"""Multi-clause MERGE INTO (Iceberg/Delta parity): matched-update with
+expressions over both sides, conditional matched clauses, matched-delete,
+and insert-only merges — all copy-on-write and stats-targeted."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), True),
+        StructField("grp", StringType(), True),
+        StructField("val", DoubleType(), True),
+    ]
+)
+
+
+def _table(spark, tmp_path, name, rows):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table(f"db.{name}", SCHEMA)
+    t.append(spark.createDataFrame(rows, SCHEMA).coalesce(1))
+    return t
+
+
+def test_merge_into_update_and_insert(spark, tmp_path):
+    t = _table(spark, tmp_path, "m1", [(1, "a", 10.0), (2, "b", 20.0)])
+    src = spark.createDataFrame([(2, "B", 5.0), (3, "c", 30.0)], SCHEMA)
+    # matched: add source val onto target val, take source grp;
+    # not matched: insert
+    t.merge_into(
+        src,
+        on="id",
+        when_matched_update={
+            "val": F.col("val") + F.col("src_val"),
+            "grp": F.col("src_grp"),
+        },
+    )
+    rows = {r["id"]: (r["grp"], r["val"]) for r in t.scan().collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", 25.0), 3: ("c", 30.0)}
+    assert t.snapshot()["operation"] == "merge"
+
+
+def test_merge_into_matched_delete_and_condition(spark, tmp_path):
+    t = _table(
+        spark, tmp_path, "m2", [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    )
+    # WHEN MATCHED AND target.val < 25 THEN DELETE; no inserts
+    src = spark.createDataFrame([(1, "x", 0.0), (3, "x", 0.0), (9, "x", 0.0)], SCHEMA)
+    t.merge_into(
+        src,
+        on="id",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+        matched_condition=F.col("val") < 25.0,
+    )
+    rows = {r["id"] for r in t.scan().collect()}
+    # id=1 matched+gated -> deleted; id=3 matched but val=30 fails the
+    # gate -> kept; id=9 unmatched with insert off -> not added
+    assert rows == {2, 3}
+
+
+def test_merge_into_insert_only_and_validation(spark, tmp_path):
+    t = _table(spark, tmp_path, "m3", [(1, "a", 1.0)])
+    src = spark.createDataFrame([(1, "dup", 9.0), (5, "e", 5.0)], SCHEMA)
+    # insert-only merge (WHEN NOT MATCHED INSERT, no matched clause):
+    # existing id=1 untouched, id=5 appended
+    t.merge_into(src, on="id")
+    rows = {r["id"]: (r["grp"], r["val"]) for r in t.scan().collect()}
+    assert rows == {1: ("a", 1.0), 5: ("e", 5.0)}
+
+    with pytest.raises(ValueError):
+        t.merge_into(src, on="id", when_matched_update={"val": 0.0}, when_matched_delete=True)
+    with pytest.raises(KeyError):
+        t.merge_into(src, on="nope")
+    with pytest.raises(KeyError):
+        t.merge_into(src, on="id", when_matched_update={"nope": 1})
+
+
+def test_merge_into_multi_key_and_stats_targeting(spark, tmp_path):
+    t = _table(spark, tmp_path, "m4", [(1, "a", 1.0), (2, "a", 2.0)])
+    # far-away key range in a second file: must NOT be rewritten
+    t.append(
+        spark.createDataFrame([(100, "z", 100.0), (101, "z", 101.0)], SCHEMA).coalesce(1)
+    )
+    n_before = len(t.plan_files())
+    src = spark.createDataFrame([(2, "a", 22.0)], SCHEMA)
+    t.merge_into(src, on=["id", "grp"], when_matched_update={"val": F.col("src_val")})
+    rows = {r["id"]: r["val"] for r in t.scan().collect()}
+    assert rows == {1: 1.0, 2: 22.0, 100: 100.0, 101: 101.0}
+    # stats targeting: only the low-key file rewritten
+    assert t.snapshot()["summary"]["added-data-files"] < n_before
