@@ -74,8 +74,20 @@ def compact(
     Equal-width cells degrade under heavy value skew — the documented
     upgrade point is sampled equal-depth bounds (range_partition_id
     style). Mutually exclusive with ``sort_by``.
+
+    When neither clustering argument is given, the table property
+    ``write.sort-order`` supplies the default (Iceberg sort-order
+    parity): ``"col1,col2"`` → sort_by, ``"zorder(col1,col2)"`` →
+    zorder_by — so a table declares its clustering once and every
+    maintenance pass preserves it.
     """
     t0 = time.time()
+    if sort_by is None and zorder_by is None:
+        order = table.properties.get("write.sort-order", "")
+        if order.startswith("zorder(") and order.endswith(")"):
+            zorder_by = [c.strip() for c in order[7:-1].split(",") if c.strip()]
+        elif order:
+            sort_by = [c.strip() for c in order.split(",") if c.strip()]
     snap = table.snapshot()
     files = table.plan_files()
     small = [f for f in files if f["file_size_bytes"] < small_file_threshold]

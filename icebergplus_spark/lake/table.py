@@ -1676,6 +1676,7 @@ class LakeTable:
             rows = [
                 {
                     "snapshot_id": s["snapshot_id"],
+                    "parent_snapshot_id": s.get("parent_snapshot_id"),
                     "timestamp_ms": s["timestamp_ms"],
                     "operation": s["operation"],
                     "total_data_files": s["summary"]["total-data-files"],
@@ -1686,8 +1687,8 @@ class LakeTable:
                 for s in self._meta["snapshots"]
             ]
             schema = (
-                "snapshot_id long, timestamp_ms long, operation string, "
-                "total_data_files long, total_records long, "
+                "snapshot_id long, parent_snapshot_id long, timestamp_ms long, "
+                "operation string, total_data_files long, total_records long, "
                 "added_data_files long, added_records long"
             )
         elif kind == "history":

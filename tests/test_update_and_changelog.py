@@ -144,3 +144,34 @@ def test_table_properties_persist_and_drive_distribution(spark, tmp_path):
 
     t2 = t2.unset_property("owner")
     assert "owner" not in t2.properties
+
+
+def test_sort_order_property_drives_compaction(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whso")).start()
+    t = cat.create_table("db.sorted", SCHEMA)
+    t = t.set_property("write.sort-order", "id")
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(8000))
+    rng.shuffle(ids)
+    for chunk in (ids[:4000], ids[4000:]):
+        t.append(
+            spark.createDataFrame(
+                [(i, "g", float(i)) for i in chunk], SCHEMA
+            ).repartition(4)
+        )
+    compact(t, target_file_size=1 << 14, small_file_threshold=1 << 30)
+    # declared sort order was applied: files now cover narrow disjoint
+    # id ranges, so a point predicate prunes to one file
+    assert len(t.plan_files()) > 1
+    assert len(t.plan_files({"id": ("=", 42)})) == 1
+
+    # snapshots metadata table exposes parent lineage
+    snaps = {
+        r["snapshot_id"]: r["parent_snapshot_id"]
+        for r in t.metadata_df("snapshots").collect()
+    }
+    first = min(snaps)
+    assert snaps[first] is None
+    assert all(snaps[s] == s - 1 for s in snaps if s != first)
