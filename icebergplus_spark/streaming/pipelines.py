@@ -219,3 +219,58 @@ def stream_stream_join(
         & bound,
         "inner",
     )
+
+
+def stream_replicate_lake(
+    spark,
+    source_table_dir: str,
+    replica,
+    checkpoint_dir: str,
+    from_snapshot_id: int = 0,
+    query_name: str = "replicate_lake",
+):
+    """Continuous lake→lake CDC replication: consume the source table's
+    change stream (``read_lake_cdc_stream``) and apply it to ``replica``
+    so the replica converges to the source's row state — across appends,
+    merge-on-read tombstones, and copy-on-write rewrites alike.
+
+    Per micro-batch the insert/delete rows are NETTED first (a row both
+    deleted and re-inserted inside the batch window — e.g. the two
+    halves of an UPDATE, or CoW rewrite noise — cancels), then net
+    deletes are applied as one all-column equality tombstone and net
+    inserts as one append: O(changed rows) per batch, never O(table).
+    Restarts resume from the checkpointed snapshot offset, giving
+    exactly-once application per commit.
+
+    Net deletes use equality semantics over ALL columns — full-duplicate
+    rows in the replica collapse when one copy is deleted (document-key
+    workloads are unaffected; multiset-exact replication would thread
+    the source row position through instead)."""
+    from icebergplus_spark.streaming.lake_source import read_lake_cdc_stream
+
+    changes = read_lake_cdc_stream(
+        spark, source_table_dir, from_snapshot_id=from_snapshot_id
+    )
+    data_cols = [
+        c for c in changes.columns if c not in ("_change_type", "_commit_snapshot_id")
+    ]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ins = batch_df.filter(F.col("_change_type") == "insert").select(*data_cols)
+        dels = batch_df.filter(F.col("_change_type") == "delete").select(*data_cols)
+        net_ins = ins.exceptAll(dels)
+        net_dels = dels.exceptAll(ins).dropDuplicates()
+        if replica.snapshot() is not None and not net_dels.isEmpty():
+            replica.delete_by_key(net_dels)
+        if not net_ins.isEmpty():
+            replica.append(net_ins)
+
+    return (
+        changes.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

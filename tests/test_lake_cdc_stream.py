@@ -129,3 +129,37 @@ def test_cdc_stream_append_after_eq_delete_is_exempt(spark, tmp_path):
         (r["id"], r["_change_type"]) for r in out.collect()
     )
     assert changes == [(1, "delete"), (1, "insert"), (9, "insert")]
+
+
+def test_cdc_replication_lake_to_lake(spark, tmp_path):
+    from icebergplus_spark.streaming.pipelines import stream_replicate_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whr")).start()
+    src = cat.create_table("db.src", SCHEMA)
+    dst = cat.create_table("db.dst", SCHEMA)
+    ckpt = str(tmp_path / "ckpt_repl")
+
+    src.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA
+        ).coalesce(1)
+    )
+    src.update_where({"id": ("=", 2)}, {"val": 22.0})
+
+    q = stream_replicate_lake(spark, src.table_dir, dst, ckpt)
+    q.awaitTermination(120)
+    assert sorted(map(tuple, dst.scan().collect())) == sorted(
+        map(tuple, src.scan().collect())
+    )
+
+    # more commits (MOR tombstones + append), resume from checkpoint:
+    # only the NEW commits are applied
+    src.delete_where({"id": ("=", 1)})
+    src.append(spark.createDataFrame([(4, "d", 4.0)], SCHEMA).coalesce(1))
+    q2 = stream_replicate_lake(spark, src.table_dir, dst, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, dst.scan().collect())) == [
+        (2, "b", 22.0),
+        (3, "c", 3.0),
+        (4, "d", 4.0),
+    ]
