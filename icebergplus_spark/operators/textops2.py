@@ -310,3 +310,95 @@ def t17_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_raw", 6).alias("w_raw"),
         F.round(F.col("w_raw") / wmax, 6).alias("w_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — PII scrubbing (LLM-data-pipeline redaction stage): deterministic
+# fake contact strings (email on doc_id%3==0, phone on doc_id%2==0) are
+# injected into each document IDENTICALLY on both engines, then redacted
+# with anchored regexes; the aggregate proves the scrub found and
+# replaced exactly the planted PII (counts per source + net length
+# delta). The synthetic corpus has no real PII, so planting is what
+# makes the redaction path oracle-checkable end to end. Single scan, one
+# small agg — regex work stays in whole-stage codegen (no UDF).
+# ---------------------------------------------------------------------------
+_T18_EMAIL = r"user[0-9]+@mail\.example\.org"
+_T18_PHONE = r"555-[0-9]{4}"
+
+
+@register(
+    "t18_pii_scrub",
+    oracle=r"""
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS full_text
+  FROM documents
+),
+scrubbed AS (
+  SELECT source,
+         full_text,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(full_text, 'user[0-9]+@mail\.example\.org', '<EMAIL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g') AS clean,
+         LEN(REGEXP_EXTRACT_ALL(full_text, 'user[0-9]+@mail\.example\.org')) AS n_emails,
+         LEN(REGEXP_EXTRACT_ALL(full_text, '555-[0-9]{4}')) AS n_phones
+  FROM planted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(SUM(LENGTH(full_text) - LENGTH(clean)) AS BIGINT) AS chars_removed
+FROM scrubbed
+GROUP BY source
+""",
+)
+def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    full = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(full, _T18_EMAIL, "<EMAIL>"), _T18_PHONE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "source",
+            full.alias("full_text"),
+            clean.alias("clean"),
+            F.size(F.regexp_extract_all(full, F.lit(_T18_EMAIL), F.lit(0))).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all(full, F.lit(_T18_PHONE), F.lit(0))).alias(
+                "n_phones"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+            F.sum(F.length("full_text") - F.length("clean")).alias("chars_removed"),
+        )
+    )
