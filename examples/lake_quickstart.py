@@ -47,3 +47,19 @@ print("files matching doc_id>=3:", len(docs.plan_files({"doc_id": (">=", 3)})))
 # observability: the reference's commit counters, accumulated
 for name in sorted(sink.meter_names):
     print(f"{name} = {sink.get(name).value}")
+
+# row-level DML: copy-on-write UPDATE and multi-clause MERGE INTO
+docs.update_where({"doc_id": ("=", 2)}, {"lang": "en"})
+src = spark.createDataFrame([(2, "hello LAKE", "en"), (9, "ninth", "fr")], docs.schema)
+docs.merge_into(
+    src,
+    on="doc_id",
+    when_matched_update={"content": F.col("src_content")},
+)
+docs.to_view("docs")  # re-register: views capture the scan at a snapshot
+spark.sql("SELECT doc_id, content, lang FROM docs ORDER BY doc_id").show()
+
+# row-level CDC: every change since snapshot 2, tagged insert/delete
+docs.scan_changelog(from_snapshot_id=2).orderBy(
+    "_commit_snapshot_id", "_change_type", "doc_id"
+).show(truncate=False)
