@@ -1215,6 +1215,20 @@ class LakeTable:
         self.scan(snapshot_id=snapshot_id).createOrReplaceTempView(name)
         return name
 
+    def to_changelog_view(
+        self,
+        name: str,
+        from_snapshot_id: int = 0,
+        to_snapshot_id: int | None = None,
+    ) -> str:
+        """Register ``scan_changelog`` output as a temp view (Iceberg's
+        ``create_changelog_view`` procedure shape) so SQL can query the
+        row-level change history directly."""
+        self.scan_changelog(from_snapshot_id, to_snapshot_id).createOrReplaceTempView(
+            name
+        )
+        return name
+
     def overwrite(self, df: DataFrame) -> "LakeTable":
         """Truncate-and-replace commit: new snapshot references ONLY the
         new files; history keeps the old data readable (time travel)."""

@@ -175,3 +175,23 @@ def test_sort_order_property_drives_compaction(spark, tmp_path):
     first = min(snaps)
     assert snaps[first] is None
     assert all(snaps[s] == s - 1 for s in snaps if s != first)
+
+
+def test_changelog_view_sql(spark, tmp_path):
+    import icebergplus_spark.streaming as streaming
+
+    # package surface: CDC APIs are exported
+    assert hasattr(streaming, "read_lake_cdc_stream")
+    assert hasattr(streaming, "stream_replicate_lake")
+
+    t = _table(spark, tmp_path, "clview", [(1, "a", 1.0), (2, "b", 2.0)])
+    t.delete({"id": ("=", 1)})
+    t.to_changelog_view("changes")
+    got = spark.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM changes "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    assert [(r["_change_type"], r["n"]) for r in got] == [
+        ("delete", 1),
+        ("insert", 2),
+    ]
