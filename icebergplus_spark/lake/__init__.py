@@ -1,5 +1,6 @@
 from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
 from icebergplus_spark.lake.maintenance import (
+    cherry_pick,
     compact,
     expire_metadata_versions,
     expire_snapshots,
@@ -27,6 +28,7 @@ __all__ = [
     "remove_orphan_files",
     "rewrite_manifests",
     "rollback",
+    "cherry_pick",
     "MetricsSink",
     "MetricsReporter",
     "CommitReport",

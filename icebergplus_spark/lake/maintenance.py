@@ -255,6 +255,69 @@ def rollback(table: LakeTable, snapshot_id: int) -> dict:
     }
 
 
+def cherry_pick(table: LakeTable, snapshot_id: int) -> dict:
+    """Apply one append snapshot's added files onto the current head —
+    Iceberg's ``cherrypick_snapshot`` procedure, the publish half of
+    write-audit-publish when the audited commit is NOT the branch head
+    (``fast_forward`` covers the head case).
+
+    Metadata-only: no data files are read or moved. The change set is
+    recovered by diffing the snapshot against *its own parent* (added
+    files), then committed on top of the *current* head. Only pure
+    appends are safe to re-anchor this way — Iceberg enforces the same
+    restriction; replace/delete snapshots raise.
+    """
+    t0 = time.time()
+    snap = table.snapshot(snapshot_id)
+    if snap is None:
+        raise ValueError(f"{table.identifier}: no snapshot {snapshot_id}")
+    if snap["operation"] != "append":
+        raise ValueError(
+            f"{table.identifier}: cherry_pick supports append snapshots "
+            f"only, snapshot {snapshot_id} is '{snap['operation']}'"
+        )
+    parent_id = snap.get("parent_snapshot_id")
+    parent_paths = table._snapshot_paths(
+        table.snapshot(parent_id) if parent_id is not None else None
+    )
+    added = []
+    for m in snap["manifests"]:
+        for e in pq.read_table(os.path.join(table._meta_dir, m)).to_pylist():
+            if e["file_path"] not in parent_paths:
+                added.append(e)
+    current = table.snapshot()
+    current_paths = table._snapshot_paths(current)
+    dup = sorted(
+        e["file_path"] for e in added if e["file_path"] in current_paths
+    )
+    if dup:
+        raise ValueError(
+            f"{table.identifier}: cherry-pick of snapshot {snapshot_id} "
+            f"would duplicate {len(dup)} file(s) already in the current "
+            f"snapshot (e.g. {dup[0]}) — already published?"
+        )
+    if not added:
+        return {"cherry_picked": False, "reason": "snapshot added no files"}
+    manifests = list(current["manifests"] if current else []) + [
+        table._write_manifest(added)
+    ]
+    table._commit_snapshot(
+        "append",
+        manifests,
+        added,
+        t0,
+        delete_manifests=list((current or {}).get("delete_manifests") or []),
+        extra_summary={"cherry-picked-from": snapshot_id},
+    )
+    return {
+        "cherry_picked": True,
+        "source_snapshot_id": snapshot_id,
+        "new_snapshot_id": table.current_snapshot_id,
+        "added_data_files": len(added),
+        "added_records": sum(e["record_count"] for e in added),
+    }
+
+
 def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -> dict:
     """Delete data files under the table location that no snapshot (on
     any branch/tag) references — debris from failed/aborted writes
