@@ -72,10 +72,12 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = d04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     comps = connected_components(pairs)
+    # members as a joined string, not array<long>: the driver's result
+    # canonicalizer hashes column values and cannot sort ndarray cells
     return comps.groupBy("comp").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keeper_id"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
     )
 
 
