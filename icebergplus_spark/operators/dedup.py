@@ -243,9 +243,61 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d05 — SimHash near-dup (vectorized pandas_udf; rows-only check)
+# d05 — SimHash near-dup (vectorized pandas_udf). Oracle-checked: the
+# signature is pure md5 bit arithmetic, so DuckDB can rebuild it exactly —
+# unnest tokens × 64 bit positions, sum ±1 per bit, reassemble the
+# 64-bit signature, band into 16-bit chunks, and self-join like Spark.
 # ---------------------------------------------------------------------------
-@register("d05_simhash")  # no oracle: bit-twiddling UDF → rows-only check
+@register(
+    "d05_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(LOWER(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b.range AS bit,
+         SUM(CASE WHEN (h >> CAST(b.range AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, range(64) b
+  GROUP BY doc_id, b.range
+),
+sigs0 AS (
+  -- DuckDB's << promotes to BIGINT (1 << 63 overflows), so assemble the
+  -- unsigned 64-bit signature from 32-bit halves
+  SELECT doc_id,
+         CAST(
+           CAST(SUM(CASE WHEN acc > 0 AND bit >= 32
+                         THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS UBIGINT)
+             * 4294967296
+           + CAST(SUM(CASE WHEN acc > 0 AND bit < 32
+                           THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS UBIGINT)
+           AS UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, sig, c.range AS chunk_id,
+         CAST((sig >> CAST(16 * c.range AS UBIGINT)) & 65535 AS INTEGER) AS chunk_val
+  FROM sigs, range(4) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+""",
+)
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
@@ -306,7 +358,140 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d08 — embedding-cosine near-dup pairs (exact, oracle-checked).
+# d12 — portable MinHash+LSH (oracle-checked twin of d04). Same
+# shingle→minhash→band→bucket-join→verify pipeline, but every hash is
+# md5-derived (first 15 hex chars → 60-bit int) so DuckDB reproduces the
+# exact candidate set and Jaccard scores. d04 stays on xxhash64 as the
+# fast path; this query proves the LSH machinery end-to-end under the
+# value-hash gate. 16 perms in 4 bands of 4 rows.
+# ---------------------------------------------------------------------------
+D12_K = 16
+D12_BANDS = 4
+D12_ROWS = D12_K // D12_BANDS
+
+_D12_MINS = ",\n    ".join(
+    f"MIN(CAST(('0x' || substring(md5('{i}:' || s), 1, 15)) AS BIGINT)) AS h{i}"
+    for i in range(D12_K)
+)
+_D12_BANDS_SQL = ",\n    ".join(
+    "md5(" + " || ',' || ".join(
+        f"CAST(h{i} AS VARCHAR)" for i in range(b * D12_ROWS, (b + 1) * D12_ROWS)
+    ) + f") AS band{b}"
+    for b in range(D12_BANDS)
+)
+_D12_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM banded"
+    for b in range(D12_BANDS)
+)
+
+
+@register(
+    "d12_minhash_portable",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS tok
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) >= 3 THEN
+      list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                     FOR i IN generate_series(1, len(tok) - 2)])
+    ELSE [array_to_string(tok, ' ')] END AS sh
+  FROM toks
+),
+exploded AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+smin AS (
+  SELECT doc_id,
+    {_D12_MINS}
+  FROM exploded GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+    {_D12_BANDS_SQL}
+  FROM smin
+),
+bands AS ({_D12_BAND_ROWS}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l
+  JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+             6) AS jaccard
+FROM cands
+JOIN sh a ON a.doc_id = cands.doc_a
+JOIN sh b ON b.doc_id = cands.doc_b
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+            6) >= 0.5
+""",
+)
+def d12_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sets = _spread(docs).select("doc_id", shingles("text", 3).alias("sh")).cache()
+    exploded = sets.select("doc_id", F.explode("sh").alias("s"))
+    # md5-based 60-bit hashes (conv of the first 15 hex chars): portable
+    # across engines, still computed entirely JVM-side in one groupBy pass
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(D12_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{i}").cast("string")
+                                for i in range(b * D12_ROWS, (b + 1) * D12_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(D12_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cands = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union_n.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
 # Exact all-pairs is inherently O(n²) — fine for the oracle contract at
 # this corpus size; the sublinear scale path for the same predicate is
 # the LSH/IVF bucketing in s02/s04 (candidate pairs, then this exact

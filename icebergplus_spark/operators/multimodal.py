@@ -87,7 +87,9 @@ def _extract_features(batches: Iterator, /):
         for b in pdf["payload"]:
             digest = hashlib.md5(bytes(b)).digest()
             raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
-            v = np.resize(raw, FEATURE_DIM) / 255.0
+            # scale by 256 (a power of two): byte/256 is exact in float32,
+            # so downstream sums are bit-reproducible across engines
+            v = np.resize(raw, FEATURE_DIM) / 256.0
             feats.append(v.tolist())
         yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
 
@@ -190,27 +192,44 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# m02 — feature extraction + similarity join over extracted features
-# (rows-only: md5-derived fake features are not SQL-expressible; the
-# determinism and batch-shape contracts are pytest-verified)
+# m02 — feature extraction + aggregation over extracted features.
+# Oracle-checked: the fake "embedding model" is the md5 digest scaled by
+# 1/256 — each component is an exact binary float, so the feature sum is
+# the digest byte sum / 256 with NO rounding error, and DuckDB rebuilds
+# it from the md5 hex string byte-by-byte. This pins down the whole
+# Arrow path (binary column → mapInPandas → array<float> → JVM fold).
 # ---------------------------------------------------------------------------
-@register("m02_multimodal_features")
+_M02_BYTES = " + ".join(
+    f"CAST(('0x' || substring(hx, {2 * i + 1}, 2)) AS INTEGER)" for i in range(16)
+)
+
+
+@register(
+    "m02_multimodal_features",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents  -- md5(VARCHAR) hashes utf-8 bytes
+)
+SELECT doc_id,
+       CAST(({_M02_BYTES}) AS DOUBLE) / 256.0 AS feature_sum,
+       CAST({FEATURE_DIM} AS INTEGER) AS dim
+FROM h
+""",
+)
 def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     feats = extract_features(media)
-    # aggregate feature statistics per dimension bucket — exercises the
-    # array<float> output column downstream of the Python worker
+    # aggregate feature statistics — exercises the array<float> output
+    # column downstream of the Python worker; every term is a multiple of
+    # 2^-8, so the double sum is exact (no round() needed for the oracle)
     return feats.select(
         "doc_id",
-        F.round(
-            F.aggregate(
-                F.transform("feature", lambda x: x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            6,
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
         ).alias("feature_sum"),
         F.size("feature").alias("dim"),
     )

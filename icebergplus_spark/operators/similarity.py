@@ -279,6 +279,112 @@ def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s06 — IVF-flat ANN with deterministic reference centroids, fully
+# oracle-checked. The coarse quantizer is the first S06_K corpus vectors
+# themselves (no training step), so the ENTIRE index+search pipeline —
+# cell assignment by L2 argmin, nprobe probing, candidate gathering,
+# exact cosine re-rank — is replayed bit-for-bit by DuckDB SQL. s04 is
+# the same shape with trained k-means centroids (better cells, rows-only
+# check); this query is the proof the cell/probe/rerank plumbing is
+# exact. All arithmetic stays in JVM folds (no UDF) so the doubles match
+# list_dot_product on the oracle side.
+# ---------------------------------------------------------------------------
+S06_K = 16
+S06_NPROBE = 4
+
+
+@register(
+    "s06_ivf_flat",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {S06_K}
+),
+assign AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT e.vec_id, c.cid,
+           list_dot_product(e.v, e.v)
+             - 2 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+    FROM e, cents c
+  )
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell
+  FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {S06_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(q.v, n.v) /
+               (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(n.v, n.v))),
+               6) AS cos_sim
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e n ON n.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+""",
+)
+def s06_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") < S06_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = (
+        dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    wassign = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", "v", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wassign))
+    )
+    cells = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("cell"), F.col("v").alias("cv")
+    )
+    probes = assign.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= S06_NPROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"), F.col("v").alias("qv")
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # s03 — vector norms + per-label centroid distance (SQL-expressible
 # aggregate over vectors: the "is my embedding column healthy" audit)
 # ---------------------------------------------------------------------------
