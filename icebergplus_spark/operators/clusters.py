@@ -63,14 +63,47 @@ def connected_components(
 
 
 # ---------------------------------------------------------------------------
-# d07 — near-dup clusters: LSH candidate pairs → components → keep min id
-# (rows-only: depends on d04's non-SQL pipeline)
+# d07 — near-dup clusters: LSH candidate pairs → components → keep min id.
+# Oracle-checked end-to-end: pairs come from the portable md5 MinHash-LSH
+# (d12), and DuckDB replays the connected-components step with a
+# recursive CTE (min label over every reachable node == the iterative
+# min-propagation fixed point Spark computes).
 # ---------------------------------------------------------------------------
-@register("d07_dup_clusters")
-def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from icebergplus_spark.operators.dedup import d04_minhash_lsh
+import icebergplus_spark.operators.dedup  # noqa: E402  (registers d12's oracle)
+from icebergplus_spark.registry import ORACLES as _ORACLES
 
-    pairs = d04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+# d12's oracle is reused verbatim as the edge list so the two queries
+# stay in lockstep (same shingles, same md5 minhash, same banding).
+_D12_PAIRS_SQL = _ORACLES["d12_minhash_portable"]
+
+
+@register("d07_dup_clusters", oracle=f"""
+WITH pairs AS ({_D12_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk AS (
+  WITH RECURSIVE w(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, w.lbl FROM w JOIN edges e ON e.a = w.node
+  )
+  SELECT node, MIN(lbl) AS comp FROM w GROUP BY node
+)
+SELECT comp,
+       COUNT(*) AS cluster_size,
+       MIN(node) AS keeper_id,
+       array_to_string(list(node ORDER BY node), ',') AS members
+FROM walk
+GROUP BY comp
+""")
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.dedup import d12_minhash_portable
+
+    pairs = d12_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
     comps = connected_components(pairs)
     # members as a joined string, not array<long>: the driver's result
     # canonicalizer hashes column values and cannot sort ndarray cells

@@ -38,7 +38,8 @@ def test_hash_split_is_deterministic_and_disjoint(spark, sf_dir):
 
 
 def test_dup_clusters_cover_pair_nodes(spark, sf_dir):
-    pairs = QUERIES["d04_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    # d07 clusters the portable (oracle-checked) d12 candidate pairs
+    pairs = QUERIES["d12_minhash_portable"](spark, sf_dir).select("doc_a", "doc_b")
     n_nodes = (
         pairs.select(F.col("doc_a").alias("n"))
         .union(pairs.select(F.col("doc_b").alias("n")))
@@ -47,5 +48,8 @@ def test_dup_clusters_cover_pair_nodes(spark, sf_dir):
     )
     clusters = QUERIES["d07_dup_clusters"](spark, sf_dir).collect()
     assert sum(r["cluster_size"] for r in clusters) == n_nodes
-    # keeper is always the smallest member
-    assert all(r["keeper_id"] == min(r["members"]) for r in clusters)
+    # keeper is always the smallest member (members is a sorted csv string)
+    assert all(
+        r["keeper_id"] == min(int(m) for m in r["members"].split(","))
+        for r in clusters
+    )
