@@ -1,0 +1,155 @@
+"""Training-data pipeline text ops, round 3: benchmark decontamination
+and within-doc repetition filtering.
+
+- t20: eval-set decontamination — the step that removes benchmark
+  leakage from a training corpus (docs sharing any word 5-gram with a
+  held-out eval set). The eval side of the join is the small side by
+  construction (benchmarks are a few thousand docs even when the corpus
+  is 100 TB), so it is broadcast: the corpus streams once, no shuffle
+  of the big side, no skew surface.
+- t22: within-doc repetition (Gopher-style "fraction of the doc that is
+  its most frequent n-gram") — a pure per-doc aggregation: shuffle on
+  (doc_id) only, two-phase count, no cross-doc state at all, so it
+  scales embarrassingly.
+
+Both are JVM-only plans (no Python UDF) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+N_EVAL_DOCS = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# t20 — benchmark decontamination: flag training docs that share any
+# word 5-gram with the eval set; per-doc contamination rate.
+# ---------------------------------------------------------------------------
+_T20_SHINGLES = """
+words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 5 THEN array_to_string(w[i:i+4], ' ')
+              ELSE array_to_string(w, ' ') END AS g
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+    FROM words
+  )
+)
+"""
+
+
+@register(
+    "t20_decontaminate",
+    oracle=f"""
+WITH {_T20_SHINGLES},
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < {N_EVAL_DOCS})
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS contaminated,
+       ROUND(CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS contamination_rate
+FROM sh s LEFT JOIN ev e ON s.g = e.g
+WHERE s.doc_id >= {N_EVAL_DOCS}
+GROUP BY s.doc_id
+""",
+)
+def t20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles("text", 5)).alias("g"))
+    # eval grams: small by construction → broadcast to every corpus task
+    ev = (
+        sh.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    hit = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        train.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hit.alias("contaminated"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t22 — within-doc repetition filter: most-frequent-trigram share
+# (Gopher repetition rule). Trigram counts keep multiplicity — this is
+# deliberately NOT the distinct shingle set the dedup ops use.
+# ---------------------------------------------------------------------------
+def _grams_with_multiplicity(col: str, n: int):
+    """Word n-gram array WITHOUT dedup (repetition is the signal)."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, m)
+        out = F.zip_with(out, nxt, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(toks) >= n, out).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+@register(
+    "t22_repetition_filter",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS g
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+    FROM words
+  )
+),
+c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_gram_count,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep_ratio
+FROM c GROUP BY doc_id
+""",
+)
+def t22_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(_grams_with_multiplicity("text", 3)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_gram_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("rep_ratio"),
+    )

@@ -51,6 +51,7 @@ def load_all() -> None:
     import icebergplus_spark.operators.tpch_suite2  # noqa: F401
     import icebergplus_spark.operators.tpch_suite3  # noqa: F401
     import icebergplus_spark.operators.textops2  # noqa: F401
+    import icebergplus_spark.operators.textops3  # noqa: F401
     import icebergplus_spark.operators.analytics2  # noqa: F401
     import icebergplus_spark.operators.semistructured  # noqa: F401
     import icebergplus_spark.operators.dedup2  # noqa: F401
