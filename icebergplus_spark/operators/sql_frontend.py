@@ -57,3 +57,24 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 def q51_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE + scalar subquery in the WHERE clause (TPC-H Q15 shape)
     return _sql(spark, sf_dir, ["supplier", "lineitem"], _Q51)
+
+
+# aggregate FILTER clause — identical syntax in Spark SQL and DuckDB, so
+# the same text runs on both engines (conditional aggregation without
+# CASE scaffolding; each FILTER is a separate accumulator in the same
+# single-pass two-phase hash aggregate — no extra scan or shuffle)
+_Q98 = """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(SUM(l_quantity) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00') AS BIGINT) AS qty_recent,
+       CAST(SUM(l_quantity) FILTER (WHERE l_tax > 0.03) AS BIGINT) AS qty_taxed
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q98_filter_agg", oracle=_Q98)
+def q98_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME SQL text runs on Spark and on the DuckDB oracle
+    return _sql(spark, sf_dir, ["lineitem"], _Q98)

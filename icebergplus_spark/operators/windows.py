@@ -236,3 +236,47 @@ def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c_acctbal").over(w), 2).alias("near_bal_sum"),
         F.count(F.lit(1)).over(w).alias("near_bal_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — IGNORE NULLS forward fill (last observation carried forward):
+# per user, every event carries the most recent purchase price. The
+# canonical time-series gap-fill; one window pass, shuffle on user_id
+# only. The oracle uses DuckDB's in-parens IGNORE NULLS spelling (the
+# one syntax point where the engines' SQL dialects differ).
+# ---------------------------------------------------------------------------
+@register(
+    "q99_ignore_nulls_fill",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(filled) AS BIGINT) AS n_filled,
+       CAST(COUNT(DISTINCT filled) AS BIGINT) AS n_price_levels
+FROM f GROUP BY user_id
+""",
+)
+def q99_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_price = F.when(F.col("event_type") == "purchase", F.col("value"))
+    filled = F.last(purchase_price, ignorenulls=True).over(w)
+    return (
+        ev.select("user_id", filled.alias("filled"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("filled").alias("n_filled"),
+            F.countDistinct("filled").alias("n_price_levels"),
+        )
+    )
