@@ -384,8 +384,10 @@ def s06_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = assign.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= S06_NPROBE)).select(
         F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"), F.col("v").alias("qv")
     )
+    # the probe set is (queries × nprobe) rows — tiny at any corpus
+    # scale — so broadcast it against the cell-assigned corpus
     cand = (
-        probes.join(cells, "cell")
+        cells.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
