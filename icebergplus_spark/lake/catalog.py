@@ -17,6 +17,7 @@ CAS (DynamoDB/JDBC catalog), isolated behind this class.
 from __future__ import annotations
 
 import json
+import shutil
 import os
 import uuid
 from enum import Enum
@@ -155,6 +156,75 @@ class LocalLakeCatalog:
         with open(self._pointer_file(identifier), "w") as f:
             json.dump({"table_dir": table_dir}, f)
         return self.load_table(identifier)
+
+    def rename_table(self, old: str, new: str) -> LakeTable:
+        """Iceberg ``Catalog.renameTable`` parity: identifier move only.
+        The table location and every data/metadata file stay put (like
+        Iceberg, where the identifier is a catalog pointer, not a path);
+        the new identifier is recorded as a metadata version so the
+        table is self-describing after the move."""
+        self._require_started()
+        if not self.table_exists(old):
+            raise KeyError(f"no such table: {old}")
+        if self.table_exists(new):
+            raise ValueError(f"table already exists: {new}")
+        self.load_table(old)._evolve(
+            lambda meta: meta.__setitem__("identifier", new)
+        )
+        os.replace(self._pointer_file(old), self._pointer_file(new))
+        return self.load_table(new)
+
+    def clone_table(self, src_identifier: str, dst_identifier: str) -> LakeTable:
+        """Zero-copy clone (Iceberg ``snapshot`` procedure parity): a new
+        independent table whose single starting snapshot references the
+        source's CURRENT data files in place — only the (small) manifest
+        files are copied, no data moves. Writes to either table diverge
+        from there. Like Iceberg snapshot tables, the clone is created
+        with ``gc.enabled=false`` so its vacuum/expiry never deletes
+        files the source still owns; compaction on the clone is safe
+        (rewrites land in the clone's own directory).
+
+        At 100 TB this is the experiment on-ramp: a full-table sandbox
+        in O(manifests) time and bytes."""
+        self._require_started()
+        src = self.load_table(src_identifier)
+        if self.table_exists(dst_identifier):
+            raise ValueError(f"table already exists: {dst_identifier}")
+        namespace, _, name = dst_identifier.rpartition(".")
+        table_dir = os.path.join(self.root_dir, namespace or "default", name)
+        meta_dir = os.path.join(table_dir, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        meta = {k: v for k, v in src._meta.items() if k != "_version"}
+        meta["identifier"] = dst_identifier
+        meta["properties"] = {
+            **(meta.get("properties") or {}),
+            "gc.enabled": "false",
+        }
+        meta["refs"] = {}
+        cur = src.snapshot()
+        if cur is not None:
+            snap = dict(cur)
+            snap["parent_snapshot_id"] = None
+            meta["snapshots"] = [snap]
+            meta["current_snapshot_id"] = snap["snapshot_id"]
+            for m in list(snap["manifests"]) + list(
+                snap.get("delete_manifests", [])
+            ):
+                shutil.copy2(
+                    os.path.join(src._meta_dir, m), os.path.join(meta_dir, m)
+                )
+        else:
+            meta["snapshots"] = []
+            meta["current_snapshot_id"] = None
+        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = os.path.join(meta_dir, f"ptr-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write("1")
+        os.replace(tmp, os.path.join(meta_dir, "version-pointer.txt"))
+        with open(self._pointer_file(dst_identifier), "w") as f:
+            json.dump({"table_dir": table_dir}, f)
+        return self.load_table(dst_identifier)
 
     def load_table(self, identifier: str) -> LakeTable:
         """loadTable parity (LocalIcebergCatalogTest.java:76-84)."""

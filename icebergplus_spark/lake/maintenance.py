@@ -318,6 +318,17 @@ def cherry_pick(table: LakeTable, snapshot_id: int) -> dict:
     }
 
 
+def _require_gc_enabled(table: LakeTable, op: str) -> None:
+    """Iceberg gc.enabled parity: cloned (snapshot) tables reference data
+    files they do not own, so file-deleting maintenance is refused on
+    them rather than silently corrupting the source table."""
+    if (table.properties or {}).get("gc.enabled", "true").lower() == "false":
+        raise ValueError(
+            f"{op} refused: gc.enabled=false on {table.identifier} "
+            "(this table shares data files with its clone source)"
+        )
+
+
 def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -> dict:
     """Delete data files under the table location that no snapshot (on
     any branch/tag) references — debris from failed/aborted writes
@@ -326,6 +337,7 @@ def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -
     pass 0 in tests. Never deletes anything a manifest mentions, so it
     is safe to run alongside readers at any scale (the scan path lists
     files from manifests, never from the directory)."""
+    _require_gc_enabled(table, "remove_orphan_files")
     live: set[str] = set()
     for s in table.history():
         for m in list(s["manifests"]) + list(s.get("delete_manifests", [])):
@@ -353,6 +365,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
     "Snapshot expiry / vacuum"). Snapshots pinned by a named ref (tag or
     branch head, incl. main) are always retained — expiring a tagged
     snapshot would silently break ``scan(ref=...)``."""
+    _require_gc_enabled(table, "expire_snapshots")
     snaps = table.history()
     ref_ids = {r["snapshot_id"] for r in table.refs.values()}
     tail_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}

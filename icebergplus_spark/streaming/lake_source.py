@@ -61,15 +61,29 @@ def _make_source():
         def __init__(self, options):
             self.table_dir = options["table_dir"]
             self.start_id = int(options.get("from_snapshot_id", 0))
+            # rate limit: at most N snapshot ids per micro-batch (Iceberg
+            # max-snapshots-per-trigger parity). The FIRST planned batch
+            # of a run is unthrottled — the runner asks for the latest
+            # offset before the start offset is known, and capping from
+            # a guess could stall a checkpoint-restored query; from the
+            # second batch on, each micro-batch advances at most N
+            # snapshot ids past the last planned/committed end.
+            self.max_per_trigger = int(options.get("max_snapshots_per_trigger", 0))
+            self._planned_end: int | None = None
 
         def initialOffset(self):
+            self._planned_end = self.start_id
             return {"snapshot_id": self.start_id}
 
         def latestOffset(self):
             meta = load_meta(self.table_dir)
-            return {"snapshot_id": meta.get("current_snapshot_id") or 0}
+            head = meta.get("current_snapshot_id") or 0
+            if self.max_per_trigger > 0 and self._planned_end is not None:
+                head = min(head, self._planned_end + self.max_per_trigger)
+            return {"snapshot_id": head}
 
         def partitions(self, start, end):
+            self._planned_end = end["snapshot_id"]
             import pyarrow.parquet as pq
 
             meta = load_meta(self.table_dir)
@@ -140,7 +154,9 @@ def _make_source():
             yield from out.to_batches()
 
         def commit(self, end):
-            pass  # offsets live in the query's checkpoint, nothing to ack
+            # offsets live in the query's checkpoint; acking only feeds
+            # the rate-limit tracker
+            self._planned_end = max(self._planned_end or 0, end["snapshot_id"])
 
     def _parse_path_values(path: str) -> dict:
         """Hive-style ``col=value`` path segments → raw string values
@@ -230,13 +246,19 @@ def _make_cdc_source():
         def __init__(self, options):
             self.table_dir = options["table_dir"]
             self.start_id = int(options.get("from_snapshot_id", 0))
+            self.max_per_trigger = int(options.get("max_snapshots_per_trigger", 0))
+            self._planned_end: int | None = None
 
         def initialOffset(self):
+            self._planned_end = self.start_id
             return {"snapshot_id": self.start_id}
 
         def latestOffset(self):
             meta = load_meta(self.table_dir)
-            return {"snapshot_id": meta.get("current_snapshot_id") or 0}
+            head = meta.get("current_snapshot_id") or 0
+            if self.max_per_trigger > 0 and self._planned_end is not None:
+                head = min(head, self._planned_end + self.max_per_trigger)
+            return {"snapshot_id": head}
 
         def _manifest_paths(self, meta_dir, manifests, cache):
             import pyarrow.parquet as pq
@@ -251,6 +273,7 @@ def _make_cdc_source():
             return paths
 
         def partitions(self, start, end):
+            self._planned_end = end["snapshot_id"]
             import pyarrow.parquet as pq
 
             meta = load_meta(self.table_dir)
@@ -443,7 +466,7 @@ def _make_cdc_source():
                     )
 
         def commit(self, end):
-            pass
+            self._planned_end = max(self._planned_end or 0, end["snapshot_id"])
 
     class LakeCdcStreamSource(DataSource):
         @classmethod
@@ -483,7 +506,10 @@ def register_lake_cdc_stream_source(spark: SparkSession) -> None:
 
 
 def read_lake_cdc_stream(
-    spark: SparkSession, table_dir: str, from_snapshot_id: int = 0
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot_id: int = 0,
+    max_snapshots_per_trigger: int = 0,
 ) -> DataFrame:
     """``spark.readStream`` of a lake table's CHANGES: each committed
     snapshot's row-level inserts/deletes become micro-batch rows tagged
@@ -495,6 +521,7 @@ def read_lake_cdc_stream(
         spark.readStream.format(CDC_SOURCE_NAME)
         .option("table_dir", table_dir)
         .option("from_snapshot_id", from_snapshot_id)
+        .option("max_snapshots_per_trigger", max_snapshots_per_trigger)
         .load()
     )
 
@@ -507,7 +534,10 @@ def register_lake_stream_source(spark: SparkSession) -> None:
 
 
 def read_lake_stream(
-    spark: SparkSession, table_dir: str, from_snapshot_id: int = 0
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot_id: int = 0,
+    max_snapshots_per_trigger: int = 0,
 ) -> DataFrame:
     """``spark.readStream`` over a lake table: every committed append
     becomes a micro-batch (start after ``from_snapshot_id``)."""
@@ -516,5 +546,6 @@ def read_lake_stream(
         spark.readStream.format(SOURCE_NAME)
         .option("table_dir", table_dir)
         .option("from_snapshot_id", from_snapshot_id)
+        .option("max_snapshots_per_trigger", max_snapshots_per_trigger)
         .load()
     )
