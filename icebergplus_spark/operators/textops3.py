@@ -153,3 +153,64 @@ def t22_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_gram_count"),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — stratified sampling with exact per-stratum quotas: take
+# ceil(30%) of each source, choosing docs in deterministic md5 order
+# (a reproducible shuffle — rerunning on a grown corpus keeps the
+# earlier picks' relative order, unlike rand()). One window per
+# stratum: shuffle on source only, rank, cut at the quota. At 100 TB
+# the per-stratum window is the bounded-key case (sources are few);
+# an unbounded stratum key would switch to the t08 hash-rate filter,
+# which needs no window at all.
+# ---------------------------------------------------------------------------
+SAMPLE_FRAC = 0.3
+
+
+@register(
+    "t23_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS stratum_n
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_sampled,
+       CAST(MIN(stratum_n) AS BIGINT) AS stratum_n,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ranked
+WHERE rk <= CEIL(stratum_n * {SAMPLE_FRAC})
+GROUP BY source
+""",
+)
+def t23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("stratum_n"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.ceil(F.col("stratum_n") * SAMPLE_FRAC))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("stratum_n").alias("stratum_n"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
