@@ -70,3 +70,106 @@ def test_asof_join_matches_naive(sp, probes, states):
         ]
         want = max(cands)[1] if cands else None  # latest ts, max rid tiebreak
         assert out[i] == want, f"probe {i}: got {out[i]}, want {want}"
+
+
+# -- round-2 op invariants on randomized corpora ---------------------------
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd "),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_repetition_filter_invariants(sp, docs):
+    """rep_ratio in (0,1]; top count <= total; distinct <= total — for
+    arbitrary (whitespace-heavy, possibly empty) texts."""
+    from icebergplus_spark.operators.textops3 import _grams_with_multiplicity
+
+    df = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    grams = df.select("doc_id", F.explode(_grams_with_multiplicity("text", 3)).alias("g"))
+    per = grams.groupBy("doc_id", "g").count()
+    agg = per.groupBy("doc_id").agg(
+        F.sum("count").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.max("count").alias("top"),
+    )
+    for r in agg.collect():
+        assert 1 <= r["top"] <= r["n"]
+        assert 1 <= r["d"] <= r["n"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=1, max_value=60), st.integers(min_value=1, max_value=5))
+def test_stratified_sample_quota_exact(sp, n_docs, n_sources):
+    """Every stratum yields exactly ceil(frac * stratum_n) rows."""
+    import math
+
+    from pyspark.sql import Window
+
+    from icebergplus_spark.operators.textops3 import SAMPLE_FRAC
+
+    rows = [(i, f"s{i % n_sources}") for i in range(n_docs)]
+    df = sp.createDataFrame(rows, "doc_id long, source string")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    ranked = df.select(
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("stratum_n"),
+    )
+    got = (
+        ranked.filter(F.col("rk") <= F.ceil(F.col("stratum_n") * SAMPLE_FRAC))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("stratum_n").alias("sn"))
+        .collect()
+    )
+    assert len(got) == min(n_sources, n_docs)
+    for r in got:
+        assert r["n_sampled"] == math.ceil(r["sn"] * SAMPLE_FRAC)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_connected_components_partition_is_valid(sp, edges):
+    """Components partition the node set; endpoints of every edge share
+    a component; the label is the component's min node id."""
+    from icebergplus_spark.operators.clusters import connected_components
+
+    if not edges:
+        return
+    df = sp.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {
+        r["node"]: r["comp"] for r in connected_components(df).collect()
+    }
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    assert set(comp) == nodes
+    for a, b in edges:
+        assert comp[a] == comp[b]
+    # label == min of its members
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for n, c in comp.items():
+        members[c].add(n)
+    for c, ms in members.items():
+        assert c == min(ms)
