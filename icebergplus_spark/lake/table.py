@@ -1682,7 +1682,7 @@ class LakeTable:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
         Iceberg's metadata tables (SELECT * FROM db.t.snapshots etc.).
         Kinds: snapshots, history, files, delete_files, manifests,
-        refs, partitions.
+        entries, metadata_log_entries, refs, partitions.
         Built from the (small) metadata log on the driver; at 100 TB the
         file inventory is already parquet manifests, so ``files`` reads
         those distributed instead of materializing driver-side rows."""
@@ -1739,6 +1739,63 @@ class LakeTable:
             # distributed read of the manifest parquet files themselves
             return self.spark.read.parquet(
                 *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
+            )
+        elif kind == "entries":
+            # Iceberg's db.t.entries: one row per (snapshot, manifest
+            # entry) with the status relative to that snapshot — a
+            # manifest's BIRTH snapshot marks its entries ADDED (1),
+            # later snapshots referencing it carry them EXISTING (0)
+            import pyarrow.parquet as _pq
+
+            born: dict[str, int] = {}
+            rows = []
+            for snap in sorted(
+                self._meta["snapshots"], key=lambda x: x["snapshot_id"]
+            ):
+                for m in snap["manifests"]:
+                    if m not in born:
+                        born[m] = snap["snapshot_id"]
+                    t = _pq.read_table(
+                        os.path.join(self._meta_dir, m),
+                        columns=["file_path", "record_count", "file_size_bytes"],
+                    )
+                    for e in t.to_pylist():
+                        rows.append(
+                            {
+                                "status": 1 if born[m] == snap["snapshot_id"] else 0,
+                                "snapshot_id": snap["snapshot_id"],
+                                "file_path": e["file_path"],
+                                "record_count": e["record_count"],
+                                "file_size_bytes": e["file_size_bytes"],
+                            }
+                        )
+            schema = (
+                "status int, snapshot_id long, file_path string, "
+                "record_count long, file_size_bytes long"
+            )
+        elif kind == "metadata_log_entries":
+            # Iceberg's db.t.metadata_log_entries: every metadata version
+            # on disk with its pointer status
+            import glob as _glob
+
+            cur = self._meta["_version"]
+            rows = []
+            for path in sorted(
+                _glob.glob(os.path.join(self._meta_dir, "v*.metadata.json")),
+                key=lambda x: int(os.path.basename(x)[1:].split(".")[0]),
+            ):
+                v = int(os.path.basename(path)[1:].split(".")[0])
+                rows.append(
+                    {
+                        "metadata_file": path,
+                        "version": v,
+                        "timestamp_ms": int(os.path.getmtime(path) * 1000),
+                        "is_current": v == cur,
+                    }
+                )
+            schema = (
+                "metadata_file string, version int, timestamp_ms long, "
+                "is_current boolean"
             )
         elif kind == "delete_files":
             # Iceberg's db.t.delete_files metadata table

@@ -134,3 +134,30 @@ def test_rewrite_manifests_after_append_keeps_planning_small(table):
     assert len(t.snapshot()["manifests"]) == 2  # consolidated + new append
     assert t.count_rows() == 36
     assert t.count_rows({"k": ("=", 100)}) == 1
+
+
+def test_entries_and_metadata_log_tables(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("s", StringType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.ent", schema)
+    t.append(spark.createDataFrame([(1, "a")], schema).coalesce(1))
+    t.append(spark.createDataFrame([(2, "b")], schema).coalesce(1))
+
+    ent = t.metadata_df("entries").collect()
+    # snapshot 1: one ADDED entry; snapshot 2: that entry EXISTING + one ADDED
+    by_snap = {}
+    for r in ent:
+        by_snap.setdefault(r["snapshot_id"], []).append(r["status"])
+    assert sorted(by_snap[1]) == [1]
+    assert sorted(by_snap[2]) == [0, 1]
+
+    log = t.metadata_df("metadata_log_entries").collect()
+    assert [r["version"] for r in log] == sorted(r["version"] for r in log)
+    assert sum(1 for r in log if r["is_current"]) == 1
+    assert max(r["version"] for r in log) == 3  # create + 2 appends
