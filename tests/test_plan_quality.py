@@ -109,3 +109,18 @@ def test_scan_only_queries_have_no_shuffle(spark, sf_dir):
     for name in ("q02_filter_project", "q13_sort_limit", "m01_multimodal_meta"):
         a = audit(QUERIES[name](spark, sf_dir))
         assert a.n_shuffles == 0, f"{name}: unexpected shuffle"
+
+
+def test_round2_ops_plan_shapes(spark, sf_dir):
+    # decontamination: eval gram set must be the broadcast side
+    plan = plan_of(spark, sf_dir, "t20_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # IVF-flat search: probe set broadcast, no sort-merge join anywhere
+    plan = plan_of(spark, sf_dir, "s06_ivf_flat")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # portable MinHash twin keeps the LSH discipline: bucket join, no
+    # cartesian, shingle sets fetched by id-equi joins only
+    plan = plan_of(spark, sf_dir, "d12_minhash_portable")
+    assert "CartesianProduct" not in plan
