@@ -554,10 +554,16 @@ class LakeTable:
         branch: str | None = None,
         delete_manifests: list[str] | None = None,
         extra_summary: dict[str, Any] | None = None,
+        attempts: int = 1,
     ) -> None:
         """Atomic snapshot commit: write vN+1 metadata, then atomically
-        swap the pointer file (single-writer rename CAS — the documented
-        100 TB upgrade point is a real CAS via catalog DB, SURVEY.md §7)."""
+        swap the pointer file. The version check + swap run under an
+        exclusive OS file lock, so same-host concurrent writers are
+        fully serialized (losers get ConcurrentCommitError and retry);
+        the 100 TB multi-host upgrade point is the same critical section
+        backed by a catalog-service CAS (SURVEY.md §7). ``attempts`` is
+        surfaced as the commit report's attempts counter — the
+        reference's Iceberg retry-loop metric."""
         total_records = 0
         total_bytes = 0
         total_files = 0
@@ -609,18 +615,6 @@ class LakeTable:
         }
         meta = dict(self._meta)
         version = meta.pop("_version") + 1
-        # Optimistic concurrency check: if the on-disk pointer moved past
-        # the version this handle read, another writer committed — refuse
-        # rather than silently drop their snapshot. (Single-writer rename
-        # CAS; a catalog-service CAS replaces this check at multi-writer
-        # scale, SURVEY.md §7.)
-        with open(self._pointer_path) as f:
-            on_disk = int(f.read().strip())
-        if on_disk != version - 1:
-            raise ConcurrentCommitError(
-                f"{self.identifier}: expected metadata v{version - 1}, found "
-                f"v{on_disk} — refresh() and retry"
-            )
         meta["snapshots"] = meta["snapshots"] + [snapshot]
         if branch is None:
             meta["current_snapshot_id"] = snap_id
@@ -629,13 +623,32 @@ class LakeTable:
             refs = dict(meta.get("refs") or {})
             refs[branch] = {"snapshot_id": snap_id, "type": "branch"}
             meta["refs"] = refs
-        meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        with open(meta_path, "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = self._pointer_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._pointer_path)  # atomic pointer swap
+        # Critical section: version check → metadata write → pointer swap
+        # under an exclusive lock. Without it, two writers that both read
+        # vN could both pass the check and the second pointer swap would
+        # silently drop the first commit.
+        lock_path = os.path.join(self._meta_dir, "commit.lock")
+        with open(lock_path, "a+") as lock_f:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: fall back to optimistic check
+                pass
+            with open(self._pointer_path) as f:
+                on_disk = int(f.read().strip())
+            if on_disk != version - 1:
+                raise ConcurrentCommitError(
+                    f"{self.identifier}: expected metadata v{version - 1}, found "
+                    f"v{on_disk} — refresh() and retry"
+                )
+            meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=1)
+            tmp = self._pointer_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, self._pointer_path)  # atomic pointer swap
         self.refresh()
         s = snapshot["summary"]
         self.reporter.report(
@@ -643,7 +656,7 @@ class LakeTable:
                 table_name=self.identifier,
                 snapshot_id=snap_id,
                 metrics={
-                    "attempts": 1,
+                    "attempts": attempts,
                     "addedDataFiles": s["added-data-files"],
                     "totalPositionalDeletes": s["total-position-deletes"],
                     "totalDataFiles": s["total-data-files"],
@@ -1010,19 +1023,32 @@ class LakeTable:
                     entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
-        base = (
-            self.snapshot(self._resolve_ref(branch)) if branch else self.snapshot()
-        )
-        manifests = (base["manifests"] if base else []) + [manifest]
-        self._commit_snapshot(
-            "append",
-            manifests,
-            entries,
-            t0,
-            branch=branch,
-            delete_manifests=base.get("delete_manifests", []) if base else [],
-            extra_summary={"added-ndv": ndv} if ndv else None,
-        )
+        # Iceberg newAppend retry parity: an append's manifest is
+        # re-appliable against any newer base, so on a concurrent-commit
+        # conflict we refresh and re-anchor instead of failing the write;
+        # the attempt count surfaces as the commit report's `attempts`.
+        last_err: Exception | None = None
+        for attempt in range(1, 4):
+            base = (
+                self.snapshot(self._resolve_ref(branch)) if branch else self.snapshot()
+            )
+            manifests = (base["manifests"] if base else []) + [manifest]
+            try:
+                self._commit_snapshot(
+                    "append",
+                    manifests,
+                    entries,
+                    t0,
+                    branch=branch,
+                    delete_manifests=base.get("delete_manifests", []) if base else [],
+                    extra_summary={"added-ndv": ndv} if ndv else None,
+                    attempts=attempt,
+                )
+                return self
+            except ConcurrentCommitError as err:
+                last_err = err
+                self.refresh()
+        raise last_err  # three losses in a row: surface the conflict
         return self
 
     def add_files(self, paths: list[str]) -> "LakeTable":

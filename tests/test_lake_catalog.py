@@ -145,18 +145,31 @@ def test_drop_table(spark, catalog):
 
 
 def test_concurrent_commit_detected(spark, catalog):
+    from icebergplus_spark.lake.metrics import MetricsReporter, MetricsSink
     from icebergplus_spark.lake.table import ConcurrentCommitError
 
+    sink = MetricsSink()
+    catalog.set_metrics_reporter(MetricsReporter(sink))
     t = catalog.create_table("db.concurrent", REF_SCHEMA)
     # two handles over the same table; the second commits first
     stale = catalog.load_table("db.concurrent")
     fresh = catalog.load_table("db.concurrent")
     fresh.append(spark.createDataFrame([ROW1], REF_SCHEMA))
-    with pytest.raises(ConcurrentCommitError):
-        stale.append(spark.createDataFrame([ROW2], REF_SCHEMA))
-    # the documented retry path succeeds
-    stale.refresh().append(spark.createDataFrame([ROW2], REF_SCHEMA))
+    # append self-heals (Iceberg newAppend retry): the conflicting
+    # commit is detected, the handle refreshes, and the manifest is
+    # re-anchored on the new base — attempts=2 in the commit report
+    stale.append(spark.createDataFrame([ROW2], REF_SCHEMA))
     assert stale.scan().count() == 2
+    assert fresh.refresh().scan().count() == 2
+    attempts = sink.get("iceberg.commitReport.attempts")
+    assert attempts is not None and attempts.value >= 3  # 1 + 2
+
+    # non-append commits stay fail-fast: the caller must refresh because
+    # their rewrite decisions were made against the stale base
+    stale2 = catalog.load_table("db.concurrent")
+    fresh.append(spark.createDataFrame([ROW1], REF_SCHEMA))
+    with pytest.raises(ConcurrentCommitError):
+        stale2.delete({"count": ("=", 22)})
 
 
 def test_sql_over_lake_view(spark, catalog):
@@ -171,3 +184,34 @@ def test_sql_over_lake_view(spark, catalog):
     t.append(spark.createDataFrame([("Hello sun", 44, True, ROW1[3])], REF_SCHEMA))
     t.to_view("lake_v1", snapshot_id=1)
     assert spark.sql("SELECT COUNT(*) n FROM lake_v1").first()["n"] == 2
+
+
+def test_parallel_appends_lose_nothing(spark, catalog):
+    """Two threads appending simultaneously: the locked CAS serializes
+    the commits and the retry loop re-anchors the loser — every row and
+    every snapshot survives."""
+    import threading
+
+    t = catalog.create_table("db.parallel", REF_SCHEMA)
+    handles = [catalog.load_table("db.parallel") for _ in range(2)]
+    dfs = [
+        spark.createDataFrame([ROW1], REF_SCHEMA),
+        spark.createDataFrame([ROW2], REF_SCHEMA),
+    ]
+    errs = []
+
+    def work(i):
+        try:
+            handles[i].append(dfs[i])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = t.refresh()
+    assert t.scan().count() == 2
+    assert len(t.history()) == 2
