@@ -61,7 +61,26 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            spark_df = fn(spark, SF_DIR)
+            # The driver's canonicalizer sorts+hashes column VALUES —
+            # array/map/struct/binary cells arrive as unhashable numpy
+            # objects and crash it (even on rows-only checks). Catch the
+            # schema here, before the driver does.
+            from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+            bad_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in spark_df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+            ]
+            if bad_cols:
+                print(
+                    f"FAIL {name}: non-hashable output columns {bad_cols} — "
+                    "stringify (array_join/to_json/hex) before returning"
+                )
+                n_fail += 1
+                continue
+            sdf = spark_df.toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {ex}")
             n_fail += 1
