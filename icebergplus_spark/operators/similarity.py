@@ -568,3 +568,173 @@ def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s07 — portable sign-LSH ANN, fully oracle-checked: the random
+# hyperplanes are md5-derived INTEGER coefficient vectors, embedded as
+# literal arrays in the oracle SQL, and every dot product runs as the
+# strict left-to-right JVM fold that bit-matches DuckDB's
+# list_dot_product — so bucket sign decisions, multiprobe candidates
+# and the exact cosine re-rank replay identically in SQL. Completes the
+# hash-verified sibling tier for the LSH family (s02 keeps the
+# Arrow/numpy fast path with the same architecture).
+# ---------------------------------------------------------------------------
+S07_DIM = 64      # testdata embedding dimension (asserted at runtime)
+S07_TABLES = 4
+S07_PLANES = 8    # 2^8 sign buckets per table
+
+
+def _s07_coeffs() -> list[list[list[int]]]:
+    """coeffs[t][p] = 64 integers in [-2^31, 2^31), md5('t:p:i')-derived
+    — deterministic, engine-neutral, exactly representable as doubles."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(f"{t}:{p}:{i}".encode()).hexdigest()[:8], 16)
+                - 2**31
+                for i in range(S07_DIM)
+            ]
+            for p in range(S07_PLANES)
+        ]
+        for t in range(S07_TABLES)
+    ]
+
+
+def _s07_oracle() -> str:
+    coeffs = _s07_coeffs()
+
+    def lit(cs):
+        return "[" + ", ".join(f"{c}.0" for c in cs) + "]"
+
+    buckets = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN list_dot_product(v, {lit(coeffs[t][p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(S07_PLANES)
+        )
+        + f") AS b{t}"
+        for t in range(S07_TABLES)
+    )
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS table_id, b{t} AS bucket FROM bucketed"
+        for t in range(S07_TABLES)
+    )
+    probe_flips = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(S07_PLANES)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v,
+         {buckets}
+  FROM e
+),
+corpus AS ({bucket_rows}),
+probes0 AS (SELECT * FROM corpus WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, table_id,
+         unnest([{probe_flips}]) AS bucket
+  FROM probes0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p
+  JOIN corpus c ON c.table_id = p.table_id AND c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(q.v, n.v) /
+               (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(n.v, n.v))),
+               6) AS cos_sim
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e n ON n.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("s07_lsh_portable", oracle=_s07_oracle())
+def s07_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coeffs = _s07_coeffs()
+    emb = _emb(spark, sf_dir)
+    if _dim(emb, sf_dir) != S07_DIM:  # oracle literals are dim-bound
+        raise ValueError(f"s07 expects {S07_DIM}-dim embeddings")
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
+
+    def plane_dot(cs):
+        # strict left-to-right fold against a literal coefficient array:
+        # bit-identical to DuckDB's list_dot_product over the same lists
+        carr = F.array(*[F.lit(float(c)) for c in cs])
+        return F.aggregate(
+            F.zip_with(F.col("v"), carr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket_cols = [
+        sum(
+            [
+                F.when(plane_dot(coeffs[t][p]) >= 0, F.lit(1 << p)).otherwise(0)
+                for p in range(S07_PLANES)
+            ],
+            F.lit(0),
+        ).alias(f"b{t}")
+        for t in range(S07_TABLES)
+    ]
+    bucketed = e.select("vec_id", "v", *bucket_cols)
+    corpus = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(S07_TABLES)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+    probes = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(S07_TABLES)])).alias(
+            "table_id", "qb"
+        ),
+    ).select(
+        "query_id",
+        "qv",
+        "table_id",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(S07_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
