@@ -214,3 +214,137 @@ def t23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d13 — incremental dedup: admit only NEW docs whose fingerprint does
+# not already exist in the historical corpus (docs below the watermark
+# id play "history"). This is the steady-state shape of corpus dedup —
+# each ingest batch is deduped against the accumulated fingerprint set,
+# never corpus-vs-corpus. The history side reduces to (fingerprint)
+# only before the anti-join: at 100 TB that column is the only thing
+# shuffled (or looked up from the fingerprint table the lake layer
+# maintains), and the batch side is small by construction.
+# ---------------------------------------------------------------------------
+HISTORY_WATERMARK = 400  # doc_id < 400 = already-ingested corpus
+
+
+@register(
+    "d13_incremental_dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, md5(LOWER(TRIM(text))) AS fingerprint
+  FROM documents
+),
+hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {HISTORY_WATERMARK}),
+batch AS (SELECT * FROM fp WHERE doc_id >= {HISTORY_WATERMARK}),
+novel AS (
+  SELECT b.* FROM batch b LEFT JOIN hist h USING (fingerprint)
+  WHERE h.fingerprint IS NULL
+)
+SELECT source,
+       (SELECT COUNT(*) FROM batch b2 WHERE b2.source = novel.source) AS batch_docs,
+       COUNT(*) AS admitted,
+       CAST(MIN(doc_id) AS BIGINT) AS first_admitted
+FROM novel
+GROUP BY source
+""",
+)
+def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    hist = (
+        fp.filter(F.col("doc_id") < HISTORY_WATERMARK)
+        .select("fingerprint")
+        .distinct()
+    )
+    batch = fp.filter(F.col("doc_id") >= HISTORY_WATERMARK)
+    batch_sizes = batch.groupBy("source").agg(F.count(F.lit(1)).alias("batch_docs"))
+    novel = batch.join(hist, "fingerprint", "left_anti")
+    return (
+        novel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("admitted"),
+            F.min("doc_id").alias("first_admitted"),
+        )
+        .join(batch_sizes, "source")
+        .select("source", "batch_docs", "admitted", "first_admitted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t24 — TF-IDF keyword search: rank docs for a keyword query with an
+# inverted-index plan — explode tokens, keep only query terms (the
+# filter IS the inverted-index probe: at 100 TB the explode+filter is a
+# pre-materialized postings table and this becomes a semi-join on it),
+# score = Σ tf·idf over matched terms, global top-20.
+# ---------------------------------------------------------------------------
+SEARCH_TERMS = ("spark", "stream", "vector")
+TOP_DOCS = 20
+
+
+@register(
+    "t24_keyword_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS tok
+  FROM documents
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN {SEARCH_TERMS!r}
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df)) AS score,
+         COUNT(*) AS terms_hit
+  FROM tf JOIN df USING (tok) CROSS JOIN n_docs n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS score, terms_hit,
+       -- rank on the ROUNDED score: raw double sums differ at ulp level
+       -- across engines (different accumulation order over terms)
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS INTEGER) AS rk
+FROM scored
+ORDER BY rk
+LIMIT {TOP_DOCS}
+""",
+)
+def t24_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # one scalar; broadcast into the score expr
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("score"),
+            F.count(F.lit(1)).alias("terms_hit"),
+        )
+    )
+    rounded = scored.select(
+        "doc_id", F.round("score", 6).alias("score"), "terms_hit"
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        rounded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_DOCS)
+    )
