@@ -947,28 +947,12 @@ class LakeTable:
                 pcols.append(hidden)
         return df, pcols
 
-    def append(
-        self,
-        df: DataFrame,
-        branch: str | None = None,
-        distribution: str | None = None,
-    ) -> "LakeTable":
-        """Append commit (newAppend().appendFile(...).commit() parity,
-        LocalIcebergCatalogTest.java:100-106): write parquet data files,
-        harvest footer stats, add one manifest, commit a snapshot.
-        ``branch``: commit onto that branch head instead of main
-        (write-audit-publish; create the branch first)."""
-        t0 = time.time()
-        if branch is not None:
-            r = self.refs.get(branch)
-            if r is None:
-                raise KeyError(f"no such branch: {branch}")
-            if r["type"] != "branch":
-                raise ValueError(f"cannot write to a tag: {branch}")
-        if [f.name for f in df.schema.fields] != [f.name for f in self.schema.fields]:
-            raise ValueError(
-                f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
-            )
+    def _write_data_files(
+        self, df: DataFrame, distribution: str | None
+    ) -> tuple[list[dict[str, Any]], dict[str, int], str]:
+        """Write a logical-schema frame as table data files and return
+        (manifest entries, ndv stats, manifest name). Shared by append
+        and upsert."""
         # store under physical names so renames stay metadata-only
         from pyspark.sql import functions as _F
 
@@ -1023,6 +1007,83 @@ class LakeTable:
                     entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
+        return entries, ndv, manifest
+
+    def upsert(self, df: DataFrame, key: str | list[str]) -> "LakeTable":
+        """ATOMIC merge-on-read upsert: one snapshot carries BOTH the
+        equality tombstone for ``df``'s keys (applies_before = the
+        pre-commit snapshot, so the rows appended in this same commit
+        are exempt via their later birth snapshot) AND the appended
+        rows. Readers flip from old state to new state in a single
+        pointer swap — no delete-but-not-yet-inserted window, which the
+        two-commit delete_by_key + append pairing has. Per-commit cost
+        is O(batch), never O(table): this is the streaming-upsert
+        primitive at any scale."""
+        t0 = time.time()
+        keys = [key] if isinstance(key, str) else list(key)
+        base = self.snapshot()
+        if base is None:  # empty table: a plain append IS the upsert
+            return self.append(df)
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        phys_keys = [mapping.get(c, c) for c in keys]
+        out_dir = os.path.join(
+            self.table_dir, "data", "deletes", f"eq-{uuid.uuid4().hex}"
+        )
+        df.select(
+            *[_F.col(c).alias(p) for c, p in zip(keys, phys_keys)]
+        ).dropDuplicates().write.mode("overwrite").parquet(out_dir)
+        del_entries = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    f = _harvest_footer(os.path.join(root, fn))
+                    del_entries.append(
+                        {
+                            "file_path": f["file_path"],
+                            "record_count": f["record_count"],
+                            "file_size_bytes": f["file_size_bytes"],
+                            "content": "equality",
+                            "equality_cols": json.dumps(phys_keys),
+                            "applies_before": base["snapshot_id"],
+                        }
+                    )
+        dmanifest = self._write_delete_manifest(del_entries)
+        entries, ndv, manifest = self._write_data_files(df, None)
+        self._commit_snapshot(
+            "upsert",
+            base["manifests"] + [manifest],
+            entries,
+            t0,
+            delete_manifests=base.get("delete_manifests", []) + [dmanifest],
+            extra_summary={"added-ndv": ndv} if ndv else None,
+        )
+        return self
+
+    def append(
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        distribution: str | None = None,
+    ) -> "LakeTable":
+        """Append commit (newAppend().appendFile(...).commit() parity,
+        LocalIcebergCatalogTest.java:100-106): write parquet data files,
+        harvest footer stats, add one manifest, commit a snapshot.
+        ``branch``: commit onto that branch head instead of main
+        (write-audit-publish; create the branch first)."""
+        t0 = time.time()
+        if branch is not None:
+            r = self.refs.get(branch)
+            if r is None:
+                raise KeyError(f"no such branch: {branch}")
+            if r["type"] != "branch":
+                raise ValueError(f"cannot write to a tag: {branch}")
+        if [f.name for f in df.schema.fields] != [f.name for f in self.schema.fields]:
+            raise ValueError(
+                f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
+            )
+        entries, ndv, manifest = self._write_data_files(df, distribution)
         # Iceberg newAppend retry parity: an append's manifest is
         # re-appliable against any newer base, so on a concurrent-commit
         # conflict we refresh and re-anchor instead of failing the write;
@@ -1112,7 +1173,7 @@ class LakeTable:
                 if m in seen:
                     continue
                 seen.add(m)
-                if is_wanted and s["operation"] in ("append", "overwrite"):
+                if is_wanted and s["operation"] in ("append", "overwrite", "upsert"):
                     t = pq.read_table(os.path.join(self._meta_dir, m))
                     new_files.extend(t.column("file_path").to_pylist())
         if not new_files:

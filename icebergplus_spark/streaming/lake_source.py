@@ -108,6 +108,7 @@ def _make_source():
                     if s["snapshot_id"] > lo and s["operation"] in (
                         "append",
                         "overwrite",
+                        "upsert",
                     ):
                         t = pq.read_table(
                             os.path.join(meta_dir, m), columns=["file_path"]

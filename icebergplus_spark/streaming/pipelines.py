@@ -144,10 +144,10 @@ def stream_upsert_to_lake(
     range intersects the batch). Latest-row-per-key semantics inside a
     batch are resolved by max event order before the write.
 
-    The two commits per batch are NOT atomic together — between them a
-    reader sees the key deleted but not yet re-inserted; the documented
-    upgrade is committing both manifests in one snapshot via the
-    write-audit-publish branch flow (append to a branch + fast_forward).
+    Each batch commits ONE atomic snapshot (``LakeTable.upsert``): the
+    equality-delete manifest and the appended-rows manifest land in the
+    same pointer swap, so readers never observe a key deleted but not
+    yet re-inserted.
     """
     from pyspark.sql import functions as _F
 
@@ -169,9 +169,10 @@ def stream_upsert_to_lake(
             .filter(_F.col("__rn") == 1)
             .drop("__rn")
         )
-        if table.snapshot() is not None:
-            table.delete_by_key(latest.select(key))
-        table.append(latest)
+        # single ATOMIC snapshot: equality tombstone + appended rows
+        # commit together, so readers never observe the
+        # deleted-but-not-reinserted window
+        table.upsert(latest, key)
 
     return (
         stream.writeStream.foreachBatch(_sink)

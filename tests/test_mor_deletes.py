@@ -174,3 +174,39 @@ def test_mor_delete_on_partitioned_table(spark, tmp_path):
     # partition pruning still composes with tombstones
     odd = sorted(r["k"] for r in t.scan(predicates={"v": ("=", "odd")}).collect())
     assert odd == [5, 7, 9]
+
+
+def test_atomic_upsert_single_snapshot(spark, tmp_path):
+    """upsert commits tombstone + rows in ONE snapshot: history grows by
+    exactly one entry, the key's old version is gone, and the changelog
+    for that snapshot shows the delete and the insert together."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("v", StringType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.au", schema)
+    t.append(spark.createDataFrame([(1, "old"), (2, "keep")], schema).coalesce(1))
+    n_before = len(t.history())
+
+    t.upsert(spark.createDataFrame([(1, "new"), (3, "add")], schema).coalesce(1), "k")
+    assert len(t.history()) == n_before + 1  # ONE commit for delete+insert
+    assert t.history()[-1]["operation"] == "upsert"
+    got = {r["k"]: r["v"] for r in t.scan().collect()}
+    assert got == {1: "new", 2: "keep", 3: "add"}
+
+    # rows appended AFTER the upsert with the same key survive its
+    # tombstone (applies_before semantics)
+    t.append(spark.createDataFrame([(1, "newer")], schema).coalesce(1))
+    vs = sorted(r["v"] for r in t.scan().filter("k = 1").collect())
+    assert vs == ["new", "newer"]
+
+    # changelog of the upsert snapshot: old version out, new rows in
+    cl = t.scan_changelog(from_snapshot_id=n_before, to_snapshot_id=n_before + 1)
+    changes = {(r["_change_type"], r["k"], r["v"]) for r in cl.collect()}
+    assert ("delete", 1, "old") in changes
+    assert ("insert", 1, "new") in changes
+    assert ("insert", 3, "add") in changes

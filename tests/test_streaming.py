@@ -269,5 +269,7 @@ def test_stream_upsert_to_lake_latest_per_key(spark, sf_dir, events_dir, tmp_pat
     g = {r["user_id"]: r["ts"] for r in got.collect()}
     e = {r["user_id"]: r["ts"] for r in expected.collect()}
     assert g == e
-    # MOR equality tombstones did the upserts: delete snapshots in history
-    assert any(s["operation"] == "delete" for s in t.history())
+    # MOR equality tombstones did the upserts — atomically: each batch
+    # is ONE upsert snapshot carrying tombstone + appended rows together
+    assert any(s["operation"] == "upsert" for s in t.history())
+    assert not any(s["operation"] == "delete" for s in t.history())
