@@ -1596,6 +1596,67 @@ class LakeTable:
         )
         return self
 
+    def overwrite_partitions(self, df: DataFrame) -> "LakeTable":
+        """Dynamic partition overwrite (Iceberg ``INSERT OVERWRITE``
+        dynamic mode / ``overwritePartitions``): atomically replace
+        EXACTLY the partitions present in ``df`` — files in untouched
+        partitions carry over to the new snapshot byte-identical. The
+        backfill primitive at 100 TB: recomputing one day touches one
+        day's files, and readers flip in a single pointer swap.
+
+        Touched partitions are identified by each file's partition-value
+        tuple from manifest stats (for a partitioned write min == max on
+        partition columns), compared as strings — the same canonical
+        form both the stats JSON and the transform columns use."""
+        t0 = time.time()
+        spec = self.partition_spec
+        if not spec:
+            raise ValueError("table is unpartitioned — use overwrite()")
+        from pyspark.sql import functions as _F
+
+        from icebergplus_spark.lake.transforms import field_name
+
+        mapping = self._column_mapping
+        pcol_names = [
+            mapping.get(pf["source"], pf["source"])
+            if pf["transform"] == "identity"
+            else field_name(pf)
+            for pf in spec
+        ]
+        phys = df.select(*[_F.col(c).alias(mapping[c]) for c in df.columns])
+        pdf, pcols = self._apply_partition_transforms(phys)
+        touched = {
+            tuple(str(r[c]) for c in pcols)
+            for r in pdf.select(*pcols).distinct().collect()
+        }
+
+        def file_part(entry: dict[str, Any]) -> tuple:
+            mins = json.loads(entry["column_mins"])
+            return tuple(str(mins.get(c)) for c in pcol_names)
+
+        all_files = self.plan_files()
+        survivors = [f for f in all_files if file_part(f) not in touched]
+        entries, ndv, stray = self._write_data_files(df, None)
+        # _write_data_files wrote a new-entries-only manifest; this
+        # commit needs the consolidated survivors+new manifest instead
+        try:
+            os.remove(os.path.join(self._meta_dir, stray))
+        except OSError:
+            pass
+        manifest = self._write_manifest(
+            sorted(survivors + entries, key=lambda e: e["file_path"])
+        )
+        snap = self.snapshot()
+        self._commit_snapshot(
+            "overwrite",
+            [manifest],
+            entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", []) if snap else [],
+            extra_summary={"added-ndv": ndv} if ndv else None,
+        )
+        return self
+
     def update_where(
         self,
         predicates: dict[str, tuple[str, Any]],

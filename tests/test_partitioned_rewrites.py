@@ -99,3 +99,48 @@ def test_delete_and_merge_preserve_partitions(spark, catalog):
     rows = _collect(t)
     assert len(rows) == 25
     assert all(seg is not None for _, _, seg in rows)
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [
+            StructField("region", StringType(), True),
+            StructField("v", LongType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.dpo", schema, partition_cols=["region"])
+    t.append(
+        spark.createDataFrame(
+            [("eu", 1), ("eu", 2), ("us", 10), ("ap", 100)], schema
+        ).coalesce(1)
+    )
+    before = {f["file_path"] for f in t.plan_files({"region": ("=", "us")})}
+    before_ap = {f["file_path"] for f in t.plan_files({"region": ("=", "ap")})}
+
+    # replace ONLY the eu partition
+    t.overwrite_partitions(
+        spark.createDataFrame([("eu", 7)], schema).coalesce(1)
+    )
+    got = sorted((r["region"], r["v"]) for r in t.scan().collect())
+    assert got == [("ap", 100), ("eu", 7), ("us", 10)]
+    # untouched partitions carry over the SAME files (no rewrite)
+    assert {f["file_path"] for f in t.plan_files({"region": ("=", "us")})} == before
+    assert {f["file_path"] for f in t.plan_files({"region": ("=", "ap")})} == before_ap
+    assert t.history()[-1]["operation"] == "overwrite"
+
+    # time travel still sees the pre-overwrite state
+    prev = t.history()[-2]["snapshot_id"]
+    old = sorted((r["region"], r["v"]) for r in t.scan(snapshot_id=prev).collect())
+    assert old == [("ap", 100), ("eu", 1), ("eu", 2), ("us", 10)]
+
+    # unpartitioned tables refuse (use overwrite())
+    t2 = cat.create_table("db.dpo_flat", schema)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t2.overwrite_partitions(spark.createDataFrame([("eu", 1)], schema))
