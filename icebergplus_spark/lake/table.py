@@ -990,6 +990,22 @@ class LakeTable:
             df = df.repartition(*[_F.col(c) for c in pcols])
         elif pcols and distribution == "range":
             df = df.repartitionByRange(*[_F.col(c) for c in pcols])
+        # Iceberg write.sort-order parity: a declared sort order is
+        # applied to incoming writes, not just compaction rewrites, so
+        # fresh files are born clustered and min/max pruning works from
+        # the first scan. "range" distribution (or an unpartitioned
+        # range write) makes the clustering global; otherwise it is
+        # per-task (sortWithinPartitions — no extra shuffle).
+        order = [
+            mapping.get(c.strip(), c.strip())
+            for c in self.properties.get("write.sort-order", "").split(",")
+            if c.strip()
+        ]
+        order = [c for c in order if c in phys_cols]
+        if order:
+            if not pcols and distribution == "range":
+                df = df.repartitionByRange(*[_F.col(c) for c in order])
+            df = df.sortWithinPartitions(*order)
         writer = df.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)

@@ -90,3 +90,49 @@ def test_add_files_guards(spark, tmp_path):
     tp = cat.create_table("db.guard_p", SCHEMA, partition_cols=["part"])
     with pytest.raises(ValueError, match="unpartitioned"):
         tp.add_files(bad)
+
+
+def test_write_sort_order_clusters_appends(spark, tmp_path):
+    """write.sort-order applies to the WRITE path (Iceberg parity): with
+    range distribution, freshly appended files have non-overlapping
+    [min,max] on the sort column — prunable from the first scan, no
+    compaction needed."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("s", StringType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.sorted", schema)
+    t.set_property("write.sort-order", "k").set_property(
+        "write.distribution-mode", "range"
+    )
+    import random
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    random.Random(7).shuffle(rows)
+    # AQE would rightly coalesce this tiny shuffle into one partition —
+    # pin it off so the test produces several range-clustered files
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.refresh().append(spark.createDataFrame(rows, schema).repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    files = t.plan_files()
+    assert len(files) > 1  # several files, else the test proves nothing
+    ranges = sorted(
+        (
+            int(json.loads(f["column_mins"])["k"]),
+            int(json.loads(f["column_maxs"])["k"]),
+        )
+        for f in files
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # globally range-clustered: no overlap
+    # pruning: a narrow range hits exactly one file
+    assert len(t.plan_files({"k": ("=", 42)})) == 1
