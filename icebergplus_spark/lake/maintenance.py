@@ -329,14 +329,18 @@ def _require_gc_enabled(table: LakeTable, op: str) -> None:
         )
 
 
-def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -> dict:
+def remove_orphan_files(
+    table: LakeTable, older_than_s: float = 3 * 24 * 3600, dry_run: bool = False
+) -> dict:
     """Delete data files under the table location that no snapshot (on
     any branch/tag) references — debris from failed/aborted writes
     (Iceberg's ``remove_orphan_files``). Only files older than
     ``older_than_s`` are touched so in-flight writer output survives;
     pass 0 in tests. Never deletes anything a manifest mentions, so it
     is safe to run alongside readers at any scale (the scan path lists
-    files from manifests, never from the directory)."""
+    files from manifests, never from the directory). ``dry_run`` lists
+    what WOULD be deleted without touching anything — run it first on a
+    100 TB table."""
     _require_gc_enabled(table, "remove_orphan_files")
     live: set[str] = set()
     for s in table.history():
@@ -344,7 +348,7 @@ def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -
             t = pq.read_table(os.path.join(table._meta_dir, m))
             live.update(t.column("file_path").to_pylist())
     cutoff = time.time() - older_than_s
-    deleted = 0
+    orphans: list[str] = []
     scanned = 0
     data_root = os.path.join(table.table_dir, "data")
     for root, _dirs, fns in os.walk(data_root):
@@ -354,9 +358,15 @@ def remove_orphan_files(table: LakeTable, older_than_s: float = 3 * 24 * 3600) -
             p = os.path.join(root, fn)
             scanned += 1
             if p not in live and os.path.getmtime(p) < cutoff:
-                os.remove(p)
-                deleted += 1
-    return {"scanned": scanned, "deleted": deleted, "live": len(live)}
+                orphans.append(p)
+                if not dry_run:
+                    os.remove(p)
+    return {
+        "scanned": scanned,
+        "deleted": 0 if dry_run else len(orphans),
+        "would_delete": len(orphans) if dry_run else 0,
+        "live": len(live),
+    }
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:

@@ -319,7 +319,9 @@ def t24_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # one scalar; broadcast into the score expr
+    # corpus size as a broadcast 1-row frame — keeps the whole query one
+    # lazy plan (no separate driver-side count action)
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
@@ -332,10 +334,11 @@ def t24_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_df))
         .groupBy("doc_id")
         .agg(
             F.sum(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))
             ).alias("score"),
             F.count(F.lit(1)).alias("terms_hit"),
         )
