@@ -1431,6 +1431,8 @@ class LakeTable:
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
         matched_condition: Any | None = None,
+        when_not_matched_by_source_delete: bool = False,
+        not_matched_by_source_condition: Any | None = None,
     ) -> "LakeTable":
         """Multi-clause MERGE (Iceberg/Delta ``MERGE INTO`` parity,
         beyond the single-clause upsert ``merge``):
@@ -1445,6 +1447,13 @@ class LakeTable:
           are appended (their non-``on`` columns must align by name).
         - ``matched_condition``: extra Column predicate (same namespace)
           gating the matched clause, like SQL's ``WHEN MATCHED AND ...``.
+        - ``when_not_matched_by_source_delete=True``: target rows with NO
+          source match are removed (SQL's ``WHEN NOT MATCHED BY SOURCE
+          THEN DELETE`` — the full-sync/replication shape), optionally
+          gated by ``not_matched_by_source_condition`` over target
+          columns. This clause must examine EVERY target row, so it
+          disables stats targeting and rewrites the whole table — the
+          same full-target scan Delta/Iceberg pay for BY SOURCE clauses.
 
         Copy-on-write and stats-targeted like ``merge``: only files whose
         key range intersects the source's [min,max] are rewritten."""
@@ -1472,12 +1481,17 @@ class LakeTable:
         if bounds["lo"] is None:
             return self  # empty source
         all_files = self.plan_files()
-        affected = self.plan_files({k0: (">=", bounds["lo"])})
-        affected = [
-            f
-            for f in affected
-            if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
-        ]
+        if when_not_matched_by_source_delete:
+            # BY SOURCE clauses judge every target row — no file can be
+            # carried over unexamined
+            affected = all_files
+        else:
+            affected = self.plan_files({k0: (">=", bounds["lo"])})
+            affected = [
+                f
+                for f in affected
+                if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
+            ]
         affected_paths = {f["file_path"] for f in affected}
         untouched = [f for f in all_files if f["file_path"] not in affected_paths]
 
@@ -1528,6 +1542,14 @@ class LakeTable:
             result = result.filter(~gate)
         if not when_not_matched_insert:
             result = result.filter(~is_source_only)
+        if when_not_matched_by_source_delete:
+            is_target_only = _F.col("__s").isNull()
+            bys_gate = (
+                is_target_only & not_matched_by_source_condition
+                if not_matched_by_source_condition is not None
+                else is_target_only
+            )
+            result = result.filter(~bys_gate)
         # unmatched-source rows with insert disabled are gone; matched &
         # target-only rows keep/compute target columns
         result = result.select(*out_cols)

@@ -97,3 +97,48 @@ def test_merge_into_multi_key_and_stats_targeting(spark, tmp_path):
     assert rows == {1: 1.0, 2: 22.0, 100: 100.0, 101: 101.0}
     # stats targeting: only the low-key file rewritten
     assert t.snapshot()["summary"]["added-data-files"] < n_before
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """Full-sync merge: update matches, insert new, delete target rows
+    absent from the source (WHEN NOT MATCHED BY SOURCE THEN DELETE)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("v", StringType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.sync", schema)
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema).coalesce(1)
+    )
+    src = spark.createDataFrame([(2, "B"), (4, "D")], schema)
+
+    import pyspark.sql.functions as F
+
+    t.merge_into(
+        src,
+        on="k",
+        when_matched_update={"v": F.col("src_v")},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    got = sorted((r["k"], r["v"]) for r in t.scan().collect())
+    assert got == [(2, "B"), (4, "D")]  # 1 and 3 deleted, 2 updated, 4 inserted
+
+    # conditional BY SOURCE delete: only stale rows below the cutoff go
+    t2 = cat.create_table("db.sync2", schema)
+    t2.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], schema).coalesce(1)
+    )
+    t2.merge_into(
+        spark.createDataFrame([(2, "B")], schema),
+        on="k",
+        when_matched_update={"v": F.col("src_v")},
+        when_not_matched_by_source_delete=True,
+        not_matched_by_source_condition=F.col("k") < 5,
+    )
+    got2 = sorted((r["k"], r["v"]) for r in t2.scan().collect())
+    assert got2 == [(2, "B"), (9, "z")]  # 1 deleted (k<5), 9 survives
