@@ -497,3 +497,63 @@ def q92_lake_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, int(min_key), int(max_key), n_big)], out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — full-sync MERGE round trip: matched-update + not-matched insert
+# + WHEN NOT MATCHED BY SOURCE DELETE (conditioned: only low-balance
+# stale rows are purged). The oracle restates all three clauses as
+# explicit SQL set logic — inner join for updates, filtered anti join
+# for surviving target-only rows, anti join for inserts.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_lake_sync_merge",
+    oracle="""
+WITH t AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+s AS (SELECT * FROM customer WHERE c_custkey % 4 = 0),
+merged AS (
+  SELECT t.c_mktsegment, t.c_acctbal + s.c_acctbal AS bal
+  FROM t JOIN s ON t.c_custkey = s.c_custkey
+  UNION ALL
+  SELECT t.c_mktsegment, t.c_acctbal
+  FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+  WHERE s.c_custkey IS NULL AND NOT (t.c_acctbal < 5000.0)
+  UNION ALL
+  SELECT s.c_mktsegment, s.c_acctbal
+  FROM s LEFT JOIN t ON s.c_custkey = t.c_custkey
+  WHERE t.c_custkey IS NULL
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(bal AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_bal
+FROM merged
+GROUP BY c_mktsegment
+""",
+)
+def q100_lake_sync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sync_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_sync", cust.schema)
+    t.append(cust.filter(F.col("c_custkey") % 3 == 0).repartition(4))
+    src = cust.filter(F.col("c_custkey") % 4 == 0)
+    t.merge_into(
+        src,
+        on="c_custkey",
+        when_matched_update={
+            "c_acctbal": F.col("c_acctbal") + F.col("src_c_acctbal")
+        },
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+        not_matched_by_source_condition=F.col("c_acctbal") < 5000.0,
+    )
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("c_acctbal", 2).alias("sum_bal"),
+        )
+    )
