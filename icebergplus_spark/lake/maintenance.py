@@ -369,17 +369,28 @@ def remove_orphan_files(
     }
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
-    """Drop all but the last ``keep_last`` snapshots and delete data/
-    manifest files no retained snapshot references (SURVEY.md §2.B
-    "Snapshot expiry / vacuum"). Snapshots pinned by a named ref (tag or
-    branch head, incl. main) are always retained — expiring a tagged
-    snapshot would silently break ``scan(ref=...)``."""
+def expire_snapshots(
+    table: LakeTable, keep_last: int = 1, older_than_ms: int | None = None
+) -> dict:
+    """Drop expired snapshots and delete data/manifest files no retained
+    snapshot references (SURVEY.md §2.B "Snapshot expiry / vacuum").
+
+    Retention (Iceberg ``expireSnapshots`` parity): always the last
+    ``keep_last`` snapshots; with ``older_than_ms`` set, snapshots at or
+    after that commit timestamp are ALSO retained regardless of count
+    (the retain-last AND max-age combination). Snapshots pinned by a
+    named ref (tag or branch head, incl. main) are always retained —
+    expiring a tagged snapshot would silently break ``scan(ref=...)``."""
     _require_gc_enabled(table, "expire_snapshots")
     snaps = table.history()
     ref_ids = {r["snapshot_id"] for r in table.refs.values()}
     tail_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}
-    keep_ids = ref_ids | tail_ids
+    age_ids = (
+        {s["snapshot_id"] for s in snaps if s["timestamp_ms"] >= older_than_ms}
+        if older_than_ms is not None
+        else set()
+    )
+    keep_ids = ref_ids | tail_ids | age_ids
     retained = [s for s in snaps if s["snapshot_id"] in keep_ids]
     expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
     if not expired:

@@ -121,3 +121,27 @@ def test_expire_metadata_versions(spark, two_snapshot_table):
     t.refresh()
     assert t.scan().count() == 7
     assert t.scan(snapshot_id=t.history()[-2]["snapshot_id"]).count() == 6
+
+
+def test_expire_snapshots_by_age(spark, tmp_path):
+    """older_than_ms retains every snapshot newer than the cutoff even
+    beyond keep_last; only stale history expires."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.maintenance import expire_snapshots
+
+    schema = StructType([StructField("x", LongType(), True)])
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.age", schema)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    ts = [s["timestamp_ms"] for s in t.history()]
+    # cutoff between snapshot 2 and 3: snapshots 3,4 are "recent"
+    cutoff = ts[2]
+    res = expire_snapshots(t, keep_last=1, older_than_ms=cutoff)
+    ids = [s["snapshot_id"] for s in t.refresh().history()]
+    assert ids == [3, 4]  # 1,2 expired; 3,4 kept by age (4 also by tail)
+    assert res["expired"] == 2
+    # all rows still scannable from the retained head
+    assert t.scan().count() == 4
