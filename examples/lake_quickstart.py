@@ -63,3 +63,19 @@ spark.sql("SELECT doc_id, content, lang FROM docs ORDER BY doc_id").show()
 docs.scan_changelog(from_snapshot_id=2).orderBy(
     "_commit_snapshot_id", "_change_type", "doc_id"
 ).show(truncate=False)
+
+# atomic upsert: equality tombstone + new rows in ONE snapshot
+docs.upsert(
+    spark.createDataFrame([(3, "third, revised", "en")], docs.schema), key="doc_id"
+)
+
+# zero-copy clone: a full-table sandbox in O(manifests) — experiments
+# write to the clone's own directory, the source never sees them
+sandbox = catalog.clone_table("demo.docs", "demo.docs_sandbox")
+sandbox.append(spark.createDataFrame([(99, "experiment", "xx")], sandbox.schema))
+print("source rows:", docs.refresh().scan().count(),
+      "| sandbox rows:", sandbox.scan().count())
+
+# rename: catalog-pointer move, files stay put
+catalog.rename_table("demo.docs_sandbox", "demo.docs_experiment")
+print("tables:", catalog.list_tables())

@@ -176,12 +176,14 @@ class LocalLakeCatalog:
 
     def clone_table(self, src_identifier: str, dst_identifier: str) -> LakeTable:
         """Zero-copy clone (Iceberg ``snapshot`` procedure parity): a new
-        independent table whose single starting snapshot references the
-        source's CURRENT data files in place — only the (small) manifest
-        files are copied, no data moves. Writes to either table diverge
-        from there. Like Iceberg snapshot tables, the clone is created
-        with ``gc.enabled=false`` so its vacuum/expiry never deletes
-        files the source still owns; compaction on the clone is safe
+        independent table referencing the source's data files in place —
+        only the (small) manifest files are copied, no data moves; the
+        full snapshot lineage is inherited so merge-on-read tombstone
+        semantics and time travel behave exactly as in the source.
+        Writes to either table diverge from the clone point. Like
+        Iceberg snapshot tables, the clone is created with
+        ``gc.enabled=false`` so its vacuum/expiry never deletes files
+        the source still owns; compaction on the clone is safe
         (rewrites land in the clone's own directory).
 
         At 100 TB this is the experiment on-ramp: a full-table sandbox
@@ -201,21 +203,23 @@ class LocalLakeCatalog:
             "gc.enabled": "false",
         }
         meta["refs"] = {}
-        cur = src.snapshot()
-        if cur is not None:
-            snap = dict(cur)
-            snap["parent_snapshot_id"] = None
-            meta["snapshots"] = [snap]
-            meta["current_snapshot_id"] = snap["snapshot_id"]
+        # The FULL snapshot lineage is inherited (all manifests copied —
+        # still metadata-only). Squashing to one snapshot would reset
+        # every file's birth snapshot and break equality-tombstone
+        # applies_before semantics (deleted rows would resurrect in the
+        # clone); as a bonus the clone can time-travel into inherited
+        # history. gc.enabled=false already blocks expiry from deleting
+        # inherited (source-owned) files.
+        seen: set[str] = set()
+        for snap in meta.get("snapshots", []):
             for m in list(snap["manifests"]) + list(
                 snap.get("delete_manifests", [])
             ):
-                shutil.copy2(
-                    os.path.join(src._meta_dir, m), os.path.join(meta_dir, m)
-                )
-        else:
-            meta["snapshots"] = []
-            meta["current_snapshot_id"] = None
+                if m not in seen:
+                    seen.add(m)
+                    shutil.copy2(
+                        os.path.join(src._meta_dir, m), os.path.join(meta_dir, m)
+                    )
         with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
             json.dump(meta, f, indent=1)
         tmp = os.path.join(meta_dir, f"ptr-{uuid.uuid4().hex}")

@@ -60,9 +60,10 @@ def test_clone_table_zero_copy_and_divergence(spark, tmp_path):
         if os.sep + "metadata" + os.sep not in p
     ]
     assert clone_data == []
-    # single squashed starting snapshot, detached from source history
-    assert len(clone.history()) == 1
-    assert clone.history()[0]["parent_snapshot_id"] is None
+    # full lineage inherited (metadata-only): time travel still works
+    # and file birth snapshots stay correct for tombstone semantics
+    assert len(clone.history()) == 2
+    assert clone.scan(snapshot_id=1).count() == 2
 
     # divergence: writes to one side never show on the other
     src.append(spark.createDataFrame([(4, "d")], SCHEMA).coalesce(1))
@@ -86,6 +87,19 @@ def test_clone_carries_mor_tombstones(spark, tmp_path):
     src.delete_where({"k": ("=", 2)})
     clone = cat.clone_table("db.src2", "db.clone2")
     assert _rows(clone.scan()) == [(1, "a"), (3, "c")]
+
+
+def test_clone_preserves_equality_tombstone_semantics(spark, tmp_path):
+    """applies_before needs true birth snapshots: an upserted key's OLD
+    version must stay deleted in the clone, while the replacement row
+    (born after the tombstone) survives."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    src = cat.create_table("db.src4", SCHEMA)
+    src.append(spark.createDataFrame([(1, "old"), (2, "keep")], SCHEMA).coalesce(1))
+    src.upsert(spark.createDataFrame([(1, "new")], SCHEMA).coalesce(1), "k")
+    assert _rows(src.scan()) == [(1, "new"), (2, "keep")]
+    clone = cat.clone_table("db.src4", "db.clone4")
+    assert _rows(clone.scan()) == [(1, "new"), (2, "keep")]
 
 
 def test_clone_gc_guard(spark, tmp_path):
