@@ -351,3 +351,42 @@ def t24_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# t26 — corpus report: the per-source "dataset card" numbers a curation
+# run publishes — volume, exact-dup rate, language spread, length
+# profile. One scan, one two-phase aggregate per source; the distinct
+# counts expand to Spark's standard two-phase distinct aggregate (still
+# map-side partial at 100 TB).
+# ---------------------------------------------------------------------------
+@register(
+    "t26_corpus_report",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+       ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+""",
+)
+def t26_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("text").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
