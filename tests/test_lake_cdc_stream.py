@@ -163,3 +163,44 @@ def test_cdc_replication_lake_to_lake(spark, tmp_path):
         (3, "c", 3.0),
         (4, "d", 4.0),
     ]
+
+
+def test_cdc_stream_over_atomic_upsert(spark, tmp_path):
+    """An upsert snapshot must stream as the pre-image delete plus the
+    new-row inserts in ONE commit id — and the rows inserted by the same
+    commit must not be swallowed by its own tombstone."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming.lake_source import read_lake_cdc_stream
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("s", StringType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.cdcu", schema)
+    t.append(spark.createDataFrame([(1, "old"), (2, "keep")], schema).coalesce(1))
+    t.upsert(spark.createDataFrame([(1, "new"), (3, "add")], schema).coalesce(1), "k")
+    upsert_id = t.current_snapshot_id
+
+    out = (
+        read_lake_cdc_stream(spark, t.table_dir)
+        .writeStream.format("memory")
+        .queryName("cdc_upsert_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cdc_upsert_out").collect()
+    changes = {
+        (r["_change_type"], r["k"], r["s"], r["_commit_snapshot_id"]) for r in rows
+    }
+    assert ("insert", 1, "old", 1) in changes
+    assert ("insert", 2, "keep", 1) in changes
+    # the upsert commit: pre-image delete + both new-row inserts
+    assert ("delete", 1, "old", upsert_id) in changes
+    assert ("insert", 1, "new", upsert_id) in changes
+    assert ("insert", 3, "add", upsert_id) in changes
+    # nothing else (2 stays untouched; no spurious deletes)
+    assert len(changes) == 5
