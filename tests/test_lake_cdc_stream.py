@@ -204,3 +204,39 @@ def test_cdc_stream_over_atomic_upsert(spark, tmp_path):
     assert ("insert", 3, "add", upsert_id) in changes
     # nothing else (2 stays untouched; no spurious deletes)
     assert len(changes) == 5
+
+
+def test_cdc_replication_across_upserts(spark, tmp_path):
+    """Replication converges across atomic upsert commits: the replica
+    nets out each upsert's delete+insert pair and matches the source."""
+    from icebergplus_spark.streaming.pipelines import stream_replicate_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whu")).start()
+    src = cat.create_table("db.usrc", SCHEMA)
+    dst = cat.create_table("db.udst", SCHEMA)
+    ckpt = str(tmp_path / "ckpt_repl_u")
+
+    src.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], SCHEMA
+        ).coalesce(1)
+    )
+    src.upsert(
+        spark.createDataFrame([(1, "A", 11.0), (3, "c", 3.0)], SCHEMA).coalesce(1),
+        "id",
+    )
+    q = stream_replicate_lake(spark, src.table_dir, dst, ckpt)
+    q.awaitTermination(120)
+    assert sorted(map(tuple, dst.scan().collect())) == sorted(
+        map(tuple, src.scan().collect())
+    )
+
+    # a second upsert, resumed from checkpoint
+    src.upsert(spark.createDataFrame([(2, "B", 22.0)], SCHEMA).coalesce(1), "id")
+    q2 = stream_replicate_lake(spark, src.table_dir, dst, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, dst.scan().collect())) == [
+        (1, "A", 11.0),
+        (2, "B", 22.0),
+        (3, "c", 3.0),
+    ]
