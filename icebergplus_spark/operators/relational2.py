@@ -557,3 +557,43 @@ def q100_lake_sync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 2).alias("sum_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — binned range join: customers matched to OVERLAPPING balance
+# bands through the bin-and-equi-join rewrite (functions/range_join.py)
+# instead of a broadcast-nested-loop theta join — the interval-join
+# plan that survives 100 TB. The oracle states the same join as a
+# plain BETWEEN theta join; hash-matching it proves the binned rewrite
+# is exact (multi-band matches included).
+# ---------------------------------------------------------------------------
+@register(
+    "q101_binned_range_join",
+    oracle="""
+WITH bands AS (
+  SELECT r_regionkey AS band_id,
+         r_regionkey * 2000.0 - 1000.0 AS lo,
+         r_regionkey * 2000.0 + 2500.0 AS hi
+  FROM region
+)
+SELECT band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_bal
+FROM customer JOIN bands ON c_acctbal BETWEEN lo AND hi
+GROUP BY band_id
+""",
+)
+def q101_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.functions.range_join import bin_range_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bands = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 2000.0 - 1000.0).alias("lo"),
+        (F.col("r_regionkey") * 2000.0 + 2500.0).alias("hi"),
+    )
+    joined = bin_range_join(cust, bands, "c_acctbal", "lo", "hi", bin_width=1000.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", 2).alias("sum_bal"),
+    )

@@ -73,3 +73,33 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+def test_bin_range_join_equals_theta_join(spark):
+    """Binned rewrite == naive theta join on random points/intervals,
+    and the plan contains no nested-loop or cartesian operator."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.functions.range_join import bin_range_join
+
+    rnd = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, rnd.uniform(0, 100)) for i in range(300)], "pid long, x double"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, lo, lo + rnd.uniform(0, 15))
+            for j in range(40)
+            for lo in [rnd.uniform(-5, 95)]
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = bin_range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0)
+    expected = pts.join(ivs, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    assert sorted(
+        (r["pid"], r["iid"]) for r in got.select("pid", "iid").collect()
+    ) == sorted((r["pid"], r["iid"]) for r in expected.select("pid", "iid").collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
