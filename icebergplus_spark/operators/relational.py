@@ -120,7 +120,8 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q03 — shipping priority: 3-way join + agg + top-k (TPC-H Q3 shape)
-# customer is broadcast (small dim); orders⋈lineitem shuffles on orderkey.
+# orders/customer scale with SF: no broadcast hints — fact joins shuffle on
+# their keys and AQE upgrades to broadcast only when runtime stats allow.
 # ---------------------------------------------------------------------------
 @register(
     "q03_shipping_priority",
@@ -151,7 +152,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            # orders and customer both scale with SF: no broadcast hint. AQE
+            # broadcasts at small SF and degrades to shuffle/SMJ at scale.
+            orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -198,7 +201,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q05 — local supplier volume: 6-way star join (TPC-H Q5 shape)
-# region/nation/supplier/customer broadcast; fact tables shuffle once.
+# region/nation/supplier broadcast (dims); orders/customer/lineitem shuffle.
 # ---------------------------------------------------------------------------
 @register(
     "q05_local_supplier_volume",
@@ -228,8 +231,10 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # orders/customer scale with SF — fact-fact joins shuffle; AQE picks
+        # broadcast only when runtime stats fit under the threshold.
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -597,7 +602,10 @@ def q17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag_days = F.expr("timestampdiff(SECOND, o_orderdate, l_shipdate)") / 86400.0
     return (
         li.join(
-            F.broadcast(orders),
+            # Equi key alone already avoids BNLJ — the range predicate rides
+            # as a residual filter on the shuffled hash/SMJ join. orders is
+            # fact-scale, so no broadcast hint; AQE decides at runtime.
+            orders,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_shipdate") >= F.col("o_orderdate"))
             & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),

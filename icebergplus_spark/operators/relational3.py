@@ -116,7 +116,8 @@ def q68_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.filter(F.col("o_orderkey") % 20 == 0)
-        .join(F.broadcast(per_cust_max), F.col("o_custkey") == F.col("mc_custkey"))
+        # per_cust_max is customer-scale (grows with SF) — no broadcast hint.
+        .join(per_cust_max, F.col("o_custkey") == F.col("mc_custkey"))
         .select(
             "o_orderkey",
             "o_custkey",
@@ -226,7 +227,8 @@ def q70_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
     late = (
-        li.join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        # orders is fact-scale — shuffle join on the order key; no hint.
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )

@@ -191,11 +191,11 @@ def t13_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic serpentine (boustrophedon) rank→shard layout: rank by
 # token count desc, then snake across shards (0..7, 7..0, …) so each
 # shard gets one doc per "round" from alternating ends of the size
-# distribution. One global sort (rank window) + one small agg; at
-# 100 TB the global rank becomes rank-within-size-bucket (the same
-# evenness guarantee, no single-partition window) — this query is the
-# exact version. Balance is asserted in the test; evenness here comes
-# out < 1% spread. Ties broken by doc_id so both engines agree.
+# distribution. The global rank is the scalable two-pass form
+# (functions/global_rank.py: range-repartition + per-partition offsets)
+# — exact ranks, no single-partition window even at 100 TB. Balance is
+# asserted in the test; evenness here comes out < 1% spread. Ties
+# broken by doc_id so both engines agree.
 # ---------------------------------------------------------------------------
 N_SHARDS = 8
 
@@ -234,10 +234,13 @@ def t16_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("n_tok"),
     )
-    rk = (
-        F.row_number().over(Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))) - 1
-    )
-    ranked = docs.select("n_tok", rk.alias("rk"))
+    # Exact global rank without the single-partition window: range-
+    # repartition + per-partition offsets (functions/global_rank.py).
+    from icebergplus_spark.functions.global_rank import with_global_rank
+
+    ranked = with_global_rank(
+        docs, F.desc("n_tok"), F.asc("doc_id"), rank_col="rk", zero_based=True
+    ).select("n_tok", "rk")
     fwd = F.col("rk") % N_SHARDS
     shard = F.when(
         (F.col("rk") / N_SHARDS).cast("long") % 2 == 0, fwd
@@ -296,13 +299,19 @@ def t17_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("long").alias("tok_total"),
     )
-    # corpus total via an unpartitioned window over the 20 source rows
-    # (exact: BIGINT sum), then the α=0.5 temperature weight
-    total = F.sum("tok_total").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    # corpus total via a window over the ~20 source rows (exact: BIGINT
+    # sum), then the α=0.5 temperature weight. Constant-but-unfoldable
+    # partition key (pmod(n,1)=0): the input is already the tiny
+    # post-agg frame, and it keeps WindowExec off its unpartitioned
+    # code path.
+    w_all = Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("tok_total").over(w_all)
     w = s.withColumn(
         "w_raw", F.sqrt(F.col("tok_total").cast("double") / total)
     )
-    wmax = F.max("w_raw").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    wmax = F.max("w_raw").over(w_all)
     return w.select(
         "source",
         "n_docs",

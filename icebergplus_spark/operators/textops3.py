@@ -346,11 +346,16 @@ def t24_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded = scored.select(
         "doc_id", F.round("score", 6).alias("score"), "terms_hit"
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        rounded.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_DOCS)
+    # Global top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # single-partition sort of every scored doc), then rank only the k
+    # survivors. The constant-but-unfoldable partition key (pmod(x,1)=0)
+    # keeps WindowExec off its unpartitioned path; the window sees
+    # TOP_DOCS rows, not the corpus.
+    topk = rounded.orderBy(F.col("score").desc(), "doc_id").limit(TOP_DOCS)
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("score").desc(), "doc_id"
     )
+    return topk.withColumn("rk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

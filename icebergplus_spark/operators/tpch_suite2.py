@@ -153,7 +153,8 @@ def q75_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        # orders is fact-scale — shuffle join; AQE broadcasts only if small.
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
