@@ -186,6 +186,16 @@ class LocalLakeCatalog:
         the source still owns; compaction on the clone is safe
         (rewrites land in the clone's own directory).
 
+        The hazard runs BOTH ways: the clone's inherited manifests
+        reference files the SOURCE owns, so source-side
+        ``expire_snapshots`` / ``remove_orphan_files`` could delete
+        files a clone still reads (the failure mode Iceberg documents
+        for snapshot tables). To prevent it, the clone is registered on
+        the source as a ``clones`` table property and file-deleting
+        maintenance REFUSES while it is set; after dropping a clone,
+        ``unset_property("clones")`` (or remove its entry) re-enables
+        maintenance.
+
         At 100 TB this is the experiment on-ramp: a full-table sandbox
         in O(manifests) time and bytes."""
         self._require_started()
@@ -228,6 +238,14 @@ class LocalLakeCatalog:
         os.replace(tmp, os.path.join(meta_dir, "version-pointer.txt"))
         with open(self._pointer_file(dst_identifier), "w") as f:
             json.dump({"table_dir": table_dir}, f)
+        # register the clone on the SOURCE: its data files are now shared,
+        # so source-side expiry/orphan-removal must refuse until the clone
+        # registration is removed (see maintenance._require_gc_enabled)
+        existing = [
+            c for c in src.properties.get("clones", "").split(",") if c
+        ]
+        if dst_identifier not in existing:
+            src.set_property("clones", ",".join(existing + [dst_identifier]))
         return self.load_table(dst_identifier)
 
     def load_table(self, identifier: str) -> LakeTable:

@@ -321,11 +321,25 @@ def cherry_pick(table: LakeTable, snapshot_id: int) -> dict:
 def _require_gc_enabled(table: LakeTable, op: str) -> None:
     """Iceberg gc.enabled parity: cloned (snapshot) tables reference data
     files they do not own, so file-deleting maintenance is refused on
-    them rather than silently corrupting the source table."""
-    if (table.properties or {}).get("gc.enabled", "true").lower() == "false":
+    them rather than silently corrupting the source table. The inverse
+    direction is guarded too: a table with registered clones (the
+    ``clones`` property clone_table maintains) shares its files WITH
+    them, so deleting here would corrupt the clones."""
+    # refresh: the clone registration may have landed through another
+    # handle (clone_table writes it via its own load_table instance)
+    table.refresh()
+    props = table.properties or {}
+    if props.get("gc.enabled", "true").lower() == "false":
         raise ValueError(
             f"{op} refused: gc.enabled=false on {table.identifier} "
             "(this table shares data files with its clone source)"
+        )
+    clones = [c for c in props.get("clones", "").split(",") if c]
+    if clones:
+        raise ValueError(
+            f"{op} refused: {table.identifier} has zero-copy clones "
+            f"{clones} that still reference its data files — drop the "
+            "clones and unset the 'clones' property first"
         )
 
 

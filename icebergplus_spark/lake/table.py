@@ -600,6 +600,12 @@ class LakeTable:
             "operation": operation,
             "manifests": manifests,
             "delete_manifests": delete_manifests,
+            # Files genuinely ADDED by this commit. Incremental/streaming
+            # consumers read this, never the manifest birth heuristic: a
+            # consolidated manifest (e.g. overwrite_partitions' survivors+new)
+            # would otherwise re-attribute every carried-over file to this
+            # snapshot and re-emit the untouched table as duplicates.
+            "added_files": sorted(e["file_path"] for e in added_entries),
             "summary": {
                 "added-data-files": len(added_entries),
                 "added-records": sum(e["record_count"] for e in added_entries),
@@ -1037,6 +1043,13 @@ class LakeTable:
         primitive at any scale."""
         t0 = time.time()
         keys = [key] if isinstance(key, str) else list(key)
+        # same schema-name gate as append(): catch a wrong/missing/
+        # reordered column set here, not as an opaque KeyError from the
+        # physical column-mapping select in _write_data_files
+        if [f.name for f in df.schema.fields] != [f.name for f in self.schema.fields]:
+            raise ValueError(
+                f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
+            )
         base = self.snapshot()
         if base is None:  # empty table: a plain append IS the upsert
             return self.append(df)
@@ -1184,12 +1197,23 @@ class LakeTable:
         for s in self._meta["snapshots"]:
             if s["snapshot_id"] > to_id:
                 break
-            is_wanted = s["snapshot_id"] > from_snapshot_id
+            is_wanted = (
+                s["snapshot_id"] > from_snapshot_id
+                and s["operation"] in ("append", "overwrite", "upsert")
+            )
+            if "added_files" in s:
+                # authoritative per-commit added set — immune to carried-
+                # over files sharing a manifest with the additions
+                if is_wanted:
+                    new_files.extend(s["added_files"])
+                seen.update(s["manifests"])
+                continue
+            # legacy snapshots: manifest birth = first appearance in the log
             for m in s["manifests"]:
                 if m in seen:
                     continue
                 seen.add(m)
-                if is_wanted and s["operation"] in ("append", "overwrite", "upsert"):
+                if is_wanted:
                     t = pq.read_table(os.path.join(self._meta_dir, m))
                     new_files.extend(t.column("file_path").to_pylist())
         if not new_files:
@@ -1478,8 +1502,13 @@ class LakeTable:
         bounds = source.agg(
             _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
         ).first()
-        if bounds["lo"] is None:
-            return self  # empty source
+        if bounds["lo"] is None and not when_not_matched_by_source_delete:
+            # Empty source (or all-NULL first key): nothing can match and
+            # nothing can insert. BUT a BY SOURCE delete clause must still
+            # judge every target row — SQL semantics delete the whole
+            # (condition-matching) target when the source is empty, the
+            # full-sync/replication case — so it falls through.
+            return self
         all_files = self.plan_files()
         if when_not_matched_by_source_delete:
             # BY SOURCE clauses judge every target row — no file can be
@@ -1512,8 +1541,12 @@ class LakeTable:
             join_cond = join_cond & (_F.col(c) == _F.col(f"src_{c}"))
         joined = target.join(src, join_cond, "full_outer")
         is_matched = _F.col("__t").isNotNull() & _F.col("__s").isNotNull()
+        # SQL WHEN-clause semantics: a NULL condition means the clause does
+        # NOT fire (row retained). Coalesce to false so filter(~gate) keeps
+        # NULL-condition rows instead of dropping them (NOT NULL is NULL,
+        # and filter drops non-true).
         gate = (
-            is_matched & matched_condition
+            is_matched & _F.coalesce(matched_condition, _F.lit(False))
             if matched_condition is not None
             else is_matched
         )
@@ -1544,8 +1577,10 @@ class LakeTable:
             result = result.filter(~is_source_only)
         if when_not_matched_by_source_delete:
             is_target_only = _F.col("__s").isNull()
+            # same NULL-means-no-fire coalescing as the matched gate
             bys_gate = (
-                is_target_only & not_matched_by_source_condition
+                is_target_only
+                & _F.coalesce(not_matched_by_source_condition, _F.lit(False))
                 if not_matched_by_source_condition is not None
                 else is_target_only
             )

@@ -93,23 +93,33 @@ def _make_source():
             }
             schema_json = json.dumps(meta["schema"])
             meta_dir = os.path.join(self.table_dir, "metadata")
-            # a manifest's BIRTH snapshot is its first appearance in the
-            # (id-ordered) log; a micro-batch owns manifests born in
-            # (lo, hi] by append/overwrite commits
+            # a micro-batch owns the files ADDED by commits in (lo, hi].
+            # Snapshots record their added set directly ("added_files");
+            # for legacy snapshots fall back to manifest birth = first
+            # appearance in the (id-ordered) log. The explicit set matters
+            # for consolidated manifests (overwrite_partitions writes
+            # survivors+new together): birth-attribution would replay
+            # every carried-over file as new.
             seen: set[str] = set()
             paths: list[str] = []
             for s in sorted(meta["snapshots"], key=lambda s: s["snapshot_id"]):
                 if s["snapshot_id"] > hi:
                     break
+                wanted = s["snapshot_id"] > lo and s["operation"] in (
+                    "append",
+                    "overwrite",
+                    "upsert",
+                )
+                if "added_files" in s:
+                    if wanted:
+                        paths.extend(s["added_files"])
+                    seen.update(s["manifests"])
+                    continue
                 for m in s["manifests"]:
                     if m in seen:
                         continue
                     seen.add(m)
-                    if s["snapshot_id"] > lo and s["operation"] in (
-                        "append",
-                        "overwrite",
-                        "upsert",
-                    ):
+                    if wanted:
                         t = pq.read_table(
                             os.path.join(meta_dir, m), columns=["file_path"]
                         )

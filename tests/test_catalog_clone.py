@@ -113,7 +113,16 @@ def test_clone_gc_guard(spark, tmp_path):
         expire_snapshots(clone, keep_last=1)
     with pytest.raises(ValueError, match="gc.enabled"):
         remove_orphan_files(clone, older_than_s=0)
-    # the source table's maintenance is unaffected
+    # the hazard is bidirectional: the SOURCE's files are shared with
+    # the clone, so source-side file-deleting maintenance refuses while
+    # the clone registration stands...
+    with pytest.raises(ValueError, match="clones"):
+        expire_snapshots(src, keep_last=1)
+    with pytest.raises(ValueError, match="clones"):
+        remove_orphan_files(src, older_than_s=0)
+    assert src.refresh().properties["clones"] == "db.clone3"
+    # ...and resumes once the operator drops the registration
+    src.unset_property("clones")
     assert expire_snapshots(src, keep_last=1)["expired"] == 0
 
 

@@ -103,3 +103,71 @@ def test_bin_range_join_equals_theta_join(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scan_incremental_after_partition_overwrite_emits_added_only(
+    spark, tmp_path
+):
+    """overwrite_partitions consolidates survivors + new files into one
+    manifest; incremental consumers must still see ONLY the rows the
+    commit added, never the carried-over untouched partitions."""
+    from pyspark.sql.types import LongType, StructType, StructField, StringType
+
+    schema = StructType(
+        [
+            StructField("region", StringType(), True),
+            StructField("v", LongType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.inc_dpo", schema, partition_cols=["region"])
+    t.append(
+        spark.createDataFrame(
+            [("eu", 1), ("eu", 2), ("us", 10), ("ap", 100)], schema
+        ).coalesce(1)
+    )
+    snap1 = t.snapshot()["snapshot_id"]
+    t.overwrite_partitions(spark.createDataFrame([("eu", 7)], schema).coalesce(1))
+    got = sorted((r["region"], r["v"]) for r in t.scan_incremental(snap1).collect())
+    # ONLY the overwritten partition's new rows — us/ap not re-emitted
+    assert got == [("eu", 7)]
+
+
+def test_lake_stream_after_partition_overwrite_no_duplicates(spark, tmp_path):
+    """The streaming source must not replay untouched partitions after a
+    dynamic partition overwrite (same consolidated-manifest hazard as
+    scan_incremental)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from icebergplus_spark.streaming.lake_source import read_lake_stream
+
+    schema = StructType(
+        [
+            StructField("region", StringType(), True),
+            StructField("v", LongType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.stream_dpo", schema, partition_cols=["region"])
+    t.append(
+        spark.createDataFrame(
+            [("eu", 1), ("us", 10), ("ap", 100)], schema
+        ).coalesce(1)
+    )
+    t.overwrite_partitions(spark.createDataFrame([("eu", 7)], schema).coalesce(1))
+    q = (
+        read_lake_stream(spark, t.table_dir)
+        .writeStream.format("memory")
+        .queryName("dpo_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dpo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["region"], r["v"])
+        for r in spark.sql("SELECT region, v FROM dpo_stream_out").collect()
+    )
+    # initial snapshot's 3 rows + the overwrite's 1 new row; the eu=1
+    # pre-image was replaced (not an append) and us/ap appear ONCE
+    assert rows == [("ap", 100), ("eu", 1), ("eu", 7), ("us", 10)]

@@ -142,3 +142,81 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
     )
     got2 = sorted((r["k"], r["v"]) for r in t2.scan().collect())
     assert got2 == [(2, "B"), (9, "z")]  # 1 deleted (k<5), 9 survives
+
+
+def test_merge_empty_source_still_applies_by_source_delete(spark, tmp_path):
+    """SQL semantics: with WHEN NOT MATCHED BY SOURCE THEN DELETE an
+    EMPTY source means every (condition-matching) target row goes — the
+    full-sync case where an upstream table was truncated. The empty
+    source must not short-circuit the merge."""
+    t = _table(spark, tmp_path, "m_empty", [(1, "a", 10.0), (2, "b", 20.0)])
+    empty = spark.createDataFrame([], SCHEMA)
+    t.merge_into(
+        empty,
+        on="id",
+        when_matched_update={"val": F.col("src_val")},
+        when_not_matched_by_source_delete=True,
+    )
+    assert t.scan().count() == 0
+
+    # conditional variant: only rows the condition selects are deleted
+    t2 = _table(spark, tmp_path, "m_empty2", [(1, "a", 10.0), (2, "b", 20.0)])
+    t2.merge_into(
+        empty,
+        on="id",
+        when_not_matched_by_source_delete=True,
+        not_matched_by_source_condition=F.col("val") < 15.0,
+    )
+    rows = sorted(r["id"] for r in t2.scan().collect())
+    assert rows == [2]
+
+    # without the BY SOURCE clause an empty source is still a no-op
+    t3 = _table(spark, tmp_path, "m_empty3", [(1, "a", 10.0)])
+    t3.merge_into(empty, on="id", when_matched_update={"val": F.lit(0.0)})
+    assert t3.scan().count() == 1
+
+
+def test_merge_null_condition_retains_rows(spark, tmp_path):
+    """A WHEN-clause condition evaluating to NULL means the clause does
+    NOT fire — the row is retained, not deleted (NOT NULL is NULL and
+    filter drops non-true; the gates must coalesce to false)."""
+    # matched-delete gated on val > 15: NULL val rows must survive
+    t = _table(
+        spark, tmp_path, "m_null", [(1, "a", None), (2, "b", 20.0), (3, "c", 5.0)]
+    )
+    src = spark.createDataFrame([(1, "x", 0.0), (2, "x", 0.0), (3, "x", 0.0)], SCHEMA)
+    t.merge_into(
+        src,
+        on="id",
+        when_matched_delete=True,
+        matched_condition=F.col("val") > 15.0,
+        when_not_matched_insert=False,
+    )
+    rows = sorted(r["id"] for r in t.scan().collect())
+    assert rows == [1, 3]  # only id=2 (20.0 > 15) deleted; NULL row kept
+
+    # BY SOURCE delete gated on val > 15: NULL-val target-only row kept
+    t2 = _table(
+        spark, tmp_path, "m_null2", [(1, "a", None), (2, "b", 20.0), (3, "c", 5.0)]
+    )
+    t2.merge_into(
+        spark.createDataFrame([(3, "x", 0.0)], SCHEMA),
+        on="id",
+        when_not_matched_by_source_delete=True,
+        not_matched_by_source_condition=F.col("val") > 15.0,
+        when_not_matched_insert=False,
+    )
+    rows2 = sorted(r["id"] for r in t2.scan().collect())
+    assert rows2 == [1, 3]  # id=2 deleted; NULL-condition row 1 retained
+
+
+def test_upsert_validates_schema(spark, tmp_path):
+    t = _table(spark, tmp_path, "m_upschema", [(1, "a", 10.0)])
+    wrong = spark.createDataFrame([(2, 20.0)], "id int, val double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.upsert(wrong, "id")
+    reordered = spark.createDataFrame(
+        [(20.0, "b", 2)], "val double, grp string, id int"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.upsert(reordered, "id")
