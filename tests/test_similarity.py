@@ -90,3 +90,32 @@ def test_pq_deterministic_and_shaped(spark, sf_dir):
         per_q.setdefault(q, []).append(rk)
     assert set(per_q) == set(range(10))
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_recall_gates_at_sf01(spark):
+    """Quantitative recall guarantee at the driver's bench scale
+    (sf0.1, 5k vectors): measured recall@5 on this corpus is
+    s02 = 0.68, s04 = 0.62, s05 = 0.62 (near-random embeddings — the
+    adversarial case for every ANN family; COVERAGE.md records the
+    values). Gates sit one noise-margin below measured so a parameter
+    regression (fewer probes/tables/cells than intended) fails loudly
+    while hash-seed jitter does not."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        import pytest as _pytest
+
+        _pytest.skip("sf0.1 testdata not generated")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    gates = {"s02_ann_lsh": 0.6, "s04_ann_ivf": 0.55, "s05_ann_pq": 0.55}
+    for name, gate in gates.items():
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in QUERIES[name](spark, sf_dir).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= gate, f"{name} recall@5 {recall:.3f} < {gate}"
