@@ -19,12 +19,12 @@ from __future__ import annotations
 import json
 import shutil
 import os
-import uuid
 from enum import Enum
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
+from icebergplus_spark.lake.commitio import RenameCommitIO
 from icebergplus_spark.lake.metrics import MetricsReporter, MetricsSink
 from icebergplus_spark.lake.table import LakeTable
 
@@ -42,11 +42,18 @@ class LocalLakeCatalog:
         root_dir: str,
         metrics_sink: MetricsSink | None = None,
         prefix: str = "iceberg.",
+        commit_io: "RenameCommitIO | None" = None,
     ) -> None:
         self.spark = spark
         self.root_dir = root_dir
         self._status = Status.STOPPED
         self._reporter = MetricsReporter(metrics_sink, prefix)
+        # Metadata-publication strategy shared by every table this
+        # catalog hands out (commitio.py): RenameCommitIO for POSIX
+        # warehouses, ObjectStoreCommitIO for rename-less object stores
+        # — the reference's S3FileIO-vs-local split
+        # (LocalIcebergCatalog.java:87-97,120-131) as a constructor arg.
+        self.commit_io = commit_io or RenameCommitIO()
 
     # -- lifecycle (LocalIcebergCatalog.java:99-141, :174-187) -------------
     def start(self) -> "LocalLakeCatalog":
@@ -147,12 +154,7 @@ class LocalLakeCatalog:
             "snapshots": [],
             "current_snapshot_id": None,
         }
-        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = os.path.join(meta_dir, f"ptr-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write("1")
-        os.replace(tmp, os.path.join(meta_dir, "version-pointer.txt"))
+        self.commit_io.publish(meta_dir, 1, json.dumps(meta, indent=1))
         with open(self._pointer_file(identifier), "w") as f:
             json.dump({"table_dir": table_dir}, f)
         return self.load_table(identifier)
@@ -230,12 +232,7 @@ class LocalLakeCatalog:
                     shutil.copy2(
                         os.path.join(src._meta_dir, m), os.path.join(meta_dir, m)
                     )
-        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = os.path.join(meta_dir, f"ptr-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write("1")
-        os.replace(tmp, os.path.join(meta_dir, "version-pointer.txt"))
+        self.commit_io.publish(meta_dir, 1, json.dumps(meta, indent=1))
         with open(self._pointer_file(dst_identifier), "w") as f:
             json.dump({"table_dir": table_dir}, f)
         # register the clone on the SOURCE: its data files are now shared,
@@ -255,7 +252,9 @@ class LocalLakeCatalog:
             raise KeyError(f"no such table: {identifier}")
         with open(self._pointer_file(identifier)) as f:
             table_dir = json.load(f)["table_dir"]
-        return LakeTable(self.spark, table_dir, identifier, self._reporter)
+        return LakeTable(
+            self.spark, table_dir, identifier, self._reporter, io=self.commit_io
+        )
 
     def drop_table(self, identifier: str, purge: bool = False) -> None:
         self._require_started()

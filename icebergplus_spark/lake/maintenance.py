@@ -438,12 +438,7 @@ def expire_snapshots(
     meta = dict(table._meta)
     version = meta.pop("_version") + 1
     meta["snapshots"] = retained
-    with open(os.path.join(table._meta_dir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    tmp = table._pointer_path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, table._pointer_path)
+    table.io.publish(table._meta_dir, version, json.dumps(meta, indent=1))
     table.refresh()
     return {"expired": len(expired), "deleted_files": deleted}
 

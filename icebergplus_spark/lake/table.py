@@ -36,6 +36,10 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from icebergplus_spark.lake.commitio import (  # noqa: F401 — re-export
+    ConcurrentCommitError,
+    RenameCommitIO,
+)
 from icebergplus_spark.lake.metrics import CommitReport, MetricsReporter, ScanReport
 
 MANIFEST_SCHEMA = pa.schema(
@@ -173,16 +177,14 @@ def _harvest_footer(path: str) -> dict[str, Any]:
     }
 
 
-class ConcurrentCommitError(RuntimeError):
-    """Another writer advanced the table since this handle last
-    refreshed. Retry: ``table.refresh()`` then re-apply (the reference
-    surfaces the same situation as the ``attempts`` commit counter,
-    IntegrationTest.java:107)."""
-
-
 class LakeTable:
     """Handle over one versioned lake table (Iceberg ``Table`` parity:
-    SURVEY.md §1.1; refresh/newAppend/newScan analogues below)."""
+    SURVEY.md §1.1; refresh/newAppend/newScan analogues below).
+
+    ``io`` selects the metadata-publication strategy (commitio.py):
+    ``RenameCommitIO`` (POSIX pointer-swap, default) or
+    ``ObjectStoreCommitIO`` (rename-less S3 semantics, where the
+    conditional create of vN.metadata.json is the commit CAS)."""
 
     def __init__(
         self,
@@ -190,11 +192,13 @@ class LakeTable:
         table_dir: str,
         identifier: str,
         reporter: MetricsReporter | None = None,
+        io: "RenameCommitIO | None" = None,
     ) -> None:
         self.spark = spark
         self.table_dir = table_dir
         self.identifier = identifier
         self.reporter = reporter or MetricsReporter(None)
+        self.io = io or RenameCommitIO()
         self._meta: dict[str, Any] = {}
         self.refresh()
 
@@ -203,15 +207,12 @@ class LakeTable:
     def _meta_dir(self) -> str:
         return os.path.join(self.table_dir, "metadata")
 
-    @property
-    def _pointer_path(self) -> str:
-        return os.path.join(self._meta_dir, "version-pointer.txt")
-
     def refresh(self) -> "LakeTable":
         """Re-read current metadata (Table.refresh parity,
-        LocalIcebergCatalogTest.java:107)."""
-        with open(self._pointer_path) as f:
-            version = int(f.read().strip())
+        LocalIcebergCatalogTest.java:107). Version discovery goes
+        through the commit IO (pointer read on POSIX; hint+probe with
+        LIST fallback on object stores)."""
+        version = self.io.current_version(self._meta_dir)
         with open(os.path.join(self._meta_dir, f"v{version}.metadata.json")) as f:
             self._meta = json.load(f)
         self._meta["_version"] = version
@@ -257,12 +258,7 @@ class LakeTable:
         version = meta.pop("_version") + 1
         meta.setdefault("column_mapping", self._column_mapping)
         mutate(meta)
-        with open(os.path.join(self._meta_dir, f"v{version}.metadata.json"), "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = self._pointer_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._pointer_path)
+        self.io.publish(self._meta_dir, version, json.dumps(meta, indent=1))
         return self.refresh()
 
     # -- table properties (Iceberg ALTER TABLE SET TBLPROPERTIES parity) ----
@@ -556,12 +552,12 @@ class LakeTable:
         extra_summary: dict[str, Any] | None = None,
         attempts: int = 1,
     ) -> None:
-        """Atomic snapshot commit: write vN+1 metadata, then atomically
-        swap the pointer file. The version check + swap run under an
-        exclusive OS file lock, so same-host concurrent writers are
-        fully serialized (losers get ConcurrentCommitError and retry);
-        the 100 TB multi-host upgrade point is the same critical section
-        backed by a catalog-service CAS (SURVEY.md §7). ``attempts`` is
+        """Atomic snapshot commit: write vN+1 metadata, then advance the
+        table's published version via the pluggable commit IO
+        (commitio.py). RenameCommitIO: pointer swap under flock —
+        same-host writers fully serialized. ObjectStoreCommitIO: the
+        conditional create of vN+1 is the CAS, valid across hosts
+        (losers get ConcurrentCommitError and retry). ``attempts`` is
         surfaced as the commit report's attempts counter — the
         reference's Iceberg retry-loop metric."""
         total_records = 0
@@ -629,32 +625,21 @@ class LakeTable:
             refs = dict(meta.get("refs") or {})
             refs[branch] = {"snapshot_id": snap_id, "type": "branch"}
             meta["refs"] = refs
-        # Critical section: version check → metadata write → pointer swap
-        # under an exclusive lock. Without it, two writers that both read
-        # vN could both pass the check and the second pointer swap would
-        # silently drop the first commit.
-        lock_path = os.path.join(self._meta_dir, "commit.lock")
-        with open(lock_path, "a+") as lock_f:
-            try:
-                import fcntl
-
-                fcntl.flock(lock_f, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: fall back to optimistic check
-                pass
-            with open(self._pointer_path) as f:
-                on_disk = int(f.read().strip())
+        # Critical section: version check → publish, under the IO's
+        # commit lock. Without it, two writers that both read vN could
+        # both pass the check and the second publication would silently
+        # drop the first commit. RenameCommitIO locks with flock
+        # (single-host); ObjectStoreCommitIO's publish is itself a CAS
+        # (conditional create of vN), so its lock only bounds wasted
+        # work — losers surface ConcurrentCommitError either way.
+        with self.io.lock(self._meta_dir):
+            on_disk = self.io.current_version(self._meta_dir)
             if on_disk != version - 1:
                 raise ConcurrentCommitError(
                     f"{self.identifier}: expected metadata v{version - 1}, found "
                     f"v{on_disk} — refresh() and retry"
                 )
-            meta_path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-            with open(meta_path, "w") as f:
-                json.dump(meta, f, indent=1)
-            tmp = self._pointer_path + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(str(version))
-            os.replace(tmp, self._pointer_path)  # atomic pointer swap
+            self.io.publish(self._meta_dir, version, json.dumps(meta, indent=1))
         self.refresh()
         s = snapshot["summary"]
         self.reporter.report(

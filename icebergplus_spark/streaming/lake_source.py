@@ -51,9 +51,44 @@ def _make_source():
     )
 
     def load_meta(table_dir: str) -> dict:
+        # Self-contained (cloudpickle ships it to workers without this
+        # package): understands both commit-IO layouts — the POSIX
+        # pointer file and the object-store advisory hint + probe with
+        # a LIST fallback (commitio.py protocol).
         meta_dir = os.path.join(table_dir, "metadata")
-        with open(os.path.join(meta_dir, "version-pointer.txt")) as f:
-            version = int(f.read().strip())
+        try:
+            # POSIX layout: the pointer is AUTHORITATIVE — never probe
+            # past it (a crashed commit can leave an orphan vN+1 file
+            # that was never published).
+            with open(os.path.join(meta_dir, "version-pointer.txt")) as f:
+                version = int(f.read().strip())
+        except (OSError, ValueError):
+            # Object-store layout: every vN file IS committed (created
+            # by the CAS), so advisory hint + probe forward, with a
+            # LIST fallback when the hint is absent/corrupt.
+            version = 0
+            try:
+                with open(os.path.join(meta_dir, "version-hint.text")) as f:
+                    version = int(f.read().strip())
+            except (OSError, ValueError):
+                pass
+            if version <= 0 or not os.path.exists(
+                os.path.join(meta_dir, f"v{version}.metadata.json")
+            ):
+                import re as _re
+
+                version = max(
+                    (
+                        int(m.group(1))
+                        for fn in os.listdir(meta_dir)
+                        if (m := _re.match(r"^v(\d+)\.metadata\.json$", fn))
+                    ),
+                    default=0,
+                )
+            while os.path.exists(
+                os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+            ):
+                version += 1
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
             return json.load(f)
 
@@ -228,9 +263,44 @@ def _make_cdc_source():
     )
 
     def load_meta(table_dir: str) -> dict:
+        # Self-contained (cloudpickle ships it to workers without this
+        # package): understands both commit-IO layouts — the POSIX
+        # pointer file and the object-store advisory hint + probe with
+        # a LIST fallback (commitio.py protocol).
         meta_dir = os.path.join(table_dir, "metadata")
-        with open(os.path.join(meta_dir, "version-pointer.txt")) as f:
-            version = int(f.read().strip())
+        try:
+            # POSIX layout: the pointer is AUTHORITATIVE — never probe
+            # past it (a crashed commit can leave an orphan vN+1 file
+            # that was never published).
+            with open(os.path.join(meta_dir, "version-pointer.txt")) as f:
+                version = int(f.read().strip())
+        except (OSError, ValueError):
+            # Object-store layout: every vN file IS committed (created
+            # by the CAS), so advisory hint + probe forward, with a
+            # LIST fallback when the hint is absent/corrupt.
+            version = 0
+            try:
+                with open(os.path.join(meta_dir, "version-hint.text")) as f:
+                    version = int(f.read().strip())
+            except (OSError, ValueError):
+                pass
+            if version <= 0 or not os.path.exists(
+                os.path.join(meta_dir, f"v{version}.metadata.json")
+            ):
+                import re as _re
+
+                version = max(
+                    (
+                        int(m.group(1))
+                        for fn in os.listdir(meta_dir)
+                        if (m := _re.match(r"^v(\d+)\.metadata\.json$", fn))
+                    ),
+                    default=0,
+                )
+            while os.path.exists(
+                os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+            ):
+                version += 1
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
             return json.load(f)
 

@@ -1,0 +1,303 @@
+"""Object-store commit IO: the lake battery under S3 semantics.
+
+Reference parity: the reference's core deliverable is a catalog wired
+to S3-compatible object storage (S3FileIO against MinIO,
+LocalIcebergCatalog.java:87-97,120-131; restart assertions
+LocalIcebergCatalogTest.java:125,140). These tests run the same
+create/append/refresh/restart/maintenance narratives over
+``ObjectStoreCommitIO`` — NO atomic rename anywhere in the commit
+protocol (only create-if-absent, overwrite-PUT, LIST, GET): a guard
+fixture fails the test if any Python-side ``os.replace``/``os.rename``
+touches table metadata. (Spark's own parquet task commits rename
+JVM-side; the protocol under test is ours, the metadata publication.)
+"""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.lake.commitio import (
+    CommitLockTimeout,
+    ConcurrentCommitError,
+    DirectoryLeaseCommitLock,
+    ObjectStoreCommitIO,
+)
+from icebergplus_spark.lake.metrics import MetricsReporter, MetricsSink
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("s", StringType(), True)]
+)
+
+
+@pytest.fixture
+def no_meta_rename(monkeypatch):
+    """Fail loudly if the commit protocol renames anything under a
+    ``metadata/`` directory — the operation S3 does not have."""
+    real_replace, real_rename = os.replace, os.rename
+
+    def guard(fn):
+        def wrapped(src, dst, *a, **kw):
+            for p in (str(src), str(dst)):
+                if f"{os.sep}metadata{os.sep}" in p:
+                    raise AssertionError(
+                        f"atomic rename used on table metadata: {src} -> {dst}"
+                    )
+            return fn(src, dst, *a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(os, "replace", guard(real_replace))
+    monkeypatch.setattr(os, "rename", guard(real_rename))
+    yield
+
+
+def _catalog(spark, root, lock=None):
+    return LocalLakeCatalog(
+        spark, root, commit_io=ObjectStoreCommitIO(lock=lock)
+    ).start()
+
+
+def test_roundtrip_and_layout_no_rename(spark, tmp_path, no_meta_rename):
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.t", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))
+    assert t.scan().count() == 3
+    meta_dir = os.path.join(t.table_dir, "metadata")
+    # object-store layout: no POSIX pointer, advisory hint present
+    assert not os.path.exists(os.path.join(meta_dir, "version-pointer.txt"))
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        assert int(f.read()) == t._meta["_version"]
+
+
+def test_restart_sees_state(spark, tmp_path, no_meta_rename):
+    """LocalIcebergCatalogTest.java:114-156: a NEW catalog instance over
+    the same warehouse sees every table and row."""
+    root = str(tmp_path / "wh")
+    cat1 = _catalog(spark, root)
+    t = cat1.create_table("db.persist", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    cat1.stop()
+
+    cat2 = _catalog(spark, root)
+    assert cat2.list_tables() == ["db.persist"]
+    t2 = cat2.load_table("db.persist")
+    assert t2.scan().count() == 1
+    t2.append(spark.createDataFrame([(2, "b")], SCHEMA))
+    assert t2.scan().count() == 2
+
+
+def test_hint_is_advisory_only(spark, tmp_path, no_meta_rename):
+    """Discovery survives a corrupt, stale, or missing hint (the hint is
+    a plain overwrite PUT — LIST + probe are authoritative)."""
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.hint", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.append(spark.createDataFrame([(2, "b")], SCHEMA))
+    meta_dir = os.path.join(t.table_dir, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    current = t._meta["_version"]
+
+    with open(hint, "w") as f:  # stale hint → probe forward recovers
+        f.write("1")
+    assert cat.load_table("db.hint")._meta["_version"] == current
+
+    with open(hint, "w") as f:  # corrupt hint → LIST fallback
+        f.write("not-a-number")
+    assert cat.load_table("db.hint")._meta["_version"] == current
+
+    os.remove(hint)  # missing hint → LIST fallback
+    assert cat.load_table("db.hint")._meta["_version"] == current
+
+
+def test_conditional_create_is_the_cas(spark, tmp_path, no_meta_rename):
+    """Two handles race: the conditional create of vN+1 admits exactly
+    one writer; append self-heals via refresh-and-retry and the
+    ``attempts`` commit metric records the loss (IntegrationTest.java:107)."""
+    sink = MetricsSink()
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    cat.set_metrics_reporter(MetricsReporter(sink))
+    cat.create_table("db.race", SCHEMA)
+    stale = cat.load_table("db.race")
+    fresh = cat.load_table("db.race")
+    fresh.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    stale.append(spark.createDataFrame([(2, "b")], SCHEMA))  # retries internally
+    assert stale.scan().count() == 2
+    attempts = sink.get("iceberg.commitReport.attempts")
+    assert attempts is not None and attempts.value >= 3  # 1 + (1 lost + 1 won)
+
+    # fail-fast paths still surface the conflict for non-append commits
+    stale2 = cat.load_table("db.race")
+    fresh.refresh().append(spark.createDataFrame([(3, "c")], SCHEMA))
+    with pytest.raises(ConcurrentCommitError):
+        stale2.delete({"k": ("=", 1)})
+
+
+def test_schema_evolution_object_store(spark, tmp_path, no_meta_rename):
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.evolve", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.rename_column("s", "label")
+    assert [f.name for f in t.schema.fields] == ["k", "label"]
+    assert t.scan().select("label").first()["label"] == "a"
+
+
+def test_maintenance_object_store(spark, tmp_path, no_meta_rename):
+    """expire_snapshots publishes its trimmed metadata through the same
+    rename-less path."""
+    from icebergplus_spark.lake.maintenance import expire_snapshots
+
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.exp", SCHEMA)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, str(i))], SCHEMA))
+    expire_snapshots(t, keep_last=1)
+    assert len(t._meta["snapshots"]) == 1
+    assert t.scan().count() == 3
+
+
+def test_stream_source_reads_object_store_layout(spark, tmp_path, no_meta_rename):
+    """The worker-side metadata loader understands the hint+probe layout
+    (no version-pointer.txt exists)."""
+    from icebergplus_spark.streaming.lake_source import read_lake_stream
+
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.stream", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1))
+    q = (
+        read_lake_stream(spark, t.table_dir)
+        .writeStream.format("memory")
+        .queryName("objstore_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM objstore_stream").collect()
+    assert sorted((r["k"], r["s"]) for r in got) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# Directory-lease commit lock (multi-host critical section)
+# ---------------------------------------------------------------------------
+
+
+def test_lease_lock_mutual_exclusion(tmp_path):
+    lock = DirectoryLeaseCommitLock(ttl_s=30, timeout_s=10)
+    meta_dir = str(tmp_path)
+    state = {"inside": 0, "max_inside": 0, "count": 0}
+    mu = threading.Lock()
+
+    def worker():
+        for _ in range(20):
+            with lock.lock(meta_dir):
+                with mu:
+                    state["inside"] += 1
+                    state["max_inside"] = max(state["max_inside"], state["inside"])
+                time.sleep(0.001)
+                with mu:
+                    state["inside"] -= 1
+                    state["count"] += 1
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert state["max_inside"] == 1
+    assert state["count"] == 80
+
+
+def test_stale_lease_takeover(tmp_path):
+    """A crashed holder's expired lease is broken, not waited on."""
+    meta_dir = str(tmp_path)
+    lockdir = os.path.join(meta_dir, "commit.lockdir")
+    os.mkdir(lockdir)
+    with open(os.path.join(lockdir, "lease.json"), "w") as f:
+        json.dump({"holder": "dead", "expires": time.time() - 5}, f)
+    lock = DirectoryLeaseCommitLock(ttl_s=30, timeout_s=5)
+    t0 = time.time()
+    with lock.lock(meta_dir):
+        pass  # acquired by takeover, not timeout
+    assert time.time() - t0 < 2
+
+
+def test_lease_lock_timeout(tmp_path):
+    meta_dir = str(tmp_path)
+    holder = DirectoryLeaseCommitLock(ttl_s=60, timeout_s=5)
+    waiter = DirectoryLeaseCommitLock(ttl_s=60, timeout_s=0.3)
+    acquired = threading.Event()
+    release = threading.Event()
+
+    def hold():
+        with holder.lock(meta_dir):
+            acquired.set()
+            release.wait(10)
+
+    th = threading.Thread(target=hold)
+    th.start()
+    assert acquired.wait(5)
+    with pytest.raises(CommitLockTimeout):
+        with waiter.lock(meta_dir):
+            pass
+    release.set()
+    th.join()
+
+
+def test_two_catalog_instances_parallel_appends(spark, tmp_path):
+    """Multi-host CAS narrative: two independent catalog instances over
+    one shared warehouse (the reference's JdbcCatalog cross-process
+    case, LocalIcebergCatalog.java:122,133-135), committers racing under
+    ObjectStoreCommitIO + lease lock. Every append must land — no lost
+    snapshots — and the attempts metric reflects any retries."""
+    root = str(tmp_path / "wh")
+    sink = MetricsSink()
+    lock = DirectoryLeaseCommitLock(ttl_s=30, timeout_s=60)
+    cat1 = _catalog(spark, root, lock=lock)
+    cat1.set_metrics_reporter(MetricsReporter(sink))
+    cat1.create_table("db.shared", SCHEMA)
+    cat2 = _catalog(spark, root, lock=lock)
+    cat2.set_metrics_reporter(MetricsReporter(sink))
+
+    per_writer = 4
+    errors: list[Exception] = []
+
+    def writer(cat, base):
+        try:
+            t = cat.load_table("db.shared")
+            for i in range(per_writer):
+                for attempt in range(8):  # append retries 3× internally
+                    try:
+                        t.append(
+                            spark.createDataFrame([(base + i, f"w{base+i}")], SCHEMA)
+                        )
+                        break
+                    except ConcurrentCommitError:
+                        t.refresh()
+                else:
+                    raise RuntimeError("append never landed")
+        except Exception as e:  # surfaced to the main thread
+            errors.append(e)
+
+    th1 = threading.Thread(target=writer, args=(cat1, 0))
+    th2 = threading.Thread(target=writer, args=(cat2, 100))
+    th1.start(), th2.start()
+    th1.join(), th2.join()
+    assert not errors, errors
+
+    final = cat1.load_table("db.shared")
+    appends = [
+        s for s in final._meta["snapshots"] if s["operation"] == "append"
+    ]
+    assert len(appends) == 2 * per_writer  # no lost snapshots
+    rows = final.scan().collect()
+    assert sorted(r["k"] for r in rows) == sorted(
+        list(range(per_writer)) + list(range(100, 100 + per_writer))
+    )
+    attempts = sink.get("iceberg.commitReport.attempts")
+    assert attempts is not None and attempts.value >= 2 * per_writer
