@@ -8,9 +8,18 @@ from icebergplus_spark.lake.maintenance import (
     rewrite_manifests,
     rollback,
 )
+from icebergplus_spark.lake.commitio import (
+    DirectoryLeaseCommitLock,
+    FlockCommitLock,
+    NullCommitLock,
+    ObjectStoreCommitIO,
+    RenameCommitIO,
+)
 from icebergplus_spark.lake.metrics import (
     COMMIT_COUNTER_FIELDS,
+    COMMIT_TIMER_FIELDS,
     SCAN_COUNTER_FIELDS,
+    SCAN_TIMER_FIELDS,
     CommitReport,
     MetricsReporter,
     MetricsSink,
@@ -34,5 +43,12 @@ __all__ = [
     "CommitReport",
     "ScanReport",
     "COMMIT_COUNTER_FIELDS",
+    "COMMIT_TIMER_FIELDS",
     "SCAN_COUNTER_FIELDS",
+    "SCAN_TIMER_FIELDS",
+    "RenameCommitIO",
+    "ObjectStoreCommitIO",
+    "FlockCommitLock",
+    "DirectoryLeaseCommitLock",
+    "NullCommitLock",
 ]

@@ -18,7 +18,8 @@ from dataclasses import dataclass, field
 
 DEFAULT_PREFIX = "iceberg."  # MicrometerMetricsReporter.java:24-26
 
-# IntegrationTest.java:106-117 — the exact commit counter set.
+# IntegrationTest.java:106-117 — the exact commit meter name set
+# (10 counters + the totalDuration timer).
 COMMIT_COUNTER_FIELDS = [
     "attempts",
     "addedDataFiles",
@@ -30,8 +31,14 @@ COMMIT_COUNTER_FIELDS = [
     "totalRecords",
     "totalEqualityDeletes",
     "addedFilesSizeInBytes",
-    "totalDuration",
 ]
+
+# Iceberg publishes duration fields as TimerResult, and the reference
+# bridges those to UNTAGGED Micrometer Timers — a distinct meter type
+# from the tagged counters (MicrometerMetricsReporter.java:86-92,
+# extractTimers :98-100). CommitMetricsResult.totalDuration and
+# ScanMetricsResult.totalPlanningDuration are the TimerResult fields.
+COMMIT_TIMER_FIELDS = ["totalDuration"]
 
 # MicrometerMetricsReporterTest.java:24-28.
 SCAN_COUNTER_FIELDS = [
@@ -40,12 +47,15 @@ SCAN_COUNTER_FIELDS = [
     "totalFileSizeInBytes",
 ]
 
+SCAN_TIMER_FIELDS = ["totalPlanningDuration"]
+
 
 @dataclass
 class CommitReport:
     table_name: str
     snapshot_id: int
     metrics: dict[str, float]  # keyed by COMMIT_COUNTER_FIELDS
+    timers: dict[str, float] = field(default_factory=dict)  # name → seconds
 
 
 @dataclass
@@ -53,6 +63,7 @@ class ScanReport:
     table_name: str
     snapshot_id: int
     metrics: dict[str, float]  # keyed by SCAN_COUNTER_FIELDS
+    timers: dict[str, float] = field(default_factory=dict)  # name → seconds
 
 
 @dataclass
@@ -65,6 +76,22 @@ class Counter:
         self.value += amount
 
 
+@dataclass
+class Timer:
+    """Micrometer Timer stand-in: sample count + accumulated duration.
+    Untagged by construction — the reference registers its timers with
+    no tags (MicrometerMetricsReporter.java:91 ``registry.timer(name)``),
+    unlike its tableName-tagged counters."""
+
+    name: str
+    count: int = 0
+    total_time_s: float = 0.0
+
+    def record(self, duration_s: float) -> None:
+        self.count += 1
+        self.total_time_s += duration_s
+
+
 class MetricsSink:
     """In-memory meter registry (SimpleMeterRegistry stand-in).
 
@@ -74,6 +101,7 @@ class MetricsSink:
 
     def __init__(self) -> None:
         self._counters: dict[tuple[str, tuple[tuple[str, str], ...]], Counter] = {}
+        self._timers: dict[str, Timer] = {}
 
     def counter(self, name: str, tags: dict[str, str] | None = None) -> Counter:
         key = (name, tuple(sorted((tags or {}).items())))
@@ -81,18 +109,28 @@ class MetricsSink:
             self._counters[key] = Counter(name, dict(tags or {}))
         return self._counters[key]
 
-    def publish(self, counter: Counter) -> None:  # override for real sinks
+    def timer(self, name: str) -> Timer:
+        """Untagged timer registration (registry.timer(name) parity,
+        MicrometerMetricsReporter.java:91)."""
+        if name not in self._timers:
+            self._timers[name] = Timer(name)
+        return self._timers[name]
+
+    def publish(self, counter: Counter | Timer) -> None:  # override for real sinks
         pass
 
     @property
     def meter_names(self) -> set[str]:
-        return {c.name for c in self._counters.values()}
+        return {c.name for c in self._counters.values()} | set(self._timers)
 
     def get(self, name: str) -> Counter | None:
         for (n, _), c in self._counters.items():
             if n == name:
                 return c
         return None
+
+    def get_timer(self, name: str) -> Timer | None:
+        return self._timers.get(name)
 
 
 class MetricsReporter:
@@ -122,3 +160,9 @@ class MetricsReporter:
             )
             c.increment(float(val))
             self._sink.publish(c)
+        # TimerResult fields → UNTAGGED timers, one recorded sample per
+        # report (MicrometerMetricsReporter.java:86-92).
+        for fname, seconds in rpt.timers.items():
+            t = self._sink.timer(f"{self._prefix}{kind}.{fname}")
+            t.record(float(seconds))
+            self._sink.publish(t)

@@ -657,8 +657,8 @@ class LakeTable:
                     "totalRecords": s["total-records"],
                     "totalEqualityDeletes": s["total-equality-deletes"],
                     "addedFilesSizeInBytes": s["added-files-size"],
-                    "totalDuration": time.time() - t0,
                 },
+                timers={"totalDuration": time.time() - t0},
             )
         )
 
@@ -2073,12 +2073,13 @@ class LakeTable:
         parity, IntegrationTest.java:121-122). ``predicates`` maps column
         → (op, value) with op in <,<=,>,>=,= — files whose [min,max]
         range can't satisfy the predicate are skipped. Emits ScanReport."""
+        t_plan = time.time()
         snap = self.snapshot(snapshot_id)
         if snap is None:
             self.reporter.report(
                 ScanReport(self.identifier, -1, {
                     "resultDataFiles": 0, "resultDeleteFiles": 0, "totalFileSizeInBytes": 0,
-                })
+                }, timers={"totalPlanningDuration": time.time() - t_plan})
             )
             return []
         rows: list[dict[str, Any]] = []
@@ -2136,6 +2137,9 @@ class LakeTable:
                     "resultDeleteFiles": n_delete_files,
                     "totalFileSizeInBytes": sum(r["file_size_bytes"] for r in kept),
                 },
+                # ScanMetricsResult.totalPlanningDuration is a
+                # TimerResult → untagged timer, like the reference.
+                timers={"totalPlanningDuration": time.time() - t_plan},
             )
         )
         return kept
