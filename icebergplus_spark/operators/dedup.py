@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
@@ -565,4 +565,134 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
     return pairs.select("doc_a", "doc_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= 0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# d14 — semantic dedup (SemDeDup-style; Abbas et al. 2023): partition
+# the embedding space, then prune near-duplicates WITHIN each partition
+# only. The partition bound is what makes semantic dedup tractable — the
+# quadratic term is per-cluster, never corpus-wide (d08 is the all-pairs
+# baseline this replaces at scale). Partitions here are sign-LSH buckets
+# from md5-derived hyperplanes (engine-neutral, exactly reproducible in
+# the DuckDB oracle), playing the role of SemDeDup's k-means clusters.
+#
+# Keep/drop rule (deterministic): a vector is DROPPED if some
+# smaller-id vector in its bucket has cosine >= TAU with it; its keeper
+# is the smallest such id. Output is the prune decision list.
+#
+# Scale: one shuffle to bucket, one self-join on the bucket key; at
+# 100 TB raise D14_PLANES so buckets stay ~√N-sized (SemDeDup's cluster
+# sizing) — missed cross-bucket pairs are the documented SemDeDup
+# trade-off, recovered by multiprobe if needed.
+# ---------------------------------------------------------------------------
+D14_DIM = 64
+D14_PLANES = 4      # 16 buckets at test SF; scale knob at 100 TB
+D14_TAU = 0.35
+
+
+def _d14_coeffs() -> list[list[int]]:
+    """Integer-valued hyperplanes from md5("d14:<plane>:<i>") —
+    deterministic, engine-neutral, exactly representable as doubles
+    (same construction as s07, independent seed)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"d14:{p}:{i}".encode()).hexdigest()[:8], 16)
+            - 2**31
+            for i in range(D14_DIM)
+        ]
+        for p in range(D14_PLANES)
+    ]
+
+
+def _d14_oracle() -> str:
+    coeffs = _d14_coeffs()
+
+    def lit(cs):
+        return "[" + ", ".join(f"{c}.0" for c in cs) + "]"
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {lit(coeffs[p])}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p in range(D14_PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, ({bucket}) AS bucket FROM e
+),
+hits AS (
+  SELECT b.vec_id AS dropped_id, a.vec_id AS cand_keeper,
+         ROUND(list_dot_product(a.v, b.v) /
+               (SQRT(list_dot_product(a.v, a.v)) *
+                SQRT(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (SQRT(list_dot_product(a.v, a.v)) *
+               SQRT(list_dot_product(b.v, b.v))), 6) >= {D14_TAU}
+)
+SELECT h.dropped_id, k.keeper_id, h.cos_sim
+FROM (SELECT dropped_id, MIN(cand_keeper) AS keeper_id
+      FROM hits GROUP BY dropped_id) k
+JOIN hits h ON h.dropped_id = k.dropped_id AND h.cand_keeper = k.keeper_id
+"""
+
+
+@register("d14_semantic_dedup", oracle=_d14_oracle())
+def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.similarity import cosine
+
+    prepare_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.select(F.size("embedding")).first()[0] != D14_DIM:
+        raise ValueError(f"d14 expects {D14_DIM}-dim embeddings")
+    coeffs = _d14_coeffs()
+    v = F.col("embedding")
+
+    def plane_dot(cs):
+        # strict left-to-right fold against a literal coefficient array:
+        # bit-identical to DuckDB's list_dot_product over the same lists
+        carr = F.array(*[F.lit(float(c)) for c in cs])
+        return F.aggregate(
+            F.zip_with(v, carr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        [
+            F.when(plane_dot(coeffs[p]) >= 0, F.lit(1 << p)).otherwise(0)
+            for p in range(D14_PLANES)
+        ],
+        F.lit(0),
+    )
+    bucketed = emb.select("vec_id", v.alias("v"), bucket.alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("cand_keeper"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("dropped_id"), F.col("v").alias("vb"), "bucket"
+    )
+    # Equi-join on the bucket key — the quadratic term is per-bucket,
+    # exactly SemDeDup's per-cluster bound. No cross join.
+    hits = (
+        a.join(b, "bucket")
+        .filter(F.col("cand_keeper") < F.col("dropped_id"))
+        .select(
+            "dropped_id",
+            "cand_keeper",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= D14_TAU)
+    )
+    w = Window.partitionBy("dropped_id").orderBy("cand_keeper")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dropped_id", F.col("cand_keeper").alias("keeper_id"), "cos_sim")
     )

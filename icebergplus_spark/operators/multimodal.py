@@ -233,3 +233,61 @@ def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("feature_sum"),
         F.size("feature").alias("dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m03 — frame sampling: the EXPANDING mapInPandas shape (one input row →
+# n_frames output rows) a real video sampler has, driven end-to-end. The
+# deterministic fake sampler slices the payload at evenly-spaced offsets
+# (_sample_frames above); the oracle recomputes every slice byte-for-byte
+# in DuckDB and md5s it, pinning the whole Arrow round trip: binary in →
+# pandas bytes → per-frame binary out → JVM md5/length. Real decode
+# (ffmpeg) drops into the same worker behind sample_video_frames.
+# ---------------------------------------------------------------------------
+M03_FRAMES = 4
+
+
+@register(
+    "m03_frame_sampling",
+    oracle=f"""
+-- DuckDB has no BLOB substring; the corpus is ASCII (asserted:
+-- OCTET_LENGTH = LENGTH for every row at every SF), so character
+-- slicing on the VARCHAR equals the Python-side byte slicing, and
+-- md5(VARCHAR) hashes the same utf-8 bytes.
+WITH d AS (
+  SELECT doc_id, text AS b, OCTET_LENGTH(CAST(text AS BLOB)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, b, n, GREATEST(1, n // {M03_FRAMES}) AS step,
+         unnest([{", ".join(str(i) for i in range(M03_FRAMES))}]) AS frame_idx
+  FROM d
+),
+s AS (
+  SELECT doc_id, frame_idx,
+         LEAST(frame_idx * step, GREATEST(n - 1, 0)) AS off, step, b
+  FROM f
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(off AS BIGINT) AS frame_offset,
+       CAST(OCTET_LENGTH(CAST(substring(b, off + 1, step) AS BLOB)) AS BIGINT) AS frame_len,
+       md5(substring(b, off + 1, step)) AS frame_md5
+FROM s
+""",
+)
+def m03_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    frames = sample_frames(media, n_frames=M03_FRAMES)
+    # binary output columns crash the driver's canonicalizer — return
+    # the md5 + length instead (a stronger check: any byte drift in the
+    # Arrow round trip changes the digest).
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

@@ -181,3 +181,20 @@ def test_round2_ops_plan_shapes(spark, sf_dir):
     # cartesian, shingle sets fetched by id-equi joins only
     plan = plan_of(spark, sf_dir, "d12_minhash_portable")
     assert "CartesianProduct" not in plan
+
+
+def test_d14_semantic_dedup_is_bucketed(spark, sf_dir):
+    """SemDeDup-style prune must join on the LSH bucket key — an
+    equi-join whose quadratic term is per-bucket — never a corpus-wide
+    cartesian/BNLJ (that's d08, the documented all-pairs baseline)."""
+    plan = plan_of(spark, sf_dir, "d14_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_m03_frame_sampling_stays_arrow(spark, sf_dir):
+    """The expanding frame sampler must run as ONE Arrow-batched python
+    stage (mapInPandas), not a row-at-a-time PythonUDF chain."""
+    plan = plan_of(spark, sf_dir, "m03_frame_sampling")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -5,11 +5,16 @@ DuckDB at the given sf dir, then compares row count, sorted column
 names, and an order-insensitive value comparison (exact, stricter than
 a hash — any mismatch the driver could see, we see first).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query results as a machine-readable file
+(CHECKS_r*.json — the committed full-surface record next to the
+driver's ~50-query sample).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -19,8 +24,14 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2 :]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -56,6 +67,16 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, rows, secs: float, detail: str | None = None):
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "secs": round(secs, 2),
+            "detail": detail,
+        }
+
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
             continue
@@ -78,21 +99,25 @@ def main() -> int:
                     f"FAIL {name}: non-hashable output columns {bad_cols} — "
                     "stringify (array_join/to_json/hex) before returning"
                 )
+                record(name, "fail", None, time.time() - t0, f"non-hashable cols {bad_cols}")
                 n_fail += 1
                 continue
             sdf = spark_df.toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {ex}")
+            record(name, "fail", None, time.time() - t0, f"spark error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) [rows-only check]")
+            record(name, "rows_only", len(sdf), time.time() - t0)
             n_weak += 1
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {ex}")
+            record(name, "fail", len(sdf), time.time() - t0, f"duckdb error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         issues = []
@@ -126,11 +151,24 @@ def main() -> int:
                 issues.append(f"dtype drift: {dt_diff}")
         if issues:
             print(f"FAIL {name}: {'; '.join(issues)}")
+            record(name, "fail", len(sdf), time.time() - t0, "; ".join(issues))
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            record(name, "pass", len(sdf), time.time() - t0)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} rows-only, {n_fail} fail")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "totals": {"pass": n_pass, "rows_only": n_weak, "fail": n_fail},
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
