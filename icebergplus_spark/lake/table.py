@@ -864,7 +864,9 @@ class LakeTable:
         )
         return self
 
-    def delete_by_key(self, keys: DataFrame) -> "LakeTable":
+    def delete_by_key(
+        self, keys: DataFrame, extra_summary: dict[str, Any] | None = None
+    ) -> "LakeTable":
         """Merge-on-read EQUALITY delete: ``keys``'s columns name the
         equality columns (logical names); every current row matching any
         key row is tombstoned. Rows appended LATER with the same key
@@ -904,6 +906,7 @@ class LakeTable:
             [],
             t0,
             delete_manifests=snap.get("delete_manifests", []) + [dmanifest],
+            extra_summary=extra_summary,
         )
         return self
 
@@ -1016,7 +1019,12 @@ class LakeTable:
         manifest = self._write_manifest(entries)
         return entries, ndv, manifest
 
-    def upsert(self, df: DataFrame, key: str | list[str]) -> "LakeTable":
+    def upsert(
+        self,
+        df: DataFrame,
+        key: str | list[str],
+        extra_summary: dict[str, Any] | None = None,
+    ) -> "LakeTable":
         """ATOMIC merge-on-read upsert: one snapshot carries BOTH the
         equality tombstone for ``df``'s keys (applies_before = the
         pre-commit snapshot, so the rows appended in this same commit
@@ -1037,7 +1045,7 @@ class LakeTable:
             )
         base = self.snapshot()
         if base is None:  # empty table: a plain append IS the upsert
-            return self.append(df)
+            return self.append(df, extra_summary=extra_summary)
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
@@ -1071,7 +1079,10 @@ class LakeTable:
             entries,
             t0,
             delete_manifests=base.get("delete_manifests", []) + [dmanifest],
-            extra_summary={"added-ndv": ndv} if ndv else None,
+            extra_summary=(
+                {**({"added-ndv": ndv} if ndv else {}), **(extra_summary or {})}
+                or None
+            ),
         )
         return self
 
@@ -1080,12 +1091,15 @@ class LakeTable:
         df: DataFrame,
         branch: str | None = None,
         distribution: str | None = None,
+        extra_summary: dict[str, Any] | None = None,
     ) -> "LakeTable":
         """Append commit (newAppend().appendFile(...).commit() parity,
         LocalIcebergCatalogTest.java:100-106): write parquet data files,
         harvest footer stats, add one manifest, commit a snapshot.
         ``branch``: commit onto that branch head instead of main
-        (write-audit-publish; create the branch first)."""
+        (write-audit-publish; create the branch first).
+        ``extra_summary``: caller-supplied summary keys recorded on the
+        snapshot (e.g. the streaming sink's batch-id watermark)."""
         t0 = time.time()
         if branch is not None:
             r = self.refs.get(branch)
@@ -1116,7 +1130,10 @@ class LakeTable:
                     t0,
                     branch=branch,
                     delete_manifests=base.get("delete_manifests", []) if base else [],
-                    extra_summary={"added-ndv": ndv} if ndv else None,
+                    extra_summary=(
+                        {**({"added-ndv": ndv} if ndv else {}), **(extra_summary or {})}
+                        or None
+                    ),
                     attempts=attempt,
                 )
                 return self

@@ -111,14 +111,47 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def _sink_id(checkpoint_dir: str) -> str:
+    """Stable sink identity: the checkpoint location IS Spark's unit of
+    replay, so it keys the batch-id watermark across restarts."""
+    import os
+
+    return os.path.realpath(checkpoint_dir)
+
+
+def _last_committed_batch(table, sink_id: str) -> int:
+    """Highest streaming batch id this sink has already committed,
+    read from the snapshot summaries (-1 if none). foreachBatch is
+    at-least-once: a crash between the lake commit and Spark's
+    checkpoint write REPLAYS the batch, so sinks must skip batch ids
+    at or below this watermark — the same (queryId, epochId) dedup
+    Iceberg's Spark sink performs to turn at-least-once delivery into
+    exactly-once table state."""
+    last = -1
+    for s in table._meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("streaming-sink-id") == sink_id:
+            last = max(last, int(summ.get("streaming-batch-id", -1)))
+    return last
+
+
 def stream_to_lake(stream: DataFrame, table, checkpoint_dir: str, query_name: str = "to_lake"):
     """Sink a stream into a LakeTable: one append-commit (snapshot) per
-    micro-batch via foreachBatch. Returns the StreamingQuery."""
+    micro-batch via foreachBatch, idempotent under batch replay (the
+    snapshot records the sink's batch id; replayed batches are skipped).
+    Returns the StreamingQuery."""
+    sid = _sink_id(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.append(batch_df)
+        table.refresh()
+        if batch_id <= _last_committed_batch(table, sid):
+            return  # replayed batch — already committed, exactly-once
+        table.append(
+            batch_df,
+            extra_summary={"streaming-sink-id": sid, "streaming-batch-id": batch_id},
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -147,13 +180,22 @@ def stream_upsert_to_lake(
     Each batch commits ONE atomic snapshot (``LakeTable.upsert``): the
     equality-delete manifest and the appended-rows manifest land in the
     same pointer swap, so readers never observe a key deleted but not
-    yet re-inserted.
+    yet re-inserted. Replayed batches (at-least-once foreachBatch) are
+    skipped via the snapshot-recorded batch-id watermark. Upserts are
+    value-idempotent anyway (same keys, same rows), so the skip guards
+    commit-log cleanliness more than correctness here — but it keeps
+    the snapshot count equal to the batch count.
     """
     from pyspark.sql import functions as _F
+
+    sid = _sink_id(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        table.refresh()
+        if batch_id <= _last_committed_batch(table, sid):
+            return  # replayed batch — already committed
         # collapse to the last row per key within the batch (by ts if
         # present, else arbitrary-but-deterministic max struct order)
         order = [c for c in ("ts",) if c in batch_df.columns]
@@ -172,7 +214,11 @@ def stream_upsert_to_lake(
         # single ATOMIC snapshot: equality tombstone + appended rows
         # commit together, so readers never observe the
         # deleted-but-not-reinserted window
-        table.upsert(latest, key)
+        table.upsert(
+            latest,
+            key,
+            extra_summary={"streaming-sink-id": sid, "streaming-batch-id": batch_id},
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -256,17 +302,30 @@ def stream_replicate_lake(
         c for c in changes.columns if c not in ("_change_type", "_commit_snapshot_id")
     ]
 
+    sid = _sink_id(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        replica.refresh()
+        if batch_id <= _last_committed_batch(replica, sid):
+            return  # replayed batch — already fully applied
         ins = batch_df.filter(F.col("_change_type") == "insert").select(*data_cols)
         dels = batch_df.filter(F.col("_change_type") == "delete").select(*data_cols)
         net_ins = ins.exceptAll(dels)
         net_dels = dels.exceptAll(ins).dropDuplicates()
-        if replica.snapshot() is not None and not net_dels.isEmpty():
-            replica.delete_by_key(net_dels)
-        if not net_ins.isEmpty():
-            replica.append(net_ins)
+        # The batch-id marker rides the LAST commit of the batch: a
+        # crash between the delete and the append replays both, but
+        # re-deleting the same key values is a no-op, so replay
+        # converges; once the final commit lands, the whole batch is
+        # skipped on replay.
+        has_dels = replica.snapshot() is not None and not net_dels.isEmpty()
+        has_ins = not net_ins.isEmpty()
+        marker = {"streaming-sink-id": sid, "streaming-batch-id": batch_id}
+        if has_dels:
+            replica.delete_by_key(net_dels, extra_summary=None if has_ins else marker)
+        if has_ins:
+            replica.append(net_ins, extra_summary=marker)
 
     return (
         changes.writeStream.foreachBatch(_sink)

@@ -273,3 +273,49 @@ def test_stream_upsert_to_lake_latest_per_key(spark, sf_dir, events_dir, tmp_pat
     # is ONE upsert snapshot carrying tombstone + appended rows together
     assert any(s["operation"] == "upsert" for s in t.history())
     assert not any(s["operation"] == "delete" for s in t.history())
+
+
+def test_stream_to_lake_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch (checkpoint
+    lost/rolled back after the lake commit) must NOT duplicate rows.
+    The sink records its batch-id watermark in the snapshot summary and
+    skips batches at or below it — Iceberg's (queryId, epochId) dedup."""
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+    from icebergplus_spark.streaming import read_events_stream, stream_to_lake
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-08")
+    n = ev.count()
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    ev.coalesce(2).write.parquet(str(stream_dir), mode="overwrite")
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.replay", ev.schema)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_to_lake(
+        read_events_stream(spark, str(stream_dir), max_files_per_trigger=1),
+        t, ckpt, query_name="replay1",
+    )
+    q.awaitTermination(120)
+    t.refresh()
+    assert t.scan().count() == n
+    n_snaps = len(t._meta["snapshots"])
+
+    # Simulate the worst replay: the checkpoint is wiped, so a restarted
+    # query re-delivers EVERY batch with the same sink identity.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = stream_to_lake(
+        read_events_stream(spark, str(stream_dir), max_files_per_trigger=1),
+        t, ckpt, query_name="replay2",
+    )
+    q2.awaitTermination(120)
+    t.refresh()
+    assert t.scan().count() == n  # no duplicates
+    assert len(t._meta["snapshots"]) == n_snaps  # no extra commits
