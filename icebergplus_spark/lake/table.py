@@ -2081,6 +2081,128 @@ class LakeTable:
         return self.spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
 
     # -- scan machinery ----------------------------------------------------
+    def _physical_predicates(
+        self, predicates: dict[str, tuple[str, Any]] | None
+    ) -> dict[str, tuple[str, Any]] | None:
+        """Map logical predicates to the physical stat keys manifests
+        carry: logical→physical column names, plus hidden partitioning —
+        source-column predicates projected onto the transformed
+        partition values (the Iceberg trick: queries never mention
+        partition columns, pruning still happens). Range ops relax to
+        inclusive on the transformed domain: ts > X prunes
+        days(ts) >= days(X), never the boundary day."""
+        if not predicates:
+            return None
+        mapping = self._column_mapping
+        phys_preds = {mapping.get(c, c): v for c, v in predicates.items()}
+        from icebergplus_spark.lake.transforms import (
+            MONOTONE,
+            field_name,
+            py_apply,
+        )
+
+        phys_types = {
+            f.name: f.dataType.simpleString()
+            for f in self.physical_schema.fields
+        }
+        relax = {">": ">=", ">=": ">=", "<": "<=", "<=": "<=", "=": "="}
+        for pf in self.partition_spec:
+            if pf["transform"] == "identity":
+                continue  # predicate already on the source column
+            src = pf["source"]
+            if src not in predicates:
+                continue
+            op, val = predicates[src]
+            src_type = phys_types[mapping.get(src, src)]
+            if pf["transform"] in MONOTONE:
+                phys_preds[field_name(pf)] = (
+                    relax[op],
+                    py_apply(pf, val, src_type),
+                )
+            elif pf["transform"] == "bucket" and op == "=":
+                phys_preds[field_name(pf)] = ("=", py_apply(pf, val, src_type))
+        return phys_preds
+
+    def plan_files_distributed(
+        self,
+        predicates: dict[str, tuple[str, Any]] | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """``plan_files`` with the pruning run as a SPARK JOB over the
+        manifest parquet — the 100 TB planning path. Manifest volume
+        grows with file count (~100 MB at 800k files; SCALING.md), so
+        at scale the stats filter belongs on executors: manifests are
+        already parquet, the [min,max]/null/bloom tests compile to
+        Catalyst expressions below, and only the surviving entries are
+        collected (bounded by the pruned file count — the same list the
+        driver needs to build the scan either way).
+
+        Semantics are identical to the driver-side ``plan_files``
+        (equivalence-tested, stats-absent → keep): min/max compare
+        after casting the JSON stat to the column's physical type —
+        an uncastable stat yields NULL → keep, mirroring the
+        driver path's TypeError → keep. Bloom probes test the (driver-
+        computed, constant) bit positions of the predicate value
+        against the hex bitset with substring/conv arithmetic."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        from pyspark.sql import functions as _F
+
+        files = self.spark.read.parquet(
+            *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
+        )
+        phys_preds = self._physical_predicates(predicates)
+        if phys_preds:
+            phys_types = {
+                f.name: f.dataType for f in self.physical_schema.fields
+            }
+            from icebergplus_spark.lake.transforms import field_name
+
+            for pf in self.partition_spec:
+                if pf["transform"] != "identity":
+                    # transformed partition values are ints/strings
+                    # stored under the _p_* name; compare as-written
+                    phys_types.setdefault(field_name(pf), None)
+            keep = _F.lit(True)
+            bloom_cols = set(self._meta.get("bloom_cols") or [])
+            mapping = self._column_mapping
+            phys_bloom = {mapping.get(c, c) for c in bloom_cols}
+            for col, (op, val) in phys_preds.items():
+                dtype = phys_types.get(col)
+                mn = _F.get_json_object(_F.col("column_mins"), f"$.{col}")
+                mx = _F.get_json_object(_F.col("column_maxs"), f"$.{col}")
+                if dtype is not None:
+                    mn, mx = mn.cast(dtype), mx.cast(dtype)
+                lit = _F.lit(val)
+                if op in ("<", "<="):
+                    cond = mn < lit if op == "<" else mn <= lit
+                    keep = keep & (mn.isNull() | cond)
+                elif op in (">", ">="):
+                    cond = mx > lit if op == ">" else mx >= lit
+                    keep = keep & (mx.isNull() | cond)
+                elif op == "=":
+                    keep = keep & (
+                        mn.isNull() | mx.isNull() | ((mn <= lit) & (mx >= lit))
+                    )
+                    if col in phys_bloom:
+                        hexs = _F.get_json_object(
+                            _F.col("column_blooms"), f"$.{col}"
+                        )
+                        probe = _F.lit(True)
+                        for b in _bloom_bits(val):
+                            byte = _F.conv(
+                                _F.substring(hexs, 2 * (b // 8) + 1, 2), 16, 10
+                            ).cast("int")
+                            probe = probe & (
+                                byte.bitwiseAND(_F.lit(1 << (b % 8))) != 0
+                            )
+                        keep = keep & (hexs.isNull() | probe)
+                else:
+                    raise ValueError(f"unsupported predicate op: {op}")
+            files = files.filter(keep)
+        return [r.asDict() for r in files.collect()]
+
     def plan_files(
         self,
         predicates: dict[str, tuple[str, Any]] | None = None,
@@ -2103,43 +2225,7 @@ class LakeTable:
         for m in snap["manifests"]:
             t = pq.read_table(os.path.join(self._meta_dir, m))
             rows.extend(t.to_pylist())
-        # manifest stats are keyed by physical column names
-        mapping = self._column_mapping
-        phys_preds = (
-            {mapping.get(c, c): v for c, v in predicates.items()} if predicates else None
-        )
-        if predicates:
-            # hidden partitioning: map source-column predicates onto the
-            # transformed partition values (the Iceberg trick — queries
-            # never mention partition columns, pruning still happens).
-            # Range ops relax to inclusive on the transformed domain:
-            # ts > X prunes days(ts) >= days(X), never the boundary day.
-            from icebergplus_spark.lake.transforms import (
-                MONOTONE,
-                field_name,
-                py_apply,
-            )
-
-            phys_types = {
-                f.name: f.dataType.simpleString()
-                for f in self.physical_schema.fields
-            }
-            relax = {">": ">=", ">=": ">=", "<": "<=", "<=": "<=", "=": "="}
-            for pf in self.partition_spec:
-                if pf["transform"] == "identity":
-                    continue  # predicate already on the source column
-                src = pf["source"]
-                if src not in predicates:
-                    continue
-                op, val = predicates[src]
-                src_type = phys_types[mapping.get(src, src)]
-                if pf["transform"] in MONOTONE:
-                    phys_preds[field_name(pf)] = (
-                        relax[op],
-                        py_apply(pf, val, src_type),
-                    )
-                elif pf["transform"] == "bucket" and op == "=":
-                    phys_preds[field_name(pf)] = ("=", py_apply(pf, val, src_type))
+        phys_preds = self._physical_predicates(predicates)
         kept = [r for r in rows if _file_matches(r, phys_preds)]
         n_delete_files = sum(
             pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
