@@ -1,5 +1,6 @@
 from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
 from icebergplus_spark.lake.maintenance import (
+    auto_maintain,
     cherry_pick,
     compact,
     expire_metadata_versions,
@@ -31,6 +32,7 @@ __all__ = [
     "LocalLakeCatalog",
     "Status",
     "LakeTable",
+    "auto_maintain",
     "compact",
     "expire_snapshots",
     "expire_metadata_versions",

@@ -510,3 +510,106 @@ def expire_metadata_versions(table: LakeTable, keep_last: int = 10) -> dict:
             os.remove(os.path.join(table._meta_dir, fn))
             removed += 1
     return {"removed_versions": removed, "current_version": current}
+
+
+def auto_maintain(
+    table: LakeTable,
+    small_file_threshold: int = DEFAULT_SMALL_FILE_THRESHOLD,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    min_small_files: int = 8,
+    max_manifests: int = 32,
+    keep_snapshots: int = 20,
+    keep_metadata_versions: int = 20,
+    orphan_grace_s: float = 3 * 24 * 3600,
+    dry_run: bool = False,
+) -> dict:
+    """Threshold-driven day-2 maintenance: the single call a scheduler
+    runs per table, applying each maintenance action ONLY when its
+    trigger fires (the policy Iceberg deployments script by hand):
+
+    - ``compact`` when >= ``min_small_files`` data files sit under
+      ``small_file_threshold`` (streaming ingest's small-file tail);
+    - ``rewrite_manifests`` when the current snapshot carries more than
+      ``max_manifests`` (one accretes per micro-batch; planning cost is
+      O(manifests));
+    - ``expire_snapshots`` down to ``keep_snapshots``;
+    - ``expire_metadata_versions`` down to ``keep_metadata_versions``;
+    - ``remove_orphan_files`` past ``orphan_grace_s``.
+
+    Honors the same safety gates as the individual actions
+    (``gc.enabled=false`` → file-deleting steps are SKIPPED and
+    reported, not errors — clones stay safe). ``dry_run`` evaluates
+    triggers and reports what WOULD run without touching the table.
+    Returns {action: summary | "skipped: <reason>"} in execution order.
+
+    At 100 TB: every trigger reads only metadata (manifest stats +
+    snapshot log), so the no-op path — the common case on a healthy
+    table — costs O(manifests), never a data scan.
+    """
+    report: dict[str, object] = {}
+    table.refresh()
+
+    entries = table.plan_files()
+    small = [e for e in entries if e["file_size_bytes"] < small_file_threshold]
+    if len(small) >= min_small_files:
+        if dry_run:
+            report["compact"] = f"would compact {len(small)} small files"
+        else:
+            report["compact"] = compact(
+                table,
+                target_file_size=target_file_size,
+                small_file_threshold=small_file_threshold,
+            )
+    else:
+        report["compact"] = (
+            f"skipped: {len(small)} small files < {min_small_files}"
+        )
+
+    snap = table.snapshot()
+    n_manifests = len(snap["manifests"]) if snap else 0
+    if n_manifests > max_manifests:
+        report["rewrite_manifests"] = (
+            f"would rewrite {n_manifests} manifests"
+            if dry_run
+            else rewrite_manifests(table)
+        )
+    else:
+        report["rewrite_manifests"] = (
+            f"skipped: {n_manifests} manifests <= {max_manifests}"
+        )
+
+    gc_off = (table.properties.get("gc.enabled", "true").lower() == "false")
+    n_snaps = len(table._meta["snapshots"])
+    if n_snaps > keep_snapshots:
+        if gc_off:
+            report["expire_snapshots"] = "skipped: gc.enabled=false"
+        elif dry_run:
+            report["expire_snapshots"] = (
+                f"would expire {n_snaps - keep_snapshots} snapshots"
+            )
+        else:
+            report["expire_snapshots"] = expire_snapshots(
+                table, keep_last=keep_snapshots
+            )
+    else:
+        report["expire_snapshots"] = (
+            f"skipped: {n_snaps} snapshots <= {keep_snapshots}"
+        )
+
+    version = table._meta["_version"]
+    if version > keep_metadata_versions:
+        report["expire_metadata_versions"] = (
+            f"would expire metadata below v{version - keep_metadata_versions + 1}"
+            if dry_run
+            else expire_metadata_versions(table, keep_last=keep_metadata_versions)
+        )
+    else:
+        report["expire_metadata_versions"] = "skipped: version history small"
+
+    if gc_off:
+        report["remove_orphan_files"] = "skipped: gc.enabled=false"
+    else:
+        report["remove_orphan_files"] = remove_orphan_files(
+            table, older_than_s=orphan_grace_s, dry_run=dry_run
+        )
+    return report

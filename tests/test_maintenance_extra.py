@@ -145,3 +145,72 @@ def test_expire_snapshots_by_age(spark, tmp_path):
     assert res["expired"] == 2
     # all rows still scannable from the retained head
     assert t.scan().count() == 4
+
+
+def test_auto_maintain_triggers_and_skips(spark, tmp_path):
+    """auto_maintain fires each action only when its threshold trips,
+    reports skips otherwise, and dry_run touches nothing."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, auto_maintain
+
+    schema = StructType([StructField("x", IntegerType(), True)])
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.auto", schema)
+    for i in range(10):  # 10 tiny files, 10 manifests, 10 snapshots
+        t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    n_rows = t.scan().count()
+
+    # dry run: reports intentions, mutates nothing
+    before_version = t._meta["_version"]
+    rep = auto_maintain(
+        t, min_small_files=4, max_manifests=4, keep_snapshots=5, dry_run=True
+    )
+    assert "would compact" in rep["compact"]
+    assert "would rewrite" in rep["rewrite_manifests"]
+    assert "would expire" in rep["expire_snapshots"]
+    assert t.refresh()._meta["_version"] == before_version
+
+    # manifest rewrite fires alone when compaction's trigger is quiet
+    rep = auto_maintain(
+        t, min_small_files=1000, max_manifests=4, keep_snapshots=1000,
+        orphan_grace_s=3600,
+    )
+    assert "skipped" in rep["compact"]
+    assert isinstance(rep["rewrite_manifests"], dict)
+
+    # full run: compaction (which itself consolidates manifests) + expiry
+    rep = auto_maintain(
+        t, min_small_files=4, max_manifests=4, keep_snapshots=5,
+        orphan_grace_s=0,
+    )
+    assert rep["compact"]["compacted"] > 1
+    assert isinstance(rep["expire_snapshots"], dict)
+    assert t.scan().count() == n_rows  # content untouched
+
+    # healthy table: every trigger reports a skip
+    rep = auto_maintain(t, min_small_files=1000, max_manifests=1000,
+                        keep_snapshots=1000, orphan_grace_s=3600)
+    assert all(
+        "skipped" in str(v) or (isinstance(v, dict) and not v.get("deleted"))
+        for v in rep.values()
+    ), rep
+
+
+def test_auto_maintain_respects_gc_disabled(spark, tmp_path):
+    """gc.enabled=false (clone-source safety) downgrades file-deleting
+    steps to reported skips instead of errors."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, auto_maintain
+
+    schema = StructType([StructField("x", IntegerType(), True)])
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.frozen", schema)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    t.set_property("gc.enabled", "false")
+    rep = auto_maintain(t, min_small_files=1000, keep_snapshots=2)
+    assert rep["expire_snapshots"] == "skipped: gc.enabled=false"
+    assert rep["remove_orphan_files"] == "skipped: gc.enabled=false"
+    assert len(t.refresh()._meta["snapshots"]) == 6  # nothing expired
