@@ -395,3 +395,113 @@ def t26_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t27 — curation filter funnel (FineWeb/RefinedWeb-style): the ordered
+# filter chain a web-scale curation run applies, reported as a funnel —
+# each document is charged to the FIRST stage that drops it, and
+# duplicates are ranked only among docs that survived every earlier
+# stage (dedup after filtering, the standard pipeline order). One scan,
+# one window over the fingerprint, one small group-by: the funnel
+# report costs no more than the filters themselves at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "t27_filter_funnel",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang, n_chars, md5(LOWER(TRIM(text))) AS fp,
+         string_split(LOWER(TRIM(text)), ' ') AS tok
+  FROM documents
+),
+f2 AS (
+  SELECT doc_id, lang, n_chars, fp,
+         len(tok) AS n_tokens,
+         CAST(len(list_filter(tok, x -> list_contains(
+           ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+           / CAST(len(tok) AS DOUBLE) AS swr
+  FROM feat
+),
+f3 AS (
+  SELECT *,
+         (lang = 'en') AND (n_chars BETWEEN 100 AND 450)
+           AND (n_tokens BETWEEN 5 AND 1000) AND (swr >= 0.05) AS pre_pass,
+         ROW_NUMBER() OVER (
+           PARTITION BY fp,
+             (lang = 'en') AND (n_chars BETWEEN 100 AND 450)
+               AND (n_tokens BETWEEN 5 AND 1000) AND (swr >= 0.05)
+           ORDER BY doc_id) AS dup_rn
+  FROM f2
+),
+staged AS (
+  SELECT CASE
+           WHEN lang <> 'en' THEN 'lang'
+           WHEN n_chars NOT BETWEEN 100 AND 450 THEN 'length'
+           WHEN n_tokens NOT BETWEEN 5 AND 1000 OR swr < 0.05 THEN 'quality'
+           WHEN dup_rn > 1 THEN 'dup'
+           ELSE 'kept' END AS stage
+  FROM f3
+)
+SELECT stage,
+       CAST(CASE stage WHEN 'lang' THEN 1 WHEN 'length' THEN 2
+                  WHEN 'quality' THEN 3 WHEN 'dup' THEN 4 ELSE 5
+       END AS BIGINT) AS stage_order,
+       COUNT(*) AS n_docs
+FROM staged GROUP BY stage
+""",
+)
+def t27_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from icebergplus_spark.operators.textops import STOPWORDS_EN
+
+    docs = _docs(spark, sf_dir)
+    tok = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    f2 = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.size(tok).alias("n_tokens"),
+        (
+            F.size(F.filter(tok, lambda x: F.array_contains(sw, x))).cast("double")
+            / F.size(tok).cast("double")
+        ).alias("swr"),
+    )
+    pre_pass = (
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(100, 450)
+        & F.col("n_tokens").between(5, 1000)
+        & (F.col("swr") >= 0.05)
+    )
+    # dedup AFTER filtering: rank within (fingerprint, survived-so-far)
+    # so dropped docs never claim keeper slots
+    w = Window.partitionBy("fp", pre_pass).orderBy("doc_id")
+    f3 = f2.withColumn("pre_pass", pre_pass).withColumn(
+        "dup_rn", F.row_number().over(w)
+    )
+    stage = (
+        F.when(F.col("lang") != "en", F.lit("lang"))
+        .when(~F.col("n_chars").between(100, 450), F.lit("length"))
+        .when(
+            ~F.col("n_tokens").between(5, 1000) | (F.col("swr") < 0.05),
+            F.lit("quality"),
+        )
+        .when(F.col("dup_rn") > 1, F.lit("dup"))
+        .otherwise(F.lit("kept"))
+    )
+    order = (
+        F.when(F.col("stage") == "lang", 1)
+        .when(F.col("stage") == "length", 2)
+        .when(F.col("stage") == "quality", 3)
+        .when(F.col("stage") == "dup", 4)
+        .otherwise(5)
+    )
+    return (
+        f3.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("stage_order", order.cast("long"))
+        .select("stage", "stage_order", "n_docs")
+    )
