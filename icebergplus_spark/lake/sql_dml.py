@@ -1,0 +1,255 @@
+"""SQL DML frontend for lake tables: route INSERT / DELETE / UPDATE /
+MERGE statement text onto the corresponding ``LakeTable`` operations —
+the way an Iceberg user drives their catalog through ``spark.sql``
+(the reference's tables are read and written by the host engine's SQL;
+this module is that surface for ours).
+
+Reads stay pure Spark SQL: expose tables with ``LakeTable.to_view`` and
+SELECT freely. Writes can't go through ``spark.sql`` (Spark would need
+a DSv2 catalog plugin), so ``lake_sql`` parses the DML statement and
+dispatches:
+
+- ``INSERT INTO <tbl> <query>``          → ``append``   (snapshot commit)
+- ``INSERT OVERWRITE <tbl> <query>``     → ``overwrite`` (replace commit)
+- ``DELETE FROM <tbl> WHERE <preds>``    → ``delete``    (stats-targeted CoW)
+- ``UPDATE <tbl> SET ... WHERE <preds>`` → ``update_where`` (stats-targeted)
+- ``MERGE INTO <tbl> ... USING ...``     → ``merge_into`` (multi-clause)
+
+``<query>`` is any Spark SQL query (``SELECT ...`` or ``VALUES ...``);
+its sources are the session's views — register lake tables with
+``to_view`` first. Columns align by name when they match the target
+schema, else by position.
+
+The WHERE grammar for DELETE/UPDATE is deliberately the stats-targeted
+subset the lake's row ops prune files with: conjunctions of
+``col OP literal`` (OP in ``= < <= > >=``, literal a number or
+``'string'``). Anything richer raises with a pointer to the Python API
+(``scan().filter`` + ``overwrite``) rather than silently degrading to
+a full-table rewrite. UPDATE ``SET`` and MERGE clause expressions are
+full Spark SQL expressions; in MERGE, source/target alias prefixes are
+rewritten onto ``merge_into``'s namespace (target columns bare, source
+columns ``src_``-prefixed).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from icebergplus_spark.lake.catalog import LocalLakeCatalog
+from icebergplus_spark.lake.table import LakeTable
+
+_NUM = r"-?\d+(?:\.\d+)?"
+_STR = r"'(?:[^']|'')*'"
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+_PRED = re.compile(
+    rf"^\s*({_IDENT})\s*(<=|>=|=|<|>)\s*({_NUM}|{_STR})\s*$"
+)
+
+
+class UnsupportedSQL(ValueError):
+    """Statement outside the documented DML grammar."""
+
+
+def _parse_literal(tok: str) -> Any:
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _parse_where(where: str) -> dict[str, tuple[str, Any]]:
+    """Conjunction of simple comparisons → the stats-targeted predicate
+    dict ``delete``/``update_where`` prune files with."""
+    preds: dict[str, tuple[str, Any]] = {}
+    # split on AND outside quotes (literals with embedded AND are rare
+    # enough to reject rather than mis-split)
+    parts = re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)
+    for part in parts:
+        m = _PRED.match(part)
+        if not m:
+            raise UnsupportedSQL(
+                f"unsupported WHERE term {part!r}: the SQL frontend takes "
+                "conjunctions of <col> <op> <literal> (stats-targeted); "
+                "for richer predicates use the Python API "
+                "(scan().filter(...) + overwrite)"
+            )
+        col, op, lit = m.groups()
+        if col in preds:
+            raise UnsupportedSQL(
+                f"column {col!r} constrained twice; combine into one range "
+                "via the Python API"
+            )
+        preds[col] = (op, _parse_literal(lit))
+    return preds
+
+
+def _align(df, table: LakeTable):
+    """Column alignment (by name when the sets match, else by position)
+    plus standard INSERT type coercion to the table schema — SQL
+    literals arrive as DECIMAL/void types that must land as the
+    column's declared type."""
+    from pyspark.sql import functions as F
+
+    fields = table.schema.fields
+    want = [f.name for f in fields]
+    if sorted(df.columns) == sorted(want):
+        pairs = [(f.name, f) for f in fields]
+    elif len(df.columns) == len(want):
+        pairs = list(zip(df.columns, fields))
+    else:
+        raise UnsupportedSQL(
+            f"query returns {len(df.columns)} columns, table has {len(want)}"
+        )
+    return df.select(
+        *[F.col(c).cast(f.dataType).alias(f.name) for c, f in pairs]
+    )
+
+
+_MERGE = re.compile(
+    rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+(\w+))?\s+"
+    rf"USING\s+({_IDENT})(?:\s+AS)?(?:\s+(\w+))?\s+"
+    rf"ON\s+(.+?)\s+(WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_refs(expr: str, t_alias: str | None, s_alias: str | None) -> str:
+    """Map alias-qualified references onto merge_into's namespace:
+    target ``t.col`` → ``col``, source ``s.col`` → ``src_col``."""
+    if s_alias:
+        expr = re.sub(rf"\b{re.escape(s_alias)}\.(\w+)", r"src_\1", expr)
+    if t_alias:
+        expr = re.sub(rf"\b{re.escape(t_alias)}\.(\w+)", r"\1", expr)
+    return expr
+
+
+def lake_sql(catalog: LocalLakeCatalog, sql: str):
+    """Execute one SQL statement against the catalog. SELECT/VALUES pass
+    through to ``spark.sql``; DML routes onto LakeTable ops (see module
+    docstring for the grammar). Returns the result DataFrame for reads,
+    the committed ``LakeTable`` for writes."""
+    from pyspark.sql import functions as F
+
+    spark = catalog.spark
+    stmt = sql.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+
+    if head in ("SELECT", "VALUES", "WITH"):
+        return spark.sql(stmt)
+
+    if head == "INSERT":
+        m = re.match(
+            rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UnsupportedSQL(f"cannot parse INSERT: {stmt[:80]!r}")
+        mode, ident, query = m.groups()
+        table = catalog.load_table(ident)
+        df = _align(spark.sql(query), table)
+        return table.overwrite(df) if mode.upper() == "OVERWRITE" else table.append(df)
+
+    if head == "DELETE":
+        m = re.match(
+            rf"^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UnsupportedSQL(
+                "DELETE requires a WHERE clause (truncate via "
+                "INSERT OVERWRITE with an empty query)"
+            )
+        ident, where = m.groups()
+        return catalog.load_table(ident).delete(_parse_where(where))
+
+    if head == "UPDATE":
+        m = re.match(
+            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UnsupportedSQL("UPDATE requires SET ... WHERE ...")
+        ident, sets, where = m.groups()
+        assignments: dict[str, Any] = {}
+        for term in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+            col, _, expr = term.partition("=")
+            if not expr:
+                raise UnsupportedSQL(f"cannot parse SET term {term!r}")
+            assignments[col.strip()] = F.expr(expr.strip())
+        return catalog.load_table(ident).update_where(
+            _parse_where(where), assignments
+        )
+
+    if head == "MERGE":
+        m = _MERGE.match(stmt)
+        if not m:
+            raise UnsupportedSQL(f"cannot parse MERGE: {stmt[:80]!r}")
+        ident, t_alias, src_view, s_alias, on_expr, clauses = m.groups()
+        table = catalog.load_table(ident)
+        source = spark.table(src_view)
+        # ON must be a conjunction of same-named key equalities — that is
+        # merge_into's join contract (and Iceberg's fast-path shape)
+        keys = []
+        for term in re.split(r"\s+AND\s+", on_expr, flags=re.IGNORECASE):
+            em = re.match(
+                rf"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$", term
+            )
+            if not em or em.group(2) != em.group(4):
+                raise UnsupportedSQL(
+                    f"MERGE ON must be same-named key equalities, got {term!r}"
+                )
+            keys.append(em.group(2))
+        kwargs: dict[str, Any] = {"when_not_matched_insert": False}
+        for cm in re.finditer(
+            r"WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)"
+            r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)"
+            r"(?=\s+WHEN\s|\s*$)",
+            clauses,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond, action = cm.group(2), cm.group(3).strip()
+            cond_col = (
+                F.expr(_rewrite_refs(cond, t_alias, s_alias)) if cond else None
+            )
+            if kind == "MATCHED":
+                if action.upper() == "DELETE":
+                    kwargs["when_matched_delete"] = True
+                else:
+                    sets = re.sub(
+                        r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE
+                    )
+                    upd = {}
+                    for term in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+                        col, _, expr = term.partition("=")
+                        upd[
+                            re.sub(rf"^{t_alias}\." if t_alias else "$^", "", col.strip())
+                        ] = F.expr(_rewrite_refs(expr.strip(), t_alias, s_alias))
+                    kwargs["when_matched_update"] = upd
+                if cond_col is not None:
+                    kwargs["matched_condition"] = cond_col
+            elif kind == "NOT MATCHED":
+                if action.upper() != "INSERT *":
+                    raise UnsupportedSQL(
+                        "WHEN NOT MATCHED supports INSERT * (columns align "
+                        "by name); use the Python API for column lists"
+                    )
+                kwargs["when_not_matched_insert"] = True
+            else:  # NOT MATCHED BY SOURCE
+                if action.upper() != "DELETE":
+                    raise UnsupportedSQL(
+                        "WHEN NOT MATCHED BY SOURCE supports DELETE only"
+                    )
+                kwargs["when_not_matched_by_source_delete"] = True
+                if cond_col is not None:
+                    kwargs["not_matched_by_source_condition"] = cond_col
+        return table.merge_into(source, on=keys, **kwargs)
+
+    raise UnsupportedSQL(
+        f"unsupported statement {head!r}: the SQL frontend covers "
+        "SELECT/VALUES/WITH, INSERT [OVERWRITE], DELETE, UPDATE, MERGE"
+    )

@@ -597,3 +597,53 @@ def q101_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum("c_acctbal", 2).alias("sum_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — SQL DML round-trip: the lake driven ENTIRELY through statement
+# text (lake_sql): INSERT INTO ... SELECT, stats-targeted UPDATE and
+# DELETE, then a multi-clause MERGE (matched update + not-matched
+# insert). The oracle never sees the lake or the DML — it recomputes the
+# final state as one SELECT over the raw parquet, so a hash match
+# proves every routed statement applied exactly its SQL semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "q103_sql_dml_roundtrip",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey >= 20 THEN n_name
+            WHEN n_nationkey >= 18 THEN 'merged'
+            WHEN n_regionkey = 2 THEN 'updated'
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+""",
+)
+def q103_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    nation = _t(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("q103_nation_src")
+    root = tempfile.mkdtemp(prefix="lake_sql_dml_")
+    cat = LocalLakeCatalog(spark, root).start()
+    cat.create_table("bench.nation_dml", nation.schema)
+    lake_sql(cat, "INSERT INTO bench.nation_dml SELECT * FROM q103_nation_src")
+    lake_sql(
+        cat,
+        "UPDATE bench.nation_dml SET n_name = 'updated' WHERE n_regionkey = 2",
+    )
+    lake_sql(cat, "DELETE FROM bench.nation_dml WHERE n_nationkey >= 20")
+    spark.sql(
+        "SELECT * FROM q103_nation_src WHERE n_nationkey >= 18"
+    ).createOrReplaceTempView("q103_merge_src")
+    lake_sql(
+        cat,
+        """
+        MERGE INTO bench.nation_dml t USING q103_merge_src s
+          ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET n_name = 'merged'
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    return cat.load_table("bench.nation_dml").scan()

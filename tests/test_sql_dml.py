@@ -1,0 +1,122 @@
+"""SQL DML frontend: statement text → LakeTable ops, results verified
+against the equivalent Python-API calls and plain-SQL expectations."""
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
+
+SCHEMA = StructType(
+    [
+        StructField("k", IntegerType(), True),
+        StructField("name", StringType(), True),
+        StructField("score", DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = c.create_table("db.t", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA
+        )
+    )
+    return c
+
+
+def _rows(cat):
+    return sorted(
+        (r["k"], r["name"], r["score"])
+        for r in cat.load_table("db.t").scan().collect()
+    )
+
+
+def test_insert_values(cat):
+    lake_sql(cat, "INSERT INTO db.t VALUES (4, 'd', 4.0), (5, 'e', 5.0)")
+    assert _rows(cat) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0), (5, "e", 5.0),
+    ]
+
+
+def test_insert_select_and_overwrite(spark, cat):
+    cat.load_table("db.t").to_view("t_view")
+    lake_sql(cat, "INSERT INTO db.t SELECT k + 10, name, score * 2 FROM t_view")
+    assert len(_rows(cat)) == 6
+    lake_sql(cat, "INSERT OVERWRITE db.t VALUES (9, 'z', 0.5)")
+    assert _rows(cat) == [(9, "z", 0.5)]
+
+
+def test_delete_where(cat):
+    lake_sql(cat, "DELETE FROM db.t WHERE k >= 2 AND score <= 2.0")
+    assert _rows(cat) == [(1, "a", 1.0), (3, "c", 3.0)]
+
+
+def test_update_set_where(cat):
+    lake_sql(cat, "UPDATE db.t SET score = score * 10, name = 'up' WHERE k = 2")
+    assert _rows(cat) == [(1, "a", 1.0), (2, "up", 20.0), (3, "c", 3.0)]
+
+
+def test_merge_full_clauses(spark, cat):
+    src = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "D", 40.0)], SCHEMA
+    )
+    src.createOrReplaceTempView("src_view")
+    lake_sql(
+        cat,
+        """
+        MERGE INTO db.t AS t USING src_view AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET name = s.name, score = t.score + s.score
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert _rows(cat) == [
+        (1, "a", 1.0), (2, "B", 22.0), (3, "c", 3.0), (4, "D", 40.0),
+    ]
+
+
+def test_merge_by_source_delete_and_condition(spark, cat):
+    spark.createDataFrame([(2, "B", 20.0)], SCHEMA).createOrReplaceTempView(
+        "src2"
+    )
+    lake_sql(
+        cat,
+        """
+        MERGE INTO db.t t USING src2 s ON t.k = s.k
+        WHEN MATCHED AND t.score < 100 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.k > 1 THEN DELETE
+        """,
+    )
+    assert _rows(cat) == [(1, "a", 1.0)]  # 2 deleted matched, 3 by-source
+
+
+def test_select_passthrough(spark, cat):
+    cat.load_table("db.t").to_view("t_sel")
+    df = lake_sql(cat, "SELECT COUNT(*) AS n FROM t_sel")
+    assert df.first()["n"] == 3
+
+
+def test_unsupported_surfaces_clearly(cat):
+    with pytest.raises(UnsupportedSQL, match="stats-targeted"):
+        lake_sql(cat, "DELETE FROM db.t WHERE k IN (1, 2)")
+    with pytest.raises(UnsupportedSQL, match="WHERE"):
+        lake_sql(cat, "DELETE FROM db.t")
+    with pytest.raises(UnsupportedSQL, match="unsupported statement"):
+        lake_sql(cat, "DROP TABLE db.t")
+    with pytest.raises(UnsupportedSQL, match="constrained twice"):
+        lake_sql(cat, "DELETE FROM db.t WHERE k > 1 AND k < 3")
+
+
+def test_quoted_literals_and_escapes(cat):
+    lake_sql(cat, "INSERT INTO db.t VALUES (6, 'o''brien', 6.0)")
+    lake_sql(cat, "DELETE FROM db.t WHERE name = 'o''brien'")
+    assert len(_rows(cat)) == 3
