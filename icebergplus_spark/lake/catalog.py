@@ -173,7 +173,17 @@ class LocalLakeCatalog:
         self.load_table(old)._evolve(
             lambda meta: meta.__setitem__("identifier", new)
         )
-        os.replace(self._pointer_file(old), self._pointer_file(new))
+        if getattr(self.commit_io, "atomic_rename", True):
+            os.replace(self._pointer_file(old), self._pointer_file(new))
+        else:
+            # Object-store catalog db: copy-then-delete. Not atomic — a
+            # concurrent reader can briefly see both names (never
+            # neither: the new pointer lands first). Same non-atomic
+            # rename window Iceberg's HadoopCatalog has on S3; the
+            # upgrade point is a transactional catalog service (the
+            # reference's JDBC/H2 role).
+            shutil.copyfile(self._pointer_file(old), self._pointer_file(new))
+            os.remove(self._pointer_file(old))
         return self.load_table(new)
 
     def clone_table(self, src_identifier: str, dst_identifier: str) -> LakeTable:
@@ -257,9 +267,28 @@ class LocalLakeCatalog:
         )
 
     def drop_table(self, identifier: str, purge: bool = False) -> None:
+        """Unregister (and with ``purge`` delete) a table. Purging a
+        table that registered clones would delete data files the
+        clones' inherited manifests still reference — refused, like
+        source-side maintenance (drop the clones first, or drop
+        without purge to keep the shared files)."""
         self._require_started()
         if not self.table_exists(identifier):
             raise KeyError(f"no such table: {identifier}")
+        if purge:
+            clones = [
+                c
+                for c in self.load_table(identifier)
+                .properties.get("clones", "")
+                .split(",")
+                if c
+            ]
+            live = [c for c in clones if self.table_exists(c)]
+            if live:
+                raise ValueError(
+                    f"cannot purge {identifier}: clones {live} still reference "
+                    "its data files; drop them first or drop without purge"
+                )
         with open(self._pointer_file(identifier)) as f:
             table_dir = json.load(f)["table_dir"]
         os.remove(self._pointer_file(identifier))

@@ -1143,7 +1143,9 @@ class LakeTable:
         raise last_err  # three losses in a row: surface the conflict
         return self
 
-    def add_files(self, paths: list[str]) -> "LakeTable":
+    def add_files(
+        self, paths: list[str] | None = None, base_dir: str | None = None
+    ) -> "LakeTable":
         """Register EXISTING parquet files as table data without moving
         or rewriting a byte (Iceberg's ``add_files`` migration
         procedure): footer-harvest stats per file, write one manifest,
@@ -1156,23 +1158,79 @@ class LakeTable:
         schema; missing columns read back as NULL, extra columns are
         ignored by the scan projection. The table takes OWNERSHIP:
         ``expire_snapshots`` will eventually delete replaced files, so
-        don't register files another system still owns. Unpartitioned
-        tables only (identity-partition recovery assumes the table's
-        own directory layout)."""
-        if self.partition_spec:
-            raise ValueError("add_files: unpartitioned tables only")
+        don't register files another system still owns.
+
+        Two modes:
+        - ``paths``: explicit file list, UNPARTITIONED tables only
+          (identity-partition recovery assumes the table's own layout).
+        - ``base_dir``: migrate a whole Hive-partitioned dataset into an
+          identity-partitioned table. Each file's ``col=val`` path
+          segments must cover the partition columns; files are
+          HARDLINKED (same filesystem; falls back to copy) under the
+          table's own data dir preserving their Hive subpaths, so
+          partition-value recovery, stats pruning, compaction, and
+          expiry all see the standard layout — still zero data bytes
+          rewritten. The object-store analogue is a server-side copy."""
         t0 = time.time()
         phys_names = {f.name for f in self.physical_schema.fields}
         entries = []
-        for p in paths:
-            p = os.path.abspath(p)
-            cols = set(pq.ParquetFile(p).schema_arrow.names)
-            if not (cols & phys_names):
+        if (paths is None) == (base_dir is None):
+            raise ValueError("add_files: pass exactly one of paths / base_dir")
+        if base_dir is not None:
+            if any(pf["transform"] != "identity" for pf in self.partition_spec):
                 raise ValueError(
-                    f"add_files: {p} shares no columns with the table "
-                    f"(physical schema: {sorted(phys_names)})"
+                    "add_files(base_dir=...): identity partition specs only "
+                    "(transform values can't be recovered from foreign paths)"
                 )
-            entries.append(self._harvest_data_file(p))
+            mapping = self._column_mapping
+            part_cols = [mapping.get(c, c) for c in self.partition_cols]
+            base_dir = os.path.abspath(base_dir)
+            dest_root = os.path.join(
+                self.table_dir, "data", f"added-{uuid.uuid4().hex}"
+            )
+            import shutil as _shutil
+
+            for root, _dirs, fns in sorted(os.walk(base_dir)):
+                for fn in sorted(fns):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, fn)
+                    rel = os.path.relpath(src, base_dir)
+                    seen_cols = {
+                        seg.partition("=")[0]
+                        for seg in rel.split(os.sep)
+                        if "=" in seg
+                    }
+                    missing = [c for c in part_cols if c not in seen_cols]
+                    if missing:
+                        raise ValueError(
+                            f"add_files: {src} path lacks partition "
+                            f"segment(s) {missing}"
+                        )
+                    dst = os.path.join(dest_root, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(src, dst)  # zero-copy on one filesystem
+                    except OSError:
+                        _shutil.copyfile(src, dst)
+                    entries.append(self._harvest_data_file(dst))
+            if not entries:
+                raise ValueError(f"add_files: no parquet files under {base_dir}")
+        else:
+            if self.partition_spec:
+                raise ValueError(
+                    "add_files(paths=...): unpartitioned tables only — "
+                    "use base_dir to migrate a Hive-partitioned dataset"
+                )
+            for p in paths:
+                p = os.path.abspath(p)
+                cols = set(pq.ParquetFile(p).schema_arrow.names)
+                if not (cols & phys_names):
+                    raise ValueError(
+                        f"add_files: {p} shares no columns with the table "
+                        f"(physical schema: {sorted(phys_names)})"
+                    )
+                entries.append(self._harvest_data_file(p))
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
         base = self.snapshot()

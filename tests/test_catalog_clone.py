@@ -174,3 +174,22 @@ def test_stream_rate_limit_bounds_batches(spark, tmp_path):
         assert all(n == 1 for n in later)
     finally:
         q.stop()
+
+
+def test_purge_refused_while_clones_exist(spark, tmp_path):
+    """drop_table(purge=True) on a clone-shared source would delete
+    files the clones still read — refused until the clones are gone."""
+    import pytest
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType([StructField("x", IntegerType(), True)])
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_purge")).start()
+    src = cat.create_table("db.src", schema)
+    src.append(spark.createDataFrame([(1,)], schema))
+    cat.clone_table("db.src", "db.cl")
+    with pytest.raises(ValueError, match="clones"):
+        cat.drop_table("db.src", purge=True)
+    cat.drop_table("db.src")  # non-purge drop keeps shared files: allowed
+    assert cat.load_table("db.cl").scan().count() == 1

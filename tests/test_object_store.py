@@ -301,3 +301,12 @@ def test_two_catalog_instances_parallel_appends(spark, tmp_path):
     )
     attempts = sink.get("iceberg.commitReport.attempts")
     assert attempts is not None and attempts.value >= 2 * per_writer
+
+
+def test_rename_table_without_rename_primitive(spark, tmp_path, no_meta_rename):
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.before", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    cat.rename_table("db.before", "db.after")
+    assert cat.list_tables() == ["db.after"]
+    assert cat.load_table("db.after").scan().count() == 1

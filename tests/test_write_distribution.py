@@ -136,3 +136,44 @@ def test_write_sort_order_clusters_appends(spark, tmp_path):
         assert hi1 < lo2  # globally range-clustered: no overlap
     # pruning: a narrow range hits exactly one file
     assert len(t.plan_files({"k": ("=", 42)})) == 1
+
+
+def test_add_files_migrates_hive_partitioned_dataset(spark, tmp_path):
+    """add_files(base_dir=...) registers a whole Hive-partitioned
+    dataset into an identity-partitioned table: partition values
+    recovered from paths, stats pruning live, zero data rewritten
+    (hardlinks into the table layout)."""
+    ext = str(tmp_path / "hive_ext")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], SCHEMA
+    )
+    df.repartition(1).write.partitionBy("part").parquet(ext)
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh5")).start()
+    t = cat.create_table("db.hive_mig", SCHEMA, partition_cols=["part"])
+    t.add_files(base_dir=ext)
+    assert sorted(map(tuple, t.scan().collect())) == [
+        ("a", 1), ("a", 2), ("b", 3), ("c", 4),
+    ]
+    # partition pruning works off the recovered path values
+    assert len(t.plan_files({"part": ("=", "b")})) == 1
+    assert [r["v"] for r in t.scan({"part": ("=", "b")}).collect()] == [3]
+    # appends and compaction continue normally on top
+    t.append(spark.createDataFrame([("b", 5)], SCHEMA))
+    assert t.count_rows() == 5
+
+    # guard: a file whose path lacks the partition segment is rejected
+    flat = str(tmp_path / "flat_ext")
+    df.coalesce(1).write.parquet(flat)
+    t2 = cat.create_table("db.hive_mig2", SCHEMA, partition_cols=["part"])
+    with pytest.raises(ValueError, match="lacks partition"):
+        t2.add_files(base_dir=flat)
+    # guard: transform specs can't recover values from foreign paths
+    t3 = cat.create_table(
+        "db.hive_mig3", SCHEMA, partition_spec=["bucket(4, part)"]
+    )
+    with pytest.raises(ValueError, match="identity"):
+        t3.add_files(base_dir=ext)
+    # guard: exactly one of paths/base_dir
+    with pytest.raises(ValueError, match="exactly one"):
+        t2.add_files()
