@@ -144,3 +144,57 @@ def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
     assert t.scan().select(F.sum("x").alias("s")).collect()[0]["s"] == sum(
         x for x in range(32) for _ in range(32)
     )
+
+
+def test_zorder_equal_depth_beats_width_under_skew(spark, tmp_path):
+    """Under heavy value skew, equal-width z-cells collapse nearly every
+    row into one cell (clustering degenerates); sampled equal-depth cut
+    points keep cells evenly populated, so file [min,max] stats stay
+    narrow in the dense region and prune more files there."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    schema = StructType(
+        [StructField("a", LongType(), True), StructField("b", LongType(), True)]
+    )
+    # 99% of values in [0, 100), 1% huge outliers up to 10^9: equal-width
+    # binning between min/max puts the dense mass in a single cell.
+    rows = spark.range(0, 100000).select(
+        F.when(F.col("id") % 100 == 0, F.col("id") * 50000)
+        .otherwise(F.col("id") % 100)
+        .alias("a"),
+        F.when(F.col("id") % 100 == 1, F.col("id") * 50000)
+        .otherwise((F.col("id") * 7) % 100)
+        .alias("b"),
+    )
+
+    def pruned_count(binning):
+        cat = LocalLakeCatalog(spark, str(tmp_path / f"wh_{binning}")).start()
+        t = cat.create_table(f"db.skew_{binning}", schema)
+        for i in range(4):  # 4 small files so compaction has work
+            t.append(rows.filter(F.col("a") % 4 == i).coalesce(1))
+        compact(
+            t,
+            target_file_size=8 * 1024,
+            small_file_threshold=1 << 30,
+            zorder_by=["a", "b"],
+            zorder_binning=binning,
+        )
+        total = len(t.plan_files())
+        # Predicate at the top of the dense region: depth binning gives
+        # the dense mass its own z-quadrants, so low-quadrant files have
+        # max(a) well below 95 and prune; width binning collapses all
+        # dense values into one z-cell, so every file mixes the full
+        # dense range and max(a) ~ 99 everywhere — nothing prunes.
+        kept = len(t.plan_files({"a": (">=", 95)}))
+        return total - kept, total
+
+    depth_pruned, depth_total = pruned_count("depth")
+    width_pruned, width_total = pruned_count("width")
+    assert depth_total > 2 and width_total > 2  # real multi-file layout
+    assert depth_pruned > width_pruned, (
+        f"equal-depth pruned {depth_pruned}/{depth_total}, "
+        f"equal-width pruned {width_pruned}/{width_total}"
+    )
