@@ -148,7 +148,13 @@ def _harvest_footer(path: str) -> dict[str, Any]:
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
-            st = col.statistics
+            try:
+                st = col.statistics
+            except Exception:
+                # pyarrow can't materialize stats for some physical
+                # types (e.g. nested/array leaves) — a statless column
+                # is never wrong, only unprunable
+                st = None
             if st is None or not st.has_null_count:
                 no_nulls.add(name)
                 nulls.pop(name, None)

@@ -1,0 +1,192 @@
+"""Persisted vector index: IVF structures as LAKE TABLES next to the
+corpus (SURVEY.md §2.B similarity-search row, the durability upgrade
+over the session-scoped index cache in ``similarity.py``).
+
+At 100 TB the ANN index is not session state — it is a derived table a
+pipeline builds once, snapshots, and shares across sessions and hosts,
+exactly like the shingle/fingerprint artifacts the dedup family
+maintains. This module persists the two IVF artifacts:
+
+- ``<name>_centroids``  (cid int, cv array<float>) — the coarse
+  quantizer (deterministic first-K rows by default, same construction
+  as s06 so behavior is oracle-verifiable; a trained k-means quantizer
+  drops in unchanged).
+- ``<name>_cells``      (vec_id long, cell int) — one row per corpus
+  vector: its nearest-centroid assignment. Built with a broadcast of
+  the (tiny) centroid set against the corpus — one Arrow-free JVM pass,
+  no cross join materialized.
+
+Freshness is tracked through the lake's own versioning: the index
+tables record the SOURCE table's snapshot id in their properties, and
+``query_index`` refuses a stale index (source advanced past the
+recorded snapshot) unless told otherwise — the staleness contract a
+derived artifact needs to be trustworthy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from icebergplus_spark.operators.similarity import cosine, dot
+
+
+class StaleIndexError(RuntimeError):
+    """The source table advanced past the snapshot the index was built
+    from — rebuild with ``build_ivf_index`` (or pass
+    ``allow_stale=True`` to search the stale index knowingly)."""
+
+
+def _names(index_name: str) -> tuple[str, str]:
+    return f"{index_name}_centroids", f"{index_name}_cells"
+
+
+def build_ivf_index(
+    catalog,
+    source_table: str,
+    index_name: str,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build (or rebuild) the IVF index tables for ``source_table``.
+
+    Cost: one pass over the corpus (assignment) + a k-row centroid
+    write. Rebuild replaces the index tables' content via overwrite
+    commits, so readers flip atomically per table."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = catalog.load_table(source_table)
+    corpus = src.scan().select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+    dist = (
+        dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    cells = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+    cent_name, cell_name = _names(index_name)
+    cent_schema = StructType(
+        [
+            StructField("cid", IntegerType(), False),
+            StructField("cv", ArrayType(FloatType()), False),
+        ]
+    )
+    cell_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+    for name, schema, df in (
+        (cent_name, cent_schema, cents.select("cid", F.col("cv").cast("array<float>"))),
+        (cell_name, cell_schema, cells.select(F.col("vec_id").cast("long"), "cell")),
+    ):
+        t = (
+            catalog.load_table(name)
+            if catalog.table_exists(name)
+            else catalog.create_table(name, schema)
+        )
+        if t.snapshot() is None:
+            t.append(df)
+        else:
+            t.overwrite(df)
+        t.set_property("index.source-table", source_table)
+        t.set_property("index.source-snapshot-id", str(src.current_snapshot_id))
+        t.set_property("index.k", str(k))
+
+
+def index_is_fresh(catalog, index_name: str) -> bool:
+    cent_name, _ = _names(index_name)
+    t = catalog.load_table(cent_name)
+    src = catalog.load_table(t.properties["index.source-table"])
+    return int(t.properties["index.source-snapshot-id"]) == src.current_snapshot_id
+
+
+def query_index(
+    catalog,
+    index_name: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    top_k: int = 5,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """ANN search against the persisted index: assign each query to its
+    ``nprobe`` nearest cells (broadcast centroids), gather the cells'
+    corpus vectors through the assignment table, exact-cosine re-rank.
+    ``queries``: (query_id, qv array<float>). Returns
+    (query_id, neighbor_id, cos_sim, rk)."""
+    cent_name, cell_name = _names(index_name)
+    cent_t = catalog.load_table(cent_name)
+    if not allow_stale and not index_is_fresh(catalog, index_name):
+        raise StaleIndexError(
+            f"index {index_name!r} was built at source snapshot "
+            f"{cent_t.properties['index.source-snapshot-id']}, but "
+            f"{cent_t.properties['index.source-table']!r} has advanced"
+        )
+    src = catalog.load_table(cent_t.properties["index.source-table"])
+    cents = cent_t.scan()
+    cells = catalog.load_table(cell_name).scan()
+    corpus = src.scan().select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+
+    qdist = (
+        dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * dot(F.col("qv"), F.col("cv_c"))
+        + dot(F.col("cv_c"), F.col("cv_c"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probes = (
+        queries.crossJoin(
+            F.broadcast(cents.select("cid", F.col("cv").alias("cv_c")))
+        )
+        .select("query_id", "qv", "cid", qdist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .join(corpus, F.col("vec_id") == F.col("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
