@@ -190,3 +190,54 @@ def query_index(
         .filter(F.col("rk") <= top_k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s08 — the persisted-index path under the driver's oracle gate. The
+# construction is s06's deterministic IVF, so the SAME SQL replays it —
+# but here the centroids and cell assignments round-trip through LAKE
+# TABLES (build → commit → load → query), proving the durable-index
+# medium is lossless, not just the in-session algebra. The per-corpus
+# index is cached across calls like similarity.py's session artifacts.
+# ---------------------------------------------------------------------------
+def _s06_oracle_sql() -> str:
+    import icebergplus_spark.operators.similarity  # noqa: F401 — registers s06
+    from icebergplus_spark.registry import ORACLES
+
+    return ORACLES["s06_ivf_flat"]
+
+
+_S08_CATS: dict = {}
+
+
+def s08_ivf_persisted(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+    from icebergplus_spark.session import prepare_session
+
+    prepare_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = _S08_CATS.get(sf_dir)
+    if cat is None:
+        cat = LocalLakeCatalog(
+            spark, tempfile.mkdtemp(prefix="vec_index_")
+        ).start()
+        t = cat.create_table("vec.corpus", emb.schema)
+        t.append(emb)
+        build_ivf_index(cat, "vec.corpus", "vec.idx", k=16)
+        _S08_CATS[sf_dir] = cat
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return query_index(cat, "vec.idx", queries, nprobe=4, top_k=5)
+
+
+def _register_s08() -> None:
+    from icebergplus_spark.registry import register
+
+    register("s08_ivf_persisted", oracle=_s06_oracle_sql())(s08_ivf_persisted)
+
+
+_register_s08()
