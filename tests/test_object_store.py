@@ -310,3 +310,38 @@ def test_rename_table_without_rename_primitive(spark, tmp_path, no_meta_rename):
     cat.rename_table("db.before", "db.after")
     assert cat.list_tables() == ["db.after"]
     assert cat.load_table("db.after").scan().count() == 1
+
+
+def test_rewrite_paths_object_store(spark, tmp_path, no_meta_rename):
+    """The rewrite commits (merge_into, dynamic partition overwrite,
+    compaction) publish through the same rename-less CAS."""
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake.maintenance import compact
+
+    cat = _catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("db.rw", SCHEMA, partition_cols=["s"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], SCHEMA))
+
+    # dynamic partition overwrite: only partition 'a' replaced
+    t.overwrite_partitions(spark.createDataFrame([(9, "a")], SCHEMA))
+    assert sorted((r["k"], r["s"]) for r in t.scan().collect()) == [
+        (3, "b"), (9, "a"),
+    ]
+
+    # multi-clause merge
+    src = spark.createDataFrame([(9, "A"), (7, "c")], SCHEMA)
+    t.merge_into(
+        src.select(F.col("k"), F.col("s")),
+        on="k",
+        when_matched_update={"s": F.col("src_s")},
+    )
+    assert sorted((r["k"], r["s"]) for r in t.scan().collect()) == [
+        (3, "b"), (7, "c"), (9, "A"),
+    ]
+
+    # compaction commit
+    for i in range(3):
+        t.append(spark.createDataFrame([(10 + i, "b")], SCHEMA).coalesce(1))
+    compact(t, target_file_size=1 << 28, small_file_threshold=1 << 28)
+    assert t.scan().count() == 6
