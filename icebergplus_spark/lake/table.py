@@ -740,14 +740,26 @@ class LakeTable:
     def _file_births(self) -> dict[str, int]:
         """First snapshot id each data file appears in (stand-in for
         Iceberg sequence numbers; drives equality-delete exemption).
-        Driver-side walk of the manifest log — the 100 TB upgrade point
-        is stamping the birth id into the manifest entry at write time."""
+        Snapshots record their added-file set at commit time, so this
+        is a walk over in-memory metadata — O(total added files), no
+        manifest I/O. Pre-``added_files`` snapshots (older tables) fall
+        back to reading their manifests once."""
         births: dict[str, int] = {}
         for s in self._meta["snapshots"]:
-            for m in s["manifests"]:
-                t = pq.read_table(os.path.join(self._meta_dir, m))
-                for p in t.column("file_path").to_pylist():
-                    births.setdefault(p, s["snapshot_id"])
+            added = s.get("added_files")
+            if added is None:  # legacy snapshot: recover from manifests
+                added = []
+                for m in s["manifests"]:
+                    added.extend(
+                        pq.read_table(
+                            os.path.join(self._meta_dir, m),
+                            columns=["file_path"],
+                        )
+                        .column("file_path")
+                        .to_pylist()
+                    )
+            for p in added:
+                births.setdefault(p, s["snapshot_id"])
         return births
 
     def _apply_deletes(
