@@ -566,23 +566,7 @@ class LakeTable:
         (losers get ConcurrentCommitError and retry). ``attempts`` is
         surfaced as the commit report's attempts counter — the
         reference's Iceberg retry-loop metric."""
-        total_records = 0
-        total_bytes = 0
-        total_files = 0
-        for m in manifests:
-            t = pq.read_table(os.path.join(self._meta_dir, m))
-            total_records += sum(t.column("record_count").to_pylist())
-            total_bytes += sum(t.column("file_size_bytes").to_pylist())
-            total_files += t.num_rows
         delete_manifests = delete_manifests or []
-        pos_deletes = eq_deletes = delete_files = 0
-        for m in delete_manifests:
-            for e in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
-                delete_files += 1
-                if e["content"] == "position":
-                    pos_deletes += e["record_count"]
-                else:
-                    eq_deletes += e["record_count"]
         # max over ALL snapshot ids (not current+1): branch commits
         # interleave with main commits in the same log
         snap_id = max(
@@ -595,6 +579,65 @@ class LakeTable:
             parent = self._meta["refs"][branch]["snapshot_id"]
         else:
             parent = self._meta.get("current_snapshot_id")
+        # Totals: incremental from the parent summary when this commit
+        # only EXTENDS the parent's manifest lists (the append/upsert
+        # hot path) — O(new manifests) of I/O per commit instead of
+        # re-reading the whole inventory, which at 100 TB would put the
+        # scan-planning cost on every write. Rewrites (replace/
+        # overwrite/compact swap manifests out) recompute from scratch.
+        parent_snap = next(
+            (s for s in self._meta["snapshots"] if s["snapshot_id"] == parent),
+            None,
+        )
+
+        def _sum_manifests(ms: list[str]) -> tuple[int, int, int]:
+            recs = byts = files = 0
+            for m in ms:
+                t = pq.read_table(
+                    os.path.join(self._meta_dir, m),
+                    columns=["record_count", "file_size_bytes"],
+                )
+                recs += sum(t.column("record_count").to_pylist())
+                byts += sum(t.column("file_size_bytes").to_pylist())
+                files += t.num_rows
+            return recs, byts, files
+
+        def _sum_delete_manifests(ms: list[str]) -> tuple[int, int, int]:
+            pos = eq = files = 0
+            for m in ms:
+                for e in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
+                    files += 1
+                    if e["content"] == "position":
+                        pos += e["record_count"]
+                    else:
+                        eq += e["record_count"]
+            return pos, eq, files
+
+        ps = parent_snap["summary"] if parent_snap else None
+        if (
+            parent_snap
+            and manifests[: len(parent_snap["manifests"])] == parent_snap["manifests"]
+        ):
+            recs, byts, files = _sum_manifests(
+                manifests[len(parent_snap["manifests"]):]
+            )
+            total_records = ps["total-records"] + recs
+            total_bytes = ps["total-files-size"] + byts
+            total_files = ps["total-data-files"] + files
+        else:
+            total_records, total_bytes, total_files = _sum_manifests(manifests)
+        parent_dm = parent_snap.get("delete_manifests", []) if parent_snap else []
+        if parent_snap and delete_manifests[: len(parent_dm)] == parent_dm:
+            pos_deletes, eq_deletes, delete_files = _sum_delete_manifests(
+                delete_manifests[len(parent_dm):]
+            )
+            pos_deletes += ps["total-position-deletes"]
+            eq_deletes += ps["total-equality-deletes"]
+            delete_files += ps["total-delete-files"]
+        else:
+            pos_deletes, eq_deletes, delete_files = _sum_delete_manifests(
+                delete_manifests
+            )
         snapshot = {
             "snapshot_id": snap_id,
             "parent_snapshot_id": parent,
