@@ -647,3 +647,41 @@ def q103_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return cat.load_table("bench.nation_dml").scan()
+
+
+# ---------------------------------------------------------------------------
+# q104 — the batch DataSource under the oracle gate: the table is
+# WRITTEN through the lake commit path but READ back through
+# spark.read.format("lake") — the generic Python DataSource any Spark
+# job can use with no LakeTable import. A hash match proves the
+# source's worker-side Arrow reads (column mapping, partition-value
+# recovery, per-file partitions) are lossless against the raw parquet.
+# ---------------------------------------------------------------------------
+@register(
+    "q104_lake_batch_source",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+""",
+)
+def q104_lake_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming.lake_source import read_lake_batch
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="lake_batch_src_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_bs", orders.schema)
+    t.append(orders.repartition(4))
+    return (
+        read_lake_batch(spark, t.table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+    )

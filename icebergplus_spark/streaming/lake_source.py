@@ -630,3 +630,185 @@ def read_lake_stream(
         .option("max_snapshots_per_trigger", max_snapshots_per_trigger)
         .load()
     )
+
+
+BATCH_SOURCE_NAME = "lake"
+
+
+def _make_batch_source():
+    """Batch read of a lake table through the same DataSource V2 Python
+    API (``spark.read.format("lake")``): one input partition per data
+    file of the chosen snapshot, worker-side Arrow reads with column
+    mapping + identity-partition recovery — the on-ramp that lets ANY
+    Spark job read a lake table with nothing but this source registered
+    (no LakeTable import on the reading side).
+
+    Append-only surface by design: a snapshot carrying live delete
+    manifests is refused at plan time — merge-on-read tombstone
+    application belongs to ``LakeTable.scan`` (plan-level file pruning
+    and MOR semantics live there); this source covers the share-with-
+    any-tool read of append/compact-only tables, time travel included
+    (``snapshot_id`` option)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    def load_meta(table_dir: str) -> dict:
+        meta_dir = os.path.join(table_dir, "metadata")
+        try:
+            with open(os.path.join(meta_dir, "version-pointer.txt")) as f:
+                version = int(f.read().strip())
+        except (OSError, ValueError):
+            version = 0
+            try:
+                with open(os.path.join(meta_dir, "version-hint.text")) as f:
+                    version = int(f.read().strip())
+            except (OSError, ValueError):
+                pass
+            if version <= 0 or not os.path.exists(
+                os.path.join(meta_dir, f"v{version}.metadata.json")
+            ):
+                import re as _re
+
+                version = max(
+                    (
+                        int(m.group(1))
+                        for fn in os.listdir(meta_dir)
+                        if (m := _re.match(r"^v(\d+)\.metadata\.json$", fn))
+                    ),
+                    default=0,
+                )
+            while os.path.exists(
+                os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+            ):
+                version += 1
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+            return json.load(f)
+
+    def _parse_path_values(path: str) -> dict:
+        from urllib.parse import unquote
+
+        out: dict[str, str | None] = {}
+        for seg in path.split(os.sep)[:-1]:
+            if "=" in seg:
+                col, _, raw = seg.partition("=")
+                out[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                )
+        return out
+
+    class LakeBatchReader(DataSourceReader):
+        def __init__(self, options):
+            self.table_dir = options["table_dir"]
+            self.snapshot_id = int(options.get("snapshot_id", 0)) or None
+
+        def partitions(self):
+            import pyarrow.parquet as pq
+
+            meta = load_meta(self.table_dir)
+            snaps = meta["snapshots"]
+            if self.snapshot_id is not None:
+                snap = next(
+                    (s for s in snaps if s["snapshot_id"] == self.snapshot_id),
+                    None,
+                )
+                if snap is None:
+                    raise ValueError(f"no such snapshot: {self.snapshot_id}")
+            else:
+                cur = meta.get("current_snapshot_id")
+                snap = next(
+                    (s for s in snaps if s["snapshot_id"] == cur), None
+                )
+            if snap is None:  # empty table
+                return []
+            if snap.get("delete_manifests"):
+                raise ValueError(
+                    "lake batch source: snapshot has live merge-on-read "
+                    "deletes — read through LakeTable.scan(), which applies "
+                    "tombstones (or compact with purge_deletes first)"
+                )
+            mapping = meta.get("column_mapping") or {
+                f["name"]: f["name"] for f in meta["schema"]["fields"]
+            }
+            schema_json = json.dumps(meta["schema"])
+            meta_dir = os.path.join(self.table_dir, "metadata")
+            paths: list[str] = []
+            for m in snap["manifests"]:
+                t = pq.read_table(
+                    os.path.join(meta_dir, m), columns=["file_path"]
+                )
+                paths.extend(t.column("file_path").to_pylist())
+            return [
+                InputPartition(
+                    {
+                        "path": p,
+                        "schema_json": schema_json,
+                        "mapping": mapping,
+                        "path_values": _parse_path_values(p),
+                    }
+                )
+                for p in sorted(paths)
+            ]
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            spec = partition.value
+            logical = StructType.fromJson(json.loads(spec["schema_json"]))
+            target = to_arrow_schema(logical)
+            tbl = pq.read_table(spec["path"])
+            n = tbl.num_rows
+            arrays = []
+            for i, f in enumerate(logical.fields):
+                phys = spec["mapping"].get(f.name, f.name)
+                t = target.field(i).type
+                if phys in tbl.column_names:
+                    col = tbl[phys].combine_chunks()
+                elif phys in spec["path_values"]:
+                    raw = spec["path_values"][phys]
+                    col = pa.array(
+                        [None if raw is None else raw] * n, type=pa.string()
+                    )
+                else:
+                    col = pa.nulls(n, type=t)
+                arrays.append(col.cast(t))
+            out = pa.table(arrays, schema=target)
+            yield from out.to_batches()
+
+    class LakeBatchSource(DataSource):
+        @classmethod
+        def name(cls):
+            return BATCH_SOURCE_NAME
+
+        def schema(self):
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(
+                load_meta(self.options["table_dir"])["schema"]
+            )
+
+        def reader(self, schema):
+            return LakeBatchReader(self.options)
+
+    return LakeBatchSource
+
+
+def register_lake_batch_source(spark: SparkSession) -> None:
+    spark.dataSource.register(_make_batch_source())
+
+
+def read_lake_batch(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """``spark.read.format("lake")`` over a lake table (time travel via
+    ``snapshot_id``). Append-only snapshots; see _make_batch_source."""
+    register_lake_batch_source(spark)
+    reader = spark.read.format(BATCH_SOURCE_NAME).option("table_dir", table_dir)
+    if snapshot_id is not None:
+        reader = reader.option("snapshot_id", snapshot_id)
+    return reader.load()

@@ -138,3 +138,40 @@ def test_medallion_bronze_to_silver_exactly_once(spark, tmp_path):
     ]
     # silver history: exactly two streamed commits landed
     assert [s["operation"] for s in silver.history()] == ["append", "append"]
+
+
+def test_batch_source_reads_table(spark, tmp_path):
+    """spark.read.format("lake"): any Spark job reads a lake table with
+    only the source registered — schema evolution, identity partitions,
+    and time travel honored; MOR snapshots refused at plan time."""
+    import pytest
+
+    from icebergplus_spark.streaming.lake_source import read_lake_batch
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_batch")).start()
+    t = cat.create_table("db.batch", SCHEMA, partition_cols=["s"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    first = t.current_snapshot_id
+    t.rename_column("k", "key")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c")], "key int, s string"
+        )
+    )
+
+    out = read_lake_batch(spark, t.table_dir)
+    assert sorted((r["key"], r["s"]) for r in out.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # agrees with the native scan
+    native = sorted((r["key"], r["s"]) for r in t.scan().collect())
+    assert sorted((r["key"], r["s"]) for r in out.collect()) == native
+
+    # time travel reads the pre-rename snapshot under the CURRENT schema
+    tt = read_lake_batch(spark, t.table_dir, snapshot_id=first)
+    assert sorted((r["key"], r["s"]) for r in tt.collect()) == [(1, "a"), (2, "b")]
+
+    # merge-on-read snapshots are refused (tombstones need LakeTable.scan)
+    t.delete_by_key(spark.createDataFrame([(1,)], "key int"))
+    with pytest.raises(Exception, match="merge-on-read"):
+        read_lake_batch(spark, t.table_dir).collect()
