@@ -685,3 +685,41 @@ def q104_lake_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — the batch DataSource WRITE path under the oracle gate: rows go
+# in through df.write.format("lake") (executor-side parquet + footer
+# stats, one atomic snapshot in commit()) and come back through the
+# native scan. Hash match = the distributed DSv2 write is lossless and
+# its executor-harvested manifest is a faithful inventory.
+# ---------------------------------------------------------------------------
+@register(
+    "q105_lake_batch_writer",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_bal
+FROM customer
+WHERE c_custkey % 2 = 1
+GROUP BY c_mktsegment
+""",
+)
+def q105_lake_batch_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming.lake_source import write_lake_batch
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="lake_batch_w_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_w", cust.schema)
+    write_lake_batch(cust.repartition(4), t.table_dir)
+    return (
+        t.refresh()
+        .scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal", 2).alias("sum_bal"),
+        )
+    )

@@ -812,3 +812,194 @@ def read_lake_batch(
     if snapshot_id is not None:
         reader = reader.option("snapshot_id", snapshot_id)
     return reader.load()
+
+
+def _make_batch_writer_source():
+    """Batch WRITE path through the DataSource V2 Python API
+    (``df.write.format("lake").mode("append"|"overwrite")``): each task
+    streams its Arrow batches into one parquet file under the table's
+    data dir and harvests the footer stats EXECUTOR-SIDE (the 100 TB
+    placement — the driver never opens a data file); ``commit`` then
+    turns the per-task entries into one manifest + one atomic snapshot
+    via the ordinary lake commit path (CAS, retries, metrics), and
+    ``abort`` deletes the orphaned files (the orphan sweep would get
+    them anyway; aborting is just prompt).
+
+    Scope: unpartitioned tables (the native ``append`` owns Hive
+    layout + transform materialization); append and overwrite
+    (truncate-replace) modes; bloom manifests are the native path's
+    job — an entry without blooms is unprunable, never wrong."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    class LakeWriteMessage(WriterCommitMessage):
+        def __init__(self, entry):
+            self.entry = entry
+
+    class LakeBatchWriter(DataSourceArrowWriter):
+        def __init__(self, options, overwrite):
+            self.table_dir = options["table_dir"]
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            # EXECUTOR-SIDE: stdlib+pyarrow only.
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow.parquet as _pq
+
+            out_dir = _os.path.join(self.table_dir, "data", "dsv2")
+            _os.makedirs(out_dir, exist_ok=True)
+            path = _os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
+            writer = None
+            n = 0
+            for batch in iterator:
+                if writer is None:
+                    writer = _pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+            if writer is None:
+                return LakeWriteMessage(None)  # empty task
+            writer.close()
+            # footer harvest where the file was written — min/max/null
+            # stats from metadata only, no data re-read
+            md = _pq.ParquetFile(path).metadata
+            mins, maxs, nulls = {}, {}, {}
+            no_nulls = set()
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    try:
+                        st = col.statistics
+                    except Exception:
+                        st = None
+                    if st is None or not st.has_null_count:
+                        no_nulls.add(name)
+                        nulls.pop(name, None)
+                    elif name not in no_nulls:
+                        nulls[name] = nulls.get(name, 0) + st.null_count
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                    if isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", "replace")
+                    if hasattr(mn, "isoformat"):
+                        mn, mx = mn.isoformat(), mx.isoformat()
+                    if name not in mins or mn < mins[name]:
+                        mins[name] = mn
+                    if name not in maxs or mx > maxs[name]:
+                        maxs[name] = mx
+            entry = {
+                "file_path": path,
+                "record_count": md.num_rows,
+                "file_size_bytes": _os.path.getsize(path),
+                "column_mins": json.dumps(mins, default=str),
+                "column_maxs": json.dumps(maxs, default=str),
+                "column_null_counts": json.dumps(nulls),
+            }
+            return LakeWriteMessage(entry)
+
+        # -- driver side -------------------------------------------------
+        def _table(self):
+            import time as _time  # noqa: F401
+
+            from icebergplus_spark.lake.table import LakeTable
+            from icebergplus_spark.session import get_spark
+
+            return LakeTable(
+                get_spark(), self.table_dir, identifier=self.table_dir
+            )
+
+        def commit(self, messages):
+            import time as _time
+
+            t = self._table()
+            if t.partition_spec:
+                raise ValueError(
+                    "lake batch writer: unpartitioned tables only — "
+                    "partitioned writes go through LakeTable.append"
+                )
+            entries = sorted(
+                (m.entry for m in messages if m and m.entry is not None),
+                key=lambda e: e["file_path"],
+            )
+            t0 = _time.time()
+            manifest = t._write_manifest(entries)
+            base = t.snapshot()
+            if self.overwrite or base is None:
+                t._commit_snapshot(
+                    "overwrite" if self.overwrite and base else "append",
+                    [manifest],
+                    entries,
+                    t0,
+                )
+            else:
+                t._commit_snapshot(
+                    "append",
+                    base["manifests"] + [manifest],
+                    entries,
+                    t0,
+                    delete_manifests=base.get("delete_manifests", []),
+                )
+
+        def abort(self, messages):
+            for m in messages:
+                if m and m.entry is not None:
+                    try:
+                        os.remove(m.entry["file_path"])
+                    except OSError:
+                        pass
+
+    class LakeWriterSource(DataSource):
+        @classmethod
+        def name(cls):
+            return BATCH_SOURCE_NAME
+
+        def schema(self):
+            from pyspark.sql.types import StructType
+
+            meta_dir = os.path.join(self.options["table_dir"], "metadata")
+            # best-effort (writer validates on commit)
+            for fn in sorted(os.listdir(meta_dir), reverse=True):
+                if fn.startswith("v") and fn.endswith(".metadata.json"):
+                    with open(os.path.join(meta_dir, fn)) as f:
+                        return StructType.fromJson(json.load(f)["schema"])
+            raise FileNotFoundError(meta_dir)
+
+        def writer(self, schema, overwrite):
+            # fail at plan time, not after executors wrote files
+            table_schema = self.schema()
+            if [f.name for f in schema.fields] != [
+                f.name for f in table_schema.fields
+            ]:
+                raise ValueError(
+                    f"schema mismatch: table={table_schema.fieldNames()} "
+                    f"df={[f.name for f in schema.fields]}"
+                )
+            return LakeBatchWriter(self.options, overwrite)
+
+    return LakeWriterSource
+
+
+def write_lake_batch(df: DataFrame, table_dir: str, mode: str = "append") -> None:
+    """``df.write.format("lake")`` — distributed write with
+    executor-side stats harvest and one atomic snapshot commit."""
+    spark = df.sparkSession
+    # reader + writer share the format name; register the full source
+    src = _make_batch_source()
+    writer_src = _make_batch_writer_source()
+
+    class LakeFullSource(writer_src):
+        def reader(self, schema):  # pragma: no cover - reads use read_lake_batch
+            return src(self.options).reader(schema)
+
+    spark.dataSource.register(LakeFullSource)
+    df.write.format(BATCH_SOURCE_NAME).option("table_dir", table_dir).mode(
+        mode
+    ).save()

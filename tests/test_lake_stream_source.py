@@ -175,3 +175,44 @@ def test_batch_source_reads_table(spark, tmp_path):
     t.delete_by_key(spark.createDataFrame([(1,)], "key int"))
     with pytest.raises(Exception, match="merge-on-read"):
         read_lake_batch(spark, t.table_dir).collect()
+
+
+def test_batch_writer_appends_and_overwrites(spark, tmp_path):
+    """df.write.format("lake"): executor-side parquet + stats harvest,
+    one atomic snapshot per save; stats pruning works on the entries;
+    overwrite truncate-replaces; schema mismatch fails at plan time."""
+    import pytest
+
+    from icebergplus_spark.streaming.lake_source import (
+        read_lake_batch,
+        write_lake_batch,
+    )
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_w")).start()
+    t = cat.create_table("db.dsv2", SCHEMA)
+    write_lake_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).repartition(2),
+        t.table_dir,
+    )
+    write_lake_batch(spark.createDataFrame([(3, "c")], SCHEMA), t.table_dir)
+    t.refresh()
+    assert t.scan().count() == 3
+    assert [s["operation"] for s in t._meta["snapshots"]] == ["append", "append"]
+    # executor-harvested stats drive pruning like native appends
+    assert len(t.plan_files({"k": ("=", 3)})) == 1
+    # round trip through the batch reader
+    got = read_lake_batch(spark, t.table_dir)
+    assert sorted((r["k"], r["s"]) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+    write_lake_batch(
+        spark.createDataFrame([(9, "z")], SCHEMA), t.table_dir, mode="overwrite"
+    )
+    t.refresh()
+    assert [(r["k"], r["s"]) for r in t.scan().collect()] == [(9, "z")]
+
+    with pytest.raises(Exception, match="schema mismatch"):
+        write_lake_batch(
+            spark.createDataFrame([(1.5,)], "x double"), t.table_dir
+        )
