@@ -293,8 +293,16 @@ class LakeTable:
 
         return self._evolve(mutate)
 
-    def add_column(self, name: str, data_type, nullable: bool = True) -> "LakeTable":
-        """Metadata-only ADD COLUMN; existing files read as NULL.
+    def add_column(
+        self, name: str, data_type, nullable: bool = True, default=None
+    ) -> "LakeTable":
+        """Metadata-only ADD COLUMN; existing files read as NULL —
+        unless ``default`` is given (Iceberg v3 ``initial-default``):
+        files written BEFORE the add then read the default instead,
+        while rows written after keep whatever was stored (an explicit
+        NULL stays NULL). Still metadata-only: the default is a value in
+        the table metadata applied at read time, no file is rewritten
+        (rewrites — compaction, CoW updates — materialize it).
         ``data_type`` may be a DataType or a DDL string ('string', 'int')."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
@@ -305,6 +313,7 @@ class LakeTable:
         new_id = max(self.field_ids.values(), default=0) + 1
         # physical name must be unique across ALL physical names ever used
         physical = name if name not in self._column_mapping.values() else f"f{new_id}_{name}"
+        added_at = self.current_snapshot_id or 0
 
         def mutate(meta):
             sch = StructType.fromJson(meta["schema"])
@@ -312,6 +321,11 @@ class LakeTable:
             meta["schema"] = sch.jsonValue()
             meta["field_ids"] = {**meta["field_ids"], name: new_id}
             meta["column_mapping"] = {**meta["column_mapping"], name: physical}
+            if default is not None:
+                meta["column_defaults"] = {
+                    **(meta.get("column_defaults") or {}),
+                    name: {"value": default, "added_at": added_at},
+                }
 
         return self._evolve(mutate)
 
@@ -338,6 +352,10 @@ class LakeTable:
             cm = dict(meta["column_mapping"])
             cm[new] = cm.pop(old)
             meta["column_mapping"] = cm
+            cd = dict(meta.get("column_defaults") or {})
+            if old in cd:  # initial-defaults follow the logical name
+                cd[new] = cd.pop(old)
+                meta["column_defaults"] = cd
 
         return self._evolve(mutate)
 
@@ -712,6 +730,56 @@ class LakeTable:
         )
 
     def _read_physical(self, paths: list[str], with_meta: bool = False) -> DataFrame:
+        """Read data files under the physical schema, applying
+        initial-defaults for columns added after a file was written
+        (Iceberg v3 initial-default semantics): files are grouped into
+        SCHEMA ERAS by birth snapshot — the set of defaulted columns
+        absent at birth — each era is read once and its missing columns
+        filled with the recorded default literal, then the eras union.
+        Era count is bounded by the number of defaulted ADD COLUMNs,
+        not file count, so the split costs nothing at scale. Explicit
+        NULLs written after the add are untouched (only genuinely
+        absent columns fill)."""
+        from pyspark.sql import functions as _F
+
+        live = {f.name for f in self.schema.fields}
+        defaults = {
+            c: d
+            for c, d in (self._meta.get("column_defaults") or {}).items()
+            if c in live  # a dropped defaulted column fills nothing
+        }
+        if defaults and paths:
+            births = self._file_births()
+            mapping = self._column_mapping
+            phys_types = {f.name: f.dataType for f in self.physical_schema.fields}
+
+            def era_of(p: str) -> frozenset:
+                b = births.get(p, 0)
+                return frozenset(
+                    c for c, d in defaults.items() if b <= d["added_at"]
+                )
+
+            groups: dict[frozenset, list[str]] = {}
+            for p in paths:
+                groups.setdefault(era_of(p), []).append(p)
+            if len(groups) > 1 or any(groups):
+                out: DataFrame | None = None
+                for era, ps in sorted(
+                    groups.items(), key=lambda kv: sorted(kv[0])
+                ):
+                    d = self._read_physical_raw(ps, with_meta)
+                    for c in era:
+                        phys = mapping.get(c, c)
+                        d = d.withColumn(
+                            phys,
+                            _F.lit(defaults[c]["value"]).cast(phys_types[phys]),
+                        )
+                    out = d if out is None else out.unionByName(d)
+                assert out is not None
+                return out
+        return self._read_physical_raw(paths, with_meta)
+
+    def _read_physical_raw(self, paths: list[str], with_meta: bool = False) -> DataFrame:
         """Read data files under the physical schema, recovering
         identity-partition values from the Hive path (they are NOT in
         the files — reading without basePath returns them as NULL,

@@ -122,3 +122,45 @@ def test_widen_column_int_to_long_and_float_to_double(spark, tmp_path):
         t.widen_column("k", "int")  # narrowing refused
     with _pytest.raises(ValueError, match="not a safe widening"):
         t.widen_column("s", "long")
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    """Iceberg v3 initial-default: files written before the ADD COLUMN
+    read the default; rows written after keep their stored values
+    (explicit NULL stays NULL); rewrites materialize it; renames follow."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    schema = StructType(
+        [StructField("k", IntegerType(), True), StructField("s", StringType(), True)]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_def")).start()
+    t = cat.create_table("db.defaults", schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1))
+    t.add_column("score", "int", default=42)
+
+    post = "k int, s string, score int"
+    t.append(spark.createDataFrame([(3, "c", 7), (4, "d", None)], post).coalesce(1))
+
+    def got():
+        return sorted(
+            (r["k"], r["score"]) for r in t.scan().select("k", "score").collect()
+        )
+
+    assert got() == [(1, 42), (2, 42), (3, 7), (4, None)]
+
+    # rename: default follows the logical name
+    t.rename_column("score", "rating")
+    assert sorted(
+        (r["k"], r["rating"]) for r in t.scan().select("k", "rating").collect()
+    ) == [(1, 42), (2, 42), (3, 7), (4, None)]
+    t.rename_column("rating", "score")
+
+    # compaction materializes the default into rewritten files
+    compact(t, target_file_size=1 << 28, small_file_threshold=1 << 28)
+    assert got() == [(1, 42), (2, 42), (3, 7), (4, None)]
+
+    # stats pruning on the defaulted column still behaves (files
+    # predating the column have no stats for it → kept, never wrong)
+    assert t.scan({"score": ("=", 7)}).count() == 1
