@@ -88,19 +88,107 @@ class LocalLakeCatalog:
         if self._status is not Status.STARTED:
             raise RuntimeError("catalog is not started")
 
+    def _pointer_kind(self, identifier: str) -> str | None:
+        """'table' | 'view' | None — what the catalog entry is."""
+        try:
+            with open(self._pointer_file(identifier)) as f:
+                return json.load(f).get("kind", "table")
+        except OSError:
+            return None
+
     def list_tables(self, namespace: str | None = None) -> list[str]:
         self._require_started()
         out = []
         for fn in sorted(os.listdir(self._catalog_dir)):
             if fn.endswith(".json"):
                 ident = fn[: -len(".json")]
-                if namespace is None or ident.startswith(namespace + "."):
+                if (
+                    namespace is None or ident.startswith(namespace + ".")
+                ) and self._pointer_kind(ident) == "table":
                     out.append(ident)
         return out
 
     def table_exists(self, identifier: str) -> bool:
         self._require_started()
-        return os.path.exists(self._pointer_file(identifier))
+        return self._pointer_kind(identifier) == "table"
+
+    # -- catalog-persisted versioned views (Iceberg view spec parity) ------
+    def create_view(
+        self, identifier: str, sql_text: str, replace: bool = False
+    ) -> None:
+        """Register a SQL view as a CATALOG object with a version log
+        (Iceberg views: the definition is versioned metadata — CREATE OR
+        REPLACE appends a version, never loses history; the view shares
+        the tables' namespace, so names cannot collide)."""
+        self._require_started()
+        kind = self._pointer_kind(identifier)
+        if kind == "table":
+            raise ValueError(f"a table already exists at: {identifier}")
+        if kind == "view" and not replace:
+            raise ValueError(f"view already exists: {identifier} (use replace=True)")
+        import time as _time
+
+        meta = (
+            json.load(open(self._pointer_file(identifier)))
+            if kind == "view"
+            else {"kind": "view", "versions": []}
+        )
+        version = len(meta["versions"]) + 1
+        meta["versions"].append(
+            {
+                "version": version,
+                "sql": sql_text,
+                "timestamp_ms": int(_time.time() * 1000),
+            }
+        )
+        meta["current_version"] = version
+        with open(self._pointer_file(identifier), "w") as f:
+            json.dump(meta, f, indent=1)
+
+    def view_exists(self, identifier: str) -> bool:
+        self._require_started()
+        return self._pointer_kind(identifier) == "view"
+
+    def list_views(self, namespace: str | None = None) -> list[str]:
+        self._require_started()
+        return [
+            fn[: -len(".json")]
+            for fn in sorted(os.listdir(self._catalog_dir))
+            if fn.endswith(".json")
+            and (namespace is None or fn.startswith(namespace + "."))
+            and self._pointer_kind(fn[: -len(".json")]) == "view"
+        ]
+
+    def load_view(self, identifier: str, version: int | None = None):
+        """Evaluate the view at its current (or a historical) version —
+        returns the DataFrame of ``spark.sql(definition)``. Referenced
+        tables resolve through the session (``LakeTable.to_view`` them
+        first), exactly like Iceberg views referencing catalog tables."""
+        self._require_started()
+        if self._pointer_kind(identifier) != "view":
+            raise KeyError(f"no such view: {identifier}")
+        with open(self._pointer_file(identifier)) as f:
+            meta = json.load(f)
+        version = version or meta["current_version"]
+        entry = next(
+            (v for v in meta["versions"] if v["version"] == version), None
+        )
+        if entry is None:
+            raise KeyError(f"view {identifier} has no version {version}")
+        return self.spark.sql(entry["sql"])
+
+    def view_versions(self, identifier: str) -> list[dict]:
+        self._require_started()
+        if self._pointer_kind(identifier) != "view":
+            raise KeyError(f"no such view: {identifier}")
+        with open(self._pointer_file(identifier)) as f:
+            return json.load(f)["versions"]
+
+    def drop_view(self, identifier: str) -> None:
+        self._require_started()
+        if self._pointer_kind(identifier) != "view":
+            raise KeyError(f"no such view: {identifier}")
+        os.remove(self._pointer_file(identifier))
 
     def create_table(
         self,
@@ -126,8 +214,8 @@ class LocalLakeCatalog:
         from icebergplus_spark.lake.transforms import parse_spec
 
         self._require_started()
-        if self.table_exists(identifier):
-            raise ValueError(f"table already exists: {identifier}")
+        if self._pointer_kind(identifier) is not None:
+            raise ValueError(f"table or view already exists: {identifier}")
         if partition_cols and partition_spec:
             raise ValueError("pass partition_cols or partition_spec, not both")
         spec = parse_spec(partition_spec or partition_cols or [])
@@ -168,8 +256,8 @@ class LocalLakeCatalog:
         self._require_started()
         if not self.table_exists(old):
             raise KeyError(f"no such table: {old}")
-        if self.table_exists(new):
-            raise ValueError(f"table already exists: {new}")
+        if self._pointer_kind(new) is not None:
+            raise ValueError(f"table or view already exists: {new}")
         self.load_table(old)._evolve(
             lambda meta: meta.__setitem__("identifier", new)
         )
@@ -212,8 +300,8 @@ class LocalLakeCatalog:
         in O(manifests) time and bytes."""
         self._require_started()
         src = self.load_table(src_identifier)
-        if self.table_exists(dst_identifier):
-            raise ValueError(f"table already exists: {dst_identifier}")
+        if self._pointer_kind(dst_identifier) is not None:
+            raise ValueError(f"table or view already exists: {dst_identifier}")
         namespace, _, name = dst_identifier.rpartition(".")
         table_dir = os.path.join(self.root_dir, namespace or "default", name)
         meta_dir = os.path.join(table_dir, "metadata")

@@ -215,3 +215,47 @@ def test_parallel_appends_lose_nothing(spark, catalog):
     t = t.refresh()
     assert t.scan().count() == 2
     assert len(t.history()) == 2
+
+
+def test_catalog_versioned_views(spark, catalog):
+    """Iceberg view-spec parity: views are catalog objects with a
+    version log; CREATE OR REPLACE appends a version, historical
+    versions stay queryable, names share the table namespace."""
+    t = catalog.create_table("db.base", REF_SCHEMA)
+    t.append(spark.createDataFrame([ROW1, ROW2], REF_SCHEMA))
+    t.to_view("base_v")
+
+    catalog.create_view("db.counts", "SELECT COUNT(*) AS n FROM base_v")
+    assert catalog.view_exists("db.counts")
+    assert catalog.list_views() == ["db.counts"]
+    assert "db.counts" not in catalog.list_tables()  # separate namespaces listing
+    assert catalog.load_view("db.counts").first()["n"] == 2
+
+    # replace appends a version; v1 remains queryable
+    catalog.create_view(
+        "db.counts",
+        "SELECT COUNT(*) AS n FROM base_v WHERE amazing",
+        replace=True,
+    )
+    assert catalog.load_view("db.counts").first()["n"] == 1
+    assert catalog.load_view("db.counts", version=1).first()["n"] == 2
+    assert [v["version"] for v in catalog.view_versions("db.counts")] == [1, 2]
+
+    # restart: views persist like tables
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cat2 = LocalLakeCatalog(spark, catalog.root_dir).start()
+    assert cat2.load_view("db.counts").first()["n"] == 1
+
+    # collision guards both directions
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.create_table("db.counts", REF_SCHEMA)
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.create_view("db.base", "SELECT 1")
+    with pytest.raises(ValueError, match="replace"):
+        catalog.create_view("db.counts", "SELECT 2")
+
+    catalog.drop_view("db.counts")
+    assert not catalog.view_exists("db.counts")
