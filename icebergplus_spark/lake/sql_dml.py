@@ -137,6 +137,31 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
     if head in ("SELECT", "VALUES", "WITH"):
         return spark.sql(stmt)
 
+    if head == "CREATE":
+        m = re.match(
+            rf"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UnsupportedSQL(
+                "CREATE supports views only (CREATE [OR REPLACE] VIEW ... AS "
+                "...); tables are created through the catalog API"
+            )
+        replace, ident, body = m.groups()
+        catalog.create_view(ident, body.strip(), replace=bool(replace))
+        return catalog.load_view(ident)
+
+    if head == "DROP":
+        m = re.match(rf"^DROP\s+VIEW\s+({_IDENT})$", stmt, re.IGNORECASE)
+        if not m:
+            raise UnsupportedSQL(
+                "DROP supports views only (DROP VIEW ...); tables are "
+                "dropped through the catalog API"
+            )
+        catalog.drop_view(m.group(1))
+        return None
+
     if head == "INSERT":
         m = re.match(
             rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s+(.+)$",

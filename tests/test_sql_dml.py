@@ -111,7 +111,7 @@ def test_unsupported_surfaces_clearly(cat):
     with pytest.raises(UnsupportedSQL, match="WHERE"):
         lake_sql(cat, "DELETE FROM db.t")
     with pytest.raises(UnsupportedSQL, match="unsupported statement"):
-        lake_sql(cat, "DROP TABLE db.t")
+        lake_sql(cat, "ALTER TABLE db.t ADD COLUMN z INT")
     with pytest.raises(UnsupportedSQL, match="constrained twice"):
         lake_sql(cat, "DELETE FROM db.t WHERE k > 1 AND k < 3")
 
@@ -120,3 +120,19 @@ def test_quoted_literals_and_escapes(cat):
     lake_sql(cat, "INSERT INTO db.t VALUES (6, 'o''brien', 6.0)")
     lake_sql(cat, "DELETE FROM db.t WHERE name = 'o''brien'")
     assert len(_rows(cat)) == 3
+
+
+def test_view_ddl(spark, cat):
+    cat.load_table("db.t").to_view("t_ddl")
+    df = lake_sql(cat, "CREATE VIEW db.top AS SELECT MAX(score) AS m FROM t_ddl")
+    assert df.first()["m"] == 3.0
+    lake_sql(
+        cat,
+        "CREATE OR REPLACE VIEW db.top AS SELECT MIN(score) AS m FROM t_ddl",
+    )
+    assert cat.load_view("db.top").first()["m"] == 1.0
+    assert cat.load_view("db.top", version=1).first()["m"] == 3.0
+    lake_sql(cat, "DROP VIEW db.top")
+    assert not cat.view_exists("db.top")
+    with pytest.raises(UnsupportedSQL, match="views only"):
+        lake_sql(cat, "DROP TABLE db.t")
