@@ -312,3 +312,14 @@ class ObjectStoreCommitIO:
                 f.write(str(version))
         except OSError:
             pass
+
+
+def detect_commit_io(meta_dir: str) -> "RenameCommitIO | ObjectStoreCommitIO":
+    """Infer a table's commit-IO layout from its metadata directory:
+    a POSIX pointer file marks RenameCommitIO; otherwise the table was
+    committed under the object-store protocol. For code paths handed a
+    bare table_dir (the DSv2 writer's driver-side commit, external
+    tools) rather than a catalog that knows its strategy."""
+    if os.path.exists(os.path.join(meta_dir, "version-pointer.txt")):
+        return RenameCommitIO()
+    return ObjectStoreCommitIO()

@@ -1076,11 +1076,18 @@ class LakeTable:
         """Write a logical-schema frame as table data files and return
         (manifest entries, ndv stats, manifest name). Shared by append
         and upsert."""
-        # store under physical names so renames stay metadata-only
+        # store under physical names so renames stay metadata-only —
+        # and COERCE each column to the table's declared type (standard
+        # INSERT semantics): the name-only gate upstream would otherwise
+        # let e.g. array<double> land in an array<float> column, writing
+        # files every later scan fails to read.
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
-        df = df.select(*[_F.col(c).alias(mapping[c]) for c in df.columns])
+        types = {f.name: f.dataType for f in self.schema.fields}
+        df = df.select(
+            *[_F.col(c).cast(types[c]).alias(mapping[c]) for c in df.columns]
+        )
         # Single-pass column NDV stats: Observation metrics are computed
         # BY the write action itself (map-side partial aggregates piggy-
         # backing on the scan) — no second pass over the data. This is

@@ -907,13 +907,16 @@ def _make_batch_writer_source():
 
         # -- driver side -------------------------------------------------
         def _table(self):
-            import time as _time  # noqa: F401
-
+            from icebergplus_spark.lake.commitio import detect_commit_io
             from icebergplus_spark.lake.table import LakeTable
             from icebergplus_spark.session import get_spark
 
+            meta_dir = os.path.join(self.table_dir, "metadata")
             return LakeTable(
-                get_spark(), self.table_dir, identifier=self.table_dir
+                get_spark(),
+                self.table_dir,
+                identifier=self.table_dir,
+                io=detect_commit_io(meta_dir),
             )
 
         def commit(self, messages):
