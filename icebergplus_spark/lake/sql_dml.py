@@ -164,15 +164,47 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
 
     if head == "INSERT":
         m = re.match(
-            rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s+(.+)$",
+            rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*"
+            rf"(?:\(\s*([\w\s,]+?)\s*\))?\s+(.+)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise UnsupportedSQL(f"cannot parse INSERT: {stmt[:80]!r}")
-        mode, ident, query = m.groups()
+        mode, ident, col_list, query = m.groups()
         table = catalog.load_table(ident)
-        df = _align(spark.sql(query), table)
+        df = spark.sql(query)
+        if col_list:
+            # INSERT with a column list: named columns come from the
+            # query (by position), every other column fills with its
+            # declared default (add_column(default=...)) or NULL —
+            # standard SQL DEFAULT semantics.
+            names = [c.strip() for c in col_list.split(",")]
+            missing = [c for c in names if c not in table.schema.fieldNames()]
+            if missing:
+                raise UnsupportedSQL(f"no such column(s): {missing}")
+            if len(df.columns) != len(names):
+                raise UnsupportedSQL(
+                    f"column list has {len(names)} names, query returns "
+                    f"{len(df.columns)} columns"
+                )
+            from pyspark.sql import functions as F2
+
+            defaults = table._meta.get("column_defaults") or {}
+            by_name = dict(zip(names, df.columns))
+            df = df.select(
+                *[
+                    (
+                        F2.col(by_name[f.name])
+                        if f.name in by_name
+                        else F2.lit(
+                            defaults.get(f.name, {}).get("value")
+                        ).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in table.schema.fields
+                ]
+            )
+        df = _align(df, table)
         return table.overwrite(df) if mode.upper() == "OVERWRITE" else table.append(df)
 
     if head == "DELETE":
@@ -206,6 +238,51 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             assignments[col.strip()] = F.expr(expr.strip())
         return catalog.load_table(ident).update_where(
             _parse_where(where), assignments
+        )
+
+    if head == "ALTER":
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UnsupportedSQL(f"cannot parse ALTER: {stmt[:80]!r}")
+        ident, action = m.groups()
+        table = catalog.load_table(ident)
+        am = re.match(
+            rf"^ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)"
+            rf"(?:\s+DEFAULT\s+({_NUM}|{_STR}))?$",
+            action.strip(),
+            re.IGNORECASE,
+        )
+        if am:
+            name, dtype, default = am.groups()
+            return table.add_column(
+                name,
+                dtype.strip().lower(),
+                default=_parse_literal(default) if default else None,
+            )
+        rm = re.match(
+            r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", action.strip(), re.IGNORECASE
+        )
+        if rm:
+            return table.rename_column(rm.group(1), rm.group(2))
+        dm = re.match(r"^DROP\s+COLUMN\s+(\w+)$", action.strip(), re.IGNORECASE)
+        if dm:
+            return table.drop_column(dm.group(1))
+        sm = re.match(
+            rf"^SET\s+TBLPROPERTIES\s*\(\s*({_STR})\s*=\s*({_STR})\s*\)$",
+            action.strip(),
+            re.IGNORECASE,
+        )
+        if sm:
+            return table.set_property(
+                _parse_literal(sm.group(1)), _parse_literal(sm.group(2))
+            )
+        raise UnsupportedSQL(
+            "ALTER TABLE supports ADD COLUMN [DEFAULT lit] / RENAME COLUMN "
+            "/ DROP COLUMN / SET TBLPROPERTIES ('k'='v')"
         )
 
     if head == "MERGE":

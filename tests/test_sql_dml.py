@@ -111,7 +111,7 @@ def test_unsupported_surfaces_clearly(cat):
     with pytest.raises(UnsupportedSQL, match="WHERE"):
         lake_sql(cat, "DELETE FROM db.t")
     with pytest.raises(UnsupportedSQL, match="unsupported statement"):
-        lake_sql(cat, "ALTER TABLE db.t ADD COLUMN z INT")
+        lake_sql(cat, "GRANT SELECT ON db.t TO analyst")
     with pytest.raises(UnsupportedSQL, match="constrained twice"):
         lake_sql(cat, "DELETE FROM db.t WHERE k > 1 AND k < 3")
 
@@ -136,3 +136,29 @@ def test_view_ddl(spark, cat):
     assert not cat.view_exists("db.top")
     with pytest.raises(UnsupportedSQL, match="views only"):
         lake_sql(cat, "DROP TABLE db.t")
+
+
+def test_insert_column_list_with_defaults(spark, cat):
+    """INSERT with a column list: unnamed columns fill with their
+    declared default (ALTER TABLE ... ADD COLUMN ... DEFAULT) or NULL."""
+    lake_sql(cat, "ALTER TABLE db.t ADD COLUMN grade string DEFAULT 'B'")
+    lake_sql(cat, "INSERT INTO db.t (k, name) VALUES (7, 'g')")
+    rows = {
+        r["k"]: (r["name"], r["score"], r["grade"])
+        for r in cat.load_table("db.t").scan().collect()
+    }
+    assert rows[7] == ("g", None, "B")  # score → NULL, grade → default
+    assert rows[1] == ("a", 1.0, "B")  # pre-add rows read the default too
+    with pytest.raises(UnsupportedSQL, match="no such column"):
+        lake_sql(cat, "INSERT INTO db.t (k, nope) VALUES (8, 'x')")
+
+
+def test_alter_table_ddl(cat):
+    lake_sql(cat, "ALTER TABLE db.t RENAME COLUMN name TO label")
+    assert "label" in cat.load_table("db.t").schema.fieldNames()
+    lake_sql(cat, "ALTER TABLE db.t DROP COLUMN label")
+    assert "label" not in cat.load_table("db.t").schema.fieldNames()
+    lake_sql(cat, "ALTER TABLE db.t SET TBLPROPERTIES ('owner' = 'me')")
+    assert cat.load_table("db.t").properties["owner"] == "me"
+    with pytest.raises(UnsupportedSQL, match="ALTER TABLE supports"):
+        lake_sql(cat, "ALTER TABLE db.t CLUSTER BY (k)")
