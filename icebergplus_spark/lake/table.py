@@ -162,7 +162,13 @@ def _harvest_footer(path: str) -> dict[str, Any]:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # the min/max accessors cast lazily and raise for types
+                # pyarrow can't materialize (e.g. nested leaves) —
+                # statless is unprunable, never wrong
+                continue
             if isinstance(mn, bytes):
                 mn = mn.decode("utf-8", "replace")
             if isinstance(mx, bytes):
@@ -1150,6 +1156,12 @@ class LakeTable:
             for fn in files:
                 if fn.endswith(".parquet"):
                     entry = self._harvest_data_file(os.path.join(root, fn))
+                    if entry["record_count"] == 0:
+                        # Spark occasionally emits a zero-row task file;
+                        # registering it bloats manifests and — having
+                        # no stats — defeats pruning. Drop it.
+                        os.remove(entry["file_path"])
+                        continue
                     entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)

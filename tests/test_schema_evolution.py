@@ -164,3 +164,50 @@ def test_add_column_initial_default(spark, tmp_path):
     # stats pruning on the defaulted column still behaves (files
     # predating the column have no stats for it → kept, never wrong)
     assert t.scan({"score": ("=", 7)}).count() == 1
+
+
+def test_lake_full_type_lattice(spark, tmp_path):
+    """SURVEY §1.2: the lake accepts the full Spark type lattice —
+    struct/array/map/decimal/date/binary columns write, commit, and
+    scan back losslessly (stats simply absent for unstatable leaves:
+    unprunable, never wrong)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    ddl = (
+        "id bigint, tags array<string>, props map<string,int>, "
+        "pt struct<x:double,y:double>, amount decimal(10,2), "
+        "d date, blob binary"
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                ["a", "b"],
+                {"k": 1},
+                (1.5, 2.5),
+                Decimal("12.34"),
+                dt.date(2024, 1, 1),
+                bytearray(b"\x00\x01"),
+            ),
+            (2, [], {}, (0.0, -1.0), Decimal("0.01"), dt.date(2024, 2, 2), bytearray(b"")),
+        ],
+        ddl,
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_types")).start()
+    t = cat.create_table("db.lattice", df.schema)
+    t.append(df)
+    got = {r["id"]: r for r in t.scan().collect()}
+    assert got[1]["tags"] == ["a", "b"]
+    assert got[1]["props"] == {"k": 1}
+    assert got[1]["pt"]["y"] == 2.5
+    assert got[1]["amount"] == Decimal("12.34")
+    assert got[1]["d"] == dt.date(2024, 1, 1)
+    assert bytes(got[1]["blob"]) == b"\x00\x01"
+    # scalar-column stats still prune alongside the nested columns
+    assert len(t.plan_files({"id": ("=", 999)})) == 0
+    # rename on a nested column's sibling stays metadata-only
+    t.rename_column("tags", "labels")
+    assert t.scan().select("labels").first()["labels"] in (["a", "b"], [])
