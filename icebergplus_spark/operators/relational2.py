@@ -723,3 +723,46 @@ def q105_lake_batch_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 2).alias("sum_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — continuous aggregate under the oracle gate: events land in a
+# lake table over TWO append commits; the hourly rollup is refreshed
+# INCREMENTALLY after each (only buckets touched by new snapshots are
+# recomputed, tracked via the rollup's own snapshot summaries). The
+# oracle aggregates the raw events in one shot — a hash match proves
+# incremental maintenance converges to the full recompute exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q106_continuous_aggregate",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q106_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.rollup import refresh_rollup, rollup_table_schema
+    from icebergplus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_rollup_")
+    cat = LocalLakeCatalog(spark, root).start()
+    src = cat.create_table("bench.events_ca", ev.schema)
+    rollup = cat.create_table("bench.events_hourly", rollup_table_schema())
+    # two commits, incremental refresh after each — the steady state a
+    # streaming ingest drives
+    src.append(ev.filter(F.col("event_id") % 2 == 0))
+    refresh_rollup(src, rollup)
+    src.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(src, rollup)
+    return rollup.refresh().scan().select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
