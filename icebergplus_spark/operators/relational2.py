@@ -766,3 +766,41 @@ def q106_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — incremental (CDC-style) consumption: after a baseline commit,
+# a consumer reads ONLY the rows added by later commits via
+# scan_incremental. The oracle computes the same slice from the raw
+# data — a hash match proves snapshot attribution (added_files) feeds
+# consumers exactly the delta, nothing re-read, nothing lost.
+# ---------------------------------------------------------------------------
+@register(
+    "q107_incremental_scan",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price
+FROM part
+WHERE p_partkey % 4 = 1
+GROUP BY p_brand
+""",
+)
+def q107_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    part = _t(spark, sf_dir, "part")
+    root = tempfile.mkdtemp(prefix="lake_incr_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.part_incr", part.schema)
+    t.append(part.filter(F.col("p_partkey") % 4 == 0))  # baseline
+    mark = t.current_snapshot_id
+    t.append(part.filter(F.col("p_partkey") % 4 == 1))  # the delta
+    return (
+        t.scan_incremental(from_snapshot_id=mark)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", 2).alias("sum_price"),
+        )
+    )
