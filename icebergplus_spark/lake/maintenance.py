@@ -554,7 +554,7 @@ def auto_maintain(
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     min_small_files: int = 8,
     max_manifests: int = 32,
-    keep_snapshots: int = 20,
+    keep_snapshots: int | None = None,
     keep_metadata_versions: int = 20,
     orphan_grace_s: float = 3 * 24 * 3600,
     dry_run: bool = False,
@@ -615,6 +615,18 @@ def auto_maintain(
         )
 
     gc_off = (table.properties.get("gc.enabled", "true").lower() == "false")
+    # Iceberg retention-property parity: a table declares its own policy
+    # (history.expire.min-snapshots-to-keep / .max-snapshot-age-ms) and
+    # the scheduler's auto_maintain honors it; an explicit argument wins.
+    props = table.properties
+    if keep_snapshots is None:
+        keep_snapshots = int(
+            props.get("history.expire.min-snapshots-to-keep", 20)
+        )
+    max_age_ms = props.get("history.expire.max-snapshot-age-ms")
+    older_than_ms = (
+        int(time.time() * 1000) - int(max_age_ms) if max_age_ms else None
+    )
     n_snaps = len(table._meta["snapshots"])
     if n_snaps > keep_snapshots:
         if gc_off:
@@ -625,7 +637,7 @@ def auto_maintain(
             )
         else:
             report["expire_snapshots"] = expire_snapshots(
-                table, keep_last=keep_snapshots
+                table, keep_last=keep_snapshots, older_than_ms=older_than_ms
             )
     else:
         report["expire_snapshots"] = (

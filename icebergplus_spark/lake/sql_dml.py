@@ -285,6 +285,16 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             "/ DROP COLUMN / SET TBLPROPERTIES ('k'='v')"
         )
 
+    if head == "VACUUM":
+        m = re.match(rf"^VACUUM\s+({_IDENT})$", stmt, re.IGNORECASE)
+        if not m:
+            raise UnsupportedSQL("VACUUM takes one table identifier")
+        from icebergplus_spark.lake.maintenance import auto_maintain
+
+        # threshold-driven maintenance honoring the table's declared
+        # retention properties (history.expire.*); returns the report
+        return auto_maintain(catalog.load_table(m.group(1)))
+
     if head == "MERGE":
         m = _MERGE.match(stmt)
         if not m:

@@ -214,3 +214,38 @@ def test_auto_maintain_respects_gc_disabled(spark, tmp_path):
     assert rep["expire_snapshots"] == "skipped: gc.enabled=false"
     assert rep["remove_orphan_files"] == "skipped: gc.enabled=false"
     assert len(t.refresh()._meta["snapshots"]) == 6  # nothing expired
+
+
+def test_retention_properties_drive_auto_maintain(spark, tmp_path):
+    """Iceberg retention-property parity: the table declares its policy
+    (history.expire.min-snapshots-to-keep / max-snapshot-age-ms) and
+    auto_maintain honors it without arguments; VACUUM <tbl> routes the
+    whole policy through the SQL frontend."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog, auto_maintain
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    schema = StructType([StructField("x", IntegerType(), True)])
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.ret", schema)
+    for i in range(8):
+        t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    t.set_property("history.expire.min-snapshots-to-keep", "3")
+
+    rep = auto_maintain(t, min_small_files=1000, orphan_grace_s=3600)
+    assert isinstance(rep["expire_snapshots"], dict)
+    assert len(t.refresh()._meta["snapshots"]) == 3  # property-driven
+    assert t.scan().count() == 8
+
+    # max-age retention keeps everything younger than the horizon even
+    # past the count limit
+    t.set_property("history.expire.max-snapshot-age-ms", str(10**12))
+    t.append(spark.createDataFrame([(9,)], schema).coalesce(1))
+    rep = auto_maintain(t, min_small_files=1000, keep_snapshots=1,
+                        orphan_grace_s=3600)
+    assert len(t.refresh()._meta["snapshots"]) == 4  # all younger than horizon
+
+    # VACUUM statement routes the same policy
+    rep = lake_sql(cat, "VACUUM db.ret")
+    assert "expire_snapshots" in rep and t.scan().count() == 9
