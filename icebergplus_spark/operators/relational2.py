@@ -804,3 +804,90 @@ def q107_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — the OBJECT-STORE commit path under the oracle gate: the same
+# write→commit→compact→scan round trip as q49, but the catalog runs
+# ObjectStoreCommitIO + a directory-lease lock — no atomic rename
+# anywhere in the protocol (conditional create is the CAS, discovery is
+# hint+LIST). A hash match proves the rename-less lifecycle is
+# lossless, driver-visibly, not just in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "q108_lake_objectstore_roundtrip",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_partkey % 5 = 0
+GROUP BY l_linestatus
+""",
+)
+def q108_lake_objectstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import (
+        DirectoryLeaseCommitLock,
+        LocalLakeCatalog,
+        ObjectStoreCommitIO,
+        compact,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="lake_objstore_")
+    cat = LocalLakeCatalog(
+        spark,
+        root,
+        commit_io=ObjectStoreCommitIO(lock=DirectoryLeaseCommitLock()),
+    ).start()
+    t = cat.create_table("bench.lineitem_os", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(4))
+    compact(t, target_file_size=256 * 1024 * 1024)
+    return (
+        t.scan()
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — hidden partitioning under the oracle gate: events land in a
+# days(ts)-partitioned table (the partition column never appears in the
+# schema or the query), and the scan is planned with a ts predicate the
+# transform maps onto partition-value stats. The oracle filters the raw
+# events — a hash match proves transform pruning never clips a boundary
+# row (the relax-to-inclusive rule) and partition recovery is lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "q109_hidden_partitioning",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY event_type
+""",
+)
+def q109_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_hidden_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.events_hp", ev.schema, partition_spec=["days(ts)"])
+    t.append(ev)
+    return (
+        t.scan({"ts": (">=", "2024-01-10 00:00:00")})
+        .filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
