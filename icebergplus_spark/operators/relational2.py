@@ -891,3 +891,97 @@ def q109_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — zero-copy clone under the oracle gate: clone a table
+# (metadata-only, shared data files), then write DIVERGENT rows to
+# source and clone. The result unions both tables' post-divergence
+# states; the oracle recomputes them from raw data. A hash match proves
+# clone isolation — neither side's writes leak into the other — while
+# the pre-clone rows remain shared bytes on disk.
+# ---------------------------------------------------------------------------
+@register(
+    "q110_zero_copy_clone",
+    oracle="""
+WITH base AS (SELECT * FROM region),
+src AS (
+  SELECT 'source' AS side, r_regionkey FROM base
+  UNION ALL SELECT 'source', 100 + r_regionkey FROM base
+),
+cl AS (
+  SELECT 'clone' AS side, r_regionkey FROM base
+  UNION ALL SELECT 'clone', 200 + r_regionkey FROM base
+)
+SELECT side, COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS key_sum
+FROM (SELECT * FROM src UNION ALL SELECT * FROM cl)
+GROUP BY side
+""",
+)
+def q110_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    region = _t(spark, sf_dir, "region")
+    root = tempfile.mkdtemp(prefix="lake_clone_")
+    cat = LocalLakeCatalog(spark, root).start()
+    src = cat.create_table("bench.region_src", region.schema)
+    src.append(region)
+    clone = cat.clone_table("bench.region_src", "bench.region_cl")
+    # divergent writes AFTER the clone point
+    shifted = lambda k: region.select(  # noqa: E731
+        *[
+            (F.col(c) + k).alias(c) if c == "r_regionkey" else F.col(c)
+            for c in region.columns
+        ]
+    )
+    src.refresh().append(shifted(100))
+    clone.append(shifted(200))
+    u = (
+        src.scan().select(F.lit("source").alias("side"), "r_regionkey")
+        .unionByName(
+            clone.scan().select(F.lit("clone").alias("side"), "r_regionkey")
+        )
+    )
+    return u.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_regionkey").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — partition-spec evolution under the oracle gate: the table
+# starts identity-partitioned on event_type, evolves to days(ts) mid-
+# life, and the scan must stitch files written under BOTH layouts
+# (per-file layout detection + per-era partition-value recovery). The
+# oracle aggregates the raw events — a hash match proves no row is
+# lost, duplicated, or mis-valued across the spec change.
+# ---------------------------------------------------------------------------
+@register(
+    "q111_partition_evolution",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q111_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_pevo_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.events_pe", ev.schema, partition_cols=["event_type"])
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.update_partition_spec(["days(ts)"])  # evolve mid-life
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
