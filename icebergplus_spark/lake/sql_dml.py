@@ -280,9 +280,22 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             return table.set_property(
                 _parse_literal(sm.group(1)), _parse_literal(sm.group(2))
             )
+        cm2 = re.match(
+            r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)$",
+            action.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm2:
+            return table.add_constraint(cm2.group(1), cm2.group(2).strip())
+        dc = re.match(
+            r"^DROP\s+CONSTRAINT\s+(\w+)$", action.strip(), re.IGNORECASE
+        )
+        if dc:
+            return table.drop_constraint(dc.group(1))
         raise UnsupportedSQL(
             "ALTER TABLE supports ADD COLUMN [DEFAULT lit] / RENAME COLUMN "
-            "/ DROP COLUMN / SET TBLPROPERTIES ('k'='v')"
+            "/ DROP COLUMN / SET TBLPROPERTIES ('k'='v') / "
+            "ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name"
         )
 
     if head == "VACUUM":

@@ -189,6 +189,10 @@ def _harvest_footer(path: str) -> dict[str, Any]:
     }
 
 
+class ConstraintViolation(ValueError):
+    """A write produced rows that violate a table CHECK constraint."""
+
+
 class LakeTable:
     """Handle over one versioned lake table (Iceberg ``Table`` parity:
     SURVEY.md §1.1; refresh/newAppend/newScan analogues below).
@@ -281,6 +285,72 @@ class LakeTable:
         ``write.distribution-mode`` (default for ``append``'s
         ``distribution`` argument, Iceberg's property of the same name)."""
         return dict(self._meta.get("properties") or {})
+
+    # -- CHECK constraints (Delta-style; Iceberg has no equivalent) --------
+    @property
+    def constraints(self) -> dict[str, str]:
+        """name → SQL boolean expression over logical columns. Writes
+        that produce a row where the expression is FALSE are rejected
+        (NULL counts as satisfied, standard SQL CHECK semantics)."""
+        return dict(self._meta.get("constraints") or {})
+
+    def add_constraint(self, name: str, expr_sql: str) -> "LakeTable":
+        """Register a CHECK constraint. EXISTING rows are validated
+        first (one scan, early-exit on the first violation — the same
+        contract Delta's ALTER TABLE ADD CONSTRAINT has); thereafter
+        every ingest/update path validates its batch at O(batch) cost
+        before committing. The DSv2 ``format("lake")`` writer is the
+        documented unenforced path (like any external parquet writer);
+        route constrained tables through the native API."""
+        from pyspark.sql import functions as _F
+
+        if name in self.constraints:
+            raise ValueError(f"constraint exists: {name}")
+        if self.snapshot() is not None:
+            bad = (
+                self.scan()
+                .filter(~_F.coalesce(_F.expr(expr_sql).cast("boolean"), _F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: existing rows violate "
+                    f"({expr_sql})"
+                )
+
+        def mutate(meta):
+            meta["constraints"] = {**(meta.get("constraints") or {}), name: expr_sql}
+
+        return self._evolve(mutate)
+
+    def drop_constraint(self, name: str) -> "LakeTable":
+        if name not in self.constraints:
+            raise KeyError(f"no such constraint: {name}")
+
+        def mutate(meta):
+            cs = dict(meta.get("constraints") or {})
+            cs.pop(name)
+            meta["constraints"] = cs
+
+        return self._evolve(mutate)
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Reject the write if any row violates a CHECK constraint.
+        One filter + limit(1) per constraint over the batch — O(batch),
+        early-exit, never O(table)."""
+        from pyspark.sql import functions as _F
+
+        for name, expr in self.constraints.items():
+            bad = df.filter(
+                ~_F.coalesce(_F.expr(expr).cast("boolean"), _F.lit(True))
+            ).limit(1)
+            row = bad.collect()
+            if row:
+                raise ConstraintViolation(
+                    f"constraint {name!r} ({expr}) violated, e.g. by row "
+                    f"{row[0].asDict()}"
+                )
 
     def set_property(self, key: str, value: str) -> "LakeTable":
         def mutate(meta):
@@ -1082,6 +1152,10 @@ class LakeTable:
         """Write a logical-schema frame as table data files and return
         (manifest entries, ndv stats, manifest name). Shared by append
         and upsert."""
+        # CHECK constraints gate every ingest batch here (append /
+        # upsert / overwrite / dynamic partition overwrite all funnel
+        # through), BEFORE any file is written.
+        self._enforce_constraints(df)
         # store under physical names so renames stay metadata-only —
         # and COERCE each column to the table's declared type (standard
         # INSERT semantics): the name-only gate upstream would otherwise
@@ -1595,6 +1669,7 @@ class LakeTable:
             raise ValueError(
                 f"schema mismatch: table={self.schema.fieldNames()} df={df.columns}"
             )
+        self._enforce_constraints(df)
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
@@ -1796,6 +1871,7 @@ class LakeTable:
         # unmatched-source rows with insert disabled are gone; matched &
         # target-only rows keep/compute target columns
         result = result.select(*out_cols)
+        self._enforce_constraints(result)
 
         phys = result.select(
             *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields]
@@ -1996,6 +2072,7 @@ class LakeTable:
                 for f in self.schema.fields
             ]
         )
+        self._enforce_constraints(updated)
         phys = updated.select(
             *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields]
         )

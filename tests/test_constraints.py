@@ -1,0 +1,93 @@
+"""CHECK constraints (Delta-style, absent in Iceberg): every native
+write path validates its batch at O(batch) cost, existing rows are
+validated at ADD CONSTRAINT time, NULL satisfies (SQL semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.lake.table import ConstraintViolation
+
+SCHEMA = StructType(
+    [
+        StructField("k", IntegerType(), True),
+        StructField("lang", StringType(), True),
+        StructField("score", DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.c", SCHEMA)
+    t.append(spark.createDataFrame([(1, "en", 0.5), (2, "de", 0.9)], SCHEMA))
+    return t
+
+
+def test_add_validates_existing_and_gates_writes(spark, table):
+    t = table
+    # adding a constraint current rows violate is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("high_score", "score > 0.6")
+    t.add_constraint("valid_score", "score >= 0 AND score <= 1")
+    assert t.constraints == {"valid_score": "score >= 0 AND score <= 1"}
+
+    # good batch lands; bad batch rejected BEFORE any commit
+    t.append(spark.createDataFrame([(3, "fr", 1.0)], SCHEMA))
+    n_snaps = len(t._meta["snapshots"])
+    with pytest.raises(ConstraintViolation, match="valid_score"):
+        t.append(spark.createDataFrame([(4, "es", 1.5)], SCHEMA))
+    assert len(t.refresh()._meta["snapshots"]) == n_snaps  # nothing committed
+    assert t.scan().count() == 3
+
+    # NULL satisfies (SQL CHECK semantics)
+    t.append(spark.createDataFrame([(5, "it", None)], SCHEMA))
+    assert t.scan().count() == 4
+
+
+def test_constraint_gates_update_merge_upsert(spark, table):
+    t = table
+    t.add_constraint("valid_score", "score <= 1")
+    with pytest.raises(ConstraintViolation):
+        t.update_where({"k": ("=", 1)}, {"score": F.lit(2.0)})
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(1, "en", 9.9)], SCHEMA), key="k")
+    with pytest.raises(ConstraintViolation):
+        t.upsert(spark.createDataFrame([(9, "pt", 7.0)], SCHEMA), "k")
+    with pytest.raises(ConstraintViolation):
+        t.merge_into(
+            spark.createDataFrame([(1, "en", 5.0)], SCHEMA),
+            on="k",
+            when_matched_update={"score": F.col("src_score")},
+        )
+    # table unchanged by any of the rejected writes
+    assert sorted((r["k"], r["score"]) for r in t.scan().collect()) == [
+        (1, 0.5), (2, 0.9),
+    ]
+    # compliant versions of the same ops pass
+    t.update_where({"k": ("=", 1)}, {"score": F.lit(0.7)})
+    assert t.scan().filter("k = 1").first()["score"] == 0.7
+
+
+def test_constraint_sql_ddl_and_drop(spark, tmp_path):
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    cat.create_table("db.s", SCHEMA)
+    lake_sql(
+        cat, "ALTER TABLE db.s ADD CONSTRAINT lang_ok CHECK (lang IN ('en','de'))"
+    )
+    with pytest.raises(ConstraintViolation, match="lang_ok"):
+        lake_sql(cat, "INSERT INTO db.s VALUES (1, 'xx', 0.1)")
+    lake_sql(cat, "INSERT INTO db.s VALUES (1, 'en', 0.1)")
+    lake_sql(cat, "ALTER TABLE db.s DROP CONSTRAINT lang_ok")
+    lake_sql(cat, "INSERT INTO db.s VALUES (2, 'xx', 0.2)")  # now allowed
+    assert cat.load_table("db.s").scan().count() == 2
