@@ -336,20 +336,33 @@ class LakeTable:
         return self._evolve(mutate)
 
     def _enforce_constraints(self, df: DataFrame) -> None:
-        """Reject the write if any row violates a CHECK constraint.
-        One filter + limit(1) per constraint over the batch — O(batch),
+        """Reject the write if any row violates a CHECK constraint or
+        puts NULL in a required (nullable=False) column — Iceberg
+        enforces required fields on write, and the schema declares them,
+        so the write path honors them as implicit constraints. One
+        filter + limit(1) per constraint over the batch — O(batch),
         early-exit, never O(table)."""
         from pyspark.sql import functions as _F
 
-        for name, expr in self.constraints.items():
+        checks = dict(self.constraints)
+        for f in self.schema.fields:
+            if not f.nullable and f.name in df.columns:
+                checks.setdefault(
+                    f"__required_{f.name}", f"{f.name} IS NOT NULL"
+                )
+        for name, expr in checks.items():
             bad = df.filter(
                 ~_F.coalesce(_F.expr(expr).cast("boolean"), _F.lit(True))
             ).limit(1)
             row = bad.collect()
             if row:
+                label = (
+                    f"required column {name[len('__required_'):]!r} is null"
+                    if name.startswith("__required_")
+                    else f"constraint {name!r} ({expr}) violated"
+                )
                 raise ConstraintViolation(
-                    f"constraint {name!r} ({expr}) violated, e.g. by row "
-                    f"{row[0].asDict()}"
+                    f"{label}, e.g. by row {row[0].asDict()}"
                 )
 
     def set_property(self, key: str, value: str) -> "LakeTable":

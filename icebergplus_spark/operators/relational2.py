@@ -985,3 +985,50 @@ def q111_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — CHECK constraints under the oracle gate: a violating batch is
+# REJECTED atomically (nothing commits) and compliant batches land
+# around it. The result is the table's final state; the oracle computes
+# the same set from the raw data with the constraint as a filter — a
+# hash match proves rejected writes leave zero residue (no partial
+# files, no phantom snapshot) while accepted ones are untouched.
+# ---------------------------------------------------------------------------
+@register(
+    "q112_check_constraints",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM customer
+WHERE c_custkey % 10 = 3 AND c_acctbal >= 0
+GROUP BY c_mktsegment
+""",
+)
+def q112_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.table import ConstraintViolation
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 3)
+    root = tempfile.mkdtemp(prefix="lake_check_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_ck", cust.schema)
+    t.add_constraint("balance_ok", "c_acctbal >= 0")
+    t.append(cust.filter(F.col("c_acctbal") >= 0))  # compliant
+    try:
+        t.append(cust)  # contains negative balances → rejected whole
+        raise AssertionError("constraint gate failed to fire")
+    except ConstraintViolation:
+        pass
+    return (
+        t.refresh()
+        .scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+            ).cast("long").alias("n_negative"),
+        )
+    )

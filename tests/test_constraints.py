@@ -91,3 +91,26 @@ def test_constraint_sql_ddl_and_drop(spark, tmp_path):
     lake_sql(cat, "ALTER TABLE db.s DROP CONSTRAINT lang_ok")
     lake_sql(cat, "INSERT INTO db.s VALUES (2, 'xx', 0.2)")  # now allowed
     assert cat.load_table("db.s").scan().count() == 2
+
+
+def test_required_columns_enforced_on_write(spark, tmp_path):
+    """nullable=False schema fields are implicit NOT NULL constraints
+    on every write (Iceberg required-field parity)."""
+    req = StructType(
+        [
+            StructField("k", IntegerType(), False),
+            StructField("s", StringType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_req")).start()
+    t = cat.create_table("db.req", req)
+    t.append(spark.createDataFrame([(1, None)], req))  # nullable col: fine
+    nullable_twin = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("s", StringType(), True),
+        ]
+    )
+    with pytest.raises(ConstraintViolation, match="required column 'k'"):
+        t.append(spark.createDataFrame([(None, "x")], nullable_twin))
+    assert t.scan().count() == 1
