@@ -298,6 +298,37 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             "ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name"
         )
 
+    if head == "DESCRIBE":
+        m = re.match(rf"^DESCRIBE\s+(?:TABLE\s+)?({_IDENT})$", stmt, re.IGNORECASE)
+        if not m:
+            raise UnsupportedSQL("DESCRIBE [TABLE] <identifier>")
+        t = catalog.load_table(m.group(1))
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable, "column")
+            for f in t.schema.fields
+        ]
+        rows += [
+            (pf.get("transform", "identity") + "(" + pf["source"] + ")", "", True, "partition")
+            for pf in t.partition_spec
+        ]
+        rows += [(k, v, True, "property") for k, v in sorted(t.properties.items())]
+        rows += [(k, v, True, "constraint") for k, v in sorted(t.constraints.items())]
+        return spark.createDataFrame(
+            rows, "name string, info string, nullable boolean, kind string"
+        )
+
+    if head == "SHOW":
+        m = re.match(
+            r"^SHOW\s+(TABLES|VIEWS)(?:\s+IN\s+(\w+))?$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise UnsupportedSQL("SHOW TABLES|VIEWS [IN namespace]")
+        kind, ns = m.group(1).upper(), m.group(2)
+        names = (
+            catalog.list_tables(ns) if kind == "TABLES" else catalog.list_views(ns)
+        )
+        return spark.createDataFrame([(n,) for n in names], "identifier string")
+
     if head == "VACUUM":
         m = re.match(rf"^VACUUM\s+({_IDENT})$", stmt, re.IGNORECASE)
         if not m:

@@ -162,3 +162,13 @@ def test_alter_table_ddl(cat):
     assert cat.load_table("db.t").properties["owner"] == "me"
     with pytest.raises(UnsupportedSQL, match="ALTER TABLE supports"):
         lake_sql(cat, "ALTER TABLE db.t CLUSTER BY (k)")
+
+
+def test_describe_and_show(spark, cat):
+    lake_sql(cat, "ALTER TABLE db.t ADD CONSTRAINT pos CHECK (k > 0)")
+    cat.create_view("db.v1", "SELECT 1 AS one")
+    desc = {(r["name"], r["kind"]) for r in lake_sql(cat, "DESCRIBE db.t").collect()}
+    assert ("k", "column") in desc and ("pos", "constraint") in desc
+    tables = [r["identifier"] for r in lake_sql(cat, "SHOW TABLES").collect()]
+    views = [r["identifier"] for r in lake_sql(cat, "SHOW VIEWS").collect()]
+    assert tables == ["db.t"] and views == ["db.v1"]
