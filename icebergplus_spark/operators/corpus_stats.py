@@ -1,0 +1,233 @@
+"""Corpus-level statistics for training-data curation, round 3b:
+collocation mining, cross-entropy rarity scoring, and cross-document
+chunk-level duplication.
+
+These are the corpus-wide statistics an LLM data pipeline computes next
+to dedup/quality filtering (reference scope: the data-curation surface
+SURVEY.md §2 extends beyond icebergplus's lake core):
+
+- t28: PMI collocations — pointwise mutual information over adjacent
+  token pairs, the classic phrase/term-of-art miner. Unigram and bigram
+  counts are two-phase aggregations (map-side combine) on token keys;
+  the final PMI join touches only vocabulary-scale tables, which are
+  broadcast. The corpus is streamed exactly twice (once per n-gram
+  order) and never shuffled at document granularity.
+- t29: token-rarity score — per-document cross-entropy against the
+  corpus unigram distribution (mean -log2 p(token)), the cheap
+  perplexity proxy used for quality bucketing. The unigram model is
+  vocabulary-scale and broadcast; the per-doc mean shuffles on doc_id
+  only.
+- d15: chunk-level cross-document duplication — fixed-width token
+  chunks (boilerplate detector). Whole-doc dedup (d01/d02) misses
+  partially-copied documents; this shreds each doc into 20-token
+  chunks, counts global chunk multiplicity, and reports the fraction
+  of each doc that is shared verbatim with other docs. Chunk keys are
+  md5 digests so the wide groupBy shuffles fixed-width keys, not raw
+  text (same trick as d02's fingerprint dedup).
+
+All three are pure JVM plans (split/slice/explode/groupBy — no Python
+UDFs) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+MIN_PAIR_COUNT = 5  # collocation support threshold
+CHUNK_TOKENS = 20  # d15 chunk width
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# t28 — PMI collocations over adjacent token pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "t28_collocations",
+    oracle=f"""
+WITH words AS (
+  SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w FROM documents
+),
+tok AS (
+  SELECT w[i] AS t, w[i+1] AS nxt
+  FROM (SELECT w, unnest(generate_series(1, len(w))) AS i FROM words)
+),
+uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+bi AS (
+  SELECT t AS t1, nxt AS t2, COUNT(*) AS c
+  FROM tok WHERE nxt IS NOT NULL GROUP BY t, nxt
+),
+tot AS (SELECT SUM(c) AS n_uni FROM uni),
+btot AS (SELECT SUM(c) AS n_bi FROM bi)
+SELECT t1, t2, CAST(bi.c AS BIGINT) AS pair_count,
+       ROUND(LOG2((CAST(bi.c AS DOUBLE) / n_bi)
+                  / ((u1.c / CAST(n_uni AS DOUBLE))
+                     * (u2.c / CAST(n_uni AS DOUBLE)))), 3) AS pmi
+FROM bi, tot, btot
+JOIN uni u1 ON bi.t1 = u1.t
+JOIN uni u2 ON bi.t2 = u2.t
+WHERE bi.c >= {MIN_PAIR_COUNT}
+""",
+)
+def t28_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _tokens()
+    base = docs.select(w.alias("w"))
+
+    # Unigram counts: two-phase hash agg on the token key.
+    uni = (
+        base.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Adjacent pairs via two array slices zipped — no positional self-join,
+    # so the corpus never shuffles at (doc, position) granularity.
+    m = F.greatest(F.size("w") - F.lit(1), F.lit(0))
+    pairs = (
+        base.select(
+            F.slice("w", F.lit(1), m).alias("a1"),
+            F.slice("w", F.lit(2), m).alias("a2"),
+        )
+        .select(F.explode(F.arrays_zip("a1", "a2")).alias("p"))
+        .select(F.col("p.a1").alias("t1"), F.col("p.a2").alias("t2"))
+    )
+    bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c"))
+
+    # Totals are 1-row aggregates; vocabulary tables are broadcast — the
+    # PMI join never shuffles anything corpus-sized. At 100 TB the
+    # unigram table is vocab-scale (bounded by distinct tokens), which
+    # is exactly the broadcastable case; if a tokenizer made it huge,
+    # dropping the hints degrades to a vocab-key shuffle, still never
+    # corpus-scale.
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c").alias("n_bi"))
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    p_pair = F.col("c").cast("double") / F.col("n_bi")
+    p1 = F.col("c1") / F.col("n_uni").cast("double")
+    p2 = F.col("c2") / F.col("n_uni").cast("double")
+    return (
+        bi.filter(F.col("c") >= MIN_PAIR_COUNT)
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("c").alias("pair_count"),
+            F.round(F.log2(p_pair / (p1 * p2)), 3).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t29 — per-document rarity (cross-entropy vs the corpus unigram model).
+# ---------------------------------------------------------------------------
+@register(
+    "t29_rarity_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS t
+  FROM documents
+),
+uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM uni)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(-LOG2(c / CAST(n AS DOUBLE))), 4) AS rarity_bits
+FROM tok JOIN uni USING (t), tot
+GROUP BY doc_id
+""",
+)
+def t29_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    # The unigram model is vocab-scale → broadcast to every corpus task;
+    # the only wide shuffle is the per-doc mean on doc_id.
+    bits = -F.log2(F.col("c") / F.col("n").cast("double"))
+    return (
+        tok.join(F.broadcast(uni), "t")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("rarity_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d15 — cross-document chunk duplication (boilerplate detector).
+# ---------------------------------------------------------------------------
+@register(
+    "d15_chunk_dedup",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, MD5(array_to_string(w[i:i+{CHUNK_TOKENS - 1}], ' ')) AS k
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, len(w), {CHUNK_TOKENS})) AS i
+    FROM words
+  )
+),
+freq AS (SELECT k, COUNT(DISTINCT doc_id) AS docs FROM chunks GROUP BY k)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_chunks,
+       ROUND(CAST(SUM(CASE WHEN f.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_ratio
+FROM chunks c JOIN freq f ON c.k = f.k
+GROUP BY c.doc_id
+""",
+)
+def d15_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _tokens()
+    # Fixed-stride chunking: sequence(1, len, 20) start offsets, one
+    # md5 digest per chunk. Digesting BEFORE the shuffle means the wide
+    # groupBy moves 32-byte keys, not 20-token strings.
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(CHUNK_TOKENS))
+    chunk = F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), CHUNK_TOKENS)))
+    chunks = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(starts).alias("i"), "w")
+        .select("doc_id", chunk.alias("k"))
+    )
+    # Global chunk multiplicity by distinct source doc: two-phase agg on
+    # the digest key — scales to any corpus size, skew bounded by how
+    # often one exact chunk repeats (boilerplate — AQE splits it).
+    freq = chunks.groupBy("k").agg(
+        F.countDistinct("doc_id").alias("docs")
+    )
+    shared = F.sum(F.when(F.col("docs") > 1, 1).otherwise(0))
+    return (
+        chunks.join(freq, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.cast("bigint").alias("shared_chunks"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )

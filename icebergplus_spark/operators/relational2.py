@@ -1016,8 +1016,14 @@ def q112_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.create_table("bench.cust_ck", cust.schema)
     t.add_constraint("balance_ok", "c_acctbal >= 0")
     t.append(cust.filter(F.col("c_acctbal") >= 0))  # compliant
+    # The violating batch is synthesized (all balances forced negative)
+    # so the gate MUST fire at every SF — the raw data's own negative
+    # rows are not guaranteed to exist in a small sample.
+    violating = cust.withColumn(
+        "c_acctbal", (-F.abs(F.col("c_acctbal")) - F.lit(1)).cast("double")
+    )
     try:
-        t.append(cust)  # contains negative balances → rejected whole
+        t.append(violating)  # all rows negative → rejected whole
         raise AssertionError("constraint gate failed to fire")
     except ConstraintViolation:
         pass
