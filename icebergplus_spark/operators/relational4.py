@@ -216,3 +216,62 @@ def q93_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — bucketed co-located join: both fact tables are written
+# bucketed on the join key, so the join itself needs NO exchange on
+# either side — the shuffle is paid once at write time and amortized
+# over every subsequent join (the canonical 100 TB strategy for a
+# fact-fact join that runs repeatedly; SCALING.md "co-located joins").
+# The only exchange left in the plan is the final small aggregation.
+# Plan-asserted in tests/test_bucketed_join.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_bucketed_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q102_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    prepare_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    # Write both sides bucketed on the join key. At 100 TB this is the
+    # one-time layout job; afterwards every custkey-join is exchange-free
+    # (Spark aligns the 16 buckets side-to-side instead of shuffling).
+    root = tempfile.mkdtemp(prefix="bucketed_")
+    for name, df, key in (
+        ("bq_orders", orders, "o_custkey"),
+        ("bq_customer", cust, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{root}/{name}")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    bo = spark.table("bq_orders")
+    bc = spark.table("bq_customer")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
