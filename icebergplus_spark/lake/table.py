@@ -2196,6 +2196,87 @@ class LakeTable:
         entry["column_maxs"] = json.dumps(maxs, default=str)
         entry["column_null_counts"] = json.dumps(nulls)
 
+    # -- table-level column statistics (Iceberg StatisticsFile parity) -----
+    ANALYZE_APPROX_THRESHOLD = 10_000_000  # rows; above this 'auto' → approx
+
+    @property
+    def statistics(self) -> dict[str, Any] | None:
+        """The persisted ANALYZE result: ``{"snapshot_id", "mode",
+        "columns": {name: {"ndv", "null_count", "min", "max"}}}`` or
+        None. Stats are keyed to the snapshot they were computed at;
+        ``statistics_fresh`` says whether they still describe the
+        current snapshot (Iceberg ties StatisticsFile to a snapshot id
+        the same way)."""
+        s = self._meta.get("statistics")
+        return dict(s) if s else None
+
+    @property
+    def statistics_fresh(self) -> bool:
+        s = self._meta.get("statistics")
+        return bool(s) and s.get("snapshot_id") == self.current_snapshot_id
+
+    def analyze(
+        self, columns: list[str] | None = None, mode: str = "auto"
+    ) -> "LakeTable":
+        """ANALYZE TABLE: per-column NDV, null count, min and max in ONE
+        distributed pass over the table, persisted in table metadata
+        keyed to the current snapshot — the engine-side analogue of
+        Iceberg's puffin stats files (theta-sketch NDV per snapshot),
+        which CBOs read for join ordering and broadcast decisions.
+
+        ``mode``: ``'exact'`` uses COUNT(DISTINCT) — one expand+agg,
+        fine up to mid-size tables and oracle-checkable; ``'approx'``
+        uses HyperLogLog++ ``approx_count_distinct`` (relative error
+        ~2%), the 100 TB default — a single two-phase aggregation with
+        constant per-column state; ``'auto'`` picks approx above
+        ANALYZE_APPROX_THRESHOLD rows (from snapshot metadata, free).
+        """
+        cols = columns or [f.name for f in self.schema.fields]
+        bad = set(cols) - {f.name for f in self.schema.fields}
+        if bad:
+            raise ValueError(f"analyze: unknown columns {sorted(bad)}")
+        if mode == "auto":
+            snap = self.snapshot()
+            total = snap["summary"].get("total-records", 0) if snap else 0
+            mode = "approx" if total > self.ANALYZE_APPROX_THRESHOLD else "exact"
+        if mode not in ("exact", "approx"):
+            raise ValueError(f"analyze: unknown mode {mode!r}")
+        from pyspark.sql import functions as _F
+
+        ndv = _F.countDistinct if mode == "exact" else _F.approx_count_distinct
+
+        df = self.scan()
+        aggs: list = []
+        for c in cols:
+            aggs.append(ndv(_F.col(c)).alias(f"ndv__{c}"))
+            aggs.append(
+                _F.sum(_F.when(_F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"nulls__{c}"
+                )
+            )
+            aggs.append(_F.min(_F.col(c)).cast("string").alias(f"min__{c}"))
+            aggs.append(_F.max(_F.col(c)).cast("string").alias(f"max__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()  # 1 row — bounded driver work
+
+        stats = {
+            "snapshot_id": self.current_snapshot_id,
+            "mode": mode,
+            "columns": {
+                c: {
+                    "ndv": int(row[f"ndv__{c}"]),
+                    "null_count": int(row[f"nulls__{c}"] or 0),
+                    "min": row[f"min__{c}"],
+                    "max": row[f"max__{c}"],
+                }
+                for c in cols
+            },
+        }
+
+        def mutate(meta):
+            meta["statistics"] = stats
+
+        return self._evolve(mutate)
+
     # -- metadata tables (Iceberg's db.t.snapshots/files/refs/… parity) ----
     def metadata_df(self, kind: str) -> DataFrame:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
@@ -2371,6 +2452,29 @@ class LakeTable:
                     _F.count(_F.lit(1)).alias("file_count"),
                     _F.sum("record_count").alias("record_count"),
                 )
+            )
+        elif kind == "statistics":
+            s = self.statistics
+            rows = (
+                [
+                    {
+                        "column": c,
+                        "ndv": v["ndv"],
+                        "null_count": v["null_count"],
+                        "min": v["min"],
+                        "max": v["max"],
+                        "snapshot_id": s["snapshot_id"],
+                        "mode": s["mode"],
+                        "is_fresh": self.statistics_fresh,
+                    }
+                    for c, v in sorted(s["columns"].items())
+                ]
+                if s
+                else []
+            )
+            schema = (
+                "column string, ndv long, null_count long, min string, "
+                "max string, snapshot_id long, mode string, is_fresh boolean"
             )
         else:
             raise ValueError(f"unknown metadata table: {kind}")

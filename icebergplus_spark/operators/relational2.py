@@ -1038,3 +1038,51 @@ def q112_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_negative"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — ANALYZE TABLE under the oracle gate: lake roundtrip + one-pass
+# per-column statistics (NDV / null count, persisted per-snapshot like
+# Iceberg's puffin stats files). The oracle recomputes the same numbers
+# straight from the raw data — a hash match proves the stats describe
+# exactly the committed table state. min/max strings and the
+# approx-mode path are pytest-covered (test_analyze_stats.py); the
+# driver-gated projection sticks to engine-portable exact values.
+# ---------------------------------------------------------------------------
+@register(
+    "q113_analyze_stats",
+    oracle="""
+WITH src AS (SELECT * FROM orders WHERE o_orderkey % 10 = 7)
+SELECT col_name, ndv, null_count FROM (
+  SELECT 'o_orderkey' AS col_name, COUNT(DISTINCT o_orderkey) AS ndv,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count FROM src
+  UNION ALL
+  SELECT 'o_custkey', COUNT(DISTINCT o_custkey),
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus),
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(DISTINCT o_totalprice),
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(DISTINCT o_orderdate),
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src
+)
+""",
+)
+def q113_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 7)
+    root = tempfile.mkdtemp(prefix="lake_stats_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_stats", orders.schema)
+    t = t.append(orders)
+    t = t.analyze(mode="exact")
+    return t.metadata_df("statistics").select(
+        F.col("column").alias("col_name"), "ndv", "null_count"
+    )
