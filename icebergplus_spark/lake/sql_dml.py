@@ -14,6 +14,8 @@ dispatches:
 - ``DELETE FROM <tbl> WHERE <preds>``    → ``delete``    (stats-targeted CoW)
 - ``UPDATE <tbl> SET ... WHERE <preds>`` → ``update_where`` (stats-targeted)
 - ``MERGE INTO <tbl> ... USING ...``     → ``merge_into`` (multi-clause)
+- ``ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR COLUMNS ...]`` → ``analyze``
+- ``SHOW STATS FOR <tbl>``               → persisted statistics (Trino syntax)
 
 ``<query>`` is any Spark SQL query (``SELECT ...`` or ``VALUES ...``);
 its sources are the session's views — register lake tables with
@@ -318,11 +320,15 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
 
     if head == "SHOW":
+        # Trino syntax: SHOW STATS FOR t → the persisted ANALYZE result
+        sm = re.match(rf"^SHOW\s+STATS\s+FOR\s+({_IDENT})$", stmt, re.IGNORECASE)
+        if sm:
+            return catalog.load_table(sm.group(1)).metadata_df("statistics")
         m = re.match(
             r"^SHOW\s+(TABLES|VIEWS)(?:\s+IN\s+(\w+))?$", stmt, re.IGNORECASE
         )
         if not m:
-            raise UnsupportedSQL("SHOW TABLES|VIEWS [IN namespace]")
+            raise UnsupportedSQL("SHOW TABLES|VIEWS [IN namespace] | SHOW STATS FOR <t>")
         kind, ns = m.group(1).upper(), m.group(2)
         names = (
             catalog.list_tables(ns) if kind == "TABLES" else catalog.list_views(ns)
@@ -338,6 +344,24 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         # threshold-driven maintenance honoring the table's declared
         # retention properties (history.expire.*); returns the report
         return auto_maintain(catalog.load_table(m.group(1)))
+
+    if head == "ANALYZE":
+        # Spark syntax: ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]
+        m = re.match(
+            rf"^ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+            rf"(?:\s+FOR\s+COLUMNS\s+([\w\s,]+))?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise UnsupportedSQL(
+                "ANALYZE TABLE <identifier> COMPUTE STATISTICS "
+                "[FOR COLUMNS c1, c2, ...]"
+            )
+        ident, col_list = m.groups()
+        cols = [c.strip() for c in col_list.split(",")] if col_list else None
+        t = catalog.load_table(ident).analyze(columns=cols)
+        return t.metadata_df("statistics")
 
     if head == "MERGE":
         m = _MERGE.match(stmt)

@@ -172,3 +172,23 @@ def test_describe_and_show(spark, cat):
     tables = [r["identifier"] for r in lake_sql(cat, "SHOW TABLES").collect()]
     views = [r["identifier"] for r in lake_sql(cat, "SHOW VIEWS").collect()]
     assert tables == ["db.t"] and views == ["db.v1"]
+
+
+def test_analyze_and_show_stats(cat):
+    stats = lake_sql(
+        cat, "ANALYZE TABLE db.t COMPUTE STATISTICS FOR COLUMNS k, name"
+    )
+    rows = {r.column: r for r in stats.collect()}
+    assert set(rows) == {"k", "name"}
+    assert rows["k"].ndv == 3 and rows["k"].null_count == 0
+    assert rows["k"].mode == "exact" and rows["k"].is_fresh
+    # SHOW STATS FOR reads the persisted result back (Trino syntax)
+    again = {r.column: r.ndv for r in lake_sql(cat, "SHOW STATS FOR db.t").collect()}
+    assert again == {"k": 3, "name": 3}
+    # full-table ANALYZE covers every column
+    allstats = lake_sql(cat, "ANALYZE TABLE db.t COMPUTE STATISTICS")
+    assert {r.column for r in allstats.collect()} == {"k", "name", "score"}
+    with pytest.raises(UnsupportedSQL):
+        lake_sql(cat, "ANALYZE TABLE db.t ESTIMATE STATISTICS")
+    with pytest.raises(UnsupportedSQL):
+        lake_sql(cat, "SHOW STATS db.t")
