@@ -275,3 +275,59 @@ def q102_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — dynamic partition pruning: the fact side is laid out
+# hive-partitioned on the join column; the dimension side's filter is
+# only known at runtime (it comes out of a query, not a literal), so
+# static pruning can't help — Spark's DPP injects the dim's key set
+# into the fact scan's PartitionFilters and whole partitions are never
+# read. At 100 TB this is the difference between scanning 2 of 5
+# partitions and scanning everything. Plan-asserted in
+# tests/test_dpp.py (dynamicpruningexpression on the fact scan).
+# ---------------------------------------------------------------------------
+@register(
+    "q114_dynamic_partition_pruning",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE o_orderpriority IN (
+  SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority LIKE '1-%'
+     OR o_orderpriority LIKE '2-%'
+)
+GROUP BY o_orderpriority
+""",
+)
+def q114_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    prepare_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="dpp_")
+    # One-time layout job: facts live partitioned on the filter/join key.
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+    fact = spark.read.parquet(root)
+    # The dim's priorities are computed at runtime — DPP, not static
+    # pruning, keeps the fact scan to the matching partitions.
+    dim = (
+        orders.filter(
+            F.col("o_orderpriority").startswith("1-")
+            | F.col("o_orderpriority").startswith("2-")
+        )
+        .select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.p)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
