@@ -2216,7 +2216,10 @@ class LakeTable:
         return bool(s) and s.get("snapshot_id") == self.current_snapshot_id
 
     def analyze(
-        self, columns: list[str] | None = None, mode: str = "auto"
+        self,
+        columns: list[str] | None = None,
+        mode: str = "auto",
+        top_k: int = 0,
     ) -> "LakeTable":
         """ANALYZE TABLE: per-column NDV, null count, min and max in ONE
         distributed pass over the table, persisted in table metadata
@@ -2230,6 +2233,13 @@ class LakeTable:
         ~2%), the 100 TB default — a single two-phase aggregation with
         constant per-column state; ``'auto'`` picks approx above
         ANALYZE_APPROX_THRESHOLD rows (from snapshot metadata, free).
+
+        ``top_k > 0`` additionally records each column's k most frequent
+        values with counts (heavy hitters — what a join planner needs to
+        spot skew). All requested columns share ONE melt+count pass: the
+        table is exploded to (column, value) pairs and aggregated in a
+        single two-phase shuffle — one extra job total, not one per
+        column.
         """
         cols = columns or [f.name for f in self.schema.fields]
         bad = set(cols) - {f.name for f in self.schema.fields}
@@ -2258,6 +2268,40 @@ class LakeTable:
             aggs.append(_F.max(_F.col(c)).cast("string").alias(f"max__{c}"))
         row = df.agg(*aggs).collect()[0].asDict()  # 1 row — bounded driver work
 
+        tops: dict[str, list[dict[str, Any]]] = {}
+        if top_k > 0:
+            from pyspark.sql import Window as _W
+
+            # Melt to (column, value) pairs → one two-phase count for
+            # every column at once; the ranked counts table is
+            # vocab-scale per column, so the window input is small.
+            melted = df.select(
+                _F.explode(
+                    _F.array(
+                        *[
+                            _F.struct(
+                                _F.lit(c).alias("col"),
+                                _F.col(c).cast("string").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("kv")
+            ).select("kv.col", "kv.v")
+            counts = melted.groupBy("col", "v").count()
+            w = _W.partitionBy("col").orderBy(
+                _F.desc("count"), _F.asc_nulls_last("v")
+            )
+            top_rows = (
+                counts.withColumn("rk", _F.row_number().over(w))
+                .filter(_F.col("rk") <= top_k)
+                .collect()
+            )  # ≤ k rows per column — bounded driver work
+            for r in top_rows:
+                tops.setdefault(r["col"], []).append(
+                    {"value": r["v"], "count": int(r["count"])}
+                )
+
         stats = {
             "snapshot_id": self.current_snapshot_id,
             "mode": mode,
@@ -2267,6 +2311,7 @@ class LakeTable:
                     "null_count": int(row[f"nulls__{c}"] or 0),
                     "min": row[f"min__{c}"],
                     "max": row[f"max__{c}"],
+                    **({"top": tops.get(c, [])} if top_k > 0 else {}),
                 }
                 for c in cols
             },

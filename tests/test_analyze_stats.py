@@ -65,3 +65,58 @@ def test_unknown_column_rejected(table):
     t, _ = table
     with pytest.raises(ValueError, match="unknown columns"):
         t.analyze(columns=["nope"])
+
+
+def test_top_k_heavy_hitters_single_pass(table):
+    t, orders = table
+    t = t.analyze(columns=["o_orderstatus", "o_orderpriority"], mode="exact", top_k=3)
+    top = t.statistics["columns"]["o_orderstatus"]["top"]
+    assert 1 <= len(top) <= 3
+    # descending counts, and the top value matches a direct groupBy
+    counts = [e["count"] for e in top]
+    assert counts == sorted(counts, reverse=True)
+    import pyspark.sql.functions as F
+
+    truth = (
+        orders.groupBy("o_orderstatus")
+        .count()
+        .orderBy(F.desc("count"), "o_orderstatus")
+        .first()
+    )
+    assert top[0]["value"] == truth.o_orderstatus
+    assert top[0]["count"] == truth["count"]
+    # columns analyzed without top_k context don't carry a 'top'
+    assert "top" in t.statistics["columns"]["o_orderpriority"]
+
+
+def test_advise_join_strategies(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.functions.skew import advise_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = LocalLakeCatalog(spark, str(tmp_path / "adv")).start()
+
+    # small table → broadcast (from snapshot bytes alone)
+    small = cat.create_table("db.small", orders.schema).append(orders.limit(100))
+    assert advise_join(small, "o_custkey")["strategy"] == "broadcast"
+
+    # skewed table: one hot key with half the rows → salted, once the
+    # heavy-hitter stats exist (tiny broadcast_bytes forces the branch)
+    skewed_df = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(7)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    skewed = cat.create_table("db.skewed", orders.schema).append(skewed_df)
+    adv = advise_join(skewed, "o_custkey", broadcast_bytes=1)
+    assert adv["strategy"] == "shuffle"  # stats not computed yet
+    skewed = skewed.analyze(columns=["o_custkey"], top_k=1)
+    adv = advise_join(skewed, "o_custkey", broadcast_bytes=1)
+    assert adv["strategy"] == "salted"
+    assert adv["salt_n"] >= 2
+    # stale stats must not drive salting decisions
+    skewed = skewed.append(orders.limit(1))
+    adv = advise_join(skewed, "o_custkey", broadcast_bytes=1)
+    assert adv["strategy"] == "shuffle"
