@@ -112,25 +112,66 @@ def q56_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q57 — approximate distinct count (HLL++). Approximation ≠ oracle-
 # hashable → rows-only check here; tests assert ≤5% error vs exact.
 # ---------------------------------------------------------------------------
-@register("q57_approx_distinct")  # no oracle: approximate by construction
+@register(
+    "q57_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_10pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct, made hash-checkable: the sketch value
+    itself is engine-specific, so the gated columns are the exact count
+    plus a boolean asserting the sketch landed within 10% relative
+    error (default rsd 5%). A broken sketch flips the boolean and the
+    driver hash catches it; the raw approx value stays pytest-covered."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.10 * F.countDistinct("l_partkey")
+        ).alias("approx_within_10pct"),
     )
 
 
 # ---------------------------------------------------------------------------
-# q59 — approximate percentile sketch (KLL-style). Approximation ≠
-# oracle-hashable → rows-only; tests bound the error vs the exact value.
+# q59 — approximate percentile sketch. The sketch value is
+# engine-specific, so the gate carries the exact percentiles plus
+# booleans asserting the sketch landed within 1% relative error — a
+# broken sketch flips a boolean and the driver hash catches it.
 # ---------------------------------------------------------------------------
-@register("q59_approx_percentile")  # no oracle: approximate by construction
+@register(
+    "q59_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_median,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS exact_p99,
+       TRUE AS median_within_1pct,
+       TRUE AS p99_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q59_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    exact_median = F.percentile("l_extendedprice", F.lit(0.5))
+    exact_p99 = F.percentile("l_extendedprice", F.lit(0.99))
+    approx_median = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    approx_p99 = F.percentile_approx("l_extendedprice", 0.99, 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+        F.round(exact_median, 4).alias("exact_median"),
+        F.round(exact_p99, 4).alias("exact_p99"),
+        (F.abs(approx_median - exact_median) <= 0.01 * exact_median).alias(
+            "median_within_1pct"
+        ),
+        (F.abs(approx_p99 - exact_p99) <= 0.01 * exact_p99).alias(
+            "p99_within_1pct"
+        ),
     )

@@ -8,9 +8,20 @@ from icebergplus_spark.registry import QUERIES, load_all
 load_all()
 
 
-def test_approx_distinct_within_5pct(spark, sf_dir):
+def test_approx_distinct_within_bound(spark, sf_dir):
+    # the query itself gates the 10% bound; assert it held, and check
+    # the raw sketch error directly at 5% on the source data
+    from icebergplus_spark.sources import load_table
+
     for r in QUERIES["q57_approx_distinct"](spark, sf_dir).collect():
-        err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert r["approx_within_10pct"], r["l_returnflag"]
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("a"),
+        F.countDistinct("l_partkey").alias("e"),
+    ).collect()
+    for r in rows:
+        err = abs(r["a"] - r["e"]) / max(r["e"], 1)
         assert err <= 0.05, f"{r['l_returnflag']}: HLL error {err:.3f}"
 
 
@@ -39,6 +50,5 @@ def test_grouped_pandas_matches_window_twin(spark, sf_dir):
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
     for r in QUERIES["q59_approx_percentile"](spark, sf_dir).collect():
-        for a, e in [("approx_median", "exact_median"), ("approx_p99", "exact_p99")]:
-            rel = abs(r[a] - r[e]) / max(abs(r[e]), 1e-9)
-            assert rel < 0.02, f"{r['l_returnflag']} {a}: rel err {rel:.4f}"
+        assert r["median_within_1pct"], r["l_returnflag"]
+        assert r["p99_within_1pct"], r["l_returnflag"]
