@@ -16,6 +16,10 @@ dispatches:
 - ``MERGE INTO <tbl> ... USING ...``     → ``merge_into`` (multi-clause)
 - ``ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR COLUMNS ...]`` → ``analyze``
 - ``SHOW STATS FOR <tbl>``               → persisted statistics (Trino syntax)
+- ``CALL system.<proc>('db.t', ...)``    → maintenance procedures (Iceberg
+  syntax: rollback_to_snapshot, cherrypick_snapshot, expire_snapshots,
+  remove_orphan_files, rewrite_data_files, rewrite_manifests,
+  expire_metadata_versions)
 
 ``<query>`` is any Spark SQL query (``SELECT ...`` or ``VALUES ...``);
 its sources are the session's views — register lake tables with
@@ -35,6 +39,7 @@ columns ``src_``-prefixed).
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any
 
@@ -362,6 +367,59 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         cols = [c.strip() for c in col_list.split(",")] if col_list else None
         t = catalog.load_table(ident).analyze(columns=cols)
         return t.metadata_df("statistics")
+
+    if head == "CALL":
+        # Iceberg Spark-procedure syntax: CALL system.proc('db.t', args...)
+        # Routed onto the maintenance module. Positional args only; the
+        # first is always the table identifier. Returns the procedure's
+        # report dict as a one-row DataFrame (Iceberg procedures also
+        # return summary rows).
+        m = re.match(
+            r"^CALL\s+system\.(\w+)\s*\((.*)\)$", stmt, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise UnsupportedSQL("CALL system.<procedure>('db.table', args...)")
+        proc, argstr = m.group(1).lower(), m.group(2).strip()
+        args = (
+            [_parse_literal(a.strip()) for a in argstr.split(",")]
+            if argstr
+            else []
+        )
+        if not args or not isinstance(args[0], str):
+            raise UnsupportedSQL("first CALL argument must be the table identifier")
+        from icebergplus_spark.lake import maintenance as mnt
+
+        table = catalog.load_table(args[0])
+        rest = args[1:]
+        procs = {
+            "rollback_to_snapshot": lambda: mnt.rollback(table, int(rest[0])),
+            "cherrypick_snapshot": lambda: mnt.cherry_pick(table, int(rest[0])),
+            "expire_snapshots": lambda: mnt.expire_snapshots(
+                table, keep_last=int(rest[0]) if rest else 1
+            ),
+            "remove_orphan_files": lambda: mnt.remove_orphan_files(
+                table, older_than_s=float(rest[0]) if rest else 3 * 24 * 3600
+            ),
+            "rewrite_data_files": lambda: mnt.compact(table),
+            "rewrite_manifests": lambda: mnt.rewrite_manifests(
+                table,
+                *([int(rest[0])] if rest else []),
+            ),
+            "expire_metadata_versions": lambda: mnt.expire_metadata_versions(
+                table, keep_last=int(rest[0]) if rest else 10
+            ),
+        }
+        if proc not in procs:
+            raise UnsupportedSQL(
+                f"unknown procedure system.{proc}; supported: "
+                + ", ".join(sorted(procs))
+            )
+        report = procs[proc]()
+        row = {
+            k: (json.dumps(v) if isinstance(v, (list, dict)) else v)
+            for k, v in sorted(report.items())
+        }
+        return spark.createDataFrame([row])
 
     if head == "MERGE":
         m = _MERGE.match(stmt)

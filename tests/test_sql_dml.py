@@ -192,3 +192,25 @@ def test_analyze_and_show_stats(cat):
         lake_sql(cat, "ANALYZE TABLE db.t ESTIMATE STATISTICS")
     with pytest.raises(UnsupportedSQL):
         lake_sql(cat, "SHOW STATS db.t")
+
+
+def test_call_procedures(cat):
+    t = cat.load_table("db.t")
+    first = t.current_snapshot_id
+    lake_sql(cat, "INSERT INTO db.t VALUES (8, 'h', 8.0)")
+    # rollback via CALL returns the procedure report as one row
+    rep = lake_sql(cat, f"CALL system.rollback_to_snapshot('db.t', {first})")
+    assert rep.collect()[0]["rolled_back"] in (True, "true", 1)
+    assert _rows(cat) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # compaction and manifest rewrite run end-to-end
+    lake_sql(cat, "INSERT INTO db.t VALUES (9, 'i', 9.0)")
+    rep = lake_sql(cat, "CALL system.rewrite_data_files('db.t')").collect()[0]
+    assert "files_before" in rep.asDict() or rep.asDict()
+    rep = lake_sql(cat, "CALL system.rewrite_manifests('db.t')").collect()[0]
+    assert rep.asDict()
+    rep = lake_sql(cat, "CALL system.expire_snapshots('db.t', 1)").collect()[0]
+    assert rep.asDict()
+    with pytest.raises(UnsupportedSQL):
+        lake_sql(cat, "CALL system.no_such_proc('db.t')")
+    with pytest.raises(UnsupportedSQL):
+        lake_sql(cat, "CALL rollback_to_snapshot('db.t', 1)")
