@@ -16,6 +16,9 @@ dispatches:
 - ``MERGE INTO <tbl> ... USING ...``     → ``merge_into`` (multi-clause)
 - ``ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR COLUMNS ...]`` → ``analyze``
 - ``SHOW STATS FOR <tbl>``               → persisted statistics (Trino syntax)
+- ``SELECT ... FROM <tbl> [FOR] VERSION AS OF <id>`` /
+  ``TIMESTAMP AS OF '<ts>'``             → time-travel reads (each travel
+  clause becomes a snapshot-pinned temp view before spark.sql runs)
 - ``CALL system.<proc>('db.t', ...)``    → maintenance procedures (Iceberg
   syntax: rollback_to_snapshot, cherrypick_snapshot, expire_snapshots,
   remove_orphan_files, rewrite_data_files, rewrite_manifests,
@@ -130,6 +133,57 @@ def _rewrite_refs(expr: str, t_alias: str | None, s_alias: str | None) -> str:
     return expr
 
 
+_TIME_TRAVEL = re.compile(
+    rf"\b({_IDENT})\s+(?:FOR\s+)?"
+    rf"(?:(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+)"
+    rf"|(?:SYSTEM_)?TIMESTAMP\s+AS\s+OF\s+({_STR}))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
+    """Spark/Iceberg time-travel syntax in reads: ``FROM db.t [FOR]
+    VERSION AS OF <snapshot_id>`` or ``TIMESTAMP AS OF '<ts>'``. Each
+    travel clause becomes a temp view of that snapshot's scan and the
+    clause is replaced by the view name, so the rest of the statement
+    stays pure Spark SQL. Timestamps resolve to the latest snapshot
+    committed at or before the given time (Iceberg's rule)."""
+
+    def repl(m: re.Match) -> str:
+        ident, version, ts_lit = m.group(1), m.group(2), m.group(3)
+        try:
+            table = catalog.load_table(ident)
+        except Exception:
+            return m.group(0)  # not a lake table — leave for spark.sql
+        if version is not None:
+            snap_id = int(version)
+        else:
+            from datetime import datetime, timezone
+
+            raw = ts_lit[1:-1].replace("''", "'")
+            dt = datetime.fromisoformat(raw)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            cutoff_ms = int(dt.timestamp() * 1000)
+            eligible = [
+                s
+                for s in table._meta["snapshots"]
+                if s["timestamp_ms"] <= cutoff_ms
+            ]
+            if not eligible:
+                raise UnsupportedSQL(
+                    f"{ident}: no snapshot at or before {raw}"
+                )
+            snap_id = max(eligible, key=lambda s: s["timestamp_ms"])[
+                "snapshot_id"
+            ]
+        view = f"__tt_{ident.replace('.', '_')}_{snap_id}"
+        table.to_view(view, snapshot_id=snap_id)
+        return view
+
+    return _TIME_TRAVEL.sub(repl, stmt)
+
+
 def lake_sql(catalog: LocalLakeCatalog, sql: str):
     """Execute one SQL statement against the catalog. SELECT/VALUES pass
     through to ``spark.sql``; DML routes onto LakeTable ops (see module
@@ -142,7 +196,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 
     if head in ("SELECT", "VALUES", "WITH"):
-        return spark.sql(stmt)
+        return spark.sql(_rewrite_time_travel(catalog, stmt))
 
     if head == "CREATE":
         m = re.match(

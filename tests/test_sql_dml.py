@@ -214,3 +214,34 @@ def test_call_procedures(cat):
         lake_sql(cat, "CALL system.no_such_proc('db.t')")
     with pytest.raises(UnsupportedSQL):
         lake_sql(cat, "CALL rollback_to_snapshot('db.t', 1)")
+
+
+def test_time_travel_select(cat):
+    t = cat.load_table("db.t")
+    v1 = t.current_snapshot_id
+    ts1 = t.snapshot()["timestamp_ms"]
+    lake_sql(cat, "INSERT INTO db.t VALUES (42, 'later', 42.0)")
+    t = cat.load_table("db.t")
+    assert t.current_snapshot_id != v1
+    # VERSION AS OF reads the old snapshot
+    old = lake_sql(cat, f"SELECT COUNT(*) AS n FROM db.t VERSION AS OF {v1}")
+    assert old.collect()[0]["n"] == 3
+    # FOR SYSTEM_VERSION AS OF (Spark spelling) works too
+    old2 = lake_sql(
+        cat, f"SELECT COUNT(*) AS n FROM db.t FOR SYSTEM_VERSION AS OF {v1}"
+    )
+    assert old2.collect()[0]["n"] == 3
+    # TIMESTAMP AS OF resolves to the latest snapshot at or before
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts1 / 1000, tz=timezone.utc).isoformat()
+    byts = lake_sql(cat, f"SELECT COUNT(*) AS n FROM db.t TIMESTAMP AS OF '{iso}'")
+    assert byts.collect()[0]["n"] == 3
+    # current reads still see everything
+    t.to_view("t_now")
+    assert lake_sql(cat, "SELECT COUNT(*) AS n FROM t_now").collect()[0]["n"] == 4
+    with pytest.raises(UnsupportedSQL, match="no snapshot at or before"):
+        lake_sql(
+            cat,
+            "SELECT * FROM db.t TIMESTAMP AS OF '1990-01-01T00:00:00+00:00'",
+        )
