@@ -331,3 +331,46 @@ def q114_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — salted skew join under the oracle gate: the explicit remedy
+# for a pathological hot key (one customer owning a double-digit share
+# of a 100 TB fact table). The probe side scatters each key across
+# salt_n sub-keys; the build side replicates salt_n ways — any single
+# reducer is bounded at ~1/salt_n of the hot key, at the cost of
+# salt_n× build-side shuffle volume (keep the build side the smaller
+# input). AQE's skew split handles moderate skew without this; the
+# salted form is for when even one split of the hot key floods its
+# reducer. The oracle is the plain join — salting must not change a
+# single row.
+# ---------------------------------------------------------------------------
+@register(
+    "q115_salted_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q115_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.functions.skew import salted_join
+
+    prepare_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, "o_custkey", "c_custkey", salt_n=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
