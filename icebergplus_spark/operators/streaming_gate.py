@@ -1,0 +1,107 @@
+"""Structured Streaming under the driver's hash-check oracle gate.
+
+Every streaming feature is pytest-verified (tests/test_streaming.py);
+q116 additionally puts an actual micro-batched streaming run under the
+driver gate: the events table is re-served as a 3-file stream, consumed
+with maxFilesPerTrigger=1 (so the window state really is built up
+across multiple triggers), aggregated with a tumbling window in
+complete output mode, and the FINAL emitted table must hash-match the
+batch oracle — Structured Streaming's core guarantee (a streaming query
+is incrementally the same computation as the batch query) made
+falsifiable by the driver.
+
+Complete mode is what makes the gate exact: in append mode the
+watermark legitimately holds back tail windows, so the emitted set is
+a prefix of the batch result; complete mode emits every window after
+the last trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergplus_spark.registry import register
+from icebergplus_spark.session import prepare_session
+from icebergplus_spark.sources import load_table
+
+
+@register(
+    "q116_stream_tumbling_gate",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts)                    AS wstart,
+       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR  AS wend,
+       event_type,
+       COUNT(*)                                  AS n_events,
+       ROUND(SUM(value), 2)                      AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q116_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.streaming.pipelines import read_events_stream
+
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    # Re-serve the table as a stream of 3 time-ordered files so the
+    # windowed state genuinely accretes across micro-batches.
+    stream_dir = tempfile.mkdtemp(prefix="stream_gate_")
+    for i, (lo, hi) in enumerate(
+        [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
+    ):
+        chunk = ev
+        if lo:
+            chunk = chunk.filter(F.col("ts") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("ts") < hi)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stream_dir, f"c{i}")
+        )
+    flat = os.path.join(stream_dir, "in")
+    os.makedirs(flat, exist_ok=True)
+    n = 0
+    for i in range(3):
+        d = os.path.join(stream_dir, f"c{i}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(d, f), os.path.join(flat, f"{n:03d}.parquet"))
+                n += 1
+
+    stream = read_events_stream(spark, flat, max_files_per_trigger=1)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"q116_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress is None or q.lastProgress["batchId"] >= 1, (
+        "stream collapsed to a single batch — the gate must exercise "
+        "multi-trigger state accretion"
+    )
+    # Materialize off the transient memory view so the returned frame
+    # outlives the sink registration.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

@@ -59,3 +59,4 @@ def load_all() -> None:
     import icebergplus_spark.operators.analytics3  # noqa: F401
     import icebergplus_spark.operators.vector_index  # noqa: F401
     import icebergplus_spark.operators.corpus_stats  # noqa: F401
+    import icebergplus_spark.operators.streaming_gate  # noqa: F401
