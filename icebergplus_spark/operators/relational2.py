@@ -1086,3 +1086,102 @@ def q113_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.metadata_df("statistics").select(
         F.col("column").alias("col_name"), "ndv", "null_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — compaction under the oracle gate: many small appends → bin-pack
+# compaction (snapshot-swap rewrite) → scan. The oracle aggregates the
+# raw source, so the hash match proves compaction moved bytes without
+# changing a single row, and the query itself asserts the file count
+# actually dropped (the invariant + the point of the operation, both
+# falsifiable). Maintenance correctness is what makes day-2 ops safe to
+# automate at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_compaction_gate",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE o_orderkey % 4 = 1
+GROUP BY o_orderstatus
+""",
+)
+def q118_compaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.maintenance import compact
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
+    root = tempfile.mkdtemp(prefix="lake_compact_gate_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_cmp", orders.schema)
+    # 5 small appends → 5 small files (the streaming-ingest debris shape)
+    for i in range(5):
+        t = t.append(orders.filter(F.col("o_orderkey") % 20 == (1 + 4 * i)))
+    before = len(t.snapshot()["manifests"])
+    report = compact(t)
+    t = t.refresh()
+    assert report["files_after"] < report["files_before"], report
+    assert before >= 1
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — rollback under the oracle gate: commit good data, commit a bad
+# batch, CALL-style rollback to the good snapshot, scan. The oracle
+# computes the good state from the raw source — the hash match proves
+# rollback restored EXACTLY the pre-bad-commit table (and history is
+# preserved: the bad snapshot stays time-travelable until expiry).
+# ---------------------------------------------------------------------------
+@register(
+    "q119_rollback_gate",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS balance
+FROM customer
+WHERE c_custkey % 3 = 0
+GROUP BY c_mktsegment
+""",
+)
+def q119_rollback_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.maintenance import rollback
+
+    cust = _t(spark, sf_dir, "customer")
+    good = cust.filter(F.col("c_custkey") % 3 == 0)
+    bad = cust.filter(F.col("c_custkey") % 3 == 1).withColumn(
+        "c_acctbal", F.lit(-1e9)
+    )
+    root = tempfile.mkdtemp(prefix="lake_rollback_gate_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_rb", cust.schema)
+    t = t.append(good)
+    good_snap = t.current_snapshot_id
+    t = t.append(bad)  # the fat-fingered commit
+    rollback(t, good_snap)
+    t = t.refresh()
+    # history preserved: the bad snapshot is still in the log
+    assert len(t.history()) == 3  # good, bad, rollback
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("balance"),
+        )
+    )
