@@ -291,3 +291,74 @@ def m03_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("bigint").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m04 — cross-modal temporal alignment: every sampled video frame is
+# matched to the most recent audio chunk at-or-before it (backward
+# as-of join per media item) — the AV-sync step that precedes any
+# audio-visual training pair construction. Timelines are synthesized
+# deterministically from the corpus (250 ms frames vs 400 ms audio
+# chunks), so the oracle can recompute the alignment in closed form
+# while Spark runs the REAL as-of machinery (union-sort, one shuffle —
+# operators/asof.py). Scale shape: state is per media item, the as-of
+# join shuffles once on doc_id.
+# ---------------------------------------------------------------------------
+M04_FRAMES = 4  # at 250 ms → 0, 250, 500, 750 ms
+M04_CHUNKS = 3  # at 400 ms → 0, 400, 800 ms
+
+
+@register(
+    "m04_av_alignment",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, unnest(range({M04_FRAMES})) AS frame_idx FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 250 AS BIGINT) AS frame_ts_ms,
+       CAST((frame_idx * 250) // 400 AS INTEGER) AS chunk_idx,
+       md5(CAST(doc_id AS VARCHAR) || ':' ||
+           CAST((frame_idx * 250) // 400 AS VARCHAR)) AS chunk_md5
+FROM frames
+""",
+)
+def m04_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.asof import asof_join
+
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(M04_FRAMES - 1))).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", (F.col("frame_idx") * 250).cast("bigint"))
+    audio = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(M04_CHUNKS - 1))).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn("chunk_ts_ms", (F.col("chunk_idx") * 400).cast("bigint"))
+        .withColumn(
+            "chunk_md5",
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))),
+        )
+    )
+    aligned = asof_join(
+        frames,
+        audio,
+        left_key="doc_id",
+        right_key="doc_id",
+        left_ts="frame_ts_ms",
+        right_ts="chunk_ts_ms",
+        payload_cols=["chunk_idx", "chunk_md5"],
+        direction="backward",
+    )
+    return aligned.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "frame_ts_ms",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_md5",
+    )
