@@ -1185,3 +1185,98 @@ def q119_rollback_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — write-audit-publish (WAP) under the oracle gate: new data is
+# committed to a STAGING BRANCH (main never sees it), audited there
+# (row count + constraint-style predicate on the branch scan), then
+# published by fast-forwarding main. The oracle computes the final
+# published state from the raw source — a hash match proves the branch
+# write, the audit read, and the fast-forward moved exactly the audited
+# rows and nothing else. This is Iceberg's recommended pattern for
+# gated production ingest.
+# ---------------------------------------------------------------------------
+@register(
+    "q120_wap_gate",
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS balance
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def q120_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    supp = _t(spark, sf_dir, "supplier")
+    first = supp.filter(F.col("s_suppkey") % 2 == 0)
+    second = supp.filter(F.col("s_suppkey") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="lake_wap_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.supp_wap", supp.schema)
+    t = t.append(first)
+    published = t.current_snapshot_id
+
+    # WRITE: the new batch lands on a staging branch only
+    t = t.create_branch("staging")
+    t = t.append(second, branch="staging")
+    assert t.current_snapshot_id == published, "main moved during staging"
+
+    # AUDIT: validate on the branch before anyone downstream sees it
+    staged = t.scan(ref="staging")
+    audit_n = staged.count()
+    assert audit_n == supp.count(), "staged branch missing rows"
+    assert staged.filter(F.col("s_suppkey").isNull()).count() == 0
+
+    # PUBLISH: fast-forward main onto the audited branch head
+    t = t.fast_forward("staging")
+    return (
+        t.scan()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — schema evolution under the oracle gate: rows are written under
+# THREE successive schemas (original → ADD COLUMN with default →
+# RENAME) and scanned back as one frame. The oracle rebuilds the same
+# three eras from the raw source with the default filled in — a hash
+# match proves era-grouped reads stitch old files, defaulted columns,
+# and renamed fields losslessly (Iceberg field-id semantics: rename
+# never rewrites data; pre-add files read the declared default).
+# ---------------------------------------------------------------------------
+@register(
+    "q121_schema_evolution_gate",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS nation_name,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'old-era' ELSE 'amended' END
+         AS era_label
+FROM nation
+""",
+)
+def q121_schema_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    old = nation.filter(F.col("n_nationkey") % 2 == 0)
+    new = nation.filter(F.col("n_nationkey") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="lake_sev_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.nation_sev", old.schema)
+    t = t.append(old)  # era 1: two columns
+    # era 2: new column, default backfills era-1 files at read time
+    t = t.add_column("era_label", "string", default="old-era")
+    t = t.append(new.withColumn("era_label", F.lit("amended")))
+    # era 3: rename is metadata-only (field-id mapping, no rewrite)
+    t = t.rename_column("n_name", "nation_name")
+    return t.scan().select("n_nationkey", "nation_name", "era_label")
