@@ -411,6 +411,26 @@ def remove_orphan_files(
                 orphans.append(p)
                 if not dry_run:
                     os.remove(p)
+    # Orphaned MANIFESTS too (Iceberg's remove_orphan_files sweeps the
+    # whole table location): a writer that died between manifest write
+    # and snapshot publish leaves a manifest no snapshot references.
+    live_manifests = {
+        m
+        for s in table.history()
+        for m in list(s["manifests"]) + list(s.get("delete_manifests", []))
+    }
+    for fn in os.listdir(table._meta_dir):
+        if not (
+            fn.startswith(("manifest-", "delete-manifest-"))
+            and fn.endswith(".parquet")
+        ):
+            continue
+        p = os.path.join(table._meta_dir, fn)
+        scanned += 1
+        if fn not in live_manifests and os.path.getmtime(p) < cutoff:
+            orphans.append(p)
+            if not dry_run:
+                os.remove(p)
     return {
         "scanned": scanned,
         "deleted": 0 if dry_run else len(orphans),

@@ -173,3 +173,66 @@ def test_connected_components_partition_is_valid(sp, edges):
         members[c].add(n)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    target=st.lists(  # (key, value); keys unique within each side
+        st.tuples(st.integers(0, 9), st.integers(0, 100)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 100)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    c1=st.integers(0, 100),  # matched-condition threshold
+    c2=st.integers(0, 100),  # by-source-delete threshold
+)
+def test_merge_into_matches_model(sp, tmp_path_factory, target, source, c1, c2):
+    """Full multi-clause MERGE vs an independent Python model of the SQL
+    semantics: WHEN MATCHED AND v < c1 THEN UPDATE, WHEN NOT MATCHED
+    THEN INSERT, WHEN NOT MATCHED BY SOURCE AND v > c2 THEN DELETE."""
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    root = tmp_path_factory.mktemp("merge_prop")
+    cat = LocalLakeCatalog(sp, str(root)).start()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t = cat.create_table("db.m", schema)
+    if target:
+        t = t.append(sp.createDataFrame(target, "k long, v long"))
+    src_df = sp.createDataFrame(source or [(99999, 0)], "k long, v long")
+    if not source:
+        src_df = src_df.limit(0)
+    t = t.merge_into(
+        src_df,
+        on="k",
+        when_matched_update={"v": F.col("src_v")},
+        matched_condition=F.col("v") < F.lit(c1),
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+        not_matched_by_source_condition=F.col("v") > F.lit(c2),
+    )
+    got = sorted((r.k, r.v) for r in t.scan().collect())
+
+    tgt = dict(target)
+    src = dict(source)
+    model = {}
+    for k, v in tgt.items():
+        if k in src:
+            model[k] = src[k] if v < c1 else v  # matched (maybe updated)
+        elif not v > c2:
+            model[k] = v  # target-only, survives the by-source gate
+    for k, sv in src.items():
+        if k not in tgt:
+            model[k] = sv  # inserted
+    assert got == sorted(model.items())
