@@ -184,6 +184,26 @@ def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
     return _TIME_TRAVEL.sub(repl, stmt)
 
 
+def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
+    """Make lake tables directly queryable in reads: every catalog
+    table identifier referenced in the statement is registered as a
+    snapshot-current temp view and the reference is rewritten to the
+    view name (dots aren't legal in temp view names). Users never call
+    ``to_view`` by hand — the identifier IS the table, like any SQL
+    catalog. Non-catalog names pass through untouched."""
+    tables = set(catalog.list_tables())
+    hits = {
+        ident
+        for ident in re.findall(rf"\b[A-Za-z_]\w*(?:\.\w+)+\b", stmt)
+        if ident in tables
+    }
+    for ident in hits:
+        view = f"__lake_{ident.replace('.', '_')}"
+        catalog.load_table(ident).to_view(view)
+        stmt = re.sub(rf"\b{re.escape(ident)}\b", view, stmt)
+    return stmt
+
+
 def lake_sql(catalog: LocalLakeCatalog, sql: str):
     """Execute one SQL statement against the catalog. SELECT/VALUES pass
     through to ``spark.sql``; DML routes onto LakeTable ops (see module
@@ -196,7 +216,9 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 
     if head in ("SELECT", "VALUES", "WITH"):
-        return spark.sql(_rewrite_time_travel(catalog, stmt))
+        return spark.sql(
+            _resolve_lake_tables(catalog, _rewrite_time_travel(catalog, stmt))
+        )
 
     if head == "CREATE":
         m = re.match(

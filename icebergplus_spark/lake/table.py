@@ -365,6 +365,57 @@ class LakeTable:
                     f"{label}, e.g. by row {row[0].asDict()}"
                 )
 
+    def append_with_quarantine(
+        self, df: DataFrame, quarantine: "LakeTable"
+    ) -> dict[str, int]:
+        """Expectation-style ingest (the quarantine pattern data
+        pipelines use instead of reject-the-whole-batch): rows
+        satisfying every CHECK constraint append HERE; violating rows
+        append to ``quarantine`` with a ``_violated`` column naming the
+        failed constraints. Unlike ``append`` (which raises and commits
+        nothing on one bad row), a mixed batch lands completely — good
+        rows forward, bad rows parked for inspection/replay.
+
+        ``quarantine``'s schema must be this table's columns plus
+        ``_violated string``. NULL satisfies a CHECK (standard SQL);
+        required-column nulls quarantine as ``__required_<col>``.
+        Returns ``{"appended": n, "quarantined": n}``.
+        """
+        from pyspark.sql import functions as _F
+
+        checks = dict(self.constraints)
+        for f in self.schema.fields:
+            if not f.nullable and f.name in df.columns:
+                checks.setdefault(
+                    f"__required_{f.name}", f"{f.name} IS NOT NULL"
+                )
+        if not checks:
+            n = df.count()
+            if n:
+                self.append(df)
+            return {"appended": n, "quarantined": 0}
+
+        viol_flags = [
+            _F.when(
+                ~_F.coalesce(_F.expr(expr).cast("boolean"), _F.lit(True)),
+                _F.lit(name),
+            )
+            for name, expr in sorted(checks.items())
+        ]
+        flagged = df.withColumn(
+            "_violated", _F.concat_ws(",", *viol_flags)
+        )
+        # one materialization of the split, reused by both branches
+        flagged = flagged.localCheckpoint(eager=True)
+        good = flagged.filter(_F.col("_violated") == "").drop("_violated")
+        bad = flagged.filter(_F.col("_violated") != "")
+        n_good, n_bad = good.count(), bad.count()
+        if n_good:
+            self.append(good)
+        if n_bad:
+            quarantine.append(bad)
+        return {"appended": n_good, "quarantined": n_bad}
+
     def set_property(self, key: str, value: str) -> "LakeTable":
         def mutate(meta):
             meta["properties"] = {

@@ -1280,3 +1280,65 @@ def q121_schema_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # era 3: rename is metadata-only (field-id mapping, no rewrite)
     t = t.rename_column("n_name", "nation_name")
     return t.scan().select("n_nationkey", "nation_name", "era_label")
+
+
+# ---------------------------------------------------------------------------
+# q122 — quarantine ingest under the oracle gate: a mixed batch splits
+# at the constraint boundary — compliant rows land in the main table,
+# violating rows land in a quarantine table tagged with the failed
+# constraint — instead of q112's reject-everything. The result unions
+# both tables' per-segment counts; the oracle rebuilds the same split
+# from the raw source, so the hash match proves no row was lost,
+# duplicated, or mis-routed. This is the expectation pattern every
+# production curation pipeline runs at the ingest edge.
+# ---------------------------------------------------------------------------
+@register(
+    "q122_quarantine_gate",
+    oracle="""
+SELECT c_mktsegment,
+       'kept' AS status,
+       COUNT(*) AS n
+FROM customer
+WHERE c_custkey % 5 = 2 AND c_acctbal >= 0
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment,
+       'quarantined' AS status,
+       COUNT(*) AS n
+FROM customer
+WHERE c_custkey % 5 = 2 AND c_acctbal < 0
+GROUP BY c_mktsegment
+""",
+)
+def q122_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 2)
+    root = tempfile.mkdtemp(prefix="lake_quar_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_q", cust.schema)
+    t.add_constraint("balance_ok", "c_acctbal >= 0")
+    t = t.refresh()
+    q_schema = StructType(
+        cust.schema.fields + [StructField("_violated", StringType())]
+    )
+    quar = cat.create_table("bench.cust_q_quarantine", q_schema)
+    report = t.append_with_quarantine(cust, quar)
+    assert report["appended"] + report["quarantined"] == cust.count()
+    kept = (
+        t.refresh()
+        .scan()
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_mktsegment", F.lit("kept").alias("status"), "n")
+    )
+    quarantined = (
+        quar.refresh()
+        .scan()
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_mktsegment", F.lit("quarantined").alias("status"), "n")
+    )
+    return kept.unionByName(quarantined)

@@ -114,3 +114,36 @@ def test_required_columns_enforced_on_write(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="required column 'k'"):
         t.append(spark.createDataFrame([(None, "x")], nullable_twin))
     assert t.scan().count() == 1
+
+
+def test_append_with_quarantine_routes_rows(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    cat = LocalLakeCatalog(spark, str(tmp_path)).start()
+    t = cat.create_table("db.nq", nation.schema)
+    t.add_constraint("small_key", "n_nationkey < 20")
+    t = t.refresh()
+    quar = cat.create_table(
+        "db.nq_quarantine",
+        StructType(nation.schema.fields + [StructField("_violated", StringType())]),
+    )
+    report = t.append_with_quarantine(nation, quar)
+    n_bad = nation.filter(F.col("n_nationkey") >= 20).count()
+    assert report == {
+        "appended": nation.count() - n_bad,
+        "quarantined": n_bad,
+    }
+    # violated tags name the failing constraint
+    tags = {r._violated for r in quar.refresh().scan().collect()}
+    assert tags == {"small_key"}
+    # main table holds exactly the compliant rows
+    assert t.refresh().scan().filter(F.col("n_nationkey") >= 20).count() == 0
+    # a fully-clean follow-up batch quarantines nothing
+    clean = nation.filter(F.col("n_nationkey") < 3)
+    report2 = t.append_with_quarantine(clean, quar)
+    assert report2 == {"appended": 3, "quarantined": 0}

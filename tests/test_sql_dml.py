@@ -245,3 +245,25 @@ def test_time_travel_select(cat):
             cat,
             "SELECT * FROM db.t TIMESTAMP AS OF '1990-01-01T00:00:00+00:00'",
         )
+
+
+def test_select_resolves_lake_tables_directly(cat):
+    # no to_view calls anywhere: the identifier IS the table
+    n = lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+    assert n == 3
+    # joins and aggregation across a lake table work the same way
+    top = lake_sql(
+        cat,
+        "SELECT name, score FROM db.t WHERE k >= 2 ORDER BY score DESC LIMIT 1",
+    ).collect()[0]
+    assert (top["name"], top["score"]) == ("c", 3.0)
+    # time travel and plain references mix in one statement
+    t = cat.load_table("db.t")
+    v1 = t.current_snapshot_id
+    lake_sql(cat, "INSERT INTO db.t VALUES (7, 'g', 7.0)")
+    row = lake_sql(
+        cat,
+        f"SELECT (SELECT COUNT(*) FROM db.t) AS now_n, "
+        f"(SELECT COUNT(*) FROM db.t VERSION AS OF {v1}) AS then_n",
+    ).collect()[0]
+    assert (row["now_n"], row["then_n"]) == (4, 3)
