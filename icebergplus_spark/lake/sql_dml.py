@@ -405,6 +405,38 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         sm = re.match(rf"^SHOW\s+STATS\s+FOR\s+({_IDENT})$", stmt, re.IGNORECASE)
         if sm:
             return catalog.load_table(sm.group(1)).metadata_df("statistics")
+        cm = re.match(
+            rf"^SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", stmt, re.IGNORECASE
+        )
+        if cm:
+            t = catalog.load_table(cm.group(1))
+            cols = ",\n".join(
+                f"  {f.name} {f.dataType.simpleString().upper()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in t.schema.fields
+            )
+            parts = [f"CREATE TABLE {cm.group(1)} (\n{cols}\n)"]
+            if t.partition_spec:
+                from icebergplus_spark.lake.transforms import field_name
+
+                ps = ", ".join(
+                    pf["source"]
+                    if pf["transform"] == "identity"
+                    else field_name(pf)
+                    for pf in t.partition_spec
+                )
+                parts.append(f"PARTITIONED BY ({ps})")
+            props = dict(t.properties)
+            for name, expr in sorted(t.constraints.items()):
+                parts.append(f"-- CONSTRAINT {name} CHECK ({expr})")
+            if props:
+                kv = ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(props.items())
+                )
+                parts.append(f"TBLPROPERTIES ({kv})")
+            return spark.createDataFrame(
+                [("\n".join(parts),)], "create_statement string"
+            )
         m = re.match(
             r"^SHOW\s+(TABLES|VIEWS)(?:\s+IN\s+(\w+))?$", stmt, re.IGNORECASE
         )

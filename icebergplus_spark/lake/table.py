@@ -2378,7 +2378,8 @@ class LakeTable:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
         Iceberg's metadata tables (SELECT * FROM db.t.snapshots etc.).
         Kinds: snapshots, history, files, delete_files, manifests,
-        entries, metadata_log_entries, refs, partitions.
+        all_files, all_manifests, entries, metadata_log_entries, refs,
+        partitions, statistics.
         Built from the (small) metadata log on the driver; at 100 TB the
         file inventory is already parquet manifests, so ``files`` reads
         those distributed instead of materializing driver-side rows."""
@@ -2436,6 +2437,34 @@ class LakeTable:
             return self.spark.read.parquet(
                 *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
             )
+        elif kind == "all_files":
+            # Iceberg's db.t.all_data_files: files across EVERY retained
+            # snapshot (not just current) — what expiry/orphan audits
+            # read. Distributed read of every distinct manifest.
+            all_manifests = sorted(
+                {
+                    m
+                    for s in self._meta["snapshots"]
+                    for m in s["manifests"]
+                }
+            )
+            if not all_manifests:
+                return self.spark.createDataFrame(
+                    [], "file_path string, record_count long, file_size_bytes long"
+                )
+            return (
+                self.spark.read.parquet(
+                    *[os.path.join(self._meta_dir, m) for m in all_manifests]
+                )
+                .dropDuplicates(["file_path"])
+            )
+        elif kind == "all_manifests":
+            rows = [
+                {"path": m, "snapshot_id": s["snapshot_id"]}
+                for s in self._meta["snapshots"]
+                for m in s["manifests"]
+            ]
+            schema = "path string, snapshot_id long"
         elif kind == "entries":
             # Iceberg's db.t.entries: one row per (snapshot, manifest
             # entry) with the status relative to that snapshot — a

@@ -267,3 +267,22 @@ def test_select_resolves_lake_tables_directly(cat):
         f"(SELECT COUNT(*) FROM db.t VERSION AS OF {v1}) AS then_n",
     ).collect()[0]
     assert (row["now_n"], row["then_n"]) == (4, 3)
+
+
+def test_show_create_table_and_all_files(cat):
+    t = cat.load_table("db.t")
+    t.add_constraint("pos_k", "k > 0")
+    t.refresh().set_property("owner", "pipeline")
+    ddl = lake_sql(cat, "SHOW CREATE TABLE db.t").collect()[0]["create_statement"]
+    assert "CREATE TABLE db.t" in ddl
+    assert "k INT" in ddl and "score DOUBLE" in ddl
+    assert "CONSTRAINT pos_k CHECK (k > 0)" in ddl
+    assert "'owner'='pipeline'" in ddl
+    # all_files / all_manifests metadata tables span every snapshot
+    lake_sql(cat, "INSERT INTO db.t VALUES (5, 'e', 5.0)")
+    t = cat.load_table("db.t")
+    cur_files = {r.file_path for r in t.metadata_df("files").collect()}
+    all_files = {r.file_path for r in t.metadata_df("all_files").collect()}
+    assert cur_files <= all_files
+    am = t.metadata_df("all_manifests")
+    assert am.count() >= t.metadata_df("manifests").count()
