@@ -1070,6 +1070,78 @@ class LakeTable:
         df = self._read_physical(paths, with_meta=True)
         return self._apply_deletes(df, snap, paths).drop("__file", "__pos")
 
+    def scan_with_lineage(self, snapshot_id: int | None = None) -> DataFrame:
+        """Row-lineage read (Iceberg v3 ``_row_id`` /
+        ``_last_updated_sequence_number`` flavor): every row carries
+
+        - ``_row_id``: a stable long, unique across the table, derived
+          as (file's first-row-id + row position). First-row-ids come
+          from the COMMITTED metadata itself — files ordered by (birth
+          snapshot, path) with cumulative record counts — so there is
+          no allocation step and no writer race: the committed snapshot
+          IS the allocation.
+        - ``_last_updated_snapshot_id``: the snapshot that wrote the
+          row's file (birth).
+
+        Stability contract: ids survive appends (new files sort after
+        existing ones), position/equality MoR deletes (survivor
+        positions are untouched), branch/tag reads and time travel.
+        Copy-on-write rewrites (compaction, CoW delete/update) assign
+        REWRITTEN rows new ids — same caveat Iceberg documents unless
+        row ids are materialized into the rewritten files; consumers
+        needing lineage across rewrites should read before compacting
+        or pin a snapshot.
+        """
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot(snapshot_id)
+        lineage_cols = [
+            ("_row_id", "long"),
+            ("_last_updated_snapshot_id", "long"),
+        ]
+        if snap is None:
+            from pyspark.sql.types import LongType, StructField
+
+            schema = StructType(self.schema.fields)
+            for name, _ltype in lineage_cols:
+                schema = schema.add(StructField(name, LongType()))
+            return self.spark.createDataFrame([], schema)
+
+        paths = sorted(self._snapshot_paths(snap))
+        births = self._file_births()
+        counts: dict[str, int] = {}
+        for m in snap["manifests"]:
+            t = pq.read_table(
+                os.path.join(self._meta_dir, m),
+                columns=["file_path", "record_count"],
+            )
+            for p, c in zip(
+                t.column("file_path").to_pylist(),
+                t.column("record_count").to_pylist(),
+            ):
+                counts[p] = c
+        ordered = sorted(paths, key=lambda p: (births.get(p, 0), p))
+        rows, acc = [], 0
+        for p in ordered:
+            rows.append((_as_uri(p), acc, births.get(p, 0)))
+            acc += counts.get(p, 0)
+        lin = self.spark.createDataFrame(
+            rows, "__lin_file string, __first long, __birth long"
+        )
+
+        df = self._read_physical(paths, with_meta=True)
+        if snap.get("delete_manifests"):
+            df = self._apply_deletes(df, snap, paths)
+        mapping = self._column_mapping
+        return (
+            df.join(_F.broadcast(lin), df["__file"] == lin["__lin_file"])
+            .select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields],
+                (_F.col("__first") + _F.col("__pos")).alias("_row_id"),
+                _F.col("__birth").alias("_last_updated_snapshot_id"),
+            )
+        )
+
     def delete_where(
         self, predicates: dict[str, tuple[str, Any]]
     ) -> "LakeTable":

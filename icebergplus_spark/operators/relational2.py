@@ -1342,3 +1342,48 @@ def q122_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", F.lit("quarantined").alias("status"), "n")
     )
     return kept.unionByName(quarantined)
+
+
+# ---------------------------------------------------------------------------
+# q123 — row lineage under the oracle gate: scan_with_lineage assigns
+# every row a stable _row_id derived purely from committed metadata
+# (file birth order + position — no allocation step, so no writer
+# race). Two appends then a lineage scan; the gated aggregate asserts
+# the id space is exactly dense 0..n-1 with one id per row and that
+# each append era carries its own birth snapshot. The oracle computes
+# the same invariants from the raw source row count — violating any of
+# uniqueness, density, or era attribution flips a gated number.
+# ---------------------------------------------------------------------------
+@register(
+    "q123_row_lineage_gate",
+    oracle="""
+WITH src AS (SELECT * FROM supplier WHERE s_suppkey % 3 <> 2)
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS min_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_id,
+       CAST(2 AS BIGINT) AS n_birth_snapshots
+FROM src
+""",
+)
+def q123_row_lineage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    supp = _t(spark, sf_dir, "supplier")
+    era1 = supp.filter(F.col("s_suppkey") % 3 == 0)
+    era2 = supp.filter(F.col("s_suppkey") % 3 == 1)
+    root = tempfile.mkdtemp(prefix="lake_lineage_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.supp_lin", supp.schema)
+    t = t.append(era1)
+    t = t.append(era2)
+    lin = t.scan_with_lineage()
+    return lin.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_distinct_ids"),
+        F.min("_row_id").alias("min_id"),
+        F.max("_row_id").alias("max_id"),
+        F.countDistinct("_last_updated_snapshot_id").alias(
+            "n_birth_snapshots"
+        ),
+    )

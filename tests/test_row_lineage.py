@@ -1,0 +1,87 @@
+"""Row lineage (scan_with_lineage): stable unique _row_id derived from
+committed metadata (no allocation step, no writer race) plus the birth
+snapshot, with the documented stability contract."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.sources import load_table
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    cat = LocalLakeCatalog(spark, str(tmp_path)).start()
+    t = cat.create_table("db.n", nation.schema)
+    return t, nation
+
+
+def _ids(df):
+    return {r.n_nationkey: r._row_id for r in df.collect()}
+
+
+def test_row_ids_dense_unique(table):
+    t, nation = table
+    t = t.append(nation)
+    out = t.scan_with_lineage()
+    n = nation.count()
+    stats = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("_row_id").alias("ids"),
+        F.min("_row_id").alias("lo"),
+        F.max("_row_id").alias("hi"),
+    ).collect()[0]
+    assert (stats.rows, stats.ids, stats.lo, stats.hi) == (n, n, 0, n - 1)
+    assert out.filter(
+        F.col("_last_updated_snapshot_id") != t.current_snapshot_id
+    ).count() == 0
+
+
+def test_row_ids_stable_across_appends(table):
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 10))
+    before = _ids(t.scan_with_lineage())
+    t = t.append(nation.filter(F.col("n_nationkey") >= 10))
+    after = _ids(t.scan_with_lineage())
+    for k, rid in before.items():
+        assert after[k] == rid, f"row id moved for key {k}"
+    # new rows got fresh ids beyond the old range
+    new_ids = {rid for k, rid in after.items() if k not in before}
+    assert new_ids and min(new_ids) >= len(before)
+    # birth snapshots differ per era
+    births = {
+        r.n_nationkey: r._last_updated_snapshot_id
+        for r in t.scan_with_lineage().collect()
+    }
+    assert len(set(births.values())) == 2
+
+
+def test_row_ids_stable_under_mor_delete(table):
+    t, nation = table
+    t = t.append(nation)
+    before = _ids(t.scan_with_lineage())
+    t = t.delete_by_key(
+        t.spark.createDataFrame([(3,)], "n_nationkey long")
+    ).refresh()
+    after = _ids(t.scan_with_lineage())
+    assert 3 not in after
+    for k, rid in after.items():
+        assert before[k] == rid  # survivors keep their ids
+
+
+def test_time_travel_lineage(table):
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 5))
+    v1 = t.current_snapshot_id
+    t = t.append(nation.filter(F.col("n_nationkey") >= 5))
+    old = t.scan_with_lineage(snapshot_id=v1)
+    assert old.count() == 5
+    assert set(_ids(old).values()) == set(range(5))
+
+
+def test_empty_table_lineage_schema(table):
+    t, _ = table
+    out = t.scan_with_lineage()
+    assert out.columns[-2:] == ["_row_id", "_last_updated_snapshot_id"]
+    assert out.count() == 0
