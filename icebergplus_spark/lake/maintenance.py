@@ -56,8 +56,16 @@ def compact(
     zorder_by: list[str] | None = None,
     zorder_binning: str = "width",
     purge_deletes: bool = False,
+    where: dict | None = None,
 ) -> dict:
     """Bin-pack compaction. Returns a summary dict (files before/after).
+
+    ``where``: stats-targeted predicate dict (same grammar as
+    ``delete``/``scan``: ``{col: (op, literal)}``) scoping the rewrite
+    to matching files — Delta's ``OPTIMIZE ... WHERE`` / Iceberg's
+    ``rewrite_data_files(where=...)``. On a 100 TB table, day-2
+    compaction runs partition-by-partition behind exactly this scope;
+    files outside the scope are never read or moved.
 
     ``sort_by``: additionally CLUSTER the rewritten data on these
     columns (``repartitionByRange`` + in-partition sort) so each output
@@ -98,7 +106,15 @@ def compact(
         zorder_binning = table.properties.get("write.zorder-binning", "width")
     snap = table.snapshot()
     files = table.plan_files()
-    small = [f for f in files if f["file_size_bytes"] < small_file_threshold]
+    in_scope = files
+    if where:
+        # scope the REWRITE CANDIDATES with the manifest-stats matcher;
+        # out-of-scope files are never read or moved but MUST survive
+        # into the new snapshot untouched
+        from icebergplus_spark.lake.table import _file_matches
+
+        in_scope = [f for f in files if _file_matches(f, where)]
+    small = [f for f in in_scope if f["file_size_bytes"] < small_file_threshold]
     if purge_deletes and snap:
         # pull every delete-affected data file into the rewrite set so the
         # tombstones can be dropped afterwards (Iceberg's
@@ -107,7 +123,7 @@ def compact(
         small_paths = {f["file_path"] for f in small}
         small += [
             f
-            for f in files
+            for f in in_scope
             if f["file_path"] in affected and f["file_path"] not in small_paths
         ]
     if len(small) <= 1:

@@ -198,3 +198,36 @@ def test_zorder_equal_depth_beats_width_under_skew(spark, tmp_path):
         f"equal-depth pruned {depth_pruned}/{depth_total}, "
         f"equal-width pruned {width_pruned}/{width_total}"
     )
+
+
+def test_where_scoped_compaction_touches_only_matching_files(spark, small_file_table):
+    """OPTIMIZE ... WHERE parity: files outside the predicate scope are
+    never rewritten — same path, same bytes — while in-scope small files
+    bin-pack; content is unchanged either way."""
+    t = small_file_table.refresh()
+    rows_before = sorted((r.k, r.v) for r in t.scan().collect())
+    files_before = {f["file_path"]: f["file_size_bytes"] for f in t.plan_files()}
+
+    # scope: k < 200 → the first two appends' files (k in [0..150])
+    report = compact(t, where={"k": ("<", 200)})
+    t = t.refresh()
+    assert report["files_before"] > report["files_after"]
+
+    files_after = {f["file_path"]: f["file_size_bytes"] for f in t.plan_files()}
+    out_of_scope_before = {
+        p for p, _ in files_before.items()
+        if p in files_after  # survived untouched
+    }
+    # every out-of-scope file (k >= 200 only) must survive byte-identical
+    import json as _json
+
+    for f in t.plan_files():
+        p = f["file_path"]
+        if p in files_before:
+            mins = _json.loads(f["column_mins"])
+            assert mins.get("k", 0) >= 200 or f["file_size_bytes"] == files_before[p]
+            assert files_after[p] == files_before[p]
+    # at least one original file survived (the out-of-scope partitions)
+    assert out_of_scope_before
+    # and the table content is byte-for-byte the same
+    assert sorted((r.k, r.v) for r in t.scan().collect()) == rows_before
