@@ -198,3 +198,41 @@ def test_m03_frame_sampling_stays_arrow(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "m03_frame_sampling")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_join_available(spark, sf_dir):
+    """Runtime bloom-filter semijoin pushdown (Spark's third runtime
+    filter next to DPP and AQE): a selective filter on one join side
+    injects a bloom_filter_agg probe into the other side's scan, culling
+    fact rows BEFORE the shuffle. The trigger thresholds are sized for
+    clusters (application side >= 10 GB), so at test SF we lower them to
+    prove the engine config leaves the optimization armed — at 100 TB it
+    engages on its own."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
