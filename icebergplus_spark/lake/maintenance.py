@@ -606,7 +606,10 @@ def auto_maintain(
       O(manifests));
     - ``expire_snapshots`` down to ``keep_snapshots``;
     - ``expire_metadata_versions`` down to ``keep_metadata_versions``;
-    - ``remove_orphan_files`` past ``orphan_grace_s``.
+    - ``remove_orphan_files`` past ``orphan_grace_s``;
+    - ``analyze`` when ``analyze.auto=true`` and the persisted
+      statistics no longer describe the current snapshot
+      (``analyze.columns`` scopes the pass).
 
     Honors the same safety gates as the individual actions
     (``gc.enabled=false`` → file-deleting steps are SKIPPED and
@@ -696,4 +699,22 @@ def auto_maintain(
         report["remove_orphan_files"] = remove_orphan_files(
             table, older_than_s=orphan_grace_s, dry_run=dry_run
         )
+
+    # Opt-in stats refresh: with table property ``analyze.auto=true``,
+    # stale statistics (any commit since the last ANALYZE) re-compute at
+    # the end of the pass — after compaction, so the stats describe the
+    # final layout. Columns from ``analyze.columns`` (CSV) or all.
+    if table.properties.get("analyze.auto", "").lower() == "true":
+        table.refresh()
+        if table.statistics_fresh:
+            report["analyze"] = "skipped: statistics fresh"
+        elif dry_run:
+            report["analyze"] = "would re-analyze stale statistics"
+        else:
+            cols_prop = table.properties.get("analyze.columns", "")
+            cols = [c.strip() for c in cols_prop.split(",") if c.strip()] or None
+            table.analyze(columns=cols)
+            report["analyze"] = {"analyzed": True, "columns": cols or "all"}
+    else:
+        report["analyze"] = "skipped: analyze.auto not set"
     return report

@@ -120,3 +120,27 @@ def test_advise_join_strategies(spark, sf_dir, tmp_path):
     skewed = skewed.append(orders.limit(1))
     adv = advise_join(skewed, "o_custkey", broadcast_bytes=1)
     assert adv["strategy"] == "shuffle"
+
+
+def test_auto_maintain_refreshes_stale_stats(table):
+    from icebergplus_spark.lake.maintenance import auto_maintain
+
+    t, orders = table
+    # not opted in → skipped
+    rep = auto_maintain(t)
+    assert rep["analyze"] == "skipped: analyze.auto not set"
+    t = t.set_property("analyze.auto", "true").set_property(
+        "analyze.columns", "o_custkey"
+    )
+    rep = auto_maintain(t)
+    assert rep["analyze"] == {"analyzed": True, "columns": ["o_custkey"]}
+    t = t.refresh()
+    assert t.statistics_fresh
+    # fresh stats → second pass skips
+    rep = auto_maintain(t)
+    assert rep["analyze"] == "skipped: statistics fresh"
+    # a new commit staleness-triggers again, dry-run reports only
+    t = t.append(orders.limit(1))
+    rep = auto_maintain(t, dry_run=True)
+    assert rep["analyze"] == "would re-analyze stale statistics"
+    assert not t.refresh().statistics_fresh  # dry run touched nothing
