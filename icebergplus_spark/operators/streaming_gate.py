@@ -173,3 +173,95 @@ def q117_stream_lake_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q124_stream_session_gate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS INTEGER) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q124_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION WINDOWS under the driver gate: the events
+    stream (3 files, maxFilesPerTrigger=1 — sessions must merge across
+    micro-batches as late chunks arrive) aggregated with
+    session_window(gap=30min) in complete mode; the final table must
+    hash-match the batch sessionization oracle (q42's CTE reshaped to
+    Spark's session bounds: window.end = last event + gap). Session
+    state merging across triggers is exactly the stateful machinery a
+    100 TB clickstream pipeline leans on."""
+    from icebergplus_spark.streaming.pipelines import read_events_stream
+
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    flat = os.path.join(stream_dir, "in")
+    os.makedirs(flat)
+    n = 0
+    for i, (lo, hi) in enumerate(
+        [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
+    ):
+        chunk = ev
+        if lo:
+            chunk = chunk.filter(F.col("ts") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("ts") < hi)
+        d = os.path.join(stream_dir, f"c{i}")
+        chunk.coalesce(1).write.parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(d, f), os.path.join(flat, f"{n:03d}.parquet"))
+                n += 1
+
+    stream = read_events_stream(spark, flat, max_files_per_trigger=1)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"q124_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
