@@ -231,3 +231,86 @@ def d15_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — MinHash estimator accuracy under the oracle gate: for each
+# consecutive-doc pair, the fraction of agreeing MinHash components is
+# an unbiased estimator of the exact shingle-set Jaccard. The gated
+# columns are the EXACT per-pair Jaccard stats plus a boolean asserting
+# the estimator's mean absolute error stays under 0.12 (128 hashes →
+# se ≈ sqrt(J(1-J)/128) ≤ 0.045; 0.12 is ~2.5σ headroom over the mean)
+# — a broken signature (wrong hash, wrong min, wrong fold) blows the
+# bound and flips the gated boolean. This is the quantitative guarantee
+# behind every LSH threshold choice in the dedup family.
+# ---------------------------------------------------------------------------
+@register(
+    "d16_minhash_accuracy",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT CASE WHEN len(w) >= 3
+                            THEN array_to_string(w[i:i+2], ' ')
+                            ELSE array_to_string(w, ' ') END) AS grams
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+    FROM words
+  )
+  GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(AVG(jac), 4) AS mean_exact_jaccard,
+       TRUE AS estimator_within_bound
+FROM pairs
+""",
+)
+def d16_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.dedup import minhash_signature, shingles
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        shingles("text", 3).alias("grams"),
+    ).select(
+        "doc_id",
+        "grams",
+        minhash_signature(F.col("grams")).alias("sig"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("ga"),
+        F.col("sig").alias("sa"),
+    )
+    b = base.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("grams").alias("gb"),
+        F.col("sig").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    match = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    pairs = a.join(b, "doc_a").select(
+        "doc_a",
+        (inter.cast("double") / union).alias("jac"),
+        (match.cast("double") / F.size("sa")).alias("est"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jac"), 4).alias("mean_exact_jaccard"),
+        (F.avg(F.abs(F.col("est") - F.col("jac"))) < 0.12).alias(
+            "estimator_within_bound"
+        ),
+    )
