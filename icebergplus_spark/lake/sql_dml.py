@@ -192,16 +192,24 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     ``to_view`` by hand — the identifier IS the table, like any SQL
     catalog. Non-catalog names pass through untouched."""
     tables = set(catalog.list_tables())
+    # split off single-quoted literals so a table name INSIDE a string
+    # ('db.t') is never rewritten; only code segments are touched
+    segments = re.split(rf"({_STR})", stmt)
+    code = "".join(seg for i, seg in enumerate(segments) if i % 2 == 0)
     hits = {
         ident
-        for ident in re.findall(rf"\b[A-Za-z_]\w*(?:\.\w+)+\b", stmt)
+        for ident in re.findall(rf"\b[A-Za-z_]\w*(?:\.\w+)+\b", code)
         if ident in tables
     }
     for ident in hits:
         view = f"__lake_{ident.replace('.', '_')}"
         catalog.load_table(ident).to_view(view)
-        stmt = re.sub(rf"\b{re.escape(ident)}\b", view, stmt)
-    return stmt
+        pat = re.compile(rf"\b{re.escape(ident)}\b")
+        segments = [
+            seg if i % 2 else pat.sub(view, seg)
+            for i, seg in enumerate(segments)
+        ]
+    return "".join(segments)
 
 
 def lake_sql(catalog: LocalLakeCatalog, sql: str):

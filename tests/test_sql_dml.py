@@ -286,3 +286,11 @@ def test_show_create_table_and_all_files(cat):
     assert cur_files <= all_files
     am = t.metadata_df("all_manifests")
     assert am.count() >= t.metadata_df("manifests").count()
+
+
+def test_table_name_inside_string_literal_untouched(cat):
+    row = lake_sql(
+        cat, "SELECT 'db.t' AS label, COUNT(*) AS n FROM db.t"
+    ).collect()[0]
+    assert row["label"] == "db.t"  # literal preserved verbatim
+    assert row["n"] == 3  # the real reference still resolved
