@@ -157,31 +157,38 @@ def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
             return m.group(0)  # not a lake table — leave for spark.sql
         if version is not None:
             snap_id = int(version)
-        else:
-            from datetime import datetime, timezone
+            view = f"__tt_{ident.replace('.', '_')}_{snap_id}"
+            table.to_view(view, snapshot_id=snap_id)
+            return view
+        from datetime import datetime, timezone
 
-            raw = ts_lit[1:-1].replace("''", "'")
-            dt = datetime.fromisoformat(raw)
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=timezone.utc)
-            cutoff_ms = int(dt.timestamp() * 1000)
-            eligible = [
-                s
-                for s in table._meta["snapshots"]
-                if s["timestamp_ms"] <= cutoff_ms
-            ]
-            if not eligible:
-                raise UnsupportedSQL(
-                    f"{ident}: no snapshot at or before {raw}"
-                )
-            snap_id = max(eligible, key=lambda s: s["timestamp_ms"])[
-                "snapshot_id"
-            ]
-        view = f"__tt_{ident.replace('.', '_')}_{snap_id}"
-        table.to_view(view, snapshot_id=snap_id)
+        raw = ts_lit[1:-1].replace("''", "'")
+        dt = datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        cutoff_ms = int(dt.timestamp() * 1000)
+        view = f"__tt_{ident.replace('.', '_')}_ts{cutoff_ms}"
+        try:
+            # scan(as_of_ms=...) owns the resolution semantics (main
+            # lineage only, latest at-or-before) — one copy of the rule.
+            table.scan(as_of_ms=cutoff_ms).createOrReplaceTempView(view)
+        except ValueError as e:
+            raise UnsupportedSQL(str(e)) from e
         return view
 
-    return _TIME_TRAVEL.sub(repl, stmt)
+    # never rewrite travel text INSIDE a string literal (the clause's
+    # own quoted timestamp is fine: its match STARTS in code). Literal
+    # spans are computed once; matches starting inside one pass through.
+    literal_spans = [
+        (m.start(), m.end()) for m in re.finditer(_STR, stmt)
+    ]
+
+    def guarded(m: re.Match) -> str:
+        if any(lo < m.start() < hi for lo, hi in literal_spans):
+            return m.group(0)
+        return repl(m)
+
+    return _TIME_TRAVEL.sub(guarded, stmt)
 
 
 def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:

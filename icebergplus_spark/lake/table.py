@@ -129,6 +129,14 @@ DELETE_MANIFEST_SCHEMA = pa.schema(
 )
 
 
+def _ddl_of(arrow_schema: "pa.Schema") -> str:
+    """Spark DDL string for a (flat) pyarrow manifest schema."""
+    type_map = {"string": "string", "int64": "long", "double": "double"}
+    return ", ".join(
+        f"{f.name} {type_map[str(f.type)]}" for f in arrow_schema
+    )
+
+
 def _as_uri(path: str) -> str:
     """Spark's _metadata.file_path is a Hadoop-form file URI
     (``file:/abs/path`` — single slash, unencoded); manifests store
@@ -377,11 +385,22 @@ class LakeTable:
         rows forward, bad rows parked for inspection/replay.
 
         ``quarantine``'s schema must be this table's columns plus
-        ``_violated string``. NULL satisfies a CHECK (standard SQL);
-        required-column nulls quarantine as ``__required_<col>``.
-        Returns ``{"appended": n, "quarantined": n}``.
+        ``_violated string``, with EVERY column nullable and no CHECK
+        constraints — the quarantine holds rows that failed validation,
+        so it must accept anything (validated up front; a clear error
+        fires BEFORE any append, never between the two). NULL satisfies
+        a CHECK (standard SQL); required-column nulls quarantine as
+        ``__required_<col>``. Returns ``{"appended": n, "quarantined": n}``.
         """
         from pyspark.sql import functions as _F
+
+        bad_fields = [f.name for f in quarantine.schema.fields if not f.nullable]
+        if bad_fields or quarantine.constraints:
+            raise ValueError(
+                "quarantine table must accept any row: make columns "
+                f"{bad_fields or '(ok)'} nullable and drop constraints "
+                f"{sorted(quarantine.constraints) or '(ok)'}"
+            )
 
         checks = dict(self.constraints)
         for f in self.schema.fields:
@@ -410,10 +429,13 @@ class LakeTable:
         good = flagged.filter(_F.col("_violated") == "").drop("_violated")
         bad = flagged.filter(_F.col("_violated") != "")
         n_good, n_bad = good.count(), bad.count()
-        if n_good:
-            self.append(good)
+        # quarantine lands FIRST: if either append fails mid-way, the
+        # main table has not moved (parked rows are re-playable; a
+        # half-committed main is not)
         if n_bad:
             quarantine.append(bad)
+        if n_good:
+            self.append(good)
         return {"appended": n_good, "quarantined": n_bad}
 
     def set_property(self, key: str, value: str) -> "LakeTable":
@@ -1099,7 +1121,7 @@ class LakeTable:
             ("_row_id", "long"),
             ("_last_updated_snapshot_id", "long"),
         ]
-        if snap is None:
+        def _empty() -> DataFrame:
             from pyspark.sql.types import LongType, StructField
 
             schema = StructType(self.schema.fields)
@@ -1107,7 +1129,12 @@ class LakeTable:
                 schema = schema.add(StructField(name, LongType()))
             return self.spark.createDataFrame([], schema)
 
+        if snap is None:
+            return _empty()
+
         paths = sorted(self._snapshot_paths(snap))
+        if not paths:  # snapshot exists but lists no data files
+            return _empty()
         births = self._file_births()
         counts: dict[str, int] = {}
         for m in snap["manifests"]:
@@ -2420,7 +2447,9 @@ class LakeTable:
                 .filter(_F.col("rk") <= top_k)
                 .collect()
             )  # ≤ k rows per column — bounded driver work
-            for r in top_rows:
+            # order by the COMPUTED rank, never collect order (driver
+            # receives partition order, which is not the window order)
+            for r in sorted(top_rows, key=lambda r: (r["col"], r["rk"])):
                 tops.setdefault(r["col"], []).append(
                     {"value": r["v"], "count": int(r["count"])}
                 )
@@ -2450,8 +2479,8 @@ class LakeTable:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
         Iceberg's metadata tables (SELECT * FROM db.t.snapshots etc.).
         Kinds: snapshots, history, files, delete_files, manifests,
-        all_files, all_manifests, entries, metadata_log_entries, refs,
-        partitions, statistics.
+        all_files, all_delete_files, all_manifests, entries,
+        metadata_log_entries, refs, partitions, statistics.
         Built from the (small) metadata log on the driver; at 100 TB the
         file inventory is already parquet manifests, so ``files`` reads
         those distributed instead of materializing driver-side rows."""
@@ -2521,22 +2550,40 @@ class LakeTable:
                 }
             )
             if not all_manifests:
-                return self.spark.createDataFrame(
-                    [], "file_path string, record_count long, file_size_bytes long"
-                )
+                # same schema as a populated read (the full manifest
+                # schema) so consumers can select stats columns on a
+                # never-written table too
+                return self.spark.createDataFrame([], _ddl_of(MANIFEST_SCHEMA))
             return (
                 self.spark.read.parquet(
                     *[os.path.join(self._meta_dir, m) for m in all_manifests]
                 )
                 .dropDuplicates(["file_path"])
             )
+        elif kind == "all_delete_files":
+            all_dm = sorted(
+                {
+                    m
+                    for s in self._meta["snapshots"]
+                    for m in s.get("delete_manifests", [])
+                }
+            )
+            if not all_dm:
+                return self.spark.createDataFrame([], _ddl_of(DELETE_MANIFEST_SCHEMA))
+            return self.spark.read.parquet(
+                *[os.path.join(self._meta_dir, m) for m in all_dm]
+            ).dropDuplicates(["file_path"])
         elif kind == "all_manifests":
             rows = [
-                {"path": m, "snapshot_id": s["snapshot_id"]}
+                {"path": m, "snapshot_id": s["snapshot_id"], "content": "data"}
                 for s in self._meta["snapshots"]
                 for m in s["manifests"]
+            ] + [
+                {"path": m, "snapshot_id": s["snapshot_id"], "content": "deletes"}
+                for s in self._meta["snapshots"]
+                for m in s.get("delete_manifests", [])
             ]
-            schema = "path string, snapshot_id long"
+            schema = "path string, snapshot_id long, content string"
         elif kind == "entries":
             # Iceberg's db.t.entries: one row per (snapshot, manifest
             # entry) with the status relative to that snapshot — a
@@ -2953,9 +3000,13 @@ class LakeTable:
         if ref is not None:
             snapshot_id = self._resolve_ref(ref)
         if as_of_ms is not None:
-            eligible = [
-                s for s in self._meta["snapshots"] if s["timestamp_ms"] <= as_of_ms
-            ]
+            # Resolve against the MAIN lineage only (Iceberg's rule):
+            # branch commits interleave in the shared snapshot log, and
+            # timestamp travel must never surface staged/unpublished
+            # branch data (the write-audit-publish isolation contract).
+            cur = self.current_snapshot_id
+            main = self._lineage(cur) if cur is not None else []
+            eligible = [s for s in main if s["timestamp_ms"] <= as_of_ms]
             if not eligible:
                 raise ValueError(
                     f"{self.identifier}: no snapshot at or before {as_of_ms}"

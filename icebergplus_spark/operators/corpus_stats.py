@@ -47,8 +47,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def _tokens(col: str = "text"):
-    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+# the SAME tokenizer as the dedup family — the oracles of both families
+# assume one tokenization; importing it keeps them from drifting
+from icebergplus_spark.operators.dedup import _tokens  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,36 @@ from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
 
 
+_CHUNK_BOUNDS = [
+    (None, "2024-01-11"),
+    ("2024-01-11", "2024-01-21"),
+    ("2024-01-21", None),
+]
+
+
+def _serve_as_stream(ev: DataFrame, prefix: str) -> str:
+    """Re-serve a batch events frame as a directory of 3 time-ordered
+    parquet files (arrival order ~ event time, like a real feed), for
+    consumption with maxFilesPerTrigger=1. Returns the stream dir."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    flat = os.path.join(root, "in")
+    os.makedirs(flat)
+    n = 0
+    for i, (lo, hi) in enumerate(_CHUNK_BOUNDS):
+        chunk = ev
+        if lo:
+            chunk = chunk.filter(F.col("ts") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("ts") < hi)
+        d = os.path.join(root, f"c{i}")
+        chunk.coalesce(1).write.parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(d, f), os.path.join(flat, f"{n:03d}.parquet"))
+                n += 1
+    return flat
+
+
 @register(
     "q116_stream_tumbling_gate",
     oracle="""
@@ -50,28 +80,7 @@ def q116_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Re-serve the table as a stream of 3 time-ordered files so the
     # windowed state genuinely accretes across micro-batches.
-    stream_dir = tempfile.mkdtemp(prefix="stream_gate_")
-    for i, (lo, hi) in enumerate(
-        [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
-    ):
-        chunk = ev
-        if lo:
-            chunk = chunk.filter(F.col("ts") >= lo)
-        if hi:
-            chunk = chunk.filter(F.col("ts") < hi)
-        chunk.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stream_dir, f"c{i}")
-        )
-    flat = os.path.join(stream_dir, "in")
-    os.makedirs(flat, exist_ok=True)
-    n = 0
-    for i in range(3):
-        d = os.path.join(stream_dir, f"c{i}")
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                os.link(os.path.join(d, f), os.path.join(flat, f"{n:03d}.parquet"))
-                n += 1
-
+    flat = _serve_as_stream(ev, "stream_gate_")
     stream = read_events_stream(spark, flat, max_files_per_trigger=1)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -136,25 +145,8 @@ def q117_stream_lake_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     ev = load_table(spark, sf_dir, "events")
 
-    root = tempfile.mkdtemp(prefix="stream_lake_gate_")
-    stream_dir = os.path.join(root, "in")
-    os.makedirs(stream_dir)
-    n = 0
-    for i, (lo, hi) in enumerate(
-        [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
-    ):
-        chunk = ev
-        if lo:
-            chunk = chunk.filter(F.col("ts") >= lo)
-        if hi:
-            chunk = chunk.filter(F.col("ts") < hi)
-        d = os.path.join(root, f"c{i}")
-        chunk.coalesce(1).write.parquet(d)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                os.link(os.path.join(d, f), os.path.join(stream_dir, f"{n:03d}.parquet"))
-                n += 1
-
+    stream_dir = _serve_as_stream(ev, "stream_lake_gate_")
+    root = tempfile.mkdtemp(prefix="stream_lake_wh_")
     cat = LocalLakeCatalog(spark, os.path.join(root, "wh")).start()
     t = cat.create_table("bench.events_ingest", ev.schema)
     stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
@@ -180,6 +172,10 @@ def q117_stream_lake_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts, value,
+         -- Strict > : verified empirically — Spark's session_window
+         -- MERGES an event arriving at exactly last + gap (closed
+         -- boundary), same as q42's batch convention, so the oracle
+         -- starts a new session only strictly past the gap.
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
@@ -217,25 +213,7 @@ def q124_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     ev = load_table(spark, sf_dir, "events")
 
-    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
-    flat = os.path.join(stream_dir, "in")
-    os.makedirs(flat)
-    n = 0
-    for i, (lo, hi) in enumerate(
-        [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
-    ):
-        chunk = ev
-        if lo:
-            chunk = chunk.filter(F.col("ts") >= lo)
-        if hi:
-            chunk = chunk.filter(F.col("ts") < hi)
-        d = os.path.join(stream_dir, f"c{i}")
-        chunk.coalesce(1).write.parquet(d)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                os.link(os.path.join(d, f), os.path.join(flat, f"{n:03d}.parquet"))
-                n += 1
-
+    flat = _serve_as_stream(ev, "stream_sess_")
     stream = read_events_stream(spark, flat, max_files_per_trigger=1)
     agg = (
         stream.groupBy(

@@ -85,3 +85,13 @@ def test_empty_table_lineage_schema(table):
     out = t.scan_with_lineage()
     assert out.columns[-2:] == ["_row_id", "_last_updated_snapshot_id"]
     assert out.count() == 0
+
+
+def test_lineage_on_snapshot_with_no_files(table):
+    t, nation = table
+    t = t.append(nation)
+    t = t.delete_where({"n_nationkey": (">=", 0)})  # CoW everything away
+    t = t.refresh()
+    out = t.scan_with_lineage()
+    assert out.count() == 0
+    assert out.columns[-2:] == ["_row_id", "_last_updated_snapshot_id"]

