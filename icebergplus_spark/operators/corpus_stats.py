@@ -315,3 +315,43 @@ def d16_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimator_within_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# s09 — ANN quality report under the oracle gate: the three approximate
+# ANN methods (multi-table LSH, IVF, PQ) are rows-only by construction
+# (bucketing differs per engine), but their QUALITY is exactly
+# checkable: recall@5 against the exact brute-force baseline, computed
+# entirely in Spark and gated as a boolean per method. The oracle emits
+# the expected constant rows — a parameter regression (fewer probes /
+# tables / cells than intended) drops recall below its floor and flips
+# a hash-gated boolean the driver sees. Floors sit one noise-margin
+# under the measured range across sf0.001/0.01/0.1 (s02 0.54-0.68,
+# s04 0.60-0.72, s05 0.62-0.88 — near-random embeddings, the
+# adversarial corpus for every ANN family).
+# ---------------------------------------------------------------------------
+_S09_GATES = {"s02_ann_lsh": 0.45, "s04_ann_ivf": 0.50, "s05_ann_pq": 0.50}
+
+
+@register(
+    "s09_ann_quality_report",
+    oracle="""
+SELECT 's02_ann_lsh' AS method, TRUE AS recall_ok
+UNION ALL SELECT 's04_ann_ivf', TRUE
+UNION ALL SELECT 's05_ann_pq', TRUE
+""",
+)
+def s09_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.registry import QUERIES
+
+    prepare_session(spark)
+    exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    reports = []
+    for method, floor in sorted(_S09_GATES.items()):
+        approx = QUERIES[method](spark, sf_dir).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        total = exact.count()
+        reports.append((method, hits / total >= floor))
+    return spark.createDataFrame(reports, "method string, recall_ok boolean")
