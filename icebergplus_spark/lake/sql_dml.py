@@ -19,15 +19,19 @@ dispatches:
 - ``SELECT ... FROM <tbl> [FOR] VERSION AS OF <id>`` /
   ``TIMESTAMP AS OF '<ts>'``             → time-travel reads (each travel
   clause becomes a snapshot-pinned temp view before spark.sql runs)
+- ``OPTIMIZE <tbl> [WHERE ...] [ZORDER BY (...)]`` → scoped compaction
+- ``RESTORE TABLE <tbl> TO VERSION AS OF <id>`` → rollback
+- ``COPY INTO <tbl> FROM '<path>' FILEFORMAT = ...`` → file ingest append
 - ``CALL system.<proc>('db.t', ...)``    → maintenance procedures (Iceberg
   syntax: rollback_to_snapshot, cherrypick_snapshot, expire_snapshots,
   remove_orphan_files, rewrite_data_files, rewrite_manifests,
   expire_metadata_versions)
 
 ``<query>`` is any Spark SQL query (``SELECT ...`` or ``VALUES ...``);
-its sources are the session's views — register lake tables with
-``to_view`` first. Columns align by name when they match the target
-schema, else by position.
+its sources are the session's views AND catalog tables directly —
+``lake_sql`` auto-resolves lake table identifiers referenced in reads
+(no ``to_view`` needed). Columns align by name when they match the
+target schema, else by position.
 
 The WHERE grammar for DELETE/UPDATE is deliberately the stats-targeted
 subset the lake's row ops prune files with: conjunctions of
@@ -490,6 +494,77 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         cols = [c.strip() for c in col_list.split(",")] if col_list else None
         t = catalog.load_table(ident).analyze(columns=cols)
         return t.metadata_df("statistics")
+
+    if head == "OPTIMIZE":
+        # Delta syntax: OPTIMIZE t [WHERE <preds>] [ZORDER BY (c1, c2)]
+        m = re.match(
+            rf"^OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.+?))?"
+            rf"(?:\s+ZORDER\s+BY\s+\(([\w\s,]+)\))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise UnsupportedSQL(
+                "OPTIMIZE <table> [WHERE <preds>] [ZORDER BY (c1, c2)]"
+            )
+        ident, where, zcols = m.groups()
+        from icebergplus_spark.lake.maintenance import compact
+
+        report = compact(
+            catalog.load_table(ident),
+            where=_parse_where(where) if where else None,
+            zorder_by=(
+                [c.strip() for c in zcols.split(",")] if zcols else None
+            ),
+        )
+        row = {
+            k: (json.dumps(v) if isinstance(v, (list, dict)) else v)
+            for k, v in sorted(report.items())
+        }
+        return spark.createDataFrame([row])
+
+    if head == "RESTORE":
+        # Delta syntax: RESTORE TABLE t TO VERSION AS OF <snapshot_id>
+        m = re.match(
+            rf"^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise UnsupportedSQL("RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>")
+        from icebergplus_spark.lake.maintenance import rollback
+
+        report = rollback(catalog.load_table(m.group(1)), int(m.group(2)))
+        return spark.createDataFrame(
+            [{k: str(v) for k, v in sorted(report.items())}]
+        )
+
+    if head == "COPY":
+        # Databricks-style idempotent file ingest:
+        #   COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+        m = re.match(
+            rf"^COPY\s+INTO\s+({_IDENT})\s+FROM\s+({_STR})\s+"
+            rf"FILEFORMAT\s*=\s*(PARQUET|CSV|JSON)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise UnsupportedSQL(
+                "COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON"
+            )
+        ident, path_lit, fmt = m.groups()
+        path = path_lit[1:-1].replace("''", "'")
+        table = catalog.load_table(ident)
+        reader = spark.read
+        fmt = fmt.upper()
+        if fmt == "CSV":
+            df = reader.option("header", "true").schema(table.schema).csv(path)
+        elif fmt == "JSON":
+            df = reader.schema(table.schema).json(path)
+        else:
+            df = reader.parquet(path)
+        return table.append(_align(df, table))
 
     if head == "CALL":
         # Iceberg Spark-procedure syntax: CALL system.proc('db.t', args...)

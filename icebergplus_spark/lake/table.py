@@ -373,6 +373,35 @@ class LakeTable:
                     f"{label}, e.g. by row {row[0].asDict()}"
                 )
 
+    def validate(self, df: DataFrame) -> dict[str, int]:
+        """Expectation REPORT (DLT's 'expect' / warn mode): count each
+        CHECK-constraint and required-column violation over the batch
+        WITHOUT writing anything — the monitoring-only third mode next
+        to ``append`` (fail) and ``append_with_quarantine`` (drop).
+        One aggregated pass; returns {constraint_name: violating_rows}
+        (only names with >= 1 violation appear)."""
+        from pyspark.sql import functions as _F
+
+        checks = dict(self.constraints)
+        for f in self.schema.fields:
+            if not f.nullable and f.name in df.columns:
+                checks.setdefault(
+                    f"__required_{f.name}", f"{f.name} IS NOT NULL"
+                )
+        if not checks:
+            return {}
+        aggs = [
+            _F.sum(
+                _F.when(
+                    ~_F.coalesce(_F.expr(expr).cast("boolean"), _F.lit(True)),
+                    1,
+                ).otherwise(0)
+            ).alias(name)
+            for name, expr in sorted(checks.items())
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        return {k: int(v) for k, v in row.items() if v}
+
     def append_with_quarantine(
         self, df: DataFrame, quarantine: "LakeTable"
     ) -> dict[str, int]:

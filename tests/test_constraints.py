@@ -147,3 +147,23 @@ def test_append_with_quarantine_routes_rows(spark, sf_dir, tmp_path):
     clean = nation.filter(F.col("n_nationkey") < 3)
     report2 = t.append_with_quarantine(clean, quar)
     assert report2 == {"appended": 3, "quarantined": 0}
+
+
+def test_validate_reports_without_writing(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    cat = LocalLakeCatalog(spark, str(tmp_path)).start()
+    t = cat.create_table("db.nv", nation.schema)
+    t.add_constraint("small_key", "n_nationkey < 20")
+    t.add_constraint("named", "n_name IS NOT NULL")
+    t = t.refresh()
+    report = t.validate(nation)
+    n_big = nation.filter(F.col("n_nationkey") >= 20).count()
+    assert report == {"small_key": n_big}  # satisfied constraints omitted
+    assert t.current_snapshot_id is None  # nothing written
+    # a clean batch reports empty
+    assert t.validate(nation.filter(F.col("n_nationkey") < 5)) == {}

@@ -334,3 +334,37 @@ def test_all_delete_files_and_empty_schemas(cat, spark):
     assert t.metadata_df("all_delete_files").count() >= 1
     contents = {r.content for r in t.metadata_df("all_manifests").collect()}
     assert contents == {"data", "deletes"}
+
+
+def test_optimize_restore_copy_into(cat, spark, tmp_path):
+    # OPTIMIZE: bin-pack after several small inserts
+    for i in range(6):
+        lake_sql(cat, f"INSERT INTO db.t VALUES ({10 + i}, 'x{i}', {float(i)})")
+    rep = lake_sql(cat, "OPTIMIZE db.t").collect()[0].asDict()
+    assert int(rep["files_after"]) < int(rep["files_before"])
+    n_before_restore = lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+
+    # RESTORE: snapshot back before one more insert
+    t = cat.load_table("db.t")
+    v = t.current_snapshot_id
+    lake_sql(cat, "INSERT INTO db.t VALUES (99, 'zz', 0.1)")
+    rep = lake_sql(cat, f"RESTORE TABLE db.t TO VERSION AS OF {v}").collect()[0]
+    assert rep["rolled_back"] in ("True", "true")
+    assert (
+        lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+        == n_before_restore
+    )
+
+    # COPY INTO: ingest an external parquet directory
+    src = cat.load_table("db.t").scan().limit(2)
+    path = str(tmp_path / "ext")
+    src.write.parquet(path)
+    lake_sql(cat, f"COPY INTO db.t FROM '{path}' FILEFORMAT = PARQUET")
+    assert (
+        lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+        == n_before_restore + 2
+    )
+    with pytest.raises(UnsupportedSQL):
+        lake_sql(cat, "COPY INTO db.t FROM '/x' FILEFORMAT = AVRO")
+    with pytest.raises(UnsupportedSQL):
+        lake_sql(cat, "RESTORE TABLE db.t")
