@@ -64,3 +64,44 @@ def q53_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — text source round-trip (the last built-in file source in the
+# matrix: parquet / csv / json / orc / binaryFile / text). Documents
+# are written one per line with a tab-separated id prefix and read back
+# with spark.read.text (whole line as one string column) — the raw-line
+# ingestion path every scraped-text pipeline starts from. The oracle
+# recomputes the same aggregate straight from the source table, so a
+# hash match proves line-level round-tripping is byte-lossless for the
+# single-line corpus (newline-free by construction).
+# ---------------------------------------------------------------------------
+@register(
+    "q125_text_roundtrip",
+    oracle="""
+SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents
+GROUP BY doc_id % 7
+""",
+)
+def q125_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="text_rt_")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.substring_index(F.col("value"), "\t", -1).alias("text"),
+    )
+    return parsed.groupBy((F.col("doc_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
