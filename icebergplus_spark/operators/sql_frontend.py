@@ -78,3 +78,24 @@ GROUP BY l_returnflag
 def q98_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME SQL text runs on Spark and on the DuckDB oracle
     return _sql(spark, sf_dir, ["lineitem"], _Q98)
+
+
+# GROUP BY ALL / ORDER BY ALL (modern SQL sugar both engines support —
+# DuckDB introduced it, Spark 3.4+ adopted it): every non-aggregate
+# select item becomes a grouping key. One shared text, both engines.
+_Q126 = """
+SELECT n_regionkey,
+       c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("q126_group_by_all", oracle=_Q126)
+def q126_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, ["customer", "nation"], _Q126)
