@@ -99,3 +99,24 @@ ORDER BY ALL
 @register("q126_group_by_all", oracle=_Q126)
 def q126_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["customer", "nation"], _Q126)
+
+
+# Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+# duplicates (q14 covers the distinct variants); one shared text.
+_Q127 = """
+WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0)
+SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+"""
+
+
+@register("q127_setops_all", oracle=_Q127)
+def q127_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, ["customer"], _Q127)
