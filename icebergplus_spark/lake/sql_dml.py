@@ -401,9 +401,15 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
 
     if head == "DESCRIBE":
+        # Delta syntax: DESCRIBE HISTORY t → the snapshot log
+        hm = re.match(
+            rf"^DESCRIBE\s+HISTORY\s+({_IDENT})$", stmt, re.IGNORECASE
+        )
+        if hm:
+            return catalog.load_table(hm.group(1)).metadata_df("snapshots")
         m = re.match(rf"^DESCRIBE\s+(?:TABLE\s+)?({_IDENT})$", stmt, re.IGNORECASE)
         if not m:
-            raise UnsupportedSQL("DESCRIBE [TABLE] <identifier>")
+            raise UnsupportedSQL("DESCRIBE [TABLE | HISTORY] <identifier>")
         t = catalog.load_table(m.group(1))
         rows = [
             (f.name, f.dataType.simpleString(), f.nullable, "column")
@@ -424,6 +430,11 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         sm = re.match(rf"^SHOW\s+STATS\s+FOR\s+({_IDENT})$", stmt, re.IGNORECASE)
         if sm:
             return catalog.load_table(sm.group(1)).metadata_df("statistics")
+        pm = re.match(
+            rf"^SHOW\s+PARTITIONS\s+({_IDENT})$", stmt, re.IGNORECASE
+        )
+        if pm:
+            return catalog.load_table(pm.group(1)).metadata_df("partitions")
         cm = re.match(
             rf"^SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", stmt, re.IGNORECASE
         )

@@ -368,3 +368,18 @@ def test_optimize_restore_copy_into(cat, spark, tmp_path):
         lake_sql(cat, "COPY INTO db.t FROM '/x' FILEFORMAT = AVRO")
     with pytest.raises(UnsupportedSQL):
         lake_sql(cat, "RESTORE TABLE db.t")
+
+
+def test_describe_history_and_show_partitions(cat, spark):
+    hist = lake_sql(cat, "DESCRIBE HISTORY db.t")
+    assert hist.count() >= 1
+    assert "snapshot_id" in hist.columns and "operation" in hist.columns
+    # partitioned table → SHOW PARTITIONS lists hive segments
+    from icebergplus_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    t = cat.create_table("db.ev_part", ev.schema, partition_cols=["event_type"])
+    t.append(ev.limit(500))
+    parts = lake_sql(cat, "SHOW PARTITIONS db.ev_part")
+    rows = parts.collect()
+    assert rows and all(r.partition.startswith("event_type=") for r in rows)
