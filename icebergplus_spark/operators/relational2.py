@@ -1387,3 +1387,45 @@ def q123_row_lineage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_birth_snapshots"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — expectation report under the oracle gate: validate(df) counts
+# each constraint's violations over a batch WITHOUT writing (the
+# monitoring third mode next to reject-batch q112 and quarantine q122).
+# The oracle recomputes the same counts from the raw source; the query
+# also proves the no-write contract (table still empty after validate).
+# ---------------------------------------------------------------------------
+@register(
+    "q128_validate_gate",
+    oracle="""
+WITH src AS (SELECT * FROM customer WHERE c_custkey % 7 = 3)
+SELECT 'balance_ok' AS constraint_name,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM src
+UNION ALL
+SELECT 'small_key',
+       CAST(SUM(CASE WHEN c_custkey >= 100000000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM src
+""",
+)
+def q128_validate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 3)
+    root = tempfile.mkdtemp(prefix="lake_validate_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.cust_v", cust.schema)
+    t.add_constraint("balance_ok", "c_acctbal >= 0")
+    t.add_constraint("small_key", "c_custkey < 100000000")
+    t = t.refresh()
+    report = t.validate(cust)
+    assert t.current_snapshot_id is None, "validate must not write"
+    rows = [
+        ("balance_ok", report.get("balance_ok", 0)),
+        ("small_key", report.get("small_key", 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "constraint_name string, violations long"
+    )
