@@ -355,3 +355,62 @@ def s09_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = exact.count()
         reports.append((method, hits / total >= floor))
     return spark.createDataFrame(reports, "method string, recall_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# t30 — novelty score: the fraction of a document's distinct 3-grams
+# whose FIRST corpus occurrence (lowest doc_id) is this document — the
+# first-seen/novelty metric curation pipelines use to favor fresh
+# content over recombinations when ordering or pruning a crawl. Global
+# first-occurrence is one groupBy(min) on the gram key; attribution is
+# a vocab... gram-scale join back — never an all-pairs comparison, so
+# it scales like the dedup family's shingle machinery it reuses.
+# ---------------------------------------------------------------------------
+@register(
+    "t30_novelty_score",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS g
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+    FROM words
+  )
+),
+first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+SELECT sh.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       ROUND(CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh JOIN first_seen ON sh.g = first_seen.g
+GROUP BY sh.doc_id
+""",
+)
+def t30_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("g"))
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("novel_grams"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -1429,3 +1429,43 @@ def q128_validate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "constraint_name string, violations long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — referential-integrity audit: the multi-table orphan check a
+# warehouse runs before trusting its keys (orders without a customer,
+# lineitems without an order, customers without a nation). Three
+# anti-join counts in one result; every anti-join shuffles on its own
+# key — no cross-table state, embarrassingly scalable.
+# ---------------------------------------------------------------------------
+@register(
+    "q129_referential_audit",
+    oracle="""
+SELECT 'orders_without_customer' AS relation, CAST(COUNT(*) AS BIGINT) AS orphans
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitems_without_order', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'customers_without_nation', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+""",
+)
+def q129_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+
+    def orphans(name, left, lk, right, rk):
+        n = left.join(
+            right, left[lk] == right[rk], "left_anti"
+        ).count()
+        return (name, n)
+
+    rows = [
+        orphans("orders_without_customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("lineitems_without_order", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("customers_without_nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    return spark.createDataFrame(rows, "relation string, orphans long")
