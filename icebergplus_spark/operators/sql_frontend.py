@@ -120,3 +120,39 @@ FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
 @register("q127_setops_all", oracle=_Q127)
 def q127_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["customer"], _Q127)
+
+
+# SQL UNPIVOT syntax (Spark 3.4+ statement form; q38 covers the
+# DataFrame melt). DuckDB's UNPIVOT grammar differs, so the oracle is
+# the explicit UNION ALL desugaring — same rows either way.
+_Q130_SPARK = """
+SELECT c_nationkey, metric, CAST(ROUND(val, 2) AS DOUBLE) AS val
+FROM (
+  SELECT c_nationkey,
+         SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS total_balance,
+         CAST(COUNT(*) AS DECIMAL(38,2)) AS n_customers
+  FROM customer
+  GROUP BY c_nationkey
+)
+UNPIVOT (val FOR metric IN (total_balance, n_customers))
+"""
+
+_Q130_ORACLE = """
+WITH agg AS (
+  SELECT c_nationkey,
+         SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS total_balance,
+         CAST(COUNT(*) AS DECIMAL(38,2)) AS n_customers
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'total_balance' AS metric,
+       CAST(ROUND(total_balance, 2) AS DOUBLE) AS val FROM agg
+UNION ALL
+SELECT c_nationkey, 'n_customers',
+       CAST(ROUND(n_customers, 2) AS DOUBLE) FROM agg
+"""
+
+
+@register("q130_sql_unpivot", oracle=_Q130_ORACLE)
+def q130_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, ["customer"], _Q130_SPARK)
