@@ -236,3 +236,54 @@ def test_merge_into_matches_model(sp, tmp_path_factory, target, source, c1, c2):
         if k not in tgt:
             model[k] = sv  # inserted
     assert got == sorted(model.items())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    col=st.sampled_from(["k", "v"]),
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+    lit=st.integers(-5, 20),
+)
+def test_sql_delete_where_matches_filter_semantics(
+    sp, tmp_path_factory, rows, col, op, lit
+):
+    """lake_sql DELETE's WHERE grammar must delete exactly the rows the
+    equivalent DataFrame filter selects — across random predicates the
+    stats-targeted file pruning may take different prune decisions, but
+    never different ROW decisions."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    root = tmp_path_factory.mktemp("where_prop")
+    cat = LocalLakeCatalog(sp, str(root)).start()
+    t = cat.create_table("db.w", schema)
+    t = t.append(sp.createDataFrame(rows, schema))
+
+    lake_sql(cat, f"DELETE FROM db.w WHERE {col} {op} {lit}")
+    got = sorted(tuple(r) for r in cat.load_table("db.w").scan().collect())
+
+    import pyspark.sql.functions as F
+
+    keep = {
+        "=": F.col(col) != lit,
+        "<": ~(F.col(col) < lit),
+        "<=": ~(F.col(col) <= lit),
+        ">": ~(F.col(col) > lit),
+        ">=": ~(F.col(col) >= lit),
+    }[op]
+    want = sorted(
+        tuple(r)
+        for r in sp.createDataFrame(rows, schema).filter(keep).collect()
+    )
+    assert got == want
