@@ -29,9 +29,10 @@ dispatches:
 
 ``<query>`` is any Spark SQL query (``SELECT ...`` or ``VALUES ...``);
 its sources are the session's views AND catalog tables directly —
-``lake_sql`` auto-resolves lake table identifiers referenced in reads
-(no ``to_view`` needed). Columns align by name when they match the
-target schema, else by position.
+``lake_sql`` auto-resolves lake table identifiers referenced in reads,
+including the ``<query>`` of INSERT INTO/OVERWRITE and the USING source
+of MERGE (no ``to_view`` needed). Columns align by name when they match
+the target schema, else by position.
 
 The WHERE grammar for DELETE/UPDATE is deliberately the stats-targeted
 subset the lake's row ops prune files with: conjunctions of
@@ -161,7 +162,7 @@ def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
             return m.group(0)  # not a lake table — leave for spark.sql
         if version is not None:
             snap_id = int(version)
-            view = f"__tt_{ident.replace('.', '_')}_{snap_id}"
+            view = f"{_lake_view_name(ident)}_v{snap_id}"
             table.to_view(view, snapshot_id=snap_id)
             return view
         from datetime import datetime, timezone
@@ -171,7 +172,7 @@ def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         cutoff_ms = int(dt.timestamp() * 1000)
-        view = f"__tt_{ident.replace('.', '_')}_ts{cutoff_ms}"
+        view = f"{_lake_view_name(ident)}_ts{cutoff_ms}"
         try:
             # scan(as_of_ms=...) owns the resolution semantics (main
             # lineage only, latest at-or-before) — one copy of the rule.
@@ -195,6 +196,16 @@ def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
     return _TIME_TRAVEL.sub(guarded, stmt)
 
 
+def _lake_view_name(ident: str) -> str:
+    """Collision-free temp-view name for a lake identifier: the
+    dot-to-underscore flattening alone would merge ``db.x_y`` with
+    ``db_x.y``, so an md5 suffix of the EXACT identifier disambiguates."""
+    import hashlib
+
+    digest = hashlib.md5(ident.encode()).hexdigest()[:8]
+    return f"__lake_{ident.replace('.', '_')}_{digest}"
+
+
 def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     """Make lake tables directly queryable in reads: every catalog
     table identifier referenced in the statement is registered as a
@@ -209,13 +220,16 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     code = "".join(seg for i, seg in enumerate(segments) if i % 2 == 0)
     hits = {
         ident
-        for ident in re.findall(rf"\b[A-Za-z_]\w*(?:\.\w+)+\b", code)
+        for ident in re.findall(rf"(?<![\w.])[A-Za-z_]\w*(?:\.\w+)+\b", code)
         if ident in tables
     }
     for ident in hits:
-        view = f"__lake_{ident.replace('.', '_')}"
+        view = _lake_view_name(ident)
         catalog.load_table(ident).to_view(view)
-        pat = re.compile(rf"\b{re.escape(ident)}\b")
+        # (?<![\w.]) not \b on the left: '.' satisfies \b, so a bare
+        # \bdb\.t\b would also hit the TAIL of a longer qualified name
+        # (spark_catalog.db.t) and corrupt it.
+        pat = re.compile(rf"(?<![\w.]){re.escape(ident)}\b")
         segments = [
             seg if i % 2 else pat.sub(view, seg)
             for i, seg in enumerate(segments)
@@ -275,7 +289,12 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             raise UnsupportedSQL(f"cannot parse INSERT: {stmt[:80]!r}")
         mode, ident, col_list, query = m.groups()
         table = catalog.load_table(ident)
-        df = spark.sql(query)
+        # the <query> source reads get the same lake-identifier and
+        # time-travel resolution as top-level SELECTs: INSERT INTO t
+        # SELECT ... FROM db.src works with no to_view (ADVICE r3).
+        df = spark.sql(
+            _resolve_lake_tables(catalog, _rewrite_time_travel(catalog, query))
+        )
         if col_list:
             # INSERT with a column list: named columns come from the
             # query (by position), every other column fills with its
@@ -567,15 +586,36 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         ident, path_lit, fmt = m.groups()
         path = path_lit[1:-1].replace("''", "'")
         table = catalog.load_table(ident)
-        reader = spark.read
-        fmt = fmt.upper()
-        if fmt == "CSV":
-            df = reader.option("header", "true").schema(table.schema).csv(path)
-        elif fmt == "JSON":
-            df = reader.schema(table.schema).json(path)
-        else:
-            df = reader.parquet(path)
-        return table.append(_align(df, table))
+
+        def read_files(paths):
+            reader = spark.read
+            if fmt.upper() == "CSV":
+                return (
+                    reader.option("header", "true")
+                    .schema(table.schema)
+                    .csv(paths)
+                )
+            if fmt.upper() == "JSON":
+                return reader.schema(table.schema).json(paths)
+            return reader.parquet(*paths) if isinstance(paths, list) else reader.parquet(paths)
+
+        # Idempotent replay: every COPY INTO commit records the exact
+        # source files it ingested in its snapshot summary
+        # (copy-into-files); a re-run skips files any prior snapshot
+        # already loaded, so replaying the same statement is a no-op
+        # instead of a duplicate append (Databricks COPY INTO contract).
+        loaded: set[str] = set()
+        for s in table._meta["snapshots"]:
+            loaded.update(json.loads(s["summary"].get("copy-into-files", "[]")))
+        candidate = read_files(path)
+        new_files = sorted(set(candidate.inputFiles()) - loaded)
+        if not new_files:
+            return table
+        df = read_files(new_files)
+        return table.append(
+            _align(df, table),
+            extra_summary={"copy-into-files": json.dumps(new_files)},
+        )
 
     if head == "CALL":
         # Iceberg Spark-procedure syntax: CALL system.proc('db.t', args...)
@@ -636,7 +676,14 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             raise UnsupportedSQL(f"cannot parse MERGE: {stmt[:80]!r}")
         ident, t_alias, src_view, s_alias, on_expr, clauses = m.groups()
         table = catalog.load_table(ident)
-        source = spark.table(src_view)
+        if src_view in set(catalog.list_tables()):
+            # MERGE ... USING db.src — lake identifiers resolve here the
+            # same way SELECT sources do (no pre-registered view needed)
+            view = _lake_view_name(src_view)
+            catalog.load_table(src_view).to_view(view)
+            source = spark.table(view)
+        else:
+            source = spark.table(src_view)
         # ON must be a conjunction of same-named key equalities — that is
         # merge_into's join contract (and Iceberg's fast-path shape)
         keys = []

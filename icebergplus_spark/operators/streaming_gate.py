@@ -171,7 +171,7 @@ def q117_stream_lake_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q124_stream_session_gate",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          -- Strict > : verified empirically — Spark's session_window
          -- MERGES an event arriving at exactly last + gap (closed
          -- boundary), same as q42's batch convention, so the oracle
@@ -184,8 +184,12 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
+         -- same (ts, event_id) total order as window w above: with a
+         -- tied boundary timestamp the running sum must see the
+         -- new_session flag in the order the flag was computed, else
+         -- the tied twin can land in the previous session.
          CAST(SUM(new_session) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS INTEGER) AS session_id
   FROM flagged

@@ -383,3 +383,60 @@ def test_describe_history_and_show_partitions(cat, spark):
     parts = lake_sql(cat, "SHOW PARTITIONS db.ev_part")
     rows = parts.collect()
     assert rows and all(r.partition.startswith("event_type=") for r in rows)
+
+
+def test_insert_select_from_lake_table_directly(spark, cat):
+    # ADVICE r3: INSERT's <query> sources get the same lake-identifier
+    # resolution as top-level SELECTs — no to_view needed.
+    cat.create_table("db.src", SCHEMA).append(
+        spark.createDataFrame([(41, "q", 4.5)], SCHEMA)
+    )
+    lake_sql(cat, "INSERT INTO db.t SELECT k, name, score FROM db.src")
+    assert (41, "q", 4.5) in _rows(cat)
+
+
+def test_merge_using_lake_table_directly(spark, cat):
+    cat.create_table("db.updates", SCHEMA).append(
+        spark.createDataFrame([(1, "a2", 10.0), (42, "new", 42.0)], SCHEMA)
+    )
+    lake_sql(
+        cat,
+        "MERGE INTO db.t AS t USING db.updates AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET score = s.score "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = _rows(cat)
+    assert (1, "a", 10.0) in rows and (42, "new", 42.0) in rows
+
+
+def test_copy_into_is_idempotent(cat, spark, tmp_path):
+    src = cat.load_table("db.t").scan().limit(2)
+    path = str(tmp_path / "ext2")
+    src.write.parquet(path)
+    n0 = lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+    lake_sql(cat, f"COPY INTO db.t FROM '{path}' FILEFORMAT = PARQUET")
+    n1 = lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+    assert n1 == n0 + 2
+    # replaying the SAME statement must be a no-op, not a second append
+    lake_sql(cat, f"COPY INTO db.t FROM '{path}' FILEFORMAT = PARQUET")
+    assert lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"] == n1
+    # a NEW file landing in the same directory is picked up incrementally
+    cat.load_table("db.t").scan().limit(1).write.mode("append").parquet(path)
+    lake_sql(cat, f"COPY INTO db.t FROM '{path}' FILEFORMAT = PARQUET")
+    assert lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"] == n1 + 1
+
+
+def test_resolution_never_corrupts_longer_qualified_names(cat):
+    from icebergplus_spark.lake.sql_dml import _resolve_lake_tables
+
+    stmt = "SELECT * FROM db.t JOIN other_catalog.db.t ON 1 = 1"
+    out = _resolve_lake_tables(cat, stmt)
+    # the longer name's tail must NOT be rewritten ('.' satisfies \b)
+    assert "other_catalog.db.t" in out
+    assert "other_catalog.__lake" not in out
+
+
+def test_lake_view_names_are_collision_free():
+    from icebergplus_spark.lake.sql_dml import _lake_view_name
+
+    assert _lake_view_name("db.x_y") != _lake_view_name("db_x.y")
