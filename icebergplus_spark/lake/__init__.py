@@ -27,6 +27,11 @@ from icebergplus_spark.lake.metrics import (
     ScanReport,
 )
 from icebergplus_spark.lake.table import LakeTable
+from icebergplus_spark.lake.txn import (
+    LakeTransaction,
+    TransactionAborted,
+    recover_transactions,
+)
 
 __all__ = [
     "LocalLakeCatalog",
@@ -53,4 +58,7 @@ __all__ = [
     "FlockCommitLock",
     "DirectoryLeaseCommitLock",
     "NullCommitLock",
+    "LakeTransaction",
+    "TransactionAborted",
+    "recover_transactions",
 ]

@@ -61,8 +61,24 @@ class LocalLakeCatalog:
             raise RuntimeError(f"catalog not stopped: {self._status}")
         self._status = Status.STARTING
         os.makedirs(self._catalog_dir, exist_ok=True)
+        # Idempotent transaction recovery (txn.py): expired in-flight
+        # multi-table transactions are aborted via their final-file CAS
+        # so a crashed coordinator can never wedge its tables.
+        from icebergplus_spark.lake.txn import recover_transactions
+
+        self.recovered_txns = recover_transactions(self)
         self._status = Status.STARTED
         return self
+
+    def transaction(self, ttl_s: float = 600.0):
+        """Open a multi-table write transaction (txn.py): buffered
+        append/overwrite/delete/update_where calls against any of this
+        catalog's tables commit atomically — readers see all staged
+        versions or none, decided by one create-if-absent CAS."""
+        self._require_started()
+        from icebergplus_spark.lake.txn import LakeTransaction
+
+        return LakeTransaction(self, ttl_s=ttl_s)
 
     def stop(self) -> None:
         # All state is on disk already — stop only flips the gate, like

@@ -508,7 +508,10 @@ def expire_snapshots(
 
     # Write new metadata version with only retained snapshots.
     meta = dict(table._meta)
-    version = meta.pop("_version") + 1
+    meta.pop("_version")
+    version = meta.pop("_phys_version") + 1
+    meta.pop("pending_txn", None)
+    meta.pop("base_version", None)
     meta["snapshots"] = retained
     table.io.publish(table._meta_dir, version, json.dumps(meta, indent=1))
     table.refresh()
@@ -568,7 +571,7 @@ def expire_metadata_versions(table: LakeTable, keep_last: int = 10) -> dict:
     names the newest, so concurrent readers of retained versions are
     unaffected. Iceberg's ``write.metadata.delete-after-commit`` parity,
     run on demand instead of per-commit."""
-    current = table._meta["_version"]
+    current = table._meta["_phys_version"]
     cutoff = current - max(keep_last, 1) + 1
     removed = 0
     for fn in os.listdir(table._meta_dir):
@@ -683,7 +686,7 @@ def auto_maintain(
             f"skipped: {n_snaps} snapshots <= {keep_snapshots}"
         )
 
-    version = table._meta["_version"]
+    version = table._meta["_phys_version"]
     if version > keep_metadata_versions:
         report["expire_metadata_versions"] = (
             f"would expire metadata below v{version - keep_metadata_versions + 1}"

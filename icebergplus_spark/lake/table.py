@@ -231,15 +231,47 @@ class LakeTable:
     def _meta_dir(self) -> str:
         return os.path.join(self.table_dir, "metadata")
 
+    def _load_meta_version(self, version: int) -> dict[str, Any]:
+        with open(os.path.join(self._meta_dir, f"v{version}.metadata.json")) as f:
+            return json.load(f)
+
     def refresh(self) -> "LakeTable":
         """Re-read current metadata (Table.refresh parity,
         LocalIcebergCatalogTest.java:107). Version discovery goes
         through the commit IO (pointer read on POSIX; hint+probe with
-        LIST fallback on object stores)."""
+        LIST fallback on object stores).
+
+        Transaction resolution (txn.py): a head metadata carrying a
+        ``pending_txn`` marker was staged by a multi-table transaction;
+        its visibility is decided by the transaction's final-file CAS —
+        committed → visible, aborted or still in-flight → fall back
+        along ``base_version`` to the last independently-committed
+        state. ``_version`` is the LOGICAL (resolved) version readers
+        and snapshot state come from; ``_phys_version`` is the physical
+        head on disk that the next publish must CAS against."""
+        from icebergplus_spark.lake.txn import final_state
+
         version = self.io.current_version(self._meta_dir)
-        with open(os.path.join(self._meta_dir, f"v{version}.metadata.json")) as f:
-            self._meta = json.load(f)
+        meta = self._load_meta_version(version)
+        phys = version
+        head_txn = None
+        while True:
+            pending = meta.get("pending_txn")
+            if not pending:
+                break
+            if pending["id"] == getattr(self, "_own_txn", None):
+                break  # our own staged state stays visible to us
+            state = final_state(pending["final_path"])
+            if state == "committed":
+                break
+            if state is None and head_txn is None and version == phys:
+                head_txn = pending  # in-flight write intent at the head
+            version = meta["base_version"]
+            meta = self._load_meta_version(version)
+        self._meta = meta
         self._meta["_version"] = version
+        self._meta["_phys_version"] = phys
+        self._head_txn = head_txn
         return self
 
     @property
@@ -279,9 +311,23 @@ class LakeTable:
     def _evolve(self, mutate) -> "LakeTable":
         """Apply a metadata-only schema change as a new metadata version."""
         meta = dict(self._meta)
-        version = meta.pop("_version") + 1
+        meta.pop("_version")
+        version = meta.pop("_phys_version") + 1
+        meta.pop("pending_txn", None)  # seal any resolved txn marker
+        meta.pop("base_version", None)
         meta.setdefault("column_mapping", self._column_mapping)
         mutate(meta)
+        head_txn = getattr(self, "_head_txn", None)
+        if head_txn is not None:
+            # same lost-update guard as _commit_snapshot: never publish
+            # over another transaction's undecided staged head
+            from icebergplus_spark.lake.txn import abort_if_expired
+
+            if abort_if_expired(head_txn) != "aborted":
+                raise ConcurrentCommitError(
+                    f"{self.identifier}: head metadata held by transaction "
+                    f"{head_txn['id']} — refresh() and retry"
+                )
         self.io.publish(self._meta_dir, version, json.dumps(meta, indent=1))
         return self.refresh()
 
@@ -874,7 +920,22 @@ class LakeTable:
             },
         }
         meta = dict(self._meta)
-        version = meta.pop("_version") + 1
+        meta.pop("_version")
+        # Publish against the PHYSICAL head: an aborted transaction's
+        # staged version still occupies its version number, so the next
+        # commit lands above it while its content builds on the logical
+        # (resolved) state. A marker from a committed transaction is
+        # sealed here — stripped from the successor version, so readers
+        # stop paying the (cached) resolution stat.
+        version = meta.pop("_phys_version") + 1
+        meta.pop("pending_txn", None)
+        meta.pop("base_version", None)
+        staging = getattr(self, "_staging_txn", None)
+        if staging is not None:
+            # multi-table transaction stage: visibility of this version
+            # is decided by the transaction's final-file CAS (txn.py)
+            meta["pending_txn"] = dict(staging)
+            meta["base_version"] = version - 1
         meta["snapshots"] = meta["snapshots"] + [snapshot]
         if branch is None:
             meta["current_snapshot_id"] = snap_id
@@ -891,6 +952,23 @@ class LakeTable:
         # (conditional create of vN), so its lock only bounds wasted
         # work — losers surface ConcurrentCommitError either way.
         with self.io.lock(self._meta_dir):
+            # (applies when staging too: stacking one transaction's
+            # staged version on another's unresolved head would drop
+            # the first txn's snapshot from the lineage if both commit)
+            head_txn = getattr(self, "_head_txn", None)
+            if head_txn is not None:
+                # the head is another transaction's in-flight write
+                # intent: block until its lease expires, then abort it
+                # via the same final-file CAS its coordinator races
+                from icebergplus_spark.lake.txn import abort_if_expired
+
+                decision = abort_if_expired(head_txn)
+                if decision is None or decision == "committed":
+                    raise ConcurrentCommitError(
+                        f"{self.identifier}: head metadata is "
+                        f"{'held by in-flight' if decision is None else 'committed by'} "
+                        f"transaction {head_txn['id']} — refresh() and retry"
+                    )
             on_disk = self.io.current_version(self._meta_dir)
             if on_disk != version - 1:
                 raise ConcurrentCommitError(

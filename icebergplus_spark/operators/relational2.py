@@ -1469,3 +1469,69 @@ def q129_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans("customers_without_nation", cust, "c_nationkey", nation, "n_nationkey"),
     ]
     return spark.createDataFrame(rows, "relation string, orphans long")
+
+
+# ---------------------------------------------------------------------------
+# q131 — MULTI-TABLE TRANSACTION under the oracle gate (txn.py): a fact
+# and a dim table are written in one transaction (append + overwrite),
+# then a SECOND transaction stages more rows into both and aborts —
+# the gated join reads the tables afterwards. A hash match proves both
+# halves of atomicity driver-visibly: the committed transaction's
+# writes are all there, the aborted transaction's staged versions
+# (which exist on disk, at the physical head) contribute nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "q131_multi_table_txn",
+    oracle="""
+WITH fact AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 IN (0, 1)
+),
+dim AS (
+  SELECT * FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT d.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(f.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+GROUP BY d.c_mktsegment
+""",
+)
+def q131_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_txn_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.fact_orders", orders.schema)
+    dim = cat.create_table("bench.dim_customer", cust.schema)
+    fact.append(orders.filter(F.col("o_orderkey") % 4 == 0))
+    dim.append(cust.filter(F.col("c_custkey") % 3 == 0))
+
+    # committed transaction: extend the fact AND replace the dim — one
+    # atomic flip publishes both
+    with cat.transaction() as txn:
+        txn.append("bench.fact_orders", orders.filter(F.col("o_orderkey") % 4 == 1))
+        txn.overwrite("bench.dim_customer", cust.filter(F.col("c_custkey") % 2 == 0))
+
+    # aborted transaction: stages real versions into BOTH tables (they
+    # land at the physical heads), then aborts before publish — readers
+    # must resolve straight past them
+    txn2 = cat.transaction()
+    txn2.append("bench.fact_orders", orders.filter(F.col("o_orderkey") % 4 == 2))
+    txn2.append("bench.dim_customer", cust.filter(F.col("c_custkey") % 2 == 1))
+    txn2._begin()
+    txn2._stage_all()  # both staged on disk...
+    txn2.abort()  # ...and never visible
+
+    f = cat.load_table("bench.fact_orders").scan()
+    d = cat.load_table("bench.dim_customer").scan()
+    return (
+        f.join(d, f["o_custkey"] == d["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+    )

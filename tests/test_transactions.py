@@ -1,0 +1,246 @@
+"""Multi-table transaction battery (txn.py): atomic cross-table
+visibility, every crash window, lease takeover, recovery idempotence —
+under BOTH commit-IO strategies. The invariant checked everywhere:
+readers never see a torn state (one table's staged version visible,
+another's not)."""
+
+import time
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import (
+    DirectoryLeaseCommitLock,
+    LocalLakeCatalog,
+    ObjectStoreCommitIO,
+    TransactionAborted,
+    recover_transactions,
+)
+from icebergplus_spark.lake.commitio import ConcurrentCommitError
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
+)
+
+
+def _mk(spark, tmp_path, io=None, name="wh"):
+    cat = LocalLakeCatalog(spark, str(tmp_path / name), commit_io=io).start()
+    a = cat.create_table("db.fact", SCHEMA)
+    b = cat.create_table("db.dim", SCHEMA)
+    a.append(spark.createDataFrame([(1, "f0")], SCHEMA))
+    b.append(spark.createDataFrame([(1, "d0")], SCHEMA))
+    return cat
+
+
+def _counts(cat):
+    """Fresh reader's view of both tables — loads resolve txn markers."""
+    return (
+        cat.load_table("db.fact").scan().count(),
+        cat.load_table("db.dim").scan().count(),
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_commit_atomic_both_visible(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    with cat.transaction() as txn:
+        txn.append("db.fact", _df(spark, [(2, "f1"), (3, "f2")]))
+        txn.append("db.dim", _df(spark, [(2, "d1")]))
+    assert _counts(cat) == (3, 2)
+    # marker is sealed by the next ordinary commit; resolution stays correct
+    cat.load_table("db.fact").append(_df(spark, [(9, "f9")]))
+    assert _counts(cat) == (4, 2)
+
+
+def test_exception_aborts_nothing_visible(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.append("db.fact", _df(spark, [(2, "f1")]))
+            raise RuntimeError("boom")
+    assert _counts(cat) == (1, 1)
+
+
+def test_crash_after_intent_before_any_stage(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction(ttl_s=0.2)
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn._begin()  # coordinator dies here
+    assert _counts(cat) == (1, 1)
+    time.sleep(0.25)
+    settled = recover_transactions(cat)
+    assert settled.get(txn.txn_id) == "aborted"
+    # idempotent: a second sweep reports the same terminal state
+    assert recover_transactions(cat).get(txn.txn_id) == "aborted"
+    assert _counts(cat) == (1, 1)
+
+
+def test_crash_between_stage_commits_never_torn(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction(ttl_s=0.3)
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn.append("db.dim", _df(spark, [(2, "d1")]))
+    txn._begin()
+    # stage ONLY the fact table (exactly what _stage_all does), then die
+    t = cat.load_table("db.fact")
+    t._own_txn = txn.txn_id
+    t._staging_txn = {
+        "id": txn.txn_id,
+        "final_path": txn._final_path,
+        "expires": txn._expires,
+    }
+    t.append(_df(spark, [(2, "f1")]))
+    # the staged version exists on disk but is INVISIBLE to readers
+    assert _counts(cat) == (1, 1)
+    time.sleep(0.35)
+    assert recover_transactions(cat).get(txn.txn_id) == "aborted"
+    assert _counts(cat) == (1, 1)
+    # the table is fully usable afterwards: new commits land above the
+    # aborted staged version and build on the pre-txn state
+    cat.load_table("db.fact").append(_df(spark, [(3, "f3")]))
+    assert _counts(cat) == (2, 1)
+
+
+def test_crash_before_publish_coordinator_loses_cas(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction(ttl_s=0.3)
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn.append("db.dim", _df(spark, [(2, "d1")]))
+    txn._begin()
+    txn._stage_all()  # both staged; coordinator stalls before publish
+    assert _counts(cat) == (1, 1)
+    time.sleep(0.35)
+    assert recover_transactions(cat).get(txn.txn_id) == "aborted"
+    # the slow coordinator wakes up and tries to publish: it LOSES the
+    # final-file CAS — commit is never falsely reported
+    with pytest.raises(TransactionAborted):
+        txn._publish()
+    assert _counts(cat) == (1, 1)
+
+
+def test_crash_after_publish_is_durable(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction(ttl_s=0.2)
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn.append("db.dim", _df(spark, [(2, "d1")]))
+    txn._begin()
+    txn._stage_all()
+    txn._publish()  # coordinator dies right after the CAS
+    assert _counts(cat) == (2, 2)
+    time.sleep(0.25)
+    # recovery must NOT abort a committed transaction, even expired
+    assert recover_transactions(cat).get(txn.txn_id) == "committed"
+    assert _counts(cat) == (2, 2)
+
+
+def test_inflight_txn_blocks_ordinary_writers_until_lease_expiry(
+    spark, tmp_path, monkeypatch
+):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction(ttl_s=300.0)  # long lease: stays in-flight
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn._begin()
+    txn._stage_all()
+    # in-flight: an independent writer is refused (write intent held)
+    with pytest.raises(ConcurrentCommitError):
+        cat.load_table("db.fact").append(_df(spark, [(7, "x")]))
+    # lease expiry (simulated by advancing the txn module's clock —
+    # Spark write latency makes real sub-second leases racy in tests):
+    # the writer aborts the txn via the same CAS and wins
+    from icebergplus_spark.lake import txn as txn_mod
+
+    real_time = time.time
+    monkeypatch.setattr(txn_mod.time, "time", lambda: real_time() + 400.0)
+    cat.load_table("db.fact").append(_df(spark, [(7, "x")]))
+    assert _counts(cat) == (2, 1)
+    # ... and the zombie coordinator's publish now fails
+    with pytest.raises(TransactionAborted):
+        txn._publish()
+
+
+def test_sequential_ops_on_one_table_compose(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    with cat.transaction() as txn:
+        txn.append("db.fact", _df(spark, [(2, "f1")]))
+        txn.append("db.fact", _df(spark, [(3, "f2")]))
+        txn.overwrite("db.dim", _df(spark, [(5, "d5")]))
+    assert _counts(cat) == (3, 1)
+    assert {r.v for r in cat.load_table("db.dim").scan().collect()} == {"d5"}
+
+
+def test_delete_and_update_in_txn(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.load_table("db.fact").append(_df(spark, [(2, "f1"), (3, "f2")]))
+    with cat.transaction() as txn:
+        txn.delete("db.fact", {"k": (">=", 3)})
+        txn.update_where("db.dim", {"k": ("=", 1)}, {"v": "updated"})
+    assert _counts(cat) == (2, 1)
+    assert cat.load_table("db.dim").scan().collect()[0].v == "updated"
+
+
+def test_txn_under_object_store_io(spark, tmp_path):
+    io = ObjectStoreCommitIO(lock=DirectoryLeaseCommitLock())
+    cat = _mk(spark, tmp_path, io=io, name="wh_os")
+    with cat.transaction() as txn:
+        txn.append("db.fact", _df(spark, [(2, "f1")]))
+        txn.append("db.dim", _df(spark, [(2, "d1")]))
+    assert _counts(cat) == (2, 2)
+    # abort path under object-store semantics too
+    txn2 = cat.transaction(ttl_s=0.2)
+    txn2.append("db.fact", _df(spark, [(8, "g")]))
+    txn2._begin()
+    txn2._stage_all()
+    time.sleep(0.25)
+    assert recover_transactions(cat).get(txn2.txn_id) == "aborted"
+    assert _counts(cat) == (2, 2)
+
+
+def test_reader_view_is_all_or_nothing_at_every_phase(spark, tmp_path):
+    """The torn-state check, phase by phase: at no point does a fresh
+    reader see (new fact, old dim) or (old fact, new dim)."""
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction()
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn.append("db.dim", _df(spark, [(2, "d1")]))
+    assert _counts(cat) == (1, 1)  # before begin
+    txn._begin()
+    assert _counts(cat) == (1, 1)  # intent written
+    txn._stage_all()
+    assert _counts(cat) == (1, 1)  # ALL staged, still invisible
+    txn._publish()
+    assert _counts(cat) == (2, 2)  # one CAS flipped both
+
+
+def test_catalog_start_runs_recovery(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction(ttl_s=0.2)
+    txn.append("db.fact", _df(spark, [(2, "f1")]))
+    txn._begin()
+    t = cat.load_table("db.fact")
+    t._own_txn = txn.txn_id
+    t._staging_txn = {
+        "id": txn.txn_id,
+        "final_path": txn._final_path,
+        "expires": txn._expires,
+    }
+    t.append(_df(spark, [(2, "f1")]))
+    time.sleep(0.25)
+    # a NEW catalog process over the same warehouse settles the txn
+    cat2 = LocalLakeCatalog(spark, cat.root_dir).start()
+    assert cat2.recovered_txns.get(txn.txn_id) == "aborted"
+    assert _counts(cat2) == (1, 1)
+
+
+def test_empty_txn_is_noop(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    report = cat.transaction().commit()
+    assert report["tables"] == []
+    assert _counts(cat) == (1, 1)
