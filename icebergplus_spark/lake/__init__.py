@@ -10,6 +10,7 @@ from icebergplus_spark.lake.maintenance import (
     rollback,
 )
 from icebergplus_spark.lake.commitio import (
+    CatalogServiceCommitIO,
     DirectoryLeaseCommitLock,
     FlockCommitLock,
     NullCommitLock,
@@ -55,6 +56,7 @@ __all__ = [
     "SCAN_TIMER_FIELDS",
     "RenameCommitIO",
     "ObjectStoreCommitIO",
+    "CatalogServiceCommitIO",
     "FlockCommitLock",
     "DirectoryLeaseCommitLock",
     "NullCommitLock",

@@ -323,3 +323,165 @@ def detect_commit_io(meta_dir: str) -> "RenameCommitIO | ObjectStoreCommitIO":
     if os.path.exists(os.path.join(meta_dir, "version-pointer.txt")):
         return RenameCommitIO()
     return ObjectStoreCommitIO()
+
+
+class CatalogServiceCommitIO:
+    """Catalog-service strategy: a transactional database is the commit
+    authority — the reference's actual design (its catalog is
+    ``JdbcCatalog`` over embedded H2, LocalIcebergCatalog.java:133-135;
+    the SCALING.md (→) upgrade point). The service here is an embedded
+    sqlite database shared by every table of a warehouse; on a real
+    deployment the same statements run against Postgres/MySQL
+    (Iceberg's JdbcCatalog) or a DynamoDB conditional write — sqlite is
+    the embedded stand-in exactly as H2 is the reference's.
+
+    * **The commit point is the database transaction**: one
+      ``BEGIN IMMEDIATE`` that CASes the table's version row
+      (``version = N WHERE version = N-1``) and records the metadata
+      payload. Losers roll back with ``ConcurrentCommitError`` — they
+      never touch the filesystem at all, so a stale committer can never
+      clobber a committed metadata file.
+    * **Files are a materialized cache**: after the row commit, the
+      payload is written to the conventional ``vN.metadata.json`` with
+      create-if-absent (losers don't exist; racing healers write
+      identical bytes). A crash between row-commit and file write is
+      self-healing: ``current_version`` re-materializes any missing
+      file from the recorded payload, so readers (and the scan/stream
+      paths that open ``v{N}.metadata.json`` by name) never notice.
+    * **Discovery is one row read.** A table that predates this
+      strategy (committed under rename/object-store IO) is adopted on
+      first contact: its row is seeded from a directory LIST.
+    * **No lock needed** — the row transaction is the critical section
+      (``NullCommitLock`` default, same stance as ObjectStoreCommitIO).
+    """
+
+    name = "catalog-service"
+    atomic_rename = False
+    # payload rows to retain per table (older files are already
+    # materialized; this only bounds service-side storage)
+    keep_payloads = 20
+
+    def __init__(self, db_path: str | None = None, lock=None) -> None:
+        self.db_path = db_path
+        self._lock = lock or NullCommitLock()
+
+    def lock(self, meta_dir: str):
+        return self._lock.lock(meta_dir)
+
+    def _db(self, meta_dir: str):
+        import sqlite3
+
+        path = self.db_path or os.path.join(
+            os.path.dirname(os.path.dirname(meta_dir)), "_catalog_service.db"
+        )
+        con = sqlite3.connect(path, timeout=30.0)
+        con.executescript(
+            "CREATE TABLE IF NOT EXISTS tables "
+            "(meta_dir TEXT PRIMARY KEY, version INTEGER NOT NULL);"
+            "CREATE TABLE IF NOT EXISTS payloads "
+            "(meta_dir TEXT NOT NULL, version INTEGER NOT NULL, "
+            " payload TEXT NOT NULL, PRIMARY KEY (meta_dir, version));"
+        )
+        return con
+
+    @staticmethod
+    def _materialize(meta_dir: str, version: int, payload: str) -> None:
+        """Write the conventional metadata file from the committed
+        payload. Create-if-absent: concurrent healers race benignly
+        (identical bytes); an already-present file is left untouched."""
+        try:
+            with open(
+                os.path.join(meta_dir, f"v{version}.metadata.json"), "x"
+            ) as f:
+                f.write(payload)
+        except FileExistsError:
+            pass
+
+    def _seed_version(self, con, meta_dir: str) -> int:
+        """Adopt a table with no service row: seed from a directory
+        LIST (idempotent — INSERT OR IGNORE settles races)."""
+        best = 0
+        try:
+            for fn in os.listdir(meta_dir):
+                m = _META_RE.match(fn)
+                if m:
+                    best = max(best, int(m.group(1)))
+        except OSError:
+            pass
+        if best:
+            con.execute(
+                "INSERT OR IGNORE INTO tables (meta_dir, version) VALUES (?, ?)",
+                (meta_dir, best),
+            )
+            con.commit()
+        return best
+
+    def current_version(self, meta_dir: str) -> int:
+        con = self._db(meta_dir)
+        try:
+            row = con.execute(
+                "SELECT version FROM tables WHERE meta_dir = ?", (meta_dir,)
+            ).fetchone()
+            if not row:
+                v = self._seed_version(con, meta_dir)
+                if v == 0:
+                    raise FileNotFoundError(
+                        f"no metadata versions under {meta_dir}"
+                    )
+                return v
+            version = int(row[0])
+            # self-heal: a committer that died between its row commit
+            # and the file write left no vN file — re-materialize it
+            if not os.path.exists(
+                os.path.join(meta_dir, f"v{version}.metadata.json")
+            ):
+                p = con.execute(
+                    "SELECT payload FROM payloads WHERE meta_dir = ? "
+                    "AND version = ?",
+                    (meta_dir, version),
+                ).fetchone()
+                if p:
+                    self._materialize(meta_dir, version, p[0])
+            return version
+        finally:
+            con.close()
+
+    def publish(self, meta_dir: str, version: int, payload: str) -> None:
+        con = self._db(meta_dir)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            row = con.execute(
+                "SELECT version FROM tables WHERE meta_dir = ?", (meta_dir,)
+            ).fetchone()
+            current = int(row[0]) if row else 0
+            if current != version - 1:
+                con.rollback()
+                raise ConcurrentCommitError(
+                    f"catalog service has v{current}, expected v{version - 1} "
+                    f"({meta_dir}) — refresh() and retry"
+                )
+            if row:
+                con.execute(
+                    "UPDATE tables SET version = ? WHERE meta_dir = ? "
+                    "AND version = ?",
+                    (version, meta_dir, version - 1),
+                )
+            else:
+                con.execute(
+                    "INSERT INTO tables (meta_dir, version) VALUES (?, ?)",
+                    (meta_dir, version),
+                )
+            con.execute(
+                "INSERT OR REPLACE INTO payloads (meta_dir, version, payload) "
+                "VALUES (?, ?, ?)",
+                (meta_dir, version, payload),
+            )
+            con.execute(
+                "DELETE FROM payloads WHERE meta_dir = ? AND version <= ?",
+                (meta_dir, version - self.keep_payloads),
+            )
+            con.commit()  # ← the commit point
+        finally:
+            con.close()
+        # post-commit materialization (readers self-heal if we die here)
+        self._materialize(meta_dir, version, payload)
