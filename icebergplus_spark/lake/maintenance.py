@@ -138,8 +138,21 @@ def compact(
     # path (they are not in the files); the rewrite re-applies the
     # partition transforms so layout — and pruning — survive compaction.
     # _read_live applies merge-on-read tombstones — the rewrite must not
-    # resurrect deleted rows
-    df = table._read_live([f["file_path"] for f in small], snap)
+    # resurrect deleted rows.
+    # Row-lineage inheritance (Iceberg v3 materialized lineage): when
+    # the table allocates row ids at commit time, the rewrite CARRIES
+    # each row's id and birth snapshot into the output files as
+    # materialized __lineage_* columns, so scan_with_lineage is
+    # hash-identical across compaction. Two delta-encoded long columns
+    # of mostly-sequential values — negligible bytes at any scale.
+    small_paths = [f["file_path"] for f in small]
+    carry_lineage = "row_id_assignments" in table._meta or bool(
+        table._materialized_lineage_paths(snap) & set(small_paths)
+    )
+    if carry_lineage:
+        df = table._lineage_frame(snap, small_paths)
+    else:
+        df = table._read_live(small_paths, snap)
     if zorder_by and sort_by:
         raise ValueError("pass either sort_by or zorder_by, not both")
     if zorder_by:
@@ -238,7 +251,14 @@ def compact(
         if not (untouched & _delete_affected_paths(table, snap)):
             carry = []
     table._commit_snapshot(
-        "replace", [manifest], new_entries, t0, delete_manifests=carry
+        "replace",
+        [manifest],
+        new_entries,
+        t0,
+        delete_manifests=carry,
+        lineage_files=(
+            [e["file_path"] for e in new_entries] if carry_lineage else None
+        ),
     )
     return {
         "compacted": len(small),
@@ -513,6 +533,15 @@ def expire_snapshots(
     meta.pop("pending_txn", None)
     meta.pop("base_version", None)
     meta["snapshots"] = retained
+    if "row_id_assignments" in meta:
+        # prune first-row-id assignments for files no retained snapshot
+        # references — this is the one place the map shrinks, keeping
+        # metadata O(live files) on long-lived tables
+        meta["row_id_assignments"] = {
+            p: v
+            for p, v in meta["row_id_assignments"].items()
+            if p in keep_data
+        }
     table.io.publish(table._meta_dir, version, json.dumps(meta, indent=1))
     table.refresh()
     return {"expired": len(expired), "deleted_files": deleted}

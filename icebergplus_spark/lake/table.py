@@ -812,6 +812,7 @@ class LakeTable:
         delete_manifests: list[str] | None = None,
         extra_summary: dict[str, Any] | None = None,
         attempts: int = 1,
+        lineage_files: list[str] | None = None,
     ) -> None:
         """Atomic snapshot commit: write vN+1 metadata, then advance the
         table's published version via the pluggable commit IO
@@ -919,8 +920,28 @@ class LakeTable:
                 **(extra_summary or {}),
             },
         }
+        if lineage_files:
+            # data files whose bytes carry materialized __lineage_*
+            # columns (compaction outputs) — scan_with_lineage reads
+            # ids from these files instead of deriving them
+            snapshot["lineage_files"] = sorted(lineage_files)
         meta = dict(self._meta)
         meta.pop("_version")
+        # Commit-time row-id allocation (Iceberg v3 first-row-id): each
+        # added file gets a persisted first-row-id from a monotone
+        # counter, so a row's id never depends on any OTHER file's
+        # lifecycle. Tables from before this scheme (snapshots exist but
+        # no assignment map) stay on the legacy derivation — mixing the
+        # two would collide id ranges.
+        if not self._meta["snapshots"] or "row_id_assignments" in self._meta:
+            assignments = dict(self._meta.get("row_id_assignments") or {})
+            nxt = int(self._meta.get("next_row_id", 0))
+            for e in sorted(added_entries, key=lambda x: x["file_path"]):
+                if e["file_path"] not in assignments:
+                    assignments[e["file_path"]] = nxt
+                    nxt += e["record_count"]
+            meta["row_id_assignments"] = assignments
+            meta["next_row_id"] = nxt
         # Publish against the PHYSICAL head: an aborted transaction's
         # staged version still occupies its version number, so the next
         # commit lands above it while its content builds on the logical
@@ -998,7 +1019,12 @@ class LakeTable:
             )
         )
 
-    def _read_physical(self, paths: list[str], with_meta: bool = False) -> DataFrame:
+    def _read_physical(
+        self,
+        paths: list[str],
+        with_meta: bool = False,
+        extra_fields: list | None = None,
+    ) -> DataFrame:
         """Read data files under the physical schema, applying
         initial-defaults for columns added after a file was written
         (Iceberg v3 initial-default semantics): files are grouped into
@@ -1036,7 +1062,7 @@ class LakeTable:
                 for era, ps in sorted(
                     groups.items(), key=lambda kv: sorted(kv[0])
                 ):
-                    d = self._read_physical_raw(ps, with_meta)
+                    d = self._read_physical_raw(ps, with_meta, extra_fields)
                     for c in era:
                         phys = mapping.get(c, c)
                         d = d.withColumn(
@@ -1046,9 +1072,14 @@ class LakeTable:
                     out = d if out is None else out.unionByName(d)
                 assert out is not None
                 return out
-        return self._read_physical_raw(paths, with_meta)
+        return self._read_physical_raw(paths, with_meta, extra_fields)
 
-    def _read_physical_raw(self, paths: list[str], with_meta: bool = False) -> DataFrame:
+    def _read_physical_raw(
+        self,
+        paths: list[str],
+        with_meta: bool = False,
+        extra_fields: list | None = None,
+    ) -> DataFrame:
         """Read data files under the physical schema, recovering
         identity-partition values from the Hive path (they are NOT in
         the files — reading without basePath returns them as NULL,
@@ -1062,7 +1093,13 @@ class LakeTable:
         snapshot count, and Catalyst unions the scans into one plan."""
         from pyspark.sql import functions as _F
 
-        cols = [f.name for f in self.physical_schema.fields]
+        # ``extra_fields``: additional physical columns present only in
+        # some files (materialized lineage in rewritten data files) —
+        # appended to the read schema; files without them yield NULLs.
+        read_schema = self.physical_schema
+        for f in extra_fields or []:
+            read_schema = read_schema.add(f)
+        cols = [f.name for f in read_schema.fields]
         # ``with_meta`` attaches the file URI + row position (Spark's
         # _metadata column, computed by the scan itself — zero cost) for
         # merge-on-read delete application.
@@ -1080,7 +1117,7 @@ class LakeTable:
         # its identity-partition values as NULL.
         any_partition_dirs = any("=" in os.path.basename(os.path.dirname(p)) for p in paths)
         if not self.partition_spec and not any_partition_dirs:
-            df = self.spark.read.schema(self.physical_schema).parquet(*sorted(paths))
+            df = self.spark.read.schema(read_schema).parquet(*sorted(paths))
             return df.select(*cols, *meta)
         data_root = os.path.join(self.table_dir, "data")
         groups: dict[str, list[str]] = {}
@@ -1091,7 +1128,7 @@ class LakeTable:
         out: DataFrame | None = None
         for base, ps in sorted(groups.items()):
             d = (
-                self.spark.read.schema(self.physical_schema)
+                self.spark.read.schema(read_schema)
                 .option("basePath", base)
                 .parquet(*ps)
                 .select(*cols, *meta)  # drops hidden _p_* discovery columns
@@ -1199,50 +1236,37 @@ class LakeTable:
         df = self._read_physical(paths, with_meta=True)
         return self._apply_deletes(df, snap, paths).drop("__file", "__pos")
 
-    def scan_with_lineage(self, snapshot_id: int | None = None) -> DataFrame:
-        """Row-lineage read (Iceberg v3 ``_row_id`` /
-        ``_last_updated_sequence_number`` flavor): every row carries
+    # physical column names materialized lineage is stored under in
+    # rewritten data files (Iceberg v3 materialized row lineage)
+    LINEAGE_ID_COL = "__lineage_row_id"
+    LINEAGE_BIRTH_COL = "__lineage_birth"
 
-        - ``_row_id``: a stable long, unique across the table, derived
-          as (file's first-row-id + row position). First-row-ids come
-          from the COMMITTED metadata itself — files ordered by (birth
-          snapshot, path) with cumulative record counts — so there is
-          no allocation step and no writer race: the committed snapshot
-          IS the allocation.
-        - ``_last_updated_snapshot_id``: the snapshot that wrote the
-          row's file (birth).
+    def _materialized_lineage_paths(self, snap: dict[str, Any]) -> set[str]:
+        """Live data files carrying materialized lineage columns: the
+        union of every snapshot's recorded rewrite outputs, restricted
+        to this snapshot's file set (an O(metadata) walk, no I/O)."""
+        mat: set[str] = set()
+        for s in self._meta["snapshots"]:
+            mat.update(s.get("lineage_files") or [])
+        return mat & set(self._snapshot_paths(snap))
 
-        Stability contract: ids survive appends (new files sort after
-        existing ones), position/equality MoR deletes (survivor
-        positions are untouched), branch/tag reads and time travel.
-        Copy-on-write rewrites (compaction, CoW delete/update) assign
-        REWRITTEN rows new ids — same caveat Iceberg documents unless
-        row ids are materialized into the rewritten files; consumers
-        needing lineage across rewrites should read before compacting
-        or pin a snapshot.
-        """
-        from pyspark.sql import functions as _F
-
-        snap = self.snapshot(snapshot_id)
-        lineage_cols = [
-            ("_row_id", "long"),
-            ("_last_updated_snapshot_id", "long"),
-        ]
-        def _empty() -> DataFrame:
-            from pyspark.sql.types import LongType, StructField
-
-            schema = StructType(self.schema.fields)
-            for name, _ltype in lineage_cols:
-                schema = schema.add(StructField(name, LongType()))
-            return self.spark.createDataFrame([], schema)
-
-        if snap is None:
-            return _empty()
-
-        paths = sorted(self._snapshot_paths(snap))
-        if not paths:  # snapshot exists but lists no data files
-            return _empty()
+    def _lineage_assignments(
+        self, snap: dict[str, Any], subset: list[str], all_paths: list[str]
+    ) -> list[tuple[str, int, int]]:
+        """(file URI, first_row_id, birth) for files WITHOUT
+        materialized lineage. Preferred source: the ``row_id_assignments``
+        map committed in metadata at allocation time — each file's first
+        id is then independent of every other file, so CoW removals of
+        OTHER files can never shift it. Legacy tables (created before
+        assignments existed) fall back to the (birth, path)-cumulative
+        derivation over the full snapshot file set."""
         births = self._file_births()
+        assignments = self._meta.get("row_id_assignments") or {}
+        if all(p in assignments for p in subset):
+            return [
+                (_as_uri(p), int(assignments[p]), births.get(p, 0))
+                for p in subset
+            ]
         counts: dict[str, int] = {}
         for m in snap["manifests"]:
             t = pq.read_table(
@@ -1254,26 +1278,108 @@ class LakeTable:
                 t.column("record_count").to_pylist(),
             ):
                 counts[p] = c
-        ordered = sorted(paths, key=lambda p: (births.get(p, 0), p))
+        want = set(subset)
+        ordered = sorted(all_paths, key=lambda p: (births.get(p, 0), p))
         rows, acc = [], 0
         for p in ordered:
-            rows.append((_as_uri(p), acc, births.get(p, 0)))
+            if p in want:
+                rows.append((_as_uri(p), acc, births.get(p, 0)))
             acc += counts.get(p, 0)
-        lin = self.spark.createDataFrame(
-            rows, "__lin_file string, __first long, __birth long"
-        )
+        return rows
 
-        df = self._read_physical(paths, with_meta=True)
-        if snap.get("delete_manifests"):
-            df = self._apply_deletes(df, snap, paths)
-        mapping = self._column_mapping
-        return (
-            df.join(_F.broadcast(lin), df["__file"] == lin["__lin_file"])
-            .select(
-                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields],
-                (_F.col("__first") + _F.col("__pos")).alias("_row_id"),
-                _F.col("__birth").alias("_last_updated_snapshot_id"),
+    def _lineage_frame(
+        self, snap: dict[str, Any], paths: list[str] | None = None
+    ) -> DataFrame:
+        """PHYSICAL-schema read of ``paths`` (default: the snapshot's
+        full file set) with ``__lineage_row_id`` / ``__lineage_birth``
+        attached. Files with materialized lineage supply the columns
+        from their own bytes; other files derive id = first-row-id +
+        row position from committed metadata. MoR tombstones apply."""
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import LongType, StructField
+
+        all_paths = sorted(self._snapshot_paths(snap))
+        paths = all_paths if paths is None else sorted(paths)
+        mat = self._materialized_lineage_paths(snap)
+        plain = [p for p in paths if p not in mat]
+        mat_paths = [p for p in paths if p in mat]
+        pieces: list[DataFrame] = []
+        if plain:
+            lin = self.spark.createDataFrame(
+                self._lineage_assignments(snap, plain, all_paths),
+                "__lin_file string, __first long, __birth long",
             )
+            d = self._read_physical(plain, with_meta=True)
+            if snap.get("delete_manifests"):
+                d = self._apply_deletes(d, snap, plain)
+            d = (
+                d.join(_F.broadcast(lin), d["__file"] == lin["__lin_file"])
+                .withColumn(
+                    self.LINEAGE_ID_COL, _F.col("__first") + _F.col("__pos")
+                )
+                .withColumn(self.LINEAGE_BIRTH_COL, _F.col("__birth"))
+                .drop("__lin_file", "__first", "__birth", "__file", "__pos")
+            )
+            pieces.append(d)
+        if mat_paths:
+            extra = [
+                StructField(self.LINEAGE_ID_COL, LongType()),
+                StructField(self.LINEAGE_BIRTH_COL, LongType()),
+            ]
+            d = self._read_physical(mat_paths, with_meta=True, extra_fields=extra)
+            if snap.get("delete_manifests"):
+                d = self._apply_deletes(d, snap, mat_paths)
+            pieces.append(d.drop("__file", "__pos"))
+        out = pieces[0]
+        for d in pieces[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def scan_with_lineage(self, snapshot_id: int | None = None) -> DataFrame:
+        """Row-lineage read (Iceberg v3 ``_row_id`` /
+        ``_last_updated_sequence_number`` flavor): every row carries
+
+        - ``_row_id``: a stable long, unique across the table. For
+          files written by ingest, id = file's first-row-id + row
+          position, where first-row-ids are ALLOCATED AT COMMIT TIME
+          and persisted in table metadata (``row_id_assignments`` /
+          ``next_row_id`` — Iceberg v3's snapshot ``first-row-id``
+          counter), so no other file's lifecycle can ever shift them.
+          For files written by compaction, the ids are MATERIALIZED
+          into the file bytes themselves.
+        - ``_last_updated_snapshot_id``: the snapshot that wrote the
+          row (its original birth, carried through rewrites).
+
+        Stability contract: ids survive appends, position/equality MoR
+        deletes, CoW removal of other files, branch/tag reads, time
+        travel, AND compaction (``compact()`` carries each row's id and
+        birth into the rewritten files — Iceberg v3 materialized
+        lineage). Rows themselves rewritten by CoW delete/update/merge
+        get new ids, like a row UPDATE does. Tables created before
+        commit-time allocation existed derive ids with the legacy
+        (birth, path)-cumulative rule, where compaction re-ids."""
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot(snapshot_id)
+
+        def _empty() -> DataFrame:
+            from pyspark.sql.types import LongType, StructField
+
+            schema = StructType(self.schema.fields)
+            schema = schema.add(StructField("_row_id", LongType()))
+            schema = schema.add(
+                StructField("_last_updated_snapshot_id", LongType())
+            )
+            return self.spark.createDataFrame([], schema)
+
+        if snap is None or not self._snapshot_paths(snap):
+            return _empty()
+        df = self._lineage_frame(snap)
+        mapping = self._column_mapping
+        return df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields],
+            _F.col(self.LINEAGE_ID_COL).alias("_row_id"),
+            _F.col(self.LINEAGE_BIRTH_COL).alias("_last_updated_snapshot_id"),
         )
 
     def delete_where(

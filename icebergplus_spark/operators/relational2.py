@@ -1535,3 +1535,59 @@ def q131_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — ROW-ID INHERITANCE THROUGH COMPACTION under the oracle gate
+# (round-4 close of the q123 caveat): two append eras land in a lake
+# table, compact() rewrites them into consolidated files CARRYING each
+# row's materialized _row_id and birth snapshot (Iceberg v3
+# materialized lineage), and the gated result is the per-era lineage
+# profile read AFTER compaction. The oracle computes the profile in
+# closed form from commit-time allocation (era 1 owns [0, n1), era 2
+# owns [n1, n1+n2)) — a hash match proves the rewrite preserved every
+# id and every birth attribution exactly. The query raises if the
+# compaction didn't actually rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "q132_lineage_through_compaction",
+    oracle="""
+WITH e1 AS (SELECT COUNT(*) AS n FROM supplier WHERE s_suppkey % 3 = 0),
+     e2 AS (SELECT COUNT(*) AS n FROM supplier WHERE s_suppkey % 3 = 1)
+SELECT CAST(1 AS BIGINT) AS birth_snapshot,
+       CAST(e1.n AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_id,
+       CAST(e1.n - 1 AS BIGINT) AS max_id,
+       CAST(e1.n * (e1.n - 1) / 2 AS BIGINT) AS sum_id
+FROM e1
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST(e2.n AS BIGINT),
+       CAST(e1.n AS BIGINT),
+       CAST(e1.n + e2.n - 1 AS BIGINT),
+       CAST((e1.n + (e1.n + e2.n - 1)) * e2.n / 2 AS BIGINT)
+FROM e1, e2
+""",
+)
+def q132_lineage_through_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+
+    supp = _t(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="lake_lineage_compact_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.supp_lc", supp.schema)
+    t = t.append(supp.filter(F.col("s_suppkey") % 3 == 0))
+    t = t.append(supp.filter(F.col("s_suppkey") % 3 == 1))
+    rep = compact(t, target_file_size=256 * 1024 * 1024)
+    if not rep.get("compacted"):
+        raise AssertionError(f"compaction did not rewrite: {rep}")
+    return (
+        t.scan_with_lineage()
+        .groupBy(F.col("_last_updated_snapshot_id").alias("birth_snapshot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_row_id").alias("min_id"),
+            F.max("_row_id").alias("max_id"),
+            F.sum("_row_id").alias("sum_id"),
+        )
+    )

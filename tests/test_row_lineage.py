@@ -95,3 +95,59 @@ def test_lineage_on_snapshot_with_no_files(table):
     out = t.scan_with_lineage()
     assert out.count() == 0
     assert out.columns[-2:] == ["_row_id", "_last_updated_snapshot_id"]
+
+
+def _frame(t):
+    return {
+        (r.n_nationkey, r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+
+
+def test_row_ids_inherited_through_compaction(table):
+    """Round-4 headline: compact() materializes each row's id and birth
+    into the rewritten files — the lineage frame is IDENTICAL before
+    and after (Iceberg v3 materialized lineage)."""
+    from icebergplus_spark.lake import compact
+
+    t, nation = table
+    for lo, hi in ((0, 8), (8, 16), (16, 25)):
+        t = t.append(
+            nation.filter((F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi))
+        )
+    before = _frame(t)
+    rep = compact(t, target_file_size=256 * 1024 * 1024)
+    assert rep["compacted"] >= 2
+    assert _frame(t) == before
+    # and the ids keep surviving a SECOND compaction plus more appends
+    t = t.append(nation.limit(0))
+    compact(t, target_file_size=1)  # force no-op / tiny-target path
+    assert _frame(t) == before
+
+
+def test_row_ids_stable_when_earlier_file_removed_cow(table):
+    """ADVICE r3: with commit-time allocation, removing an EARLIER-born
+    file (CoW delete of a whole file) must not shift ids of rows in
+    untouched later files."""
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 10))
+    t = t.append(nation.filter(F.col("n_nationkey") >= 10))
+    before = _ids(t.scan_with_lineage())
+    # whole-file CoW delete: first file's range exactly
+    t.delete({"n_nationkey": ("<", 10)})
+    after = _ids(t.scan_with_lineage())
+    for k, rid in after.items():
+        assert before[k] == rid, f"id shifted for key {k}"
+
+
+def test_lineage_after_compaction_then_mor_delete(table):
+    from icebergplus_spark.lake import compact
+
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 12))
+    t = t.append(nation.filter(F.col("n_nationkey") >= 12))
+    before = _frame(t)
+    compact(t, target_file_size=256 * 1024 * 1024)
+    t.delete_where({"n_nationkey": ("=", 3)})
+    after = _frame(t)
+    assert after == {row for row in before if row[0] != 3}
