@@ -18,6 +18,8 @@ point of LSH — the judge should see no crossJoin in any of these plans.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -559,6 +561,20 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # SIZE GUARD: this is the exact O(N²) all-pairs baseline — it exists
+    # to measure the bucketed paths' recall (d14, s02/s04), not to run
+    # on a corpus. Refuse beyond the bound rather than silently launch
+    # a broadcast-N² plan at 100 TB; the scale paths are d14 (semantic
+    # dedup) and s02/s04 (ANN). Override knowingly via D08_MAX_ROWS.
+    max_rows = int(os.environ.get("D08_MAX_ROWS", "200000"))
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"d08 all-pairs baseline refused: {n} vectors > bound "
+            f"{max_rows} (O(N²) exact join is a recall-measurement "
+            "tool; use d14/s02/s04 at corpus scale, or raise "
+            "D08_MAX_ROWS deliberately)"
+        )
     a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
     pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))

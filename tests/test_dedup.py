@@ -61,3 +61,15 @@ def test_simhash_identical_docs_collide(spark, tmp_path):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in QUERIES["d05_simhash"](spark, out_dir).collect()}
     assert pairs.get((0, 1)) == 0
     assert (0, 2) not in pairs
+
+
+def test_d08_size_guard(spark, monkeypatch):
+    """d08's exact all-pairs baseline refuses to run past its size
+    bound (the weak-by-design foot-gun flagged in VERDICT r3)."""
+    import pytest as _pytest
+
+    from icebergplus_spark.operators.dedup import d08_embedding_neardup
+
+    monkeypatch.setenv("D08_MAX_ROWS", "3")
+    with _pytest.raises(ValueError, match="all-pairs baseline refused"):
+        d08_embedding_neardup(spark, "/root/testdata/sf0.001").count()
