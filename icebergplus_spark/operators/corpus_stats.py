@@ -330,7 +330,9 @@ def d16_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s04 0.60-0.72, s05 0.62-0.88 — near-random embeddings, the
 # adversarial corpus for every ANN family).
 # ---------------------------------------------------------------------------
-_S09_GATES = {"s02_ann_lsh": 0.45, "s04_ann_ivf": 0.50, "s05_ann_pq": 0.50}
+# Floors one margin below the r4 measured minima across sf0.001/0.01/0.1
+# (s02: 0.72/0.76/0.84, s04: 0.86/0.82/0.86, s05: 0.80/0.88/0.62)
+_S09_GATES = {"s02_ann_lsh": 0.65, "s04_ann_ivf": 0.70, "s05_ann_pq": 0.50}
 
 
 @register(

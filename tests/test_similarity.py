@@ -43,9 +43,9 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     # testdata embeddings are near-random (true-neighbor cos ≈ 0.3), the
-    # adversarial case for sign-LSH — multi-table multiprobe still has to
-    # beat chance (5/500 = 1%) by a wide margin
-    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # adversarial case for sign-LSH — 12-table multiprobe measured 0.72
+    # at this SF (r4); gate sits one margin below
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
 def test_norms_positive(spark, sf_dir):
@@ -59,9 +59,9 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # nprobe=4 of 16 cells scans ~25% of the corpus; near-random data is
-    # the hard case — must still clearly beat the scan fraction
-    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # nprobe=8 of 16 cells; measured 0.86 at this SF (r4) — gate one
+    # margin below
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
 def test_ivf_deterministic(spark, sf_dir):
@@ -95,7 +95,7 @@ def test_pq_deterministic_and_shaped(spark, sf_dir):
 def test_recall_gates_at_sf01(spark):
     """Quantitative recall guarantee at the driver's bench scale
     (sf0.1, 5k vectors): measured recall@5 on this corpus is
-    s02 = 0.68, s04 = 0.62, s05 = 0.62 (near-random embeddings — the
+    s02 = 0.84, s04 = 0.86, s05 = 0.62 (r4: T=12 tables, nprobe=8) (near-random embeddings — the
     adversarial case for every ANN family; COVERAGE.md records the
     values). Gates sit one noise-margin below measured so a parameter
     regression (fewer probes/tables/cells than intended) fails loudly
@@ -111,7 +111,7 @@ def test_recall_gates_at_sf01(spark):
         (r["query_id"], r["neighbor_id"])
         for r in QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
     }
-    gates = {"s02_ann_lsh": 0.6, "s04_ann_ivf": 0.55, "s05_ann_pq": 0.55}
+    gates = {"s02_ann_lsh": 0.8, "s04_ann_ivf": 0.8, "s05_ann_pq": 0.55}
     for name, gate in gates.items():
         approx = {
             (r["query_id"], r["neighbor_id"])
