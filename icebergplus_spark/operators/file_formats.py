@@ -105,3 +105,46 @@ def q125_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — AVRO round-trip under the oracle gate. Neither spark-avro nor
+# any Python avro package ships in this image, so the engine carries
+# its own Object Container File codec implemented from the public Avro
+# 1.12 spec (sources/avro_io.py), cross-validated byte-level against
+# the JVM reference implementation (avro-1.12.1.jar) in
+# tests/test_avro.py. Both paths are distributed: the sink encodes one
+# OCF per partition via mapInPandas, the source decodes per-file on
+# executors. The hash match proves the binary encoding round-trips the
+# typed subset (longs, strings, doubles, nullable unions) losslessly.
+# ---------------------------------------------------------------------------
+@register(
+    "q133_avro_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q133_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.functions.exact import dsum
+    from icebergplus_spark.sources.avro_io import (
+        read_avro_dataset,
+        write_avro_dataset,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="avro_rt_") + "/orders_avro"
+    write_avro_dataset(orders, path)
+    back = read_avro_dataset(spark, path, orders.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        dsum("o_totalprice", 2).alias("sum_price"),
+    )

@@ -1,0 +1,407 @@
+"""Avro source/sink built from the public Avro 1.12 spec.
+
+Parity target: Avro sits on the reference's classpath for Iceberg
+manifests (pom.xml:161-165) and is table stakes for a lake engine's
+format surface. This container ships neither ``spark-avro`` (the DSv2
+reader) nor any Python avro package, so this module implements the
+Object Container File format directly from the published spec
+(https://avro.apache.org/docs/1.12.0/specification/ — binary encoding:
+zigzag-varint longs, length-prefixed utf8/bytes, little-endian IEEE
+doubles; OCF framing: magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, 16-byte sync marker, then
+[count][byte-size][data][sync] blocks).
+
+Spark integration is distributed on BOTH paths:
+
+- sink: ``write_avro_dataset`` runs one encoder per partition via
+  ``mapInPandas`` — each task writes its own ``part-*.avro`` OCF file
+  into the target directory, exactly like Spark's parquet sink layout.
+- source: ``read_avro_dataset`` lists files on the driver, parallelizes
+  the path list, and decodes per-file on executors via
+  ``mapInPandas`` over a one-column path frame — scans scale with the
+  file count, no driver-side row materialization.
+
+Cross-implementation proof: the JVM avro jars DO ship with pyspark
+(avro-1.12.1.jar), so tests read files written here through
+``org.apache.avro.file.DataFileReader`` via py4j and vice versa — the
+bytes are validated against the reference implementation, not just
+round-tripped through this codec.
+
+Supported Spark types (nullable maps to the standard ``["null", T]``
+union): long, int, double, float, string, boolean, binary, timestamp
+(``timestamp-micros`` logical), date (``date`` logical). Codecs: write
+``null``; read ``null`` and ``deflate``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+MAGIC = b"Obj\x01"
+
+_SPARK_TO_AVRO = [
+    (LongType, "long"),
+    (IntegerType, "int"),
+    (DoubleType, "double"),
+    (FloatType, "float"),
+    (StringType, "string"),
+    (BooleanType, "boolean"),
+    (BinaryType, "bytes"),
+    (TimestampType, {"type": "long", "logicalType": "timestamp-micros"}),
+    (DateType, {"type": "int", "logicalType": "date"}),
+]
+
+
+def avro_schema_of(schema: StructType, name: str = "spark_record") -> dict:
+    """Spark StructType → Avro record schema (nullable → null union)."""
+    fields = []
+    for f in schema.fields:
+        for cls, avro_t in _SPARK_TO_AVRO:
+            if isinstance(f.dataType, cls):
+                t: Any = avro_t
+                break
+        else:
+            raise ValueError(
+                f"unsupported Spark type for Avro: {f.dataType.simpleString()}"
+                f" (column {f.name})"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# binary encoding primitives (spec §"Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc)
+        shift += 7
+
+
+def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def _read_bytes(buf) -> bytes:
+    return buf.read(read_long(buf))
+
+
+# ---------------------------------------------------------------------------
+# value codec per resolved avro type
+# ---------------------------------------------------------------------------
+
+
+def _base_type(t: Any) -> str:
+    if isinstance(t, dict):
+        return t["type"]
+    return t
+
+
+def _encode_value(buf: io.BytesIO, t: Any, v: Any) -> None:
+    if isinstance(t, list):  # ["null", T] union
+        if v is None:
+            write_long(buf, 0)
+            return
+        write_long(buf, 1)
+        _encode_value(buf, t[1], v)
+        return
+    bt = _base_type(t)
+    if bt in ("long", "int"):
+        write_long(buf, int(v))
+    elif bt == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif bt == "float":
+        buf.write(struct.pack("<f", float(v)))
+    elif bt == "string":
+        _write_bytes(buf, str(v).encode("utf-8"))
+    elif bt == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif bt == "bytes":
+        _write_bytes(buf, bytes(v))
+    else:
+        raise ValueError(f"unsupported avro type: {t}")
+
+
+def _decode_value(buf, t: Any) -> Any:
+    if isinstance(t, list):
+        return None if read_long(buf) == 0 else _decode_value(buf, t[1])
+    bt = _base_type(t)
+    if bt in ("long", "int"):
+        return read_long(buf)
+    if bt == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if bt == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if bt == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if bt == "boolean":
+        return buf.read(1) == b"\x01"
+    if bt == "bytes":
+        return _read_bytes(buf)
+    raise ValueError(f"unsupported avro type: {t}")
+
+
+# ---------------------------------------------------------------------------
+# object container files (spec §"Object Container Files")
+# ---------------------------------------------------------------------------
+
+
+def write_ocf(
+    path: str,
+    avro_schema: dict,
+    rows: Iterator[tuple],
+    block_rows: int = 4096,
+) -> int:
+    """Write records (tuples in field order) as a null-codec OCF.
+    Returns the record count."""
+    sync = uuid.uuid4().bytes
+    field_types = [f["type"] for f in avro_schema["fields"]]
+    n_total = 0
+    with open(path, "wb") as out:
+        out.write(MAGIC)
+        head = io.BytesIO()
+        meta = {
+            "avro.schema": json.dumps(avro_schema).encode(),
+            "avro.codec": b"null",
+        }
+        write_long(head, len(meta))
+        for k, v in meta.items():
+            _write_bytes(head, k.encode())
+            _write_bytes(head, v)
+        write_long(head, 0)  # end of metadata map
+        out.write(head.getvalue())
+        out.write(sync)
+
+        block: list[tuple] = []
+
+        def flush() -> None:
+            nonlocal n_total
+            if not block:
+                return
+            data = io.BytesIO()
+            for row in block:
+                for t, v in zip(field_types, row):
+                    _encode_value(data, t, v)
+            payload = data.getvalue()
+            framing = io.BytesIO()
+            write_long(framing, len(block))
+            write_long(framing, len(payload))
+            out.write(framing.getvalue())
+            out.write(payload)
+            out.write(sync)
+            n_total += len(block)
+            block.clear()
+
+        for row in rows:
+            block.append(row)
+            if len(block) >= block_rows:
+                flush()
+        flush()
+    return n_total
+
+
+def read_ocf(path: str) -> tuple[dict, list[tuple]]:
+    """Read an OCF written by any implementation (null/deflate codec).
+    Returns (avro schema, rows as tuples in field order)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"not an Avro object container file: {path}")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = _read_bytes(buf).decode()
+            meta[k] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    sync = buf.read(16)
+    field_types = [f["type"] for f in schema["fields"]]
+    rows: list[tuple] = []
+    while buf.tell() < len(raw):
+        count = read_long(buf)
+        size = read_long(buf)
+        payload = buf.read(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        data = io.BytesIO(payload)
+        for _ in range(count):
+            rows.append(
+                tuple(_decode_value(data, t) for t in field_types)
+            )
+        if buf.read(16) != sync:
+            raise ValueError(f"sync marker mismatch in {path}")
+    return schema, rows
+
+
+# ---------------------------------------------------------------------------
+# Spark-distributed dataset sink / source
+# ---------------------------------------------------------------------------
+
+
+def write_avro_dataset(df: DataFrame, out_dir: str) -> int:
+    """Distributed Avro sink: each partition encodes itself into one
+    ``part-*.avro`` OCF in ``out_dir`` (same layout contract as the
+    parquet sink — the directory is the dataset). Returns file count."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = df.schema
+    avsc = avro_schema_of(schema)
+    ts_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, TimestampType)
+    ]
+    date_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, DateType)
+    ]
+    names = [f.name for f in schema.fields]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+
+        def rows() -> Iterator[tuple]:
+            import datetime as _dt
+
+            epoch = _dt.date(1970, 1, 1)
+            for pdf in batches:
+                pdf = pdf[names].copy()
+                for c in ts_cols:  # timestamp-micros logical (null-safe)
+                    pdf[c] = [
+                        None if pd.isna(v) else int(pd.Timestamp(v).value // 1000)
+                        for v in pdf[c]
+                    ]
+                for c in date_cols:  # days since epoch (null-safe)
+                    pdf[c] = [
+                        None if pd.isna(v) else (v - epoch).days
+                        for v in pdf[c]
+                    ]
+                for row in pdf.itertuples(index=False, name=None):
+                    yield tuple(
+                        None if v is None or v is pd.NaT or (
+                            isinstance(v, float) and np.isnan(v)
+                        ) else v
+                        for v in row
+                    )
+
+        n = write_ocf(path, avsc, rows())
+        if n == 0:
+            os.remove(path)  # empty partition → no file
+        yield pd.DataFrame({"path": [path], "records": [n]})
+
+    report = df.mapInPandas(encode, "path string, records long").collect()
+    return sum(1 for r in report if r["records"] > 0)
+
+
+def read_avro_dataset(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Distributed Avro source: decode every ``*.avro`` file under
+    ``path`` (a directory or a single file) on executors. The declared
+    ``schema`` drives type coercion (timestamp/date logical types)."""
+    import pandas as pd
+
+    files = (
+        sorted(
+            os.path.join(path, fn)
+            for fn in os.listdir(path)
+            if fn.endswith(".avro")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    names = [f.name for f in schema.fields]
+    ts_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, TimestampType)
+    ]
+    date_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, DateType)
+    ]
+    paths_df = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(min(len(files), 32))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                avsc, rows = read_ocf(p)
+                got = [f["name"] for f in avsc["fields"]]
+                out = pd.DataFrame(rows, columns=got)
+                missing = [c for c in names if c not in got]
+                for c in missing:
+                    out[c] = None
+                out = out[names]
+                for c in ts_cols:
+                    out[c] = [
+                        None if v is None else pd.Timestamp(int(v) * 1000)
+                        for v in out[c]
+                    ]
+                for c in date_cols:
+                    import datetime as _dt
+
+                    out[c] = [
+                        None
+                        if v is None
+                        else _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+                        for v in out[c]
+                    ]
+                yield out
+
+    return paths_df.mapInPandas(decode, schema)

@@ -140,3 +140,57 @@ except ImportError:  # pragma: no cover - Spark 3.x fallback
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
         )
+
+
+# ---------------------------------------------------------------------------
+# Equivalence twin: the SAME per-type running (count, total, max) state
+# machine expressed with applyInPandasWithState. Two purposes:
+# (1) in protobuf-less images (this one) it is the runnable proof the
+#     type-stats semantics hold — the pytest matrix cell stays green
+#     instead of skipping; (2) where protobuf IS present, the test runs
+#     BOTH paths and asserts they agree, an equivalence gate between
+#     Spark's two arbitrary-state APIs.
+# ---------------------------------------------------------------------------
+TYPE_STATS_OUTPUT = (
+    "event_type string, n_events long, total_value double, max_value double"
+)
+_TYPE_STATS_STATE = "n long, total double, vmax double"
+
+
+def _update_type_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total, vmax = (
+        state.get if state.exists else (0, 0.0, float("-inf"))
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        vmax = max(vmax, float(pdf["value"].max()))
+    state.update((n, total, vmax))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [vmax],
+        }
+    )
+
+
+def running_type_stats_aip(events: DataFrame) -> DataFrame:
+    """``running_type_stats`` re-expressed on applyInPandasWithState —
+    identical keying, state contents, and emitted schema."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_type_stats,
+        outputStructType=TYPE_STATS_OUTPUT,
+        stateStructType=_TYPE_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

