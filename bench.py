@@ -39,7 +39,39 @@ HEADLINE = [
     "s04_ann_ivf",
     "m02_multimodal_features",
     "t02_quality_score",
+    "w01_lake_ingest_compact_scan",  # write path (local, below)
 ]
+
+
+def w01_lake_ingest_compact_scan(spark, sf_dir: str):
+    """WRITE-PATH headline (r3 verdict #8): append lineitem in 4 chunks
+    to a fresh lake table (parquet write + footer-stat harvest + four
+    snapshot commits), bin-pack compact, then scan-aggregate. Each
+    invocation uses a fresh warehouse, so the timed run measures the
+    full ingest+maintenance+read cycle, not cached table state."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog, compact
+    from icebergplus_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    root = tempfile.mkdtemp(prefix="bench_wlake_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.w_lineitem", li.schema)
+    for m in range(4):
+        t.append(li.filter(F.col("l_orderkey") % 4 == m).repartition(8))
+    compact(t, target_file_size=256 * 1024 * 1024)
+    return t.scan().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("qty"),
+    )
+
+
+LOCAL_QUERIES = {"w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan}
 
 
 def main() -> None:
@@ -51,9 +83,8 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     def run(name: str) -> None:
-        registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        fn = LOCAL_QUERIES.get(name) or registry.QUERIES[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

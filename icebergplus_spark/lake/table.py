@@ -1914,6 +1914,63 @@ class LakeTable:
                 cur = log[idx - 1] if idx > 0 else None
         return list(reversed(chain))
 
+    def _tombstone_affected_paths(
+        self, delete_manifests: set[str], prev: dict[str, Any] | None
+    ) -> set[str]:
+        """Data-file paths the given delete manifests' tombstones can
+        reach. Position deletes carry their victim file URIs; equality
+        deletes are pruned to files whose manifest column stats
+        intersect the delete-key range AND whose birth respects the
+        delete's ``applies_before`` bound. Missing stats → keep
+        (conservative). Cost: O(tombstones + manifest entries), no data
+        file is read."""
+        if prev is None:
+            return set()
+        uris: set[str] = set()
+        eq_entries: list[dict[str, Any]] = []
+        for m in sorted(delete_manifests):
+            for e in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
+                if e["content"] == "position":
+                    t = pq.read_table(e["file_path"], columns=["file_path"])
+                    uris.update(set(t.column("file_path").to_pylist()))
+                else:
+                    eq_entries.append(e)
+        prev_paths = self._snapshot_paths(prev)
+        affected = {p for p in prev_paths if _as_uri(p) in uris}
+        if eq_entries:
+            births = self._file_births()
+            entries: list[dict[str, Any]] = []
+            for m in prev["manifests"]:
+                entries.extend(
+                    pq.read_table(os.path.join(self._meta_dir, m)).to_pylist()
+                )
+            for e in eq_entries:
+                cols = json.loads(e["equality_cols"])
+                kt = pq.read_table(e["file_path"], columns=cols)
+                ranges = {
+                    c: (min(kt.column(c).to_pylist()), max(kt.column(c).to_pylist()))
+                    for c in cols
+                    if kt.num_rows
+                }
+                for fe in entries:
+                    p = fe["file_path"]
+                    if p in affected or p not in prev_paths:
+                        continue
+                    if births.get(p, 0) > e["applies_before"]:
+                        continue  # born after the delete — exempt
+                    mins = json.loads(fe.get("column_mins") or "{}")
+                    maxs = json.loads(fe.get("column_maxs") or "{}")
+                    hit = True
+                    for c, (lo, hi) in ranges.items():
+                        if c in mins and c in maxs and (
+                            maxs[c] < lo or mins[c] > hi
+                        ):
+                            hit = False
+                            break
+                    if hit:
+                        affected.add(p)
+        return affected
+
     def scan_changelog(
         self, from_snapshot_id: int = 0, to_snapshot_id: int | None = None
     ) -> DataFrame:
@@ -1926,10 +1983,12 @@ class LakeTable:
 
         Cost model (the 100 TB contract): append commits read ONLY the
         appended files (no diffing); copy-on-write commits diff ONLY the
-        rewritten file set; pure merge-on-read delete commits diff full
-        snapshot state (scale upgrade: restrict to the files the new
-        tombstones reference). Compaction / manifest rewrites change no
-        logical rows and are skipped entirely."""
+        rewritten file set; merge-on-read delete commits diff ONLY the
+        files the new tombstones can reach (position deletes name their
+        victims; equality deletes prune by key-range ∩ manifest stats +
+        birth bound — ``_tombstone_affected_paths``). Compaction /
+        manifest rewrites change no logical rows and are skipped
+        entirely."""
         from functools import reduce
 
         from pyspark.sql import functions as _F
@@ -1970,8 +2029,16 @@ class LakeTable:
             dm_prev = set(prev.get("delete_manifests", [])) if prev else set()
             dm_added = set(s.get("delete_manifests", [])) - dm_prev
             if dm_added:
-                # new tombstones can hit ANY pre-existing file
-                pre_paths, post_paths = sorted(p_prev), sorted(p_s)
+                # Bounded MoR diff (r3 verdict #9): only files the NEW
+                # tombstones can actually hit are diffed — position
+                # deletes name their victim files outright; equality
+                # deletes are pruned by key-range ∩ file-stats and the
+                # birth bound. Untouched files would cancel in the
+                # exceptAll anyway; excluding them makes a delete
+                # commit's changelog O(affected files), not O(table).
+                affected = self._tombstone_affected_paths(dm_added, prev)
+                pre_paths = sorted((p_prev & affected) | (p_prev - p_s))
+                post_paths = sorted((p_s & affected) | (p_s - p_prev))
             else:
                 pre_paths = sorted(p_prev - p_s)
                 post_paths = sorted(p_s - p_prev)
