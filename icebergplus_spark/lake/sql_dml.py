@@ -237,16 +237,102 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     return "".join(segments)
 
 
+def _split_statements(sql: str) -> list[str]:
+    """Split a statement batch on ';' outside single-quoted literals."""
+    parts = re.split(rf"({_STR})", sql)
+    out, cur = [], []
+    for i, seg in enumerate(parts):
+        if i % 2:  # literal — never split inside
+            cur.append(seg)
+            continue
+        pieces = seg.split(";")
+        for j, piece in enumerate(pieces):
+            if j:
+                out.append("".join(cur).strip())
+                cur = []
+            cur.append(piece)
+    out.append("".join(cur).strip())
+    return [s for s in out if s]
+
+
 def lake_sql(catalog: LocalLakeCatalog, sql: str):
     """Execute one SQL statement against the catalog. SELECT/VALUES pass
     through to ``spark.sql``; DML routes onto LakeTable ops (see module
     docstring for the grammar). Returns the result DataFrame for reads,
-    the committed ``LakeTable`` for writes."""
+    the committed ``LakeTable`` for writes.
+
+    Statement batches wrapped in ``BEGIN [TRANSACTION]; ...; COMMIT``
+    run as ONE multi-table transaction (txn.py): every write statement
+    inside the block stages against its table and a single CAS makes
+    them all visible together — or none, if any statement fails. The
+    write subset inside a block: INSERT INTO/OVERWRITE, DELETE, UPDATE."""
     from pyspark.sql import functions as F
 
     spark = catalog.spark
     stmt = sql.strip().rstrip(";").strip()
-    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    # a batch's first token can be "BEGIN;" — split on ';' too
+    head = re.split(r"[;\s]", stmt, 1)[0].upper() if stmt else ""
+
+    if head == "BEGIN":
+        stmts = _split_statements(sql)
+        if not re.match(r"^BEGIN(\s+TRANSACTION)?$", stmts[0], re.IGNORECASE):
+            raise UnsupportedSQL("batch must start with BEGIN [TRANSACTION]")
+        if not stmts or stmts[-1].upper() != "COMMIT":
+            raise UnsupportedSQL("transaction batch must end with COMMIT")
+        txn = catalog.transaction()
+        for inner in stmts[1:-1]:
+            ihead = inner.split(None, 1)[0].upper()
+            if ihead == "INSERT":
+                m = re.match(
+                    rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s+(.+)$",
+                    inner,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not m:
+                    raise UnsupportedSQL(f"cannot parse INSERT: {inner[:80]!r}")
+                mode, ident, query = m.groups()
+                df = _align(
+                    spark.sql(
+                        _resolve_lake_tables(
+                            catalog, _rewrite_time_travel(catalog, query)
+                        )
+                    ),
+                    catalog.load_table(ident),
+                )
+                (txn.overwrite if mode.upper() == "OVERWRITE" else txn.append)(
+                    ident, df
+                )
+            elif ihead == "DELETE":
+                m = re.match(
+                    rf"^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
+                    inner,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not m:
+                    raise UnsupportedSQL("DELETE in a transaction needs WHERE")
+                txn.delete(m.group(1), _parse_where(m.group(2)))
+            elif ihead == "UPDATE":
+                m = re.match(
+                    rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+                    inner,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not m:
+                    raise UnsupportedSQL("UPDATE requires SET ... WHERE ...")
+                ident, sets, where = m.groups()
+                assignments: dict[str, Any] = {}
+                for term in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+                    col, _, expr = term.partition("=")
+                    if not expr:
+                        raise UnsupportedSQL(f"cannot parse SET term {term!r}")
+                    assignments[col.strip()] = F.expr(expr.strip())
+                txn.update_where(ident, _parse_where(where), assignments)
+            else:
+                raise UnsupportedSQL(
+                    f"statement {ihead!r} not allowed inside a transaction "
+                    "block (INSERT/DELETE/UPDATE only)"
+                )
+        return txn.commit()
 
     if head in ("SELECT", "VALUES", "WITH"):
         return spark.sql(
@@ -575,13 +661,13 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         #   COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
         m = re.match(
             rf"^COPY\s+INTO\s+({_IDENT})\s+FROM\s+({_STR})\s+"
-            rf"FILEFORMAT\s*=\s*(PARQUET|CSV|JSON)$",
+            rf"FILEFORMAT\s*=\s*(PARQUET|CSV|JSON|AVRO)$",
             stmt,
             re.IGNORECASE,
         )
         if not m:
             raise UnsupportedSQL(
-                "COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON"
+                "COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON|AVRO"
             )
         ident, path_lit, fmt = m.groups()
         path = path_lit[1:-1].replace("''", "'")
@@ -597,6 +683,25 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 )
             if fmt.upper() == "JSON":
                 return reader.schema(table.schema).json(paths)
+            if fmt.upper() == "AVRO":
+                # spec-native OCF codec (sources/avro_io.py) — no
+                # spark-avro in this image. Accepts a dir or file list.
+                import os as _os
+
+                from icebergplus_spark.sources.avro_io import (
+                    read_avro_dataset,
+                )
+
+                if isinstance(paths, list):
+                    frames = [
+                        read_avro_dataset(spark, p, table.schema)
+                        for p in paths
+                    ]
+                    out = frames[0]
+                    for f in frames[1:]:
+                        out = out.unionByName(f)
+                    return out
+                return read_avro_dataset(spark, paths, table.schema)
             return reader.parquet(*paths) if isinstance(paths, list) else reader.parquet(paths)
 
         # Idempotent replay: every COPY INTO commit records the exact
@@ -607,8 +712,24 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         loaded: set[str] = set()
         for s in table._meta["snapshots"]:
             loaded.update(json.loads(s["summary"].get("copy-into-files", "[]")))
-        candidate = read_files(path)
-        new_files = sorted(set(candidate.inputFiles()) - loaded)
+        if fmt.upper() == "AVRO":
+            # our codec reads via mapInPandas, so the file inventory
+            # comes from a listing, not Spark's inputFiles
+            import os as _os
+
+            all_files = (
+                sorted(
+                    _os.path.join(path, fn)
+                    for fn in _os.listdir(path)
+                    if fn.endswith(".avro")
+                )
+                if _os.path.isdir(path)
+                else [path]
+            )
+            new_files = sorted(set(all_files) - loaded)
+        else:
+            candidate = read_files(path)
+            new_files = sorted(set(candidate.inputFiles()) - loaded)
         if not new_files:
             return table
         df = read_files(new_files)

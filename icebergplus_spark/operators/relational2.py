@@ -1591,3 +1591,54 @@ def q132_lineage_through_compaction(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("_row_id").alias("sum_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — the CATALOG-SERVICE commit path under the oracle gate: the
+# same write→commit→compact→scan round trip as q108 (object store),
+# but commits are CASed through CatalogServiceCommitIO — a database
+# row transaction is the commit authority (the reference's actual
+# JdbcCatalog-over-H2 design, LocalIcebergCatalog.java:133-135), and
+# metadata files are a self-healing materialized cache. A hash match
+# proves the third commit strategy's lifecycle is lossless
+# driver-visibly, closing the strategy matrix (rename / object-store /
+# catalog-service) under the same gate.
+# ---------------------------------------------------------------------------
+@register(
+    "q134_lake_catalog_service_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_suppkey % 4 = 1
+GROUP BY l_returnflag
+""",
+)
+def q134_lake_catalog_service_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergplus_spark.lake import (
+        CatalogServiceCommitIO,
+        LocalLakeCatalog,
+        compact,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 4 == 1)
+    root = tempfile.mkdtemp(prefix="lake_catsvc_")
+    cat = LocalLakeCatalog(
+        spark, root, commit_io=CatalogServiceCommitIO()
+    ).start()
+    t = cat.create_table("bench.lineitem_svc", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(4))
+    compact(t, target_file_size=256 * 1024 * 1024)
+    return (
+        t.scan()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
+        )
+    )

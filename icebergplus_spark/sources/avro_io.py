@@ -356,6 +356,8 @@ def read_avro_dataset(
     ``schema`` drives type coercion (timestamp/date logical types)."""
     import pandas as pd
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no such avro path: {path}")
     files = (
         sorted(
             os.path.join(path, fn)

@@ -365,7 +365,7 @@ def test_optimize_restore_copy_into(cat, spark, tmp_path):
         == n_before_restore + 2
     )
     with pytest.raises(UnsupportedSQL):
-        lake_sql(cat, "COPY INTO db.t FROM '/x' FILEFORMAT = AVRO")
+        lake_sql(cat, "COPY INTO db.t FROM '/x' FILEFORMAT = XML")
     with pytest.raises(UnsupportedSQL):
         lake_sql(cat, "RESTORE TABLE db.t")
 
@@ -440,3 +440,84 @@ def test_lake_view_names_are_collision_free():
     from icebergplus_spark.lake.sql_dml import _lake_view_name
 
     assert _lake_view_name("db.x_y") != _lake_view_name("db_x.y")
+
+
+def test_sql_transaction_block_commits_atomically(spark, cat):
+    cat.create_table("db.t2", SCHEMA).append(
+        spark.createDataFrame([(50, "x", 0.5)], SCHEMA)
+    )
+    report = lake_sql(
+        cat,
+        """
+        BEGIN TRANSACTION;
+        INSERT INTO db.t VALUES (60, 'txn', 6.0);
+        INSERT OVERWRITE db.t2 SELECT k, name, score FROM db.t;
+        COMMIT
+        """,
+    )
+    assert set(report["tables"]) == {"db.t", "db.t2"}
+    assert (60, "txn", 6.0) in _rows(cat)
+    t2 = {
+        (r.k, r.name, r.score)
+        for r in cat.load_table("db.t2").scan().collect()
+    }
+    # reads inside the block see the PRE-transaction state (documented
+    # atomic-write semantics): t2 gets db.t as it stood before (60,...)
+    assert t2 == {(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)}
+
+
+def test_sql_transaction_block_aborts_together(spark, cat):
+    import pytest as _pytest
+
+    n0 = len(_rows(cat))
+    with _pytest.raises(Exception):
+        lake_sql(
+            cat,
+            """
+            BEGIN;
+            INSERT INTO db.t VALUES (70, 'won''t-land', 7.0);
+            INSERT INTO db.missing VALUES (1, 'x', 1.0);
+            COMMIT
+            """,
+        )
+    assert len(_rows(cat)) == n0  # first INSERT invisible too
+
+
+def test_sql_transaction_block_delete_update(spark, cat):
+    lake_sql(
+        cat,
+        """
+        BEGIN;
+        DELETE FROM db.t WHERE k >= 3;
+        UPDATE db.t SET score = score * 10 WHERE k = 1;
+        COMMIT
+        """,
+    )
+    assert _rows(cat) == [(1, "a", 10.0), (2, "b", 2.0)]
+
+
+def test_sql_transaction_block_rejects_reads(cat):
+    with pytest.raises(UnsupportedSQL, match="not allowed inside"):
+        lake_sql(cat, "BEGIN; SELECT * FROM db.t; COMMIT")
+    with pytest.raises(UnsupportedSQL, match="end with COMMIT"):
+        lake_sql(cat, "BEGIN; DELETE FROM db.t WHERE k >= 3")
+
+
+def test_copy_into_avro(spark, cat, tmp_path):
+    from icebergplus_spark.sources.avro_io import write_avro_dataset
+
+    src = cat.load_table("db.t").scan().limit(2)
+    path = str(tmp_path / "avro_src")
+    write_avro_dataset(src, path)
+    n0 = lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+    lake_sql(cat, f"COPY INTO db.t FROM '{path}' FILEFORMAT = AVRO")
+    assert (
+        lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+        == n0 + 2
+    )
+    # idempotent replay, avro flavor
+    lake_sql(cat, f"COPY INTO db.t FROM '{path}' FILEFORMAT = AVRO")
+    assert (
+        lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
+        == n0 + 2
+    )
