@@ -340,6 +340,33 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
 
     if head == "CREATE":
+        # CTAS: CREATE TABLE t [PARTITIONED BY (cols)] AS <query> —
+        # schema inferred from the query, one create + one append commit
+        cm = re.match(
+            rf"^CREATE\s+TABLE\s+({_IDENT})\s*"
+            rf"(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s*)?AS\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            ident, part_cols, query = cm.groups()
+            if catalog.table_exists(ident):
+                raise UnsupportedSQL(f"table already exists: {ident}")
+            df = spark.sql(
+                _resolve_lake_tables(
+                    catalog, _rewrite_time_travel(catalog, query)
+                )
+            )
+            table = catalog.create_table(
+                ident,
+                df.schema,
+                partition_cols=(
+                    [c.strip() for c in part_cols.split(",")]
+                    if part_cols
+                    else None
+                ),
+            )
+            return table.append(df)
         m = re.match(
             rf"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.+)$",
             stmt,
@@ -347,12 +374,20 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
         if not m:
             raise UnsupportedSQL(
-                "CREATE supports views only (CREATE [OR REPLACE] VIEW ... AS "
-                "...); tables are created through the catalog API"
+                "CREATE supports CREATE TABLE ... AS <query> (CTAS) and "
+                "CREATE [OR REPLACE] VIEW ... AS ..."
             )
         replace, ident, body = m.groups()
         catalog.create_view(ident, body.strip(), replace=bool(replace))
         return catalog.load_view(ident)
+
+    if head == "TRUNCATE":
+        m = re.match(rf"^TRUNCATE\s+TABLE\s+({_IDENT})$", stmt, re.IGNORECASE)
+        if not m:
+            raise UnsupportedSQL("TRUNCATE TABLE <identifier>")
+        table = catalog.load_table(m.group(1))
+        # replace-commit with an empty frame: history stays time-travelable
+        return table.overwrite(spark.createDataFrame([], table.schema))
 
     if head == "DROP":
         m = re.match(rf"^DROP\s+VIEW\s+({_IDENT})$", stmt, re.IGNORECASE)

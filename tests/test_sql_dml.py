@@ -521,3 +521,33 @@ def test_copy_into_avro(spark, cat, tmp_path):
         lake_sql(cat, "SELECT COUNT(*) AS n FROM db.t").collect()[0]["n"]
         == n0 + 2
     )
+
+
+def test_ctas_and_truncate(spark, cat):
+    lake_sql(
+        cat,
+        "CREATE TABLE db.hi AS SELECT k, name, score * 2 AS dbl FROM db.t",
+    )
+    rows = sorted(
+        (r.k, r.name, r.dbl) for r in cat.load_table("db.hi").scan().collect()
+    )
+    assert rows == [(1, "a", 2.0), (2, "b", 4.0), (3, "c", 6.0)]
+    with pytest.raises(UnsupportedSQL, match="already exists"):
+        lake_sql(cat, "CREATE TABLE db.hi AS SELECT * FROM db.t")
+    lake_sql(cat, "TRUNCATE TABLE db.hi")
+    t = cat.load_table("db.hi")
+    assert t.scan().count() == 0
+    # truncation is a snapshot, not an erasure: time travel still works
+    prev = t.history()[-2]["snapshot_id"]
+    assert t.scan(snapshot_id=prev).count() == 3
+
+
+def test_ctas_partitioned(spark, cat):
+    lake_sql(
+        cat,
+        "CREATE TABLE db.part PARTITIONED BY (name) AS "
+        "SELECT k, name, score FROM db.t",
+    )
+    t = cat.load_table("db.part")
+    assert t.partition_cols == ["name"]
+    assert t.scan().count() == 3
