@@ -250,3 +250,239 @@ def q72_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_converted"),
         F.lit(n_viewers).cast("long").alias("n_viewers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — GAP-FILL + LOCF interpolation (timescale-style
+# time_bucket_gapfill): regularize each user's event history onto a
+# dense daily grid between their first and last active day — absent
+# days materialize with 0 events — and carry the last observed daily
+# value forward across the gaps. The grid comes from a per-user
+# sequence() explode (rows ∝ Σ user spans — never a calendar × users
+# cross join), and LOCF is the shared-syntax two-window trick (running
+# COUNT of non-nulls forms carry groups; MAX within group propagates
+# the value) instead of IGNORE NULLS, whose spelling differs between
+# engines. Scale: one groupBy, one explode-join, two windows — all
+# partitioned by user_id, no global window, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "q135_gap_fill_locf",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.day,
+         COALESCE(d.n_events, 0) AS n_events,
+         d.day_value
+  FROM grid g
+  LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+),
+grouped AS (
+  SELECT user_id, day, n_events, day_value,
+         COUNT(day_value) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS carry_grp
+  FROM joined
+)
+SELECT user_id,
+       CAST(day AS TIMESTAMP) AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       MAX(day_value) OVER (PARTITION BY user_id, carry_grp)
+         AS filled_value
+FROM grouped
+""",
+)
+def q135_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "day_value",
+    )
+    carry_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = joined.withColumn(
+        "carry_grp", F.count("day_value").over(carry_w)
+    )
+    return grouped.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        F.max("day_value")
+        .over(Window.partitionBy("user_id", "carry_grp"))
+        .alias("filled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — ordered-event FUNNEL (view → click → purchase): per user, the
+# canonical strictly-ordered conversion ladder — the first view, the
+# first click AFTER that view, the first purchase AFTER that click —
+# then one corpus-level summary row per funnel depth. Each step is a
+# conditional MIN aggregate over the user's events (three aggregates,
+# one shuffle on user_id); no self-join, no per-row Python — the shape
+# survives a 100 TB clickstream because work is one pass + one
+# user-keyed shuffle. Strict "after" ordering means a purchase before
+# the first click does not count (the funnel property).
+# ---------------------------------------------------------------------------
+@register(
+    "q136_event_funnel",
+    oracle="""
+WITH step1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+step2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN step1 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1
+  GROUP BY e.user_id
+),
+step3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN step2 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM step1
+UNION ALL
+SELECT 2, 'click', COUNT(*) FROM step2
+UNION ALL
+SELECT 3, 'purchase', COUNT(*) FROM step3
+""",
+)
+def q136_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        t1.agg(
+            F.lit(1).alias("step"),
+            F.lit("view").alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        t2.agg(
+            F.lit(2).alias("step"),
+            F.lit("click").alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        t3.agg(
+            F.lit(3).alias("step"),
+            F.lit("purchase").alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q137 — COHORT RETENTION: users are cohorted by the WEEK of their
+# first event; each (cohort week, weeks-since) cell counts the cohort
+# members active that many weeks later. Two shuffles total (first-seen
+# per user, then cohort-cell distinct count) — the standard retention
+# matrix at clickstream scale. Weeks are epoch-based (floor of
+# epoch-days / 7) so both engines bucket identically with no
+# locale/week-start dependence.
+# ---------------------------------------------------------------------------
+@register(
+    "q137_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(CAST(MIN(ts) AS TIMESTAMP)) / 604800) AS BIGINT)
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(FLOOR(EPOCH(CAST(e.ts AS TIMESTAMP)) / 604800) AS BIGINT)
+           - f.cohort_week AS weeks_since
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, weeks_since,
+       COUNT(*) AS n_active
+FROM activity
+GROUP BY cohort_week, weeks_since
+""",
+)
+def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / 604800).cast("bigint")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            (F.unix_timestamp("first_ts") / 604800)
+            .cast("bigint")
+            .alias("cohort_week"),
+        )
+    )
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
