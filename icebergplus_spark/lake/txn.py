@@ -160,8 +160,8 @@ class LakeTransaction:
             raise KeyError(f"no such table: {identifier}")
         self._ops.append((identifier, op, args, kwargs))
 
-    def append(self, identifier: str, df) -> None:
-        self._op(identifier, "append", df)
+    def append(self, identifier: str, df, **kwargs) -> None:
+        self._op(identifier, "append", df, **kwargs)
 
     def overwrite(self, identifier: str, df) -> None:
         self._op(identifier, "overwrite", df)

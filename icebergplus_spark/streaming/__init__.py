@@ -8,6 +8,7 @@ from icebergplus_spark.streaming.pipelines import (
     read_events_stream,
     session_windows,
     sliding_counts,
+    stream_fanout_to_lake,
     stream_replicate_lake,
     stream_to_lake,
     stream_upsert_to_lake,
@@ -22,6 +23,7 @@ __all__ = [
     "session_windows",
     "dedup_stream",
     "stream_to_lake",
+    "stream_fanout_to_lake",
     "stream_upsert_to_lake",
     "stream_replicate_lake",
     "read_lake_stream",

@@ -334,3 +334,56 @@ def stream_replicate_lake(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_fanout_to_lake(
+    stream: DataFrame,
+    catalog,
+    routes: dict,
+    checkpoint_dir: str,
+    query_name: str = "fanout_to_lake",
+):
+    """Micro-batch fan-out to SEVERAL lake tables with CROSS-TABLE
+    atomicity: each batch's per-table slices (``routes``: identifier →
+    transform, or None for pass-through) commit through ONE
+    ``catalog.transaction()`` — readers see every table advanced by the
+    batch or none of them. The medallion split (raw to bronze, cleaned
+    to silver) where downstream joins must never observe one side ahead
+    of the other.
+
+    Exactly-once under foreachBatch's at-least-once replay: the batch-id
+    watermark is recorded on every participating table inside the same
+    transaction, so after a crash either ALL tables carry the batch id
+    (skip the replay) or NONE do (the aborted staging is invisible —
+    txn.py — and the replay commits cleanly).
+    """
+    sid = _sink_id(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tables = {i: catalog.load_table(i) for i in routes}
+        if batch_id <= max(
+            _last_committed_batch(t, sid) for t in tables.values()
+        ):
+            return  # replayed batch — already committed atomically
+        txn = catalog.transaction()
+        for ident, transform in routes.items():
+            out = transform(batch_df) if transform is not None else batch_df
+            txn.append(
+                ident,
+                out,
+                extra_summary={
+                    "streaming-sink-id": sid,
+                    "streaming-batch-id": batch_id,
+                },
+            )
+        txn.commit()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

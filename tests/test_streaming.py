@@ -335,3 +335,69 @@ def test_stream_to_lake_replay_is_exactly_once(spark, tmp_path):
     t.refresh()
     assert t.scan().count() == n  # no duplicates
     assert len(t._meta["snapshots"]) == n_snaps  # no extra commits
+
+
+def test_stream_fanout_to_lake_atomic_multi_table(spark, events_dir, tmp_path):
+    """Cross-table atomic micro-batches: raw and errors-only slices of
+    each batch land through one transaction; final tables must match
+    the batch equivalents, snapshot counts must agree, and every
+    participating snapshot must carry the same batch-id watermark."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming import EVENTS_SCHEMA, stream_fanout_to_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whf")).start()
+    schema = _parse_datatype_string(EVENTS_SCHEMA)
+    cat.create_table("db.bronze", schema)
+    cat.create_table("db.errors", schema)
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = stream_fanout_to_lake(
+        stream,
+        cat,
+        {
+            "db.bronze": None,
+            "db.errors": lambda df: df.filter(F.col("event_type") == "error"),
+        },
+        str(tmp_path / "ckptf"),
+    )
+    q.awaitTermination(120)
+    batch = spark.read.parquet(events_dir)
+    bronze = cat.load_table("db.bronze")
+    errors = cat.load_table("db.errors")
+    assert bronze.scan().count() == batch.count()
+    assert (
+        errors.scan().count()
+        == batch.filter(F.col("event_type") == "error").count()
+    )
+    # atomicity bookkeeping: both tables advanced in lockstep, same
+    # batch ids, every snapshot carries the fanout watermark
+    b_ids = sorted(
+        int(s["summary"]["streaming-batch-id"]) for s in bronze.history()
+    )
+    e_ids = sorted(
+        int(s["summary"]["streaming-batch-id"]) for s in errors.history()
+    )
+    assert b_ids == e_ids and len(b_ids) >= 2
+
+
+def test_stream_fanout_replay_is_skipped(spark, events_dir, tmp_path):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming import EVENTS_SCHEMA, stream_fanout_to_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whr")).start()
+    schema = _parse_datatype_string(EVENTS_SCHEMA)
+    cat.create_table("db.a", schema)
+    cat.create_table("db.b", schema)
+    ckpt = str(tmp_path / "ckptr")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    routes = {"db.a": None, "db.b": None}
+    stream_fanout_to_lake(stream, cat, routes, ckpt).awaitTermination(120)
+    n = cat.load_table("db.a").scan().count()
+    # replay the whole stream against the SAME checkpoint: no-op
+    stream2 = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stream_fanout_to_lake(stream2, cat, routes, ckpt).awaitTermination(120)
+    assert cat.load_table("db.a").scan().count() == n
+    assert cat.load_table("db.b").scan().count() == n
