@@ -157,3 +157,66 @@ def test_distributed_dataset_many_partitions(spark, tmp_path):
     back = read_avro_dataset(spark, out, df.schema)
     assert back.count() == 10000
     assert back.agg(F.sum("k")).collect()[0][0] == 10000 * 9999 // 2
+
+
+def test_property_roundtrip_random_values(tmp_path):
+    """Hypothesis: any combination of supported values survives the
+    codec bit-for-bit (pure codec test — no Spark in the loop)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "b", "type": ["null", "boolean"]},
+            {"name": "raw", "type": ["null", "bytes"]},
+        ],
+    }
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    doubles = st.one_of(
+        st.floats(allow_nan=False),
+        st.just(float("inf")),
+        st.just(float("-inf")),
+    )
+    rows_strategy = st.lists(
+        st.tuples(
+            longs,
+            st.none() | st.text(max_size=40),
+            st.none() | doubles,
+            st.none() | st.booleans(),
+            st.none() | st.binary(max_size=64),
+        ),
+        max_size=50,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        counter[0] += 1
+        path = str(tmp_path / f"prop{counter[0]}.avro")
+        write_ocf(path, avsc, iter(rows))
+        _schema, back = read_ocf(path)
+        assert back == rows
+
+    check()
+
+
+def test_zigzag_varint_extremes(tmp_path):
+    """int64 boundary values encode/decode exactly (the spec's zigzag
+    edge cases)."""
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    vals = [0, -1, 1, 2**62, -(2**62), 2**63 - 1, -(2**63), 127, -128]
+    path = str(tmp_path / "edge.avro")
+    write_ocf(path, avsc, iter([(v,) for v in vals]))
+    _s, rows = read_ocf(path)
+    assert [r[0] for r in rows] == vals

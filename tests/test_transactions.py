@@ -244,3 +244,46 @@ def test_empty_txn_is_noop(spark, tmp_path):
     report = cat.transaction().commit()
     assert report["tables"] == []
     assert _counts(cat) == (1, 1)
+
+
+def test_concurrent_txns_disjoint_tables_both_commit(spark, tmp_path):
+    """Two transactions over DISJOINT table sets interleave their
+    stage/publish phases freely — both must commit."""
+    cat = _mk(spark, tmp_path)
+    cat.create_table("db.c", SCHEMA).append(_df(spark, [(1, "c0")]))
+    cat.create_table("db.d", SCHEMA).append(_df(spark, [(1, "d0")]))
+    t1 = cat.transaction()
+    t1.append("db.fact", _df(spark, [(2, "f1")]))
+    t1.append("db.dim", _df(spark, [(2, "d1")]))
+    t2 = cat.transaction()
+    t2.append("db.c", _df(spark, [(2, "c1")]))
+    t2.append("db.d", _df(spark, [(2, "d2")]))
+    # interleave: begin1, begin2, stage1, stage2, publish2, publish1
+    t1._begin(), t2._begin()
+    t1._stage_all(), t2._stage_all()
+    t2._publish(), t1._publish()
+    assert _counts(cat) == (2, 2)
+    assert cat.load_table("db.c").scan().count() == 2
+    assert cat.load_table("db.d").scan().count() == 2
+
+
+def test_concurrent_txns_overlapping_table_second_backs_off(spark, tmp_path):
+    """Two transactions staging the SAME table: the second hits the
+    first's in-flight write intent and aborts cleanly; the first still
+    commits; the table never loses either its pre-state or txn1's
+    write."""
+    cat = _mk(spark, tmp_path)
+    t1 = cat.transaction()
+    t1.append("db.fact", _df(spark, [(2, "f1")]))
+    t1._begin()
+    t1._stage_all()
+    t2 = cat.transaction()
+    t2.append("db.fact", _df(spark, [(3, "g1")]))
+    with pytest.raises(ConcurrentCommitError):
+        t2.commit()
+    # the failed commit() aborted txn2 via its own final CAS
+    assert t2._state == "aborted"
+    t1._publish()
+    assert _counts(cat) == (2, 1)
+    rows = {r.v for r in cat.load_table("db.fact").scan().collect()}
+    assert rows == {"f0", "f1"}  # txn1 landed, txn2 never did
