@@ -351,12 +351,16 @@ def q135_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q136 — ordered-event FUNNEL (view → click → purchase): per user, the
 # canonical strictly-ordered conversion ladder — the first view, the
 # first click AFTER that view, the first purchase AFTER that click —
-# then one corpus-level summary row per funnel depth. Each step is a
-# conditional MIN aggregate over the user's events (three aggregates,
-# one shuffle on user_id); no self-join, no per-row Python — the shape
-# survives a 100 TB clickstream because work is one pass + one
-# user-keyed shuffle. Strict "after" ordering means a purchase before
-# the first click does not count (the funnel property).
+# then one corpus-level summary row per funnel depth. ONE user-keyed
+# window pass computes every step: a running conditional MIN carries
+# "first view so far" onto each event, a second running MIN carries
+# "first qualifying click so far", and the per-user groupBy lands on
+# the SAME partitioning (no second exchange). Strict `<` comparisons
+# make tie timestamps behave identically to the oracle's `ts > t1`
+# regardless of intra-tie window order. The naive form is three
+# join-back rounds (8 exchanges); this is one shuffle + one reused
+# partitioning — the difference between one clickstream pass and four
+# at 100 TB.
 # ---------------------------------------------------------------------------
 @register(
     "q136_event_funnel",
@@ -387,46 +391,45 @@ SELECT 3, 'purchase', COUNT(*) FROM step3
 def q136_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    # running "first view so far" on every event of the user
+    rv = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "first_view", rv
     )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    # a click qualifies only strictly after the first view; carry the
+    # running first qualifying click the same way
+    click_ok = F.when(
+        (F.col("event_type") == "click") & (F.col("first_view") < F.col("ts")),
+        F.col("ts"),
     )
-    rows = [
-        t1.agg(
-            F.lit(1).alias("step"),
-            F.lit("view").alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
-        ),
-        t2.agg(
-            F.lit(2).alias("step"),
-            F.lit("click").alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
-        ),
-        t3.agg(
-            F.lit(3).alias("step"),
-            F.lit("purchase").alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    staged = staged.withColumn("first_click", F.min(click_ok).over(w))
+    purchase_ok = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("first_click") < F.col("ts")),
+        F.col("ts"),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.min(click_ok).alias("t2"),
+        F.min(purchase_ok).alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    ).selectExpr(
+        "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3) "
+        "AS (step, event_type, n_users)"
+    ).select(
+        "step", "event_type", F.col("n_users").cast("long").alias("n_users")
+    )
 
 
 # ---------------------------------------------------------------------------
