@@ -1329,6 +1329,32 @@ class LakeTable:
             d = self._read_physical(mat_paths, with_meta=True, extra_fields=extra)
             if snap.get("delete_manifests"):
                 d = self._apply_deletes(d, snap, mat_paths)
+            # Iceberg v3 inheritance rule: a NULL materialized cell means
+            # "assign at read from the file's committed first-row-id /
+            # birth" — how rewrites mint ids for INSERTED rows and stamp
+            # last-updated on UPDATED rows without any write-side
+            # coordination (carried rows keep their non-null values).
+            inh = self.spark.createDataFrame(
+                self._lineage_assignments(snap, mat_paths, all_paths),
+                "__inh_file string, __inh_first long, __inh_birth long",
+            )
+            d = (
+                d.join(_F.broadcast(inh), d["__file"] == inh["__inh_file"])
+                .withColumn(
+                    self.LINEAGE_ID_COL,
+                    _F.coalesce(
+                        _F.col(self.LINEAGE_ID_COL),
+                        _F.col("__inh_first") + _F.col("__pos"),
+                    ),
+                )
+                .withColumn(
+                    self.LINEAGE_BIRTH_COL,
+                    _F.coalesce(
+                        _F.col(self.LINEAGE_BIRTH_COL), _F.col("__inh_birth")
+                    ),
+                )
+                .drop("__inh_file", "__inh_first", "__inh_birth")
+            )
             pieces.append(d.drop("__file", "__pos"))
         out = pieces[0]
         for d in pieces[1:]:
@@ -1350,14 +1376,17 @@ class LakeTable:
         - ``_last_updated_snapshot_id``: the snapshot that wrote the
           row (its original birth, carried through rewrites).
 
-        Stability contract: ids survive appends, position/equality MoR
-        deletes, CoW removal of other files, branch/tag reads, time
-        travel, AND compaction (``compact()`` carries each row's id and
-        birth into the rewritten files — Iceberg v3 materialized
-        lineage). Rows themselves rewritten by CoW delete/update/merge
-        get new ids, like a row UPDATE does. Tables created before
+        Stability contract (full Iceberg v3 semantics): ids survive
+        appends, position/equality MoR deletes, branch/tag reads, time
+        travel, compaction, CoW DELETE (survivors in rewritten files
+        keep their ids), CoW UPDATE and upsert ``merge`` (updated rows
+        KEEP their id; their ``_last_updated_snapshot_id`` bumps to the
+        rewrite snapshot via the NULL-cell inheritance rule — a NULL
+        materialized lineage cell resolves at read to the file's
+        committed first-row-id / birth, so inserts mint fresh unique
+        ids with zero write-side coordination). Tables created before
         commit-time allocation existed derive ids with the legacy
-        (birth, path)-cumulative rule, where compaction re-ids."""
+        (birth, path)-cumulative rule, where rewrites re-id."""
         from pyspark.sql import functions as _F
 
         snap = self.snapshot(snapshot_id)
@@ -2139,14 +2168,36 @@ class LakeTable:
         pkey = mapping.get(key, key)
         new_entries: list[dict[str, Any]] = []
         out_dir = os.path.join(self.table_dir, "data", f"merge-{uuid.uuid4().hex}")
+        # Row lineage (Iceberg v3): carried rows keep (id, birth);
+        # incoming MATCHED rows are updates — they inherit the replaced
+        # row's id with a NULL birth (resolved at read to this merge's
+        # snapshot = last-updated); NEW keys get NULL ids minted by the
+        # read-side inheritance rule from the file's first-row-id.
+        carry_lineage = bool(affected) and "row_id_assignments" in self._meta
         if affected:
-            # _read_live: apply MOR tombstones so deleted rows don't
-            # resurrect through the rewrite
-            existing = self._read_live(sorted(affected_paths), self.snapshot())
+            if carry_lineage:
+                existing = self._lineage_frame(
+                    self.snapshot(), sorted(affected_paths)
+                )
+            else:
+                # _read_live: apply MOR tombstones so deleted rows don't
+                # resurrect through the rewrite
+                existing = self._read_live(
+                    sorted(affected_paths), self.snapshot()
+                )
             keep = existing.join(
                 incoming.select(pkey), on=pkey, how="left_anti"
             )
-            merged = keep.unionByName(incoming)
+            inc = incoming
+            if carry_lineage:
+                old_ids = (
+                    existing.groupBy(pkey)
+                    .agg(_F.min(self.LINEAGE_ID_COL).alias(self.LINEAGE_ID_COL))
+                )
+                inc = incoming.join(old_ids, on=pkey, how="left").withColumn(
+                    self.LINEAGE_BIRTH_COL, _F.lit(None).cast("long")
+                )
+            merged = keep.unionByName(inc)
         else:
             merged = incoming
         merged, pcols = self._apply_partition_transforms(merged)
@@ -2170,6 +2221,9 @@ class LakeTable:
             new_entries,
             t0,
             delete_manifests=snap.get("delete_manifests", []) if snap else [],
+            lineage_files=(
+                [e["file_path"] for e in new_entries] if carry_lineage else None
+            ),
         )
         return self
 
@@ -2360,8 +2414,17 @@ class LakeTable:
             from pyspark.sql import functions as _F
 
             mapping = self._column_mapping
-            # _read_live: MOR tombstones must not resurrect in the rewrite
-            df = self._read_live(sorted(affected_paths), self.snapshot())
+            snap_now = self.snapshot()
+            # survivor rows KEEP their row ids through the rewrite
+            # (Iceberg v3): read id-annotated when the table allocates
+            # ids, and the rewritten files carry them materialized
+            carry_lineage = "row_id_assignments" in self._meta
+            if carry_lineage:
+                # (also applies MOR tombstones, like _read_live)
+                df = self._lineage_frame(snap_now, sorted(affected_paths))
+            else:
+                # _read_live: MOR tombstones must not resurrect in the rewrite
+                df = self._read_live(sorted(affected_paths), snap_now)
             # keep rows that do NOT match the conjunction of predicates
             keep_cond = _F.lit(False)
             for col, (op, val) in predicates.items():
@@ -2393,6 +2456,11 @@ class LakeTable:
             new_entries,
             t0,
             delete_manifests=snap.get("delete_manifests", []) if snap else [],
+            lineage_files=(
+                [e["file_path"] for e in new_entries]
+                if affected and "row_id_assignments" in self._meta
+                else None
+            ),
         )
         return self
 
@@ -2486,11 +2554,28 @@ class LakeTable:
         affected_paths = {f["file_path"] for f in affected}
         untouched = [f for f in all_files if f["file_path"] not in affected_paths]
         mapping = self._column_mapping
+        # Row lineage through the rewrite (Iceberg v3): carried rows
+        # keep (id, birth); UPDATED rows keep their id but get a NULL
+        # birth cell, which the read-side inheritance rule resolves to
+        # this rewrite's snapshot — _last_updated_snapshot_id semantics
+        # with zero write-side coordination.
+        carry_lineage = "row_id_assignments" in self._meta
+        lin_cols = [self.LINEAGE_ID_COL, self.LINEAGE_BIRTH_COL]
         # rewrite in LOGICAL space (assignments reference logical names),
         # then map back to physical so renames stay metadata-only
-        logical = self._read_live(sorted(affected_paths), self.snapshot()).select(
-            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
-        )
+        if carry_lineage:
+            logical = self._lineage_frame(
+                self.snapshot(), sorted(affected_paths)
+            ).select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields],
+                *lin_cols,
+            )
+        else:
+            logical = self._read_live(
+                sorted(affected_paths), self.snapshot()
+            ).select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+            )
         cond = _F.lit(True)
         for col, (op, val) in predicates.items():
             c = _F.col(col)
@@ -2513,11 +2598,22 @@ class LakeTable:
                 if f.name in assignments
                 else _F.col(f.name)
                 for f in self.schema.fields
-            ]
+            ],
+            *(
+                [
+                    _F.col(self.LINEAGE_ID_COL),
+                    _F.when(cond, _F.lit(None).cast("long"))
+                    .otherwise(_F.col(self.LINEAGE_BIRTH_COL))
+                    .alias(self.LINEAGE_BIRTH_COL),
+                ]
+                if carry_lineage
+                else []
+            ),
         )
-        self._enforce_constraints(updated)
+        self._enforce_constraints(updated.select(*[f.name for f in self.schema.fields]))
         phys = updated.select(
-            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields]
+            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields],
+            *(lin_cols if carry_lineage else []),
         )
         phys, pcols = self._apply_partition_transforms(phys)
         out_dir = os.path.join(self.table_dir, "data", f"update-{uuid.uuid4().hex}")
@@ -2541,6 +2637,9 @@ class LakeTable:
             new_entries,
             t0,
             delete_manifests=snap.get("delete_manifests", []) if snap else [],
+            lineage_files=(
+                [e["file_path"] for e in new_entries] if carry_lineage else None
+            ),
         )
         return self
 

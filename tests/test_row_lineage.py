@@ -151,3 +151,94 @@ def test_lineage_after_compaction_then_mor_delete(table):
     t.delete_where({"n_nationkey": ("=", 3)})
     after = _frame(t)
     assert after == {row for row in before if row[0] != 3}
+
+
+def test_cow_delete_survivors_keep_ids_in_rewritten_file(table):
+    """Partial-file CoW delete: the rewritten file carries the
+    SURVIVORS' original ids materialized (not re-derived), so deleting
+    neighbors never re-ids the rows that stayed."""
+    t, nation = table
+    t = t.append(nation)
+    before = _ids(t.scan_with_lineage())
+    t.delete({"n_nationkey": ("<", 7)})  # partial rewrite of the file
+    after = _ids(t.scan_with_lineage())
+    assert set(after) == {k for k in before if k >= 7}
+    for k, rid in after.items():
+        assert before[k] == rid
+
+
+def test_cow_update_keeps_id_and_bumps_last_updated(table):
+    """UPDATE (Iceberg v3): the updated row keeps its _row_id; its
+    _last_updated_snapshot_id becomes the update snapshot; untouched
+    rows in the SAME rewritten file keep both."""
+    import pyspark.sql.functions as _F
+
+    t, nation = table
+    t = t.append(nation)
+    before = {
+        r.n_nationkey: (r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+    t.update_where({"n_nationkey": ("=", 5)}, {"n_name": "UPDATED"})
+    upd_snap = t.current_snapshot_id
+    after = {
+        r.n_nationkey: (r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+    assert set(after) == set(before)
+    for k, (rid, birth) in after.items():
+        assert rid == before[k][0], f"id changed for {k}"
+        if k == 5:
+            assert birth == upd_snap  # last-updated bumped
+        else:
+            assert birth == before[k][1]  # untouched rows keep birth
+    # and the updated value actually landed
+    row = (
+        t.scan().filter(_F.col("n_nationkey") == 5).collect()[0]
+    )
+    assert row.n_name == "UPDATED"
+
+
+def test_lineage_survives_delete_then_compact(table):
+    from icebergplus_spark.lake import compact
+
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 12))
+    t = t.append(nation.filter(F.col("n_nationkey") >= 12))
+    t.delete({"n_nationkey": ("<", 3)})
+    before = _frame(t)
+    compact(t, target_file_size=256 * 1024 * 1024)
+    assert _frame(t) == before
+
+
+def test_cow_merge_updates_keep_ids_inserts_get_fresh(table):
+    """Single-clause upsert merge: matched keys keep their _row_id
+    (last-updated bumps to the merge snapshot); new keys mint fresh
+    unique ids; untouched carried rows keep everything."""
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 20))
+    before = {
+        r.n_nationkey: (r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+    upd = nation.filter(F.col("n_nationkey").isin(3, 4)).withColumn(
+        "n_name", F.lit("MERGED")
+    )
+    new = nation.filter(F.col("n_nationkey") == 23)
+    t.merge(upd.unionByName(new), key="n_nationkey")
+    msnap = t.current_snapshot_id
+    after = {
+        r.n_nationkey: (r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+    assert set(after) == set(before) | {23}
+    for k in before:
+        assert after[k][0] == before[k][0], f"id changed for {k}"
+        if k in (3, 4):
+            assert after[k][1] == msnap
+        else:
+            assert after[k][1] == before[k][1]
+    # fresh id is unique and the insert's last-updated is the merge snap
+    ids = [rid for rid, _ in after.values()]
+    assert len(ids) == len(set(ids))
+    assert after[23][1] == msnap
