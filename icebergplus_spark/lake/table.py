@@ -2309,13 +2309,27 @@ class LakeTable:
         src = source.select(
             *[_F.col(c).alias(f"src_{c}") for c in source.columns]
         ).withColumn("__s", _F.lit(True))
-        target = (
-            self._read_live(sorted(affected_paths), self.snapshot()).select(
-                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        # lineage through the rewrite (Iceberg v3): carried/updated rows
+        # keep ids; source-only inserts arrive with NULL lineage from
+        # the outer join and the read-side inheritance rule mints theirs
+        carry_lineage = bool(affected) and "row_id_assignments" in self._meta
+        if carry_lineage:
+            target = self._lineage_frame(
+                self.snapshot(), sorted(affected_paths)
+            ).select(
+                *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields],
+                self.LINEAGE_ID_COL,
+                self.LINEAGE_BIRTH_COL,
             )
-            if affected
-            else self.spark.createDataFrame([], self.schema)
-        ).withColumn("__t", _F.lit(True))
+        else:
+            target = (
+                self._read_live(sorted(affected_paths), self.snapshot()).select(
+                    *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+                )
+                if affected
+                else self.spark.createDataFrame([], self.schema)
+            )
+        target = target.withColumn("__t", _F.lit(True))
         join_cond = _F.lit(True)
         for c in keys:
             join_cond = join_cond & (_F.col(c) == _F.col(f"src_{c}"))
@@ -2367,11 +2381,30 @@ class LakeTable:
             result = result.filter(~bys_gate)
         # unmatched-source rows with insert disabled are gone; matched &
         # target-only rows keep/compute target columns
-        result = result.select(*out_cols)
-        self._enforce_constraints(result)
+        if carry_lineage:
+            # updated rows: keep id, NULL the birth cell so the read
+            # resolves _last_updated to THIS merge's snapshot
+            birth = _F.col(self.LINEAGE_BIRTH_COL)
+            if when_matched_update:
+                birth = _F.when(gate, _F.lit(None).cast("long")).otherwise(birth)
+            result = result.select(
+                *out_cols,
+                _F.col(self.LINEAGE_ID_COL),
+                birth.alias(self.LINEAGE_BIRTH_COL),
+            )
+        else:
+            result = result.select(*out_cols)
+        self._enforce_constraints(
+            result.select(*[f.name for f in self.schema.fields])
+        )
 
         phys = result.select(
-            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields]
+            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields],
+            *(
+                [self.LINEAGE_ID_COL, self.LINEAGE_BIRTH_COL]
+                if carry_lineage
+                else []
+            ),
         )
         phys, pcols = self._apply_partition_transforms(phys)
         out_dir = os.path.join(self.table_dir, "data", f"merge-{uuid.uuid4().hex}")
@@ -2395,6 +2428,9 @@ class LakeTable:
             new_entries,
             t0,
             delete_manifests=snap.get("delete_manifests", []) if snap else [],
+            lineage_files=(
+                [e["file_path"] for e in new_entries] if carry_lineage else None
+            ),
         )
         return self
 

@@ -242,3 +242,37 @@ def test_cow_merge_updates_keep_ids_inserts_get_fresh(table):
     ids = [rid for rid, _ in after.values()]
     assert len(ids) == len(set(ids))
     assert after[23][1] == msnap
+
+
+def test_merge_into_lineage_full_semantics(table):
+    """merge_into (multi-clause): updated rows keep ids and bump
+    last-updated; unmatched-target rows keep everything; inserted
+    source rows mint fresh ids."""
+    import pyspark.sql.functions as _F
+
+    t, nation = table
+    t = t.append(nation.filter(F.col("n_nationkey") < 20))
+    before = {
+        r.n_nationkey: (r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+    spark = nation.sparkSession
+    src = nation.filter(F.col("n_nationkey").isin(2, 3, 22))
+    t.merge_into(
+        src,
+        on="n_nationkey",
+        when_matched_update={"n_name": _F.upper(_F.col("src_n_name"))},
+        when_not_matched_insert=True,
+    )
+    msnap = t.current_snapshot_id
+    after = {
+        r.n_nationkey: (r._row_id, r._last_updated_snapshot_id)
+        for r in t.scan_with_lineage().collect()
+    }
+    assert set(after) == set(before) | {22}
+    for k in before:
+        assert after[k][0] == before[k][0]
+        assert after[k][1] == (msnap if k in (2, 3) else before[k][1])
+    ids = [rid for rid, _ in after.values()]
+    assert len(ids) == len(set(ids))
+    assert after[22][1] == msnap
