@@ -156,3 +156,99 @@ SELECT c_nationkey, 'n_customers',
 @register("q130_sql_unpivot", oracle=_Q130_ORACLE)
 def q130_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["customer"], _Q130_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# q138 — the round-4 SQL lifecycle under the oracle gate: a lake
+# warehouse driven ENTIRELY through lake_sql — CTAS from a session
+# view, a BEGIN/COMMIT multi-table transaction (INSERT + INSERT
+# OVERWRITE in one atomic flip), a second transaction that aborts
+# mid-batch (its first INSERT must be invisible too), then a joined
+# read over the catalog tables. A hash match proves the SQL frontend's
+# transactional statements produce exactly the state the oracle
+# computes — including NOT containing the aborted transaction's rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q138_sql_txn_lifecycle",
+    oracle="""
+WITH big AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_totalprice > 100000
+),
+fact AS (
+  SELECT * FROM big WHERE o_orderkey % 3 = 0
+),
+dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT d.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(f.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+GROUP BY d.c_mktsegment
+""",
+)
+def q138_sql_txn_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    prepare_session(spark)
+    register_views(spark, sf_dir, ["orders", "customer"])
+    cat = LocalLakeCatalog(spark, tempfile.mkdtemp(prefix="lake_sqltxn_")).start()
+
+    # CTAS from the session view
+    lake_sql(
+        cat,
+        "CREATE TABLE bench.big AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000",
+    )
+    lake_sql(
+        cat,
+        "CREATE TABLE bench.fact AS SELECT * FROM bench.big WHERE 1 = 0",
+    )
+    lake_sql(
+        cat,
+        "CREATE TABLE bench.dim AS "
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE 1 = 0",
+    )
+
+    # committed transaction: fact slice + dim replacement, one flip
+    lake_sql(
+        cat,
+        """
+        BEGIN TRANSACTION;
+        INSERT INTO bench.fact SELECT * FROM bench.big WHERE o_orderkey % 3 = 0;
+        INSERT OVERWRITE bench.dim
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0;
+        COMMIT
+        """,
+    )
+
+    # failed transaction: a valid INSERT is buffered, then the batch
+    # fails on a missing table — the buffered INSERT must never run
+    # (all-or-nothing; the staged-then-aborted window is q131's gate)
+    try:
+        lake_sql(
+            cat,
+            """
+            BEGIN;
+            INSERT INTO bench.fact SELECT * FROM bench.big WHERE o_orderkey % 3 = 1;
+            INSERT INTO bench.missing_table SELECT * FROM bench.big;
+            COMMIT
+            """,
+        )
+    except Exception:
+        pass
+
+    return lake_sql(
+        cat,
+        "SELECT d.c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(f.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) "
+        "  AS sum_price "
+        "FROM bench.fact f JOIN bench.dim d ON f.o_custkey = d.c_custkey "
+        "GROUP BY d.c_mktsegment",
+    )
