@@ -489,3 +489,72 @@ def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — SEQUENCE-MOTIF counting (MATCH_RECOGNIZE-lite): each user's
+# event history becomes an ordered symbol string (one char per event,
+# (ts, event_id)-ordered) and adjacent behavioral motifs — view→click
+# and click→purchase transitions — are counted per user by literal
+# pattern matching over the string. One groupBy builds the per-user
+# sequence (collect_list + sort_array keeps ordering deterministic
+# regardless of shuffle arrival; string length = the user's event
+# count, so per-group state is bounded by user activity, the same
+# bound every sessionizer carries). The oracle builds the identical
+# string with string_agg(ORDER BY) — identical REPLACE semantics make
+# the motif counts engine-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q139_sequence_motifs",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(LENGTH(seq) AS BIGINT) AS n_events,
+       CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'vc', ''))) / 2 AS BIGINT)
+         AS view_click,
+       CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'cp', ''))) / 2 AS BIGINT)
+         AS click_purchase
+FROM seqs
+""",
+)
+def q139_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("e")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+
+    def motif(pat: str):
+        return (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pat), F.lit(""))))
+            / 2
+        ).cast("bigint")
+
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        motif("vc").alias("view_click"),
+        motif("cp").alias("click_purchase"),
+    )

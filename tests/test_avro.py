@@ -220,3 +220,20 @@ def test_zigzag_varint_extremes(tmp_path):
     write_ocf(path, avsc, iter([(v,) for v in vals]))
     _s, rows = read_ocf(path)
     assert [r[0] for r in rows] == vals
+
+
+def test_schema_evolution_on_read(spark, tmp_path):
+    """Reader-schema resolution (Avro's schema-resolution rules, the
+    subset our typed readers need): files written under an OLD schema
+    read cleanly under a NEW one — added columns fill NULL, dropped
+    writer fields are ignored, field order is the reader's."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    out = str(tmp_path / "evo")
+    write_avro_dataset(old, out)
+    # reader ADDS a column and DROPS one, reordering the rest
+    new_schema = spark.createDataFrame(
+        [], "score double, k long"
+    ).schema
+    back = read_avro_dataset(spark, out, new_schema)
+    rows = sorted((r.k, r.score) for r in back.collect())
+    assert rows == [(1, None), (2, None)]
