@@ -197,6 +197,79 @@ def _harvest_footer(path: str) -> dict[str, Any]:
     }
 
 
+def _apply_partition_stats(
+    entry: dict[str, Any], seg_types: dict[str, str]
+) -> None:
+    """Fold Hive-path partition values into an entry's min==max stats
+    (pure function of (entry, seg_types) so it runs identically on the
+    driver and inside the distributed harvest tasks)."""
+    if not seg_types:
+        return
+    from urllib.parse import unquote
+
+    mins = json.loads(entry["column_mins"])
+    maxs = json.loads(entry["column_maxs"])
+    nulls = json.loads(entry.get("column_null_counts") or "{}")
+    for seg in entry["file_path"].split(os.sep):
+        if "=" not in seg:
+            continue
+        col, _, raw = seg.partition("=")
+        if col not in seg_types:
+            continue
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            mins.pop(col, None)
+            maxs.pop(col, None)
+            nulls[col] = entry["record_count"]
+            continue
+        val: Any = unquote(raw)
+        if seg_types[col] in ("int", "bigint", "smallint", "tinyint"):
+            val = int(val)
+        elif seg_types[col] in ("double", "float"):
+            val = float(val)
+        mins[col] = val
+        maxs[col] = val
+        nulls[col] = 0  # every row in the file carries this exact value
+    entry["column_mins"] = json.dumps(mins, default=str)
+    entry["column_maxs"] = json.dumps(maxs, default=str)
+    entry["column_null_counts"] = json.dumps(nulls)
+
+
+def _apply_entry_blooms(entry: dict[str, Any], bloom_cols: list[str]) -> None:
+    """Per-file bloom filters for the opted-in columns (pure function —
+    shared by the driver and distributed harvest paths)."""
+    if not bloom_cols:
+        return
+    import pyarrow.compute as pc
+
+    path = entry["file_path"]
+    pf = pq.ParquetFile(path)
+    file_cols = set(pf.schema_arrow.names)
+    mins = json.loads(entry["column_mins"])
+    maxs = json.loads(entry["column_maxs"])
+    blooms: dict[str, str] = {}
+    for col in bloom_cols:
+        if col in file_cols:
+            vals = pc.unique(
+                pq.read_table(path, columns=[col]).column(0)
+            ).to_pylist()
+            blooms[col] = _build_bloom_hex(vals)
+        elif col in mins and mins[col] == maxs[col]:
+            # identity-partition column: constant from the path
+            blooms[col] = _build_bloom_hex([mins[col]])
+    entry["column_blooms"] = json.dumps(blooms)
+
+
+def _harvest_entry(
+    path: str, seg_types: dict[str, str], bloom_cols: list[str]
+) -> dict[str, Any]:
+    """The complete per-file harvest, dependency-free of LakeTable so
+    executors can run it (footer stats + path partition stats + blooms)."""
+    entry = _harvest_footer(path)
+    _apply_partition_stats(entry, seg_types)
+    _apply_entry_blooms(entry, bloom_cols)
+    return entry
+
+
 class ConstraintViolation(ValueError):
     """A write produced rows that violate a table CHECK constraint."""
 
@@ -1630,21 +1703,85 @@ class LakeTable:
             ndv = {inverse.get(c, c): int(v) for c, v in obs.get.items()}
         except Exception:
             ndv = {}  # observation unavailable (e.g. empty plan) — stats are optional
+        paths = [
+            os.path.join(root, fn)
+            for root, _dirs, files in os.walk(snap_dir)
+            for fn in files
+            if fn.endswith(".parquet")
+        ]
         entries = []
-        for root, _dirs, files in os.walk(snap_dir):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    entry = self._harvest_data_file(os.path.join(root, fn))
-                    if entry["record_count"] == 0:
-                        # Spark occasionally emits a zero-row task file;
-                        # registering it bloats manifests and — having
-                        # no stats — defeats pruning. Drop it.
-                        os.remove(entry["file_path"])
-                        continue
-                    entries.append(entry)
+        for entry in self._harvest_data_files(paths):
+            if entry["record_count"] == 0:
+                # Spark occasionally emits a zero-row task file;
+                # registering it bloats manifests and — having
+                # no stats — defeats pruning. Drop it.
+                os.remove(entry["file_path"])
+                continue
+            entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(entries)
         return entries, ndv, manifest
+
+    def _harvest_data_files(self, paths: list[str]) -> list[dict[str, Any]]:
+        """Write-time stats for a batch of new files. Past the table
+        property ``write.stats-harvest.distributed-threshold`` (default
+        64 files) the footer reads fan out as a Spark job — one task
+        per slice of paths, running the SAME pure ``_harvest_entry``
+        the driver path uses — so ingest commit cost stays O(files /
+        cluster) instead of a driver-serial footer loop. (At 100 TB an
+        append lands thousands of files; the driver loop is the
+        honest-list shortcut this closes.)"""
+        if not paths:
+            return []
+        threshold = int(
+            self.properties.get("write.stats-harvest.distributed-threshold", "64")
+        )
+        if len(paths) <= threshold:
+            return [self._harvest_data_file(p) for p in paths]
+        import pandas as pd
+
+        seg_types = self._seg_types()
+        bloom_cols = list(self._meta.get("bloom_cols") or [])
+        out_schema = (
+            "file_path string, record_count long, file_size_bytes long, "
+            "column_mins string, column_maxs string, "
+            "column_null_counts string, column_blooms string"
+        )
+        pdf = self.spark.createDataFrame(
+            [(p,) for p in sorted(paths)], "path string"
+        ).repartition(
+            min(len(paths), self.spark.sparkContext.defaultParallelism)
+        )
+
+        def harvest(batches):
+            for b in batches:
+                rows = [
+                    _harvest_entry(p, seg_types, bloom_cols)
+                    for p in b["path"]
+                ]
+                yield pd.DataFrame(
+                    [
+                        {
+                            "file_path": e["file_path"],
+                            "record_count": e["record_count"],
+                            "file_size_bytes": e["file_size_bytes"],
+                            "column_mins": e["column_mins"],
+                            "column_maxs": e["column_maxs"],
+                            "column_null_counts": e["column_null_counts"],
+                            "column_blooms": e.get("column_blooms"),
+                        }
+                        for e in rows
+                    ]
+                )
+
+        collected = pdf.mapInPandas(harvest, out_schema).collect()
+        entries = []
+        for r in collected:
+            e = r.asDict()
+            if e.get("column_blooms") is None:
+                e.pop("column_blooms")
+            entries.append(e)
+        return entries
 
     def upsert(
         self,
@@ -2684,49 +2821,26 @@ class LakeTable:
         null counts, path-derived partition stats, and — for the
         table's opted-in ``bloom_cols`` — a per-file bloom filter built
         from the column's distinct values (one extra single-column read
-        of the file just written, still page-cache-hot; at 100 TB this
-        moves into the executor write path alongside the footer)."""
-        entry = _harvest_footer(path)
-        self._add_partition_stats(entry)
-        bloom_cols = self._meta.get("bloom_cols") or []
-        if bloom_cols:
-            import pyarrow.compute as pc
+        of the file just written, still page-cache-hot). The heavy
+        lifting is the pure ``_harvest_entry``, which the distributed
+        harvest (``_harvest_data_files``) ships to executors unchanged."""
+        return _harvest_entry(
+            path, self._seg_types(), self._meta.get("bloom_cols") or []
+        )
 
-            pf = pq.ParquetFile(path)
-            file_cols = set(pf.schema_arrow.names)
-            mins = json.loads(entry["column_mins"])
-            maxs = json.loads(entry["column_maxs"])
-            blooms: dict[str, str] = {}
-            for col in bloom_cols:
-                if col in file_cols:
-                    vals = pc.unique(
-                        pq.read_table(path, columns=[col]).column(0)
-                    ).to_pylist()
-                    blooms[col] = _build_bloom_hex(vals)
-                elif col in mins and mins[col] == maxs[col]:
-                    # identity-partition column: constant from the path
-                    blooms[col] = _build_bloom_hex([mins[col]])
-            entry["column_blooms"] = json.dumps(blooms)
-        return entry
-
-    def _add_partition_stats(self, entry: dict[str, Any]) -> None:
-        """Partition values live in the Hive-style path, not the footer:
-        parse them into min==max stats so partition pruning is just the
-        ordinary stats pruning (SURVEY.md §4 partition-pruning row).
-        Hidden transform columns (``_p_*``) get stats too — that's what
-        makes hidden partitioning prunable."""
+    def _seg_types(self) -> dict[str, str]:
+        """Partition path segment name → value type (empty when the
+        table is unpartitioned) — the driver-computed context the pure
+        harvest functions need."""
         spec = self.partition_spec
         if not spec:
-            return
-        from urllib.parse import unquote
-
+            return {}
         from icebergplus_spark.lake.transforms import field_name, partition_value_type
 
         mapping = self._column_mapping
         phys_types = {
             f.name: f.dataType.simpleString() for f in self.physical_schema.fields
         }
-        # seg name → value type for every partition path segment
         seg_types: dict[str, str] = {}
         for pf in spec:
             src_type = phys_types[mapping.get(pf["source"], pf["source"])]
@@ -2734,32 +2848,15 @@ class LakeTable:
                 seg_types[mapping.get(pf["source"], pf["source"])] = src_type
             else:
                 seg_types[field_name(pf)] = partition_value_type(pf, src_type)
-        mins = json.loads(entry["column_mins"])
-        maxs = json.loads(entry["column_maxs"])
-        nulls = json.loads(entry.get("column_null_counts") or "{}")
-        for seg in entry["file_path"].split(os.sep):
-            if "=" not in seg:
-                continue
-            col, _, raw = seg.partition("=")
-            if col not in seg_types:
-                continue
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                # null partition value: no usable min/max, all rows null
-                mins.pop(col, None)
-                maxs.pop(col, None)
-                nulls[col] = entry["record_count"]
-                continue
-            val: Any = unquote(raw)
-            if seg_types[col] in ("int", "bigint", "smallint", "tinyint"):
-                val = int(val)
-            elif seg_types[col] in ("double", "float"):
-                val = float(val)
-            mins[col] = val
-            maxs[col] = val
-            nulls[col] = 0  # every row in the file carries this exact value
-        entry["column_mins"] = json.dumps(mins, default=str)
-        entry["column_maxs"] = json.dumps(maxs, default=str)
-        entry["column_null_counts"] = json.dumps(nulls)
+        return seg_types
+
+    def _add_partition_stats(self, entry: dict[str, Any]) -> None:
+        """Partition values live in the Hive-style path, not the footer:
+        parse them into min==max stats so partition pruning is just the
+        ordinary stats pruning (SURVEY.md §4 partition-pruning row).
+        Hidden transform columns (``_p_*``) get stats too — that's what
+        makes hidden partitioning prunable."""
+        _apply_partition_stats(entry, self._seg_types())
 
     # -- table-level column statistics (Iceberg StatisticsFile parity) -----
     ANALYZE_APPROX_THRESHOLD = 10_000_000  # rows; above this 'auto' → approx
@@ -3270,7 +3367,15 @@ class LakeTable:
         """Scan planning with manifest stats pruning (newScan().planFiles
         parity, IntegrationTest.java:121-122). ``predicates`` maps column
         → (op, value) with op in <,<=,>,>=,= — files whose [min,max]
-        range can't satisfy the predicate are skipped. Emits ScanReport."""
+        range can't satisfy the predicate are skipped. Emits ScanReport.
+
+        Auto-scaling: when the snapshot's manifest entry count (read
+        from parquet footers — no data I/O) exceeds the table property
+        ``planning.distributed-threshold`` (default 100k entries), the
+        pruning runs as a Spark job over the manifest parquet
+        (``plan_files_distributed``, equivalence-tested) instead of on
+        the driver — a 100 TB table plans on executors without the
+        caller changing anything."""
         t_plan = time.time()
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -3280,12 +3385,22 @@ class LakeTable:
                 }, timers={"totalPlanningDuration": time.time() - t_plan})
             )
             return []
-        rows: list[dict[str, Any]] = []
-        for m in snap["manifests"]:
-            t = pq.read_table(os.path.join(self._meta_dir, m))
-            rows.extend(t.to_pylist())
-        phys_preds = self._physical_predicates(predicates)
-        kept = [r for r in rows if _file_matches(r, phys_preds)]
+        n_entries = sum(
+            pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
+            for m in snap["manifests"]
+        )
+        threshold = int(
+            self.properties.get("planning.distributed-threshold", "100000")
+        )
+        if n_entries > threshold:
+            kept = self.plan_files_distributed(predicates, snapshot_id)
+        else:
+            rows: list[dict[str, Any]] = []
+            for m in snap["manifests"]:
+                t = pq.read_table(os.path.join(self._meta_dir, m))
+                rows.extend(t.to_pylist())
+            phys_preds = self._physical_predicates(predicates)
+            kept = [r for r in rows if _file_matches(r, phys_preds)]
         n_delete_files = sum(
             pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
             for m in snap.get("delete_manifests", [])

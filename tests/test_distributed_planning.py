@@ -119,3 +119,47 @@ def test_distributed_planning_survives_rename(spark, tmp_path):
     drv = _paths(t.plan_files({"key": (">=", 200)}))
     dist = _paths(t.plan_files_distributed({"key": (">=", 200)}))
     assert drv == dist and 0 < len(dist) < 4
+
+
+def test_plan_files_auto_switches_to_distributed(spark, tmp_path, monkeypatch):
+    """plan_files delegates to the executor-side planner past the
+    manifest-entry threshold (table property), with identical results."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.table import LakeTable
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", StringType())]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.t", schema)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"r{j}") for j in range(10)], schema
+            ).coalesce(1)
+        )
+    driver_result = sorted(
+        f["file_path"] for f in t.plan_files({"k": (">=", 15)})
+    )
+
+    calls = []
+    orig = LakeTable.plan_files_distributed
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "plan_files_distributed", spy)
+    t.set_property("planning.distributed-threshold", "0")  # force switch
+    auto_result = sorted(
+        f["file_path"] for f in t.plan_files({"k": (">=", 15)})
+    )
+    assert calls, "distributed planner was not engaged"
+    assert auto_result == driver_result

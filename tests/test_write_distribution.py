@@ -177,3 +177,63 @@ def test_add_files_migrates_hive_partitioned_dataset(spark, tmp_path):
     # guard: exactly one of paths/base_dir
     with pytest.raises(ValueError, match="exactly one"):
         t2.add_files()
+
+
+def test_distributed_stats_harvest_equivalence(spark, tmp_path):
+    """Write-time footer harvest fans out as a Spark job past the
+    threshold; entries (stats, partition stats, blooms) must be
+    identical to the driver-serial path."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("grp", StringType()),
+            StructField("val", DoubleType()),
+        ]
+    )
+    rows = [(i, "ab"[i % 2], float(i)) for i in range(64)]
+
+    def build(root, threshold):
+        cat = LocalLakeCatalog(spark, root).start()
+        t = cat.create_table(
+            "db.t", schema, partition_cols=["grp"], bloom_cols=["k"]
+        )
+        t.set_property(
+            "write.stats-harvest.distributed-threshold", str(threshold)
+        )
+        t.refresh().append(
+            spark.createDataFrame(rows, schema).repartition(4), 
+        )
+        ents = []
+        for f in t.plan_files():
+            ents.append(
+                (
+                    _json.loads(f["column_mins"]),
+                    _json.loads(f["column_maxs"]),
+                    _json.loads(f["column_null_counts"]),
+                    f.get("column_blooms"),
+                    f["record_count"],
+                )
+            )
+        return sorted(map(repr, ents))
+
+    driver = build(str(tmp_path / "wh_driver"), threshold=10_000)
+    dist = build(str(tmp_path / "wh_dist"), threshold=0)
+    assert driver == dist
+    # pruning still works through the distributed-harvested stats
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_dist")).start()
+    t = cat.load_table("db.t")
+    assert len(t.plan_files({"k": ("=", 3)})) < len(t.plan_files())
+    assert t.scan().count() == 64
