@@ -362,3 +362,144 @@ def m04_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "chunk_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# m05 — PERCEPTUAL-HASH NEAR-DUP over media payloads: the multimodal
+# face of the dedup family. Each payload gets a 64-bit structural hash
+# (one bit per evenly-spaced sample position — the shape of a real
+# dHash/pHash, with the pixel decode behind the stub as everywhere in
+# this module; the deterministic stand-in samples raw payload bytes),
+# hashes are banded into 4×16-bit chunks (hamming-LSH — two hashes
+# within distance 6 share a chunk by pigeonhole), bucket-mates are
+# compared by bit_count(xor). No cross join; one shuffle to band, one
+# bucket self-join — d05's banding applied to binary media. The oracle
+# rebuilds every sampled byte, both 32-bit signature halves, the bands
+# and the hamming distances in DuckDB, so the whole Arrow pipeline is
+# hash-exact.
+# ---------------------------------------------------------------------------
+M05_BITS = 64
+M05_HAMMING_MAX = 6
+
+
+def _phash_worker(batches: Iterator, /):
+    """mapInPandas worker: deterministic fake perceptual hash — bit i is
+    the low bit of the payload byte at position floor(i*n/64). A real
+    pHash (DCT over decoded pixels) drops in behind decode_image."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        sigs = []
+        for b in pdf["payload"]:
+            b = bytes(b)
+            n = len(b)
+            if n == 0:
+                sigs.append(0)
+                continue
+            sig = 0
+            for i in range(M05_BITS):
+                pos = min(i * n // M05_BITS, n - 1)
+                sig |= (b[pos] & 1) << i
+            sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "phash": sigs}
+        )
+
+
+@register(
+    "m05_phash_neardup",
+    oracle="""
+WITH lens AS (
+  -- blob indexing via its hex string (2 chars per byte): this DuckDB
+  -- build has no substring(BLOB)
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         OCTET_LENGTH(CAST(text AS BLOB)) AS n
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b.range AS bit,
+         CASE WHEN n = 0 THEN 0 ELSE
+           CAST(('0x' || substring(hx,
+                CAST(LEAST(b.range * n // 64, n - 1) AS INTEGER) * 2 + 1, 2))
+             AS INTEGER) & 1
+         END AS v
+  FROM lens, range(64) b
+),
+sigs0 AS (
+  SELECT doc_id,
+         CAST(
+           CAST(SUM(CASE WHEN v = 1 AND bit >= 32
+                         THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS UBIGINT)
+             * 4294967296
+           + CAST(SUM(CASE WHEN v = 1 AND bit < 32
+                           THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS UBIGINT)
+           AS UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, c.range AS chunk_id,
+         CAST((sig >> CAST(16 * c.range AS UBIGINT)) & 65535 AS INTEGER) AS chunk_val
+  FROM sigs0, range(4) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+""",
+)
+def m05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    sigs = media.mapInPandas(_phash_worker, schema="doc_id bigint, phash bigint")
+    # band into 4×16-bit chunks (unsigned view of the signed long)
+    usig = F.conv(F.hex(F.col("phash")), 16, 10).cast("decimal(20,0)")
+    chunks = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * c)
+                        .bitwiseAND(F.lit(65535))
+                        .cast("int")
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "phash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("sig_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("sig_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("int")
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= M05_HAMMING_MAX
+    )
