@@ -692,6 +692,41 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
 
     if head == "COPY":
+        # export direction first (Trino/DuckDB COPY ... TO shape):
+        #   COPY (SELECT ...) TO '<path>' FILEFORMAT = PARQUET|CSV|JSON|AVRO
+        #   COPY db.t TO '<path>' FILEFORMAT = ...
+        em = re.match(
+            rf"^COPY\s+(\((.+)\)|{_IDENT})\s+TO\s+({_STR})\s+"
+            rf"FILEFORMAT\s*=\s*(PARQUET|CSV|JSON|AVRO)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if em:
+            src, inner_q, path_lit, fmt = em.groups()
+            out_path = path_lit[1:-1].replace("''", "'")
+            query = inner_q if inner_q else f"SELECT * FROM {src}"
+            df = spark.sql(
+                _resolve_lake_tables(
+                    catalog, _rewrite_time_travel(catalog, query)
+                )
+            )
+            fmt = fmt.upper()
+            if fmt == "AVRO":
+                from icebergplus_spark.sources.avro_io import (
+                    write_avro_dataset,
+                )
+
+                write_avro_dataset(df, out_path)
+            elif fmt == "CSV":
+                df.write.mode("overwrite").option("header", "true").csv(out_path)
+            elif fmt == "JSON":
+                df.write.mode("overwrite").json(out_path)
+            else:
+                df.write.mode("overwrite").parquet(out_path)
+            return spark.createDataFrame(
+                [(out_path, fmt, df.count())],
+                "path string, format string, rows long",
+            )
         # Databricks-style idempotent file ingest:
         #   COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
         m = re.match(

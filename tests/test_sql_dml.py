@@ -551,3 +551,26 @@ def test_ctas_partitioned(spark, cat):
     t = cat.load_table("db.part")
     assert t.partition_cols == ["name"]
     assert t.scan().count() == 3
+
+
+def test_copy_to_export_roundtrip(spark, cat, tmp_path):
+    """COPY ... TO exports (table or subquery) in all four formats;
+    the avro export reads back through COPY INTO losslessly."""
+    out = str(tmp_path / "exp_avro")
+    rep = lake_sql(
+        cat,
+        f"COPY (SELECT k, name, score FROM db.t WHERE k <= 2) TO '{out}' "
+        "FILEFORMAT = AVRO",
+    ).collect()[0]
+    assert rep["rows"] == 2
+    cat.create_table("db.back", SCHEMA)
+    lake_sql(cat, f"COPY INTO db.back FROM '{out}' FILEFORMAT = AVRO")
+    got = sorted(
+        (r.k, r.name, r.score)
+        for r in cat.load_table("db.back").scan().collect()
+    )
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+    # whole-table parquet export
+    out2 = str(tmp_path / "exp_parq")
+    lake_sql(cat, f"COPY db.t TO '{out2}' FILEFORMAT = PARQUET")
+    assert spark.read.parquet(out2).count() == 3
