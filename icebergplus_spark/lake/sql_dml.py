@@ -21,7 +21,13 @@ dispatches:
   clause becomes a snapshot-pinned temp view before spark.sql runs)
 - ``OPTIMIZE <tbl> [WHERE ...] [ZORDER BY (...)]`` → scoped compaction
 - ``RESTORE TABLE <tbl> TO VERSION AS OF <id>`` → rollback
-- ``COPY INTO <tbl> FROM '<path>' FILEFORMAT = ...`` → file ingest append
+- ``COPY INTO <tbl> FROM '<path>' FILEFORMAT = ...`` → idempotent file
+  ingest (PARQUET/CSV/JSON/AVRO; loaded files tracked per snapshot)
+- ``COPY (<query>)|<tbl> TO '<path>' FILEFORMAT = ...`` → export
+- ``CREATE TABLE <tbl> [PARTITIONED BY (...)] AS <query>`` → CTAS
+- ``TRUNCATE TABLE <tbl>``                → empty replace commit
+- ``BEGIN [TRANSACTION]; <writes...>; COMMIT`` → one multi-table
+  transaction (all statements visible together or not at all)
 - ``CALL system.<proc>('db.t', ...)``    → maintenance procedures (Iceberg
   syntax: rollback_to_snapshot, cherrypick_snapshot, expire_snapshots,
   remove_orphan_files, rewrite_data_files, rewrite_manifests,
