@@ -237,3 +237,31 @@ def test_schema_evolution_on_read(spark, tmp_path):
     back = read_avro_dataset(spark, out, new_schema)
     rows = sorted((r.k, r.score) for r in back.collect())
     assert rows == [(1, None), (2, None)]
+
+
+def test_streaming_avro_source(spark, tmp_path):
+    """Avro drop-directory as a structured stream: files written in
+    chunks arrive as micro-batches; the final table equals the batch
+    read."""
+    from icebergplus_spark.sources.avro_io import read_avro_stream
+
+    src_dir = str(tmp_path / "drops")
+    df1 = spark.range(0, 50).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
+    df2 = spark.range(50, 80).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
+    write_avro_dataset(df1.coalesce(1), src_dir)
+    write_avro_dataset(df2.coalesce(1), src_dir)
+
+    stream = read_avro_stream(spark, src_dir, df1.schema)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_stream")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("avro_stream")
+    assert out.count() == 80
+    assert out.agg(F.sum("k")).collect()[0][0] == sum(range(80))
