@@ -533,6 +533,18 @@ def expire_snapshots(
     meta.pop("pending_txn", None)
     meta.pop("base_version", None)
     meta["snapshots"] = retained
+    head_txn = getattr(table, "_head_txn", None)
+    if head_txn is not None:
+        # same lost-update guard as _commit_snapshot/_evolve: never
+        # publish over another transaction's undecided staged head
+        from icebergplus_spark.lake.commitio import ConcurrentCommitError
+        from icebergplus_spark.lake.txn import abort_if_expired
+
+        if abort_if_expired(head_txn) != "aborted":
+            raise ConcurrentCommitError(
+                f"{table.identifier}: head metadata held by transaction "
+                f"{head_txn['id']} — refresh() and retry"
+            )
     if "row_id_assignments" in meta:
         # prune first-row-id assignments for files no retained snapshot
         # references — this is the one place the map shrinks, keeping

@@ -287,3 +287,26 @@ def test_concurrent_txns_overlapping_table_second_backs_off(spark, tmp_path):
     assert _counts(cat) == (2, 1)
     rows = {r.v for r in cat.load_table("db.fact").scan().collect()}
     assert rows == {"f0", "f1"}  # txn1 landed, txn2 never did
+
+
+def test_expire_snapshots_refuses_over_inflight_txn(spark, tmp_path):
+    """Maintenance must not publish over an undecided staged head —
+    the same lost-update guard the write paths carry."""
+    from icebergplus_spark.lake import expire_snapshots
+
+    cat = _mk(spark, tmp_path)
+    for i in range(3):
+        cat.load_table("db.fact").append(_df(spark, [(10 + i, "x")]))
+    txn = cat.transaction(ttl_s=300.0)
+    txn.append("db.fact", _df(spark, [(99, "staged")]))
+    txn._begin()
+    txn._stage_all()
+    t = cat.load_table("db.fact")
+    with pytest.raises(ConcurrentCommitError):
+        expire_snapshots(t, keep_last=1)
+    txn._publish()
+    # after the txn resolves, maintenance proceeds and the txn's write
+    # survives expiry
+    t = cat.load_table("db.fact")
+    expire_snapshots(t, keep_last=1)
+    assert 99 in {r.k for r in t.scan().collect()}
