@@ -90,7 +90,28 @@ def _make_source():
             ):
                 version += 1
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
-            return json.load(f)
+            meta = json.load(f)
+        # transaction resolution (lake/txn.py protocol, replicated
+        # stdlib-only for cloudpickle): a pending head is visible ONLY
+        # when its final decision file says committed; otherwise fall
+        # back along base_version — the stream must never emit staged
+        # rows of an in-flight or aborted multi-table transaction.
+        while meta.get("pending_txn"):
+            state = None
+            try:
+                with open(meta["pending_txn"]["final_path"]) as fh:
+                    state = fh.read().strip()
+            except OSError:
+                state = None
+            if state == "committed":
+                break
+            with open(
+                os.path.join(
+                    meta_dir, f"v{meta['base_version']}.metadata.json"
+                )
+            ) as fh:
+                meta = json.load(fh)
+        return meta
 
     class LakeStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -302,7 +323,28 @@ def _make_cdc_source():
             ):
                 version += 1
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
-            return json.load(f)
+            meta = json.load(f)
+        # transaction resolution (lake/txn.py protocol, replicated
+        # stdlib-only for cloudpickle): a pending head is visible ONLY
+        # when its final decision file says committed; otherwise fall
+        # back along base_version — the stream must never emit staged
+        # rows of an in-flight or aborted multi-table transaction.
+        while meta.get("pending_txn"):
+            state = None
+            try:
+                with open(meta["pending_txn"]["final_path"]) as fh:
+                    state = fh.read().strip()
+            except OSError:
+                state = None
+            if state == "committed":
+                break
+            with open(
+                os.path.join(
+                    meta_dir, f"v{meta['base_version']}.metadata.json"
+                )
+            ) as fh:
+                meta = json.load(fh)
+        return meta
 
     def parse_path_values(path: str) -> dict:
         from urllib.parse import unquote
@@ -685,7 +727,28 @@ def _make_batch_source():
             ):
                 version += 1
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
-            return json.load(f)
+            meta = json.load(f)
+        # transaction resolution (lake/txn.py protocol, replicated
+        # stdlib-only for cloudpickle): a pending head is visible ONLY
+        # when its final decision file says committed; otherwise fall
+        # back along base_version — the stream must never emit staged
+        # rows of an in-flight or aborted multi-table transaction.
+        while meta.get("pending_txn"):
+            state = None
+            try:
+                with open(meta["pending_txn"]["final_path"]) as fh:
+                    state = fh.read().strip()
+            except OSError:
+                state = None
+            if state == "committed":
+                break
+            with open(
+                os.path.join(
+                    meta_dir, f"v{meta['base_version']}.metadata.json"
+                )
+            ) as fh:
+                meta = json.load(fh)
+        return meta
 
     def _parse_path_values(path: str) -> dict:
         from urllib.parse import unquote

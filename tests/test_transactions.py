@@ -310,3 +310,51 @@ def test_expire_snapshots_refuses_over_inflight_txn(spark, tmp_path):
     t = cat.load_table("db.fact")
     expire_snapshots(t, keep_last=1)
     assert 99 in {r.k for r in t.scan().collect()}
+
+
+def test_lake_stream_source_never_emits_staged_rows(spark, tmp_path):
+    """The snapshot-offset stream source resolves transaction markers
+    itself: an in-flight staged version contributes nothing; after the
+    publish CAS the staged snapshot arrives as a normal micro-batch."""
+    import uuid as _uuid
+
+    from icebergplus_spark.streaming.lake_source import read_lake_stream
+
+    cat = _mk(spark, tmp_path)
+    t = cat.load_table("db.fact")
+    txn = cat.transaction(ttl_s=300.0)
+    txn.append("db.fact", _df(spark, [(50, "staged")]))
+    txn._begin()
+    txn._stage_all()
+
+    def drain(tag):
+        name = f"txn_stream_{tag}_{_uuid.uuid4().hex[:6]}"
+        q = (
+            read_lake_stream(spark, t.table_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.k for r in spark.table(name).collect()}
+
+    assert drain("inflight") == {1}  # staged row invisible
+    txn._publish()
+    assert drain("committed") == {1, 50}
+
+
+def test_changelog_sees_committed_txn_not_aborted(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    t = cat.load_table("db.fact")
+    base = t.current_snapshot_id
+    with cat.transaction() as txn:
+        txn.append("db.fact", _df(spark, [(2, "committed")]))
+    txn2 = cat.transaction()
+    txn2.append("db.fact", _df(spark, [(3, "aborted")]))
+    txn2._begin()
+    txn2._stage_all()
+    txn2.abort()
+    cl = cat.load_table("db.fact").scan_changelog(from_snapshot_id=base)
+    assert {(r.k, r._change_type) for r in cl.collect()} == {(2, "insert")}
