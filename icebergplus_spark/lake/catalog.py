@@ -322,7 +322,14 @@ class LocalLakeCatalog:
         table_dir = os.path.join(self.root_dir, namespace or "default", name)
         meta_dir = os.path.join(table_dir, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
-        meta = {k: v for k, v in src._meta.items() if k != "_version"}
+        meta = {
+            k: v
+            for k, v in src._meta.items()
+            # _phys bookkeeping and any (already-resolved) transaction
+            # marker stay behind: the clone's metadata history starts at
+            # v1, so a copied base_version would dangle
+            if k not in ("_version", "_phys_version", "pending_txn", "base_version")
+        }
         meta["identifier"] = dst_identifier
         meta["properties"] = {
             **(meta.get("properties") or {}),
