@@ -1642,3 +1642,53 @@ def q134_lake_catalog_service_roundtrip(
             dsum("l_extendedprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — CONTINUOUS AGGREGATE under the oracle gate (lake/rollup.py —
+# hypertable-rollup style): events land in a lake table in three
+# appends with an incremental refresh after each — every refresh
+# re-aggregates ONLY the buckets the new rows touched and MERGEs them
+# in (O(new data), never O(history)). The gated read is the final
+# rollup TABLE; the oracle is the from-scratch hourly aggregate over
+# all events — a hash match proves incremental maintenance converges
+# to the exact recompute, driver-visibly.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_continuous_aggregate",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q140_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.rollup import (
+        refresh_rollup,
+        rollup_table_schema,
+    )
+    from icebergplus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_rollup_")
+    cat = LocalLakeCatalog(spark, root).start()
+    src = cat.create_table("bench.events_src", ev.schema)
+    roll = cat.create_table("bench.events_rollup", rollup_table_schema())
+    chunks = (
+        ev.filter(F.col("ts") < "2024-01-11"),
+        ev.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")),
+        ev.filter(F.col("ts") >= "2024-01-21"),
+    )
+    for chunk in chunks:
+        src.append(chunk)
+        refresh_rollup(src, roll, window="hour")
+    return roll.scan().select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
