@@ -614,6 +614,23 @@ def expire_metadata_versions(table: LakeTable, keep_last: int = 10) -> dict:
     run on demand instead of per-commit."""
     current = table._meta["_phys_version"]
     cutoff = current - max(keep_last, 1) + 1
+    # a transaction-marked head resolves through its base_version chain
+    # (lake/txn.py): those base metadata files must survive any cutoff,
+    # or vacuuming under an unresolved/aborted head would break refresh
+    protected: set[int] = set()
+    v = current
+    while True:
+        try:
+            with open(
+                os.path.join(table._meta_dir, f"v{v}.metadata.json")
+            ) as f:
+                m = json.load(f)
+        except OSError:
+            break
+        if not m.get("pending_txn"):
+            break
+        v = m["base_version"]
+        protected.add(v)
     removed = 0
     for fn in os.listdir(table._meta_dir):
         if not (fn.startswith("v") and fn.endswith(".metadata.json")):
@@ -622,7 +639,7 @@ def expire_metadata_versions(table: LakeTable, keep_last: int = 10) -> dict:
             v = int(fn[1:].split(".")[0])
         except ValueError:
             continue
-        if v < cutoff:
+        if v < cutoff and v not in protected:
             os.remove(os.path.join(table._meta_dir, fn))
             removed += 1
     return {"removed_versions": removed, "current_version": current}

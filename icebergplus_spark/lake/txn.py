@@ -97,15 +97,41 @@ def final_state(final_path: str) -> str | None:
 
 def _decide(final_path: str, verdict: str) -> str:
     """Race for the transaction's single decision point: create the
-    final file with ``verdict``. Exactly one creator wins (create-if-
-    absent CAS); everyone returns the decision that actually stuck."""
+    final file with ``verdict``. Exactly one creator wins; everyone
+    returns the decision that actually stuck.
+
+    The create must be CONTENT-atomic: a bare ``open(path, "x")`` makes
+    an empty file visible before the verdict bytes land, and a racer
+    reading that window could report its own verdict as the decision.
+    So the verdict is written to a private temp file first and
+    ``os.link``ed into place — link is create-if-absent WITH content
+    (the object-store analogue, conditional PUT, is content-atomic by
+    construction)."""
+    tmp = f"{final_path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(verdict)
     try:
-        with open(final_path, "x") as f:
-            f.write(verdict)
+        os.link(tmp, final_path)
         _FINAL_CACHE[final_path] = verdict
         return verdict
     except FileExistsError:
-        return final_state(final_path) or verdict
+        existing = final_state(final_path)
+        if existing is not None:
+            return existing
+        # legacy empty-window file (pre-link writer): the content is
+        # instants away — spin briefly, then fail safe as 'aborted'
+        # (never report a commit that cannot be confirmed)
+        for _ in range(50):
+            time.sleep(0.01)
+            existing = final_state(final_path)
+            if existing is not None:
+                return existing
+        return "aborted"
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def txns_dir(root_dir: str) -> str:

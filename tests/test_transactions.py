@@ -358,3 +358,48 @@ def test_changelog_sees_committed_txn_not_aborted(spark, tmp_path):
     txn2.abort()
     cl = cat.load_table("db.fact").scan_changelog(from_snapshot_id=base)
     assert {(r.k, r._change_type) for r in cl.collect()} == {(2, "insert")}
+
+
+def test_expire_metadata_versions_protects_resolution_chain(spark, tmp_path):
+    """Vacuuming metadata under an aborted staged head must keep the
+    base_version files the resolution chain needs."""
+    from icebergplus_spark.lake import expire_metadata_versions
+
+    cat = _mk(spark, tmp_path)
+    for i in range(4):
+        cat.load_table("db.fact").append(_df(spark, [(10 + i, "x")]))
+    txn = cat.transaction(ttl_s=0.01)
+    txn.append("db.fact", _df(spark, [(99, "staged")]))
+    txn._begin()
+    txn._stage_all()
+    txn.abort()  # aborted marker stays at the physical head
+    t = cat.load_table("db.fact")
+    expire_metadata_versions(t, keep_last=1)
+    # fresh reader still resolves straight past the aborted head
+    assert cat.load_table("db.fact").scan().count() == 5
+
+
+def test_decide_is_content_atomic(tmp_path):
+    """The final-file CAS never exposes an empty-content window: racing
+    deciders all converge on the single verdict that stuck."""
+    import threading
+
+    from icebergplus_spark.lake.txn import _decide, final_state
+
+    final = str(tmp_path / "race.final")
+    results = []
+
+    def race(verdict):
+        results.append(_decide(final, verdict))
+
+    threads = [
+        threading.Thread(target=race, args=("committed",)),
+        threading.Thread(target=race, args=("aborted",)),
+        threading.Thread(target=race, args=("committed",)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(set(results)) == 1  # everyone saw the same decision
+    assert final_state(final) == results[0]
