@@ -2113,10 +2113,11 @@ class LakeTable:
             for e in eq_entries:
                 cols = json.loads(e["equality_cols"])
                 kt = pq.read_table(e["file_path"], columns=cols)
+                key_values = {
+                    c: kt.column(c).to_pylist() for c in cols if kt.num_rows
+                }
                 ranges = {
-                    c: (min(kt.column(c).to_pylist()), max(kt.column(c).to_pylist()))
-                    for c in cols
-                    if kt.num_rows
+                    c: (min(vs), max(vs)) for c, vs in key_values.items()
                 }
                 for fe in entries:
                     p = fe["file_path"]
@@ -2133,6 +2134,19 @@ class LakeTable:
                         ):
                             hit = False
                             break
+                    if hit:
+                        # second prune tier: per-file blooms (tables with
+                        # bloom_cols). A file is exempt when, for some key
+                        # column, NO delete key might be present — exact
+                        # exclusion, conservative inclusion.
+                        blooms = json.loads(fe.get("column_blooms") or "{}")
+                        for c, vs in key_values.items():
+                            hexbits = blooms.get(c)
+                            if hexbits and not any(
+                                _bloom_might_contain(hexbits, v) for v in vs
+                            ):
+                                hit = False
+                                break
                     if hit:
                         affected.add(p)
         return affected

@@ -247,3 +247,36 @@ def test_changelog_equality_delete_pruned_by_stats(spark, tmp_path):
     assert [(r["id"], r["_change_type"]) for r in cl.collect()] == [
         (100, "delete")
     ]
+
+
+def test_changelog_equality_delete_bloom_prunes_inside_range(spark, tmp_path):
+    """Bloom tier of tombstone targeting: two files share an id RANGE
+    (interleaved keys) so min/max can't separate them, but per-file
+    blooms exclude the file that doesn't contain the deleted key."""
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whb")).start()
+    t = cat.create_table("db.tb", SCHEMA, bloom_cols=["id"])
+    # interleaved ranges: evens in file 1, odds in file 2 — both span 0..99
+    t.append(
+        spark.createDataFrame(
+            [(i, "even", float(i)) for i in range(0, 100, 2)], SCHEMA
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "odd", float(i)) for i in range(1, 100, 2)], SCHEMA
+        ).coalesce(1)
+    )
+    t.delete_by_key(spark.createDataFrame([(42,)], "id int"))
+    snap = t.snapshot()
+    prev = t.snapshot(snap["parent_snapshot_id"])
+    affected = t._tombstone_affected_paths(
+        set(snap["delete_manifests"]) - set(prev.get("delete_manifests", [])),
+        prev,
+    )
+    assert len(affected) == 1  # bloom excluded the odd file
+    cl = t.scan_changelog(from_snapshot_id=prev["snapshot_id"])
+    assert [(r["id"], r["_change_type"]) for r in cl.collect()] == [
+        (42, "delete")
+    ]
