@@ -267,3 +267,101 @@ def t10_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys, F.lit(0).cast("long"), lambda a, b: (a * 31 + b) % 1000000007
     )
     return docs.select("doc_id", rolling.alias("rolling_hash"))
+
+
+# ---------------------------------------------------------------------------
+# q141 — the WHOLE preprocessing pipeline as ONE hash-gated query: the
+# narrative close of the training-data family. documents → quality
+# filter (t02's exact features and thresholds) → exact dedup on the
+# normalized fingerprint (d02's rule, min-doc_id keeper) → per-language
+# corpus summary. Three shuffles end to end (quality is shuffle-free,
+# dedup groups on the md5 key, summary groups on lang); every stage's
+# arithmetic is the engine-exact construction its standalone query
+# already proved, so the COMPOSITION is hash-exact too — a user can run
+# the full pipeline and diff nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "q141_pipeline_end_to_end",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         string_split(LOWER(TRIM(text)), ' ') AS tok, LENGTH(text) AS c
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, text,
+         CAST(len(tok) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(tok, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS sw_hits,
+         ROUND(CAST(len(list_filter(tok, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(tok) AS DOUBLE), 6) AS stopword_ratio,
+         ROUND(CAST(c - len(tok) + 1 AS DOUBLE) / CAST(len(tok) AS DOUBLE), 6) AS mean_token_len
+  FROM toks
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE n_tokens BETWEEN 5 AND 1000
+    AND stopword_ratio >= 0.01
+    AND mean_token_len BETWEEN 2.0 AND 12.0
+),
+keepers AS (
+  SELECT md5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS keeper_id
+  FROM kept GROUP BY 1
+),
+final AS (
+  SELECT k.* FROM kept k JOIN keepers d ON k.doc_id = d.keeper_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       -- exact: two integer sums and ONE IEEE division (order-free),
+       -- never a sum of rounded doubles
+       CAST(SUM(sw_hits) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+         AS corpus_stopword_rate
+FROM final
+GROUP BY lang
+""",
+)
+def q141_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = F.split(F.lower(F.trim(F.col("text"))), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))
+        .cast("bigint")
+        .alias("sw_hits"),
+        F.round(
+            F.size(F.filter(tok, lambda x: F.array_contains(sw, x))).cast("double")
+            / F.size(tok).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.size(tok) + 1).cast("double")
+            / F.size(tok).cast("double"),
+            6,
+        ).alias("mean_token_len"),
+    )
+    kept = feat.filter(
+        F.col("n_tokens").between(5, 1000)
+        & (F.col("stopword_ratio") >= 0.01)
+        & F.col("mean_token_len").between(2.0, 12.0)
+    )
+    keepers = (
+        kept.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_id"))
+        .select("keeper_id")
+    )
+    final = kept.join(
+        keepers, kept["doc_id"] == keepers["keeper_id"]
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum("sw_hits").cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("corpus_stopword_rate"),
+    )
