@@ -44,9 +44,15 @@ print("at snapshot 1:", docs.scan(snapshot_id=1).count(), "rows")
 print("compaction:", compact(docs))
 print("files matching doc_id>=3:", len(docs.plan_files({"doc_id": (">=", 3)})))
 
-# observability: the reference's commit counters, accumulated
+# observability: the reference's commit meters, accumulated —
+# tableName-tagged counters AND untagged timers (Micrometer parity)
 for name in sorted(sink.meter_names):
-    print(f"{name} = {sink.get(name).value}")
+    counter = sink.get(name)
+    if counter is not None:
+        print(f"{name} = {counter.value}")
+    else:
+        timer = sink.get_timer(name)
+        print(f"{name} = {timer.count} samples, {timer.total_time_s:.3f}s")
 
 # row-level DML: copy-on-write UPDATE and multi-clause MERGE INTO
 docs.update_where({"doc_id": ("=", 2)}, {"lang": "en"})
