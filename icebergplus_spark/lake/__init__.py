@@ -31,6 +31,7 @@ from icebergplus_spark.lake.table import LakeTable
 from icebergplus_spark.lake.txn import (
     LakeTransaction,
     TransactionAborted,
+    gc_settled_transactions,
     recover_transactions,
 )
 
@@ -62,5 +63,6 @@ __all__ = [
     "NullCommitLock",
     "LakeTransaction",
     "TransactionAborted",
+    "gc_settled_transactions",
     "recover_transactions",
 ]

@@ -447,9 +447,23 @@ class CatalogServiceCommitIO:
             con.close()
 
     def publish(self, meta_dir: str, version: int, payload: str) -> None:
+        import sqlite3
+
         con = self._db(meta_dir)
         try:
-            con.execute("BEGIN IMMEDIATE")
+            try:
+                con.execute("BEGIN IMMEDIATE")
+            except sqlite3.OperationalError as e:
+                # Under write contention sqlite raises 'database is
+                # locked' once the busy timeout lapses. Callers key
+                # their retry loops on ConcurrentCommitError, so a raw
+                # OperationalError would escape them — normalize it.
+                if "locked" in str(e).lower() or "busy" in str(e).lower():
+                    raise ConcurrentCommitError(
+                        f"catalog service busy ({meta_dir}): {e} — "
+                        "refresh() and retry"
+                    ) from e
+                raise
             row = con.execute(
                 "SELECT version FROM tables WHERE meta_dir = ?", (meta_dir,)
             ).fetchone()
@@ -480,7 +494,17 @@ class CatalogServiceCommitIO:
                 "DELETE FROM payloads WHERE meta_dir = ? AND version <= ?",
                 (meta_dir, version - self.keep_payloads),
             )
-            con.commit()  # ← the commit point
+            try:
+                con.commit()  # ← the commit point
+            except sqlite3.OperationalError as e:
+                # COMMIT upgrades to the exclusive lock; an active
+                # reader can still surface busy here — same contract
+                if "locked" in str(e).lower() or "busy" in str(e).lower():
+                    raise ConcurrentCommitError(
+                        f"catalog service busy ({meta_dir}): {e} — "
+                        "refresh() and retry"
+                    ) from e
+                raise
         finally:
             con.close()
         # post-commit materialization (readers self-heal if we die here)

@@ -545,6 +545,20 @@ def expire_snapshots(
                 f"{table.identifier}: head metadata held by transaction "
                 f"{head_txn['id']} — refresh() and retry"
             )
+    # Re-home lineage_files records of EXPIRED rewrite snapshots whose
+    # output files are still referenced by retained snapshots: without
+    # this, _materialized_lineage_paths forgets those files carry
+    # materialized __lineage_* columns and scan_with_lineage would fall
+    # back to row_id_assignments (fresh ranges allocated at the rewrite
+    # commit) — silently changing _row_id after routine maintenance.
+    orphan_lineage = set(meta.get("materialized_lineage_files") or [])
+    for s in expired:
+        orphan_lineage.update(s.get("lineage_files") or [])
+    orphan_lineage &= keep_data
+    if orphan_lineage:
+        meta["materialized_lineage_files"] = sorted(orphan_lineage)
+    else:
+        meta.pop("materialized_lineage_files", None)
     if "row_id_assignments" in meta:
         # prune first-row-id assignments for files no retained snapshot
         # references — this is the one place the map shrinks, keeping

@@ -1321,6 +1321,10 @@ class LakeTable:
         mat: set[str] = set()
         for s in self._meta["snapshots"]:
             mat.update(s.get("lineage_files") or [])
+        # files whose recording snapshot was expired but which are still
+        # live — expire_snapshots re-homes their lineage_files records
+        # here so 'ids survive compaction' survives maintenance too
+        mat.update(self._meta.get("materialized_lineage_files") or [])
         return mat & set(self._snapshot_paths(snap))
 
     def _lineage_assignments(

@@ -296,12 +296,78 @@ class LakeTransaction:
             self.abort()
 
 
+def _head_marker_references(catalog, intent: dict[str, Any]) -> bool:
+    """True if ANY participating table's PHYSICAL head metadata still
+    carries this transaction's ``pending_txn`` marker. Only the head
+    matters: refresh() starts its resolution walk there, so once a
+    later publish seals the marker (every publish site pops
+    ``pending_txn``), mid-chain copies are never consulted again and
+    the final record is dead weight."""
+    for ident in intent.get("tables", []):
+        try:
+            t = catalog.load_table(ident)
+            head = t._load_meta_version(t._meta["_phys_version"])
+        except Exception:
+            continue  # dropped table / unreadable head → no reference
+        pending = head.get("pending_txn")
+        if pending and pending.get("id") == intent.get("txn_id"):
+            return True
+    return False
+
+
+def gc_settled_transactions(catalog, grace_s: float = 600.0) -> int:
+    """Garbage-collect intent+final pairs of TERMINAL transactions that
+    are past lease expiry by ``grace_s`` and whose marker no table head
+    still references (ADVICE r4: without this, recovery rescans every
+    intent ever written and ``_txns/`` grows without bound on
+    long-lived warehouses). Deleting a still-referenced COMMITTED final
+    would flip its staged versions invisible on the next refresh — the
+    head-marker check makes removal observationally free. Returns the
+    number of transactions collected."""
+    d = txns_dir(catalog.root_dir)
+    if not os.path.isdir(d):
+        return 0
+    collected = 0
+    now = time.time()
+    for fn in sorted(os.listdir(d)):
+        if not (fn.startswith("txn-") and fn.endswith(".json")):
+            continue
+        intent_path = os.path.join(d, fn)
+        try:
+            with open(intent_path) as f:
+                intent = json.load(f)
+        except (OSError, ValueError):
+            continue
+        final_path = intent.get("final_path", "")
+        if final_state(final_path) is None:
+            continue  # in-flight (or undecided) — recovery's job, not GC's
+        if now < float(intent.get("expires", 0)) + grace_s:
+            continue  # give racing readers the full lease + grace window
+        if _head_marker_references(catalog, intent):
+            continue
+        for p in (intent_path, final_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        _FINAL_CACHE.pop(final_path, None)
+        collected += 1
+    # bound the per-process cache too (terminal states are immutable,
+    # so dropping entries only costs a re-stat)
+    if len(_FINAL_CACHE) > 10_000:
+        _FINAL_CACHE.clear()
+    return collected
+
+
 def recover_transactions(catalog) -> dict[str, str]:
     """Idempotent recovery sweep (runs at catalog.start): every intent
     record without a final decision whose lease expired is aborted via
     the final-file CAS. In-flight unexpired transactions are left alone
-    (their coordinator may still publish). Returns txn_id → decision
-    for the transactions this sweep settled."""
+    (their coordinator may still publish). Terminal records past their
+    lease whose markers no table head references are garbage-collected
+    (gc_settled_transactions), bounding sweep cost on long-lived
+    warehouses. Returns txn_id → decision for the transactions this
+    sweep settled."""
     d = txns_dir(catalog.root_dir)
     settled: dict[str, str] = {}
     if not os.path.isdir(d):
@@ -322,4 +388,5 @@ def recover_transactions(catalog) -> dict[str, str]:
         )
         if decision is not None:
             settled[intent["txn_id"]] = decision
+    gc_settled_transactions(catalog)
     return settled

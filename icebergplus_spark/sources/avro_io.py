@@ -262,7 +262,13 @@ def read_ocf(path: str) -> tuple[dict, list[tuple]]:
         n = read_long(buf)
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # spec: a negative map-block count means abs(n) entries
+            # PRECEDED by the block's byte size (a long) — consume it,
+            # or every following read is off by those varint bytes
+            read_long(buf)
+            n = -n
+        for _ in range(n):
             k = _read_bytes(buf).decode()
             meta[k] = _read_bytes(buf)
     schema = json.loads(meta["avro.schema"])
@@ -274,6 +280,11 @@ def read_ocf(path: str) -> tuple[dict, list[tuple]]:
     rows: list[tuple] = []
     while buf.tell() < len(raw):
         count = read_long(buf)
+        # a size-prefixed block with a negative count is already in the
+        # OCF (count, byte-size) layout — abs() the count and the next
+        # long IS the byte size
+        if count < 0:
+            count = -count
         size = read_long(buf)
         payload = buf.read(size)
         if codec == "deflate":

@@ -336,6 +336,42 @@ def stream_replicate_lake(
     )
 
 
+def _fanout_batch(catalog, routes, sid, batch_df, batch_id) -> None:
+    """One fan-out micro-batch (module-level so the replay/route-change
+    semantics are directly testable). Per-table replay skip, NOT a
+    max() across tables: transaction atomicity means on pure
+    crash-replay every participant agrees (all carry the batch id or
+    none do). The watermarks diverge only when routes CHANGE on an
+    existing checkpoint — a max() would let the old tables' watermark
+    dominate and silently skip a replayed batch for a newly added
+    table, while unconditionally re-appending to ALL tables would
+    duplicate the old tables' slices. Only the genuinely-missing
+    tables participate in the (still atomic) commit."""
+    if batch_df.isEmpty():
+        return
+    tables = {i: catalog.load_table(i) for i in routes}
+    pending = {
+        i: t
+        for i, t in tables.items()
+        if batch_id > _last_committed_batch(t, sid)
+    }
+    if not pending:
+        return  # replayed batch — already committed atomically
+    txn = catalog.transaction()
+    for ident in pending:
+        transform = routes[ident]
+        out = transform(batch_df) if transform is not None else batch_df
+        txn.append(
+            ident,
+            out,
+            extra_summary={
+                "streaming-sink-id": sid,
+                "streaming-batch-id": batch_id,
+            },
+        )
+    txn.commit()
+
+
 def stream_fanout_to_lake(
     stream: DataFrame,
     catalog,
@@ -360,25 +396,7 @@ def stream_fanout_to_lake(
     sid = _sink_id(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        tables = {i: catalog.load_table(i) for i in routes}
-        if batch_id <= max(
-            _last_committed_batch(t, sid) for t in tables.values()
-        ):
-            return  # replayed batch — already committed atomically
-        txn = catalog.transaction()
-        for ident, transform in routes.items():
-            out = transform(batch_df) if transform is not None else batch_df
-            txn.append(
-                ident,
-                out,
-                extra_summary={
-                    "streaming-sink-id": sid,
-                    "streaming-batch-id": batch_id,
-                },
-            )
-        txn.commit()
+        _fanout_batch(catalog, routes, sid, batch_df, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_sink)

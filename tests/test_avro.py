@@ -265,3 +265,59 @@ def test_streaming_avro_source(spark, tmp_path):
     out = spark.table("avro_stream")
     assert out.count() == 80
     assert out.agg(F.sum("k")).collect()[0][0] == sum(range(80))
+
+
+def test_negative_block_counts_spec_conformant(tmp_path):
+    """ADVICE r4: Avro spec — a NEGATIVE map/array block count means
+    abs(count) items preceded by the block's byte size (a long). Hand
+    craft an OCF whose metadata map uses the size-prefixed form and
+    whose data block carries a negative count: a spec-conformant
+    reader must parse both."""
+    import io as _io
+    import json as _json
+    import uuid as _uuid
+
+    from icebergplus_spark.sources.avro_io import (
+        MAGIC,
+        _encode_value,
+        _write_bytes,
+        write_long,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    meta_items = [
+        (b"avro.schema", _json.dumps(schema).encode()),
+        (b"avro.codec", b"null"),
+    ]
+    items = _io.BytesIO()
+    for k, v in meta_items:
+        _write_bytes(items, k)
+        _write_bytes(items, v)
+    sync = _uuid.uuid4().bytes
+
+    payload = _io.BytesIO()
+    for k in range(5):
+        _encode_value(payload, "long", k)
+
+    out = _io.BytesIO()
+    out.write(MAGIC)
+    write_long(out, -len(meta_items))          # negative map count ...
+    write_long(out, len(items.getvalue()))     # ... then the byte size
+    out.write(items.getvalue())
+    write_long(out, 0)                         # end of metadata map
+    out.write(sync)
+    write_long(out, -5)                        # negative block count
+    write_long(out, len(payload.getvalue()))   # byte size (spec layout)
+    out.write(payload.getvalue())
+    out.write(sync)
+
+    path = str(tmp_path / "negcount.avro")
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+    got_schema, rows = read_ocf(path)
+    assert got_schema["name"] == "r"
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]

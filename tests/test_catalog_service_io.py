@@ -204,3 +204,46 @@ def test_stale_loser_never_clobbers_committed_file(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         t2.io.publish(t2._meta_dir, t2._meta["_phys_version"] + 1, "{}")
     assert open(path).read() == before  # untouched
+
+
+def test_busy_database_surfaces_as_concurrent_commit_error(spark, tmp_path):
+    """ADVICE r4: a sqlite 'database is locked' loss under write
+    contention must surface as ConcurrentCommitError (what callers'
+    retry loops are keyed on), never a raw sqlite3.OperationalError."""
+    import sqlite3
+
+    cat = _catalog(spark, str(tmp_path / "whbusy"))
+    t = cat.create_table("db.t", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    io = t.io
+    meta_dir = t._meta_dir
+
+    # shrink the busy timeout so the loser loses fast
+    real_db = io._db
+
+    def quick_db(md):
+        con = real_db(md)
+        con.close()
+        path = io.db_path or __import__("os").path.join(
+            __import__("os").path.dirname(__import__("os").path.dirname(md)),
+            "_catalog_service.db",
+        )
+        return sqlite3.connect(path, timeout=0.05)
+
+    # another writer holds the write lock for the duration
+    holder = real_db(meta_dir)
+    holder.execute("BEGIN IMMEDIATE")
+    try:
+        io._db = quick_db
+        v = io.current_version(meta_dir) + 1
+        with pytest.raises(ConcurrentCommitError):
+            io.publish(meta_dir, v, "{}")
+    finally:
+        io._db = real_db
+        holder.rollback()
+        holder.close()
+
+    # once the lock clears, the same publish succeeds
+    v = io.current_version(meta_dir) + 1
+    io.publish(meta_dir, v, '{"snapshots": [], "_version": %d}' % v)
+    assert io.current_version(meta_dir) == v

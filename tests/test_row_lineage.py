@@ -276,3 +276,32 @@ def test_merge_into_lineage_full_semantics(table):
     ids = [rid for rid, _ in after.values()]
     assert len(ids) == len(set(ids))
     assert after[22][1] == msnap
+
+
+def test_lineage_survives_expire_of_rewrite_snapshot(table):
+    """ADVICE r4 (medium): expire_snapshots must not forget which live
+    files carry materialized lineage. Sequence: appends → compact
+    (records lineage_files on the compaction snapshot) → append (new
+    head still references the compacted files) → expire keep_last=1
+    (the compaction snapshot itself is EXPIRED). The lineage frame must
+    be identical — ids read from the materialized columns, not re-derived
+    from the fresh row_id_assignments ranges minted at the rewrite."""
+    from icebergplus_spark.lake import compact, expire_snapshots
+
+    t, nation = table
+    for lo, hi in ((0, 8), (8, 16), (16, 25)):
+        t = t.append(
+            nation.filter((F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi))
+        )
+    rep = compact(t, target_file_size=256 * 1024 * 1024)
+    assert rep["compacted"] >= 2
+    before = _frame(t)
+    # head moves past the compaction snapshot without touching its files
+    t = t.append(nation.limit(0))
+    expire_snapshots(t, keep_last=1)
+    assert len(t.history()) == 1  # the compaction snapshot is gone
+    assert _frame(t) == before
+    # and the re-homed records keep surviving FURTHER maintenance
+    t = t.append(nation.limit(0))
+    expire_snapshots(t, keep_last=1)
+    assert _frame(t) == before

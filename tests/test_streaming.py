@@ -401,3 +401,52 @@ def test_stream_fanout_replay_is_skipped(spark, events_dir, tmp_path):
     stream_fanout_to_lake(stream2, cat, routes, ckpt).awaitTermination(120)
     assert cat.load_table("db.a").scan().count() == n
     assert cat.load_table("db.b").scan().count() == n
+
+
+def test_stream_fanout_route_added_on_existing_checkpoint(spark, events_dir, tmp_path):
+    """ADVICE r4: a batch replayed after a crash must NOT be skipped for
+    a table newly added to ``routes`` (the old tables' watermark used to
+    dominate via max()), and must NOT be re-appended to the tables that
+    already committed it (duplicates). Simulated by invoking the batch
+    function directly with an extended route set and an already-covered
+    batch id."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.streaming import EVENTS_SCHEMA, stream_fanout_to_lake
+    from icebergplus_spark.streaming.pipelines import _fanout_batch, _sink_id
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whrc")).start()
+    schema = _parse_datatype_string(EVENTS_SCHEMA)
+    cat.create_table("db.a", schema)
+    cat.create_table("db.b", schema)
+    ckpt = str(tmp_path / "ckptrc")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    routes = {"db.a": None, "db.b": None}
+    stream_fanout_to_lake(stream, cat, routes, ckpt).awaitTermination(120)
+    n = cat.load_table("db.a").scan().count()
+    last_batch = max(
+        int(s["summary"]["streaming-batch-id"])
+        for s in cat.load_table("db.a").history()
+    )
+
+    # operator adds a third route, then the final batch is REPLAYED
+    # (crash landed between the lake commit and the checkpoint write)
+    cat.create_table("db.c", schema)
+    routes2 = {"db.a": None, "db.b": None, "db.c": None}
+    replayed = spark.read.parquet(events_dir)  # stand-in batch payload
+    _fanout_batch(cat, routes2, _sink_id(ckpt), replayed, last_batch)
+
+    # old tables untouched (no duplicates, no extra snapshots) ...
+    assert cat.load_table("db.a").scan().count() == n
+    assert cat.load_table("db.b").scan().count() == n
+    # ... while the new table received the replayed slice
+    c = cat.load_table("db.c")
+    assert c.scan().count() == replayed.count()
+    assert (
+        int(c.history()[-1]["summary"]["streaming-batch-id"]) == last_batch
+    )
+    # and a SECOND replay of the same batch is now a full no-op
+    _fanout_batch(cat, routes2, _sink_id(ckpt), replayed, last_batch)
+    assert cat.load_table("db.c").scan().count() == replayed.count()
+    assert cat.load_table("db.a").scan().count() == n

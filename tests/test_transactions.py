@@ -435,3 +435,59 @@ def test_txn_stress_two_coordinators_interleaved_rounds(spark, tmp_path):
         fact = {r.k for r in cat.load_table("db.fact").scan().collect()}
         dim = {r.k for r in cat.load_table("db.dim").scan().collect()}
         assert fact == dim == committed | {1}
+
+
+def test_gc_settled_transactions(spark, tmp_path):
+    """ADVICE r4: settled intent/final records are garbage-collected
+    once (a) terminal, (b) past lease+grace, and (c) no table HEAD
+    still carries the marker — and collection never changes any
+    reader's view."""
+    import os
+
+    from icebergplus_spark.lake.txn import gc_settled_transactions, txns_dir
+
+    cat = _mk(spark, tmp_path, name="whgc")
+    with cat.transaction(ttl_s=0.4) as txn:
+        txn.append("db.fact", _df(spark, [(2, "f1")]))
+        txn.append("db.dim", _df(spark, [(2, "d1")]))
+    d = txns_dir(cat.root_dir)
+    n_records = len(os.listdir(d))
+    assert n_records >= 2  # intent + final
+    time.sleep(0.5)  # lease lapses (txn already committed — no takeover)
+
+    # heads still carry the marker → NOT collectable, view unchanged
+    assert gc_settled_transactions(cat, grace_s=0.0) == 0
+    assert _counts(cat) == (2, 2)
+
+    # ordinary commits seal the marker on both heads → collectable
+    cat.load_table("db.fact").append(_df(spark, [(9, "f9")]))
+    cat.load_table("db.dim").append(_df(spark, [(9, "d9")]))
+    assert gc_settled_transactions(cat, grace_s=0.0) == 1
+    assert os.listdir(d) == []
+    assert _counts(cat) == (3, 3)  # committed data still visible
+
+    # aborted txns collect the same way (no seal needed: resolution of
+    # a missing final falls back exactly like 'aborted' after takeover,
+    # but we still require the heads clear — here they carry the marker)
+    txn = cat.transaction(ttl_s=0.4)
+    txn.append("db.fact", _df(spark, [(4, "f4")]))
+    try:
+        txn.commit()
+    except Exception:
+        pass
+    txn2 = cat.transaction(ttl_s=0.4)
+    txn2.append("db.dim", _df(spark, [(5, "d5")]))
+    txn2._begin()
+    txn2._stage_all()
+    txn2.abort()
+    time.sleep(0.5)
+    before = _counts(cat)
+    cat.load_table("db.fact").append(_df(spark, [(10, "fa")]))
+    cat.load_table("db.dim").append(_df(spark, [(10, "da")]))
+    collected = gc_settled_transactions(cat, grace_s=0.0)
+    assert collected == 2
+    assert os.listdir(d) == []
+    assert _counts(cat) == (before[0] + 1, before[1] + 1)
+
+    # recovery sweep stays a no-op on the clean directory
+    assert recover_transactions(cat) == {}
