@@ -27,6 +27,11 @@ from icebergplus_spark.lake.metrics import (
     MetricsSink,
     ScanReport,
 )
+from icebergplus_spark.lake.rest import (
+    LakeRestServer,
+    RestCommitIO,
+    RestLakeCatalog,
+)
 from icebergplus_spark.lake.table import LakeTable
 from icebergplus_spark.lake.txn import (
     LakeTransaction,
@@ -39,6 +44,9 @@ __all__ = [
     "LocalLakeCatalog",
     "Status",
     "LakeTable",
+    "LakeRestServer",
+    "RestLakeCatalog",
+    "RestCommitIO",
     "auto_maintain",
     "compact",
     "expire_snapshots",

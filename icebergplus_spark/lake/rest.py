@@ -1,0 +1,568 @@
+"""REST catalog shim — the network-facing version of the reference's
+service-backed-catalog role (JdbcCatalog over embedded H2,
+LocalIcebergCatalog.java:133-135), exposed as a subset of the PUBLIC
+Apache Iceberg REST catalog OpenAPI surface so a second engine — or a
+second host with no shared view of the catalog database — can mount
+this warehouse over HTTP.
+
+Endpoint subset (paths follow ``rest-catalog-open-api.yaml``):
+
+    GET    /v1/config
+    GET    /v1/namespaces
+    POST   /v1/namespaces
+    GET    /v1/namespaces/{ns}
+    GET    /v1/namespaces/{ns}/tables
+    POST   /v1/namespaces/{ns}/tables            (create table)
+    GET    /v1/namespaces/{ns}/tables/{t}        (load table)
+    HEAD   /v1/namespaces/{ns}/tables/{t}        (table exists)
+    DELETE /v1/namespaces/{ns}/tables/{t}        (drop, ?purgeRequested)
+    POST   /v1/namespaces/{ns}/tables/{t}        (commit table)
+
+Division of labour, exactly Iceberg's REST model:
+
+- The SERVER is the commit authority. Every metadata publish routes
+  through its ``CatalogServiceCommitIO`` (a database-row CAS); losers
+  get HTTP 409 — the spec's CommitFailedException — which the client
+  re-raises as ``ConcurrentCommitError`` so existing retry loops work
+  unchanged through HTTP.
+- The DATA plane is shared storage (local fs here, an object store at
+  100 TB). Clients read data/metadata files directly and write data
+  files directly; only the metadata POINTER flip is centralized. This
+  is why the design scales: the HTTP service sees O(commits) tiny JSON
+  requests, never data bytes.
+
+Payload divergence from the spec, stated plainly: table metadata is
+this engine's native JSON (``vN.metadata.json``), not Iceberg's
+TableMetadata JSON, and the commit body uses one requirement type,
+``assert-current-metadata-version`` (the versioned-file analogue of
+the spec's assert-* requirement family). The ENDPOINT shapes, status
+codes, and commit semantics follow the public spec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
+from icebergplus_spark.lake.commitio import (
+    CatalogServiceCommitIO,
+    ConcurrentCommitError,
+    NullCommitLock,
+)
+from icebergplus_spark.lake.metrics import MetricsReporter
+from icebergplus_spark.lake.table import LakeTable
+
+# the spec's multipart-namespace separator (0x1F unit separator); our
+# identifiers join namespace levels with '.'
+_NS_SEP = "\x1f"
+
+
+def _ns_to_ident(ns: str) -> str:
+    return urllib.parse.unquote(ns).replace(_NS_SEP, ".")
+
+
+def _ident_to_ns(namespace: str) -> str:
+    return urllib.parse.quote(namespace.replace(".", _NS_SEP), safe="")
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+
+class LakeRestServer:
+    """Serve a warehouse directory over the REST catalog subset.
+
+    ``start()`` binds (port 0 → ephemeral), serves on a daemon thread,
+    and returns self with ``base_url`` set. The commit authority is a
+    ``CatalogServiceCommitIO`` owned by the server process — exactly
+    the reference's JDBC-catalog topology with HTTP in front."""
+
+    def __init__(self, root_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.root_dir = os.path.abspath(root_dir)
+        self.host, self.port = host, port
+        self.base_url: str | None = None
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        # spark=None: the server only touches metadata (file + sqlite
+        # I/O) — no Spark action ever runs inside a request handler
+        self.catalog = LocalLakeCatalog(
+            None, self.root_dir, commit_io=CatalogServiceCommitIO()
+        ).start()
+
+    # -- namespace registry (explicitly-created namespaces persist) -------
+    @property
+    def _ns_file(self) -> str:
+        return os.path.join(self.root_dir, "_namespaces.json")
+
+    def _namespaces(self) -> list[str]:
+        explicit: set[str] = set()
+        try:
+            with open(self._ns_file) as f:
+                explicit = set(json.load(f))
+        except (OSError, ValueError):
+            pass
+        derived = {
+            i.rpartition(".")[0]
+            for i in self.catalog.list_tables()
+            if "." in i
+        }
+        return sorted(explicit | derived)
+
+    def _create_namespace(self, namespace: str) -> None:
+        ns = sorted(set(self._namespaces()) | {namespace})
+        os.makedirs(os.path.dirname(self._ns_file), exist_ok=True)
+        with open(self._ns_file, "w") as f:
+            json.dump(ns, f)
+
+    # -- request handling --------------------------------------------------
+    def _handle(self, method: str, path: str, query: dict, body: dict):
+        """Route one request; returns (status, json-able payload)."""
+        parts = [p for p in path.split("/") if p]
+        if parts[:1] != ["v1"]:
+            return 404, {"error": {"message": f"unknown path: {path}"}}
+        parts = parts[1:]
+        cat = self.catalog
+
+        if parts == ["config"] and method == "GET":
+            # overrides.warehouse tells clients where the shared data
+            # plane lives — the one piece of topology they need
+            return 200, {
+                "defaults": {},
+                "overrides": {"warehouse": self.root_dir},
+            }
+
+        if parts == ["namespaces"]:
+            if method == "GET":
+                return 200, {
+                    "namespaces": [n.split(".") for n in self._namespaces()]
+                }
+            if method == "POST":
+                namespace = ".".join(body.get("namespace", []))
+                if not namespace:
+                    return 400, {"error": {"message": "namespace required"}}
+                self._create_namespace(namespace)
+                return 200, {
+                    "namespace": namespace.split("."),
+                    "properties": body.get("properties", {}),
+                }
+
+        if len(parts) == 2 and parts[0] == "namespaces":
+            namespace = _ns_to_ident(parts[1])
+            if method == "GET":
+                if namespace not in self._namespaces():
+                    return 404, {
+                        "error": {"message": f"no such namespace: {namespace}"}
+                    }
+                return 200, {"namespace": namespace.split("."), "properties": {}}
+
+        if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+            namespace = _ns_to_ident(parts[1])
+            if method == "GET":
+                return 200, {
+                    "identifiers": [
+                        {
+                            "namespace": namespace.split("."),
+                            "name": i.rpartition(".")[2],
+                        }
+                        for i in cat.list_tables(namespace)
+                    ]
+                }
+            if method == "POST":
+                from pyspark.sql.types import StructType
+
+                name = body["name"]
+                ident = f"{namespace}.{name}"
+                try:
+                    t = cat.create_table(
+                        ident,
+                        StructType.fromJson(body["schema"]),
+                        partition_spec=body.get("partition-spec") or None,
+                        bloom_cols=body.get("bloom-cols") or None,
+                    )
+                except ValueError as e:
+                    return 409, {"error": {"message": str(e)}}
+                self._create_namespace(namespace)
+                return 200, self._load_payload(t)
+
+        if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+            namespace, name = _ns_to_ident(parts[1]), parts[3]
+            ident = f"{namespace}.{name}"
+            if method in ("GET", "HEAD"):
+                if not cat.table_exists(ident):
+                    return 404, {
+                        "error": {"message": f"no such table: {ident}"}
+                    }
+                return 200, self._load_payload(cat.load_table(ident))
+            if method == "DELETE":
+                try:
+                    cat.drop_table(
+                        ident,
+                        purge=query.get("purgeRequested", ["false"])[0]
+                        == "true",
+                    )
+                except KeyError as e:
+                    return 404, {"error": {"message": str(e)}}
+                except ValueError as e:
+                    return 409, {"error": {"message": str(e)}}
+                return 204, None
+            if method == "POST":  # commit
+                if not cat.table_exists(ident):
+                    return 404, {
+                        "error": {"message": f"no such table: {ident}"}
+                    }
+                t = cat.load_table(ident)
+                reqs = body.get("requirements", [])
+                expected = None
+                for r in reqs:
+                    if r.get("type") == "assert-current-metadata-version":
+                        expected = int(r["version"])
+                updates = body.get("updates", [])
+                payload = None
+                for u in updates:
+                    if u.get("action") == "set-current-metadata":
+                        payload = u["payload"]
+                if expected is None or payload is None:
+                    return 400, {
+                        "error": {
+                            "message": "commit needs an "
+                            "assert-current-metadata-version requirement "
+                            "and a set-current-metadata update"
+                        }
+                    }
+                try:
+                    cat.commit_io.publish(
+                        t._meta_dir, expected + 1, payload
+                    )
+                except ConcurrentCommitError as e:
+                    return 409, {"error": {"message": str(e)}}
+                return 200, self._load_payload(cat.load_table(ident))
+
+        return 404, {"error": {"message": f"unknown route: {method} {path}"}}
+
+    def _load_payload(self, t: LakeTable) -> dict:
+        version = t._meta["_phys_version"]
+        return {
+            "metadata-location": os.path.join(
+                t._meta_dir, f"v{version}.metadata.json"
+            ),
+            "metadata": {
+                k: v for k, v in t._meta.items() if not k.startswith("_")
+            },
+        }
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "LakeRestServer":
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _run(self, method: str) -> None:
+                parsed = urllib.parse.urlsplit(self.path)
+                query = urllib.parse.parse_qs(parsed.query)
+                body = {}
+                n = int(self.headers.get("Content-Length") or 0)
+                if n:
+                    try:
+                        body = json.loads(self.rfile.read(n))
+                    except ValueError:
+                        self._reply(400, {"error": {"message": "bad json"}})
+                        return
+                try:
+                    status, payload = server._handle(
+                        method, parsed.path, query, body
+                    )
+                except Exception as e:  # never kill the server thread
+                    status, payload = 500, {"error": {"message": repr(e)}}
+                self._reply(status, payload, head=(method == "HEAD"))
+
+            def _reply(self, status, payload, head=False):
+                data = (
+                    b""
+                    if payload is None
+                    else json.dumps(payload).encode()
+                )
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                if not head and data:
+                    self.wfile.write(data)
+
+            def do_GET(self):
+                self._run("GET")
+
+            def do_HEAD(self):
+                self._run("HEAD")
+
+            def do_POST(self):
+                self._run("POST")
+
+            def do_DELETE(self):
+                self._run("DELETE")
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.daemon_threads = True
+        self.base_url = f"http://{self.host}:{self._httpd.server_address[1]}"
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        self.catalog.stop()
+
+    def __enter__(self) -> "LakeRestServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+def _http(method: str, url: str, body: dict | None = None) -> tuple[int, dict]:
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        url,
+        data=data,
+        method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            raw = r.read()
+            return r.status, (json.loads(raw) if raw else {})
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        try:
+            return e.code, json.loads(raw)
+        except ValueError:
+            return e.code, {"error": {"message": raw.decode(errors="replace")}}
+
+
+class RestCommitIO:
+    """Client-side commit IO: version reads and metadata publishes go
+    through the REST service (loadTable / updateTable); the service's
+    database-row CAS is the single commit authority. Data/metadata FILE
+    reads stay on shared storage — the server materializes each
+    committed ``vN.metadata.json`` before acknowledging, so a client
+    that learns version N can always open it."""
+
+    atomic_rename = True  # catalog pointer moves happen on shared fs
+
+    def __init__(self, base_url: str, warehouse: str) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.warehouse = os.path.abspath(warehouse)
+        self._lock = NullCommitLock()
+
+    def lock(self, meta_dir: str):
+        return self._lock.lock(meta_dir)
+
+    def _table_url(self, meta_dir: str) -> str:
+        rel = os.path.relpath(os.path.abspath(meta_dir), self.warehouse)
+        parts = rel.split(os.sep)
+        if len(parts) < 3 or parts[-1] != "metadata":
+            raise ValueError(f"not a table metadata dir: {meta_dir}")
+        name = parts[-2]
+        namespace = ".".join(parts[:-2])
+        return (
+            f"{self.base_url}/v1/namespaces/{_ident_to_ns(namespace)}"
+            f"/tables/{urllib.parse.quote(name, safe='')}"
+        )
+
+    def current_version(self, meta_dir: str) -> int:
+        status, payload = _http("GET", self._table_url(meta_dir))
+        if status == 404:
+            raise FileNotFoundError(
+                f"no metadata versions under {meta_dir}: "
+                f"{payload.get('error', {}).get('message')}"
+            )
+        if status != 200:
+            raise RuntimeError(f"loadTable failed ({status}): {payload}")
+        loc = os.path.basename(payload["metadata-location"])
+        return int(loc[1:].split(".")[0])  # v{N}.metadata.json
+
+    def publish(self, meta_dir: str, version: int, payload: str) -> None:
+        status, resp = _http(
+            "POST",
+            self._table_url(meta_dir),
+            {
+                "requirements": [
+                    {
+                        "type": "assert-current-metadata-version",
+                        "version": version - 1,
+                    }
+                ],
+                "updates": [
+                    {"action": "set-current-metadata", "payload": payload}
+                ],
+            },
+        )
+        if status == 409:
+            raise ConcurrentCommitError(
+                resp.get("error", {}).get("message", "commit conflict")
+            )
+        if status != 200:
+            raise RuntimeError(f"commit failed ({status}): {resp}")
+
+
+class RestLakeCatalog(LocalLakeCatalog):
+    """HTTP client catalog: list/load/create/drop/commit go through the
+    REST service; scans and data writes run locally against the shared
+    warehouse path announced by ``GET /v1/config``. Drop-in for
+    ``LocalLakeCatalog`` — tables it hands out are ordinary
+    ``LakeTable``s whose commit IO is a ``RestCommitIO``, so every
+    append/compact/transaction CASes through the service."""
+
+    def __init__(self, spark, base_url: str, metrics_sink=None, prefix="iceberg."):
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.root_dir = None  # learned from /v1/config at start()
+        self._status = Status.STOPPED
+        self._reporter = MetricsReporter(metrics_sink, prefix)
+        self.commit_io = None
+
+    def start(self) -> "RestLakeCatalog":
+        if self._status is not Status.STOPPED:
+            raise RuntimeError(f"catalog not stopped: {self._status}")
+        self._status = Status.STARTING
+        status, cfg = _http("GET", f"{self.base_url}/v1/config")
+        if status != 200:
+            self._status = Status.STOPPED
+            raise RuntimeError(f"GET /v1/config failed ({status}): {cfg}")
+        self.root_dir = cfg["overrides"]["warehouse"]
+        self.commit_io = RestCommitIO(self.base_url, self.root_dir)
+        # transaction recovery stays the SERVER catalog's job (it ran at
+        # server start); clients only need the data-plane location
+        self.recovered_txns = {}
+        self._status = Status.STARTED
+        return self
+
+    # -- HTTP-backed catalog operations -----------------------------------
+    def list_namespaces(self) -> list[str]:
+        self._require_started()
+        status, payload = _http("GET", f"{self.base_url}/v1/namespaces")
+        if status != 200:
+            raise RuntimeError(f"listNamespaces failed ({status}): {payload}")
+        return [".".join(n) for n in payload["namespaces"]]
+
+    def create_namespace(self, namespace: str) -> None:
+        self._require_started()
+        status, payload = _http(
+            "POST",
+            f"{self.base_url}/v1/namespaces",
+            {"namespace": namespace.split("."), "properties": {}},
+        )
+        if status != 200:
+            raise RuntimeError(f"createNamespace failed ({status}): {payload}")
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        self._require_started()
+        spaces = [namespace] if namespace else self.list_namespaces()
+        out: list[str] = []
+        for ns in spaces:
+            status, payload = _http(
+                "GET",
+                f"{self.base_url}/v1/namespaces/{_ident_to_ns(ns)}/tables",
+            )
+            if status != 200:
+                raise RuntimeError(f"listTables failed ({status}): {payload}")
+            out.extend(
+                ".".join(i["namespace"]) + "." + i["name"]
+                for i in payload["identifiers"]
+            )
+        return sorted(out)
+
+    def table_exists(self, identifier: str) -> bool:
+        self._require_started()
+        status, _ = _http("HEAD", self._table_url(identifier))
+        return status == 200
+
+    def create_table(
+        self,
+        identifier: str,
+        schema,
+        partition_cols=None,
+        partition_spec=None,
+        bloom_cols=None,
+    ) -> LakeTable:
+        self._require_started()
+        if partition_cols and partition_spec:
+            raise ValueError("pass partition_cols or partition_spec, not both")
+        namespace, _, name = identifier.rpartition(".")
+        spec = partition_spec or partition_cols or []
+        status, payload = _http(
+            "POST",
+            f"{self.base_url}/v1/namespaces/{_ident_to_ns(namespace or 'default')}/tables",
+            {
+                "name": name,
+                "schema": schema.jsonValue(),
+                "partition-spec": list(spec),
+                "bloom-cols": list(bloom_cols or []),
+            },
+        )
+        if status == 409:
+            raise ValueError(payload.get("error", {}).get("message"))
+        if status != 200:
+            raise RuntimeError(f"createTable failed ({status}): {payload}")
+        return self._table_from_payload(identifier, payload)
+
+    def load_table(self, identifier: str) -> LakeTable:
+        self._require_started()
+        status, payload = _http("GET", self._table_url(identifier))
+        if status == 404:
+            raise KeyError(f"no such table: {identifier}")
+        if status != 200:
+            raise RuntimeError(f"loadTable failed ({status}): {payload}")
+        return self._table_from_payload(identifier, payload)
+
+    def drop_table(self, identifier: str, purge: bool = False) -> None:
+        self._require_started()
+        url = self._table_url(identifier)
+        if purge:
+            url += "?purgeRequested=true"
+        status, payload = _http("DELETE", url)
+        if status == 404:
+            raise KeyError(f"no such table: {identifier}")
+        if status == 409:
+            raise ValueError(payload.get("error", {}).get("message"))
+        if status not in (200, 204):
+            raise RuntimeError(f"dropTable failed ({status}): {payload}")
+
+    # -- helpers -----------------------------------------------------------
+    def _table_url(self, identifier: str) -> str:
+        namespace, _, name = identifier.rpartition(".")
+        return (
+            f"{self.base_url}/v1/namespaces/"
+            f"{_ident_to_ns(namespace or 'default')}"
+            f"/tables/{urllib.parse.quote(name, safe='')}"
+        )
+
+    def _table_from_payload(self, identifier: str, payload: dict) -> LakeTable:
+        table_dir = os.path.dirname(os.path.dirname(payload["metadata-location"]))
+        return LakeTable(
+            self.spark,
+            table_dir,
+            identifier,
+            self._reporter,
+            io=self.commit_io,
+        )

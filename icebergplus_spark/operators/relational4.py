@@ -374,3 +374,60 @@ def q115_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — REST-CATALOG roundtrip under the oracle gate (lake/rest.py):
+# the q134 lifecycle (write → commit → compact → scan) with every
+# catalog operation and metadata commit going through an HTTP client
+# against a localhost REST server — the network-facing version of the
+# reference's JdbcCatalog role (LocalIcebergCatalog.java:133-135),
+# endpoint shapes per the public Iceberg REST catalog spec. A hash
+# match proves the HTTP strategy's lifecycle is lossless
+# driver-visibly, extending the commit-authority matrix to four
+# (rename / object-store / catalog-service / REST).
+# ---------------------------------------------------------------------------
+@register(
+    "q142_lake_rest_catalog_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_suppkey % 4 = 2
+GROUP BY l_returnflag
+""",
+)
+def q142_lake_rest_catalog_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.functions.exact import dsum
+    from icebergplus_spark.lake import compact
+    from icebergplus_spark.lake.rest import LakeRestServer, RestLakeCatalog
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 4 == 2)
+    root = tempfile.mkdtemp(prefix="lake_rest_")
+    srv = LakeRestServer(root).start()
+    try:
+        cat = RestLakeCatalog(spark, srv.base_url).start()
+        t = cat.create_table("bench.lineitem_rest", li.schema)
+        t.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4))
+        t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(4))
+        compact(t, target_file_size=256 * 1024 * 1024)
+        return (
+            cat.load_table("bench.lineitem_rest")
+            .scan()
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum("l_extendedprice", 2).alias("sum_price"),
+            )
+        )
+    finally:
+        # scan() resolves file paths from metadata eagerly; executors
+        # then read shared storage, never HTTP — so the returned lazy
+        # DataFrame stays valid after the server stops.
+        srv.stop()

@@ -1,0 +1,203 @@
+"""REST catalog shim (lake/rest.py): the lake battery driven through an
+HTTP client against a localhost server — the network-facing version of
+the reference's JdbcCatalog role (LocalIcebergCatalog.java:133-135).
+Commit authority is the SERVER's database-row CAS; clients see spec
+status codes (404/409) surfaced as the same exceptions the in-process
+catalogs raise, so every existing retry loop works unchanged."""
+
+import threading
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import compact
+from icebergplus_spark.lake.commitio import ConcurrentCommitError
+from icebergplus_spark.lake.rest import LakeRestServer, RestLakeCatalog
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
+)
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = LakeRestServer(str(tmp_path / "wh")).start()
+    yield srv
+    srv.stop()
+
+
+def _client(spark, server):
+    return RestLakeCatalog(spark, server.base_url).start()
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_roundtrip_over_http(spark, server):
+    cat = _client(spark, server)
+    t = cat.create_table("db.t", SCHEMA)
+    t = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t = t.append(_df(spark, [(3, "c")]))
+    assert t.scan().count() == 3
+    assert cat.load_table("db.t").scan().count() == 3
+    assert cat.list_tables() == ["db.t"]
+    assert cat.list_namespaces() == ["db"]
+    assert cat.table_exists("db.t") and not cat.table_exists("db.x")
+
+
+def test_second_client_sees_state(spark, server):
+    """Restartability over HTTP: a FRESH client instance (new config
+    fetch, new commit IO) sees everything the first one committed."""
+    cat = _client(spark, server)
+    cat.create_table("db.t", SCHEMA).append(_df(spark, [(1, "a")]))
+    cat2 = _client(spark, server)
+    assert cat2.load_table("db.t").scan().count() == 1
+    cat2.load_table("db.t").append(_df(spark, [(2, "b")]))
+    assert cat.load_table("db.t").scan().count() == 2
+
+
+def test_create_conflict_and_missing_table_status_codes(spark, server):
+    cat = _client(spark, server)
+    cat.create_table("db.t", SCHEMA)
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("db.t", SCHEMA)
+    with pytest.raises(KeyError, match="no such table"):
+        cat.load_table("db.nope")
+    with pytest.raises(KeyError):
+        cat.drop_table("db.nope")
+
+
+def test_drop_table_over_http(spark, server):
+    import os
+
+    cat = _client(spark, server)
+    t = cat.create_table("db.t", SCHEMA)
+    t.append(_df(spark, [(1, "a")]))
+    table_dir = t.table_dir
+    cat.drop_table("db.t")
+    assert not cat.table_exists("db.t")
+    assert os.path.isdir(table_dir)  # drop without purge keeps files
+    t2 = cat.create_table("db.u", SCHEMA)
+    t2.append(_df(spark, [(1, "a")]))
+    cat.drop_table("db.u", purge=True)
+    assert not os.path.isdir(t2.table_dir)
+
+
+def test_cas_loser_gets_concurrent_commit_error_through_http(spark, server):
+    """Spec CommitFailedException (HTTP 409) surfaces as the same
+    ConcurrentCommitError the in-process IOs raise."""
+    cat = _client(spark, server)
+    t1 = cat.create_table("db.t", SCHEMA)
+    t1.append(_df(spark, [(1, "a")]))
+    t2 = cat.load_table("db.t")
+    t1.append(_df(spark, [(2, "b")]))  # advances the service row
+    with pytest.raises(ConcurrentCommitError):
+        t2.io.publish(t2._meta_dir, t2._meta["_phys_version"] + 1, "{}")
+    t2.refresh().append(_df(spark, [(3, "c")]))
+    assert t2.scan().count() == 3
+
+
+def test_compaction_and_maintenance_through_http(spark, server):
+    cat = _client(spark, server)
+    t = cat.create_table("db.t", SCHEMA)
+    for i in range(4):
+        t.append(_df(spark, [(i, f"r{i}")]).coalesce(1))
+    rep = compact(t, target_file_size=256 * 1024 * 1024)
+    assert rep["compacted"] == 4
+    assert cat.load_table("db.t").scan().count() == 4
+
+
+def test_multi_table_transaction_through_http(spark, server):
+    """txn.py's atomic multi-table commit with every metadata publish
+    CASed through the REST service."""
+    cat = _client(spark, server)
+    cat.create_table("db.fact", SCHEMA)
+    cat.create_table("db.dim", SCHEMA)
+    with cat.transaction() as txn:
+        txn.append("db.fact", _df(spark, [(1, "f"), (2, "f")]))
+        txn.append("db.dim", _df(spark, [(1, "d")]))
+    assert cat.load_table("db.fact").scan().count() == 2
+    assert cat.load_table("db.dim").scan().count() == 1
+
+
+def test_parallel_writers_no_lost_snapshots_over_http(spark, server):
+    """The no-lost-snapshot battery through HTTP: two client catalog
+    instances (= two hosts against one catalog service) racing appends;
+    every append lands exactly once."""
+    cat1 = _client(spark, server)
+    cat1.create_table("db.shared", SCHEMA)
+    cat2 = _client(spark, server)
+
+    per_writer = 4
+    errors: list[Exception] = []
+
+    def writer(cat, base):
+        try:
+            t = cat.load_table("db.shared")
+            for i in range(per_writer):
+                for _ in range(8):
+                    try:
+                        t.append(_df(spark, [(base + i, f"w{base + i}")]))
+                        break
+                    except ConcurrentCommitError:
+                        t.refresh()
+                else:
+                    raise RuntimeError("append never landed")
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    th1 = threading.Thread(target=writer, args=(cat1, 0))
+    th2 = threading.Thread(target=writer, args=(cat2, 100))
+    th1.start(), th2.start()
+    th1.join(), th2.join()
+    assert not errors, errors
+
+    final = cat1.load_table("db.shared")
+    appends = [
+        s for s in final._meta["snapshots"] if s["operation"] == "append"
+    ]
+    assert len(appends) == 2 * per_writer
+    rows = final.scan().collect()
+    assert sorted(r["k"] for r in rows) == sorted(
+        list(range(per_writer)) + list(range(100, 100 + per_writer))
+    )
+
+
+def test_server_adopts_preexisting_warehouse(spark, tmp_path):
+    """Mount an EXISTING warehouse (written by the in-process catalog)
+    over HTTP: the service seeds versions from a directory list, then
+    becomes the commit authority for new writes."""
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    root = str(tmp_path / "wh")
+    plain = LocalLakeCatalog(spark, root).start()
+    plain.create_table("db.old", SCHEMA).append(_df(spark, [(1, "a")]))
+    plain.stop()
+    srv = LakeRestServer(root).start()
+    try:
+        cat = _client(spark, srv)
+        t = cat.load_table("db.old")
+        assert t.scan().count() == 1
+        t.append(_df(spark, [(2, "b")]))
+        assert cat.load_table("db.old").scan().count() == 2
+    finally:
+        srv.stop()
+
+
+def test_time_travel_and_schema_evolution_through_http(spark, server):
+    cat = _client(spark, server)
+    t = cat.create_table("db.t", SCHEMA)
+    t = t.append(_df(spark, [(1, "a")]))
+    v1 = t.current_snapshot_id
+    t = t.append(_df(spark, [(2, "b")]))
+    assert t.scan(snapshot_id=v1).count() == 1
+    t = t.rename_column("v", "label")
+    got = cat.load_table("db.t")
+    assert "label" in [f.name for f in got.schema.fields]
+    assert got.scan().count() == 2
