@@ -283,7 +283,7 @@ def _delete_affected_paths(table: LakeTable, snap: dict) -> set:
     uri_to_path = {_as_uri(p): p for p in current}
     out: set = set()
     for e in entries:
-        if e["content"] == "position":
+        if e["content"] in ("position", "dv"):
             refs = pq.read_table(e["file_path"], columns=["file_path"])
             out.update(
                 uri_to_path[u]

@@ -111,8 +111,11 @@ def _bloom_might_contain(hex_bits: str, v: Any) -> bool:
     return all(bits[b // 8] & (1 << (b % 8)) for b in _bloom_bits(v))
 
 # Merge-on-read delete manifests (Iceberg v2 delete-file parity).
-# content: "position" (rows of file_uri+pos, Iceberg position deletes) or
-# "equality" (rows of key-column values, Iceberg equality deletes).
+# content: "position" (rows of file_uri+pos, Iceberg position deletes),
+# "equality" (rows of key-column values, Iceberg equality deletes), or
+# "dv" (Iceberg v3 deletion vectors: parquet rows of file_uri + bitmap
+# blob, one vector per data file — lake/dv.py is the codec; for "dv"
+# entries record_count is the commit's DELTA of new positions).
 # applies_before: the snapshot id current when the delete was committed —
 # data files born in a LATER snapshot are exempt (our stand-in for
 # Iceberg's sequence numbers, which is what makes append-after-delete
@@ -127,6 +130,64 @@ DELETE_MANIFEST_SCHEMA = pa.schema(
         ("applies_before", pa.int64()),
     ]
 )
+
+
+# Executor-side deletion-vector cache: one decode of the live vector
+# set per python worker, reused across batches/tasks. Keyed by the
+# ordered dv-parquet path tuple (content-stable: dv files are
+# immutable once committed); bounded — vectors are tombstone-scale.
+_DV_BLOB_CACHE: dict[tuple, dict] = {}
+
+
+def _load_dv_blobs(dv_paths: tuple) -> dict:
+    """{data-file URI → vector blob}, last-wins in manifest order (a
+    later vector for a file supersedes — and contains — the earlier)."""
+    hit = _DV_BLOB_CACHE.get(dv_paths)
+    if hit is not None:
+        return hit
+    blobs: dict = {}
+    for p in dv_paths:
+        t = pq.read_table(p, columns=["file_path", "dv"])
+        for f, b in zip(
+            t.column("file_path").to_pylist(), t.column("dv").to_pylist()
+        ):
+            blobs[f] = bytes(b)
+    if len(_DV_BLOB_CACHE) > 8:
+        _DV_BLOB_CACHE.clear()
+    _DV_BLOB_CACHE[dv_paths] = blobs
+    return blobs
+
+
+def _apply_dv_vectors(df: DataFrame, dv_paths: list[str]) -> DataFrame:
+    """Filter rows whose (__file, __pos) is tombstoned by a deletion
+    vector. mapInPandas, not a join: each Arrow batch groups by file,
+    decodes that file's vector once (worker-cached), and drops members
+    via a vectorized bitmap test — the blob is never replicated per
+    row and nothing shuffles."""
+    schema = df.schema
+    paths = tuple(dv_paths)
+
+    def fn(batches):
+        import numpy as np
+
+        from icebergplus_spark.lake import dv as _dv
+
+        blobs = _load_dv_blobs(paths)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.ones(len(pdf), dtype=bool)
+            pos = pdf["__pos"].to_numpy()
+            for f, idx in pdf.groupby("__file", sort=False).indices.items():
+                blob = blobs.get(f)
+                if blob is not None:
+                    keep[idx] = ~_dv.contains(blob, pos[idx])
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return df.mapInPandas(fn, schema)
 
 
 def _ddl_of(arrow_schema: "pa.Schema") -> str:
@@ -936,7 +997,11 @@ class LakeTable:
             for m in ms:
                 for e in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
                     files += 1
-                    if e["content"] == "position":
+                    # "dv" record_count is the commit's DELTA of newly
+                    # tombstoned positions (vectors supersede, so raw
+                    # cardinalities would double-count merged history) —
+                    # summing deltas keeps the running total exact
+                    if e["content"] in ("position", "dv"):
                         pos += e["record_count"]
                     else:
                         eq += e["record_count"]
@@ -1276,6 +1341,19 @@ class LakeTable:
                 (df["__file"] == tomb["file_path"]) & (df["__pos"] == tomb["pos"]),
                 "left_anti",
             )
+        dv_entries = [e for e in entries if e["content"] == "dv"]
+        if dv_entries:
+            # Iceberg v3 deletion vectors: at most one LIVE bitmap per
+            # data file (manifest order: later vectors supersede, and a
+            # later vector always CONTAINS the earlier one because
+            # writes merge). Applied as a vectorized per-batch
+            # membership test — one vector decode per (task, file),
+            # never a row-level join, so read amplification stays
+            # O(live vector bytes) regardless of how many delete
+            # commits produced them.
+            df = _apply_dv_vectors(
+                df, [e["file_path"] for e in dv_entries]
+            )
         eq_entries = [e for e in entries if e["content"] == "equality"]
         if eq_entries:
             births = self._file_births()
@@ -1519,6 +1597,8 @@ class LakeTable:
         matches = df.filter(cond).select(
             _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
         )
+        if (self.properties or {}).get("delete.representation") == "dv":
+            return self._commit_dv_delete(t0, snap, matches)
         out_dir = os.path.join(self.table_dir, "data", "deletes", f"pos-{uuid.uuid4().hex}")
         matches.write.mode("overwrite").parquet(out_dir)
         new_entries = []
@@ -1547,6 +1627,90 @@ class LakeTable:
             [],
             t0,
             delete_manifests=(snap.get("delete_manifests", []) if snap else [])
+            + [dmanifest],
+        )
+        return self
+
+    def _commit_dv_delete(
+        self, t0: float, snap: dict[str, Any] | None, matches: DataFrame
+    ) -> "LakeTable":
+        """Deletion-vector commit (Iceberg v3; table property
+        ``delete.representation=dv``): the matched (file, pos) rows are
+        grouped per data file and encoded as ONE bitmap per file
+        (lake/dv.py), MERGED with the file's existing vector so the
+        at-most-one-live-vector invariant holds. The manifest entry's
+        record_count is the commit's DELTA of newly tombstoned
+        positions, keeping total-position-deletes exact under
+        supersession. Encoding runs in applyInPandas per file — no
+        driver-side collect, so a delete touching 10⁵ files at 100 TB
+        fans out across the cluster."""
+        import pandas as pd
+
+        from icebergplus_spark.lake import dv as _dv
+
+        entries = self._delete_entries(snap)
+        dv_paths = tuple(
+            e["file_path"] for e in entries if e["content"] == "dv"
+        )
+
+        def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            blobs = _load_dv_blobs(dv_paths)
+            f = pdf["file_path"].iloc[0]
+            old = blobs.get(f)
+            pos = pdf["pos"].to_numpy()
+            if old is not None:
+                blob = _dv.encode_dv(
+                    np.concatenate([pos, _dv.decode_positions(old)])
+                )
+                delta = _dv.cardinality(blob) - _dv.cardinality(old)
+            else:
+                blob = _dv.encode_dv(pos)
+                delta = _dv.cardinality(blob)
+            return pd.DataFrame(
+                {"file_path": [f], "dv": [blob], "n_new": [delta]}
+            )
+
+        enc_df = matches.groupBy("file_path").applyInPandas(
+            enc, "file_path string, dv binary, n_new long"
+        )
+        out_dir = os.path.join(
+            self.table_dir, "data", "deletes", f"dv-{uuid.uuid4().hex}"
+        )
+        enc_df.write.mode("overwrite").parquet(out_dir)
+        new_entries = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    t = pq.read_table(p, columns=["n_new"])
+                    new_entries.append(
+                        {
+                            "file_path": p,
+                            "record_count": int(
+                                sum(t.column("n_new").to_pylist())
+                            ),
+                            "file_size_bytes": os.path.getsize(p),
+                            "content": "dv",
+                            "equality_cols": "",
+                            "applies_before": snap["snapshot_id"] if snap else 0,
+                        }
+                    )
+        if sum(e["record_count"] for e in new_entries) == 0:
+            import shutil as _shutil
+
+            _shutil.rmtree(out_dir, ignore_errors=True)
+            return self  # nothing newly deleted — no snapshot churn
+        dmanifest = self._write_delete_manifest(new_entries)
+        self._commit_snapshot(
+            "delete",
+            list(snap["manifests"]) if snap else [],
+            [],
+            t0,
+            delete_manifests=(
+                snap.get("delete_manifests", []) if snap else []
+            )
             + [dmanifest],
         )
         return self
@@ -2100,7 +2264,9 @@ class LakeTable:
         eq_entries: list[dict[str, Any]] = []
         for m in sorted(delete_manifests):
             for e in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
-                if e["content"] == "position":
+                # position deletes AND deletion vectors name their
+                # victim files outright (the dv parquet's file_path col)
+                if e["content"] in ("position", "dv"):
                     t = pq.read_table(e["file_path"], columns=["file_path"])
                     uris.update(set(t.column("file_path").to_pylist()))
                 else:

@@ -431,3 +431,61 @@ def q142_lake_rest_catalog_roundtrip(
         # then read shared storage, never HTTP — so the returned lazy
         # DataFrame stays valid after the server stops.
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# q143 — DELETION-VECTOR merge-on-read under the oracle gate (lake/dv.py
+# + delete.representation=dv): the q87 lifecycle with the position
+# deletes represented as Iceberg-v3 bitmap deletion vectors — two
+# STACKED predicate deletes force a vector merge (at most one live
+# vector per data file), then an equality delete lands on top, then the
+# aggregate reads through all tombstone kinds. A hash match proves the
+# bitmap representation reproduces exact relational semantics with v2
+# position files nowhere in the path.
+# ---------------------------------------------------------------------------
+@register(
+    "q143_lake_deletion_vectors_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_linenumber <= 2
+  AND NOT (l_quantity < 4)
+  AND NOT (l_quantity > 46)
+  AND l_orderkey % 89 <> 0
+GROUP BY l_returnflag
+""",
+)
+def q143_lake_deletion_vectors_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.functions.exact import dsum
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    root = tempfile.mkdtemp(prefix="lake_dv_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.lineitem_dv", li.schema)
+    t.set_property("delete.representation", "dv")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(2))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(2))
+    # two stacked vector deletes: the second MERGES into each affected
+    # file's existing vector (supersession, not accumulation)
+    t.delete_where({"l_quantity": ("<", 4)})
+    t.delete_where({"l_quantity": (">", 46)})
+    # equality tombstones compose with vectors at scan
+    t.delete_by_key(
+        li.filter(F.col("l_orderkey") % 89 == 0).select("l_orderkey").distinct()
+    )
+    return (
+        t.scan()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
+        )
+    )

@@ -484,6 +484,32 @@ def _make_cdc_source():
                                     }
                                 )
                             )
+                        elif e["content"] == "dv":
+                            # deletion vector: deleted rows this commit
+                            # = new vector MINUS the file's previous
+                            # vector (vectors supersede and contain
+                            # their predecessors) — ship the ordered
+                            # prev dv paths for the subtraction
+                            prev_dvs = []
+                            for pm in (
+                                prev.get("delete_manifests", []) if prev else []
+                            ):
+                                for pe in pq.read_table(
+                                    os.path.join(meta_dir, pm)
+                                ).to_pylist():
+                                    if pe["content"] == "dv":
+                                        prev_dvs.append(pe["file_path"])
+                            parts.append(
+                                InputPartition(
+                                    {
+                                        **common,
+                                        "kind": "dv",
+                                        "commit_id": sid,
+                                        "tombstone_path": e["file_path"],
+                                        "prev_dv_paths": prev_dvs,
+                                    }
+                                )
+                            )
                         else:
                             # equality tombstone hits files of the PREV
                             # state born at-or-before its commit
@@ -567,6 +593,39 @@ def _make_cdc_source():
                 for fp, positions in sorted(by_file.items()):
                     local = uri_to_path(fp)
                     rows = pq.read_table(local).take(sorted(positions))
+                    yield from tagged(rows, parse_path_values(local), "delete")
+            elif kind == "dv":
+                import numpy as np
+
+                from icebergplus_spark.lake import dv as _dv
+
+                prev_blobs: dict[str, bytes] = {}
+                for p in spec["prev_dv_paths"]:  # manifest order, last wins
+                    t = pq.read_table(p, columns=["file_path", "dv"])
+                    for fp, b in zip(
+                        t.column("file_path").to_pylist(),
+                        t.column("dv").to_pylist(),
+                    ):
+                        prev_blobs[fp] = bytes(b)
+                t = pq.read_table(
+                    spec["tombstone_path"], columns=["file_path", "dv"]
+                )
+                for fp, b in sorted(
+                    zip(
+                        t.column("file_path").to_pylist(),
+                        t.column("dv").to_pylist(),
+                    )
+                ):
+                    new_pos = _dv.decode_positions(bytes(b))
+                    old = prev_blobs.get(fp)
+                    if old is not None:
+                        new_pos = np.setdiff1d(
+                            new_pos, _dv.decode_positions(old)
+                        )
+                    if new_pos.size == 0:
+                        continue
+                    local = uri_to_path(fp)
+                    rows = pq.read_table(local).take(new_pos.tolist())
                     yield from tagged(rows, parse_path_values(local), "delete")
             else:  # eq
                 keys = pq.read_table(spec["keys_path"])

@@ -1,0 +1,220 @@
+"""Deletion vectors (Iceberg v3, lake/dv.py + delete.representation=dv).
+
+The shared MoR battery (test_mor_deletes.py) runs whole under DV mode;
+this file covers what that battery can't: the codec itself (array AND
+bitmap containers), the supersession invariant (a newer vector contains
+the older one; at most one LIVE vector per file), delta accounting
+under stacked deletes, streaming CDC emitting exactly the per-commit
+delta, and file-GC keeping live vectors."""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from icebergplus_spark.lake import LocalLakeCatalog, compact, expire_snapshots
+from icebergplus_spark.lake import dv as dvmod
+
+SCHEMA = StructType(
+    [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
+)
+
+
+# -- codec ------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=300),
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=300),
+)
+def test_codec_roundtrip_and_merge_property(a, b):
+    ea, eb = dvmod.encode_dv(a), dvmod.encode_dv(b)
+    assert list(dvmod.decode_positions(ea)) == sorted(set(a))
+    assert dvmod.cardinality(ea) == len(set(a))
+    merged = dvmod.merge(ea, eb)
+    assert list(dvmod.decode_positions(merged)) == sorted(set(a) | set(b))
+    probe = np.array(sorted(set(a) | set(b) | {0, 1, 2**41}), dtype=np.int64)
+    mask = dvmod.contains(merged, probe)
+    truth = np.isin(probe, np.array(sorted(set(a) | set(b)), dtype=np.int64))
+    assert np.array_equal(mask, truth)
+
+
+def test_codec_dense_flips_to_bitmap_container():
+    """>4096 positions in one 64 Ki block must use the fixed 8 KiB
+    bitmap container (roaring density trade) — and stay correct."""
+    pos = np.arange(0, 60000, 2)  # 30k in container 0
+    blob = dvmod.encode_dv(pos)
+    assert len(blob) < 2 * pos.size  # bitmap, not 2-byte-per-entry array
+    assert dvmod.cardinality(blob) == pos.size
+    probe = np.arange(0, 60000)
+    assert np.array_equal(dvmod.contains(blob, probe), probe % 2 == 0)
+    assert np.array_equal(dvmod.decode_positions(blob), pos)
+
+
+# -- table integration ------------------------------------------------------
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.dv", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(10)], SCHEMA).coalesce(1)
+    )
+    return t
+
+
+def _live_dv_state(t):
+    """{victim file → (cardinality, blob)} last-wins over live entries."""
+    import pyarrow.parquet as pq
+
+    state = {}
+    for e in t._delete_entries(t.snapshot()):
+        if e["content"] != "dv":
+            continue
+        pt = pq.read_table(e["file_path"])
+        for f, b in zip(
+            pt.column("file_path").to_pylist(), pt.column("dv").to_pylist()
+        ):
+            state[f] = bytes(b)
+    return state
+
+
+def test_supersession_invariant_and_delta_accounting(table):
+    """Stacked deletes: the newest vector per file CONTAINS the older
+    one, the live state has at most one vector per file, and summary
+    deltas sum to the true live cardinality."""
+    table.delete_where({"k": ("<", 3)})
+    v1 = dict(_live_dv_state(table))
+    table.delete_where({"k": (">=", 8)})
+    v2 = _live_dv_state(table)
+    assert len(v2) == 1  # one data file → one live vector
+    (old_blob,), (new_blob,) = v1.values(), v2.values()
+    old_pos = set(dvmod.decode_positions(old_blob).tolist())
+    new_pos = set(dvmod.decode_positions(new_blob).tolist())
+    assert old_pos < new_pos  # strict containment
+    assert new_pos == {0, 1, 2, 8, 9}
+    assert table.snapshot()["summary"]["total-position-deletes"] == 5
+    # per-entry record_count carries the DELTA, not the cardinality
+    deltas = [
+        e["record_count"]
+        for e in table._delete_entries(table.snapshot())
+        if e["content"] == "dv"
+    ]
+    assert sorted(deltas) == [2, 3]
+
+
+def test_large_delete_uses_bitmap_and_scan_is_exact(spark, tmp_path):
+    """10k-row dense delete in one file: exercises the bitmap container
+    through the whole write→scan path."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whl")).start()
+    t = cat.create_table("db.big", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame(
+            [(i, "x") for i in range(12000)], SCHEMA
+        ).coalesce(1)
+    )
+    t.delete_where({"k": ("<", 10000)})
+    assert t.scan().count() == 2000
+    assert (
+        t.scan().agg({"k": "min"}).collect()[0][0] == 10000
+    )
+    (blob,) = _live_dv_state(t).values()
+    assert dvmod.cardinality(blob) == 10000
+    assert len(blob) <= 8192 + 64  # bitmap containers, not 20k uint16s
+
+
+def test_cdc_stream_emits_exact_delta_per_commit(spark, tmp_path):
+    """Streaming CDC under DV mode: each delete commit emits exactly the
+    rows newly tombstoned by that commit (new vector MINUS previous),
+    never the merged history."""
+    from icebergplus_spark.streaming.lake_source import read_lake_cdc_stream
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whc")).start()
+    t = cat.create_table("db.cdcdv", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(6)], SCHEMA).coalesce(1)
+    )
+    s_app = t.current_snapshot_id
+    t.delete_where({"k": ("<", 2)})
+    s_d1 = t.current_snapshot_id
+    t.delete_where({"k": (">=", 4)})  # merged vector now {0,1,4,5}
+    s_d2 = t.current_snapshot_id
+
+    q = (
+        read_lake_cdc_stream(spark, t.table_dir)
+        .writeStream.format("memory")
+        .queryName("cdcdv")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in spark.sql("SELECT * FROM cdcdv").collect()
+    )
+    assert rows == [
+        (0, "delete", s_d1),
+        (0, "insert", s_app),
+        (1, "delete", s_d1),
+        (1, "insert", s_app),
+        (2, "insert", s_app),
+        (3, "insert", s_app),
+        (4, "delete", s_d2),  # delta only — 0/1 NOT re-emitted
+        (4, "insert", s_app),
+        (5, "delete", s_d2),
+        (5, "insert", s_app),
+    ]
+
+
+def test_vacuum_keeps_live_vectors_then_purge_removes(table):
+    # second data file so the purge-compaction has a rewrite set
+    table.append(
+        table.spark.createDataFrame(
+            [(i, f"b{i}") for i in range(10, 12)], SCHEMA
+        ).coalesce(1)
+    )
+    table.delete_where({"k": ("<", 4)})
+    state = _live_dv_state(table)
+    dv_files = {
+        e["file_path"]
+        for e in table._delete_entries(table.snapshot())
+        if e["content"] == "dv"
+    }
+    assert dv_files and state
+    expire_snapshots(table, keep_last=1)
+    assert all(os.path.exists(p) for p in dv_files)
+    keep = [4, 5, 6, 7, 8, 9, 10, 11]
+    assert sorted(r["k"] for r in table.scan().collect()) == keep
+    compact(table, target_file_size=64 * 1024 * 1024, purge_deletes=True)
+    assert table.snapshot()["delete_manifests"] == []
+    expire_snapshots(table, keep_last=1)
+    assert all(not os.path.exists(p) for p in dv_files)
+    assert sorted(r["k"] for r in table.scan().collect()) == keep
+
+
+def test_mixed_representation_history(spark, tmp_path):
+    """A table that switches position→dv mid-history applies BOTH
+    tombstone kinds at scan."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whx")).start()
+    t = cat.create_table("db.mix", SCHEMA)
+    t.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(8)], SCHEMA).coalesce(1)
+    )
+    t.delete_where({"k": ("=", 0)})  # classic position delete file
+    t.set_property("delete.representation", "dv")
+    t.delete_where({"k": ("=", 7)})  # deletion vector
+    contents = {
+        e["content"] for e in t._delete_entries(t.snapshot())
+    }
+    assert contents == {"position", "dv"}
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2, 3, 4, 5, 6]
+    assert t.snapshot()["summary"]["total-position-deletes"] == 2

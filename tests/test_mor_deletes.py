@@ -23,10 +23,15 @@ SCHEMA = StructType(
 )
 
 
-@pytest.fixture
-def table(spark, tmp_path):
+@pytest.fixture(params=["position", "dv"])
+def table(spark, tmp_path, request):
+    """Whole battery runs under BOTH row-level delete representations:
+    classic v2 position-delete files and v3 deletion vectors
+    (``delete.representation=dv``, lake/dv.py)."""
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.mor", SCHEMA)
+    if request.param == "dv":
+        t.set_property("delete.representation", "dv")
     t.append(spark.createDataFrame([(i, f"a{i}") for i in range(5)], SCHEMA).coalesce(1))
     t.append(spark.createDataFrame([(i, f"b{i}") for i in range(5, 10)], SCHEMA).coalesce(1))
     return t
@@ -71,9 +76,10 @@ def test_delete_files_metadata_table(spark, table):
         spark.createDataFrame([(9,)], StructType([StructField("k", IntegerType(), True)]))
     )
     rows = table.metadata_df("delete_files").collect()
+    mode = (table.properties or {}).get("delete.representation", "position")
     by_content = {r["content"] for r in rows}
-    assert by_content == {"position", "equality"}
-    assert sum(r["record_count"] for r in rows if r["content"] == "position") == 3
+    assert by_content == {mode, "equality"}
+    assert sum(r["record_count"] for r in rows if r["content"] == mode) == 3
 
 
 def test_predicate_scan_with_tombstones(table):
