@@ -370,8 +370,9 @@ def m04_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (one bit per evenly-spaced sample position — the shape of a real
 # dHash/pHash, with the pixel decode behind the stub as everywhere in
 # this module; the deterministic stand-in samples raw payload bytes),
-# hashes are banded into 4×16-bit chunks (hamming-LSH — two hashes
-# within distance 6 share a chunk by pigeonhole), bucket-mates are
+# hashes are banded into 4×16-bit chunks (hamming-LSH — pigeonhole
+# GUARANTEES a shared chunk for distance ≤ 3; distances 4–6 are kept
+# when found, i.e. when one band is clean), bucket-mates are
 # compared by bit_count(xor). No cross join; one shuffle to band, one
 # bucket self-join — d05's banding applied to binary media. The oracle
 # rebuilds every sampled byte, both 32-bit signature halves, the bands
@@ -380,6 +381,13 @@ def m04_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 M05_BITS = 64
 M05_HAMMING_MAX = 6
+# Planted near-duplicate payloads (64 bytes → sample position i reads
+# byte i): B differs from A in the LOW BIT of bytes 10/20/30 ('A'→'B'),
+# so phash hamming = 3 ≤ 6 while bands 2 and 3 still collide.
+M05_PLANT_A = "A" * 64
+M05_PLANT_B = "".join(
+    "B" if i in (10, 20, 30) else "A" for i in range(64)
+)
 
 
 def _phash_worker(batches: Iterator, /):
@@ -410,12 +418,20 @@ def _phash_worker(batches: Iterator, /):
 @register(
     "m05_phash_neardup",
     oracle="""
-WITH lens AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL  -- planted near-dup pair, mirrored in the Spark query
+  SELECT -2, repeat('A', 10) || 'B' || repeat('A', 9) || 'B'
+             || repeat('A', 9) || 'B' || repeat('A', 33)
+  UNION ALL
+  SELECT -1, repeat('A', 64)
+),
+lens AS (
   -- blob indexing via its hex string (2 chars per byte): this DuckDB
   -- build has no substring(BLOB)
   SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
          OCTET_LENGTH(CAST(text AS BLOB)) AS n
-  FROM documents
+  FROM corpus
 ),
 bits AS (
   SELECT doc_id, b.range AS bit,
@@ -457,7 +473,29 @@ WHERE bit_count(xor(sig_a, sig_b)) <= 6
 def m05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    # Planted near-dup pair (r4 verdict: the organic corpus has no
+    # hamming≤6 pair at the sf0.01 gate, making the record vacuously
+    # empty). Two synthetic payloads 3 sampled-low-bits apart guarantee
+    # a non-empty result at EVERY sf; the oracle plants the identical
+    # rows, so the detector — not just empty-set plumbing — is what the
+    # hash compare certifies.
+    planted = spark.createDataFrame(
+        [(-2, M05_PLANT_B), (-1, M05_PLANT_A)], "doc_id long, text string"
+    )
+    media = (
+        docs.select("doc_id", "text")
+        .unionByName(planted)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    return phash_neardup_pairs(media)
+
+
+def phash_neardup_pairs(media: DataFrame) -> DataFrame:
+    """Hamming-LSH near-dup over (doc_id, payload binary): 64-bit
+    structural hash → 4×16-bit bands (pigeonhole: distance ≤ 3 ⇒ at
+    least one shared band GUARANTEED; distances 4–6 surface when one
+    band is clean) → bucket self-join → exact bit_count(xor) filter.
+    No cross join at any scale."""
     sigs = media.mapInPandas(_phash_worker, schema="doc_id bigint, phash bigint")
     # band into 4×16-bit chunks (unsigned view of the signed long)
     usig = F.conv(F.hex(F.col("phash")), 16, 10).cast("decimal(20,0)")

