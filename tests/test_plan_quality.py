@@ -236,3 +236,14 @@ def test_runtime_bloom_filter_join_available(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_exchange_count_constant_in_depth(spark, sf_dir):
+    """event_funnel's contract (r5): ANY funnel depth costs one shuffle
+    + one reused partitioning — the exchange count must NOT grow from
+    the 3-step to the 4-step funnel (the naive join-back plan grows by
+    ~2 exchanges per added step)."""
+    p3 = plan_of(spark, sf_dir, "q136_event_funnel")
+    p4 = plan_of(spark, sf_dir, "q145_event_funnel_4step")
+    assert p3.count("Exchange") == p4.count("Exchange") == 2
+    assert "Join" not in p4  # no join-back rounds at any depth
