@@ -106,3 +106,61 @@ def test_bloom_col_validation(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh4")).start()
     with pytest.raises(ValueError, match="bloom column"):
         cat.create_table("db.bad", SCHEMA, bloom_cols=["nope"])
+
+
+def test_equality_delete_scan_skip_by_range_and_bloom(spark, tmp_path):
+    """r4 verdict #9: scan-time equality-delete application skips
+    key-absent files entirely (range tier, then bloom tier inside the
+    range), and the skip never changes results."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.table import _as_uri
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whsk")).start()
+    t = cat.create_table("db.skip", schema, bloom_cols=["k"])
+    # three files: [0..9], [100..109] (evens), [200..209]
+    for lo, step in ((0, 1), (100, 2), (200, 1)):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i * step, f"r{lo + i}") for i in range(10)], schema
+            ).coalesce(1)
+        )
+    paths = sorted(f["file_path"] for f in t.plan_files())
+    assert len(paths) == 3
+
+    # keys 101/103 (odd, inside file-2's range but bloom-absent) + 205
+    t.delete_by_key(spark.createDataFrame([(101,), (103,), (205,)], "k int"))
+    snap = t.snapshot()
+    entry = next(
+        e for e in t._delete_entries(snap) if e["content"] == "equality"
+    )
+    skips = t._eq_skip_uris(entry, paths, t._file_stats_by_uri(snap))
+    by_file = {p: _as_uri(p) in skips for p in paths}
+    # file 1 ([0..9]) skipped by RANGE; file 2 skipped by BLOOM (its
+    # range [100,108] contains 101/103 but only evens exist); file 3
+    # holds key 205 → must NOT skip
+    assert list(by_file.values()) == [True, True, False]
+    # and the scan through the pruned anti-join is exact
+    got = sorted(r["k"] for r in t.scan().collect())
+    want = sorted(
+        list(range(10))
+        + [100 + 2 * i for i in range(10)]
+        + [k for k in range(200, 210) if k != 205]
+    )
+    assert got == want
+
+    # files born AFTER the delete stay exempt through the same path
+    t.append(spark.createDataFrame([(101, "reborn")], schema).coalesce(1))
+    assert 101 in {r["k"] for r in t.scan().collect()}
