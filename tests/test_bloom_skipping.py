@@ -146,12 +146,18 @@ def test_equality_delete_scan_skip_by_range_and_bloom(spark, tmp_path):
     entry = next(
         e for e in t._delete_entries(snap) if e["content"] == "equality"
     )
-    skips = t._eq_skip_uris(entry, paths, t._file_stats_by_uri(snap))
-    by_file = {p: _as_uri(p) in skips for p in paths}
-    # file 1 ([0..9]) skipped by RANGE; file 2 skipped by BLOOM (its
-    # range [100,108] contains 101/103 but only evens exist); file 3
-    # holds key 205 → must NOT skip
-    assert list(by_file.values()) == [True, True, False]
+    stats = t._file_stats_by_uri(snap)
+    skips = t._eq_skip_uris(entry, paths, stats)
+    import json as _json
+
+    def min_k(p):
+        return _json.loads(stats[_as_uri(p)]["column_mins"])["k"]
+
+    verdicts = {min_k(p): _as_uri(p) in skips for p in paths}
+    # [0..9] skipped by RANGE; [100..118 evens] skipped by BLOOM (range
+    # contains 101/103 but only evens exist); [200..209] holds key 205
+    # → must NOT skip
+    assert verdicts == {0: True, 100: True, 200: False}
     # and the scan through the pruned anti-join is exact
     got = sorted(r["k"] for r in t.scan().collect())
     want = sorted(
