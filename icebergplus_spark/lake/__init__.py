@@ -6,6 +6,7 @@ from icebergplus_spark.lake.maintenance import (
     expire_metadata_versions,
     expire_snapshots,
     remove_orphan_files,
+    rewrite_deletion_vectors,
     rewrite_manifests,
     rollback,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "auto_maintain",
     "compact",
     "expire_snapshots",
+    "rewrite_deletion_vectors",
     "expire_metadata_versions",
     "remove_orphan_files",
     "rewrite_manifests",

@@ -619,6 +619,108 @@ def rewrite_manifests(
     }
 
 
+def rewrite_deletion_vectors(table: LakeTable) -> dict:
+    """Consolidate the live deletion-vector set (the DV analogue of
+    Iceberg's ``rewrite_position_delete_files``): last-wins-merge every
+    live ``dv`` entry into ONE vector parquet restricted to current
+    data files, and rewrite the delete-manifest list so superseded
+    blobs leave the live metadata (their bytes are reclaimed by
+    ``expire_snapshots``, exactly like rewritten data files).
+
+    Why it matters at 100 TB: every dv delete commit adds one vector
+    parquet; scans read the whole ordered list per task (cheap — the
+    blobs are tombstone-scale — but unbounded on a table taking
+    thousands of streaming-upsert commits between compactions).
+    Consolidation restores O(1) vector files without touching a single
+    data file. Metadata-only commit; changelog/CDC skip it (it changes
+    no logical rows)."""
+    import pyarrow as pa
+
+    from icebergplus_spark.lake import dv as dvmod
+    from icebergplus_spark.lake.table import _as_uri
+
+    t0 = time.time()
+    snap = table.snapshot()
+    if snap is None:
+        return {"dv_files_before": 0, "dv_files_after": 0}
+    entries = table._delete_entries(snap)
+    dv_entries = [e for e in entries if e["content"] == "dv"]
+    if len(dv_entries) <= 1:
+        return {
+            "dv_files_before": len(dv_entries),
+            "dv_files_after": len(dv_entries),
+        }
+    blobs: dict[str, bytes] = {}
+    for e in dv_entries:  # manifest order — later vectors supersede
+        t = pq.read_table(e["file_path"], columns=["file_path", "dv"])
+        for f, b in zip(
+            t.column("file_path").to_pylist(), t.column("dv").to_pylist()
+        ):
+            blobs[f] = bytes(b)
+    live_uris = {_as_uri(p) for p in table._snapshot_paths(snap)}
+    blobs = {f: b for f, b in blobs.items() if f in live_uris}
+
+    new_manifests: list[str] = []
+    for m in snap.get("delete_manifests", []):
+        rows = pq.read_table(os.path.join(table._meta_dir, m)).to_pylist()
+        non_dv = [r for r in rows if r["content"] != "dv"]
+        if len(non_dv) == len(rows):
+            new_manifests.append(m)  # untouched manifest carries over
+        elif non_dv:
+            new_manifests.append(table._write_delete_manifest(non_dv))
+    if blobs:
+        out_dir = os.path.join(table.table_dir, "data", "deletes")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"dv-consolidated-{uuid.uuid4().hex}.parquet")
+        files = sorted(blobs)
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": files,
+                    "dv": [blobs[f] for f in files],
+                    # n_new kept for schema parity with commit-written
+                    # vector parquets (delta accounting not meaningful
+                    # for a consolidation — zeros)
+                    "n_new": [0] * len(files),
+                }
+            ),
+            out,
+        )
+        new_manifests.append(
+            table._write_delete_manifest(
+                [
+                    {
+                        "file_path": out,
+                        # consolidated entry carries the LIVE cardinality
+                        # (it replaces every delta entry, so manifest
+                        # sums remain the true live total)
+                        "record_count": int(
+                            sum(dvmod.cardinality(b) for b in blobs.values())
+                        ),
+                        "file_size_bytes": os.path.getsize(out),
+                        "content": "dv",
+                        "equality_cols": "",
+                        "applies_before": max(
+                            e["applies_before"] for e in dv_entries
+                        ),
+                    }
+                ]
+            )
+        )
+    table._commit_snapshot(
+        "rewrite-deletes",
+        list(snap["manifests"]),
+        [],
+        t0,
+        delete_manifests=new_manifests,
+    )
+    return {
+        "dv_files_before": len(dv_entries),
+        "dv_files_after": 1 if blobs else 0,
+        "live_vectors": len(blobs),
+    }
+
+
 def expire_metadata_versions(table: LakeTable, keep_last: int = 10) -> dict:
     """Vacuum old ``v{N}.metadata.json`` files (every commit and every
     metadata-only evolution writes one; a busy table accretes thousands).

@@ -847,6 +847,9 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 table, older_than_s=float(rest[0]) if rest else 3 * 24 * 3600
             ),
             "rewrite_data_files": lambda: mnt.compact(table),
+            "rewrite_deletion_vectors": lambda: mnt.rewrite_deletion_vectors(
+                table
+            ),
             "rewrite_manifests": lambda: mnt.rewrite_manifests(
                 table,
                 *([int(rest[0])] if rest else []),

@@ -2471,6 +2471,7 @@ class LakeTable:
             if sid <= from_snapshot_id or s["operation"] in (
                 "replace",
                 "rewrite-manifests",
+                "rewrite-deletes",  # DV consolidation: no logical rows change
             ):
                 prev = s
                 continue

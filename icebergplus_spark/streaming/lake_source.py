@@ -432,7 +432,7 @@ def _make_cdc_source():
             births: dict[str, int] | None = None
             parts: list[InputPartition] = []
             for s in chain:
-                if s["operation"] in ("replace", "rewrite-manifests"):
+                if s["operation"] in ("replace", "rewrite-manifests", "rewrite-deletes"):
                     continue
                 sid = s["snapshot_id"]
                 prev = parent(s)

@@ -218,3 +218,85 @@ def test_mixed_representation_history(spark, tmp_path):
     assert contents == {"position", "dv"}
     assert sorted(r["k"] for r in t.scan().collect()) == [1, 2, 3, 4, 5, 6]
     assert t.snapshot()["summary"]["total-position-deletes"] == 2
+
+
+def test_rewrite_deletion_vectors_consolidates(spark, tmp_path):
+    """DV consolidation (rewrite_position_delete_files analogue): three
+    delete commits → three vector parquets; one consolidation commit →
+    ONE live vector parquet with the full live cardinality; scan
+    identical; changelog/CDC silent on the consolidation; expiry
+    reclaims the superseded blobs."""
+    import pyarrow.parquet as pq
+
+    from icebergplus_spark.lake import rewrite_deletion_vectors
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whrc")).start()
+    t = cat.create_table("db.cons", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    for lo in (0, 10):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(10)], SCHEMA
+            ).coalesce(1)
+        )
+    t.delete_where({"k": ("<", 3)})
+    t.delete_where({"k": (">=", 17)})
+    t.delete_where({"k": ("=", 9)})
+    before = sorted(r["k"] for r in t.scan().collect())
+    cl_before = t.current_snapshot_id
+    old_entries = [
+        e for e in t._delete_entries(t.snapshot()) if e["content"] == "dv"
+    ]
+    assert len(old_entries) == 3
+
+    rep = rewrite_deletion_vectors(t)
+    assert rep == {
+        "dv_files_before": 3,
+        "dv_files_after": 1,
+        "live_vectors": 2,
+    }
+    live = [e for e in t._delete_entries(t.snapshot()) if e["content"] == "dv"]
+    assert len(live) == 1
+    assert live[0]["record_count"] == 7  # 3 + 3 + 1 live positions
+    assert t.snapshot()["summary"]["total-position-deletes"] == 7
+    assert sorted(r["k"] for r in t.scan().collect()) == before
+    # consolidation is changelog-silent
+    assert t.scan_changelog(from_snapshot_id=cl_before).count() == 0
+    # another delete merges into the CONSOLIDATED vector set
+    t.delete_where({"k": ("=", 5)})
+    assert sorted(r["k"] for r in t.scan().collect()) == [
+        k for k in before if k != 5
+    ]
+    # expiry reclaims superseded vector parquets, keeps the live ones
+    import os as _os
+
+    from icebergplus_spark.lake import expire_snapshots
+
+    expire_snapshots(t, keep_last=1)
+    assert all(not _os.path.exists(e["file_path"]) for e in old_entries)
+    for e in (x for x in t._delete_entries(t.snapshot()) if x["content"] == "dv"):
+        assert _os.path.exists(e["file_path"])
+        pq.read_table(e["file_path"])  # still readable
+    assert sorted(r["k"] for r in t.scan().collect()) == [
+        k for k in before if k != 5
+    ]
+
+
+def test_rewrite_deletion_vectors_via_sql_call(spark, tmp_path):
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whsql")).start()
+    t = cat.create_table("db.sq", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame([(i, "x") for i in range(8)], SCHEMA).coalesce(1)
+    )
+    t.delete_where({"k": ("<", 2)})
+    t.delete_where({"k": (">", 5)})
+    lake_sql(cat, "CALL system.rewrite_deletion_vectors('db.sq')")
+    t = cat.load_table("db.sq")
+    assert (
+        len([e for e in t._delete_entries(t.snapshot()) if e["content"] == "dv"])
+        == 1
+    )
+    assert sorted(r["k"] for r in t.scan().collect()) == [2, 3, 4, 5]
