@@ -830,6 +830,26 @@ def auto_maintain(
             f"skipped: {n_manifests} manifests <= {max_manifests}"
         )
 
+    # DV consolidation: each dv delete commit adds one vector parquet;
+    # consolidate when more than max_manifests/4 accumulate (same
+    # accretion dynamic as manifests, same metadata-only cost)
+    n_dv = sum(
+        1
+        for e in (table._delete_entries(snap) if snap else [])
+        if e["content"] == "dv"
+    )
+    dv_threshold = max(2, max_manifests // 4)
+    if n_dv > dv_threshold:
+        report["rewrite_deletion_vectors"] = (
+            f"would consolidate {n_dv} vector files"
+            if dry_run
+            else rewrite_deletion_vectors(table)
+        )
+    else:
+        report["rewrite_deletion_vectors"] = (
+            f"skipped: {n_dv} vector files <= {dv_threshold}"
+        )
+
     gc_off = (table.properties.get("gc.enabled", "true").lower() == "false")
     # Iceberg retention-property parity: a table declares its own policy
     # (history.expire.min-snapshots-to-keep / .max-snapshot-age-ms) and

@@ -300,3 +300,23 @@ def test_rewrite_deletion_vectors_via_sql_call(spark, tmp_path):
         == 1
     )
     assert sorted(r["k"] for r in t.scan().collect()) == [2, 3, 4, 5]
+
+
+def test_auto_maintain_consolidates_vectors(spark, tmp_path):
+    from icebergplus_spark.lake import auto_maintain
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wham")).start()
+    t = cat.create_table("db.am", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame([(i, "x") for i in range(30)], SCHEMA).coalesce(1)
+    )
+    for k in range(5):  # five vector files > threshold (max(2, 8//4)=2)
+        t.delete_where({"k": ("=", k)})
+    before = sorted(r["k"] for r in t.scan().collect())
+    rep = auto_maintain(t, max_manifests=8)
+    assert rep["rewrite_deletion_vectors"]["dv_files_after"] == 1
+    assert sorted(r["k"] for r in t.scan().collect()) == before
+    # healthy table → trigger does not fire again
+    rep2 = auto_maintain(t, max_manifests=8)
+    assert "skipped" in rep2["rewrite_deletion_vectors"]
