@@ -162,6 +162,43 @@ class LakeRestServer:
                     }
                 return 200, {"namespace": namespace.split("."), "properties": {}}
 
+        if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "views":
+            namespace = _ns_to_ident(parts[1])
+            if method == "GET":
+                return 200, {
+                    "identifiers": [
+                        {
+                            "namespace": namespace.split("."),
+                            "name": i.rpartition(".")[2],
+                        }
+                        for i in cat.list_views(namespace)
+                    ]
+                }
+            if method == "POST":
+                ident = f"{namespace}.{body['name']}"
+                try:
+                    cat.create_view(
+                        ident, body["sql"], replace=bool(body.get("replace"))
+                    )
+                except ValueError as e:
+                    return 409, {"error": {"message": str(e)}}
+                self._create_namespace(namespace)
+                return 200, self._view_payload(ident)
+
+        if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "views":
+            namespace, name = _ns_to_ident(parts[1]), parts[3]
+            ident = f"{namespace}.{name}"
+            if method in ("GET", "HEAD"):
+                if not cat.view_exists(ident):
+                    return 404, {"error": {"message": f"no such view: {ident}"}}
+                return 200, self._view_payload(ident)
+            if method == "DELETE":
+                try:
+                    cat.drop_view(ident)
+                except KeyError as e:
+                    return 404, {"error": {"message": str(e)}}
+                return 204, None
+
         if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
             namespace = _ns_to_ident(parts[1])
             if method == "GET":
@@ -245,6 +282,21 @@ class LakeRestServer:
                 return 200, self._load_payload(cat.load_table(ident))
 
         return 404, {"error": {"message": f"unknown route: {method} {path}"}}
+
+    def _view_payload(self, ident: str) -> dict:
+        """Iceberg view-spec shape: the definition is VERSIONED metadata
+        (every CREATE OR REPLACE appends a version). The server never
+        evaluates SQL — clients load the text and run it on their own
+        engine, exactly the multi-engine contract Iceberg views exist
+        for."""
+        with open(self.catalog._pointer_file(ident)) as f:
+            meta = json.load(f)
+        return {
+            "metadata": {
+                "current-version-id": meta["current_version"],
+                "versions": meta["versions"],
+            }
+        }
 
     def _load_payload(self, t: LakeTable) -> dict:
         version = t._meta["_phys_version"]
@@ -547,6 +599,86 @@ class RestLakeCatalog(LocalLakeCatalog):
             raise ValueError(payload.get("error", {}).get("message"))
         if status not in (200, 204):
             raise RuntimeError(f"dropTable failed ({status}): {payload}")
+
+    # -- HTTP-backed versioned views (Iceberg view spec over REST) ---------
+    def _view_url(self, identifier: str) -> str:
+        namespace, _, name = identifier.rpartition(".")
+        return (
+            f"{self.base_url}/v1/namespaces/"
+            f"{_ident_to_ns(namespace or 'default')}"
+            f"/views/{urllib.parse.quote(name, safe='')}"
+        )
+
+    def create_view(
+        self, identifier: str, sql_text: str, replace: bool = False
+    ) -> None:
+        self._require_started()
+        namespace, _, name = identifier.rpartition(".")
+        status, payload = _http(
+            "POST",
+            f"{self.base_url}/v1/namespaces/"
+            f"{_ident_to_ns(namespace or 'default')}/views",
+            {"name": name, "sql": sql_text, "replace": replace},
+        )
+        if status == 409:
+            raise ValueError(payload.get("error", {}).get("message"))
+        if status != 200:
+            raise RuntimeError(f"createView failed ({status}): {payload}")
+
+    def view_exists(self, identifier: str) -> bool:
+        self._require_started()
+        status, _ = _http("HEAD", self._view_url(identifier))
+        return status == 200
+
+    def list_views(self, namespace: str | None = None) -> list[str]:
+        self._require_started()
+        spaces = [namespace] if namespace else self.list_namespaces()
+        out: list[str] = []
+        for ns in spaces:
+            status, payload = _http(
+                "GET",
+                f"{self.base_url}/v1/namespaces/{_ident_to_ns(ns)}/views",
+            )
+            if status != 200:
+                raise RuntimeError(f"listViews failed ({status}): {payload}")
+            out.extend(
+                ".".join(i["namespace"]) + "." + i["name"]
+                for i in payload["identifiers"]
+            )
+        return sorted(out)
+
+    def view_versions(self, identifier: str) -> list[dict]:
+        self._require_started()
+        status, payload = _http("GET", self._view_url(identifier))
+        if status == 404:
+            raise KeyError(f"no such view: {identifier}")
+        if status != 200:
+            raise RuntimeError(f"loadView failed ({status}): {payload}")
+        return payload["metadata"]["versions"]
+
+    def load_view(self, identifier: str, version: int | None = None):
+        """Fetch the versioned definition over HTTP, evaluate it on THIS
+        client's Spark session (the server never runs SQL — the
+        multi-engine contract Iceberg views exist for)."""
+        self._require_started()
+        versions = self.view_versions(identifier)
+        if version is None:
+            entry = versions[-1]
+        else:
+            entry = next(
+                (v for v in versions if v["version"] == version), None
+            )
+            if entry is None:
+                raise KeyError(f"view {identifier} has no version {version}")
+        return self.spark.sql(entry["sql"])
+
+    def drop_view(self, identifier: str) -> None:
+        self._require_started()
+        status, payload = _http("DELETE", self._view_url(identifier))
+        if status == 404:
+            raise KeyError(f"no such view: {identifier}")
+        if status not in (200, 204):
+            raise RuntimeError(f"dropView failed ({status}): {payload}")
 
     # -- helpers -----------------------------------------------------------
     def _table_url(self, identifier: str) -> str:

@@ -201,3 +201,30 @@ def test_time_travel_and_schema_evolution_through_http(spark, server):
     got = cat.load_table("db.t")
     assert "label" in [f.name for f in got.schema.fields]
     assert got.scan().count() == 2
+
+
+def test_versioned_views_over_http(spark, server):
+    """Iceberg view-spec over the shim: versioned definitions live on
+    the server; evaluation happens on the CLIENT's engine."""
+    cat = _client(spark, server)
+    t = cat.create_table("db.t", SCHEMA)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.to_view("rest_t")
+    cat.create_view("db.big_k", "SELECT k FROM rest_t WHERE k >= 2")
+    assert cat.view_exists("db.big_k") and not cat.view_exists("db.nope")
+    assert cat.list_views() == ["db.big_k"]
+    assert sorted(r.k for r in cat.load_view("db.big_k").collect()) == [2, 3]
+    # CREATE OR REPLACE appends a version; history stays loadable
+    cat.create_view("db.big_k", "SELECT k FROM rest_t WHERE k >= 3", replace=True)
+    assert [v["version"] for v in cat.view_versions("db.big_k")] == [1, 2]
+    assert [r.k for r in cat.load_view("db.big_k").collect()] == [3]
+    assert sorted(
+        r.k for r in cat.load_view("db.big_k", version=1).collect()
+    ) == [2, 3]
+    # duplicate create without replace → 409 → ValueError
+    with pytest.raises(ValueError):
+        cat.create_view("db.big_k", "SELECT 1")
+    cat.drop_view("db.big_k")
+    assert cat.list_views() == []
+    with pytest.raises(KeyError):
+        cat.drop_view("db.big_k")
