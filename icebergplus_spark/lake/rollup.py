@@ -1,14 +1,18 @@
 """Continuous aggregate (hypertable-rollup style): an aggregate table
-maintained INCREMENTALLY from an append-stream lake table.
+maintained INCREMENTALLY from a lake table under ANY write pattern.
 
-``refresh_rollup`` consumes only snapshots appended since the last
-refresh (via ``LakeTable.scan_incremental``), re-aggregates only the
-time buckets those new rows touch, and MERGEs the refreshed buckets into
-the rollup table. At 100 TB/day event rates this is the difference
-between an O(new data) maintenance tick and an O(history) recompute.
+``refresh_rollup`` reads the source CHANGELOG since the last refresh —
+every row gained or lost, at bounded cost — re-aggregates only the
+time buckets those changes touch, MERGEs the refreshed buckets into
+the rollup table, and tombstones rollup rows whose bucket emptied
+out. At 100 TB/day event rates this is the difference between an
+O(changed data) maintenance tick and an O(history) recompute; using
+the changelog (not the append stream) as the invalidation set is what
+keeps the aggregate exact under DELETE / UPDATE / MoR tombstones too,
+the contract a hypertable's invalidation log provides.
 
-Invariant (tested): after any sequence of appends + refreshes, the
-rollup equals the full recompute over the source.
+Invariant (tested): after any sequence of appends, deletes, updates,
+and refreshes, the rollup equals the full recompute over the source.
 """
 
 from __future__ import annotations
@@ -57,14 +61,24 @@ def refresh_rollup(
     if current <= last:
         return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
 
-    new_rows = source.scan_incremental(last, current)
-    touched = new_rows.select(
+    # Bucket invalidation from the CHANGELOG, not the append stream
+    # (r5): scan_incremental skips delete commits, so a source DELETE /
+    # UPDATE / MoR tombstone would leave its buckets stale forever. The
+    # changelog names every gained AND lost row at bounded cost
+    # (appends read only added files; delete commits diff only affected
+    # files) — its buckets are exactly the invalidation set, the same
+    # contract a hypertable's invalidation log provides.
+    changes = source.scan_changelog(
+        from_snapshot_id=last, to_snapshot_id=current
+    )
+    touched = changes.select(
         F.date_trunc(window, "ts").alias("bucket")
     ).distinct()
     # recompute ONLY the touched buckets from the full source (correct
     # under late data landing in old buckets), then merge by bucket key
     lo = touched.agg(F.min("bucket").alias("lo")).first()["lo"]
     if lo is None:
+        _record_refreshed_snapshot(rollup, current)
         return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
     src = source.scan().filter(F.date_trunc(window, "ts") >= F.lit(lo))
     refreshed = (
@@ -74,8 +88,26 @@ def refresh_rollup(
     )
     n = refreshed.count()
     rollup.merge(refreshed, key="bucket_key")
+    # A touched bucket can come back EMPTY (every source row deleted):
+    # recompute yields no row for it, so the merge alone would leave
+    # the stale aggregate standing — tombstone rollup rows in touched
+    # buckets whose key the refresh no longer produces.
+    dead_keys = (
+        rollup.scan()
+        .join(F.broadcast(touched), "bucket", "left_semi")
+        .select("bucket_key")
+        .exceptAll(refreshed.select("bucket_key"))
+    )
+    n_dead = dead_keys.count()
+    if n_dead:
+        rollup.delete_by_key(dead_keys)
     _record_refreshed_snapshot(rollup, current)
-    return {"refreshed_buckets": n, "from_snapshot": last, "to_snapshot": current}
+    return {
+        "refreshed_buckets": n,
+        "deleted_buckets": n_dead,
+        "from_snapshot": last,
+        "to_snapshot": current,
+    }
 
 
 def _bucket_key():

@@ -53,3 +53,49 @@ def test_refresh_is_idempotent(spark, tables):
     again = refresh_rollup(source, rollup)  # nothing new
     assert again["refreshed_buckets"] == 0
     assert _canon(rollup.scan().drop("bucket_key")) == before
+
+
+def test_rollup_stays_exact_under_source_deletes(spark, tables):
+    """r5: invalidation comes from the CHANGELOG, so source DELETEs —
+    which add no rows and were invisible to the append stream —
+    invalidate their buckets, including a bucket deleted EMPTY (its
+    rollup row must disappear, not stand stale)."""
+    ev, source, rollup = tables
+    source.append(ev.filter(F.col("ts") < "2024-01-10"))
+    refresh_rollup(source, rollup)
+
+    # partial-bucket delete: every 'error' event in a window
+    source.delete_where({"value": (">", 50.0)})
+    r = refresh_rollup(source, rollup)
+    assert r["refreshed_buckets"] > 0
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
+
+    # empty a whole (bucket, event_type) cell: delete one event_type
+    # entirely — its rollup rows must be tombstoned
+    from icebergplus_spark.lake.table import LakeTable  # noqa: F401
+
+    source.delete_by_key(
+        spark.createDataFrame([("signup",)], "event_type string")
+    )
+    r2 = refresh_rollup(source, rollup)
+    assert r2["deleted_buckets"] > 0
+    got = _canon(rollup.scan().drop("bucket_key"))
+    assert got == _canon(full_recompute(source))
+    assert all(row[1] != "signup" for row in got)
+
+    # and an UPDATE (CoW rewrite) invalidates through the same path
+    source.update_where({"value": ("<", 1.0)}, {"value": 2.5})
+    refresh_rollup(source, rollup)
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
+
+
+def test_rollup_exact_under_dv_mode_source(spark, tables):
+    """Deletion-vector source table: the changelog's DV delta rows
+    drive the same invalidation."""
+    ev, source, rollup = tables
+    source.set_property("delete.representation", "dv")
+    source.append(ev.filter(F.col("ts") < "2024-01-05"))
+    refresh_rollup(source, rollup)
+    source.delete_where({"value": (">", 30.0)})
+    refresh_rollup(source, rollup)
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
