@@ -489,3 +489,63 @@ def q143_lake_deletion_vectors_roundtrip(
             dsum("l_extendedprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — CONTINUOUS AGGREGATE UNDER DELETES (r5 rollup invalidation fix
+# under the oracle gate): the q140 lifecycle with a source DELETE and
+# an equality tombstone landing BETWEEN refreshes — the rollup's
+# changelog-driven invalidation must recompute the touched buckets and
+# tombstone cells that emptied out; the oracle is the from-scratch
+# aggregate over the surviving rows only. A hash match proves the
+# incremental maintenance converges to the exact recompute under a
+# mixed append/delete history, not just an append stream.
+# ---------------------------------------------------------------------------
+@register(
+    "q146_continuous_aggregate_with_deletes",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE NOT (value > 80.0)
+  AND event_type <> 'signup'
+GROUP BY 1, 2
+""",
+)
+def q146_continuous_aggregate_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.rollup import (
+        refresh_rollup,
+        rollup_table_schema,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_rollup_del_")
+    cat = LocalLakeCatalog(spark, root).start()
+    src = cat.create_table("bench.events_src_d", ev.schema)
+    roll = cat.create_table("bench.events_rollup_d", rollup_table_schema())
+    src.append(ev.filter(F.col("ts") < "2024-01-15"))
+    refresh_rollup(src, roll, window="hour")
+    # CoW predicate delete between refreshes
+    src.delete({"value": (">", 80.0)})
+    refresh_rollup(src, roll, window="hour")
+    src.append(ev.filter(F.col("ts") >= "2024-01-15"))
+    # MoR equality tombstone: drop an entire event_type (empties whole
+    # rollup cells — their rows must disappear, not stand stale)
+    src.delete_by_key(
+        spark.createDataFrame([("signup",)], "event_type string")
+    )
+    src.delete({"value": (">", 80.0)})  # re-assert over the second chunk
+    refresh_rollup(src, roll, window="hour")
+    return roll.scan().select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
