@@ -40,6 +40,7 @@ HEADLINE = [
     "m02_multimodal_features",
     "t02_quality_score",
     "w01_lake_ingest_compact_scan",  # write path (local, below)
+    "w02_dv_delete_scan",  # deletion-vector MoR write+read path (r5)
 ]
 
 
@@ -71,7 +72,41 @@ def w01_lake_ingest_compact_scan(spark, sf_dir: str):
     )
 
 
-LOCAL_QUERIES = {"w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan}
+def w02_dv_delete_scan(spark, sf_dir: str):
+    """Deletion-vector MoR headline (r5): ingest lineitem, two stacked
+    predicate deletes as merged bitmaps (delete.representation=dv),
+    then a scan-aggregate reading through the vectors. Measures the
+    vector encode path (applyInPandas per file) AND the scan-time
+    mapInPandas membership filter — the two costs the v3
+    representation trades against v2's growing anti-joins. Fresh
+    warehouse per invocation."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = tempfile.mkdtemp(prefix="bench_wdv_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.w_dv", li.schema)
+    t.set_property("delete.representation", "dv")
+    t.append(li.repartition(8))
+    t.delete_where({"l_quantity": ("<", 3)})
+    t.delete_where({"l_quantity": (">", 47)})
+    return t.scan().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("qty"),
+    )
+
+
+LOCAL_QUERIES = {
+    "w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan,
+    "w02_dv_delete_scan": w02_dv_delete_scan,
+}
 
 
 def main() -> None:
