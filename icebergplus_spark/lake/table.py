@@ -1395,11 +1395,19 @@ class LakeTable:
 
     def _file_stats_by_uri(self, snap: dict[str, Any]) -> dict[str, dict]:
         """{file URI → manifest entry (stats/blooms)} for a snapshot —
-        O(manifest entries) metadata read, no data file touched."""
+        O(manifest entries) metadata read, no data file touched.
+        Memoized per (handle, snapshot id): an upsert-heavy scan
+        applies several equality entries against the same snapshot and
+        should pay the manifest read once."""
+        key = snap.get("snapshot_id")
+        cached = getattr(self, "_stats_by_uri_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         out: dict[str, dict] = {}
         for m in snap.get("manifests", []):
             for fe in pq.read_table(os.path.join(self._meta_dir, m)).to_pylist():
                 out[_as_uri(fe["file_path"])] = fe
+        self._stats_by_uri_cache = (key, out)
         return out
 
     def _eq_skip_uris(
