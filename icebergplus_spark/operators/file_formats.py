@@ -148,3 +148,95 @@ def q133_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_sum"),
         dsum("o_totalprice", 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — XML source/sink round-trip (Spark 4 NATIVE xml format; closes
+# the remaining built-in file source: parquet / csv q52 / json q53 /
+# orc q79 / avro q133 / text q125 / binaryFile m-family / xml here).
+# Distributed on both sides: the writer emits one XML document per
+# partition, the reader parses rowTag elements in parallel. Types
+# survive via an explicit read schema, so the aggregate is engine-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q147_xml_roundtrip",
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q147_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/nation_xml"
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — from_xml semistructured parsing: an XML payload column
+# (synthesized from orders so the oracle can state the expected result
+# relationally) parsed back into typed fields with a schema — the XML
+# face of the JSON q33/q81 family. Parsing is a Catalyst expression
+# (JVM-side, codegen), not a UDF.
+# ---------------------------------------------------------------------------
+@register(
+    "q148_xml_parse",
+    oracle="""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS price_sum
+FROM orders
+WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus
+""",
+)
+def q148_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.functions.exact import dsum
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    payload = orders.select(
+        F.concat(
+            F.lit("<order><custkey>"),
+            F.col("o_custkey"),
+            F.lit("</custkey><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status><total>"),
+            F.col("o_totalprice").cast("decimal(38,2)").cast("string"),
+            F.lit("</total></order>"),
+        ).alias("xml")
+    )
+    parsed = payload.select(
+        F.from_xml(
+            "xml",
+            "custkey BIGINT, status STRING, total DECIMAL(38,2)",
+        ).alias("o")
+    ).select("o.custkey", "o.status", "o.total")
+    return parsed.groupBy(F.col("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("custkey").alias("cust_sum"),
+        F.round(F.sum("total"), 2).cast("double").alias("price_sum"),
+    )
