@@ -1443,6 +1443,17 @@ class LakeTable:
         ]
         if not key_rows:
             return set(uris)
+        return self._eq_prunable_uris(cols, key_rows, uris, stats_by_uri)
+
+    def _eq_prunable_uris(
+        self,
+        cols: list[str],
+        key_rows: list[tuple],
+        uris: list[str],
+        stats_by_uri: dict[str, dict],
+    ) -> set[str]:
+        """Core of the equality pruning: URIs whose manifest stats
+        prove the key set absent (range tier, then bloom tier)."""
         ranges = {
             c: (min(vs), max(vs))
             for c, vs in zip(cols, zip(*key_rows))
@@ -1740,7 +1751,11 @@ class LakeTable:
         return self
 
     def _commit_dv_delete(
-        self, t0: float, snap: dict[str, Any] | None, matches: DataFrame
+        self,
+        t0: float,
+        snap: dict[str, Any] | None,
+        matches: DataFrame,
+        extra_summary: dict[str, Any] | None = None,
     ) -> "LakeTable":
         """Deletion-vector commit (Iceberg v3; table property
         ``delete.representation=dv``): the matched (file, pos) rows are
@@ -1820,6 +1835,7 @@ class LakeTable:
                 snap.get("delete_manifests", []) if snap else []
             )
             + [dmanifest],
+            extra_summary=extra_summary,
         )
         return self
 
@@ -1839,6 +1855,56 @@ class LakeTable:
             return self
         mapping = self._column_mapping
         phys_cols = [mapping.get(c, c) for c in keys.columns]
+        props = self.properties or {}
+        if (
+            props.get("delete.representation") == "dv"
+            and props.get("delete.eq-to-dv") == "true"
+        ):
+            # Iceberg v3 direction: equality deletes are writer-cheap
+            # but reader-costly (every scan re-runs the anti-join until
+            # a compaction). Under DV mode, resolve the keys to
+            # positions NOW — candidate files pruned by the same
+            # range/bloom tiers scans use — and commit merged bitmaps
+            # instead. Sequence semantics hold by construction: only
+            # rows that exist at delete time are tombstoned, so a later
+            # append of the same key survives exactly as with
+            # applies_before.
+            keys_phys = keys.select(
+                *[
+                    _F.col(c).alias(p)
+                    for c, p in zip(keys.columns, phys_cols)
+                ]
+            ).dropDuplicates()
+            paths = [f["file_path"] for f in self.plan_files()]
+            # bounded driver sample: small key sets prune candidate
+            # files; past the cap we read everything (still correct)
+            sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
+            if not sample:
+                return self  # no keys — nothing to delete
+            key_rows = [
+                tuple(r) for r in sample if all(v is not None for v in r)
+            ]
+            if len(sample) <= self.EQ_SKIP_KEYS_CAP:
+                if not key_rows:
+                    return self  # every key has a NULL — matches nothing
+                stats = self._file_stats_by_uri(snap)
+                skip = self._eq_prunable_uris(
+                    phys_cols, key_rows, [_as_uri(p) for p in paths], stats
+                )
+                paths = [p for p in paths if _as_uri(p) not in skip]
+            if not paths:
+                return self
+            df = self._read_physical(sorted(paths), with_meta=True)
+            df = self._apply_deletes(df, snap, sorted(paths))
+            matches = df.join(
+                _F.broadcast(keys_phys), on=phys_cols, how="left_semi"
+            ).select(
+                _F.col("__file").alias("file_path"),
+                _F.col("__pos").alias("pos"),
+            )
+            return self._commit_dv_delete(
+                t0, snap, matches, extra_summary=extra_summary
+            )
         out_dir = os.path.join(self.table_dir, "data", "deletes", f"eq-{uuid.uuid4().hex}")
         keys.select(
             *[_F.col(c).alias(p) for c, p in zip(keys.columns, phys_cols)]

@@ -320,3 +320,55 @@ def test_auto_maintain_consolidates_vectors(spark, tmp_path):
     # healthy table → trigger does not fire again
     rep2 = auto_maintain(t, max_manifests=8)
     assert "skipped" in rep2["rewrite_deletion_vectors"]
+
+
+def test_eq_to_dv_materialization(spark, tmp_path):
+    """delete.eq-to-dv=true: equality deletes resolve to positions at
+    WRITE time and land as merged bitmaps (the v3 direction — equality
+    deletes are writer-cheap but reader-costly). Sequence semantics
+    must hold by construction: a later append of the same key
+    survives. Candidate files are pruned by the same range/bloom tiers
+    scans use."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whe2d")).start()
+    t = cat.create_table("db.e2d", SCHEMA, bloom_cols=["k"])
+    t.set_property("delete.representation", "dv")
+    t.set_property("delete.eq-to-dv", "true")
+    for lo in (0, 100):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(10)], SCHEMA
+            ).coalesce(1)
+        )
+    t.delete_by_key(spark.createDataFrame([(3,), (105,)], "k int"))
+    # NO equality entry exists — both tombstones are vectors
+    contents = [e["content"] for e in t._delete_entries(t.snapshot())]
+    assert contents and set(contents) == {"dv"}
+    assert t.snapshot()["summary"]["total-equality-deletes"] == 0
+    assert t.snapshot()["summary"]["total-position-deletes"] == 2
+    got = sorted(r["k"] for r in t.scan().collect())
+    assert 3 not in got and 105 not in got and len(got) == 18
+
+    # sequence semantics: re-appending key 3 AFTER the delete survives
+    t.append(spark.createDataFrame([(3, "reborn")], SCHEMA).coalesce(1))
+    assert [r["v"] for r in t.scan().collect() if r["k"] == 3] == ["reborn"]
+
+    # a second key delete MERGES into the existing vectors (and hits
+    # the reborn row, which exists now)
+    t.delete_by_key(spark.createDataFrame([(3,), (7,)], "k int"))
+    got = sorted(r["k"] for r in t.scan().collect())
+    assert 3 not in got and 7 not in got
+    # vectors only, still
+    assert {e["content"] for e in t._delete_entries(t.snapshot())} == {"dv"}
+
+    # empty / all-NULL key frames are no-ops (no snapshot churn)
+    v = t._meta["_version"]
+    t.delete_by_key(spark.createDataFrame([], "k int"))
+    t.delete_by_key(spark.createDataFrame([(None,)], "k int"))
+    assert t._meta["_version"] == v
+
+    # streaming watermark passthrough: extra_summary lands on the commit
+    t.delete_by_key(
+        spark.createDataFrame([(101,)], "k int"),
+        extra_summary={"streaming-sink-id": "s", "streaming-batch-id": 9},
+    )
+    assert t.snapshot()["summary"]["streaming-batch-id"] == 9
