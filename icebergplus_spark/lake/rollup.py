@@ -136,3 +136,109 @@ def _last_refreshed_snapshot(rollup: LakeTable) -> int:
 
 def _record_refreshed_snapshot(rollup: LakeTable, snapshot_id: int) -> None:
     rollup._evolve(lambda meta: meta.__setitem__(ROLLUP_STATE_KEY, int(snapshot_id)))
+
+
+# ---------------------------------------------------------------------------
+# Generalized materialized aggregates (r5): the events rollup above,
+# parameterized over (source table, time bucket, group columns, agg
+# expressions) and persisted as a SPEC in the MV table's metadata so
+# `REFRESH MATERIALIZED VIEW` needs only the name. Because refresh
+# RECOMPUTES touched buckets from the source (never merges deltas),
+# ANY Spark aggregate expression is exact — including non-distributive
+# ones like count(DISTINCT x) — under appends, late data, deletes,
+# updates, and MoR/DV tombstones alike.
+# ---------------------------------------------------------------------------
+
+MV_SPEC_KEY = "mv_spec"
+
+
+def _mv_aggregate(df: DataFrame, spec: dict) -> DataFrame:
+    df = df.filter(F.col(spec["time_col"]).isNotNull())
+    keys = [
+        F.date_trunc(spec["window"], spec["time_col"]).alias("bucket")
+    ] + [F.col(c) for c in spec.get("group_cols", [])]
+    return df.groupBy(*keys).agg(
+        *[F.expr(e).alias(a) for a, e in spec["aggs"]]
+    )
+
+
+def _mv_bucket_key(spec: dict):
+    return F.concat_ws(
+        "|",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"),
+        *[F.col(c) for c in spec.get("group_cols", [])],
+    )
+
+
+def create_materialized_aggregate(
+    catalog, name: str, source_identifier: str, spec: dict
+) -> LakeTable:
+    """Create a continuous-aggregate table maintained from
+    ``source_identifier``. ``spec``: {"time_col", "window",
+    "group_cols": [...], "aggs": [(alias, agg_expr_sql), ...]}.
+    Rows whose time column is NULL are outside the aggregate (they
+    have no bucket). The spec is persisted in the MV table's metadata;
+    ``refresh_materialized`` replays it by name."""
+    source = catalog.load_table(source_identifier)
+    shape = _mv_aggregate(source.scan(), spec)
+    schema = shape.withColumn("bucket_key", _mv_bucket_key(spec)).schema
+    mv = catalog.create_table(name, schema)
+    mv._evolve(
+        lambda meta: meta.__setitem__(
+            MV_SPEC_KEY, {**spec, "source": source_identifier}
+        )
+    )
+    return mv.refresh()
+
+
+def refresh_materialized(catalog, name: str) -> dict:
+    """Fold source changes since the last refresh into the MV: bucket
+    invalidation from the source CHANGELOG (exact under deletes and
+    updates), touched buckets recomputed from the current source,
+    emptied cells tombstoned — the generalized twin of
+    ``refresh_rollup``, O(changed rows + touched buckets)."""
+    mv = catalog.load_table(name)
+    spec = mv._meta.get(MV_SPEC_KEY)
+    if not spec:
+        raise ValueError(f"{name} is not a materialized aggregate (no spec)")
+    source = catalog.load_table(spec["source"])
+    last = _last_refreshed_snapshot(mv)
+    current = source.current_snapshot_id or 0
+    if current <= last:
+        return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
+    changes = source.scan_changelog(
+        from_snapshot_id=last, to_snapshot_id=current
+    ).filter(F.col(spec["time_col"]).isNotNull())
+    touched = changes.select(
+        F.date_trunc(spec["window"], spec["time_col"]).alias("bucket")
+    ).distinct()
+    lo = touched.agg(F.min("bucket").alias("lo")).first()["lo"]
+    if lo is None:
+        _record_refreshed_snapshot(mv, current)
+        return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
+    src = source.scan().filter(
+        F.date_trunc(spec["window"], F.col(spec["time_col"])) >= F.lit(lo)
+    )
+    refreshed = (
+        _mv_aggregate(src, spec)
+        .join(F.broadcast(touched), "bucket", "left_semi")
+        .withColumn("bucket_key", _mv_bucket_key(spec))
+    )
+    n = refreshed.count()
+    mv.merge(refreshed, key="bucket_key")
+    dead_keys = (
+        mv.scan()
+        .join(F.broadcast(touched), "bucket", "left_semi")
+        .select("bucket_key")
+        .exceptAll(refreshed.select("bucket_key"))
+    )
+    n_dead = dead_keys.count()
+    if n_dead:
+        mv.delete_by_key(dead_keys)
+    _record_refreshed_snapshot(mv, current)
+    return {
+        "refreshed_buckets": n,
+        "deleted_buckets": n_dead,
+        "from_snapshot": last,
+        "to_snapshot": current,
+    }

@@ -243,6 +243,25 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     return "".join(segments)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a select list on commas outside parentheses/quotes."""
+    items, depth, start, in_str = [], 0, 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif in_str:
+            continue
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+    items.append(s[start:])
+    return [i for i in (x.strip() for x in items) if i]
+
+
 def _split_statements(sql: str) -> list[str]:
     """Split a statement batch on ';' outside single-quoted literals."""
     parts = re.split(rf"({_STR})", sql)
@@ -346,6 +365,69 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
 
     if head == "CREATE":
+        # CREATE MATERIALIZED VIEW mv AS SELECT DATE_TRUNC('w', tcol)
+        # AS bucket, <group cols>, <agg AS alias>... FROM src [GROUP BY
+        # ...] — a continuous aggregate (lake/rollup.py): the spec is
+        # persisted in the MV table's metadata; REFRESH MATERIALIZED
+        # VIEW folds source changes in incrementally (changelog-driven
+        # invalidation, exact under deletes). The select shape is
+        # intentionally restricted to what the refresher maintains.
+        mv = re.match(
+            rf"^CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+"
+            rf"SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+GROUP\s+BY\s+.+)?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if mv:
+            from icebergplus_spark.lake.rollup import (
+                create_materialized_aggregate,
+                refresh_materialized,
+            )
+
+            ident, select_list, src_ident = mv.groups()
+            if catalog.table_exists(ident):
+                raise UnsupportedSQL(f"table already exists: {ident}")
+            items = _split_top_level(select_list)
+            bm = re.match(
+                r"^DATE_TRUNC\s*\(\s*'(\w+)'\s*,\s*(\w+)\s*\)\s+AS\s+bucket$",
+                items[0].strip(),
+                re.IGNORECASE,
+            )
+            if not bm:
+                raise UnsupportedSQL(
+                    "materialized view select list must start with "
+                    "DATE_TRUNC('<window>', <time col>) AS bucket"
+                )
+            window, time_col = bm.group(1).lower(), bm.group(2)
+            group_cols: list[str] = []
+            aggs: list[tuple[str, str]] = []
+            for item in items[1:]:
+                item = item.strip()
+                if re.match(r"^\w+$", item):
+                    group_cols.append(item)
+                    continue
+                am = re.match(
+                    r"^(.+?)\s+AS\s+(\w+)$", item, re.IGNORECASE | re.DOTALL
+                )
+                if not am:
+                    raise UnsupportedSQL(
+                        f"aggregate needs an alias: {item[:60]!r}"
+                    )
+                aggs.append((am.group(2), am.group(1).strip()))
+            if not aggs:
+                raise UnsupportedSQL(
+                    "materialized view needs at least one aggregate"
+                )
+            spec = {
+                "time_col": time_col,
+                "window": window,
+                "group_cols": group_cols,
+                "aggs": aggs,
+            }
+            create_materialized_aggregate(catalog, ident, src_ident, spec)
+            refresh_materialized(catalog, ident)
+            return catalog.load_table(ident)
         # CTAS: CREATE TABLE t [PARTITIONED BY (cols)] AS <query> —
         # schema inferred from the query, one create + one append commit
         cm = re.match(
@@ -386,6 +468,28 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         replace, ident, body = m.groups()
         catalog.create_view(ident, body.strip(), replace=bool(replace))
         return catalog.load_view(ident)
+
+    if head == "REFRESH":
+        m = re.match(
+            rf"^REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise UnsupportedSQL("REFRESH MATERIALIZED VIEW <identifier>")
+        from icebergplus_spark.lake.rollup import refresh_materialized
+
+        return refresh_materialized(catalog, m.group(1))
+
+    if head == "DROP":
+        m = re.match(
+            rf"^DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            catalog.drop_table(m.group(1), purge=True)
+            return None
 
     if head == "TRUNCATE":
         m = re.match(rf"^TRUNCATE\s+TABLE\s+({_IDENT})$", stmt, re.IGNORECASE)

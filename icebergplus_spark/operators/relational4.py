@@ -549,3 +549,56 @@ def q146_continuous_aggregate_with_deletes(
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — GENERALIZED MATERIALIZED VIEW through the SQL surface: CREATE
+# MATERIALIZED VIEW (spec persisted in table metadata) over an orders
+# lake table, then appends + a CoW delete land and REFRESH MATERIALIZED
+# VIEW folds them in via changelog invalidation. The aggregate includes
+# count(DISTINCT o_custkey) — NOT delta-mergeable, exact here because
+# touched buckets are recomputed, never merged. The oracle is the
+# from-scratch monthly aggregate over the surviving rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q149_materialized_view_sql",
+    oracle="""
+SELECT DATE_TRUNC('month', o_orderdate) AS bucket,
+       o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS n_cust,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE NOT (o_totalprice > 250000.0)
+GROUP BY 1, 2
+""",
+)
+def q149_materialized_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_mv_")
+    cat = LocalLakeCatalog(spark, root).start()
+    src = cat.create_table("bench.orders_mv_src", orders.schema)
+    src.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    lake_sql(
+        cat,
+        """CREATE MATERIALIZED VIEW bench.orders_monthly AS
+SELECT DATE_TRUNC('month', o_orderdate) AS bucket, o_orderstatus,
+       count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM bench.orders_mv_src GROUP BY 1, 2""",
+    )
+    src.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    src.delete({"o_totalprice": (">", 250000.0)})
+    lake_sql(cat, "REFRESH MATERIALIZED VIEW bench.orders_monthly")
+    return (
+        cat.load_table("bench.orders_monthly")
+        .scan()
+        .select("bucket", "o_orderstatus", "n", "n_cust", "revenue")
+    )

@@ -99,3 +99,62 @@ def test_rollup_exact_under_dv_mode_source(spark, tables):
     source.delete_where({"value": (">", 30.0)})
     refresh_rollup(source, rollup)
     assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
+
+
+def test_generalized_materialized_aggregate_sql_surface(spark, sf_dir, tmp_path):
+    """r5 generalized MV: CREATE MATERIALIZED VIEW persists the spec,
+    REFRESH folds source changes in (changelog invalidation — exact
+    under deletes, INCLUDING count(DISTINCT), because touched buckets
+    are recomputed, never delta-merged), DROP removes it."""
+    import pyspark.sql.functions as F2
+
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whmv")).start()
+    src = cat.create_table("db.orders", orders.schema)
+    src.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+    lake_sql(
+        cat,
+        """CREATE MATERIALIZED VIEW db.monthly AS
+SELECT DATE_TRUNC('month', o_orderdate) AS bucket, o_orderstatus,
+       count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+FROM db.orders GROUP BY 1, 2""",
+    )
+
+    def recompute():
+        return {
+            tuple(map(str, r))
+            for r in src.scan()
+            .groupBy(
+                F2.date_trunc("month", "o_orderdate").alias("bucket"),
+                "o_orderstatus",
+            )
+            .agg(
+                F2.expr("count(*)").alias("n"),
+                F2.expr("count(DISTINCT o_custkey)").alias("n_cust"),
+            )
+            .collect()
+        }
+
+    def mv_state():
+        return {
+            tuple(map(str, r))
+            for r in cat.load_table("db.monthly").scan().drop("bucket_key").collect()
+        }
+
+    assert mv_state() == recompute()
+    src.append(orders.filter(F2.col("o_orderkey") % 2 == 1))
+    src.delete({"o_totalprice": (">", 200000.0)})
+    rep = lake_sql(cat, "REFRESH MATERIALIZED VIEW db.monthly")
+    assert rep["refreshed_buckets"] > 0
+    assert mv_state() == recompute()
+    # idempotent
+    rep2 = lake_sql(cat, "REFRESH MATERIALIZED VIEW db.monthly")
+    assert rep2["refreshed_buckets"] == 0
+    lake_sql(cat, "DROP MATERIALIZED VIEW db.monthly")
+    assert not cat.table_exists("db.monthly")
+    # refreshing a non-MV table is refused
+    cat.create_table("db.plain", orders.schema)
+    with pytest.raises(ValueError, match="not a materialized aggregate"):
+        lake_sql(cat, "REFRESH MATERIALIZED VIEW db.plain")
