@@ -3349,9 +3349,10 @@ class LakeTable:
     def metadata_df(self, kind: str) -> DataFrame:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
         Iceberg's metadata tables (SELECT * FROM db.t.snapshots etc.).
-        Kinds: snapshots, history, files, delete_files, manifests,
-        all_files, all_delete_files, all_manifests, entries,
-        metadata_log_entries, refs, partitions, statistics.
+        Kinds: snapshots, history, files, delete_files,
+        deletion_vectors, manifests, all_files, all_delete_files,
+        all_manifests, entries, metadata_log_entries, refs,
+        partitions, statistics.
         Built from the (small) metadata log on the driver; at 100 TB the
         file inventory is already parquet manifests, so ``files`` reads
         those distributed instead of materializing driver-side rows."""
@@ -3511,6 +3512,39 @@ class LakeTable:
             schema = (
                 "metadata_file string, version int, timestamp_ms long, "
                 "is_current boolean"
+            )
+        elif kind == "deletion_vectors":
+            # one row per LIVE (data file, vector): victim, tombstoned
+            # cardinality, and encoded size — the observability face of
+            # the v3 representation (which data files carry how much
+            # dead weight; feeds compaction targeting)
+            from icebergplus_spark.lake import dv as _dvmod
+
+            snap = self.snapshot()
+            blobs: dict[str, tuple[bytes, str]] = {}
+            for e in self._delete_entries(snap) if snap else []:
+                if e["content"] != "dv":
+                    continue
+                t = pq.read_table(e["file_path"], columns=["file_path", "dv"])
+                for f, b in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("dv").to_pylist(),
+                ):
+                    blobs[f] = (bytes(b), e["file_path"])  # last wins
+            live = {_as_uri(p) for p in (self._snapshot_paths(snap) if snap else [])}
+            rows = [
+                {
+                    "data_file": f,
+                    "cardinality": _dvmod.cardinality(b),
+                    "vector_bytes": len(b),
+                    "vector_file": src,
+                }
+                for f, (b, src) in sorted(blobs.items())
+                if f in live
+            ]
+            schema = (
+                "data_file string, cardinality long, vector_bytes long, "
+                "vector_file string"
             )
         elif kind == "delete_files":
             # Iceberg's db.t.delete_files metadata table

@@ -372,3 +372,16 @@ def test_eq_to_dv_materialization(spark, tmp_path):
         extra_summary={"streaming-sink-id": "s", "streaming-batch-id": 9},
     )
     assert t.snapshot()["summary"]["streaming-batch-id"] == 9
+
+
+def test_deletion_vectors_metadata_table(table):
+    assert table.metadata_df("deletion_vectors").count() == 0
+    table.delete_where({"k": ("<", 3)})
+    table.delete_where({"k": (">=", 8)})
+    rows = table.metadata_df("deletion_vectors").collect()
+    assert len(rows) == 1  # one data file → one live vector
+    assert rows[0]["cardinality"] == 5
+    assert rows[0]["vector_bytes"] > 4
+    import os as _os
+
+    assert _os.path.exists(rows[0]["vector_file"])
