@@ -57,6 +57,7 @@ def compact(
     zorder_binning: str = "width",
     purge_deletes: bool = False,
     where: dict | None = None,
+    min_deleted_ratio: float | None = None,
 ) -> dict:
     """Bin-pack compaction. Returns a summary dict (files before/after).
 
@@ -115,6 +116,39 @@ def compact(
 
         in_scope = [f for f in files if _file_matches(f, where)]
     small = [f for f in in_scope if f["file_size_bytes"] < small_file_threshold]
+    dv_targeted = False
+    if min_deleted_ratio is not None and snap:
+        # Delete-threshold rewrite (Iceberg rewrite_data_files
+        # delete-file-threshold / delete-ratio strategy, applied to
+        # deletion vectors): pull files whose LIVE vector tombstones at
+        # least this fraction of their rows into the rewrite set — the
+        # rewrite drops the dead rows AND the vector, reclaiming both
+        # bytes and the scan-time membership test. Metadata-only
+        # targeting: vector cardinalities come from the dv parquets
+        # (tombstone-scale), never a data read.
+        from icebergplus_spark.lake import dv as dvmod
+        from icebergplus_spark.lake.table import _as_uri
+
+        card: dict[str, int] = {}
+        for e in table._delete_entries(snap):
+            if e["content"] != "dv":
+                continue
+            t = pq.read_table(e["file_path"], columns=["file_path", "dv"])
+            for fp, b in zip(
+                t.column("file_path").to_pylist(),
+                t.column("dv").to_pylist(),
+            ):
+                card[fp] = dvmod.cardinality(bytes(b))  # last wins
+        small_paths0 = {f["file_path"] for f in small}
+        for f in in_scope:
+            dead = card.get(_as_uri(f["file_path"]), 0)
+            if (
+                f["file_path"] not in small_paths0
+                and f.get("record_count")
+                and dead / f["record_count"] >= min_deleted_ratio
+            ):
+                small.append(f)
+                dv_targeted = True
     if purge_deletes and snap:
         # pull every delete-affected data file into the rewrite set so the
         # tombstones can be dropped afterwards (Iceberg's
@@ -126,7 +160,10 @@ def compact(
             for f in in_scope
             if f["file_path"] in affected and f["file_path"] not in small_paths
         ]
-    if len(small) <= 1:
+    # a SINGLE delete-threshold-targeted file is still worth rewriting
+    # (the point is dropping its dead rows + vector, not bin-packing)
+    min_rewrite = 1 if (min_deleted_ratio is not None and dv_targeted) else 2
+    if len(small) < min_rewrite:
         return {"compacted": 0, "reason": "nothing to compact"}
     small_set = {f["file_path"] for f in small}
     big = [f for f in files if f["file_path"] not in small_set]

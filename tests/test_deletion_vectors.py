@@ -385,3 +385,44 @@ def test_deletion_vectors_metadata_table(table):
     import os as _os
 
     assert _os.path.exists(rows[0]["vector_file"])
+
+
+def test_compact_delete_threshold_targets_heavy_vectors(spark, tmp_path):
+    """compact(min_deleted_ratio=r): a LARGE file whose live vector
+    tombstones >= r of its rows is pulled into the rewrite (even
+    alone), dropping dead rows + vector; lightly-deleted files stay
+    untouched."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whdt")).start()
+    t = cat.create_table("db.dt", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    # two files: A [0..99], B [100..199]
+    for lo in (0, 100):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(100)], SCHEMA
+            ).coalesce(1)
+        )
+    t.delete_where({"k": ("<", 60)})    # 60% of file A dead
+    t.delete_where({"k": ("=", 150)})   # 1% of file B dead
+    before = {f["file_path"] for f in t.plan_files()}
+    live_before = sorted(r["k"] for r in t.scan().collect())
+
+    # below both ratios → nothing targeted (files are "small" though;
+    # use a tiny small_file_threshold so size-based selection is off)
+    rep = compact(
+        t, small_file_threshold=1, min_deleted_ratio=0.7,
+        target_file_size=64 * 1024 * 1024,
+    )
+    assert rep["compacted"] == 0
+
+    rep = compact(
+        t, small_file_threshold=1, min_deleted_ratio=0.5,
+        target_file_size=64 * 1024 * 1024,
+    )
+    assert rep["compacted"] == 1  # file A only
+    after = {f["file_path"] for f in t.plan_files()}
+    assert len(before & after) == 1  # B untouched
+    assert sorted(r["k"] for r in t.scan().collect()) == live_before
+    # A's vector is gone from the live metadata view; B's remains
+    mdt = t.metadata_df("deletion_vectors").collect()
+    assert len(mdt) == 1 and mdt[0]["cardinality"] == 1
