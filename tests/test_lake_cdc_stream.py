@@ -240,3 +240,55 @@ def test_cdc_replication_across_upserts(spark, tmp_path):
         (2, "B", 22.0),
         (3, "c", 3.0),
     ]
+
+
+def test_cdc_replication_onto_dv_replica(spark, tmp_path):
+    """r5 integration: the replica runs under deletion vectors with
+    equality-to-vector materialization (delete.eq-to-dv) — CDC-applied
+    deletes land as merged bitmaps, replica state still tracks the
+    source exactly across a checkpoint-resumed second run, and the
+    replay watermark survives the DV commit path."""
+    from icebergplus_spark.streaming.pipelines import stream_replicate_lake
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whrdv")).start()
+    src = cat.create_table("db.srcdv", SCHEMA)
+    dst = cat.create_table("db.dstdv", SCHEMA)
+    dst.set_property("delete.representation", "dv")
+    dst.set_property("delete.eq-to-dv", "true")
+    ckpt = str(tmp_path / "ckpt_repl_dv")
+
+    src.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA
+        ).coalesce(1)
+    )
+    src.update_where({"id": ("=", 2)}, {"val": 22.0})
+    stream_replicate_lake(spark, src.table_dir, dst, ckpt).awaitTermination(120)
+    dst.refresh()
+    assert sorted(map(tuple, dst.scan().collect())) == sorted(
+        map(tuple, src.scan().collect())
+    )
+    # replica tombstones are vectors, never equality files
+    contents = {e["content"] for e in dst._delete_entries(dst.snapshot())}
+    assert contents <= {"dv"}
+
+    src.delete_where({"id": ("=", 1)})
+    src.append(spark.createDataFrame([(4, "d", 4.0)], SCHEMA).coalesce(1))
+    stream_replicate_lake(spark, src.table_dir, dst, ckpt).awaitTermination(120)
+    dst.refresh()
+    assert sorted(map(tuple, dst.scan().collect())) == [
+        (2, "b", 22.0),
+        (3, "c", 3.0),
+        (4, "d", 4.0),
+    ]
+    # re-running on the SAME checkpoint is a no-op (the batch-id
+    # watermark survived the DV commit path via extra_summary)
+    n_snaps = len(dst.history())
+    stream_replicate_lake(spark, src.table_dir, dst, ckpt).awaitTermination(120)
+    dst.refresh()
+    assert len(dst.history()) == n_snaps
+    assert sorted(map(tuple, dst.scan().collect())) == [
+        (2, "b", 22.0),
+        (3, "c", 3.0),
+        (4, "d", 4.0),
+    ]
