@@ -212,6 +212,27 @@ def _lake_view_name(ident: str) -> str:
     return f"__lake_{ident.replace('.', '_')}_{digest}"
 
 
+# metadata-table suffixes resolvable in SQL reads (metadata_df kinds)
+_SQL_META_KINDS = frozenset(
+    {
+        "snapshots",
+        "history",
+        "files",
+        "delete_files",
+        "deletion_vectors",
+        "manifests",
+        "all_files",
+        "all_delete_files",
+        "all_manifests",
+        "entries",
+        "metadata_log_entries",
+        "refs",
+        "partitions",
+        "statistics",
+    }
+)
+
+
 def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     """Make lake tables directly queryable in reads: every catalog
     table identifier referenced in the statement is registered as a
@@ -224,22 +245,39 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     # ('db.t') is never rewritten; only code segments are touched
     segments = re.split(rf"({_STR})", stmt)
     code = "".join(seg for i, seg in enumerate(segments) if i % 2 == 0)
-    hits = {
-        ident
-        for ident in re.findall(rf"(?<![\w.])[A-Za-z_]\w*(?:\.\w+)+\b", code)
-        if ident in tables
-    }
-    for ident in hits:
-        view = _lake_view_name(ident)
-        catalog.load_table(ident).to_view(view)
+    found = set(re.findall(rf"(?<![\w.])[A-Za-z_]\w*(?:\.\w+)+\b", code))
+    hits = {ident for ident in found if ident in tables}
+    # Iceberg metadata-table suffixes: SELECT * FROM db.t.snapshots —
+    # the identifier's last segment names a metadata_df kind
+    meta_hits = set()
+    for ident in found:
+        if ident in tables:
+            continue
+        base, _, kind = ident.rpartition(".")
+        if base in tables and kind in _SQL_META_KINDS:
+            meta_hits.add((ident, base, kind))
+
+    def _sub(ident: str, view: str) -> None:
+        nonlocal segments
         # (?<![\w.]) not \b on the left: '.' satisfies \b, so a bare
         # \bdb\.t\b would also hit the TAIL of a longer qualified name
-        # (spark_catalog.db.t) and corrupt it.
-        pat = re.compile(rf"(?<![\w.]){re.escape(ident)}\b")
+        # (spark_catalog.db.t) and corrupt it. (?![\w.]) on the right:
+        # plain \b would let db.t also hit the PREFIX of
+        # db.t.snapshots.
+        pat = re.compile(rf"(?<![\w.]){re.escape(ident)}(?![\w.])")
         segments = [
             seg if i % 2 else pat.sub(view, seg)
             for i, seg in enumerate(segments)
         ]
+
+    for ident, base, kind in meta_hits:  # longer identifiers first
+        view = _lake_view_name(ident)
+        catalog.load_table(base).metadata_df(kind).createOrReplaceTempView(view)
+        _sub(ident, view)
+    for ident in hits:
+        view = _lake_view_name(ident)
+        catalog.load_table(ident).to_view(view)
+        _sub(ident, view)
     return "".join(segments)
 
 

@@ -574,3 +574,37 @@ def test_copy_to_export_roundtrip(spark, cat, tmp_path):
     out2 = str(tmp_path / "exp_parq")
     lake_sql(cat, f"COPY db.t TO '{out2}' FILEFORMAT = PARQUET")
     assert spark.read.parquet(out2).count() == 3
+
+
+def test_sql_metadata_table_suffixes(spark, tmp_path):
+    """Iceberg metadata-table SQL: SELECT ... FROM db.t.snapshots /
+    .files / .deletion_vectors resolve through the same identifier
+    rewriting as data reads — and a data read of db.t in the SAME
+    statement is not corrupted by the longer suffixed name."""
+    import pyspark.sql.functions as F2
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whmeta")).start()
+    schema = spark.createDataFrame([], "k long, v string").schema
+    t = cat.create_table("db.mt", schema)
+    t.set_property("delete.representation", "dv")
+    t.append(spark.createDataFrame([(i, f"r{i}") for i in range(6)], schema).coalesce(1))
+    t.append(spark.createDataFrame([(9, "x")], schema).coalesce(1))
+    t.delete_where({"k": ("<", 2)})
+
+    rows = lake_sql(cat, "SELECT snapshot_id, operation FROM db.mt.snapshots ORDER BY snapshot_id").collect()
+    assert [r.operation for r in rows] == ["append", "append", "delete"]
+    n_files = lake_sql(cat, "SELECT COUNT(*) AS n FROM db.mt.files").collect()[0].n
+    assert n_files == 2
+    dv = lake_sql(
+        cat, "SELECT SUM(cardinality) AS dead FROM db.mt.deletion_vectors"
+    ).collect()[0].dead
+    assert dv == 2
+    # mixed statement: metadata table joined against the data read
+    mixed = lake_sql(
+        cat,
+        "SELECT (SELECT COUNT(*) FROM db.mt.snapshots) AS n_snaps, "
+        "COUNT(*) AS n_rows FROM db.mt",
+    ).collect()[0]
+    assert (mixed.n_snaps, mixed.n_rows) == (3, 5)
