@@ -838,6 +838,36 @@ def auto_maintain(
     report: dict[str, object] = {}
     table.refresh()
 
+    # Materialized-view freshness (r5): when the maintained table IS a
+    # continuous aggregate, fold in any source snapshots it has not
+    # seen — the staleness check is two metadata reads, so the no-op
+    # path (fresh MV) costs nothing extra.
+    from icebergplus_spark.lake.rollup import MV_SPEC_KEY
+
+    if MV_SPEC_KEY in table._meta:
+        from icebergplus_spark.lake.catalog import LocalLakeCatalog, Status
+        from icebergplus_spark.lake.rollup import (
+            mv_staleness,
+            refresh_materialized,
+        )
+
+        root = os.path.dirname(os.path.dirname(table.table_dir))
+        cat = LocalLakeCatalog(table.spark, root, commit_io=table.io)
+        cat._status = Status.STARTED  # recovery already ran at startup
+        ident = table.identifier
+        lag = mv_staleness(cat, ident)
+        if lag == 0:
+            report["refresh_materialized_view"] = "fresh"
+        elif dry_run:
+            report["refresh_materialized_view"] = (
+                f"would fold in {lag} source snapshot(s)"
+            )
+        else:
+            report["refresh_materialized_view"] = refresh_materialized(
+                cat, ident
+            )
+            table.refresh()
+
     entries = table.plan_files()
     small = [e for e in entries if e["file_size_bytes"] < small_file_threshold]
     if len(small) >= min_small_files:

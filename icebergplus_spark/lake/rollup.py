@@ -242,3 +242,42 @@ def refresh_materialized(catalog, name: str) -> dict:
         "from_snapshot": last,
         "to_snapshot": current,
     }
+
+
+def is_materialized_view(table: LakeTable) -> bool:
+    return MV_SPEC_KEY in table._meta
+
+
+def mv_staleness(catalog, name: str) -> int:
+    """Source snapshots not yet folded into the MV (0 = fresh)."""
+    mv = catalog.load_table(name)
+    spec = mv._meta.get(MV_SPEC_KEY)
+    if not spec:
+        raise ValueError(f"{name} is not a materialized aggregate (no spec)")
+    source = catalog.load_table(spec["source"])
+    return max(
+        0, (source.current_snapshot_id or 0) - _last_refreshed_snapshot(mv)
+    )
+
+
+def list_materialized_views(catalog) -> list[str]:
+    """Every catalog table carrying an MV spec — O(tables) metadata
+    reads, no data touched."""
+    return [
+        i
+        for i in catalog.list_tables()
+        if MV_SPEC_KEY in catalog.load_table(i)._meta
+    ]
+
+
+def refresh_stale_materialized_views(catalog) -> dict:
+    """One maintenance tick over every MV in the catalog: refresh those
+    whose source advanced, skip the fresh ones. The scheduler-facing
+    entry point (auto_maintain calls it per MV table)."""
+    out: dict = {}
+    for name in list_materialized_views(catalog):
+        if mv_staleness(catalog, name) > 0:
+            out[name] = refresh_materialized(catalog, name)
+        else:
+            out[name] = "fresh"
+    return out

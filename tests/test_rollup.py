@@ -158,3 +158,69 @@ FROM db.orders GROUP BY 1, 2""",
     cat.create_table("db.plain", orders.schema)
     with pytest.raises(ValueError, match="not a materialized aggregate"):
         lake_sql(cat, "REFRESH MATERIALIZED VIEW db.plain")
+
+
+def test_mv_staleness_and_auto_maintain_refresh(spark, sf_dir, tmp_path):
+    """MV freshness is a first-class maintenance concern: staleness is
+    metadata-only, refresh_stale_materialized_views ticks every MV in
+    the catalog, and auto_maintain on the MV table folds in lagging
+    source snapshots (dry_run reports without touching)."""
+    import pyspark.sql.functions as F2
+
+    from icebergplus_spark.lake import auto_maintain
+    from icebergplus_spark.lake.rollup import (
+        create_materialized_aggregate,
+        list_materialized_views,
+        mv_staleness,
+        refresh_stale_materialized_views,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whmva")).start()
+    src = cat.create_table("db.o", orders.schema)
+    src.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+    create_materialized_aggregate(
+        cat,
+        "db.o_monthly",
+        "db.o",
+        {
+            "time_col": "o_orderdate",
+            "window": "month",
+            "group_cols": ["o_orderstatus"],
+            "aggs": [("n", "count(*)")],
+        },
+    )
+    assert list_materialized_views(cat) == ["db.o_monthly"]
+    assert mv_staleness(cat, "db.o_monthly") > 0  # never refreshed
+    assert refresh_stale_materialized_views(cat)["db.o_monthly"][
+        "refreshed_buckets"
+    ] > 0
+    assert mv_staleness(cat, "db.o_monthly") == 0
+    assert refresh_stale_materialized_views(cat) == {"db.o_monthly": "fresh"}
+
+    # source advances → auto_maintain on the MV table folds it in
+    src.append(orders.filter(F2.col("o_orderkey") % 2 == 1))
+    mv = cat.load_table("db.o_monthly")
+    rep = auto_maintain(mv, dry_run=True)
+    assert "would fold in" in rep["refresh_materialized_view"]
+    rep = auto_maintain(mv)
+    assert rep["refresh_materialized_view"]["refreshed_buckets"] > 0
+    # MV equals the recompute through the maintenance path
+    want = {
+        tuple(map(str, r))
+        for r in src.scan()
+        .groupBy(
+            F2.date_trunc("month", "o_orderdate").alias("bucket"),
+            "o_orderstatus",
+        )
+        .agg(F2.expr("count(*)").alias("n"))
+        .collect()
+    }
+    got = {
+        tuple(map(str, r))
+        for r in cat.load_table("db.o_monthly").scan().drop("bucket_key").collect()
+    }
+    assert got == want
+    assert auto_maintain(cat.load_table("db.o_monthly"), dry_run=True)[
+        "refresh_materialized_view"
+    ] == "fresh"
