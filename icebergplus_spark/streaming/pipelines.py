@@ -405,3 +405,48 @@ def stream_fanout_to_lake(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_lake_with_mv_refresh(
+    stream: DataFrame,
+    catalog,
+    identifier: str,
+    checkpoint_dir: str,
+    query_name: str = "to_lake_mv",
+):
+    """``stream_to_lake`` composed with continuous-aggregate upkeep:
+    after each micro-batch commit, every stale materialized view in the
+    catalog is refreshed — so downstream dashboards read
+    micro-batch-fresh aggregates without a separate scheduler. Both
+    halves are idempotent under foreachBatch replay (the append is
+    batch-id-watermarked; the refresh is source-snapshot-keyed), so a
+    crash between append and refresh just refreshes on the replay."""
+    from icebergplus_spark.lake.rollup import (
+        refresh_stale_materialized_views,
+    )
+
+    sid = _sink_id(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = catalog.load_table(identifier)
+        if batch_id > _last_committed_batch(table, sid):
+            table.append(
+                batch_df,
+                extra_summary={
+                    "streaming-sink-id": sid,
+                    "streaming-batch-id": batch_id,
+                },
+            )
+        # runs on the replayed path too: a crash AFTER the append but
+        # BEFORE the refresh otherwise leaves the MVs stale forever
+        refresh_stale_materialized_views(catalog)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -450,3 +450,62 @@ def test_stream_fanout_route_added_on_existing_checkpoint(spark, events_dir, tmp
     _fanout_batch(cat, routes2, _sink_id(ckpt), replayed, last_batch)
     assert cat.load_table("db.c").scan().count() == replayed.count()
     assert cat.load_table("db.a").scan().count() == n
+
+
+def test_stream_to_lake_with_mv_refresh(spark, events_dir, tmp_path):
+    """Micro-batch-fresh continuous aggregates: the composed sink keeps
+    the MV equal to the recompute after the drain, with no manual
+    refresh; a checkpoint-replayed run changes nothing."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql.types import _parse_datatype_string
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.rollup import create_materialized_aggregate
+    from icebergplus_spark.streaming import EVENTS_SCHEMA
+    from icebergplus_spark.streaming.pipelines import (
+        stream_to_lake_with_mv_refresh,
+    )
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whsm")).start()
+    schema = _parse_datatype_string(EVENTS_SCHEMA)
+    cat.create_table("db.ev", schema)
+    create_materialized_aggregate(
+        cat,
+        "db.ev_hourly",
+        "db.ev",
+        {
+            "time_col": "ts",
+            "window": "hour",
+            "group_cols": ["event_type"],
+            "aggs": [("n", "count(*)"), ("sv", "round(sum(value), 2)")],
+        },
+    )
+    ckpt = str(tmp_path / "ckpt_mv")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stream_to_lake_with_mv_refresh(
+        stream, cat, "db.ev", ckpt
+    ).awaitTermination(120)
+
+    def canon(df):
+        return sorted(map(tuple, (map(str, r) for r in df.collect())))
+
+    src = cat.load_table("db.ev")
+    want = canon(
+        src.scan()
+        .groupBy(F2.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F2.expr("count(*)").alias("n"),
+            F2.expr("round(sum(value), 2)").alias("sv"),
+        )
+    )
+    got = canon(cat.load_table("db.ev_hourly").scan().drop("bucket_key"))
+    assert got == want and len(got) > 0
+
+    # full replay on the same checkpoint: table and MV unchanged
+    n_src = src.scan().count()
+    stream2 = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stream_to_lake_with_mv_refresh(
+        stream2, cat, "db.ev", ckpt
+    ).awaitTermination(120)
+    assert cat.load_table("db.ev").scan().count() == n_src
+    assert canon(cat.load_table("db.ev_hourly").scan().drop("bucket_key")) == want
