@@ -247,3 +247,62 @@ def q124_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q150 — STREAMING continuous aggregate under the gate: events re-served
+# as a 3-file stream → exactly-once lake sink WITH per-micro-batch MV
+# refresh (stream_to_lake_with_mv_refresh) → the MATERIALIZED VIEW is
+# the gated read. The oracle aggregates the raw events from scratch, so
+# a hash match proves the incremental per-batch refreshes converged to
+# the exact recompute through the streaming path — the generalized MV
+# (q149) and the streaming machinery (q117) composed, driver-visibly.
+# ---------------------------------------------------------------------------
+@register(
+    "q150_stream_mv_freshness",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sv
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q150_stream_mv_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.rollup import create_materialized_aggregate
+    from icebergplus_spark.streaming.pipelines import (
+        read_events_stream,
+        stream_to_lake_with_mv_refresh,
+    )
+
+    prepare_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stream_dir = _serve_as_stream(ev, "stream_mv_gate_")
+    root = tempfile.mkdtemp(prefix="stream_mv_wh_")
+    cat = LocalLakeCatalog(spark, os.path.join(root, "wh")).start()
+    cat.create_table("bench.events_mv_src", ev.schema)
+    create_materialized_aggregate(
+        cat,
+        "bench.events_hourly",
+        "bench.events_mv_src",
+        {
+            "time_col": "ts",
+            "window": "hour",
+            "group_cols": ["event_type"],
+            "aggs": [("n", "count(*)"), ("sv", "round(sum(value), 2)")],
+        },
+    )
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = stream_to_lake_with_mv_refresh(
+        stream, cat, "bench.events_mv_src", os.path.join(root, "ckpt")
+    )
+    q.awaitTermination(300)
+    src = cat.load_table("bench.events_mv_src")
+    assert len(src.history()) >= 2, "expected multiple streaming commits"
+    return (
+        cat.load_table("bench.events_hourly")
+        .scan()
+        .select("bucket", "event_type", "n", "sv")
+    )
