@@ -714,6 +714,24 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         )
 
     if head == "SHOW":
+        mv = re.match(r"^SHOW\s+MATERIALIZED\s+VIEWS$", stmt, re.IGNORECASE)
+        if mv:
+            from icebergplus_spark.lake.rollup import (
+                list_materialized_views,
+                mv_staleness,
+            )
+
+            rows = [
+                {
+                    "name": n,
+                    "source": catalog.load_table(n)._meta["mv_spec"]["source"],
+                    "stale_snapshots": mv_staleness(catalog, n),
+                }
+                for n in list_materialized_views(catalog)
+            ]
+            return spark.createDataFrame(
+                rows, "name string, source string, stale_snapshots long"
+            )
         # Trino syntax: SHOW STATS FOR t → the persisted ANALYZE result
         sm = re.match(rf"^SHOW\s+STATS\s+FOR\s+({_IDENT})$", stmt, re.IGNORECASE)
         if sm:

@@ -228,3 +228,48 @@ def test_versioned_views_over_http(spark, server):
     assert cat.list_views() == []
     with pytest.raises(KeyError):
         cat.drop_view("db.big_k")
+
+
+def test_materialized_aggregate_over_rest_catalog(spark, server):
+    """The generalized MV composes with the HTTP catalog: spec-create,
+    refresh, and staleness all route their metadata commits through
+    the REST service."""
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.lake.rollup import (
+        create_materialized_aggregate,
+        mv_staleness,
+        refresh_materialized,
+    )
+
+    cat = _client(spark, server)
+    src_schema = spark.createDataFrame(
+        [], "ts timestamp, grp string, x double"
+    ).schema
+    src = cat.create_table("db.src", src_schema)
+    rows = [(f"2024-02-0{d} 0{h}:15:00", g, float(d * h)) for d in (1, 2) for h in range(3) for g in ("a", "b")]
+    batch = spark.createDataFrame(rows, "ts string, grp string, x double").select(
+        F.col("ts").cast("timestamp"), "grp", "x"
+    )
+    src.append(batch)
+    create_materialized_aggregate(
+        cat,
+        "db.mv",
+        "db.src",
+        {"time_col": "ts", "window": "day", "group_cols": ["grp"],
+         "aggs": [("n", "count(*)"), ("sx", "round(sum(x), 2)")]},
+    )
+    refresh_materialized(cat, "db.mv")
+    assert mv_staleness(cat, "db.mv") == 0
+    got = {
+        (str(r.bucket), r.grp): (r.n, r.sx)
+        for r in cat.load_table("db.mv").scan().collect()
+    }
+    want = {
+        (str(r.bucket), r.grp): (r.n, r.sx)
+        for r in src.scan()
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"), "grp")
+        .agg(F.expr("count(*)").alias("n"), F.expr("round(sum(x), 2)").alias("sx"))
+        .collect()
+    }
+    assert got == want and len(got) == 4

@@ -224,3 +224,26 @@ def test_mv_staleness_and_auto_maintain_refresh(spark, sf_dir, tmp_path):
     assert auto_maintain(cat.load_table("db.o_monthly"), dry_run=True)[
         "refresh_materialized_view"
     ] == "fresh"
+
+
+def test_show_materialized_views_sql(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F2
+
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whsh")).start()
+    assert lake_sql(cat, "SHOW MATERIALIZED VIEWS").count() == 0
+    src = cat.create_table("db.o", orders.schema)
+    src.append(orders.limit(100))
+    lake_sql(
+        cat,
+        """CREATE MATERIALIZED VIEW db.mv AS
+SELECT DATE_TRUNC('month', o_orderdate) AS bucket, count(*) AS n
+FROM db.o GROUP BY 1""",
+    )
+    row = lake_sql(cat, "SHOW MATERIALIZED VIEWS").collect()[0]
+    assert (row.name, row.source, row.stale_snapshots) == ("db.mv", "db.o", 0)
+    src.append(orders.limit(50))
+    row = lake_sql(cat, "SHOW MATERIALIZED VIEWS").collect()[0]
+    assert row.stale_snapshots == 1
