@@ -426,3 +426,36 @@ def test_compact_delete_threshold_targets_heavy_vectors(spark, tmp_path):
     # A's vector is gone from the live metadata view; B's remains
     mdt = t.metadata_df("deletion_vectors").collect()
     assert len(mdt) == 1 and mdt[0]["cardinality"] == 1
+
+
+def test_orphan_sweep_reclaims_crashed_dv_commit_debris(table):
+    """A dv commit that died between writing its vector parquet and
+    publishing metadata leaves an orphan dv dir — the orphan sweep
+    reclaims it while keeping every LIVE vector file."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icebergplus_spark.lake import remove_orphan_files
+
+    table.delete_where({"k": ("<", 3)})
+    stray_dir = _os.path.join(table.table_dir, "data", "deletes", "dv-crashed")
+    _os.makedirs(stray_dir)
+    stray = _os.path.join(stray_dir, "part-0.parquet")
+    pq.write_table(
+        pa.table(
+            {"file_path": ["x"], "dv": [b"DV1\x00\x00\x00\x00\x00"], "n_new": [0]}
+        ),
+        stray,
+    )
+    rep = remove_orphan_files(table, older_than_s=0)
+    assert rep["deleted"] >= 1
+    assert not _os.path.exists(stray)
+    live_dv = [
+        e["file_path"]
+        for e in table._delete_entries(table.snapshot())
+        if e["content"] == "dv"
+    ]
+    assert live_dv and all(_os.path.exists(p) for p in live_dv)
+    assert sorted(r["k"] for r in table.scan().collect()) == list(range(3, 10))
