@@ -273,3 +273,27 @@ def test_materialized_aggregate_over_rest_catalog(spark, server):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_server_restart_same_warehouse(spark, tmp_path):
+    """Catalog-service availability semantics: with the server down a
+    write fails loudly (no silent local fallback — the commit authority
+    is gone); a NEW server instance over the same warehouse restores
+    service and the client's retry lands, nothing lost or duplicated."""
+    import urllib.error
+
+    srv = LakeRestServer(str(tmp_path / "whrs")).start()
+    port = int(srv.base_url.rsplit(":", 1)[1])
+    cat = _client(spark, srv)
+    t = cat.create_table("db.t", SCHEMA)
+    t.append(_df(spark, [(1, "a")]))
+    srv.stop()
+    with pytest.raises((urllib.error.URLError, RuntimeError, OSError)):
+        t.append(_df(spark, [(2, "b")]))
+    srv2 = LakeRestServer(str(tmp_path / "whrs"), port=port).start()
+    try:
+        t.refresh()
+        t.append(_df(spark, [(2, "b")]))
+        assert sorted(r.k for r in t.scan().collect()) == [1, 2]
+    finally:
+        srv2.stop()
