@@ -297,3 +297,31 @@ def test_server_restart_same_warehouse(spark, tmp_path):
         assert sorted(r.k for r in t.scan().collect()) == [1, 2]
     finally:
         srv2.stop()
+
+
+def test_inflight_txn_blocks_independent_writer_over_http(spark, server):
+    """The staged-head write-intent guard holds over the wire: while a
+    multi-table transaction's staged metadata sits at a table's head,
+    an independent writer through a SECOND HTTP client is refused
+    (ConcurrentCommitError) — and admitted after the txn commits."""
+    cat = _client(spark, server)
+    cat.create_table("db.a", SCHEMA)
+    cat.create_table("db.b", SCHEMA)
+    cat.load_table("db.a").append(_df(spark, [(1, "a")]))
+
+    txn = cat.transaction(ttl_s=600)
+    txn.append("db.a", _df(spark, [(2, "t")]))
+    txn.append("db.b", _df(spark, [(3, "t")]))
+    txn._begin()
+    txn._stage_all()
+
+    other = _client(spark, server)
+    with pytest.raises(ConcurrentCommitError):
+        other.load_table("db.a").append(_df(spark, [(9, "x")]))
+
+    txn._publish()
+    assert txn._state == "committed"
+    t = other.load_table("db.a")
+    t.append(_df(spark, [(9, "x")]))
+    assert sorted(r.k for r in t.scan().collect()) == [1, 2, 9]
+    assert other.load_table("db.b").scan().count() == 1

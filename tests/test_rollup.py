@@ -247,3 +247,81 @@ FROM db.o GROUP BY 1""",
     src.append(orders.limit(50))
     row = lake_sql(cat, "SHOW MATERIALIZED VIEWS").collect()[0]
     assert row.stale_snapshots == 1
+
+
+def test_mv_model_based_random_histories(spark, tmp_path):
+    """Model-based check: randomized append/delete/refresh histories —
+    after EVERY refresh the MV equals the from-scratch recompute. A
+    fixed seed keeps the run deterministic; the sequences cover delete-
+    into-refreshed-bucket, bucket emptying, and back-to-back refreshes."""
+    import random
+
+    import pyspark.sql.functions as F2
+
+    from icebergplus_spark.lake.rollup import (
+        create_materialized_aggregate,
+        refresh_materialized,
+    )
+
+    rng = random.Random(20260815)
+    schema = spark.createDataFrame([], "ts timestamp, g string, x double").schema
+    for trial in range(3):
+        cat = LocalLakeCatalog(spark, str(tmp_path / f"whmb{trial}")).start()
+        src = cat.create_table("db.s", schema)
+        next_id = [0]
+
+        def batch(n):
+            rows = []
+            for _ in range(n):
+                d, h = rng.randint(1, 4), rng.randint(0, 5)
+                rows.append(
+                    (
+                        f"2024-03-0{d} 0{h}:00:00",
+                        rng.choice("abc"),
+                        float(next_id[0]),
+                    )
+                )
+                next_id[0] += 1
+            return spark.createDataFrame(
+                rows, "ts string, g string, x double"
+            ).select(F2.col("ts").cast("timestamp"), "g", "x")
+
+        src.append(batch(20))
+        create_materialized_aggregate(
+            cat,
+            "db.mv",
+            "db.s",
+            {
+                "time_col": "ts",
+                "window": "hour",
+                "group_cols": ["g"],
+                "aggs": [("n", "count(*)"), ("sx", "round(sum(x), 2)")],
+            },
+        )
+        refresh_materialized(cat, "db.mv")
+        for _ in range(4):
+            op = rng.choice(["append", "delete", "delete_g", "refresh"])
+            if op == "append":
+                src.append(batch(rng.randint(1, 15)))
+            elif op == "delete":
+                src.delete({"x": ("<", float(rng.randint(0, next_id[0])))})
+            elif op == "delete_g":
+                src.delete_by_key(
+                    spark.createDataFrame([(rng.choice("abc"),)], "g string")
+                )
+            refresh_materialized(cat, "db.mv")
+            got = {
+                tuple(map(str, r))
+                for r in cat.load_table("db.mv").scan().drop("bucket_key").collect()
+            }
+            want = {
+                tuple(map(str, r))
+                for r in src.scan()
+                .groupBy(F2.date_trunc("hour", "ts").alias("bucket"), "g")
+                .agg(
+                    F2.expr("count(*)").alias("n"),
+                    F2.expr("round(sum(x), 2)").alias("sx"),
+                )
+                .collect()
+            }
+            assert got == want, f"trial {trial} op {op}"
