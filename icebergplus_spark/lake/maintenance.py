@@ -856,8 +856,21 @@ def auto_maintain(
         cat._status = Status.STARTED  # recovery already ran at startup
         ident = table.identifier
         lag = mv_staleness(cat, ident)
-        if lag == 0:
-            report["refresh_materialized_view"] = "fresh"
+        # lag-keyed scheduling (VERDICT r5 #6): the MV's
+        # mv.refresh.lag-threshold property (snapshots, default 1)
+        # lets a busy source amortize many tiny refreshes into one
+        from icebergplus_spark.lake.rollup import MV_LAG_THRESHOLD_PROP
+
+        threshold = max(
+            1,
+            int((table.properties or {}).get(MV_LAG_THRESHOLD_PROP, "1")),
+        )
+        if lag < threshold:
+            report["refresh_materialized_view"] = (
+                "fresh"
+                if lag == 0
+                else f"lag {lag} below threshold {threshold}"
+            )
         elif dry_run:
             report["refresh_materialized_view"] = (
                 f"would fold in {lag} source snapshot(s)"

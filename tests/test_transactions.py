@@ -491,3 +491,41 @@ def test_gc_settled_transactions(spark, tmp_path):
 
     # recovery sweep stays a no-op on the clean directory
     assert recover_transactions(cat) == {}
+
+
+def test_gc_skips_txn_on_transient_read_failure(spark, tmp_path, monkeypatch):
+    """ADVICE r5: a TRANSIENT head-read failure (sqlite busy, fs
+    hiccup) must read as 'still referenced' — GC skipping the txn —
+    not as 'no reference'. Deleting a still-referenced COMMITTED final
+    would let recovery abort the marker and flip staged versions
+    invisible."""
+    import os
+
+    from icebergplus_spark.lake import catalog as catmod
+    from icebergplus_spark.lake.txn import gc_settled_transactions, txns_dir
+
+    cat = _mk(spark, tmp_path, name="whgcerr")
+    with cat.transaction(ttl_s=0.2) as txn:
+        txn.append("db.fact", _df(spark, [(2, "f1")]))
+    time.sleep(0.3)
+    d = txns_dir(cat.root_dir)
+    n_before = len(os.listdir(d))
+    assert n_before >= 2
+
+    # heads still carry the marker AND loading blows up transiently:
+    # conservative skip, records intact
+    orig = type(cat).load_table
+
+    def flaky(self, ident):
+        raise OSError("database is locked")  # sqlite-busy shape
+
+    monkeypatch.setattr(type(cat), "load_table", flaky)
+    assert gc_settled_transactions(cat, grace_s=0.0) == 0
+    assert len(os.listdir(d)) == n_before
+    monkeypatch.setattr(type(cat), "load_table", orig)
+
+    # a DROPPED table (KeyError) still counts as no-reference: seal the
+    # other head path by committing, then GC proceeds
+    cat.load_table("db.fact").append(_df(spark, [(9, "f9")]))
+    assert gc_settled_transactions(cat, grace_s=0.0) == 1
+    assert os.listdir(d) == []
