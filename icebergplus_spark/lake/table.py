@@ -1684,13 +1684,19 @@ class LakeTable:
         return rows
 
     def _lineage_frame(
-        self, snap: dict[str, Any], paths: list[str] | None = None
+        self,
+        snap: dict[str, Any],
+        paths: list[str] | None = None,
+        keep_meta: bool = False,
     ) -> DataFrame:
         """PHYSICAL-schema read of ``paths`` (default: the snapshot's
         full file set) with ``__lineage_row_id`` / ``__lineage_birth``
         attached. Files with materialized lineage supply the columns
         from their own bytes; other files derive id = first-row-id +
-        row position from committed metadata. MoR tombstones apply."""
+        row position from committed metadata. MoR tombstones apply.
+        ``keep_meta`` keeps ``__file``/``__pos`` in the frame — the MoR
+        UPDATE/MERGE paths need positions for DV encoding alongside the
+        lineage columns."""
         from pyspark.sql import functions as _F
         from pyspark.sql.types import LongType, StructField
 
@@ -1714,7 +1720,12 @@ class LakeTable:
                     self.LINEAGE_ID_COL, _F.col("__first") + _F.col("__pos")
                 )
                 .withColumn(self.LINEAGE_BIRTH_COL, _F.col("__birth"))
-                .drop("__lin_file", "__first", "__birth", "__file", "__pos")
+                .drop(
+                    "__lin_file",
+                    "__first",
+                    "__birth",
+                    *([] if keep_meta else ["__file", "__pos"]),
+                )
             )
             pieces.append(d)
         if mat_paths:
@@ -1751,7 +1762,7 @@ class LakeTable:
                 )
                 .drop("__inh_file", "__inh_first", "__inh_birth")
             )
-            pieces.append(d.drop("__file", "__pos"))
+            pieces.append(d if keep_meta else d.drop("__file", "__pos"))
         out = pieces[0]
         for d in pieces[1:]:
             out = out.unionByName(d)
@@ -1873,23 +1884,25 @@ class LakeTable:
         )
         return self
 
-    def _commit_dv_delete(
+    def _build_dv_manifest(
         self,
-        t0: float,
         snap: dict[str, Any] | None,
         matches: DataFrame,
-        extra_summary: dict[str, Any] | None = None,
-    ) -> "LakeTable":
-        """Deletion-vector commit (Iceberg v3; table property
-        ``delete.representation=dv``): the matched (file, pos) rows are
-        grouped per data file and encoded as ONE bitmap per file
-        (lake/dv.py), MERGED with the file's existing vector so the
-        at-most-one-live-vector invariant holds. The manifest entry's
-        record_count is the commit's DELTA of newly tombstoned
-        positions, keeping total-position-deletes exact under
-        supersession. Encoding runs in applyInPandas per file — no
-        driver-side collect, so a delete touching 10⁵ files at 100 TB
-        fans out across the cluster."""
+    ) -> str | None:
+        """Encode matched (file, pos) rows as deletion vectors and write
+        their delete manifest (Iceberg v3; table property
+        ``delete.representation=dv``): rows are grouped per data file
+        and encoded as ONE bitmap per file (lake/dv.py), MERGED with the
+        file's existing vector so the at-most-one-live-vector invariant
+        holds. The manifest entry's record_count is the commit's DELTA
+        of newly tombstoned positions, keeping total-position-deletes
+        exact under supersession. Encoding runs in applyInPandas per
+        file — no driver-side collect, so a delete touching 10⁵ files
+        at 100 TB fans out across the cluster. Returns None (and cleans
+        up) when no position is newly deleted. Shared by DELETE, and by
+        the merge-on-read UPDATE/MERGE write paths (r6), which combine
+        the returned manifest with their appended-data manifest in one
+        commit."""
         import pandas as pd
 
         from icebergplus_spark.lake import dv as _dv
@@ -1947,6 +1960,20 @@ class LakeTable:
             import shutil as _shutil
 
             _shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        return self._write_delete_manifest(new_entries)
+
+    def _commit_dv_delete(
+        self,
+        t0: float,
+        snap: dict[str, Any] | None,
+        matches: DataFrame,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        """Commit a pure deletion-vector delete (see
+        ``_build_dv_manifest`` for the encode/merge mechanics)."""
+        dmanifest = self._build_dv_manifest(snap, matches)
+        if dmanifest is None:
             # ADVICE r5: callers that hang metadata on the delete
             # commit (streaming watermarks ride extra_summary) need a
             # commit to HAPPEN even when nothing was newly deleted —
@@ -1954,7 +1981,6 @@ class LakeTable:
             if extra_summary:
                 return self._commit_marker_snapshot(t0, snap, extra_summary)
             return self  # nothing newly deleted — no snapshot churn
-        dmanifest = self._write_delete_manifest(new_entries)
         self._commit_snapshot(
             "delete",
             list(snap["manifests"]) if snap else [],
@@ -2891,6 +2917,215 @@ class LakeTable:
         )
         return self
 
+    def _merge_into_mor(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched_update: dict[str, Any] | None,
+        when_matched_delete: bool,
+        when_not_matched_insert: bool,
+        matched_condition: Any | None,
+        when_not_matched_by_source_delete: bool,
+        not_matched_by_source_condition: Any | None,
+        t0: float,
+    ) -> "LakeTable":
+        """Merge-on-read MERGE under deletion vectors: the same
+        clause/gate semantics as the copy-on-write ``merge_into``
+        (SQL NULL-condition = clause does not fire), but fired
+        matched / BY SOURCE target rows become DV tombstones and only
+        updated post-images plus not-matched inserts are appended —
+        both in ONE 'merge' snapshot. Unfired rows never leave their
+        files. Stats targeting is unchanged: only files whose first-key
+        range intersects the source bounds are even read."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        snap = self.snapshot()
+        k0 = keys[0]
+        bounds = source.agg(
+            _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
+        ).first()
+        if bounds["lo"] is None and not when_not_matched_by_source_delete:
+            return self
+        if snap is None:
+            # empty table: only inserts are possible
+            if when_not_matched_insert:
+                return self.append(
+                    source.select(*[f.name for f in self.schema.fields])
+                )
+            return self
+        if when_not_matched_by_source_delete:
+            affected = self.plan_files()
+        elif bounds["lo"] is None:
+            affected = []
+        else:
+            affected = self.plan_files({k0: (">=", bounds["lo"])})
+            affected = [
+                f
+                for f in affected
+                if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
+            ]
+        paths = sorted(f["file_path"] for f in affected)
+        carry_lineage = "row_id_assignments" in self._meta
+        lin_cols = [self.LINEAGE_ID_COL, self.LINEAGE_BIRTH_COL]
+        if paths:
+            if carry_lineage:
+                target = self._lineage_frame(snap, paths, keep_meta=True)
+            else:
+                target = self._read_physical(paths, with_meta=True)
+                target = self._apply_deletes(target, snap, paths)
+            target = target.select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ],
+                "__file",
+                "__pos",
+                *(lin_cols if carry_lineage else []),
+            )
+        else:
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            target = self.spark.createDataFrame(
+                [],
+                StructType(
+                    self.schema.fields
+                    + [
+                        StructField("__file", StringType()),
+                        StructField("__pos", LongType()),
+                    ]
+                    + (
+                        [
+                            StructField(self.LINEAGE_ID_COL, LongType()),
+                            StructField(self.LINEAGE_BIRTH_COL, LongType()),
+                        ]
+                        if carry_lineage
+                        else []
+                    )
+                ),
+            )
+        target = target.withColumn("__t", _F.lit(True))
+        src = source.select(
+            *[_F.col(c).alias(f"src_{c}") for c in source.columns]
+        ).withColumn("__s", _F.lit(True))
+        join_cond = _F.lit(True)
+        for c in keys:
+            join_cond = join_cond & (_F.col(c) == _F.col(f"src_{c}"))
+        # ONE evaluation feeds both the DV encode and the append write
+        joined = target.join(src, join_cond, "full_outer").localCheckpoint()
+        is_matched = _F.col("__t").isNotNull() & _F.col("__s").isNotNull()
+        gate = (
+            is_matched & _F.coalesce(matched_condition, _F.lit(False))
+            if matched_condition is not None
+            else is_matched
+        )
+        is_source_only = _F.col("__t").isNull()
+        kill = (
+            gate
+            if (when_matched_update or when_matched_delete)
+            else _F.lit(False)
+        )
+        if when_not_matched_by_source_delete:
+            is_target_only = _F.col("__s").isNull()
+            bys_gate = (
+                is_target_only
+                & _F.coalesce(not_matched_by_source_condition, _F.lit(False))
+                if not_matched_by_source_condition is not None
+                else is_target_only
+            )
+            kill = kill | bys_gate
+        matches = joined.filter(kill).select(
+            _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
+        )
+
+        def as_col(v, dtype):
+            return (v if isinstance(v, Column) else _F.lit(v)).cast(dtype)
+
+        out_cols = []
+        for f in self.schema.fields:
+            col = _F.col(f.name)
+            if when_matched_update and f.name in when_matched_update:
+                col = _F.when(
+                    gate, as_col(when_matched_update[f.name], f.dataType)
+                ).otherwise(col)
+            if when_not_matched_insert:
+                src_col = (
+                    _F.col(f"src_{f.name}")
+                    if f"src_{f.name}" in joined.columns
+                    else _F.lit(None)
+                )
+                col = _F.when(
+                    is_source_only, src_col.cast(f.dataType)
+                ).otherwise(col)
+            out_cols.append(col.alias(f.name))
+        append_gate = _F.lit(False)
+        if when_matched_update:
+            append_gate = append_gate | gate
+        if when_not_matched_insert:
+            append_gate = append_gate | is_source_only
+        if carry_lineage:
+            # updated rows keep their id, NULL birth (resolves to this
+            # snapshot at read); source-only inserts carry NULL id AND
+            # birth — the inheritance rule mints theirs from the new
+            # file's committed first-row-id, same as the CoW path
+            birth = _F.when(
+                gate, _F.lit(None).cast("long")
+            ).otherwise(_F.col(self.LINEAGE_BIRTH_COL))
+            appended = joined.filter(append_gate).select(
+                *out_cols,
+                _F.col(self.LINEAGE_ID_COL),
+                birth.alias(self.LINEAGE_BIRTH_COL),
+            )
+        else:
+            appended = joined.filter(append_gate).select(*out_cols)
+        self._enforce_constraints(
+            appended.select(*[f.name for f in self.schema.fields])
+        )
+        phys = appended.select(
+            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields],
+            *(lin_cols if carry_lineage else []),
+        )
+        phys, pcols = self._apply_partition_transforms(phys)
+        out_dir = os.path.join(
+            self.table_dir, "data", f"merge-{uuid.uuid4().hex}"
+        )
+        writer = phys.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out_dir)
+        new_entries: list[dict[str, Any]] = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    e = self._harvest_data_file(os.path.join(root, fn))
+                    if e["record_count"]:
+                        new_entries.append(e)
+        new_entries.sort(key=lambda e: e["file_path"])
+        dmanifest = self._build_dv_manifest(snap, matches)
+        if dmanifest is None and not new_entries:
+            import shutil as _shutil
+
+            _shutil.rmtree(out_dir, ignore_errors=True)
+            return self  # no clause fired on any row
+        manifests = list(snap["manifests"])
+        if new_entries:
+            manifests.append(self._write_manifest(new_entries))
+        self._commit_snapshot(
+            "merge",
+            manifests,
+            new_entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", [])
+            + ([dmanifest] if dmanifest else []),
+            lineage_files=(
+                [e["file_path"] for e in new_entries]
+                if carry_lineage and new_entries
+                else None
+            ),
+        )
+        return self
+
     def merge_into(
         self,
         source: DataFrame,
@@ -2939,6 +3174,28 @@ class LakeTable:
         bad = [c for c in (when_matched_update or {}) if c not in names]
         if bad:
             raise KeyError(f"no such column(s): {bad}")
+        props = self.properties or {}
+        if (
+            props.get("delete.representation") == "dv"
+            and props.get("write.merge.mode") != "copy-on-write"
+        ):
+            # Iceberg v3 merge-on-read MERGE (r6, VERDICT r5 #5): fired
+            # matched/BY-SOURCE rows are tombstoned via deletion vectors
+            # and only post-images/inserts are appended — one snapshot,
+            # write cost ∝ changed+inserted rows. Lineage carries
+            # through (materialized id / NULL-birth post-images); opt
+            # out with write.merge.mode=copy-on-write.
+            return self._merge_into_mor(
+                source,
+                keys,
+                when_matched_update,
+                when_matched_delete,
+                when_not_matched_insert,
+                matched_condition,
+                when_not_matched_by_source_delete,
+                not_matched_by_source_condition,
+                t0,
+            )
         mapping = self._column_mapping
 
         # stats-target affected files by the source's key range (first key)
@@ -3226,6 +3483,128 @@ class LakeTable:
         )
         return self
 
+    def _update_where_mor(
+        self,
+        predicates: dict[str, tuple[str, Any]],
+        assignments: dict[str, Any],
+        t0: float,
+    ) -> "LakeTable":
+        """Merge-on-read UPDATE under deletion vectors: matched rows'
+        positions become merged DV bitmaps, their updated post-images
+        are appended as new data files, and BOTH land in ONE snapshot
+        (op 'update') — readers never observe the intermediate state.
+        Untouched rows in affected files stay in place. CDC falls out
+        of the generic changelog diff: pre-images surface as deletes,
+        post-images as inserts."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot()
+        affected = self.plan_files(predicates)
+        if snap is None or not affected:
+            return self
+        paths = sorted(f["file_path"] for f in affected)
+        mapping = self._column_mapping
+        carry_lineage = "row_id_assignments" in self._meta
+        if carry_lineage:
+            df = self._lineage_frame(snap, paths, keep_meta=True)
+        else:
+            df = self._read_physical(paths, with_meta=True)
+            df = self._apply_deletes(df, snap, paths)
+        cond = _F.lit(True)
+        for col, pred in predicates.items():
+            c = _F.col(mapping.get(col, col))
+            for op, val in _pred_list(pred):
+                cond = cond & {
+                    "<": c < val, "<=": c <= val, ">": c > val,
+                    ">=": c >= val, "=": c == val,
+                }[op]
+        # ONE read of the affected files: the matched rows feed both the
+        # DV encode and the post-image append
+        matched = df.filter(cond).localCheckpoint()
+        matches = matched.select(
+            _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
+        )
+        lin_cols = [self.LINEAGE_ID_COL, self.LINEAGE_BIRTH_COL]
+        logical = matched.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields],
+            *(lin_cols if carry_lineage else []),
+        )
+        updated = logical.select(
+            *[
+                (
+                    (
+                        assignments[f.name]
+                        if isinstance(assignments[f.name], Column)
+                        else _F.lit(assignments[f.name])
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in assignments
+                    else _F.col(f.name)
+                )
+                for f in self.schema.fields
+            ],
+            *(
+                [
+                    # updated rows KEEP their id; the NULL birth cell
+                    # resolves to THIS snapshot at read (inheritance)
+                    _F.col(self.LINEAGE_ID_COL),
+                    _F.lit(None)
+                    .cast("long")
+                    .alias(self.LINEAGE_BIRTH_COL),
+                ]
+                if carry_lineage
+                else []
+            ),
+        )
+        self._enforce_constraints(
+            updated.select(*[f.name for f in self.schema.fields])
+        )
+        phys = updated.select(
+            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields],
+            *(lin_cols if carry_lineage else []),
+        )
+        phys, pcols = self._apply_partition_transforms(phys)
+        out_dir = os.path.join(
+            self.table_dir, "data", f"update-{uuid.uuid4().hex}"
+        )
+        writer = phys.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out_dir)
+        new_entries: list[dict[str, Any]] = []
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    e = self._harvest_data_file(os.path.join(root, fn))
+                    if e["record_count"]:
+                        new_entries.append(e)
+        new_entries.sort(key=lambda e: e["file_path"])
+        dmanifest = self._build_dv_manifest(snap, matches)
+        if dmanifest is None and not new_entries:
+            import shutil as _shutil
+
+            _shutil.rmtree(out_dir, ignore_errors=True)
+            return self  # predicates matched no live rows
+        manifests = list(snap["manifests"])
+        if new_entries:
+            manifests.append(self._write_manifest(new_entries))
+        self._commit_snapshot(
+            "update",
+            manifests,
+            new_entries,
+            t0,
+            delete_manifests=snap.get("delete_manifests", [])
+            + ([dmanifest] if dmanifest else []),
+            lineage_files=(
+                [e["file_path"] for e in new_entries]
+                if carry_lineage and new_entries
+                else None
+            ),
+        )
+        return self
+
     def update_where(
         self,
         predicates: dict[str, tuple[str, Any]],
@@ -3248,6 +3627,19 @@ class LakeTable:
         bad = [c for c in assignments if c not in names]
         if bad:
             raise KeyError(f"no such column(s): {bad}")
+        props = self.properties or {}
+        if (
+            props.get("delete.representation") == "dv"
+            and props.get("write.update.mode") != "copy-on-write"
+        ):
+            # Iceberg v3 merge-on-read UPDATE (r6, VERDICT r5 #5): under
+            # deletion vectors, tombstone the pre-images and APPEND only
+            # the post-images — write cost ∝ changed rows, never a
+            # touched-file rewrite. Row lineage carries through: the
+            # post-image files materialize (kept id, NULL birth), same
+            # contract as the CoW rewrite. Opt out with
+            # write.update.mode=copy-on-write.
+            return self._update_where_mor(predicates, assignments, t0)
         all_files = self.plan_files()
         affected = self.plan_files(predicates)
         if not affected:

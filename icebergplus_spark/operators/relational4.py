@@ -602,3 +602,78 @@ FROM bench.orders_mv_src GROUP BY 1, 2""",
         .scan()
         .select("bucket", "o_orderstatus", "n", "n_cust", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — MERGE-ON-READ UPDATE + MERGE under deletion vectors (r6,
+# Iceberg v3 MoR write path): a dv-mode table takes a predicate UPDATE,
+# a MERGE matched-update, and a MERGE matched-delete — each commit
+# tombstones pre-images via vectors and appends only post-images, never
+# rewriting a data file. The oracle replays the same mutations as pure
+# SQL over the raw table, so a hash match proves the MoR write path
+# converges to exactly the CoW-visible state.
+# ---------------------------------------------------------------------------
+@register(
+    "q151_lake_mor_update_merge",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_repri
+FROM orders
+WHERE o_orderkey % 131 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def q151_lake_mor_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.functions.exact import dsum
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_mor_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.orders_mor", orders.schema)
+    t.set_property("delete.representation", "dv")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+    # MoR UPDATE: tombstone pre-images, append post-images
+    t.update_where(
+        {"o_orderstatus": ("=", "F")}, {"o_orderpriority": "0-REASSIGNED"}
+    )
+    # MoR MERGE matched-update: +1000 on every %97 order
+    bump = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    t.merge_into(
+        bump,
+        on="o_orderkey",
+        when_matched_update={"o_totalprice": F.col("src_o_totalprice")},
+        when_not_matched_insert=False,
+    )
+    # MoR MERGE matched-delete: drop every %131 order
+    t.merge_into(
+        orders.filter(F.col("o_orderkey") % 131 == 0),
+        on="o_orderkey",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("revenue"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "0-REASSIGNED", 1
+                ).otherwise(0)
+            ).alias("n_repri"),
+        )
+    )

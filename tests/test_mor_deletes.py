@@ -216,3 +216,149 @@ def test_atomic_upsert_single_snapshot(spark, tmp_path):
     assert ("delete", 1, "old") in changes
     assert ("insert", 1, "new") in changes
     assert ("insert", 3, "add") in changes
+
+
+# ---------------------------------------------------------------------------
+# r6 (VERDICT r5 #5): UPDATE / MERGE write paths under deletion vectors —
+# pre-images tombstoned via DVs, post-images appended, ONE snapshot,
+# no data-file rewrite. Classic position representation keeps CoW.
+# ---------------------------------------------------------------------------
+
+
+def _data_paths(t):
+    return {f["file_path"] for f in t.plan_files()}
+
+
+def test_update_where_mor_vs_cow(spark, table):
+    is_dv = (table.properties or {}).get("delete.representation") == "dv"
+    before_paths = _data_paths(table)
+    before_snap = table.current_snapshot_id
+    table.update_where({"k": ("<", 3)}, {"v": "updated"})
+    got = sorted((r["k"], r["v"]) for r in table.scan().collect())
+    assert [(k, v) for k, v in got if k < 3] == [
+        (0, "updated"), (1, "updated"), (2, "updated")
+    ]
+    assert len(got) == 10
+    after_paths = _data_paths(table)
+    if is_dv:
+        # MoR: the original files stand; only post-image files appear
+        assert before_paths <= after_paths
+        snap = table.snapshot()
+        assert snap["operation"] == "update"
+        assert snap.get("delete_manifests"), "no DV manifest committed"
+    else:
+        # CoW rewrites affected files out of the plan
+        assert not (before_paths <= after_paths)
+    # exactly ONE new snapshot either way (atomicity)
+    assert table.current_snapshot_id == before_snap + 1
+    # CDC: pre-images as deletes, post-images as inserts
+    ch = table.scan_changelog(from_snapshot_id=before_snap).collect()
+    dels = sorted(r["k"] for r in ch if r["_change_type"] == "delete")
+    ins = sorted((r["k"], r["v"]) for r in ch if r["_change_type"] == "insert")
+    assert dels == [0, 1, 2]
+    assert ins == [(0, "updated"), (1, "updated"), (2, "updated")]
+
+
+def test_merge_into_mor_clauses(spark, table):
+    is_dv = (table.properties or {}).get("delete.representation") == "dv"
+    before_paths = _data_paths(table)
+    before_snap = table.current_snapshot_id
+    src = spark.createDataFrame(
+        [(1, "merged1"), (4, "merged4"), (42, "new42")], SCHEMA
+    )
+    table.merge_into(
+        src, on="k", when_matched_update={"v": __import__("pyspark").sql.functions.col("src_v")}
+    )
+    got = dict((r["k"], r["v"]) for r in table.scan().collect())
+    assert got[1] == "merged1" and got[4] == "merged4" and got[42] == "new42"
+    assert got[0] == "a0" and len(got) == 11
+    assert table.current_snapshot_id == before_snap + 1
+    if is_dv:
+        assert before_paths <= _data_paths(table)
+        assert table.snapshot()["operation"] == "merge"
+
+
+def test_merge_into_mor_delete_and_by_source(spark, table):
+    is_dv = (table.properties or {}).get("delete.representation") == "dv"
+    # matched-delete: drop keys 0 and 9
+    src = spark.createDataFrame([(0, "x"), (9, "x")], SCHEMA)
+    table.merge_into(
+        src, on="k", when_matched_delete=True, when_not_matched_insert=False
+    )
+    assert _keys(table) == [1, 2, 3, 4, 5, 6, 7, 8]
+    # BY SOURCE delete: keep only keys present in the source
+    keep = spark.createDataFrame([(2, "x"), (5, "x")], SCHEMA)
+    table.merge_into(
+        keep,
+        on="k",
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+    )
+    assert _keys(table) == [2, 5]
+    if is_dv:
+        # both merges were pure-tombstone commits: no data rewrite ever
+        assert all(
+            s["operation"] in ("append", "merge")
+            for s in table._meta["snapshots"]
+        )
+
+
+def test_mor_update_sequence_semantics(spark, table):
+    """A row appended AFTER a MoR update with the same key must survive
+    subsequent scans untouched (DVs are positional, never key-based)."""
+    table.update_where({"k": ("=", 5)}, {"v": "u5"})
+    table.append(spark.createDataFrame([(5, "later5")], SCHEMA).coalesce(1))
+    got = sorted(r["v"] for r in table.scan().filter("k = 5").collect())
+    assert got == ["later5", "u5"]
+
+
+def test_mor_update_respects_cow_override(spark, table):
+    if (table.properties or {}).get("delete.representation") != "dv":
+        return  # override only meaningful under dv
+    table.set_property("write.update.mode", "copy-on-write")
+    before_paths = _data_paths(table)
+    table.update_where({"k": ("<", 2)}, {"v": "cow"})
+    # CoW rewrites: affected original files leave the plan
+    assert not (before_paths <= _data_paths(table))
+    got = dict((r["k"], r["v"]) for r in table.scan().collect())
+    assert got[0] == "cow" and got[1] == "cow" and len(got) == 10
+
+
+def test_mor_update_preserves_row_lineage(spark, table):
+    """Iceberg v3 contract through the MoR write path: updated rows
+    KEEP their _row_id; their _last_updated snapshot bumps to the
+    update's snapshot; untouched rows keep id AND birth."""
+    if (table.properties or {}).get("delete.representation") != "dv":
+        return
+    before = {
+        r["k"]: (r["_row_id"], r["_last_updated_snapshot_id"])
+        for r in table.scan_with_lineage().collect()
+    }
+    table.update_where({"k": ("=", 3)}, {"v": "u3"})
+    upd_snap = table.current_snapshot_id
+    after = {
+        r["k"]: (r["_row_id"], r["_last_updated_snapshot_id"])
+        for r in table.scan_with_lineage().collect()
+    }
+    assert after[3][0] == before[3][0], "updated row lost its id"
+    assert after[3][1] == upd_snap, "updated row birth did not bump"
+    for k in (0, 9):
+        assert after[k] == before[k], f"untouched row {k} changed lineage"
+
+
+def test_mor_merge_preserves_row_lineage(spark, table):
+    if (table.properties or {}).get("delete.representation") != "dv":
+        return
+    import pyspark.sql.functions as F
+
+    before = {
+        r["k"]: r["_row_id"] for r in table.scan_with_lineage().collect()
+    }
+    src = spark.createDataFrame([(2, "m2"), (77, "new77")], SCHEMA)
+    table.merge_into(src, on="k", when_matched_update={"v": F.col("src_v")})
+    after = {
+        r["k"]: r["_row_id"] for r in table.scan_with_lineage().collect()
+    }
+    assert after[2] == before[2], "merged-update row lost its id"
+    assert after[77] not in set(before.values()), "insert id not fresh"
+    assert len(set(after.values())) == len(after), "row ids not unique"
