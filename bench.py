@@ -111,6 +111,13 @@ LOCAL_QUERIES = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Quiet-window gate (r5 verdict #7): timings on a loaded box are
+    # attribution noise, not data. Record the 1-min loadavg at start;
+    # flag the run when it exceeds SPARK_GRAFT_LOAD_GATE (default: half
+    # the cores) so round-over-round deltas carry their own context.
+    load_1m = os.getloadavg()[0]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", cpus / 2))
     spark = get_spark("icebergplus-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -162,6 +169,10 @@ def main() -> None:
                 "runs_per_query": 3,
                 "aggregation": "median",
                 "sf": float(sf) if sf else None,
+                "loadavg_1m_at_start": round(load_1m, 2),
+                "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
+                "load_gate": load_gate,
+                "quiet_window": load_1m <= load_gate,
             }
         )
     )

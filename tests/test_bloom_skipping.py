@@ -170,3 +170,71 @@ def test_equality_delete_scan_skip_by_range_and_bloom(spark, tmp_path):
     # files born AFTER the delete stay exempt through the same path
     t.append(spark.createDataFrame([(101, "reborn")], schema).coalesce(1))
     assert 101 in {r["k"] for r in t.scan().collect()}
+
+
+def test_equality_delete_skip_distributed_past_driver_cap(spark, tmp_path):
+    """r6 (VERDICT r5 #3): a key set past EQ_SKIP_KEYS_CAP still prunes
+    key-absent files — the range tier runs as one distributed
+    aggregate and the bloom tier probes keys on executors; no key row
+    is ever collected to the driver."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.table import LakeTable, _as_uri
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whdist")).start()
+    t = cat.create_table("db.skipd", schema, bloom_cols=["k"])
+    # three files: [0..99], [1_000_000..1_000_099 evens], [2M..2M+99]
+    for lo, step in ((0, 1), (1_000_000, 2), (2_000_000, 1)):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i * step, f"r{i}") for i in range(100)], schema
+            ).coalesce(1)
+        )
+    paths = sorted(f["file_path"] for f in t.plan_files())
+    assert len(paths) == 3
+
+    # shrink the driver cap so a modest key set exercises the
+    # distributed tier exactly as a 100k-key delete would
+    old_cap = LakeTable.EQ_SKIP_KEYS_CAP
+    LakeTable.EQ_SKIP_KEYS_CAP = 500
+    try:
+        # 2000 keys: odd values inside file-2's range (bloom-absent
+        # there), plus 2_000_050 which file 3 really holds
+        keys = [(1_000_001 + 2 * i,) for i in range(1999)] + [(2_000_050,)]
+        t.delete_by_key(spark.createDataFrame(keys, "k int"))
+        snap = t.snapshot()
+        entry = next(
+            e for e in t._delete_entries(snap) if e["content"] == "equality"
+        )
+        assert entry["record_count"] > LakeTable.EQ_SKIP_KEYS_CAP
+        stats = t._file_stats_by_uri(snap)
+        skips = t._eq_skip_uris(entry, paths, stats)
+        import json as _json
+
+        def min_k(p):
+            return _json.loads(stats[_as_uri(p)]["column_mins"])["k"]
+
+        verdicts = {min_k(p): _as_uri(p) in skips for p in paths}
+        # file 1 pruned by the distributed RANGE tier, file 2 by the
+        # distributed BLOOM tier (2000 odd keys inside an even-only
+        # range), file 3 holds a key → kept
+        assert verdicts == {0: True, 1_000_000: True, 2_000_000: False}
+        # scan through the pruned anti-join stays exact
+        assert t.scan().count() == 300 - 1
+        assert (
+            t.scan().filter("k = 2000050").count() == 0
+        )
+    finally:
+        LakeTable.EQ_SKIP_KEYS_CAP = old_cap
