@@ -480,3 +480,66 @@ def test_bucket_key_encoding_no_collisions(spark, tmp_path):
     )
     keys = [r["k"] for r in df.select(_mv_bucket_key(spec).alias("k")).collect()]
     assert len(set(keys)) == 4, keys
+
+
+def test_mv_lag_threshold_scheduling(spark, sf_dir, tmp_path):
+    """r6 (VERDICT r5 #6): mv.refresh.lag-threshold keys refresh on
+    source LAG — a busy source amortizes many tiny refreshes into one;
+    below the threshold both refresh_stale_materialized_views and
+    auto_maintain leave the MV untouched."""
+    import pyspark.sql.functions as F2
+
+    from icebergplus_spark.lake import auto_maintain
+    from icebergplus_spark.lake.rollup import (
+        create_materialized_aggregate,
+        mv_staleness,
+        refresh_stale_materialized_views,
+    )
+    from icebergplus_spark.sources import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whlag")).start()
+    src = cat.create_table("db.olag", orders.schema)
+    src.append(orders.filter(F2.col("o_orderkey") % 3 == 0))
+    create_materialized_aggregate(
+        cat,
+        "db.olag_monthly",
+        "db.olag",
+        {
+            "time_col": "o_orderdate",
+            "window": "month",
+            "group_cols": [],
+            "aggs": [("n", "count(*)")],
+        },
+    )
+    refresh_stale_materialized_views(cat)  # baseline: fresh
+    mv = cat.load_table("db.olag_monthly")
+    mv.set_property("mv.refresh.lag-threshold", "3")
+
+    # lag 1 and 2: below threshold — policy must NOT refresh
+    src.append(orders.filter(F2.col("o_orderkey") % 3 == 1))
+    out = refresh_stale_materialized_views(cat)
+    assert out["db.olag_monthly"] == "fresh"
+    assert mv_staleness(cat, "db.olag_monthly") == 1
+    rep = auto_maintain(cat.load_table("db.olag_monthly"), dry_run=True)
+    assert "below threshold" in str(rep["refresh_materialized_view"])
+
+    src.append(orders.filter(F2.col("o_orderkey") % 3 == 2))
+    assert refresh_stale_materialized_views(cat)["db.olag_monthly"] == "fresh"
+
+    # lag 3: threshold reached — ONE refresh folds all three snapshots
+    src.delete({"o_totalprice": (">", 400000.0)})
+    out = refresh_stale_materialized_views(cat)
+    assert out["db.olag_monthly"]["refreshed_buckets"] > 0
+    assert mv_staleness(cat, "db.olag_monthly") == 0
+    # and the amortized refresh is still EXACT
+    want = (
+        src.scan()
+        .filter(F2.col("o_orderdate").isNotNull())
+        .groupBy(F2.date_trunc("month", "o_orderdate").alias("bucket"))
+        .count()
+    )
+    got = cat.load_table("db.olag_monthly").scan().select("bucket", "n")
+    assert sorted((str(r["bucket"]), r["n"]) for r in got.collect()) == sorted(
+        (str(r["bucket"]), r["count"]) for r in want.collect()
+    )
