@@ -859,12 +859,9 @@ def auto_maintain(
         # lag-keyed scheduling (VERDICT r5 #6): the MV's
         # mv.refresh.lag-threshold property (snapshots, default 1)
         # lets a busy source amortize many tiny refreshes into one
-        from icebergplus_spark.lake.rollup import MV_LAG_THRESHOLD_PROP
+        from icebergplus_spark.lake.rollup import mv_lag_threshold
 
-        threshold = max(
-            1,
-            int((table.properties or {}).get(MV_LAG_THRESHOLD_PROP, "1")),
-        )
+        threshold = mv_lag_threshold(table)
         if lag < threshold:
             report["refresh_materialized_view"] = (
                 "fresh"

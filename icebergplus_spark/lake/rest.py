@@ -108,6 +108,10 @@ class LakeRestServer:
         # Micrometer registry (MicrometerMetricsReporter.java:51-72)
         self.metrics = MetricsSink()
         self._metrics_reporter = MetricsReporter(self.metrics)
+        # ThreadingHTTPServer handlers mutate the sink concurrently —
+        # Counter.increment is a read-modify-write and counter()/timer()
+        # are check-then-insert, so reports serialize here (r6 review)
+        self._metrics_lock = threading.Lock()
 
     # -- namespace registry (explicitly-created namespaces persist) -------
     @property
@@ -275,20 +279,21 @@ class LakeRestServer:
                 return 400, {
                     "error": {"message": f"unknown report-type: {kind}"}
                 }
-            self._metrics_reporter.report(
-                cls(
-                    table_name=ident,
-                    snapshot_id=int(body.get("snapshot-id") or -1),
-                    metrics={
-                        k: float(v)
-                        for k, v in (body.get("metrics") or {}).items()
-                    },
-                    timers={
-                        k: float(v)
-                        for k, v in (body.get("timers") or {}).items()
-                    },
+            with self._metrics_lock:
+                self._metrics_reporter.report(
+                    cls(
+                        table_name=ident,
+                        snapshot_id=int(body.get("snapshot-id") or -1),
+                        metrics={
+                            k: float(v)
+                            for k, v in (body.get("metrics") or {}).items()
+                        },
+                        timers={
+                            k: float(v)
+                            for k, v in (body.get("timers") or {}).items()
+                        },
+                    )
                 )
-            )
             return 204, None
 
         if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
@@ -554,9 +559,56 @@ class RestRelayReporter(MetricsReporter):
     asserts them end-to-end). Relay failures are swallowed —
     observability must never fail the data path."""
 
+    # bounded relay queue: a hung collector costs dropped REPORTS, never
+    # a stalled scan/commit (r6 review: the synchronous form blocked the
+    # data path up to the HTTP timeout per report)
+    RELAY_QUEUE_MAX = 1024
+    RELAY_TIMEOUT_S = 5.0
+
     def __init__(self, base_url: str, sink=None, prefix: str = "iceberg."):
         super().__init__(sink, prefix)
         self._base_url = base_url.rstrip("/")
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.RELAY_QUEUE_MAX)
+        self._worker: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+    def _ensure_worker(self) -> None:
+        with self._lock:
+            if self._worker is not None and self._worker.is_alive():
+                return
+            self._worker = threading.Thread(
+                target=self._drain, daemon=True, name="metrics-relay"
+            )
+            self._worker.start()
+
+    def _drain(self) -> None:
+        while True:
+            url, payload = self._q.get()
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                urllib.request.urlopen(req, timeout=self.RELAY_TIMEOUT_S).read()
+            except Exception:
+                pass  # fire-and-forget: a down collector drops reports
+            finally:
+                self._q.task_done()
+
+    def flush(self, timeout_s: float = 10.0) -> None:
+        """Best-effort wait for queued reports to reach the service —
+        for tests and orderly shutdown, never the data path."""
+        import time as _time
+
+        deadline = _time.time() + timeout_s
+        while not self._q.empty() and _time.time() < deadline:
+            _time.sleep(0.02)
+        # queue empty ≠ last item delivered: give the in-flight POST a beat
+        _time.sleep(0.05)
 
     def report(self, rpt) -> None:
         super().report(rpt)
@@ -571,20 +623,18 @@ class RestRelayReporter(MetricsReporter):
             f"{self._base_url}/v1/namespaces/{_ident_to_ns(ns)}"
             f"/tables/{urllib.parse.quote(name, safe='')}/metrics"
         )
+        payload = {
+            "report-type": kind,
+            "table-name": rpt.table_name,
+            "snapshot-id": rpt.snapshot_id,
+            "metrics": rpt.metrics,
+            "timers": rpt.timers,
+        }
+        self._ensure_worker()
         try:
-            _http(
-                "POST",
-                url,
-                {
-                    "report-type": kind,
-                    "table-name": rpt.table_name,
-                    "snapshot-id": rpt.snapshot_id,
-                    "metrics": rpt.metrics,
-                    "timers": rpt.timers,
-                },
-            )
+            self._q.put_nowait((url, payload))
         except Exception:
-            pass  # fire-and-forget: a down collector never fails a commit
+            pass  # full queue: drop the report, never block the data path
 
 
 class RestLakeCatalog(LocalLakeCatalog):

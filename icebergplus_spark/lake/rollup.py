@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame
 from icebergplus_spark.lake.table import LakeTable
 
 ROLLUP_STATE_KEY = "rollup_last_source_snapshot"
+# bucket_key on-disk format marker: "v2" = collision-proof encoded
+# components (r6). Tables written before the marker carry legacy
+# concat_ws keys; refresh migrates them ONCE via an atomic overwrite —
+# merging v2 keys into a legacy table would duplicate every touched
+# bucket (no key match) with a reader-visible doubled-aggregate window.
+MV_KEY_FORMAT_KEY = "bucket_key_format"
 
 # refresh collects the DISTINCT touched buckets to the driver only to
 # build scan ranges (the semi-join stays distributed); past this cap it
@@ -148,6 +154,27 @@ def _scan_touched(
     return source.scan_ranges(time_col, ranges)
 
 
+def _ensure_key_format_v2(table: LakeTable, build_full, current: int) -> bool:
+    """One-shot bucket_key format migration (r6): if the table predates
+    the encoded-key format and holds rows, rebuild it from the source
+    in ONE atomic overwrite (readers see either the old or the new
+    state, never a mix), record the source snapshot folded in, and
+    stamp the format marker. Empty/new tables just get the stamp.
+    Returns True when a rebuild happened."""
+    if table._meta.get(MV_KEY_FORMAT_KEY) == "v2":
+        return False
+    has_rows = table.current_snapshot_id is not None and bool(
+        table.plan_files()
+    )
+    if has_rows:
+        table.overwrite(build_full())
+        _record_refreshed_snapshot(table, current)
+    table._evolve(
+        lambda meta: meta.__setitem__(MV_KEY_FORMAT_KEY, "v2")
+    )
+    return has_rows
+
+
 def refresh_rollup(
     source: LakeTable, rollup: LakeTable, window: str = "hour"
 ) -> dict:
@@ -158,6 +185,13 @@ def refresh_rollup(
     recomputed from the SOURCE (not incremented) so refresh is
     idempotent under replays.
     """
+    _ensure_key_format_v2(
+        rollup,
+        lambda: _aggregate(source.scan(), window).withColumn(
+            "bucket_key", _bucket_key()
+        ),
+        source.current_snapshot_id or 0,
+    )
     last = _last_refreshed_snapshot(rollup)
     current = source.current_snapshot_id or 0
     if current <= last:
@@ -320,8 +354,11 @@ def create_materialized_aggregate(
     schema = shape.withColumn("bucket_key", _mv_bucket_key(spec)).schema
     mv = catalog.create_table(name, schema)
     mv._evolve(
-        lambda meta: meta.__setitem__(
-            MV_SPEC_KEY, {**spec, "source": source_identifier}
+        lambda meta: (
+            meta.__setitem__(
+                MV_SPEC_KEY, {**spec, "source": source_identifier}
+            ),
+            meta.__setitem__(MV_KEY_FORMAT_KEY, "v2"),
         )
     )
     return mv.refresh()
@@ -339,6 +376,13 @@ def refresh_materialized(catalog, name: str) -> dict:
     if not spec:
         raise ValueError(f"{name} is not a materialized aggregate (no spec)")
     source = catalog.load_table(spec["source"])
+    _ensure_key_format_v2(
+        mv,
+        lambda: _mv_aggregate(source.scan(), spec).withColumn(
+            "bucket_key", _mv_bucket_key(spec)
+        ),
+        source.current_snapshot_id or 0,
+    )
     last = _last_refreshed_snapshot(mv)
     current = source.current_snapshot_id or 0
     if current <= last:
@@ -408,6 +452,18 @@ def list_materialized_views(catalog) -> list[str]:
     ]
 
 
+def mv_lag_threshold(mv: LakeTable) -> int:
+    """The MV's ``mv.refresh.lag-threshold`` property as a validated
+    int ≥ 1. A malformed value falls back to 1 (the conservative
+    default) instead of raising — one bad property must never abort a
+    catalog-wide maintenance tick (r6 review)."""
+    raw = (mv.properties or {}).get(MV_LAG_THRESHOLD_PROP, "1")
+    try:
+        return max(1, int(raw))
+    except (TypeError, ValueError):
+        return 1
+
+
 def refresh_stale_materialized_views(catalog) -> dict:
     """One maintenance tick over every MV in the catalog: refresh those
     whose source lag has reached the MV's ``mv.refresh.lag-threshold``
@@ -419,10 +475,7 @@ def refresh_stale_materialized_views(catalog) -> dict:
     out: dict = {}
     for name in list_materialized_views(catalog):
         mv = catalog.load_table(name)
-        threshold = max(
-            1, int((mv.properties or {}).get(MV_LAG_THRESHOLD_PROP, "1"))
-        )
-        if mv_staleness(catalog, name) >= threshold:
+        if mv_staleness(catalog, name) >= mv_lag_threshold(mv):
             out[name] = refresh_materialized(catalog, name)
         else:
             out[name] = "fresh"

@@ -208,7 +208,9 @@ def test_equality_delete_skip_distributed_past_driver_cap(spark, tmp_path):
     # shrink the driver cap so a modest key set exercises the
     # distributed tier exactly as a 100k-key delete would
     old_cap = LakeTable.EQ_SKIP_KEYS_CAP
+    old_min = LakeTable.EQ_DIST_MIN_FILES
     LakeTable.EQ_SKIP_KEYS_CAP = 500
+    LakeTable.EQ_DIST_MIN_FILES = 2  # planted table has only 3 files
     try:
         # 2000 keys: odd values inside file-2's range (bloom-absent
         # there), plus 2_000_050 which file 3 really holds
@@ -236,5 +238,10 @@ def test_equality_delete_skip_distributed_past_driver_cap(spark, tmp_path):
         assert (
             t.scan().filter("k = 2000050").count() == 0
         )
+        # memoization: a second call must not relaunch the jobs — same
+        # object, and the handle now carries the cache
+        again = t._eq_skip_uris(entry, paths, stats)
+        assert again is skips
     finally:
         LakeTable.EQ_SKIP_KEYS_CAP = old_cap
+        LakeTable.EQ_DIST_MIN_FILES = old_min

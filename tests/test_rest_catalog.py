@@ -346,6 +346,7 @@ def test_metrics_relay_to_server(spark, server):
     t = cat.create_table("db.metr", SCHEMA)
     t = t.append(_df(spark, [(1, "a"), (2, "b")]))
     t.plan_files()  # emits a ScanReport
+    cat._reporter.flush()  # relay is async — drain before asserting
     names = server.metrics.meter_names
     for f in COMMIT_COUNTER_FIELDS + COMMIT_TIMER_FIELDS:
         assert f"iceberg.commitReport.{f}" in names, f

@@ -348,16 +348,18 @@ def _day_df(spark, day, values, event_type="click"):
 
 
 def _plan_recorder(table):
-    """Wrap table.plan_files to record (had_predicates, file_paths)."""
+    """Wrap the range planner to record (ranges, file_paths) — the
+    refresh's touched-bucket scan plans through plan_files_ranges in
+    ONE manifest pass (r6)."""
     calls = []
-    orig = table.plan_files
+    orig = table.plan_files_ranges
 
-    def wrapped(predicates=None, snapshot_id=None):
-        out = orig(predicates, snapshot_id)
-        calls.append((predicates, [f["file_path"] for f in out]))
+    def wrapped(col, ranges, snapshot_id=None):
+        out = orig(col, ranges, snapshot_id)
+        calls.append((ranges, [f["file_path"] for f in out]))
         return out
 
-    table.plan_files = wrapped
+    table.plan_files_ranges = wrapped
     return calls
 
 
@@ -397,10 +399,9 @@ def test_refresh_scans_only_touched_bucket_files(spark, tmp_path):
 
     calls = _plan_recorder(source)
     refresh_rollup(source, rollup, window="hour")
-    ranged = [c for c in calls if c[0]]  # predicated plans only
-    assert ranged, "refresh ran no predicated range plans"
+    assert calls, "refresh ran no range plans"
     planned_days = {
-        day_of(p) for preds, paths in ranged for p in paths
+        day_of(p) for _ranges, paths in calls for p in paths
     }
     assert "2024-01-02" not in planned_days
     assert "2024-01-03" not in planned_days
@@ -543,3 +544,47 @@ def test_mv_lag_threshold_scheduling(spark, sf_dir, tmp_path):
     assert sorted((str(r["bucket"]), r["n"]) for r in got.collect()) == sorted(
         (str(r["bucket"]), r["count"]) for r in want.collect()
     )
+
+
+def test_legacy_bucket_key_migrates_once_atomically(spark, tables):
+    """r6: a rollup written with the legacy concat_ws bucket_key is
+    rebuilt ONCE (atomic overwrite) on the next refresh — no duplicated
+    buckets, exact result, format marker stamped; later refreshes skip
+    the migration."""
+    from icebergplus_spark.lake.rollup import (
+        MV_KEY_FORMAT_KEY,
+        ROLLUP_STATE_KEY,
+        _aggregate,
+    )
+
+    ev, source, rollup = tables
+    source.append(ev.filter(F.col("ts") < "2024-01-10"))
+    legacy = _aggregate(source.scan(), "hour").withColumn(
+        "bucket_key",
+        F.concat_ws(
+            "|",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"),
+            F.col("event_type"),
+        ),
+    )
+    rollup.append(legacy.select(*[f.name for f in rollup.schema.fields]))
+    rollup._evolve(
+        lambda m: m.__setitem__(
+            ROLLUP_STATE_KEY, source.current_snapshot_id
+        )
+    )
+    assert MV_KEY_FORMAT_KEY not in rollup._meta
+
+    source.append(ev.filter(F.col("ts") >= "2024-01-10"))
+    source.delete_where({"value": (">", 70.0)})
+    refresh_rollup(source, rollup)
+    rollup = rollup.refresh()
+    assert rollup._meta.get(MV_KEY_FORMAT_KEY) == "v2"
+    got = _canon(rollup.scan().drop("bucket_key"))
+    assert got == _canon(full_recompute(source))
+    # no duplicated (bucket, event_type) cells survived the migration
+    keys = [(r[0], r[1]) for r in got]
+    assert len(keys) == len(set(keys))
+    # second refresh: no further migration (marker short-circuits)
+    again = refresh_rollup(source, rollup)
+    assert again["refreshed_buckets"] == 0
