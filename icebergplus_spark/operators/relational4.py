@@ -677,3 +677,62 @@ def q151_lake_mor_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_repri"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — DISJUNCTIVE RANGE SCAN under the oracle gate (r6): scan_ranges
+# plans the union of two disjoint time windows in ONE manifest pass
+# (both bounds of each range prune files; single scan subtree, OR
+# residual) — the primitive the MV refresh's touched-bucket recompute
+# rides. The oracle is the equivalent WHERE (.. OR ..) over the raw
+# events, so a hash match proves the disjunctive planner loses no rows
+# at either range boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "q152_range_scan_disjunction",
+    oracle="""
+SELECT DATE_TRUNC('day', ts) AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE (ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05')
+   OR (ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22')
+GROUP BY 1, 2
+""",
+)
+def q152_range_scan_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from icebergplus_spark.functions.exact import dsum
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_ranges_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.events_ranges", ev.schema)
+    # day-sliced appends so each file's ts stats cover ~one day and the
+    # planner has real pruning work at every scale
+    for d in range(1, 32, 8):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 8)
+            ).repartition(2)
+        )
+    ranges = [
+        (dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)),
+        (dt.datetime(2024, 1, 20), dt.datetime(2024, 1, 22)),
+    ]
+    return (
+        t.scan_ranges("ts", ranges)
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("sum_value"),
+        )
+    )
