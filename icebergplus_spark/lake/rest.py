@@ -17,6 +17,8 @@ Endpoint subset (paths follow ``rest-catalog-open-api.yaml``):
     HEAD   /v1/namespaces/{ns}/tables/{t}        (table exists)
     DELETE /v1/namespaces/{ns}/tables/{t}        (drop, ?purgeRequested)
     POST   /v1/namespaces/{ns}/tables/{t}        (commit table)
+    POST   /v1/namespaces/{ns}/tables/{t}/metrics (reportMetrics, r6)
+    POST   /v1/tables/rename                     (renameTable, r6)
 
 Division of labour, exactly Iceberg's REST model:
 
@@ -256,6 +258,26 @@ class LakeRestServer:
                     return 409, {"error": {"message": str(e)}}
                 self._create_namespace(namespace)
                 return 200, self._load_payload(t)
+
+        if parts == ["tables", "rename"] and method == "POST":
+            # renameTable (rest-catalog-open-api.yaml): identifier move
+            # only — data/metadata stay put, exactly the local
+            # catalog's Iceberg Catalog.renameTable parity.
+            def _ident(obj) -> str:
+                return ".".join(list(obj.get("namespace", [])) + [obj["name"]])
+
+            try:
+                src_i, dst_i = _ident(body["source"]), _ident(body["destination"])
+            except (KeyError, TypeError):
+                return 400, {"error": {"message": "source/destination required"}}
+            try:
+                cat.rename_table(src_i, dst_i)
+            except KeyError as e:
+                return 404, {"error": {"message": str(e)}}
+            except ValueError as e:
+                return 409, {"error": {"message": str(e)}}
+            self._create_namespace(dst_i.rpartition(".")[0])
+            return 204, None
 
         if (
             len(parts) == 5
@@ -499,16 +521,32 @@ class RestCommitIO:
         self.warehouse = os.path.abspath(warehouse)
         self._lock = NullCommitLock()
 
+        # meta_dir → identifier (rename-aware URL derivation)
+        self._idents: dict[str, str] = {}
+
     def lock(self, meta_dir: str):
         return self._lock.lock(meta_dir)
 
+    def register_identifier(self, meta_dir: str, identifier: str) -> None:
+        """Record the catalog identifier that owns ``meta_dir``. A
+        RENAMED table's identifier no longer matches its directory path
+        (rename moves the pointer, never the data — Iceberg semantics),
+        so URL derivation must prefer the registered identifier; the
+        path split below stays only as the fallback for handles built
+        before any load (r6)."""
+        self._idents[os.path.abspath(meta_dir)] = identifier
+
     def _table_url(self, meta_dir: str) -> str:
-        rel = os.path.relpath(os.path.abspath(meta_dir), self.warehouse)
-        parts = rel.split(os.sep)
-        if len(parts) < 3 or parts[-1] != "metadata":
-            raise ValueError(f"not a table metadata dir: {meta_dir}")
-        name = parts[-2]
-        namespace = ".".join(parts[:-2])
+        ident = self._idents.get(os.path.abspath(meta_dir))
+        if ident is not None:
+            namespace, _, name = ident.rpartition(".")
+        else:
+            rel = os.path.relpath(os.path.abspath(meta_dir), self.warehouse)
+            parts = rel.split(os.sep)
+            if len(parts) < 3 or parts[-1] != "metadata":
+                raise ValueError(f"not a table metadata dir: {meta_dir}")
+            name = parts[-2]
+            namespace = ".".join(parts[:-2])
         return (
             f"{self.base_url}/v1/namespaces/{_ident_to_ns(namespace)}"
             f"/tables/{urllib.parse.quote(name, safe='')}"
@@ -763,6 +801,29 @@ class RestLakeCatalog(LocalLakeCatalog):
             raise RuntimeError(f"dropTable failed ({status}): {payload}")
 
     # -- HTTP-backed versioned views (Iceberg view spec over REST) ---------
+    def rename_table(self, old: str, new: str) -> "LakeTable":
+        """renameTable over HTTP (POST /v1/tables/rename): identifier
+        move only; 404 → KeyError, 409 → ValueError, matching the local
+        catalog's error contract."""
+        self._require_started()
+
+        def _obj(ident: str) -> dict:
+            ns, _, name = ident.rpartition(".")
+            return {"namespace": ns.split(".") if ns else [], "name": name}
+
+        status, payload = _http(
+            "POST",
+            f"{self.base_url}/v1/tables/rename",
+            {"source": _obj(old), "destination": _obj(new)},
+        )
+        if status == 404:
+            raise KeyError(payload.get("error", {}).get("message", old))
+        if status == 409:
+            raise ValueError(payload.get("error", {}).get("message", new))
+        if status not in (200, 204):
+            raise RuntimeError(f"renameTable failed ({status}): {payload}")
+        return self.load_table(new)
+
     def _view_url(self, identifier: str) -> str:
         namespace, _, name = identifier.rpartition(".")
         return (
@@ -853,6 +914,11 @@ class RestLakeCatalog(LocalLakeCatalog):
 
     def _table_from_payload(self, identifier: str, payload: dict) -> LakeTable:
         table_dir = os.path.dirname(os.path.dirname(payload["metadata-location"]))
+        # rename-aware: subsequent CAS/load calls on this handle derive
+        # their URL from the identifier, not the directory path
+        self.commit_io.register_identifier(
+            os.path.join(table_dir, "metadata"), identifier
+        )
         return LakeTable(
             self.spark,
             table_dir,

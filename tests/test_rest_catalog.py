@@ -395,3 +395,25 @@ def test_concurrent_namespace_creates_not_lost(spark, server):
     assert not errs
     got = set(cat.list_namespaces())
     assert set(names) <= got
+
+
+def test_rename_table_over_http(spark, server):
+    """r6: renameTable (POST /v1/tables/rename) — identifier move only,
+    data stays put; 404 for a missing source, 409 for an occupied
+    destination, both surfaced as the local catalog's error types."""
+    cat = _client(spark, server)
+    t = cat.create_table("db.before", SCHEMA)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t2 = cat.rename_table("db.before", "db2.after")
+    assert t2.scan().count() == 2
+    assert not cat.table_exists("db.before")
+    assert cat.table_exists("db2.after")
+    assert "db2" in cat.list_namespaces()
+    # a second client sees the move (server is the authority)
+    cat2 = _client(spark, server)
+    assert cat2.load_table("db2.after").scan().count() == 2
+    with pytest.raises(KeyError):
+        cat.rename_table("db.before", "db.x")  # source gone
+    cat.create_table("db.occupied", SCHEMA)
+    with pytest.raises(ValueError):
+        cat.rename_table("db2.after", "db.occupied")  # dest exists
