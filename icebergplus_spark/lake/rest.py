@@ -276,7 +276,12 @@ class LakeRestServer:
                 return 404, {"error": {"message": str(e)}}
             except ValueError as e:
                 return 409, {"error": {"message": str(e)}}
-            self._create_namespace(dst_i.rpartition(".")[0])
+            dst_ns = dst_i.rpartition(".")[0]
+            if dst_ns:
+                # a bare destination identifier has no namespace part;
+                # registering "" would pollute the persisted namespace
+                # registry (ADVICE r6)
+                self._create_namespace(dst_ns)
             return 204, None
 
         if (
@@ -301,21 +306,29 @@ class LakeRestServer:
                 return 400, {
                     "error": {"message": f"unknown report-type: {kind}"}
                 }
-            with self._metrics_lock:
-                self._metrics_reporter.report(
-                    cls(
-                        table_name=ident,
-                        snapshot_id=int(body.get("snapshot-id") or -1),
-                        metrics={
-                            k: float(v)
-                            for k, v in (body.get("metrics") or {}).items()
-                        },
-                        timers={
-                            k: float(v)
-                            for k, v in (body.get("timers") or {}).items()
-                        },
-                    )
+            try:
+                # explicit None check: `or -1` would coerce a legitimate
+                # snapshot-id of 0 to -1 (ADVICE r6)
+                raw_sid = body.get("snapshot-id")
+                rpt = cls(
+                    table_name=ident,
+                    snapshot_id=int(raw_sid) if raw_sid is not None else -1,
+                    metrics={
+                        k: float(v)
+                        for k, v in (body.get("metrics") or {}).items()
+                    },
+                    timers={
+                        k: float(v)
+                        for k, v in (body.get("timers") or {}).items()
+                    },
                 )
+            except (TypeError, ValueError):
+                # malformed numeric payload: drop the report, 204 —
+                # observability must never fail (ADVICE r6: the naked
+                # float()/int() raised a 500 here)
+                return 204, None
+            with self._metrics_lock:
+                self._metrics_reporter.report(rpt)
             return 204, None
 
         if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
@@ -540,6 +553,9 @@ class RestCommitIO:
         ident = self._idents.get(os.path.abspath(meta_dir))
         if ident is not None:
             namespace, _, name = ident.rpartition(".")
+            # bare client identifier → 'default' namespace, the same
+            # normalization create_table/_table_url apply (r7)
+            namespace = namespace or "default"
         else:
             rel = os.path.relpath(os.path.abspath(meta_dir), self.warehouse)
             parts = rel.split(os.sep)
@@ -643,10 +659,11 @@ class RestRelayReporter(MetricsReporter):
         import time as _time
 
         deadline = _time.time() + timeout_s
-        while not self._q.empty() and _time.time() < deadline:
+        # unfinished_tasks counts puts not yet task_done'd, so it covers
+        # the in-flight POST too (queue-empty + fixed sleep did not:
+        # ADVICE r6 — a POST can hold the worker up to RELAY_TIMEOUT_S)
+        while self._q.unfinished_tasks and _time.time() < deadline:
             _time.sleep(0.02)
-        # queue empty ≠ last item delivered: give the in-flight POST a beat
-        _time.sleep(0.05)
 
     def report(self, rpt) -> None:
         super().report(rpt)
@@ -809,7 +826,10 @@ class RestLakeCatalog(LocalLakeCatalog):
 
         def _obj(ident: str) -> dict:
             ns, _, name = ident.rpartition(".")
-            return {"namespace": ns.split(".") if ns else [], "name": name}
+            # bare identifier → the client's usual 'default' namespace
+            # (same convention as create_table/_table_url), so the
+            # renamed table stays loadable through this client
+            return {"namespace": ns.split(".") if ns else ["default"], "name": name}
 
         status, payload = _http(
             "POST",

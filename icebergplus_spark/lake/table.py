@@ -2015,19 +2015,24 @@ class LakeTable:
     def _commit_marker_snapshot(
         self,
         t0: float,
-        snap: dict[str, Any],
+        snap: dict[str, Any] | None,
         extra_summary: dict[str, Any],
     ) -> "LakeTable":
         """Commit a data-unchanged 'delete' snapshot that exists only to
         carry ``extra_summary`` (streaming batch-id watermarks). Used by
         the DV delete path's no-op exits so marker-bearing deletes
-        always commit, matching the classic equality path (ADVICE r5)."""
+        always commit, matching the classic equality path (ADVICE r5).
+        ``snap`` may be ``None`` (never-written table): the marker is an
+        empty-manifest snapshot, so the batch-id watermark still
+        advances (ADVICE r6)."""
         self._commit_snapshot(
             "delete",
-            list(snap["manifests"]),
+            list(snap["manifests"]) if snap else [],
             [],
             t0,
-            delete_manifests=list(snap.get("delete_manifests", [])),
+            delete_manifests=(
+                list(snap.get("delete_manifests", [])) if snap else []
+            ),
             extra_summary=extra_summary,
         )
         return self
@@ -2045,6 +2050,12 @@ class LakeTable:
 
         snap = self.snapshot()
         if snap is None:
+            if extra_summary:
+                # never-written table: still advance the batch-id
+                # watermark with an empty marker snapshot, else the
+                # streaming sink re-examines this batch on every replay
+                # until the first append (ADVICE r6)
+                return self._commit_marker_snapshot(t0, None, extra_summary)
             return self
         mapping = self._column_mapping
         phys_cols = [mapping.get(c, c) for c in keys.columns]
@@ -2957,6 +2968,13 @@ class LakeTable:
         range intersects the source bounds are even read."""
         from pyspark.sql import Column
         from pyspark.sql import functions as _F
+
+        if when_matched_update and when_matched_delete:
+            # same guard as the public merge_into: without it this path
+            # would append updated post-images for rows the delete
+            # clause tombstones — "update wins" — while copy-on-write
+            # resolves the same call "delete wins" (ADVICE r6)
+            raise ValueError("update and delete matched-clauses are exclusive")
 
         mapping = self._column_mapping
         snap = self.snapshot()

@@ -362,3 +362,51 @@ def test_mor_merge_preserves_row_lineage(spark, table):
     assert after[2] == before[2], "merged-update row lost its id"
     assert after[77] not in set(before.values()), "insert id not fresh"
     assert len(set(after.values())) == len(after), "row ids not unique"
+
+
+def test_merge_mor_rejects_update_plus_delete_directly(spark, table):
+    """ADVICE r6: the public merge_into already rejects
+    update+delete matched clauses; the MoR private path must too, so a
+    direct call can't silently resolve the ambiguity "update wins"
+    while copy-on-write resolves it "delete wins"."""
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame([(1, "x")], SCHEMA)
+    with pytest.raises(ValueError, match="exclusive"):
+        table._merge_into_mor(
+            src,
+            ["k"],
+            {"v": F.col("src_v")},
+            True,
+            False,
+            None,
+            False,
+            None,
+            0.0,
+        )
+
+
+def test_delete_by_key_empty_table_still_commits_marker(spark, tmp_path):
+    """ADVICE r6: a watermark-bearing delete_by_key against a
+    NEVER-WRITTEN table must still commit an (empty) marker snapshot so
+    the streaming batch-id watermark advances instead of replaying the
+    batch forever."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = cat.create_table("db.fresh", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    keys = spark.createDataFrame([(1, "x")], SCHEMA).select("k")
+    assert t.snapshot() is None
+    t.delete_by_key(keys, extra_summary={"streaming-batch-id": "7"})
+    snap = t.snapshot()
+    assert snap is not None
+    assert snap["operation"] == "delete"
+    assert snap["summary"]["streaming-batch-id"] == "7"
+    assert t.scan().count() == 0
+    # without a watermark the no-op early exit stays a no-op
+    before = t.current_snapshot_id
+    t.delete_by_key(keys)
+    # (table now has a snapshot, so this goes down the normal path; the
+    # key matches nothing — a plain no-op or marker-free exit is fine,
+    # the contract is only that data is unchanged)
+    assert t.scan().count() == 0
+    assert t.current_snapshot_id in (before, before + 1)

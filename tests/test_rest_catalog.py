@@ -417,3 +417,103 @@ def test_rename_table_over_http(spark, server):
     cat.create_table("db.occupied", SCHEMA)
     with pytest.raises(ValueError):
         cat.rename_table("db2.after", "db.occupied")  # dest exists
+
+
+def _post_json(url, payload):
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    resp = urllib.request.urlopen(req, timeout=5)
+    return resp.status
+
+
+def test_metrics_report_snapshot_id_zero_and_malformed(server):
+    """ADVICE r6 (rest.py reportMetrics): (a) a legitimate snapshot-id
+    of 0 must not be coerced away and the report must register; (b) a
+    malformed numeric payload must be DROPPED with 204 — observability
+    never turns into a 500 on the data plane."""
+    url = f"{server.base_url}/v1/namespaces/db/tables/mt/metrics"
+    assert (
+        _post_json(
+            url,
+            {
+                "report-type": "scan-report",
+                "snapshot-id": 0,
+                "metrics": {"resultDataFiles": 3},
+                "timers": {"totalPlanningDuration": 0.01},
+            },
+        )
+        == 204
+    )
+    c = server.metrics.get("iceberg.scanReport.resultDataFiles")
+    assert c is not None and c.value == 3.0
+    # malformed values: non-numeric metric, non-numeric snapshot-id
+    for bad in (
+        {"report-type": "scan-report", "metrics": {"resultDataFiles": "x"}},
+        {"report-type": "commit-report", "snapshot-id": "not-a-number"},
+        {"report-type": "commit-report", "metrics": {"attempts": None}},
+    ):
+        assert _post_json(url, bad) == 204
+    # the malformed reports were dropped, not partially applied
+    assert server.metrics.get("iceberg.commitReport.attempts") is None
+
+
+def test_rename_to_bare_identifier_no_empty_namespace(spark, server):
+    """ADVICE r6: renaming to a namespace-less destination must not
+    register the empty string in the namespace registry."""
+    cat = _client(spark, server)
+    cat.create_table("db.src", SCHEMA).append(_df(spark, [(1, "a")]))
+    cat.rename_table("db.src", "bare")
+    # the client normalizes a bare identifier to its 'default'
+    # namespace (same as create_table); the server must NOT register
+    # the empty string even for raw API callers
+    assert cat.table_exists("bare")
+    assert cat.load_table("bare").scan().count() == 1
+    assert "" not in cat.list_namespaces()
+    # raw API call with an empty namespace list: server-side guard
+    import urllib.request, json as _json
+    req = urllib.request.Request(
+        f"{server.base_url}/v1/tables/rename",
+        data=_json.dumps({
+            "source": {"namespace": ["default"], "name": "bare"},
+            "destination": {"namespace": [], "name": "rawbare"},
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert urllib.request.urlopen(req, timeout=5).status == 204
+    assert "" not in cat.list_namespaces()
+
+
+def test_relay_flush_covers_inflight_post(server):
+    """ADVICE r6: RestRelayReporter.flush must wait for the IN-FLIGHT
+    POST, not just an empty queue — a slow collector previously let
+    flush return while the last report was still on the wire."""
+    from icebergplus_spark.lake.metrics import ScanReport
+    from icebergplus_spark.lake.rest import RestRelayReporter
+
+    # throttle the server: first byte of handling delayed via a slow
+    # socket is fiddly, so instead serialize through the real server but
+    # enqueue MANY reports — with the old empty()+0.05s flush the tail
+    # reports were regularly unseen; with unfinished_tasks they all are.
+    rep = RestRelayReporter(server.base_url)
+    n = 40
+    for i in range(n):
+        rep.report(
+            ScanReport(
+                table_name="db.fl",
+                snapshot_id=i,
+                metrics={"resultDataFiles": 1.0},
+                timers={},
+            )
+        )
+    rep.flush(timeout_s=30.0)
+    assert rep._q.unfinished_tasks == 0
+    c = server.metrics.get("iceberg.scanReport.resultDataFiles")
+    assert c is not None and c.value == float(n)
