@@ -1837,19 +1837,27 @@ class LakeTable:
         )
 
     def delete_where(
-        self, predicates: dict[str, tuple[str, Any]]
+        self,
+        predicates: dict[str, tuple[str, Any]] | list[dict[str, Any]],
     ) -> "LakeTable":
         """Merge-on-read row-level DELETE: writes POSITION delete files
         (file URI + row index of each matching row) and commits — no
         data file is rewritten, so the commit cost is proportional to
         the deleted rows, not the touched files (the write-side win MOR
         buys at 100 TB; ``delete()`` is the copy-on-write read-side
-        twin). Scans anti-join the tombstones back out."""
+        twin). Scans anti-join the tombstones back out. Like
+        ``delete()``, takes one conjunction dict or a list of dicts
+        (their OR, planned in one manifest pass)."""
         t0 = time.time()
         from pyspark.sql import functions as _F
 
         snap = self.snapshot()
-        affected = self.plan_files(predicates)
+        branches = _normalize_branches(predicates)
+        affected = (
+            self.plan_files(branches[0])
+            if len(branches) == 1
+            else self.plan_files_any(branches)
+        )
         if not affected:
             return self
         paths = sorted(f["file_path"] for f in affected)
@@ -1857,14 +1865,10 @@ class LakeTable:
         # apply existing tombstones so already-deleted rows aren't re-tombstoned
         df = self._apply_deletes(df, snap, paths)
         mapping = self._column_mapping
-        cond = _F.lit(True)
-        for col, pred in predicates.items():
-            c = _F.col(mapping.get(col, col))
-            for op, val in _pred_list(pred):
-                cond = cond & {
-                    "<": c < val, "<=": c <= val, ">": c > val,
-                    ">=": c >= val, "=": c == val,
-                }[op]
+        cond = _F.coalesce(
+            _branches_match_cond(branches, lambda col: mapping.get(col, col)),
+            _F.lit(False),
+        )
         matches = df.filter(cond).select(
             _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
         )
@@ -3392,15 +3396,29 @@ class LakeTable:
         )
         return self
 
-    def delete(self, predicates: dict[str, tuple[str, Any]]) -> "LakeTable":
+    def delete(
+        self,
+        predicates: dict[str, tuple[str, Any]] | list[dict[str, Any]],
+    ) -> "LakeTable":
         """Copy-on-write row-level DELETE (beyond the append-only
         reference, SURVEY.md §2.C): only files whose stats ranges
         intersect the predicate are rewritten; untouched files carry over
         to the new REPLACE snapshot unchanged.
-        ``predicates`` rows matching ALL conditions are removed."""
+
+        ``predicates`` is either one conjunction dict (rows matching ALL
+        conditions are removed; values may be AND-lists for closed
+        ranges) or a LIST of such dicts — their DISJUNCTION (rows
+        matching ANY branch are removed), planned in ONE manifest pass
+        via ``plan_files_any`` so each branch still prunes on both
+        bounds (VERDICT r6 #1: ``DELETE ... WHERE (..) OR (..)``)."""
         t0 = time.time()
+        branches = _normalize_branches(predicates)
         all_files = self.plan_files()
-        affected = self.plan_files(predicates)
+        affected = (
+            self.plan_files(branches[0])
+            if len(branches) == 1
+            else self.plan_files_any(branches)
+        )
         affected_paths = {f["file_path"] for f in affected}
         untouched = [f for f in all_files if f["file_path"] not in affected_paths]
         new_entries: list[dict[str, Any]] = []
@@ -3419,16 +3437,12 @@ class LakeTable:
             else:
                 # _read_live: MOR tombstones must not resurrect in the rewrite
                 df = self._read_live(sorted(affected_paths), snap_now)
-            # keep rows that do NOT match the conjunction of predicates
-            keep_cond = _F.lit(False)
-            for col, pred in predicates.items():
-                c = _F.col(mapping.get(col, col))
-                for op, val in _pred_list(pred):
-                    cond = {
-                        "<": c < val, "<=": c <= val, ">": c > val,
-                        ">=": c >= val, "=": c == val,
-                    }[op]
-                    keep_cond = keep_cond | ~cond | c.isNull()
+            # keep rows that do NOT match any branch conjunction; NULL
+            # comparisons mean no-match → keep (SQL DELETE semantics)
+            matched = _branches_match_cond(
+                branches, lambda col: mapping.get(col, col)
+            )
+            keep_cond = ~_F.coalesce(matched, _F.lit(False))
             survivors, pcols = self._apply_partition_transforms(df.filter(keep_cond))
             out_dir = os.path.join(self.table_dir, "data", f"delete-{uuid.uuid4().hex}")
             writer = survivors.write.mode("overwrite")
@@ -3522,7 +3536,7 @@ class LakeTable:
 
     def _update_where_mor(
         self,
-        predicates: dict[str, tuple[str, Any]],
+        predicates: dict[str, tuple[str, Any]] | list[dict[str, Any]],
         assignments: dict[str, Any],
         t0: float,
     ) -> "LakeTable":
@@ -3537,7 +3551,12 @@ class LakeTable:
         from pyspark.sql import functions as _F
 
         snap = self.snapshot()
-        affected = self.plan_files(predicates)
+        branches = _normalize_branches(predicates)
+        affected = (
+            self.plan_files(branches[0])
+            if len(branches) == 1
+            else self.plan_files_any(branches)
+        )
         if snap is None or not affected:
             return self
         paths = sorted(f["file_path"] for f in affected)
@@ -3548,14 +3567,10 @@ class LakeTable:
         else:
             df = self._read_physical(paths, with_meta=True)
             df = self._apply_deletes(df, snap, paths)
-        cond = _F.lit(True)
-        for col, pred in predicates.items():
-            c = _F.col(mapping.get(col, col))
-            for op, val in _pred_list(pred):
-                cond = cond & {
-                    "<": c < val, "<=": c <= val, ">": c > val,
-                    ">=": c >= val, "=": c == val,
-                }[op]
+        cond = _F.coalesce(
+            _branches_match_cond(branches, lambda col: mapping.get(col, col)),
+            _F.lit(False),
+        )
         # ONE read of the affected files: the matched rows feed both the
         # DV encode and the post-image append
         matched = df.filter(cond).localCheckpoint()
@@ -3644,7 +3659,7 @@ class LakeTable:
 
     def update_where(
         self,
-        predicates: dict[str, tuple[str, Any]],
+        predicates: dict[str, tuple[str, Any]] | list[dict[str, Any]],
         assignments: dict[str, Any],
     ) -> "LakeTable":
         """Copy-on-write row-level UPDATE: rows matching ALL
@@ -3677,8 +3692,13 @@ class LakeTable:
             # contract as the CoW rewrite. Opt out with
             # write.update.mode=copy-on-write.
             return self._update_where_mor(predicates, assignments, t0)
+        branches = _normalize_branches(predicates)
         all_files = self.plan_files()
-        affected = self.plan_files(predicates)
+        affected = (
+            self.plan_files(branches[0])
+            if len(branches) == 1
+            else self.plan_files_any(branches)
+        )
         if not affected:
             return self
         affected_paths = {f["file_path"] for f in affected}
@@ -3706,14 +3726,10 @@ class LakeTable:
             ).select(
                 *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
             )
-        cond = _F.lit(True)
-        for col, pred in predicates.items():
-            c = _F.col(col)
-            for op, val in _pred_list(pred):
-                cond = cond & {
-                    "<": c < val, "<=": c <= val, ">": c > val,
-                    ">=": c >= val, "=": c == val,
-                }[op]
+        # OR-of-AND match over logical names; NULL comparison = no match
+        cond = _F.coalesce(
+            _branches_match_cond(branches, lambda col: col), _F.lit(False)
+        )
         updated = logical.select(
             *[
                 _F.when(
@@ -4589,7 +4605,6 @@ class LakeTable:
         kept when ANY range's [lo, hi) can intersect its stats; one
         ScanReport covers the whole disjunction. Distributed tier: one
         Spark job with the OR of the per-range keep conditions."""
-        t_plan = time.time()
         snap = self.snapshot(snapshot_id)
         if snap is None or not ranges:
             return []
@@ -4597,6 +4612,36 @@ class LakeTable:
             self._physical_predicates({col: [(">=", lo), ("<", hi)]})
             for lo, hi in ranges
         ]
+        return self._plan_kept_union(preds, snap)
+
+    def plan_files_any(
+        self,
+        branches: list[dict[str, Any]],
+        snapshot_id: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """Scan planning for an OR of predicate CONJUNCTIONS in one
+        manifest pass: a file is kept when ANY branch's conjunction can
+        intersect its stats. The general form behind
+        ``plan_files_ranges`` — built for the SQL frontend's
+        ``WHERE (a AND b) OR (c AND d)`` shape (VERDICT r6 #1), where
+        each branch is the stats-targeted predicate dict ``plan_files``
+        already takes (AND-list values included)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not branches:
+            return []
+        preds = [self._physical_predicates(b) for b in branches]
+        return self._plan_kept_union(preds, snap)
+
+    def _plan_kept_union(
+        self,
+        preds: list[dict[str, Any]],
+        snap: dict[str, Any],
+    ) -> list[dict[str, Any]]:
+        """Shared single-pass union planner: keep a file when ANY of
+        ``preds`` (physical predicate dicts) can match its stats;
+        driver tier under the distributed threshold, one Spark job with
+        the OR of keep conditions above it; ONE ScanReport either way."""
+        t_plan = time.time()
         n_entries = sum(
             pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
             for m in snap["manifests"]
@@ -4639,6 +4684,31 @@ class LakeTable:
         )
         return kept
 
+    def scan_pruned_any(
+        self,
+        branches: list[dict[str, Any]],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Frame over ONLY the files that can contain a row matching ANY
+        branch conjunction (``plan_files_any``: one manifest pass, both
+        bounds of every range prune), logical columns, MoR tombstones
+        applied — and NO residual filter. Built for the SQL frontend's
+        SELECT fast path (VERDICT r6 #1): the statement's own WHERE text
+        stays in the query for exact row filtering, while the scan
+        underneath reads only the pruned file set."""
+        files = self.plan_files_any(branches, snapshot_id)
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        df = self._read_live(
+            [f["file_path"] for f in files], self.snapshot(snapshot_id)
+        )
+        return df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
+
     def scan_ranges(
         self,
         col: str,
@@ -4673,6 +4743,44 @@ class LakeTable:
         for lo, hi in ranges:
             cond = cond | ((c >= _F.lit(lo)) & (c < _F.lit(hi)))
         return df.filter(cond)
+
+
+def _normalize_branches(predicates) -> list[dict[str, Any]]:
+    """Row-op predicate argument → list of OR branches: a plain dict is
+    one conjunction; a list of dicts is their disjunction (the SQL
+    frontend's ``WHERE (..AND..) OR (..AND..)`` shape, VERDICT r6 #1)."""
+    if isinstance(predicates, dict):
+        return [predicates]
+    branches = list(predicates)
+    if not branches or not all(isinstance(b, dict) for b in branches):
+        raise ValueError(
+            "predicates must be a dict (conjunction) or a non-empty "
+            "list of dicts (OR of conjunctions)"
+        )
+    return branches
+
+
+def _branches_match_cond(branches, name_of):
+    """Spark Column that is TRUE exactly when a row matches ANY branch
+    conjunction (each branch: ALL its (op, val) terms). NULL column
+    cells make a comparison NULL; callers wrap in
+    ``coalesce(cond, False)`` so NULL means no-match (SQL semantics).
+    ``name_of`` maps a logical predicate column to the frame's column
+    name (identity or the physical mapping)."""
+    from pyspark.sql import functions as _F
+
+    matched = _F.lit(False)
+    for branch in branches:
+        cond = _F.lit(True)
+        for col, pred in branch.items():
+            c = _F.col(name_of(col))
+            for op, val in _pred_list(pred):
+                cond = cond & {
+                    "<": c < val, "<=": c <= val, ">": c > val,
+                    ">=": c >= val, "=": c == val,
+                }[op]
+        matched = matched | cond
+    return matched
 
 
 def _pred_list(pred) -> list[tuple[str, Any]]:

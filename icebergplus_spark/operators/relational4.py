@@ -736,3 +736,68 @@ def q152_range_scan_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — SQL-REACHABLE RANGE PREDICATES (r7, VERDICT r6 #1): the whole
+# statement surface runs through lake_sql text — a closed-range DELETE
+# (``ts >= x AND ts < y``: repeated-column conjunction → AND-list, both
+# bounds prune manifests; this used to raise UnsupportedSQL) followed by
+# a two-window OR SELECT (routed through plan_files_any's one-pass union
+# planner + the pruned-view fast path). The first SELECT window overlaps
+# the deleted range, so a hash match proves the deleted rows are really
+# gone AND the pruned read loses nothing at any of the four range
+# boundaries. Oracle = the same set algebra over the raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q153_sql_range_dml",
+    oracle="""
+SELECT DATE_TRUNC('day', ts) AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE NOT (ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-11')
+  AND ((ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-09')
+    OR (ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-23'))
+GROUP BY 1, 2
+""",
+)
+def q153_sql_range_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_range_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ev_sqlrange", ev.schema)
+    # day-sliced appends so each file's ts stats span ~4 days and both
+    # the DELETE and the SELECT have real files to skip at every scale
+    for d in range(1, 32, 4):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 4)
+            ).repartition(2)
+        )
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ev_sqlrange "
+        "WHERE ts >= '2024-01-08 00:00:00' AND ts < '2024-01-11 00:00:00'",
+    )
+    return lake_sql(
+        cat,
+        """
+        SELECT DATE_TRUNC('day', ts) AS day,
+               event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,2))), 2) AS DOUBLE)
+                 AS sum_value
+        FROM bench.ev_sqlrange
+        WHERE (ts >= '2024-01-05 00:00:00' AND ts < '2024-01-09 00:00:00')
+           OR (ts >= '2024-01-20 00:00:00' AND ts < '2024-01-23 00:00:00')
+        GROUP BY 1, 2
+        """,
+    )

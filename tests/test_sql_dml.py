@@ -112,8 +112,10 @@ def test_unsupported_surfaces_clearly(cat):
         lake_sql(cat, "DELETE FROM db.t")
     with pytest.raises(UnsupportedSQL, match="unsupported statement"):
         lake_sql(cat, "GRANT SELECT ON db.t TO analyst")
-    with pytest.raises(UnsupportedSQL, match="constrained twice"):
-        lake_sql(cat, "DELETE FROM db.t WHERE k > 1 AND k < 3")
+    # r7 (VERDICT r6 #1): a closed range used to raise "constrained
+    # twice" — now it routes to the AND-list pruning path and WORKS
+    lake_sql(cat, "DELETE FROM db.t WHERE k > 1 AND k < 3")
+    assert [k for k, _, _ in _rows(cat)] == [1, 3]
 
 
 def test_quoted_literals_and_escapes(cat):
