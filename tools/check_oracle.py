@@ -58,6 +58,20 @@ def main() -> int:
     import __spark_entry__ as e
     from icebergplus_spark.session import get_spark
 
+    # Measurement hygiene (VERDICT r6 #3, same gate as bench.py): the
+    # per-query seconds in committed CHECKS_r*.json are only comparable
+    # round-over-round when the box was quiet — record the 1-min
+    # loadavg and flag the run when it exceeds SPARK_GRAFT_LOAD_GATE
+    # (default: half the cores). Correctness statuses are unaffected.
+    load_1m = os.getloadavg()[0]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", cpus / 2))
+    if load_1m > load_gate:
+        print(
+            f"note: loadavg {load_1m:.1f} > gate {load_gate:.0f} — "
+            "recorded secs will carry quiet_window=false"
+        )
+
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -164,6 +178,10 @@ def main() -> int:
                 {
                     "sf_dir": SF_DIR,
                     "totals": {"pass": n_pass, "rows_only": n_weak, "fail": n_fail},
+                    "loadavg_1m_at_start": round(load_1m, 2),
+                    "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
+                    "load_gate": load_gate,
+                    "quiet_window": load_1m <= load_gate,
                     "queries": results,
                 },
                 f,
