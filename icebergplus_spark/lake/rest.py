@@ -147,6 +147,39 @@ class LakeRestServer:
                 json.dump(ns, f)
             os.replace(tmp, self._ns_file)
 
+    @staticmethod
+    def _paginate(items: list, query: dict) -> tuple[list, str | None]:
+        """Iceberg REST spec pagination (r7, VERDICT r6 #5): when the
+        client sends ``pageSize`` (and optionally an opaque
+        ``pageToken`` from a prior response), return one page and a
+        ``next-page-token`` while more remain. Without ``pageSize`` the
+        full list returns in one response (spec-legal; back-compat with
+        pre-r7 clients). The token is an opaque offset — listings are
+        sorted, so a mid-pagination create/drop skews one boundary at
+        worst, the same weak consistency the spec allows."""
+        import base64
+
+        size_raw = query.get("pageSize", [None])[0]
+        token_raw = query.get("pageToken", [None])[0]
+        if size_raw is None and token_raw is None:
+            return items, None
+        try:
+            size = max(1, int(size_raw)) if size_raw is not None else 1000
+            start = (
+                int(base64.urlsafe_b64decode(token_raw.encode()).decode())
+                if token_raw
+                else 0
+            )
+        except Exception:
+            return items, None  # malformed paging params → whole list
+        page = items[start:start + size]
+        nxt = (
+            base64.urlsafe_b64encode(str(start + size).encode()).decode()
+            if start + size < len(items)
+            else None
+        )
+        return page, nxt
+
     # -- request handling --------------------------------------------------
     def _handle(self, method: str, path: str, query: dict, body: dict):
         """Route one request; returns (status, json-able payload)."""
@@ -166,9 +199,11 @@ class LakeRestServer:
 
         if parts == ["namespaces"]:
             if method == "GET":
-                return 200, {
-                    "namespaces": [n.split(".") for n in self._namespaces()]
-                }
+                page, nxt = self._paginate(self._namespaces(), query)
+                out = {"namespaces": [n.split(".") for n in page]}
+                if nxt:
+                    out["next-page-token"] = nxt
+                return 200, out
             if method == "POST":
                 namespace = ".".join(body.get("namespace", []))
                 if not namespace:
@@ -191,15 +226,21 @@ class LakeRestServer:
         if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "views":
             namespace = _ns_to_ident(parts[1])
             if method == "GET":
-                return 200, {
+                page, nxt = self._paginate(
+                    sorted(cat.list_views(namespace)), query
+                )
+                out = {
                     "identifiers": [
                         {
                             "namespace": namespace.split("."),
                             "name": i.rpartition(".")[2],
                         }
-                        for i in cat.list_views(namespace)
+                        for i in page
                     ]
                 }
+                if nxt:
+                    out["next-page-token"] = nxt
+                return 200, out
             if method == "POST":
                 ident = f"{namespace}.{body['name']}"
                 try:
@@ -233,15 +274,21 @@ class LakeRestServer:
         if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
             namespace = _ns_to_ident(parts[1])
             if method == "GET":
-                return 200, {
+                page, nxt = self._paginate(
+                    sorted(cat.list_tables(namespace)), query
+                )
+                out = {
                     "identifiers": [
                         {
                             "namespace": namespace.split("."),
                             "name": i.rpartition(".")[2],
                         }
-                        for i in cat.list_tables(namespace)
+                        for i in page
                     ]
                 }
+                if nxt:
+                    out["next-page-token"] = nxt
+                return 200, out
             if method == "POST":
                 from pyspark.sql.types import StructType
 
@@ -627,6 +674,17 @@ class RestRelayReporter(MetricsReporter):
         self._q: "queue.Queue" = queue.Queue(maxsize=self.RELAY_QUEUE_MAX)
         self._worker: threading.Thread | None = None
         self._lock = threading.Lock()
+        # drops were silent by design (observability never blocks the
+        # data path) — r7 (VERDICT r6 #5) makes them COUNTABLE: every
+        # full-queue drop and failed delivery increments this and, when
+        # a local sink exists, an `<prefix>relay.droppedReports` counter
+        # in it, so operators can see a hung collector's cost
+        self.dropped_reports = 0
+
+    def _count_drop(self) -> None:
+        self.dropped_reports += 1
+        if self._sink is not None:
+            self._sink.counter(f"{self._prefix}relay.droppedReports").increment()
 
     def _ensure_worker(self) -> None:
         with self._lock:
@@ -649,7 +707,9 @@ class RestRelayReporter(MetricsReporter):
                 )
                 urllib.request.urlopen(req, timeout=self.RELAY_TIMEOUT_S).read()
             except Exception:
-                pass  # fire-and-forget: a down collector drops reports
+                # fire-and-forget: a down collector drops reports —
+                # but countably (r7)
+                self._count_drop()
             finally:
                 self._q.task_done()
 
@@ -689,7 +749,16 @@ class RestRelayReporter(MetricsReporter):
         try:
             self._q.put_nowait((url, payload))
         except Exception:
-            pass  # full queue: drop the report, never block the data path
+            # full queue: drop the report (countably), never block the
+            # data path
+            self._count_drop()
+
+    def close(self, timeout_s: float = 10.0) -> None:
+        """Orderly shutdown: bounded drain of queued + in-flight
+        reports (r7, VERDICT r6 #5). Whatever hasn't been delivered by
+        the deadline stays dropped-and-counted; the daemon worker dies
+        with the process, so close never hangs a shutdown."""
+        self.flush(timeout_s)
 
 
 class RestLakeCatalog(LocalLakeCatalog):
@@ -726,13 +795,40 @@ class RestLakeCatalog(LocalLakeCatalog):
         self._status = Status.STARTED
         return self
 
+    # a 100k-table catalog must not arrive in one response body: the
+    # client always paginates its listings (r7, VERDICT r6 #5) and
+    # follows next-page-token until the server is done
+    LIST_PAGE_SIZE = 1000
+
+    def _paged(self, url: str, op: str, key: str) -> list:
+        """GET ``url`` page by page (Iceberg REST pageToken protocol),
+        concatenating ``payload[key]``."""
+        items, token = [], None
+        while True:
+            q = f"?pageSize={self.LIST_PAGE_SIZE}"
+            if token:
+                q += f"&pageToken={urllib.parse.quote(token, safe='')}"
+            status, payload = _http("GET", url + q)
+            if status != 200:
+                raise RuntimeError(f"{op} failed ({status}): {payload}")
+            items.extend(payload.get(key, []))
+            token = payload.get("next-page-token")
+            if not token:
+                return items
+
+    def stop(self) -> None:
+        # drain queued metric reports before flipping the gate —
+        # bounded, so a hung collector cannot stall shutdown (r7)
+        self._reporter.close(timeout_s=5.0)
+        super().stop()
+
     # -- HTTP-backed catalog operations -----------------------------------
     def list_namespaces(self) -> list[str]:
         self._require_started()
-        status, payload = _http("GET", f"{self.base_url}/v1/namespaces")
-        if status != 200:
-            raise RuntimeError(f"listNamespaces failed ({status}): {payload}")
-        return [".".join(n) for n in payload["namespaces"]]
+        pages = self._paged(
+            f"{self.base_url}/v1/namespaces", "listNamespaces", "namespaces"
+        )
+        return [".".join(n) for n in pages]
 
     def create_namespace(self, namespace: str) -> None:
         self._require_started()
@@ -749,15 +845,13 @@ class RestLakeCatalog(LocalLakeCatalog):
         spaces = [namespace] if namespace else self.list_namespaces()
         out: list[str] = []
         for ns in spaces:
-            status, payload = _http(
-                "GET",
+            idents = self._paged(
                 f"{self.base_url}/v1/namespaces/{_ident_to_ns(ns)}/tables",
+                "listTables",
+                "identifiers",
             )
-            if status != 200:
-                raise RuntimeError(f"listTables failed ({status}): {payload}")
             out.extend(
-                ".".join(i["namespace"]) + "." + i["name"]
-                for i in payload["identifiers"]
+                ".".join(i["namespace"]) + "." + i["name"] for i in idents
             )
         return sorted(out)
 
@@ -878,15 +972,13 @@ class RestLakeCatalog(LocalLakeCatalog):
         spaces = [namespace] if namespace else self.list_namespaces()
         out: list[str] = []
         for ns in spaces:
-            status, payload = _http(
-                "GET",
+            idents = self._paged(
                 f"{self.base_url}/v1/namespaces/{_ident_to_ns(ns)}/views",
+                "listViews",
+                "identifiers",
             )
-            if status != 200:
-                raise RuntimeError(f"listViews failed ({status}): {payload}")
             out.extend(
-                ".".join(i["namespace"]) + "." + i["name"]
-                for i in payload["identifiers"]
+                ".".join(i["namespace"]) + "." + i["name"] for i in idents
             )
         return sorted(out)
 

@@ -517,3 +517,89 @@ def test_relay_flush_covers_inflight_post(server):
     assert rep._q.unfinished_tasks == 0
     c = server.metrics.get("iceberg.scanReport.resultDataFiles")
     assert c is not None and c.value == float(n)
+
+
+def test_list_pagination_round_trip(spark, server):
+    """r7 (VERDICT r6 #5): Iceberg REST pageToken pagination. The
+    server slices listings by pageSize/pageToken; the client follows
+    next-page-token (page size forced tiny here) and reassembles the
+    COMPLETE namespace/table/view lists."""
+    import json as _json
+    import urllib.request
+
+    cat = _client(spark, server)
+    names = [f"db.t{i:03d}" for i in range(12)]
+    for n in names:
+        cat.create_table(n, SCHEMA)
+    cat.create_view("db.v1", "SELECT 1 AS one")
+    cat.create_view("db.v2", "SELECT 2 AS two")
+    for i in range(7):
+        cat.create_namespace(f"extra{i}")
+
+    # raw protocol: one page of 5 + a token, then the rest
+    with urllib.request.urlopen(
+        f"{server.base_url}/v1/namespaces/db/tables?pageSize=5", timeout=5
+    ) as r:
+        p1 = _json.loads(r.read())
+    assert len(p1["identifiers"]) == 5
+    tok = p1["next-page-token"]
+    assert tok
+    with urllib.request.urlopen(
+        f"{server.base_url}/v1/namespaces/db/tables"
+        f"?pageSize=50&pageToken={tok}",
+        timeout=5,
+    ) as r:
+        p2 = _json.loads(r.read())
+    assert len(p2["identifiers"]) == 7
+    assert "next-page-token" not in p2
+    got = {
+        ".".join(i["namespace"]) + "." + i["name"]
+        for i in p1["identifiers"] + p2["identifiers"]
+    }
+    assert got == set(names)
+
+    # client reassembly under a tiny page size — every list complete
+    cat.LIST_PAGE_SIZE = 3
+    assert cat.list_tables("db") == sorted(names)
+    assert set(cat.list_namespaces()) >= {"db", *{f"extra{i}" for i in range(7)}}
+    assert cat.list_views("db") == ["db.v1", "db.v2"]
+    # no pageSize param → whole list in one response (back-compat)
+    with urllib.request.urlopen(
+        f"{server.base_url}/v1/namespaces/db/tables", timeout=5
+    ) as r:
+        whole = _json.loads(r.read())
+    assert len(whole["identifiers"]) == 12 and "next-page-token" not in whole
+
+
+def test_relay_drop_counter_under_hung_collector(server):
+    """r7 (VERDICT r6 #5): a dead/hung collector must cost COUNTED
+    drops — full-queue rejections and failed deliveries both increment
+    dropped_reports and the local sink's relay.droppedReports counter;
+    close() drains within its bound and never hangs."""
+    import time
+
+    from icebergplus_spark.lake.metrics import MetricsSink, ScanReport
+    from icebergplus_spark.lake.rest import RestRelayReporter
+
+    sink = MetricsSink()
+    # point at a dead port: every delivery fails fast (conn refused)
+    rep = RestRelayReporter("http://127.0.0.1:9", sink)
+    for i in range(5):
+        rep.report(
+            ScanReport("db.x", i, {"resultDataFiles": 1.0}, {})
+        )
+    t0 = time.time()
+    rep.close(timeout_s=10.0)
+    assert time.time() - t0 < 10.0
+    assert rep.dropped_reports == 5
+    c = sink.get("iceberg.relay.droppedReports")
+    assert c is not None and c.value == 5.0
+
+    # full-queue rejection path: shrink the queue and saturate it with
+    # a worker that can't drain (unroutable address hangs on connect)
+    rep2 = RestRelayReporter("http://10.255.255.1:9", MetricsSink())
+    rep2.RELAY_QUEUE_MAX = 2
+    rep2._q.maxsize = 2
+    for i in range(10):
+        rep2.report(ScanReport("db.y", i, {"resultDataFiles": 1.0}, {}))
+    assert rep2.dropped_reports >= 7  # ≥10 - queue(2) - in-flight(1)
