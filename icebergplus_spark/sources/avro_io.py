@@ -59,6 +59,34 @@ from pyspark.sql.types import (
 
 MAGIC = b"Obj\x01"
 
+# -- spark-avro auto-detect (r7, VERDICT r6 #7) -----------------------------
+# When the image ships the DSv2 `spark-avro` package, route dataset
+# read/write through it (JVM-side, vectorized) and keep this module's
+# spec-native codec as the fallback — the SCALING.md "honest list" swap
+# point made automatic. Probed once per JVM; SPARK_GRAFT_FORCE_PY_AVRO=1
+# pins the Python codec (fallback-path testing).
+_spark_avro_probe: dict[str, bool] = {}
+
+
+def spark_avro_available(spark: SparkSession) -> bool:
+    """True when ``spark.read.format("avro")`` resolves in this JVM."""
+    if os.environ.get("SPARK_GRAFT_FORCE_PY_AVRO") == "1":
+        return False
+    key = "probe"
+    if key in _spark_avro_probe:
+        return _spark_avro_probe[key]
+    try:
+        # resolve the datasource class without any I/O — the exact
+        # lookup the reader/writer would perform
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        ok = True
+    except Exception:
+        ok = False
+    _spark_avro_probe[key] = ok
+    return ok
+
 _SPARK_TO_AVRO = [
     (LongType, "long"),
     (IntegerType, "int"),
@@ -307,10 +335,19 @@ def read_ocf(path: str) -> tuple[dict, list[tuple]]:
 def write_avro_dataset(df: DataFrame, out_dir: str) -> int:
     """Distributed Avro sink: each partition encodes itself into one
     ``part-*.avro`` OCF in ``out_dir`` (same layout contract as the
-    parquet sink — the directory is the dataset). Returns file count."""
+    parquet sink — the directory is the dataset). Returns file count.
+    Routes through the JVM ``spark-avro`` sink when the package is on
+    the classpath (auto-detected; r7), else the spec-native codec."""
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+    if spark_avro_available(df.sparkSession):
+        before = {
+            fn for fn in os.listdir(out_dir) if fn.endswith(".avro")
+        }
+        df.write.format("avro").mode("append").save(out_dir)
+        after = {fn for fn in os.listdir(out_dir) if fn.endswith(".avro")}
+        return len(after - before)
     schema = df.schema
     avsc = avro_schema_of(schema)
     ts_cols = [
@@ -364,11 +401,29 @@ def read_avro_dataset(
 ) -> DataFrame:
     """Distributed Avro source: decode every ``*.avro`` file under
     ``path`` (a directory or a single file) on executors. The declared
-    ``schema`` drives type coercion (timestamp/date logical types)."""
+    ``schema`` drives type coercion (timestamp/date logical types).
+    Routes through the JVM ``spark-avro`` reader when the package is on
+    the classpath (auto-detected; r7), else the spec-native codec."""
     import pandas as pd
 
     if not os.path.exists(path):
         raise FileNotFoundError(f"no such avro path: {path}")
+    if spark_avro_available(spark):
+        from pyspark.sql import functions as _F
+
+        raw = spark.read.format("avro").load(path)
+        # declared-schema coercion, matching the codec path's contract:
+        # missing columns read back NULL, extras are dropped
+        return raw.select(
+            *[
+                (
+                    _F.col(f.name).cast(f.dataType)
+                    if f.name in raw.columns
+                    else _F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     files = (
         sorted(
             os.path.join(path, fn)

@@ -588,3 +588,57 @@ def test_legacy_bucket_key_migrates_once_atomically(spark, tables):
     # second refresh: no further migration (marker short-circuits)
     again = refresh_rollup(source, rollup)
     assert again["refreshed_buckets"] == 0
+
+
+def test_refresh_prunes_on_transform_partitioned_source(spark, tmp_path):
+    """r7 (VERDICT r6 #6): the planted pruning gate again, but with the
+    MV source HIDDEN-PARTITIONED on days(ts). Partitioned writes route
+    each day's rows into a Hive path and the raw ts footer stats are
+    per-partition-file, so the refresh's raw-column ranges must prune
+    exactly as on the unpartitioned source — days 2/3 untouched files
+    never planned — and the rollup still equals the full recompute."""
+    import json as _json
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    source = cat.create_table(
+        "db.ev_prune_days",
+        _day_df(spark, 1, [1.0]).schema,
+        partition_spec=["days(ts)"],
+    )
+    rollup = cat.create_table("db.roll_prune_days", rollup_table_schema())
+    # one append carrying several days: the partitioned writer splits it
+    # into per-day files (the realistic ingest shape)
+    source.append(
+        _day_df(spark, 1, [1.0, 11.0, 3.0])
+        .union(_day_df(spark, 2, [4.0, 5.0]))
+        .union(_day_df(spark, 3, [6.0, 7.0]))
+    )
+    refresh_rollup(source, rollup, window="hour")
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(
+        full_recompute(source)
+    )
+
+    # late delete in day 1 only; fresh data in day 4 only
+    source.delete_where({"value": ("=", 11.0)})
+    source.append(_day_df(spark, 4, [8.0, 9.0]))
+
+    phys_ts = source._column_mapping["ts"]
+
+    def day_of(path):
+        for f in source.plan_files():
+            if f["file_path"] == path:
+                return _json.loads(f["column_mins"])[phys_ts][:10]
+        return None
+
+    calls = _plan_recorder(source)
+    refresh_rollup(source, rollup, window="hour")
+    assert calls, "refresh ran no range plans"
+    planned_days = {
+        day_of(p) for _ranges, paths in calls for p in paths
+    }
+    assert "2024-01-02" not in planned_days
+    assert "2024-01-03" not in planned_days
+    assert planned_days <= {"2024-01-01", "2024-01-04"}
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(
+        full_recompute(source)
+    )
