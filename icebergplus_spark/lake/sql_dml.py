@@ -11,7 +11,8 @@ dispatches:
 
 - ``INSERT INTO <tbl> <query>``          → ``append``   (snapshot commit)
 - ``INSERT OVERWRITE <tbl> <query>``     → ``overwrite`` (replace commit)
-- ``DELETE FROM <tbl> WHERE <preds>``    → ``delete``    (stats-targeted CoW)
+- ``DELETE FROM <tbl> WHERE <preds>``    → ``delete``    (stats-targeted;
+  CoW by default, tombstones when ``write.delete.mode=merge-on-read``)
 - ``UPDATE <tbl> SET ... WHERE <preds>`` → ``update_where`` (stats-targeted)
 - ``MERGE INTO <tbl> ... USING ...``     → ``merge_into`` (multi-clause)
 - ``ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR COLUMNS ...]`` → ``analyze``

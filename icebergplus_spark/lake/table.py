@@ -3410,7 +3410,17 @@ class LakeTable:
         ranges) or a LIST of such dicts — their DISJUNCTION (rows
         matching ANY branch are removed), planned in ONE manifest pass
         via ``plan_files_any`` so each branch still prunes on both
-        bounds (VERDICT r6 #1: ``DELETE ... WHERE (..) OR (..)``)."""
+        bounds (VERDICT r6 #1: ``DELETE ... WHERE (..) OR (..)``).
+
+        Iceberg ``write.delete.mode`` parity (r7): the default is
+        copy-on-write (Iceberg's own default); setting the table
+        property ``write.delete.mode=merge-on-read`` routes this call
+        to ``delete_where`` (position deletes / deletion vectors), so
+        the SQL frontend's ``DELETE`` honors the table's declared write
+        mode like UPDATE/MERGE already do."""
+        props = self.properties or {}
+        if props.get("write.delete.mode") == "merge-on-read":
+            return self.delete_where(predicates)
         t0 = time.time()
         branches = _normalize_branches(predicates)
         all_files = self.plan_files()

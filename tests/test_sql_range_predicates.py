@@ -269,3 +269,25 @@ def test_python_api_or_branches_equivalence(spark, tmp_path):
     assert _ks(t) == list(range(5, 18))
     with pytest.raises(ValueError, match="dict"):
         t.delete([("k", 1)])  # malformed branch list rejected loudly
+
+
+def test_sql_delete_honors_write_delete_mode(spark, tmp_path):
+    """r7: Iceberg ``write.delete.mode`` parity — with
+    merge-on-read set, a SQL DELETE routes to the tombstone path (no
+    data file rewritten), and the OR grammar still works there."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.wm", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.set_property("write.delete.mode", "merge-on-read")
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    before_paths = {f["file_path"] for f in t.plan_files()}
+    lake_sql(
+        cat, "DELETE FROM db.wm WHERE (k >= 1 AND k < 3) OR (k >= 8 AND k < 10)"
+    )
+    t = cat.load_table("db.wm")
+    assert _ks(t) == [0, 3, 4, 5, 6, 7]
+    # merge-on-read: data files untouched, tombstones applied at scan
+    assert {f["file_path"] for f in t.plan_files()} == before_paths
+    assert t.snapshot()["operation"] == "delete"
+    assert t.snapshot()["summary"]["total-position-deletes"] == 4
