@@ -41,6 +41,7 @@ HEADLINE = [
     "t02_quality_score",
     "w01_lake_ingest_compact_scan",  # write path (local, below)
     "w02_dv_delete_scan",  # deletion-vector MoR write+read path (r5)
+    "w03_sql_range_dml_scan",  # SQL range DELETE + pruned OR SELECT (r7)
 ]
 
 
@@ -103,9 +104,50 @@ def w02_dv_delete_scan(spark, sf_dir: str):
     )
 
 
+def w03_sql_range_dml_scan(spark, sf_dir: str):
+    """SQL range-DML headline (r7, VERDICT r6 #1): day-sliced ingest of
+    events, a closed-range DELETE through statement text (AND-list →
+    both-bounds manifest pruning), then a two-window OR SELECT through
+    the pruned fast path (plan_files_any union plan + residual WHERE).
+    Measures the whole SQL-reachable range surface end-to-end on a
+    fresh warehouse per invocation."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+    from icebergplus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="bench_wsql_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.w_sqlrange", ev.schema)
+    for d in range(1, 32, 4):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 4)
+            ).repartition(2)
+        )
+    lake_sql(
+        cat,
+        "DELETE FROM bench.w_sqlrange "
+        "WHERE ts >= '2024-01-08 00:00:00' AND ts < '2024-01-11 00:00:00'",
+    )
+    return lake_sql(
+        cat,
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sum_value "
+        "FROM bench.w_sqlrange "
+        "WHERE (ts >= '2024-01-05 00:00:00' AND ts < '2024-01-09 00:00:00') "
+        "OR (ts >= '2024-01-20 00:00:00' AND ts < '2024-01-23 00:00:00') "
+        "GROUP BY event_type",
+    )
+
+
 LOCAL_QUERIES = {
     "w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan,
     "w02_dv_delete_scan": w02_dv_delete_scan,
+    "w03_sql_range_dml_scan": w03_sql_range_dml_scan,
 }
 
 
