@@ -801,3 +801,62 @@ def q153_sql_range_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — IN-LIST PREDICATES through the SQL frontend (r7): ``col IN
+# (literals)`` expands to equality branches riding the same one-pass
+# union planner as explicit ORs — here a DELETE with a mixed
+# IN + range conjunction, then an IN-filtered SELECT through the
+# pruned fast path. The oracle recomputes the same set algebra over
+# raw events, so a hash match proves the cross-product expansion and
+# the equality-branch pruning lose no rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q154_sql_inlist_dml",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE NOT (event_type IN ('error', 'signup')
+           AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20')
+  AND event_type IN ('click', 'error', 'purchase')
+GROUP BY event_type
+""",
+)
+def q154_sql_inlist_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_in_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ev_inlist", ev.schema)
+    for d in range(1, 32, 8):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 8)
+            ).repartition(2)
+        )
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ev_inlist "
+        "WHERE event_type IN ('error', 'signup') "
+        "AND ts >= '2024-01-10 00:00:00' AND ts < '2024-01-20 00:00:00'",
+    )
+    return lake_sql(
+        cat,
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,2))), 2) AS DOUBLE)
+                 AS sum_value
+        FROM bench.ev_inlist
+        WHERE event_type IN ('click', 'error', 'purchase')
+        GROUP BY event_type
+        """,
+    )

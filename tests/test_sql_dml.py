@@ -106,8 +106,10 @@ def test_select_passthrough(spark, cat):
 
 
 def test_unsupported_surfaces_clearly(cat):
+    # r7: IN-lists are SUPPORTED now (expand to equality branches) —
+    # LIKE remains outside the stats-targeted grammar
     with pytest.raises(UnsupportedSQL, match="stats-targeted"):
-        lake_sql(cat, "DELETE FROM db.t WHERE k IN (1, 2)")
+        lake_sql(cat, "DELETE FROM db.t WHERE name LIKE 'a%'")
     with pytest.raises(UnsupportedSQL, match="WHERE"):
         lake_sql(cat, "DELETE FROM db.t")
     with pytest.raises(UnsupportedSQL, match="unsupported statement"):
@@ -116,6 +118,8 @@ def test_unsupported_surfaces_clearly(cat):
     # twice" — now it routes to the AND-list pruning path and WORKS
     lake_sql(cat, "DELETE FROM db.t WHERE k > 1 AND k < 3")
     assert [k for k, _, _ in _rows(cat)] == [1, 3]
+    lake_sql(cat, "DELETE FROM db.t WHERE k IN (1, 2)")
+    assert [k for k, _, _ in _rows(cat)] == [3]
 
 
 def test_quoted_literals_and_escapes(cat):

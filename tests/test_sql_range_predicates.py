@@ -291,3 +291,55 @@ def test_sql_delete_honors_write_delete_mode(spark, tmp_path):
     assert {f["file_path"] for f in t.plan_files()} == before_paths
     assert t.snapshot()["operation"] == "delete"
     assert t.snapshot()["summary"]["total-position-deletes"] == 4
+
+
+def test_parser_in_list_expansion():
+    """r7: IN-lists expand to equality branches (cross-producted with
+    the rest of the conjunction), quoted commas/escapes survive, the
+    expansion cap raises, and the single-conjunction surface rejects."""
+    from icebergplus_spark.lake.sql_dml import _parse_where_or as pwo
+
+    assert pwo("k IN (1, 2)") == [{"k": ("=", 1)}, {"k": ("=", 2)}]
+    assert pwo("k IN (1, 2) AND tag = 'x'") == [
+        {"tag": ("=", "x"), "k": ("=", 1)},
+        {"tag": ("=", "x"), "k": ("=", 2)},
+    ]
+    assert pwo("tag IN ('a,b', 'c''d')") == [
+        {"tag": ("=", "a,b")}, {"tag": ("=", "c'd")}
+    ]
+    with pytest.raises(UnsupportedSQL, match="expansion"):
+        pwo("k IN (%s)" % ",".join(str(i) for i in range(65)))
+    with pytest.raises(UnsupportedSQL, match="single-conjunction"):
+        _parse_where("k IN (1, 2)")
+
+
+def test_sql_in_list_delete_update_select(table):
+    """IN through every DML verb, under both delete representations."""
+    cat, t = table
+    lake_sql(cat, "DELETE FROM db.rng WHERE k IN (0, 7, 19)")
+    assert _ks(cat.load_table("db.rng")) == sorted(
+        set(range(20)) - {0, 7, 19}
+    )
+    lake_sql(cat, "UPDATE db.rng SET tag = 'in' WHERE k IN (1, 18)")
+    tags = {r["k"]: r["tag"] for r in cat.load_table("db.rng").scan().collect()}
+    assert tags[1] == "in" and tags[18] == "in" and tags[2] == "d1"
+    got = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.rng WHERE k IN (1, 2, 3)",
+    ).first()["n"]
+    assert got == 3
+
+
+def test_in_list_prunes_equality_branches(spark, tmp_path):
+    """A 2-value IN over day-sliced files must union-plan ONCE and keep
+    only the two files whose ranges contain the values."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.pin", SCHEMA)
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
+                    (3, range(10, 15)), (4, range(15, 20))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    calls = _recording(t, "plan_files_any")
+    cat.load_table = lambda ident: t
+    lake_sql(cat, "DELETE FROM db.pin WHERE k IN (2, 17)")
+    assert len(calls) == 1 and len(calls[0]) == 2
+    assert _ks(cat.load_table("db.pin")) == sorted(set(range(20)) - {2, 17})
