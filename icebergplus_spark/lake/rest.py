@@ -682,9 +682,15 @@ class RestRelayReporter(MetricsReporter):
         self.dropped_reports = 0
 
     def _count_drop(self) -> None:
-        self.dropped_reports += 1
-        if self._sink is not None:
-            self._sink.counter(f"{self._prefix}relay.droppedReports").increment()
+        # incremented from both the caller thread (queue-full) and the
+        # daemon worker (failed delivery) — lock the read-modify-write
+        # or concurrent drops undercount (review r7)
+        with self._lock:
+            self.dropped_reports += 1
+            if self._sink is not None:
+                self._sink.counter(
+                    f"{self._prefix}relay.droppedReports"
+                ).increment()
 
     def _ensure_worker(self) -> None:
         with self._lock:

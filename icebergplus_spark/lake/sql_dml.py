@@ -133,12 +133,6 @@ def _strip_parens(s: str) -> str:
     return s
 
 
-_BETWEEN = re.compile(
-    rf"\b({_IDENT})\s+BETWEEN\s+({_NUM}|{_STR})\s+AND\s+({_NUM}|{_STR})",
-    re.IGNORECASE,
-)
-
-
 _LIT = rf"(?:{_NUM}|{_STR})"
 _INLIST = re.compile(
     rf"^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
@@ -163,17 +157,49 @@ def _merge_term(preds: dict[str, Any], col: str, val: tuple) -> dict[str, Any]:
     return out
 
 
+_BETWEEN_FULL = re.compile(
+    rf"^({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})$", re.IGNORECASE
+)
+_BETWEEN_HEAD = re.compile(
+    rf"^({_IDENT})\s+BETWEEN\s+({_LIT})$", re.IGNORECASE
+)
+_LIT_ONLY = re.compile(rf"^{_LIT}$")
+
+
 def _parse_branch(branch: str) -> list[dict[str, Any]]:
     """One OR branch (a conjunction of terms) → one or more
     stats-targeted predicate dicts. ``BETWEEN`` becomes two bounds;
     ``col IN (a, b, …)`` expands to one equality branch per value
     (cross-producted with the rest of the conjunction), so the IN
-    rides the same single-pass union planner as explicit ORs (r7)."""
-    branch = _BETWEEN.sub(r"\1 >= \2 AND \1 <= \3", branch)
+    rides the same single-pass union planner as explicit ORs (r7).
+
+    BETWEEN is recognized AFTER the quote-aware AND split (review r7:
+    a blind text rewrite corrupted string literals containing the word
+    BETWEEN): its own AND leaves the head in one part and the upper
+    bound as the next part, except inside parentheses where the split
+    doesn't fire and the full form survives in one part."""
     base: dict[str, Any] = {}
     in_terms: list[tuple[str, list[Any]]] = []
-    for part in _split_bool(branch, "AND"):
-        part = _strip_parens(part)
+    parts = _split_bool(branch, "AND")
+    i = 0
+    while i < len(parts):
+        part = _strip_parens(parts[i])
+        m_full = _BETWEEN_FULL.match(part)
+        if m_full:
+            col, lo, hi = m_full.groups()
+            base = _merge_term(base, col, (">=", _parse_literal(lo)))
+            base = _merge_term(base, col, ("<=", _parse_literal(hi)))
+            i += 1
+            continue
+        m_head = _BETWEEN_HEAD.match(part)
+        if m_head and i + 1 < len(parts):
+            nxt = _strip_parens(parts[i + 1])
+            if _LIT_ONLY.match(nxt):
+                col, lo = m_head.groups()
+                base = _merge_term(base, col, (">=", _parse_literal(lo)))
+                base = _merge_term(base, col, ("<=", _parse_literal(nxt)))
+                i += 2
+                continue
         m_in = _INLIST.match(part)
         if m_in:
             col, blob = m_in.groups()
@@ -182,6 +208,7 @@ def _parse_branch(branch: str) -> list[dict[str, Any]]:
                 for v in _split_top_level(blob)
             ]
             in_terms.append((col, vals))
+            i += 1
             continue
         m = _PRED.match(part)
         if not m:
@@ -194,6 +221,7 @@ def _parse_branch(branch: str) -> list[dict[str, Any]]:
             )
         col, op, lit = m.groups()
         base = _merge_term(base, col, (op, _parse_literal(lit)))
+        i += 1
     branches = [base]
     for col, vals in in_terms:
         branches = [
@@ -287,6 +315,73 @@ def _or_arg(table: LakeTable, where: str):
     return branches[0] if len(branches) == 1 else branches
 
 
+def _try_load(catalog: LocalLakeCatalog, ident: str):
+    """Table handle or None — ONE load attempt instead of a full
+    catalog listing (review r7: ``ident in set(list_tables())`` cost a
+    namespace fan-out of HTTP listings per statement on the REST
+    catalog, twice when both fast paths declined)."""
+    try:
+        return catalog.load_table(ident)
+    except Exception:
+        return None
+
+
+def _replace_ident(stmt: str, ident: str, view: str) -> str:
+    """Quote-safe identifier substitution, shared by every SELECT path
+    (review r7 — this logic was duplicated inline). (?<![\\w.]) not \\b
+    on the left: '.' satisfies \\b, so a bare \\bdb\\.t\\b would also hit
+    the TAIL of a longer qualified name; (?![\\w.]) on the right keeps
+    db.t from hitting the PREFIX of db.t.snapshots. String literals are
+    split out first so a name inside quotes is never rewritten."""
+    pat = re.compile(rf"(?<![\w.]){re.escape(ident)}(?![\w.])")
+    segments = re.split(rf"({_STR})", stmt)
+    return "".join(
+        seg if i % 2 else pat.sub(view, seg)
+        for i, seg in enumerate(segments)
+    )
+
+
+_COUNT_SELECT = re.compile(
+    rf"^SELECT\s+COUNT\(\s*\*\s*\)\s*(?:AS\s+(\w+))?\s+FROM\s+({_IDENT})"
+    rf"\s+WHERE\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _count_select(catalog: LocalLakeCatalog, stmt: str):
+    """Metadata-answered COUNT(*) (r7): when the statement is exactly
+    ``SELECT COUNT(*) [AS a] FROM <lake table> WHERE <stats grammar>``,
+    route to ``LakeTable.count_rows`` — files whose stats prove every
+    row matches are counted from the MANIFEST, only boundary files are
+    scanned. At 100 TB that's the difference between a driver-side
+    metadata fold and a cluster scan. Tombstones and unprovable stats
+    degrade to the exact scan inside count_rows — never wrong, only
+    slower. Returns None → caller falls through to the generic paths."""
+    m = _COUNT_SELECT.match(stmt.strip())
+    if not m:
+        return None
+    alias, ident, where = m.groups()
+    if re.search(r"\bAS\s+OF\b|\bGROUP\s+BY\b", stmt, re.IGNORECASE):
+        return None
+    table = _try_load(catalog, ident)
+    if table is None:
+        return None
+    try:
+        branches = _parse_where_or(where)
+    except UnsupportedSQL:
+        return None
+    names = set(table.schema.fieldNames())
+    if not all(c in names for b in branches for c in b):
+        return None
+    branches = _coerce_time_literals(table, branches)
+    n = table.count_rows(branches[0] if len(branches) == 1 else branches)
+    # Spark names an unaliased COUNT(*) column `count(1)` — match it so
+    # the fast path is invisible to callers
+    return table.spark.createDataFrame(
+        [(n,)], f"`{alias or 'count(1)'}` bigint"
+    )
+
+
 _SIMPLE_SELECT = re.compile(
     rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)"
     rf"(\s+(?:GROUP|ORDER|HAVING|LIMIT)\b.*)?$",
@@ -312,25 +407,23 @@ def _pruned_select(catalog: LocalLakeCatalog, stmt: str):
     blob = f"{sel} {where} {tail or ''}"
     if re.search(r"\bAS\s+OF\b|\bJOIN\b|\(\s*SELECT\b", blob, re.IGNORECASE):
         return None
-    if ident not in set(catalog.list_tables()):
+    table = _try_load(catalog, ident)
+    if table is None:
         return None
     try:
         branches = _parse_where_or(where)
     except UnsupportedSQL:
         return None
-    table = catalog.load_table(ident)
     names = set(table.schema.fieldNames())
     if not all(c in names for b in branches for c in b):
         return None  # qualified/unknown refs — generic path
+    # same coercion the DML paths apply (review r7): a space-form SQL
+    # timestamp literal compared lexicographically against a 'T'-form
+    # isoformat stat would silently DROP files with matching rows
+    branches = _coerce_time_literals(table, branches)
     view = f"{_lake_view_name(ident)}_pruned"
     table.scan_pruned_any(branches).createOrReplaceTempView(view)
-    pat = re.compile(rf"(?<![\w.]){re.escape(ident)}(?![\w.])")
-    segments = re.split(rf"({_STR})", stmt)
-    rewritten = "".join(
-        seg if i % 2 else pat.sub(view, seg)
-        for i, seg in enumerate(segments)
-    )
-    return table.spark.sql(rewritten)
+    return table.spark.sql(_replace_ident(stmt, ident, view))
 
 
 def _align(df, table: LakeTable):
@@ -634,6 +727,9 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         return txn.commit()
 
     if head in ("SELECT", "VALUES", "WITH"):
+        fast = _count_select(catalog, stmt)
+        if fast is not None:
+            return fast
         fast = _pruned_select(catalog, stmt)
         if fast is not None:
             return fast

@@ -4464,28 +4464,63 @@ class LakeTable:
     # always exact, never approximate.
     def count_rows(
         self,
-        predicates: dict[str, tuple[str, Any]] | None = None,
+        predicates: dict[str, tuple[str, Any]] | list[dict[str, Any]] | None = None,
         snapshot_id: int | None = None,
     ) -> int:
         """Exact row count, answered from manifest stats when possible.
 
         Without predicates: pure metadata (sum of per-file record
-        counts). With predicates: files whose stats prove EVERY row
-        matches are counted from metadata; only boundary files that
-        partially overlap the predicate range are scanned."""
+        counts). With predicates — one conjunction dict or a list of
+        dicts (their OR, r7): files whose stats prove EVERY row matches
+        (some branch of) the predicate are counted from metadata; only
+        boundary files that partially overlap are scanned, with the
+        full OR as the residual filter."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return 0
+        branches = _normalize_branches(predicates) if predicates else None
         if snap.get("delete_manifests"):
-            # tombstones change live counts in ways stats can't see
-            return self.scan(predicates, snapshot_id).count()
-        kept = self.plan_files(predicates, snapshot_id)
-        if not predicates:
+            # tombstones change live counts in ways stats can't see —
+            # but the SCAN is still stats-pruned to matching files
+            # (review r7: scan(None) here read the whole table)
+            if branches is None:
+                return self.scan(None, snapshot_id).count()
+            if len(branches) == 1:
+                return self.scan(branches[0], snapshot_id).count()
+            from pyspark.sql import functions as _F
+
+            return (
+                self.scan_pruned_any(branches, snapshot_id)
+                .filter(
+                    _F.coalesce(
+                        _branches_match_cond(branches, lambda c: c),
+                        _F.lit(False),
+                    )
+                )
+                .count()
+            )
+        if branches is None:
+            kept = self.plan_files(None, snapshot_id)
             return sum(r["record_count"] for r in kept)
+        kept = (
+            self.plan_files(branches[0], snapshot_id)
+            if len(branches) == 1
+            else self.plan_files_any(branches, snapshot_id)
+        )
         mapping = self._column_mapping
-        phys_preds = {mapping.get(c, c): v for c, v in predicates.items()}
-        full = [r for r in kept if _file_fully_matches(r, phys_preds)]
-        partial = [r for r in kept if not _file_fully_matches(r, phys_preds)]
+        phys_branches = [
+            {mapping.get(c, c): v for c, v in b.items()} for b in branches
+        ]
+        # metadata-countable when SOME branch provably covers the whole
+        # file (sufficient, conservative: joint coverage by several
+        # branches routes to the scan path — never wrong, only slower)
+        full = [
+            r
+            for r in kept
+            if any(_file_fully_matches(r, pb) for pb in phys_branches)
+        ]
+        full_paths = {r["file_path"] for r in full}
+        partial = [r for r in kept if r["file_path"] not in full_paths]
         total = sum(r["record_count"] for r in full)
         if partial:
             from pyspark.sql import functions as _F
@@ -4494,14 +4529,11 @@ class LakeTable:
             df = df.select(
                 *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
             )
-            for col, pred in predicates.items():
-                c = df[col]
-                for op, val in _pred_list(pred):
-                    df = df.filter(
-                        {"<": c < val, "<=": c <= val, ">": c > val,
-                         ">=": c >= val, "=": c == val}[op]
-                    )
-            total += df.count()
+            total += df.filter(
+                _F.coalesce(
+                    _branches_match_cond(branches, lambda c: c), _F.lit(False)
+                )
+            ).count()
         return total
 
     def stats_min_max(

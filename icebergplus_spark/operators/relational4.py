@@ -860,3 +860,47 @@ def q154_sql_inlist_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — METADATA-ANSWERED COUNT under the oracle gate (r7): COUNT(*)
+# over an OR of time windows through lake_sql routes to
+# LakeTable.count_rows — day-sliced files fully inside a window are
+# counted from manifest stats alone, only boundary files are scanned.
+# The oracle recomputes the count over raw events, so a hash match
+# proves the full/partial file classification is exact at every window
+# edge. The 100 TB shape: inventory questions answered from metadata.
+# ---------------------------------------------------------------------------
+@register(
+    "q155_sql_count_meta",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE (ts >= TIMESTAMP '2024-01-04' AND ts < TIMESTAMP '2024-01-09')
+   OR (ts >= TIMESTAMP '2024-01-21' AND ts < TIMESTAMP '2024-01-26')
+   OR event_type IN ('signup')
+""",
+)
+def q155_sql_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_cnt_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ev_count", ev.schema)
+    for d in range(1, 32, 4):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 4)
+            ).repartition(2)
+        )
+    return lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM bench.ev_count "
+        "WHERE (ts >= '2024-01-04 00:00:00' AND ts < '2024-01-09 00:00:00') "
+        "OR (ts >= '2024-01-21 00:00:00' AND ts < '2024-01-26 00:00:00') "
+        "OR event_type IN ('signup')",
+    )

@@ -411,7 +411,13 @@ def read_avro_dataset(
     if spark_avro_available(spark):
         from pyspark.sql import functions as _F
 
-        raw = spark.read.format("avro").load(path)
+        reader = spark.read.format("avro")
+        if os.path.isdir(path):
+            # match the codec path's *.avro glob — a stray non-avro
+            # file in the dataset dir must not flip success/failure
+            # with the classpath (review r7)
+            reader = reader.option("pathGlobFilter", "*.avro")
+        raw = reader.load(path)
         # declared-schema coercion, matching the codec path's contract:
         # missing columns read back NULL, extras are dropped
         return raw.select(

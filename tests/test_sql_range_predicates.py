@@ -343,3 +343,138 @@ def test_in_list_prunes_equality_branches(spark, tmp_path):
     lake_sql(cat, "DELETE FROM db.pin WHERE k IN (2, 17)")
     assert len(calls) == 1 and len(calls[0]) == 2
     assert _ks(cat.load_table("db.pin")) == sorted(set(range(20)) - {2, 17})
+
+
+def test_count_rows_metadata_path_and_or_branches(spark, tmp_path):
+    """r7: count_rows answers aligned predicates from MANIFEST stats
+    (zero data-file reads — planted via a _read_live recorder), scans
+    only boundary files otherwise, takes OR branches, and degrades to
+    the exact scan under tombstones."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.cnt", SCHEMA)
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
+                    (3, range(10, 15)), (4, range(15, 20))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    reads = []
+    orig = t._read_live
+    t._read_live = lambda *a, **kw: (reads.append(a[0]) or orig(*a, **kw))
+
+    # aligned to file boundaries: answered purely from metadata
+    assert t.count_rows({"k": [(">=", 5), ("<", 10)]}) == 5
+    assert reads == [], f"metadata count read data files: {reads}"
+    # OR of two aligned ranges: still zero data reads
+    assert t.count_rows(
+        [{"k": [(">=", 0), ("<", 5)]}, {"k": [(">=", 15), ("<", 20)]}]
+    ) == 10
+    assert reads == []
+    # misaligned: exactly the one boundary file is scanned
+    assert t.count_rows({"k": [(">=", 5), ("<", 8)]}) == 3
+    assert len(reads) == 1 and len(reads[0]) == 1
+    # tombstones force the exact scan fallback — still right
+    t.delete_where({"k": ("=", 6)})
+    assert t.count_rows({"k": [(">=", 5), ("<", 10)]}) == 4
+
+
+def test_sql_count_star_fast_path(spark, tmp_path):
+    """SELECT COUNT(*) under the stats grammar routes to count_rows;
+    aliased and unaliased names match Spark's, results match the
+    generic SQL path, and GROUP BY falls through untouched."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.csql", SCHEMA)
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
+                    (3, range(10, 15)), (4, range(15, 20))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    counts = []
+    orig = t.count_rows
+    t.count_rows = lambda *a, **kw: (counts.append(a) or orig(*a, **kw))
+    cat.load_table = lambda ident: t
+    df = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.csql "
+        "WHERE (k >= 0 AND k < 5) OR k IN (17, 18)",
+    )
+    assert df.columns == ["n"] and df.first()["n"] == 7
+    assert len(counts) == 1  # the fast path fired
+    # unaliased: Spark's `count(1)` column name
+    df2 = lake_sql(cat, "SELECT COUNT(*) FROM db.csql WHERE k >= 10")
+    assert df2.columns == ["count(1)"] and df2.first()[0] == 10
+    # GROUP BY is not this shape — generic path, no count_rows call
+    n_before = len(counts)
+    df3 = lake_sql(
+        cat,
+        "SELECT tag, COUNT(*) AS n FROM db.csql WHERE k >= 0 GROUP BY tag",
+    )
+    assert len(counts) == n_before
+    assert df3.count() == 4
+
+
+def test_between_inside_literals_and_parens():
+    """Review r7: the BETWEEN rewrite used to be quote-blind and could
+    corrupt a string literal containing the word BETWEEN; it is now
+    recognized only as a term after the quote-aware AND split."""
+    from icebergplus_spark.lake.sql_dml import _parse_where_or as pwo
+
+    # literal containing BETWEEN survives verbatim
+    assert pwo("tag = 'x BETWEEN 1 AND 2'") == [
+        {"tag": ("=", "x BETWEEN 1 AND 2")}
+    ]
+    # parenthesized full form (AND split doesn't fire inside parens)
+    assert pwo("(k BETWEEN 3 AND 7) AND val >= 1") == [
+        {"k": [(">=", 3), ("<=", 7)], "val": (">=", 1.0)}
+    ] or pwo("(k BETWEEN 3 AND 7) AND val >= 1") == [
+        {"k": [(">=", 3), ("<=", 7)], "val": (">=", 1)}
+    ]
+    # string bounds with embedded AND
+    assert pwo("tag BETWEEN 'a AND b' AND 'z'") == [
+        {"tag": [(">=", "a AND b"), ("<=", "z")]}
+    ]
+    # two BETWEENs in one conjunction
+    assert pwo("k BETWEEN 1 AND 2 AND val BETWEEN 3 AND 4") == [
+        {"k": [(">=", 1), ("<=", 2)], "val": [(">=", 3), ("<=", 4)]}
+    ]
+
+
+def test_select_fast_path_intraday_literals_no_lost_rows(spark, tmp_path):
+    """Review r7 (top finding): the SELECT fast path must coerce
+    space-form timestamp literals before stats pruning — an intra-day
+    upper bound against 'T'-form isoformat stats would silently DROP a
+    file whose rows match."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.sel", SCHEMA)
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    cat.load_table = lambda ident: t
+    # day-2 rows sit at hours 11..15; a 13:00 upper bound is intra-day
+    expect = sorted(
+        r["k"] for r in t.scan().collect()
+        if r["ts"] < dt.datetime(2024, 1, 2, 13)
+    )
+    got = lake_sql(
+        cat,
+        "SELECT k FROM db.sel WHERE ts < '2024-01-02 13:00:00' ORDER BY k",
+    )
+    assert [r["k"] for r in got.collect()] == expect
+    assert any(k >= 5 for k in expect), "window must cross into day 2"
+
+
+def test_count_rows_tombstone_fallback_still_prunes(spark, tmp_path):
+    """Review r7: under tombstones count_rows degrades to a scan — but
+    a stats-PRUNED scan, not a whole-table read."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.cnt2", SCHEMA)
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
+                    (3, range(10, 15)), (4, range(15, 20))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    t.delete_where({"k": ("=", 6)})
+    reads = []
+    orig = t._read_live
+    t._read_live = lambda *a, **kw: (reads.append(a[0]) or orig(*a, **kw))
+    # single conjunction: one file planned, not four
+    assert t.count_rows({"k": [(">=", 5), ("<", 10)]}) == 4
+    assert reads and all(len(paths) == 1 for paths in reads)
+    reads.clear()
+    # OR branches: exactly the two matching files read
+    assert t.count_rows(
+        [{"k": [(">=", 0), ("<", 3)]}, {"k": [(">=", 15), ("<", 18)]}]
+    ) == 6
+    assert reads and all(len(paths) == 2 for paths in reads)
