@@ -382,6 +382,98 @@ def _count_select(catalog: LocalLakeCatalog, stmt: str):
     )
 
 
+_AGG_SELECT = re.compile(
+    rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s*$", re.IGNORECASE | re.DOTALL
+)
+_AGG_ITEM = re.compile(
+    rf"^(?:(MIN|MAX)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
+    rf"\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _stats_value(table: LakeTable, col: str, v):
+    """Stats-domain value → the column's Spark-type Python value.
+    Manifest stats serialize timestamps/dates as ISO strings; numbers
+    pass through. Unconvertible → raise, caller falls back."""
+    from datetime import datetime
+
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if v is None:
+        return None
+    dt = {f.name: f.dataType for f in table.schema.fields}[col]
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return datetime.fromisoformat(v) if isinstance(v, str) else v
+    if isinstance(dt, DateType):
+        return (
+            datetime.fromisoformat(v).date() if isinstance(v, str) else v
+        )
+    return v
+
+
+def _agg_select(catalog: LocalLakeCatalog, stmt: str):
+    """Metadata-answered inventory aggregates (r7): when the statement
+    is exactly ``SELECT <MIN(col)|MAX(col)|COUNT(*) AS alias, ...>
+    FROM <lake table>`` (no WHERE/GROUP BY), answer from
+    ``stats_min_max`` / ``count_rows`` — manifest folds, zero data-file
+    reads when every live file carries stats and no tombstones are
+    pending (both helpers degrade to exact scans themselves when not).
+    The 100 TB shape: table-inventory questions cost metadata, not a
+    cluster scan. Returns None → generic path."""
+    m = _AGG_SELECT.match(stmt.strip())
+    if not m:
+        return None
+    sel, ident = m.groups()
+    if re.search(
+        r"\bAS\s+OF\b|\bWHERE\b|\bGROUP\s+BY\b|\bJOIN\b", stmt, re.IGNORECASE
+    ):
+        return None
+    items = []
+    for raw in _split_top_level(sel):
+        im = _AGG_ITEM.match(raw.strip())
+        if not im:
+            return None
+        fn_mm, col, fn_cnt, alias = im.groups()
+        items.append(((fn_mm or fn_cnt).upper(), col, alias))
+    if not items:
+        return None
+    table = _try_load(catalog, ident)
+    if table is None:
+        return None
+    names = set(table.schema.fieldNames())
+    if not all(col in names for fn, col, _ in items if col):
+        return None
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mm_cache: dict[str, tuple] = {}
+    row, fields = [], []
+    try:
+        for fn, col, alias in items:
+            if fn == "COUNT":
+                row.append(table.count_rows())
+                fields.append(StructField(alias, LongType(), False))
+                continue
+            if col not in mm_cache:
+                mm_cache[col] = table.stats_min_max(col)
+            lo, hi = mm_cache[col]
+            row.append(_stats_value(table, col, lo if fn == "MIN" else hi))
+            fields.append(
+                StructField(
+                    alias,
+                    next(
+                        f.dataType
+                        for f in table.schema.fields
+                        if f.name == col
+                    ),
+                    True,
+                )
+            )
+    except Exception:
+        return None  # unconvertible stats domain — generic path
+    return table.spark.createDataFrame([tuple(row)], StructType(fields))
+
+
 _SIMPLE_SELECT = re.compile(
     rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)"
     rf"(\s+(?:GROUP|ORDER|HAVING|LIMIT)\b.*)?$",
@@ -727,12 +819,10 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         return txn.commit()
 
     if head in ("SELECT", "VALUES", "WITH"):
-        fast = _count_select(catalog, stmt)
-        if fast is not None:
-            return fast
-        fast = _pruned_select(catalog, stmt)
-        if fast is not None:
-            return fast
+        for fast_path in (_agg_select, _count_select, _pruned_select):
+            fast = fast_path(catalog, stmt)
+            if fast is not None:
+                return fast
         return spark.sql(
             _resolve_lake_tables(catalog, _rewrite_time_travel(catalog, stmt))
         )

@@ -904,3 +904,45 @@ def q155_sql_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OR (ts >= '2024-01-21 00:00:00' AND ts < '2024-01-26 00:00:00') "
         "OR event_type IN ('signup')",
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — METADATA-ANSWERED MIN/MAX/COUNT inventory (r7): the classic
+# "table inventory" SELECT routes to stats_min_max + count_rows —
+# manifest folds only, zero data-file reads (planted pytest pins that).
+# The oracle recomputes over raw events, so a hash match proves the
+# manifest extrema and record counts are faithful to the data.
+# ---------------------------------------------------------------------------
+@register(
+    "q156_sql_inventory_meta",
+    oracle="""
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS lo,
+       CAST(MAX(ts) AS TIMESTAMP) AS hi,
+       CAST(MIN(value) AS DOUBLE) AS lo_v,
+       CAST(MAX(value) AS DOUBLE) AS hi_v,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+""",
+)
+def q156_sql_inventory_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_inv_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ev_inventory", ev.schema)
+    for d in range(1, 32, 8):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 8)
+            ).repartition(2)
+        )
+    return lake_sql(
+        cat,
+        "SELECT MIN(ts) AS lo, MAX(ts) AS hi, "
+        "MIN(value) AS lo_v, MAX(value) AS hi_v, COUNT(*) AS n "
+        "FROM bench.ev_inventory",
+    )

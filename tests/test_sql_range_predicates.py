@@ -478,3 +478,37 @@ def test_count_rows_tombstone_fallback_still_prunes(spark, tmp_path):
         [{"k": [(">=", 0), ("<", 3)]}, {"k": [(">=", 15), ("<", 18)]}]
     ) == 6
     assert reads and all(len(paths) == 2 for paths in reads)
+
+
+def test_sql_inventory_agg_zero_data_reads(spark, tmp_path):
+    """r7: SELECT MIN/MAX/COUNT(*) FROM t answers from manifest stats —
+    planted: zero _read_live calls, values match a real aggregate, and
+    a WHERE/unknown-column/tombstone shape falls back cleanly."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.inv", SCHEMA)
+    for day, ks in ((1, range(0, 5)), (2, range(5, 10))):
+        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+    reads = []
+    orig = t._read_live
+    t._read_live = lambda *a, **kw: (reads.append(a[0]) or orig(*a, **kw))
+    cat.load_table = lambda ident: t
+    df = lake_sql(
+        cat,
+        "SELECT MIN(k) AS lo, MAX(k) AS hi, MIN(ts) AS t0, "
+        "MAX(ts) AS t1, COUNT(*) AS n FROM db.inv",
+    )
+    r = df.first()
+    assert reads == [], f"inventory agg read data files: {reads}"
+    assert (r["lo"], r["hi"], r["n"]) == (0, 9, 10)
+    assert r["t0"] == dt.datetime(2024, 1, 1, 6)
+    assert r["t1"] == dt.datetime(2024, 1, 2, 15)
+    assert df.columns == ["lo", "hi", "t0", "t1", "n"]
+    # richer shapes fall through to the generic path (still correct)
+    df2 = lake_sql(cat, "SELECT MAX(val) AS m FROM db.inv WHERE k >= 5")
+    assert df2.first()["m"] == 9.0
+    # tombstones: stats_min_max/count_rows degrade internally — exact
+    t.delete_where({"k": ("=", 9)})
+    df3 = lake_sql(
+        cat, "SELECT MAX(k) AS hi, COUNT(*) AS n FROM db.inv"
+    )
+    assert (df3.first()["hi"], df3.first()["n"]) == (8, 9)
