@@ -540,6 +540,39 @@ def _align(df, table: LakeTable):
     )
 
 
+def _apply_column_list(df, table: LakeTable, col_list: str):
+    """INSERT with a column list: named columns come from the query (by
+    position), every other column fills with its declared default
+    (add_column(default=...)) or NULL — standard SQL DEFAULT semantics.
+    Shared by top-level and in-transaction INSERT (review r7: the txn
+    form used to reject the column list with a Spark parse error)."""
+    from pyspark.sql import functions as F2
+
+    names = [c.strip() for c in col_list.split(",")]
+    missing = [c for c in names if c not in table.schema.fieldNames()]
+    if missing:
+        raise UnsupportedSQL(f"no such column(s): {missing}")
+    if len(df.columns) != len(names):
+        raise UnsupportedSQL(
+            f"column list has {len(names)} names, query returns "
+            f"{len(df.columns)} columns"
+        )
+    defaults = table._meta.get("column_defaults") or {}
+    by_name = dict(zip(names, df.columns))
+    return df.select(
+        *[
+            (
+                F2.col(by_name[f.name])
+                if f.name in by_name
+                else F2.lit(
+                    defaults.get(f.name, {}).get("value")
+                ).cast(f.dataType)
+            ).alias(f.name)
+            for f in table.schema.fields
+        ]
+    )
+
+
 _MERGE = re.compile(
     rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+(\w+))?\s+"
     rf"USING\s+({_IDENT})(?:\s+AS)?(?:\s+(\w+))?\s+"
@@ -671,28 +704,20 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
         if base in tables and kind in _SQL_META_KINDS:
             meta_hits.add((ident, base, kind))
 
-    def _sub(ident: str, view: str) -> None:
-        nonlocal segments
-        # (?<![\w.]) not \b on the left: '.' satisfies \b, so a bare
-        # \bdb\.t\b would also hit the TAIL of a longer qualified name
-        # (spark_catalog.db.t) and corrupt it. (?![\w.]) on the right:
-        # plain \b would let db.t also hit the PREFIX of
-        # db.t.snapshots.
-        pat = re.compile(rf"(?<![\w.]){re.escape(ident)}(?![\w.])")
-        segments = [
-            seg if i % 2 else pat.sub(view, seg)
-            for i, seg in enumerate(segments)
-        ]
-
-    for ident, base, kind in meta_hits:  # longer identifiers first
+    # substitution order between the two groups is irrelevant: the
+    # lookarounds in _replace_ident stop db.t from matching inside
+    # db.t.snapshots in either direction (review r7: this used to be a
+    # second inline copy of the substitution with a stale claim that
+    # ordering provided the safety)
+    for ident, base, kind in meta_hits:
         view = _lake_view_name(ident)
         catalog.load_table(base).metadata_df(kind).createOrReplaceTempView(view)
-        _sub(ident, view)
+        stmt = _replace_ident(stmt, ident, view)
     for ident in hits:
         view = _lake_view_name(ident)
         catalog.load_table(ident).to_view(view)
-        _sub(ident, view)
-    return "".join(segments)
+        stmt = _replace_ident(stmt, ident, view)
+    return stmt
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -760,22 +785,27 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         for inner in stmts[1:-1]:
             ihead = inner.split(None, 1)[0].upper()
             if ihead == "INSERT":
+                # same grammar as top-level INSERT, column list included
+                # (review r7: the txn form rejected the column list with
+                # an opaque Spark parse error)
                 m = re.match(
-                    rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s+(.+)$",
+                    rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*"
+                    rf"(?:\(\s*([\w\s,]+?)\s*\))?\s+(.+)$",
                     inner,
                     re.IGNORECASE | re.DOTALL,
                 )
                 if not m:
                     raise UnsupportedSQL(f"cannot parse INSERT: {inner[:80]!r}")
-                mode, ident, query = m.groups()
-                df = _align(
-                    spark.sql(
-                        _resolve_lake_tables(
-                            catalog, _rewrite_time_travel(catalog, query)
-                        )
-                    ),
-                    catalog.load_table(ident),
+                mode, ident, col_list, query = m.groups()
+                t_ins = catalog.load_table(ident)
+                df = spark.sql(
+                    _resolve_lake_tables(
+                        catalog, _rewrite_time_travel(catalog, query)
+                    )
                 )
+                if col_list:
+                    df = _apply_column_list(df, t_ins, col_list)
+                df = _align(df, t_ins)
                 (txn.overwrite if mode.upper() == "OVERWRITE" else txn.append)(
                     ident, df
                 )
@@ -801,7 +831,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     raise UnsupportedSQL("UPDATE requires SET ... WHERE ...")
                 ident, sets, where = m.groups()
                 assignments: dict[str, Any] = {}
-                for term in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+                for term in _split_top_level(sets):
                     col, _, expr = term.partition("=")
                     if not expr:
                         raise UnsupportedSQL(f"cannot parse SET term {term!r}")
@@ -944,16 +974,6 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
 
         return refresh_materialized(catalog, m.group(1))
 
-    if head == "DROP":
-        m = re.match(
-            rf"^DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})$",
-            stmt,
-            re.IGNORECASE,
-        )
-        if m:
-            catalog.drop_table(m.group(1), purge=True)
-            return None
-
     if head == "TRUNCATE":
         m = re.match(rf"^TRUNCATE\s+TABLE\s+({_IDENT})$", stmt, re.IGNORECASE)
         if not m:
@@ -963,11 +983,19 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         return table.overwrite(spark.createDataFrame([], table.schema))
 
     if head == "DROP":
+        m = re.match(
+            rf"^DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            catalog.drop_table(m.group(1), purge=True)
+            return None
         m = re.match(rf"^DROP\s+VIEW\s+({_IDENT})$", stmt, re.IGNORECASE)
         if not m:
             raise UnsupportedSQL(
-                "DROP supports views only (DROP VIEW ...); tables are "
-                "dropped through the catalog API"
+                "DROP supports DROP VIEW / DROP MATERIALIZED VIEW; tables "
+                "are dropped through the catalog API"
             )
         catalog.drop_view(m.group(1))
         return None
@@ -990,35 +1018,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             _resolve_lake_tables(catalog, _rewrite_time_travel(catalog, query))
         )
         if col_list:
-            # INSERT with a column list: named columns come from the
-            # query (by position), every other column fills with its
-            # declared default (add_column(default=...)) or NULL —
-            # standard SQL DEFAULT semantics.
-            names = [c.strip() for c in col_list.split(",")]
-            missing = [c for c in names if c not in table.schema.fieldNames()]
-            if missing:
-                raise UnsupportedSQL(f"no such column(s): {missing}")
-            if len(df.columns) != len(names):
-                raise UnsupportedSQL(
-                    f"column list has {len(names)} names, query returns "
-                    f"{len(df.columns)} columns"
-                )
-            from pyspark.sql import functions as F2
-
-            defaults = table._meta.get("column_defaults") or {}
-            by_name = dict(zip(names, df.columns))
-            df = df.select(
-                *[
-                    (
-                        F2.col(by_name[f.name])
-                        if f.name in by_name
-                        else F2.lit(
-                            defaults.get(f.name, {}).get("value")
-                        ).cast(f.dataType)
-                    ).alias(f.name)
-                    for f in table.schema.fields
-                ]
-            )
+            df = _apply_column_list(df, table, col_list)
         df = _align(df, table)
         return table.overwrite(df) if mode.upper() == "OVERWRITE" else table.append(df)
 
@@ -1047,7 +1047,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             raise UnsupportedSQL("UPDATE requires SET ... WHERE ...")
         ident, sets, where = m.groups()
         assignments: dict[str, Any] = {}
-        for term in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+        for term in _split_top_level(sets):
             col, _, expr = term.partition("=")
             if not expr:
                 raise UnsupportedSQL(f"cannot parse SET term {term!r}")
@@ -1302,20 +1302,27 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 )
             )
             fmt = fmt.upper()
-            if fmt == "AVRO":
-                from icebergplus_spark.sources.avro_io import (
-                    write_avro_dataset,
-                )
+            # ONE execution of the source query (review r7: the report's
+            # df.count() re-ran the whole query after the export)
+            df = df.persist()
+            try:
+                if fmt == "AVRO":
+                    from icebergplus_spark.sources.avro_io import (
+                        write_avro_dataset,
+                    )
 
-                write_avro_dataset(df, out_path)
-            elif fmt == "CSV":
-                df.write.mode("overwrite").option("header", "true").csv(out_path)
-            elif fmt == "JSON":
-                df.write.mode("overwrite").json(out_path)
-            else:
-                df.write.mode("overwrite").parquet(out_path)
+                    write_avro_dataset(df, out_path)
+                elif fmt == "CSV":
+                    df.write.mode("overwrite").option("header", "true").csv(out_path)
+                elif fmt == "JSON":
+                    df.write.mode("overwrite").json(out_path)
+                else:
+                    df.write.mode("overwrite").parquet(out_path)
+                n = df.count()
+            finally:
+                df.unpersist()
             return spark.createDataFrame(
-                [(out_path, fmt, df.count())],
+                [(out_path, fmt, n)],
                 "path string, format string, rows long",
             )
         # Databricks-style idempotent file ingest:
@@ -1411,11 +1418,16 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         if not m:
             raise UnsupportedSQL("CALL system.<procedure>('db.table', args...)")
         proc, argstr = m.group(1).lower(), m.group(2).strip()
-        args = (
-            [_parse_literal(a.strip()) for a in argstr.split(",")]
-            if argstr
-            else []
-        )
+        try:
+            args = (
+                [_parse_literal(a.strip()) for a in _split_top_level(argstr)]
+                if argstr
+                else []
+            )
+        except ValueError as e:
+            raise UnsupportedSQL(
+                f"CALL arguments must be literals: {argstr!r} ({e})"
+            ) from e
         if not args or not isinstance(args[0], str):
             raise UnsupportedSQL("first CALL argument must be the table identifier")
         from icebergplus_spark.lake import maintenance as mnt
@@ -1448,7 +1460,16 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 f"unknown procedure system.{proc}; supported: "
                 + ", ".join(sorted(procs))
             )
-        report = procs[proc]()
+        try:
+            report = procs[proc]()
+        except (IndexError, TypeError, ValueError) as e:
+            # missing/mistyped arguments surface as grammar errors, not
+            # internal tracebacks (review r7)
+            raise UnsupportedSQL(
+                f"bad arguments for system.{proc}: {argstr!r} "
+                f"({type(e).__name__}: {e}); see the procedure list in "
+                "the module docstring"
+            ) from e
         row = {
             k: (json.dumps(v) if isinstance(v, (list, dict)) else v)
             for k, v in sorted(report.items())
@@ -1461,11 +1482,18 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             raise UnsupportedSQL(f"cannot parse MERGE: {stmt[:80]!r}")
         ident, t_alias, src_view, s_alias, on_expr, clauses = m.groups()
         table = catalog.load_table(ident)
-        if src_view in set(catalog.list_tables()):
+        # qualified references with NO declared alias (MERGE INTO db.t
+        # USING db.s ... SET t.x = s.y would KeyError): the identifiers
+        # themselves serve as the rewrite prefixes (review r7)
+        t_alias = t_alias or ident
+        s_alias = s_alias or src_view
+        src_table = _try_load(catalog, src_view)
+        if src_table is not None:
             # MERGE ... USING db.src — lake identifiers resolve here the
-            # same way SELECT sources do (no pre-registered view needed)
+            # same way SELECT sources do (no pre-registered view needed;
+            # one load attempt, not a catalog listing — review r7)
             view = _lake_view_name(src_view)
-            catalog.load_table(src_view).to_view(view)
+            src_table.to_view(view)
             source = spark.table(view)
         else:
             source = spark.table(src_view)
@@ -1496,6 +1524,18 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 F.expr(_rewrite_refs(cond, t_alias, s_alias)) if cond else None
             )
             if kind == "MATCHED":
+                if (
+                    "when_matched_update" in kwargs
+                    or "when_matched_delete" in kwargs
+                ):
+                    # multiple matched clauses would silently collapse
+                    # (last UPDATE wins, first condition leaks) — refuse
+                    # loudly (review r7)
+                    raise UnsupportedSQL(
+                        "multiple WHEN MATCHED clauses are not supported; "
+                        "combine them into one clause (CASE in SET / a "
+                        "single AND condition) or use the Python API"
+                    )
                 if action.upper() == "DELETE":
                     kwargs["when_matched_delete"] = True
                 else:
@@ -1503,10 +1543,12 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                         r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE
                     )
                     upd = {}
-                    for term in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+                    for term in _split_top_level(sets):
                         col, _, expr = term.partition("=")
                         upd[
-                            re.sub(rf"^{t_alias}\." if t_alias else "$^", "", col.strip())
+                            re.sub(
+                                rf"^{re.escape(t_alias)}\.", "", col.strip()
+                            )
                         ] = F.expr(_rewrite_refs(expr.strip(), t_alias, s_alias))
                     kwargs["when_matched_update"] = upd
                 if cond_col is not None:
@@ -1517,11 +1559,25 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                         "WHEN NOT MATCHED supports INSERT * (columns align "
                         "by name); use the Python API for column lists"
                     )
+                if kwargs.get("when_not_matched_insert"):
+                    raise UnsupportedSQL(
+                        "multiple WHEN NOT MATCHED clauses are not supported"
+                    )
                 kwargs["when_not_matched_insert"] = True
+                if cond_col is not None:
+                    # WHEN NOT MATCHED AND <cond> THEN INSERT * — this
+                    # condition was silently DROPPED before r7 (review):
+                    # every unmatched source row got inserted
+                    kwargs["not_matched_insert_condition"] = cond_col
             else:  # NOT MATCHED BY SOURCE
                 if action.upper() != "DELETE":
                     raise UnsupportedSQL(
                         "WHEN NOT MATCHED BY SOURCE supports DELETE only"
+                    )
+                if kwargs.get("when_not_matched_by_source_delete"):
+                    raise UnsupportedSQL(
+                        "multiple WHEN NOT MATCHED BY SOURCE clauses are "
+                        "not supported"
                     )
                 kwargs["when_not_matched_by_source_delete"] = True
                 if cond_col is not None:

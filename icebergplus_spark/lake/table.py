@@ -2961,6 +2961,7 @@ class LakeTable:
         when_not_matched_by_source_delete: bool,
         not_matched_by_source_condition: Any | None,
         t0: float,
+        not_matched_insert_condition: Any | None = None,
     ) -> "LakeTable":
         """Merge-on-read MERGE under deletion vectors: the same
         clause/gate semantics as the copy-on-write ``merge_into``
@@ -3060,6 +3061,12 @@ class LakeTable:
             else is_matched
         )
         is_source_only = _F.col("__t").isNull()
+        ins_gate = (
+            is_source_only
+            & _F.coalesce(not_matched_insert_condition, _F.lit(False))
+            if not_matched_insert_condition is not None
+            else is_source_only
+        )
         kill = (
             gate
             if (when_matched_update or when_matched_delete)
@@ -3095,14 +3102,14 @@ class LakeTable:
                     else _F.lit(None)
                 )
                 col = _F.when(
-                    is_source_only, src_col.cast(f.dataType)
+                    ins_gate, src_col.cast(f.dataType)
                 ).otherwise(col)
             out_cols.append(col.alias(f.name))
         append_gate = _F.lit(False)
         if when_matched_update:
             append_gate = append_gate | gate
         if when_not_matched_insert:
-            append_gate = append_gate | is_source_only
+            append_gate = append_gate | ins_gate
         if carry_lineage:
             # updated rows keep their id, NULL birth (resolves to this
             # snapshot at read); source-only inserts carry NULL id AND
@@ -3177,6 +3184,7 @@ class LakeTable:
         matched_condition: Any | None = None,
         when_not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: Any | None = None,
+        not_matched_insert_condition: Any | None = None,
     ) -> "LakeTable":
         """Multi-clause MERGE (Iceberg/Delta ``MERGE INTO`` parity,
         beyond the single-clause upsert ``merge``):
@@ -3188,7 +3196,11 @@ class LakeTable:
         - ``when_matched_delete=True``: matched target rows are removed
           (mutually exclusive with an update clause).
         - ``when_not_matched_insert``: source rows with no target match
-          are appended (their non-``on`` columns must align by name).
+          are appended (their non-``on`` columns must align by name),
+          optionally gated by ``not_matched_insert_condition`` (SQL's
+          ``WHEN NOT MATCHED AND ... THEN INSERT``; NULL = no fire —
+          r7 review: this condition used to be silently dropped by the
+          SQL frontend).
         - ``matched_condition``: extra Column predicate (same namespace)
           gating the matched clause, like SQL's ``WHEN MATCHED AND ...``.
         - ``when_not_matched_by_source_delete=True``: target rows with NO
@@ -3236,6 +3248,7 @@ class LakeTable:
                 when_not_matched_by_source_delete,
                 not_matched_by_source_condition,
                 t0,
+                not_matched_insert_condition,
             )
         mapping = self._column_mapping
 
@@ -3307,6 +3320,12 @@ class LakeTable:
             else is_matched
         )
         is_source_only = _F.col("__t").isNull()
+        ins_gate = (
+            is_source_only
+            & _F.coalesce(not_matched_insert_condition, _F.lit(False))
+            if not_matched_insert_condition is not None
+            else is_source_only
+        )
 
         def as_col(v, dtype):
             return (v if isinstance(v, Column) else _F.lit(v)).cast(dtype)
@@ -3324,13 +3343,18 @@ class LakeTable:
                     if f"src_{f.name}" in joined.columns
                     else _F.lit(None)
                 )
-                col = _F.when(is_source_only, src_col.cast(f.dataType)).otherwise(col)
+                col = _F.when(ins_gate, src_col.cast(f.dataType)).otherwise(col)
             out_cols.append(col.alias(f.name))
         result = joined
         if when_matched_delete:
             result = result.filter(~gate)
         if not when_not_matched_insert:
             result = result.filter(~is_source_only)
+        else:
+            # a conditional NOT MATCHED clause: source-only rows the
+            # condition does not pass are NOT inserted (no-op with no
+            # condition: ins_gate == is_source_only)
+            result = result.filter(~is_source_only | ins_gate)
         if when_not_matched_by_source_delete:
             is_target_only = _F.col("__s").isNull()
             # same NULL-means-no-fire coalescing as the matched gate

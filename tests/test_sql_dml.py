@@ -140,7 +140,7 @@ def test_view_ddl(spark, cat):
     assert cat.load_view("db.top", version=1).first()["m"] == 3.0
     lake_sql(cat, "DROP VIEW db.top")
     assert not cat.view_exists("db.top")
-    with pytest.raises(UnsupportedSQL, match="views only"):
+    with pytest.raises(UnsupportedSQL, match="catalog API"):
         lake_sql(cat, "DROP TABLE db.t")
 
 
@@ -614,3 +614,107 @@ def test_sql_metadata_table_suffixes(spark, tmp_path):
         "COUNT(*) AS n_rows FROM db.mt",
     ).collect()[0]
     assert (mixed.n_snaps, mixed.n_rows) == (3, 5)
+
+
+def test_merge_not_matched_condition(spark, cat):
+    """Review r7: WHEN NOT MATCHED AND <cond> THEN INSERT * used to be
+    silently dropped — every unmatched source row was inserted."""
+    spark.createDataFrame(
+        [(7, "in", 1.0), (8, "out", -1.0)], SCHEMA
+    ).createOrReplaceTempView("nm_src")
+    lake_sql(
+        cat,
+        """
+        MERGE INTO db.t t USING nm_src s ON t.k = s.k
+        WHEN NOT MATCHED AND s.score > 0 THEN INSERT *
+        """,
+    )
+    assert _rows(cat) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (7, "in", 1.0)
+    ]
+
+
+def test_merge_not_matched_condition_mor(spark, tmp_path):
+    """Same clause under deletion vectors (the MoR merge path)."""
+    c = LocalLakeCatalog(spark, str(tmp_path / "whmor")).start()
+    t = c.create_table("db.m", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    src = spark.createDataFrame([(2, "keep", 5.0), (3, "drop", -5.0)], SCHEMA)
+    from pyspark.sql import functions as F
+
+    t.merge_into(
+        src,
+        on="k",
+        when_not_matched_insert=True,
+        not_matched_insert_condition=F.col("src_score") > 0,
+    )
+    got = sorted((r["k"], r["name"]) for r in t.scan().collect())
+    assert got == [(1, "a"), (2, "keep")]
+
+
+def test_merge_multiple_matched_clauses_rejected(spark, cat):
+    spark.createDataFrame([(2, "B", 20.0)], SCHEMA).createOrReplaceTempView(
+        "mm_src"
+    )
+    with pytest.raises(UnsupportedSQL, match="multiple WHEN MATCHED"):
+        lake_sql(
+            cat,
+            """
+            MERGE INTO db.t t USING mm_src s ON t.k = s.k
+            WHEN MATCHED AND t.score < 2 THEN UPDATE SET name = 'x'
+            WHEN MATCHED THEN UPDATE SET name = 'y'
+            """,
+        )
+
+
+def test_update_set_with_function_commas(cat):
+    """Review r7: the SET splitter was paren-blind — coalesce(b, 1)
+    split at its inner comma and raised."""
+    lake_sql(
+        cat,
+        "UPDATE db.t SET score = coalesce(score, 0.0) + least(k, 2) "
+        "WHERE k >= 1",
+    )
+    assert _rows(cat) == [(1, "a", 2.0), (2, "b", 4.0), (3, "c", 5.0)]
+
+
+def test_merge_qualified_refs_without_aliases(spark, cat):
+    """Review r7: qualifiers with no declared aliases — the identifiers
+    themselves now serve as rewrite prefixes."""
+    spark.createDataFrame([(2, "Q", 200.0)], SCHEMA).createOrReplaceTempView(
+        "qual_src"
+    )
+    lake_sql(
+        cat,
+        """
+        MERGE INTO db.t USING qual_src ON k = k
+        WHEN MATCHED THEN UPDATE SET db.t.name = qual_src.name
+        """,
+    )
+    assert _rows(cat) == [(1, "a", 1.0), (2, "Q", 2.0), (3, "c", 3.0)]
+
+
+def test_txn_insert_with_column_list(spark, cat):
+    """Review r7: the in-transaction INSERT now takes the column-list
+    form (DEFAULT/NULL fill), same as top-level."""
+    lake_sql(
+        cat,
+        """
+        BEGIN;
+        INSERT INTO db.t (k, name) VALUES (9, 'txn');
+        COMMIT
+        """,
+    )
+    rows = {r["k"]: (r["name"], r["score"])
+            for r in cat.load_table("db.t").scan().collect()}
+    assert rows[9] == ("txn", None)
+
+
+def test_call_bad_arguments_surface_as_grammar_errors(cat):
+    """Review r7: missing/mistyped CALL arguments raise UnsupportedSQL,
+    not IndexError/ValueError tracebacks."""
+    with pytest.raises(UnsupportedSQL, match="bad arguments"):
+        lake_sql(cat, "CALL system.rollback_to_snapshot('db.t')")
+    with pytest.raises(UnsupportedSQL, match="literals"):
+        lake_sql(cat, "CALL system.expire_snapshots('db.t', true)")
