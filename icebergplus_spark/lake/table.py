@@ -3350,10 +3350,11 @@ class LakeTable:
             result = result.filter(~gate)
         if not when_not_matched_insert:
             result = result.filter(~is_source_only)
-        else:
+        elif not_matched_insert_condition is not None:
             # a conditional NOT MATCHED clause: source-only rows the
-            # condition does not pass are NOT inserted (no-op with no
-            # condition: ins_gate == is_source_only)
+            # condition does not pass are NOT inserted (without a
+            # condition ins_gate == is_source_only — no filter needed,
+            # keeping the unconditional merge plan unchanged)
             result = result.filter(~is_source_only | ins_gate)
         if when_not_matched_by_source_delete:
             is_target_only = _F.col("__s").isNull()
