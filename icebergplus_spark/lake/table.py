@@ -4314,6 +4314,12 @@ class LakeTable:
             src_type = phys_types[mapping.get(src, src)]
             projected: list[tuple[str, Any]] = []
             for op, val in _pred_list(predicates[src]):
+                # !=/is-null terms don't project onto transforms (≠
+                # survives any bucket; null handling is the source
+                # column's own stat) — the source-column predicate
+                # itself still prunes via the mapping above
+                if op not in relax:
+                    continue
                 if pf["transform"] in MONOTONE:
                     projected.append(
                         (relax[op], py_apply(pf, val, src_type))
@@ -4385,10 +4391,35 @@ class LakeTable:
             dtype = phys_types.get(col)
             mn = _F.get_json_object(_F.col("column_mins"), f"$.{col}")
             mx = _F.get_json_object(_F.col("column_maxs"), f"$.{col}")
+            nullc = _F.get_json_object(
+                _F.col("column_null_counts"), f"$.{col}"
+            ).cast("long")
             if dtype is not None:
                 mn, mx = mn.cast(dtype), mx.cast(dtype)
             for op, val in _pred_list(pred):
                 lit = _F.lit(val)
+                if op == "isnull":
+                    # keep iff the file HAS nulls; unknown count → keep
+                    keep = keep & (nullc.isNull() | (nullc > 0))
+                    continue
+                if op == "notnull":
+                    # prune only the provably all-null file
+                    keep = keep & (
+                        nullc.isNull() | (nullc < _F.col("record_count"))
+                    )
+                    continue
+                # comparisons (``!=`` included) never match NULL cells:
+                # a provably all-null column file is prunable whatever
+                # its (absent) min/max say — mirrors _file_matches
+                keep = keep & (
+                    nullc.isNull() | (nullc < _F.col("record_count"))
+                )
+                if op == "!=":
+                    # prune only the constant file mn == val == mx
+                    keep = keep & (
+                        mn.isNull() | mx.isNull() | (mn != lit) | (mx != lit)
+                    )
+                    continue
                 if op in ("<", "<="):
                     cond = mn < lit if op == "<" else mn <= lit
                     keep = keep & (mn.isNull() | cond)
@@ -4652,11 +4683,7 @@ class LakeTable:
         if predicates:
             for col, pred in predicates.items():
                 for op, val in _pred_list(pred):
-                    c = df[col]
-                    cond = {
-                        "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val,
-                    }[op]
-                    df = df.filter(cond)
+                    df = df.filter(_pred_cond(df[col], op, val))
         return df
 
     def plan_files_ranges(
@@ -4842,10 +4869,7 @@ def _branches_match_cond(branches, name_of):
         for col, pred in branch.items():
             c = _F.col(name_of(col))
             for op, val in _pred_list(pred):
-                cond = cond & {
-                    "<": c < val, "<=": c <= val, ">": c > val,
-                    ">=": c >= val, "=": c == val,
-                }[op]
+                cond = cond & _pred_cond(c, op, val)
         matched = matched | cond
     return matched
 
@@ -4859,6 +4883,24 @@ def _pred_list(pred) -> list[tuple[str, Any]]:
     if isinstance(pred, list):
         return pred
     return [pred]
+
+
+def _pred_cond(c, op: str, val: Any):
+    """One (op, val) term → the Spark Column condition on ``c`` — the
+    single residual-dispatch shared by ``scan()``'s re-filter and
+    ``_branches_match_cond`` (r8: the op set grew beyond comparisons —
+    ``!=``, ``isnull``, ``notnull`` — and two hand-copied dicts would
+    drift). NULL cells make a comparison NULL; callers coalesce to
+    False (SQL semantics). ``isnull``/``notnull`` are themselves
+    two-valued, so they compose under the same coalesce."""
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
+    return {
+        "<": c < val, "<=": c <= val, ">": c > val,
+        ">=": c >= val, "=": c == val, "!=": c != val,
+    }[op]
 
 
 def _coerce_stat_literal(stat: Any, val: Any) -> Any:
@@ -4880,8 +4922,28 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, Any] | None) -> boo
     mins = json.loads(row["column_mins"])
     maxs = json.loads(row["column_maxs"])
     blooms = json.loads(row.get("column_blooms") or "{}")
+    nulls = json.loads(row.get("column_null_counts") or "{}")
     for col, pred in predicates.items():
         for op, val in _pred_list(pred):
+            # null-count prunes (r8): a row matches IS NULL only in a
+            # file with nulls, IS NOT NULL only in a file that isn't
+            # all-null — both provable from column_null_counts alone,
+            # the stat every manifest row already carries. Unknown
+            # count → keep (prune is only ever an optimization).
+            if op == "isnull":
+                if nulls.get(col) == 0:
+                    return False
+                continue
+            if op == "notnull":
+                if col in nulls and nulls[col] == row["record_count"]:
+                    return False
+                continue
+            # every remaining op is a comparison, and NO comparison
+            # matches a NULL cell (SQL three-valued logic) — so a
+            # provably all-null column file can't match regardless of
+            # min/max (which are absent for it anyway)
+            if col in nulls and nulls[col] == row["record_count"]:
+                return False
             # bloom probe first: equality on a bloom column prunes even when
             # [min,max] spans the value (the high-cardinality point-lookup
             # case min/max can never prune)
@@ -4897,6 +4959,11 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, Any] | None) -> boo
                 if op in (">", ">=") and not (mx > val or (op == ">=" and mx >= val)):
                     return False
                 if op == "=" and not (mn <= val <= mx):
+                    return False
+                # != prunes only the constant file: every non-null row
+                # equals val (nulls fail != on their own, so the null
+                # count is irrelevant to the prune)
+                if op == "!=" and mn == val == mx:
                     return False
             except TypeError:
                 continue  # incomparable stat types → keep file
@@ -4915,10 +4982,25 @@ def _file_fully_matches(
     maxs = json.loads(row["column_maxs"])
     nulls = json.loads(row.get("column_null_counts") or "{}")
     for col, pred in predicates.items():
-        if col not in mins or col not in maxs or nulls.get(col) != 0:
-            return False
-        mn, mx = mins[col], maxs[col]
         for op, val in _pred_list(pred):
+            # null-predicate proofs come straight from the null count
+            # (r8): IS NULL holds for every row iff the file is
+            # all-null, IS NOT NULL iff it has zero nulls. min/max are
+            # irrelevant (and absent for all-null columns).
+            if op == "isnull":
+                if col in nulls and nulls[col] == row["record_count"]:
+                    continue
+                return False
+            if op == "notnull":
+                if nulls.get(col) == 0:
+                    continue
+                return False
+            # comparisons (``!=`` included) need stats for the live
+            # rows AND a known-zero null count: nulls satisfy no
+            # comparison, so one null row disproves full coverage
+            if col not in mins or col not in maxs or nulls.get(col) != 0:
+                return False
+            mn, mx = mins[col], maxs[col]
             val = _coerce_stat_literal(mn, val)
             try:
                 proven = {
@@ -4927,6 +5009,7 @@ def _file_fully_matches(
                     ">": mn > val,
                     ">=": mn >= val,
                     "=": mn == val == mx,
+                    "!=": val < mn or mx < val,
                 }[op]
             except TypeError:
                 return False

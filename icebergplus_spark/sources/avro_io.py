@@ -332,20 +332,48 @@ def read_ocf(path: str) -> tuple[dict, list[tuple]]:
 # ---------------------------------------------------------------------------
 
 
-def write_avro_dataset(df: DataFrame, out_dir: str) -> int:
+def write_avro_dataset(
+    df: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> int:
     """Distributed Avro sink: each partition encodes itself into one
     ``part-*.avro`` OCF in ``out_dir`` (same layout contract as the
     parquet sink — the directory is the dataset). Returns file count.
     Routes through the JVM ``spark-avro`` sink when the package is on
-    the classpath (auto-detected; r7), else the spec-native codec."""
+    the classpath (auto-detected; r7), else the spec-native codec.
+    ``mode='append'`` adds files to an existing dataset (the streaming
+    drop-directory pattern); the default matches every other EXPORT
+    format."""
     import pandas as pd
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(out_dir, exist_ok=True)
+    # overwrite semantics on BOTH paths (ADVICE r7: the JVM path used
+    # mode('append'), so a re-run of EXPORT ... FORMAT AVRO accumulated
+    # duplicate rows — spark part names are unique — while CSV/JSON/
+    # parquet exports overwrite; the codec path had the same bug via
+    # uuid part names). Clearing *.avro ourselves instead of Spark's
+    # mode('overwrite') keeps the two paths byte-identical in effect:
+    # only dataset files go, stray non-avro files in the dir survive —
+    # the same contract the readers' *.avro glob applies.
+    if mode == "overwrite":
+        for fn in os.listdir(out_dir):
+            if fn.endswith(".avro"):
+                os.remove(os.path.join(out_dir, fn))
     if spark_avro_available(df.sparkSession):
         before = {
             fn for fn in os.listdir(out_dir) if fn.endswith(".avro")
         }
-        df.write.format("avro").mode("append").save(out_dir)
+        # deflate, not the spark-avro snappy default (ADVICE r7): the
+        # spec-native fallback reader handles null/deflate only, so a
+        # dataset written where the package is present must stay
+        # readable on images without it / under SPARK_GRAFT_FORCE_PY_AVRO
+        (
+            df.write.format("avro")
+            .option("compression", "deflate")
+            .mode("append")
+            .save(out_dir)
+        )
         after = {fn for fn in os.listdir(out_dir) if fn.endswith(".avro")}
         return len(after - before)
     schema = df.schema

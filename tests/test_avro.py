@@ -249,7 +249,7 @@ def test_streaming_avro_source(spark, tmp_path):
     df1 = spark.range(0, 50).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
     df2 = spark.range(50, 80).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
     write_avro_dataset(df1.coalesce(1), src_dir)
-    write_avro_dataset(df2.coalesce(1), src_dir)
+    write_avro_dataset(df2.coalesce(1), src_dir, mode="append")
 
     stream = read_avro_stream(spark, src_dir, df1.schema)
     assert stream.isStreaming
@@ -343,3 +343,21 @@ def test_spark_avro_autodetect_probe(spark, monkeypatch):
     assert avro_io.spark_avro_available(spark) is False
     monkeypatch.delenv("SPARK_GRAFT_FORCE_PY_AVRO")
     avro_io._spark_avro_probe.clear()
+
+
+def test_rewrite_same_dir_is_idempotent(spark, tmp_path):
+    """Re-running an export to the same path must not accumulate rows
+    (ADVICE r7: the JVM path used mode('append') and part names are
+    unique, so every re-run doubled the dataset; the codec path had the
+    same bug via uuid part names). Default mode is overwrite; append
+    stays available for the streaming drop-directory pattern."""
+    from icebergplus_spark.sources.avro_io import read_avro_dataset
+
+    out = str(tmp_path / "ds")
+    df = spark.range(0, 10).selectExpr("id AS k")
+    write_avro_dataset(df, out)
+    write_avro_dataset(df, out)  # re-run — same dataset, not doubled
+    back = read_avro_dataset(spark, out, df.schema)
+    assert back.count() == 10
+    write_avro_dataset(df, out, mode="append")
+    assert read_avro_dataset(spark, out, df.schema).count() == 20

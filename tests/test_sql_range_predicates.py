@@ -91,8 +91,10 @@ def test_parser_or_branches_and_quoting():
     assert _strip_parens("(k > 1) AND (k < 3)") == "(k > 1) AND (k < 3)"
     with pytest.raises(UnsupportedSQL):
         _parse_where("k IN (1, 2)")
-    with pytest.raises(UnsupportedSQL):
-        _parse_where_or("k = 1 OR tag LIKE 'x%'")
+    # r8: LIKE parses to a raw term (table-aware expansion later)
+    assert _parse_where_or("k = 1 OR tag LIKE 'x%'") == [
+        {"k": ("=", 1)}, {"tag": ("like", "x%")}
+    ]
 
 
 # -- DELETE / UPDATE through statement text ---------------------------------
