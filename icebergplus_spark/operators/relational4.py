@@ -946,3 +946,82 @@ def q156_sql_inventory_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MIN(value) AS lo_v, MAX(value) AS hi_v, COUNT(*) AS n "
         "FROM bench.ev_inventory",
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — RESIDUAL / NULL / PREFIX predicates through the SQL frontend
+# (r8, VERDICT r7 #1): the everyday DML shapes the grammar used to
+# refuse. A prefix-LIKE DELETE (rewritten exactly to the ['src1','src2')
+# range — both the manifest prune and the row predicate), an IS NULL
+# UPDATE (pruned from column_null_counts), then a SELECT through the
+# pruned fast path combining IS NOT NULL and !=. The oracle replays the
+# same set algebra over raw documents with CASE-injected nulls, so a
+# hash match proves three-valued-logic semantics (nulls fail !=) AND
+# that none of the three prunes drops live rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q157_sql_residual_dml",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n,
+         source,
+         n_chars
+  FROM documents
+), after_delete AS (
+  SELECT * FROM seeded WHERE NOT (source LIKE 'src1%')
+), after_update AS (
+  SELECT doc_id, lang_n, source,
+         CASE WHEN lang_n IS NULL THEN -1 ELSE n_chars END AS n_chars
+  FROM after_delete
+)
+SELECT lang_n AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM after_update
+WHERE lang_n IS NOT NULL AND lang_n != 'en'
+GROUP BY lang_n
+""",
+)
+def q157_sql_residual_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang_n"),
+        "source",
+        "n_chars",
+    )
+    root = tempfile.mkdtemp(prefix="lake_sql_res_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.docs_residual", docs.schema)
+    # doc_id-sliced appends: per-file null counts and source/lang stats
+    # give every prune in the battery real files to keep and skip
+    n_docs = docs.count()
+    step = max(1, n_docs // 4)
+    for lo in range(0, n_docs, step):
+        t.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).repartition(2)
+        )
+    lake_sql(
+        cat,
+        "DELETE FROM bench.docs_residual WHERE source LIKE 'src1%'",
+    )
+    lake_sql(
+        cat,
+        "UPDATE bench.docs_residual SET n_chars = -1 WHERE lang_n IS NULL",
+    )
+    return lake_sql(
+        cat,
+        "SELECT lang_n AS lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars "
+        "FROM bench.docs_residual "
+        "WHERE lang_n IS NOT NULL AND lang_n != 'en' "
+        "GROUP BY lang_n",
+    )
