@@ -1,0 +1,259 @@
+"""Join pruning in the generic SELECT path (r8, VERDICT r7 missing #2):
+multi-table SELECTs register PRUNED views for tables the statement's
+single top-level WHERE provably constrains — the fact side of a
+fact-dim join stops reading every live file. Soundness battery: alias
+and bare-column attribution, per-branch OR coverage, and the shapes
+that must DISABLE pruning (self-joins, subqueries, set ops, ambiguous
+columns)."""
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.lake.sql_dml import (
+    _per_table_branches,
+    _top_level_where,
+    lake_sql,
+)
+
+FACT = StructType(
+    [
+        StructField("k", IntegerType(), True),
+        StructField("dim_id", IntegerType(), True),
+        StructField("amount", DoubleType(), True),
+    ]
+)
+DIM = StructType(
+    [
+        StructField("dim_id", IntegerType(), True),
+        StructField("label", StringType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    fact = c.create_table("db.fact", FACT)
+    # four files, k-ranges [0,10) [10,20) [20,30) [30,40)
+    for lo in range(0, 40, 10):
+        rows = [(k, k % 4, float(k)) for k in range(lo, lo + 10)]
+        fact.append(spark.createDataFrame(rows, FACT).coalesce(1))
+    dim = c.create_table("db.dim", DIM)
+    dim.append(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(4)], DIM
+        ).coalesce(1)
+    )
+    return c
+
+
+def _recording(t, method):
+    calls = []
+    orig = getattr(t, method)
+
+    def wrapped(*a, **kw):
+        out = orig(*a, **kw)
+        calls.append([f["file_path"] for f in out])
+        return out
+
+    setattr(t, method, wrapped)
+    return calls
+
+
+def _patched(cat):
+    """Pin load_table to shared handles so the recorders see the calls."""
+    fact, dim = cat.load_table("db.fact"), cat.load_table("db.dim")
+    handles = {"db.fact": fact, "db.dim": dim}
+    cat.load_table = lambda ident: handles[ident]
+    return fact, dim
+
+
+JOIN_Q = (
+    "SELECT d.label AS label, COUNT(*) AS n "
+    "FROM db.fact f JOIN db.dim d ON f.dim_id = d.dim_id "
+    "WHERE f.k >= 10 AND f.k < 20 GROUP BY d.label ORDER BY label"
+)
+
+
+def test_fact_side_pruned_in_join(spark, cat):
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = [(r["label"], r["n"]) for r in lake_sql(cat, JOIN_Q).collect()]
+    # k 10..19, dim_id = k % 4 → d0:{12,16} d1:{13,17} d2:{10,14,18}
+    # d3:{11,15,19}
+    assert got == [("d0", 2), ("d1", 2), ("d2", 3), ("d3", 3)]
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+
+
+def test_bare_column_attribution_unique_owner(spark, cat):
+    """`k` exists only in db.fact — a bare-column WHERE prunes it even
+    without alias qualification."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT f.k AS k, d.label AS label "
+        "FROM db.fact f JOIN db.dim d ON f.dim_id = d.dim_id "
+        "WHERE k >= 30 ORDER BY k",
+    ).collect()
+    assert [r["k"] for r in got] == list(range(30, 40))
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+
+
+def test_ambiguous_bare_column_not_attributed(spark, cat):
+    """`dim_id` exists in BOTH tables — a bare dim_id term attributes
+    to neither (a statement actually USING one bare would be rejected
+    by Spark as AMBIGUOUS_REFERENCE anyway; the extractor must stay on
+    the conservative side of that line)."""
+    hits = {
+        "db.fact": cat.load_table("db.fact"),
+        "db.dim": cat.load_table("db.dim"),
+    }
+    out = _per_table_branches(
+        "SELECT f.k FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id WHERE dim_id = 1 AND f.k < 5",
+        hits,
+    )
+    # dim_id skipped everywhere; k still attributes to the fact side
+    assert out == {"db.fact": [{"k": ("<", 5)}]}
+
+
+def test_or_branch_without_fact_term_disables_fact_prune(spark, cat):
+    """An OR branch that doesn't constrain the fact table matches any
+    fact row — no fact pruning allowed."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id "
+        "WHERE (f.k >= 10 AND f.k < 20) OR d.label = 'd1'",
+    ).collect()
+    # k 10..19 (10 rows) plus d1 rows (k%4==1, 10 rows) minus the
+    # overlap {13, 17}
+    assert got[0]["n"] == 18
+    assert calls == []
+
+
+def test_or_branches_each_constraining_fact_prune_union(spark, cat):
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id "
+        "WHERE (f.k >= 0 AND f.k < 5) OR (f.k >= 35 AND d.label = 'd3')",
+    ).collect()
+    assert got[0]["n"] == 5 + 2  # k 0..4, plus {35, 39} (k%4==3, ≥35)
+    assert len(calls) == 1 and len(calls[0]) == 2, calls
+
+
+def test_subquery_and_union_disable_pruning(spark, cat):
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    n1 = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id WHERE f.k IN "
+        "(SELECT dim_id FROM db.dim)",
+    ).collect()[0]["n"]
+    assert n1 == 4  # k 0..3
+    q = (
+        "SELECT k FROM db.fact f JOIN db.dim d ON f.dim_id = d.dim_id "
+        "WHERE f.k < 2 UNION ALL SELECT k FROM db.fact"
+    )
+    n2 = lake_sql(cat, q).count()
+    assert n2 == 2 + 40
+    assert calls == []
+
+
+def test_self_join_disables_pruning(spark, cat):
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.fact a JOIN db.fact b "
+        "ON a.dim_id = b.dim_id WHERE a.k < 2 AND b.k >= 30",
+    ).collect()
+    # a.k in {0,1}, b joined on dim_id: k0→dim0 matches b k∈{32,36} (2),
+    # k1→dim1 matches {33,37} (2) → 4 pairs
+    assert got[0]["n"] == 4
+    assert calls == []
+
+
+def test_results_match_unpruned_reference(spark, cat):
+    """The pruned join returns exactly what a fully-resolved unpruned
+    run does, across predicate shapes."""
+    fact, dim = _patched(cat)
+    fact.to_view("fact_ref")
+    dim.to_view("dim_ref")
+    for where in (
+        "f.k >= 10 AND f.k < 20",
+        "f.amount >= 25.0 OR f.k < 3",
+        "f.k BETWEEN 7 AND 12 AND d.label != 'd1'",
+        "d.label LIKE 'd%' AND f.k >= 38",
+    ):
+        got = sorted(
+            (r["k"], r["label"])
+            for r in lake_sql(
+                cat,
+                "SELECT f.k AS k, d.label AS label FROM db.fact f "
+                f"JOIN db.dim d ON f.dim_id = d.dim_id WHERE {where}",
+            ).collect()
+        )
+        want = sorted(
+            (r["k"], r["label"])
+            for r in fact.spark.sql(
+                "SELECT f.k AS k, d.label AS label FROM fact_ref f "
+                f"JOIN dim_ref d ON f.dim_id = d.dim_id WHERE {where}"
+            ).collect()
+        )
+        assert got == want and got, where
+
+
+def test_per_table_branches_unit(spark, cat):
+    hits = {
+        "db.fact": cat.load_table("db.fact"),
+        "db.dim": cat.load_table("db.dim"),
+    }
+    stmt = (
+        "SELECT * FROM db.fact f JOIN db.dim d ON f.dim_id = d.dim_id "
+        "WHERE f.k >= 10 AND f.k < 20 AND d.label = 'd1' AND amount > 3"
+    )
+    out = _per_table_branches(stmt, hits)
+    assert out["db.fact"] == [
+        {"k": [(">=", 10), ("<", 20)], "amount": (">", 3)}
+    ]
+    assert out["db.dim"] == [{"label": ("=", "d1")}]
+    # join condition in the WHERE (non-literal RHS) is skipped, the
+    # literal terms still attribute
+    out2 = _per_table_branches(
+        "SELECT * FROM db.fact f, db.dim d "
+        "WHERE f.dim_id = d.dim_id AND f.k < 5",
+        hits,
+    )
+    assert out2 == {"db.fact": [{"k": ("<", 5)}]}
+
+
+def test_top_level_where_guards():
+    assert _top_level_where("SELECT a FROM t WHERE k > 5 LIMIT 3") == "k > 5"
+    assert (
+        _top_level_where("SELECT a FROM t WHERE tag = 'GROUP BY x'")
+        == "tag = 'GROUP BY x'"
+    )
+    assert _top_level_where("SELECT a FROM t") is None
+    assert (
+        _top_level_where("SELECT a FROM t WHERE k IN (SELECT k FROM u)")
+        is None
+    )
+    assert (
+        _top_level_where("SELECT a FROM t WHERE k > 1 UNION SELECT a FROM u")
+        is None
+    )
