@@ -529,7 +529,8 @@ def _count_select(catalog: LocalLakeCatalog, stmt: str):
 
 
 _AGG_SELECT = re.compile(
-    rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s*$", re.IGNORECASE | re.DOTALL
+    rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM = re.compile(
     rf"^(?:(MIN|MAX)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
@@ -561,18 +562,20 @@ def _stats_value(table: LakeTable, col: str, v):
 def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     """Metadata-answered inventory aggregates (r7): when the statement
     is exactly ``SELECT <MIN(col)|MAX(col)|COUNT(*) AS alias, ...>
-    FROM <lake table>`` (no WHERE/GROUP BY), answer from
-    ``stats_min_max`` / ``count_rows`` — manifest folds, zero data-file
-    reads when every live file carries stats and no tombstones are
-    pending (both helpers degrade to exact scans themselves when not).
-    The 100 TB shape: table-inventory questions cost metadata, not a
-    cluster scan. Returns None → generic path."""
+    FROM <lake table>`` (no GROUP BY), answer from ``stats_min_max`` /
+    ``count_rows`` — manifest folds, zero data-file reads when every
+    live file carries stats and no tombstones are pending (both helpers
+    degrade to exact scans themselves when not). r8 (VERDICT r7 #4)
+    adds ``WHERE <stats grammar>``: files some branch fully covers fold
+    from stats, only boundary files are scanned. The 100 TB shape:
+    table-inventory questions cost metadata, not a cluster scan.
+    Returns None → generic path."""
     m = _AGG_SELECT.match(stmt.strip())
     if not m:
         return None
-    sel, ident = m.groups()
+    sel, ident, where = m.groups()
     if re.search(
-        r"\bAS\s+OF\b|\bWHERE\b|\bGROUP\s+BY\b|\bJOIN\b", stmt, re.IGNORECASE
+        r"\bAS\s+OF\b|\bGROUP\s+BY\b|\bJOIN\b", stmt, re.IGNORECASE
     ):
         return None
     items = []
@@ -590,6 +593,20 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     names = set(table.schema.fieldNames())
     if not all(col in names for fn, col, _ in items if col):
         return None
+    branches = None
+    if where:
+        try:
+            branches = _parse_where_or(where)
+            if not all(c in names for b in branches for c in b):
+                return None
+            branches = _finalize_branches(table, branches)
+        except UnsupportedSQL:
+            return None
+    pred_arg = (
+        None
+        if branches is None
+        else (branches[0] if len(branches) == 1 else branches)
+    )
     from pyspark.sql.types import LongType, StructField, StructType
 
     mm_cache: dict[str, tuple] = {}
@@ -597,11 +614,13 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     try:
         for fn, col, alias in items:
             if fn == "COUNT":
-                row.append(table.count_rows())
+                row.append(table.count_rows(pred_arg))
                 fields.append(StructField(alias, LongType(), False))
                 continue
             if col not in mm_cache:
-                mm_cache[col] = table.stats_min_max(col)
+                mm_cache[col] = table.stats_min_max(
+                    col, predicates=pred_arg
+                )
             lo, hi = mm_cache[col]
             row.append(_stats_value(table, col, lo if fn == "MIN" else hi))
             fields.append(

@@ -4593,44 +4593,112 @@ class LakeTable:
         return total
 
     def stats_min_max(
-        self, column: str, snapshot_id: int | None = None
+        self,
+        column: str,
+        snapshot_id: int | None = None,
+        predicates: (
+            dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
+        ) = None,
     ) -> tuple[Any, Any]:
         """(min, max) of a column from manifest stats — no data scan when
         every live file carries stats for it and no tombstones are
         pending. Values come back in the stats domain (numbers/strings;
         timestamps as ISO strings — parquet footer stats are typed, the
         JSON manifest encoding is not). Falls back to a real aggregate
-        otherwise, and for all-null columns returns (None, None)."""
+        otherwise, and for all-null columns returns (None, None).
+
+        With ``predicates`` (one conjunction dict or a list — their OR;
+        r8, VERDICT r7 #4): the extrema of the MATCHING rows. Files some
+        branch provably covers in full fold from their footer stats;
+        only boundary files that partially overlap are scanned (with
+        the full OR as residual), and a file whose stats can't prove
+        coverage joins the scan leg — exact either way, metadata-only
+        in the common case."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return (None, None)
         phys = self._column_mapping.get(column, column)
-        files = self.plan_files(None, snapshot_id)
-        if not snap.get("delete_manifests"):
-            lo: Any = None
-            hi: Any = None
-            ok = True
-            for r in files:
-                mins = json.loads(r["column_mins"])
-                maxs = json.loads(r["column_maxs"])
-                if phys not in mins or phys not in maxs:
-                    nulls = json.loads(r.get("column_null_counts") or "{}")
-                    if nulls.get(phys) == r["record_count"]:
-                        continue  # all-null file contributes nothing
-                    ok = False  # stats missing for live rows → can't prove
-                    break
-                lo = mins[phys] if lo is None or mins[phys] < lo else lo
-                hi = maxs[phys] if hi is None or maxs[phys] > hi else hi
-            if ok:
-                return (lo, hi)
+        branches = _normalize_branches(predicates) if predicates else None
         from pyspark.sql import functions as _F
 
-        row = (
-            self.scan(snapshot_id=snapshot_id)
-            .agg(_F.min(column).alias("mn"), _F.max(column).alias("mx"))
-            .collect()[0]
-        )
-        return (row["mn"], row["mx"])
+        if snap.get("delete_manifests"):
+            # tombstones hide rows from stats — exact filtered aggregate
+            # over the (still stats-pruned) scan
+            if branches is None:
+                df = self.scan(None, snapshot_id)
+            elif len(branches) == 1:
+                df = self.scan(branches[0], snapshot_id)
+            else:
+                df = self.scan_pruned_any(branches, snapshot_id).filter(
+                    _F.coalesce(
+                        _branches_match_cond(branches, lambda c: c),
+                        _F.lit(False),
+                    )
+                )
+            row = df.agg(
+                _F.min(column).alias("mn"), _F.max(column).alias("mx")
+            ).collect()[0]
+            return (_to_stats_domain(row["mn"]), _to_stats_domain(row["mx"]))
+        if branches is None:
+            files = self.plan_files(None, snapshot_id)
+            phys_branches = None
+        else:
+            files = (
+                self.plan_files(branches[0], snapshot_id)
+                if len(branches) == 1
+                else self.plan_files_any(branches, snapshot_id)
+            )
+            mapping = self._column_mapping
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+        lo: Any = None
+        hi: Any = None
+        to_scan: list[dict[str, Any]] = []
+        for r in files:
+            mins = json.loads(r["column_mins"])
+            maxs = json.loads(r["column_maxs"])
+            if phys_branches is not None and not any(
+                _file_fully_matches(r, pb) for pb in phys_branches
+            ):
+                to_scan.append(r)  # boundary file — exact rows needed
+                continue
+            if phys not in mins or phys not in maxs:
+                nulls = json.loads(r.get("column_null_counts") or "{}")
+                if nulls.get(phys) == r["record_count"]:
+                    continue  # all-null file contributes nothing
+                to_scan.append(r)  # live rows without stats — scan them
+                continue
+            lo = mins[phys] if lo is None or mins[phys] < lo else lo
+            hi = maxs[phys] if hi is None or maxs[phys] > hi else hi
+        if to_scan:
+            df = self._read_live(
+                [r["file_path"] for r in to_scan], snap
+            )
+            mapping = self._column_mapping
+            df = df.select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            if branches is not None:
+                df = df.filter(
+                    _F.coalesce(
+                        _branches_match_cond(branches, lambda c: c),
+                        _F.lit(False),
+                    )
+                )
+            row = df.agg(
+                _F.min(column).alias("mn"), _F.max(column).alias("mx")
+            ).collect()[0]
+            smn, smx = _to_stats_domain(row["mn"]), _to_stats_domain(row["mx"])
+            if smn is not None and (lo is None or smn < lo):
+                lo = smn
+            if smx is not None and (hi is None or smx > hi):
+                hi = smx
+        return (lo, hi)
 
     def scan(
         self,
@@ -4901,6 +4969,15 @@ def _pred_cond(c, op: str, val: Any):
         "<": c < val, "<=": c <= val, ">": c > val,
         ">=": c >= val, "=": c == val, "!=": c != val,
     }[op]
+
+
+def _to_stats_domain(v: Any) -> Any:
+    """A scanned aggregate value → the manifest-stats domain, so the
+    boundary-scan leg of ``stats_min_max`` merges with the metadata
+    fold under one ordering (datetimes/dates serialize exactly the way
+    the harvest wrote them — ``isoformat()``, where lexicographic ==
+    chronological)."""
+    return v.isoformat() if hasattr(v, "isoformat") else v
 
 
 def _coerce_stat_literal(stat: Any, val: Any) -> Any:

@@ -1025,3 +1025,55 @@ def q157_sql_residual_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE lang_n IS NOT NULL AND lang_n != 'en' "
         "GROUP BY lang_n",
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — METADATA-ANSWERED aggregates UNDER WHERE (r8, VERDICT r7 #4):
+# q156's inventory fold combined with q155's branch grammar —
+# ``SELECT MIN/MAX/COUNT(*) ... WHERE <range OR range>`` folds files a
+# branch fully covers from footer stats and scans only the boundary
+# files (planted pytest proves the covered files are never opened by
+# deleting them). The oracle recomputes over raw events: a hash match
+# proves the fold+boundary merge is exact across both domains
+# (timestamp extrema travel as ISO strings, values as doubles).
+# ---------------------------------------------------------------------------
+@register(
+    "q158_sql_agg_where_meta",
+    oracle="""
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS lo,
+       CAST(MAX(ts) AS TIMESTAMP) AS hi,
+       CAST(MIN(value) AS DOUBLE) AS lo_v,
+       CAST(MAX(value) AS DOUBLE) AS hi_v,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE (ts >= TIMESTAMP '2024-01-03 12:00:00'
+       AND ts < TIMESTAMP '2024-01-10')
+   OR (ts >= TIMESTAMP '2024-01-21' AND ts < TIMESTAMP '2024-01-27')
+""",
+)
+def q158_sql_agg_where_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_aggw_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ev_aggwhere", ev.schema)
+    # day-sliced files: the first WHERE branch starts INTRA-day so one
+    # file is a real boundary scan; whole days inside both windows fold
+    for d in range(1, 32, 3):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 3)
+            ).repartition(2)
+        )
+    return lake_sql(
+        cat,
+        "SELECT MIN(ts) AS lo, MAX(ts) AS hi, "
+        "MIN(value) AS lo_v, MAX(value) AS hi_v, COUNT(*) AS n "
+        "FROM bench.ev_aggwhere "
+        "WHERE (ts >= '2024-01-03 12:00:00' AND ts < '2024-01-10 00:00:00') "
+        "OR (ts >= '2024-01-21 00:00:00' AND ts < '2024-01-27 00:00:00')",
+    )
