@@ -639,6 +639,83 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     return table.spark.createDataFrame([tuple(row)], StructType(fields))
 
 
+_GROUP_COUNT = re.compile(
+    rf"^SELECT\s+({_IDENT})\s*,\s*COUNT\(\s*\*\s*\)\s+AS\s+(\w+)\s+"
+    rf"FROM\s+({_IDENT})"
+    rf"(?:\s+WHERE\s+(.+?))?"
+    rf"\s+GROUP\s+BY\s+({_IDENT}|1)"
+    rf"(?:\s+HAVING\s+(\w+|COUNT\(\s*\*\s*\))\s*(<=|>=|!=|<>|=|<|>)\s*"
+    rf"({_NUM}))?"
+    rf"(?:\s+ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?)?"
+    rf"(?:\s+LIMIT\s+(\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _group_count_select(catalog: LocalLakeCatalog, stmt: str):
+    """Metadata-answered GROUPED counts (r8, VERDICT r7 #6): ``SELECT
+    <col>, COUNT(*) AS n FROM <lake table> [WHERE <grammar>] GROUP BY
+    <col> [HAVING n <op> <num>] [ORDER BY ...] [LIMIT k]`` routes to
+    ``LakeTable.count_rows_by`` — files single-valued in the group
+    column (every identity-partitioned file) and fully covered by the
+    WHERE contribute their (value, record_count) from the MANIFEST;
+    only multi-valued/boundary files are scanned, and the merge happens
+    in Spark. HAVING/ORDER BY/LIMIT apply on the tiny grouped frame.
+    Returns None → generic paths (identical results, no fold)."""
+    m = _GROUP_COUNT.match(stmt.strip())
+    if not m:
+        return None
+    (
+        gcol, alias, ident, where, by, hv_left, hv_op, hv_lit,
+        ob_key, ob_dir, limit,
+    ) = m.groups()
+    if by != "1" and by != gcol:
+        return None
+    if hv_left is not None and hv_left.lower() != alias.lower() and not (
+        hv_left.upper().startswith("COUNT")
+    ):
+        return None
+    if ob_key is not None and ob_key not in (gcol, alias):
+        return None
+    table = _try_load(catalog, ident)
+    if table is None:
+        return None
+    names = set(table.schema.fieldNames())
+    if gcol not in names:
+        return None
+    pred_arg = None
+    if where:
+        try:
+            branches = _parse_where_or(where)
+            if not all(c in names for b in branches for c in b):
+                return None
+            branches = _finalize_branches(table, branches)
+        except UnsupportedSQL:
+            return None
+        pred_arg = branches[0] if len(branches) == 1 else branches
+    from pyspark.sql import functions as F
+
+    df = table.count_rows_by(gcol, predicates=pred_arg, alias=alias)
+    if hv_left is not None:
+        n = F.col(alias)
+        lit = _parse_literal(hv_lit)
+        df = df.filter(
+            {
+                "<": n < lit, "<=": n <= lit, ">": n > lit,
+                ">=": n >= lit, "=": n == lit, "!=": n != lit,
+                "<>": n != lit,
+            }[hv_op]
+        )
+    if ob_key is not None:
+        key = F.col(ob_key)
+        df = df.orderBy(
+            key.desc() if (ob_dir or "").upper() == "DESC" else key.asc()
+        )
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df
+
+
 _SIMPLE_SELECT = re.compile(
     rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)"
     rf"(\s+(?:GROUP|ORDER|HAVING|LIMIT)\b.*)?$",
@@ -1188,7 +1265,12 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         return txn.commit()
 
     if head in ("SELECT", "VALUES", "WITH"):
-        for fast_path in (_agg_select, _count_select, _pruned_select):
+        for fast_path in (
+            _agg_select,
+            _count_select,
+            _group_count_select,
+            _pruned_select,
+        ):
             fast = fast_path(catalog, stmt)
             if fast is not None:
                 return fast

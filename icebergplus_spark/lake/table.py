@@ -4700,6 +4700,119 @@ class LakeTable:
                 hi = smx
         return (lo, hi)
 
+    def count_rows_by(
+        self,
+        column: str,
+        predicates: (
+            dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
+        ) = None,
+        snapshot_id: int | None = None,
+        alias: str = "cnt",
+    ) -> DataFrame:
+        """Exact grouped row counts ``(column, alias)`` as a DataFrame,
+        answered from manifest stats where possible (r8, VERDICT r7
+        #6): a file that is SINGLE-VALUED in ``column`` (min == max,
+        zero nulls — every identity-partitioned file is) and fully
+        covered by some predicate branch contributes (value,
+        record_count) from METADATA; an all-null covered file
+        contributes to the NULL group; everything else (multi-valued or
+        boundary files) is scanned with the OR residual and grouped by
+        Spark. The two halves merge IN SPARK — driver memory stays
+        bounded by file count, group cardinality never materializes on
+        the driver. The 100 TB shape: per-partition row counts cost
+        metadata, not a cluster scan. Tombstones degrade to the exact
+        filtered scan."""
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import LongType, StructField
+
+        col_field = next(
+            f for f in self.schema.fields if f.name == column
+        )
+        out_schema = StructType(
+            [
+                StructField(column, col_field.dataType, True),
+                StructField(alias, LongType(), False),
+            ]
+        )
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return self.spark.createDataFrame([], out_schema)
+        branches = _normalize_branches(predicates) if predicates else None
+
+        def _grouped(df: DataFrame) -> DataFrame:
+            if branches is not None:
+                df = df.filter(
+                    _F.coalesce(
+                        _branches_match_cond(branches, lambda c: c),
+                        _F.lit(False),
+                    )
+                )
+            return df.groupBy(column).agg(_F.count(_F.lit(1)).alias(alias))
+
+        if snap.get("delete_manifests"):
+            base = (
+                self.scan(None, snapshot_id)
+                if branches is None
+                else self.scan_pruned_any(branches, snapshot_id)
+            )
+            return _grouped(base)
+        if branches is None:
+            files = self.plan_files(None, snapshot_id)
+            phys_branches = None
+        else:
+            files = (
+                self.plan_files(branches[0], snapshot_id)
+                if len(branches) == 1
+                else self.plan_files_any(branches, snapshot_id)
+            )
+            mapping = self._column_mapping
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+        phys = self._column_mapping.get(column, column)
+        meta_pairs: list[tuple[Any, int]] = []
+        boundary: list[dict[str, Any]] = []
+        for r in files:
+            if phys_branches is not None and not any(
+                _file_fully_matches(r, pb) for pb in phys_branches
+            ):
+                boundary.append(r)
+                continue
+            mins = json.loads(r["column_mins"])
+            maxs = json.loads(r["column_maxs"])
+            nulls = json.loads(r.get("column_null_counts") or "{}")
+            rc = r["record_count"]
+            if nulls.get(phys) == rc:
+                meta_pairs.append((None, rc))  # all-null → NULL group
+                continue
+            if (
+                phys in mins
+                and mins[phys] == maxs[phys]
+                and nulls.get(phys) == 0
+            ):
+                meta_pairs.append(
+                    (_from_stats_domain(col_field.dataType, mins[phys]), rc)
+                )
+                continue
+            boundary.append(r)  # multi-valued file — exact rows needed
+        meta_df = self.spark.createDataFrame(meta_pairs, out_schema)
+        if boundary:
+            mapping = self._column_mapping
+            bdf = self._read_live(
+                [r["file_path"] for r in boundary], snap
+            ).select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            meta_df = meta_df.unionByName(_grouped(bdf))
+        return (
+            meta_df.groupBy(column)
+            .agg(_F.sum(alias).cast("long").alias(alias))
+        )
+
     def scan(
         self,
         predicates: dict[str, tuple[str, Any]] | None = None,
@@ -4969,6 +5082,24 @@ def _pred_cond(c, op: str, val: Any):
         "<": c < val, "<=": c <= val, ">": c > val,
         ">=": c >= val, "=": c == val, "!=": c != val,
     }[op]
+
+
+def _from_stats_domain(dtype: Any, v: Any) -> Any:
+    """A manifest-stats value → the column's Spark-type Python value
+    (the inverse of ``_to_stats_domain``): ISO strings parse back to
+    datetime/date for temporal columns, everything else passes
+    through."""
+    from datetime import datetime
+
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if v is None or not isinstance(v, str):
+        return v
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return datetime.fromisoformat(v)
+    if isinstance(dtype, DateType):
+        return datetime.fromisoformat(v).date()
+    return v
 
 
 def _to_stats_domain(v: Any) -> Any:

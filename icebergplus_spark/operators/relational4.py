@@ -1077,3 +1077,56 @@ def q158_sql_agg_where_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE (ts >= '2024-01-03 12:00:00' AND ts < '2024-01-10 00:00:00') "
         "OR (ts >= '2024-01-21 00:00:00' AND ts < '2024-01-27 00:00:00')",
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — METADATA-ANSWERED GROUPED COUNTS (r8, VERDICT r7 #6): per-
+# partition row counts — the single most common inventory question on a
+# partitioned lake table — via count_rows_by: identity-partitioned
+# files are single-valued in the group column, so files the WHERE fully
+# covers contribute (value, record_count) straight from the manifest;
+# only the intra-day boundary file is scanned, and the halves merge in
+# Spark (group cardinality never hits the driver). Planted pytest
+# proves the fold by deleting covered data files; this oracle proves
+# exactness: DuckDB replays the same grouped count over raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q159_sql_group_count_meta",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-04'
+  AND ts < TIMESTAMP '2024-01-20 12:00:00'
+GROUP BY event_type
+HAVING COUNT(*) > 5
+ORDER BY event_type
+""",
+)
+def q159_sql_group_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_gcnt_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table(
+        "bench.ev_gcount", ev.schema, partition_cols=["event_type"]
+    )
+    # day-sliced appends × identity partition on event_type → every
+    # file single-valued in the group column with ~2-day ts stats
+    for d in range(1, 32, 2):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 2)
+            )
+        )
+    return lake_sql(
+        cat,
+        "SELECT event_type, COUNT(*) AS n FROM bench.ev_gcount "
+        "WHERE ts >= '2024-01-04 00:00:00' "
+        "AND ts < '2024-01-20 12:00:00' "
+        "GROUP BY event_type HAVING n > 5 ORDER BY event_type",
+    )
