@@ -647,3 +647,53 @@ def test_select_makes_no_catalog_listing_calls(spark, server):
     # catalog size: db.fact, db.dim (+ alias.col probes f.k/d.k/d.v)
     loads = [(m, p) for m, p in reqs if m == "GET" and "/tables/" in p]
     assert 0 < len(loads) <= 8, loads
+
+
+def test_metadata_table_pagination_round_trip(spark, server):
+    """r8 (VERDICT r7 #7): metadata-table reads over REST paginate with
+    the same pageToken protocol as listings — raw protocol past the
+    page size for a driver-side kind (snapshots) and the manifest-fed
+    `files` kind, then the client reassembles complete row sets."""
+    import json as _json
+    import urllib.request
+
+    cat = _client(spark, server)
+    t = cat.create_table("db.meta", SCHEMA)
+    for i in range(12):  # 12 snapshots, 12 files
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+
+    # raw protocol: one page of 5 + a token, then the rest
+    base = f"{server.base_url}/v1/namespaces/db/tables/meta/metadata"
+    with urllib.request.urlopen(
+        f"{base}/snapshots?pageSize=5", timeout=5
+    ) as r:
+        p1 = _json.loads(r.read())
+    assert len(p1["rows"]) == 5
+    tok = p1["next-page-token"]
+    with urllib.request.urlopen(
+        f"{base}/snapshots?pageSize=50&pageToken={tok}", timeout=5
+    ) as r:
+        p2 = _json.loads(r.read())
+    assert len(p2["rows"]) == 7
+    assert "next-page-token" not in p2
+
+    # client reassembly equals the direct metadata_df view
+    rows = cat.metadata_rows("db.meta", "snapshots")
+    assert len(rows) == 12
+    assert [r["snapshot_id"] for r in rows] == [
+        r["snapshot_id"]
+        for r in t.metadata_df("snapshots").collect()
+    ]
+    files = cat.metadata_rows("db.meta", "files")
+    assert len(files) == 12
+    assert {f["file_path"] for f in files} == {
+        f["file_path"] for f in t.plan_files()
+    }
+    hist = cat.metadata_rows("db.meta", "history")
+    assert len(hist) == 12 and hist[-1]["is_current"]
+
+    # unknown kind is a loud 404, not an empty list
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(f"{base}/nonsense?pageSize=5", timeout=5)
