@@ -157,12 +157,29 @@ class LakeRestServer:
         pre-r7 clients). The token is an opaque offset — listings are
         sorted, so a mid-pagination create/drop skews one boundary at
         worst, the same weak consistency the spec allows."""
+        params = LakeRestServer._page_params(query)
+        if params is None:
+            return items, None
+        start, size = params
+        page = items[start:start + size]
+        nxt = (
+            LakeRestServer._page_token(start + size)
+            if start + size < len(items)
+            else None
+        )
+        return page, nxt
+
+    @staticmethod
+    def _page_params(query: dict) -> tuple[int, int] | None:
+        """(start offset, page size) from pageToken/pageSize, or None
+        for a whole-list request (no params, or malformed params —
+        spec-legal back-compat)."""
         import base64
 
         size_raw = query.get("pageSize", [None])[0]
         token_raw = query.get("pageToken", [None])[0]
         if size_raw is None and token_raw is None:
-            return items, None
+            return None
         try:
             size = max(1, int(size_raw)) if size_raw is not None else 1000
             start = (
@@ -171,14 +188,14 @@ class LakeRestServer:
                 else 0
             )
         except Exception:
-            return items, None  # malformed paging params → whole list
-        page = items[start:start + size]
-        nxt = (
-            base64.urlsafe_b64encode(str(start + size).encode()).decode()
-            if start + size < len(items)
-            else None
-        )
-        return page, nxt
+            return None
+        return start, size
+
+    @staticmethod
+    def _page_token(offset: int) -> str:
+        import base64
+
+        return base64.urlsafe_b64encode(str(offset).encode()).decode()
 
     # -- request handling --------------------------------------------------
     def _handle(self, method: str, path: str, query: dict, body: dict):
@@ -400,24 +417,52 @@ class LakeRestServer:
             driver_side = t.metadata_rows(kind)
             if driver_side is not None:
                 rows, ddl = driver_side
+                page, nxt = self._paginate(rows, query)
             elif kind == "files":
+                # INCREMENTAL page assembly (self-review r8: building
+                # the full inventory per page request made pagination
+                # bound only the response, not server cost): manifests
+                # before the requested offset are skipped by their
+                # parquet row COUNT (footer metadata, no row read), so
+                # one page costs O(pageSize + manifests-touched). Row
+                # order is (snapshot manifest order, within-manifest
+                # order) — fixed for a snapshot, so tokens stay stable.
                 import pyarrow.parquet as _pq
 
                 snap = t.snapshot()
-                rows = []
-                for m in snap["manifests"] if snap else []:
-                    rows.extend(
-                        _pq.read_table(
-                            os.path.join(t._meta_dir, m)
-                        ).to_pylist()
-                    )
-                rows.sort(key=lambda r: r["file_path"])
+                manifests = snap["manifests"] if snap else []
+                params = self._page_params(query)
+                start, size = params if params else (0, 1 << 62)
+                page, pos, more = [], 0, False
+                for m in manifests:
+                    path = os.path.join(t._meta_dir, m)
+                    n = _pq.read_metadata(path).num_rows
+                    if len(page) >= size:
+                        if n > 0:  # an empty manifest isn't "more"
+                            more = True
+                            break
+                        continue
+                    if pos + n <= start:
+                        pos += n
+                        continue
+                    chunk = _pq.read_table(path).to_pylist()
+                    skip = max(0, start - pos)
+                    take = chunk[skip:skip + (size - len(page))]
+                    page.extend(take)
+                    if skip + len(take) < n:
+                        more = True
+                        break
+                    pos += n
+                nxt = (
+                    self._page_token(start + len(page))
+                    if params and more
+                    else None
+                )
                 ddl = "manifest entries"
             else:
                 return 404, {
                     "error": {"message": f"unknown metadata table: {kind}"}
                 }
-            page, nxt = self._paginate(rows, query)
             out = {"rows": page, "schema": ddl}
             if nxt:
                 out["next-page-token"] = nxt

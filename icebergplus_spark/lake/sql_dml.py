@@ -484,6 +484,31 @@ def _replace_ident(stmt: str, ident: str, view: str) -> str:
     )
 
 
+_DECLINE = object()
+
+
+def _pred_arg_of(table: LakeTable, where: str):
+    """WHERE text → the predicate argument ``count_rows`` /
+    ``stats_min_max`` / ``count_rows_by`` take (one conjunction dict or
+    a branch list), or ``_DECLINE`` when the calling fast path should
+    fall back to the generic plan (parse failure, unknown column,
+    LIKE on a non-string column). One definition for the three
+    metadata fast paths (self-review r8: this block was copy-pasted
+    and would drift op-by-op)."""
+    try:
+        branches = _parse_where_or(where)
+    except UnsupportedSQL:
+        return _DECLINE
+    names = set(table.schema.fieldNames())
+    if not all(c in names for b in branches for c in b):
+        return _DECLINE
+    try:
+        branches = _finalize_branches(table, branches)
+    except UnsupportedSQL:
+        return _DECLINE
+    return branches[0] if len(branches) == 1 else branches
+
+
 _COUNT_SELECT = re.compile(
     rf"^SELECT\s+COUNT\(\s*\*\s*\)\s*(?:AS\s+(\w+))?\s+FROM\s+({_IDENT})"
     rf"\s+WHERE\s+(.+?)\s*$",
@@ -509,18 +534,10 @@ def _count_select(catalog: LocalLakeCatalog, stmt: str):
     table = _try_load(catalog, ident)
     if table is None:
         return None
-    try:
-        branches = _parse_where_or(where)
-    except UnsupportedSQL:
+    pred_arg = _pred_arg_of(table, where)
+    if pred_arg is _DECLINE:
         return None
-    names = set(table.schema.fieldNames())
-    if not all(c in names for b in branches for c in b):
-        return None
-    try:
-        branches = _finalize_branches(table, branches)
-    except UnsupportedSQL:
-        return None  # e.g. LIKE on a non-string column — generic path
-    n = table.count_rows(branches[0] if len(branches) == 1 else branches)
+    n = table.count_rows(pred_arg)
     # Spark names an unaliased COUNT(*) column `count(1)` — match it so
     # the fast path is invisible to callers
     return table.spark.createDataFrame(
@@ -593,35 +610,28 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     names = set(table.schema.fieldNames())
     if not all(col in names for fn, col, _ in items if col):
         return None
-    branches = None
-    if where:
-        try:
-            branches = _parse_where_or(where)
-            if not all(c in names for b in branches for c in b):
-                return None
-            branches = _finalize_branches(table, branches)
-        except UnsupportedSQL:
-            return None
-    pred_arg = (
-        None
-        if branches is None
-        else (branches[0] if len(branches) == 1 else branches)
-    )
+    pred_arg = _pred_arg_of(table, where) if where else None
+    if pred_arg is _DECLINE:
+        return None
     from pyspark.sql.types import LongType, StructField, StructType
 
-    mm_cache: dict[str, tuple] = {}
+    # ONE extrema call for every MIN/MAX column — they share a single
+    # boundary scan inside stats_extrema (self-review r8: per-column
+    # stats_min_max re-read the same boundary parquet k times)
+    mm_cols = sorted({col for fn, col, _ in items if fn != "COUNT"})
     row, fields = [], []
     try:
+        extrema = (
+            table.stats_extrema(mm_cols, predicates=pred_arg)
+            if mm_cols
+            else {}
+        )
         for fn, col, alias in items:
             if fn == "COUNT":
                 row.append(table.count_rows(pred_arg))
                 fields.append(StructField(alias, LongType(), False))
                 continue
-            if col not in mm_cache:
-                mm_cache[col] = table.stats_min_max(
-                    col, predicates=pred_arg
-                )
-            lo, hi = mm_cache[col]
+            lo, hi = extrema[col]
             row.append(_stats_value(table, col, lo if fn == "MIN" else hi))
             fields.append(
                 StructField(
@@ -671,8 +681,12 @@ def _group_count_select(catalog: LocalLakeCatalog, stmt: str):
     ) = m.groups()
     if by != "1" and by != gcol:
         return None
+    # HAVING left side must BE the count — the alias or literal
+    # COUNT(*). (Self-review r8: a startswith('COUNT') test also
+    # matched a group column named county/counter and silently filtered
+    # the count instead of the column.)
     if hv_left is not None and hv_left.lower() != alias.lower() and not (
-        hv_left.upper().startswith("COUNT")
+        re.fullmatch(r"COUNT\(\s*\*\s*\)", hv_left, re.IGNORECASE)
     ):
         return None
     if ob_key is not None and ob_key not in (gcol, alias):
@@ -683,16 +697,9 @@ def _group_count_select(catalog: LocalLakeCatalog, stmt: str):
     names = set(table.schema.fieldNames())
     if gcol not in names:
         return None
-    pred_arg = None
-    if where:
-        try:
-            branches = _parse_where_or(where)
-            if not all(c in names for b in branches for c in b):
-                return None
-            branches = _finalize_branches(table, branches)
-        except UnsupportedSQL:
-            return None
-        pred_arg = branches[0] if len(branches) == 1 else branches
+    pred_arg = _pred_arg_of(table, where) if where else None
+    if pred_arg is _DECLINE:
+        return None
     from pyspark.sql import functions as F
 
     df = table.count_rows_by(gcol, predicates=pred_arg, alias=alias)
@@ -1013,13 +1020,17 @@ def _per_table_branches(
     if where is None or not hits:
         return {}
     masked = _mask_literals(stmt)
+    # OUTER joins null-extend one side: a surviving result row may
+    # carry all-NULL columns for table T without any T row matching —
+    # so T may only be pruned on NULL-REJECTING terms (every grammar op
+    # except IS NULL). Self-review r8: LEFT JOIN ... WHERE f.x IS NULL
+    # (the anti-join idiom) would have fabricated/dropped rows.
+    outer = re.search(r"\b(LEFT|RIGHT|FULL)\b", masked, re.IGNORECASE)
     alias_of: dict[str, str] = {}
-    alias_counts: dict[str, int] = {}
     for m in _FROM_ALIAS.finditer(masked):
         ident, alias = m.group(1), m.group(2)
         if ident not in hits:
             continue
-        alias_counts[ident] = alias_counts.get(ident, 0) + 1
         if alias and alias.lower() not in _ALIAS_KW:
             alias_of[alias] = ident
     try:
@@ -1033,8 +1044,20 @@ def _per_table_branches(
     fields = {ident: set(t.schema.fieldNames()) for ident, t in hits.items()}
     out: dict[str, list[dict[str, Any]]] = {}
     for ident in hits:
-        if alias_counts.get(ident, 0) > 1:
-            continue  # self-join: one view, two predicate contexts
+        # a table READ under more than one context shares ONE view —
+        # pruning it on one context's terms breaks the other. Counting
+        # MENTIONS (not just FROM/JOIN positions) also catches comma
+        # self-joins: 'FROM t a, t b' (self-review r8 — the alias-count
+        # guard missed the comma form)
+        if (
+            len(
+                re.findall(
+                    rf"(?<![\w.]){re.escape(ident)}(?![\w.])", masked
+                )
+            )
+            > 1
+        ):
+            continue
         per_branch: list[dict[str, Any]] = []
         for b in branches:
             terms: dict[str, Any] = {}
@@ -1064,6 +1087,13 @@ def _per_table_branches(
                 per_branch = []
                 break  # this branch doesn't constrain the table
             per_branch.append(terms)
+        if per_branch and outer and any(
+            op == "isnull"
+            for b in per_branch
+            for pred in b.values()
+            for op, _ in (pred if isinstance(pred, list) else [pred])
+        ):
+            continue  # IS NULL accepts null-extended rows — no prune
         if per_branch:
             out[ident] = per_branch
     return out
@@ -1090,11 +1120,31 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     segments = re.split(rf"({_STR})", stmt)
     code = "".join(seg for i, seg in enumerate(segments) if i % 2 == 0)
     found = set(re.findall(rf"(?<![\w.])[A-Za-z_]\w*(?:\.\w+)+\b", code))
+    # alias-qualified COLUMN references (o.o_custkey with FROM ... o)
+    # are dotted identifiers too — each would cost a guaranteed-404
+    # load attempt (an HTTP round trip on REST; self-review r8). Skip
+    # identifiers whose first segment is a declared alias, UNLESS they
+    # themselves sit in FROM/JOIN position (a table can legitimately
+    # live in a namespace spelled like an alias — FROM db.t o JOIN
+    # o.other keeps o.other because it's a FROM/JOIN identifier).
+    masked = _mask_literals(stmt)
+    from_idents = {m.group(1) for m in _FROM_ALIAS.finditer(masked)}
+    aliases = {
+        m.group(2).lower()
+        for m in _FROM_ALIAS.finditer(masked)
+        if m.group(2) and m.group(2).lower() not in _ALIAS_KW
+    }
     hits: dict[str, LakeTable] = {}
     # Iceberg metadata-table suffixes: SELECT * FROM db.t.snapshots —
     # the identifier's last segment names a metadata_df kind
     meta_hits = []
     for ident in sorted(found):
+        if (
+            ident not in from_idents
+            and ident.rpartition(".")[0] not in from_idents
+            and ident.split(".", 1)[0].lower() in aliases
+        ):
+            continue  # qualified column ref, not a table identifier
         t = _try_load(catalog, ident)
         if t is not None:
             hits[ident] = t

@@ -4608,26 +4608,76 @@ class LakeTable:
             dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
         ) = None,
     ) -> tuple[Any, Any]:
-        """(min, max) of a column from manifest stats — no data scan when
-        every live file carries stats for it and no tombstones are
-        pending. Values come back in the stats domain (numbers/strings;
+        """(min, max) of one column — see ``stats_extrema``."""
+        return self.stats_extrema([column], snapshot_id, predicates)[column]
+
+    def stats_extrema(
+        self,
+        columns: list[str],
+        snapshot_id: int | None = None,
+        predicates: (
+            dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
+        ) = None,
+    ) -> dict[str, tuple[Any, Any]]:
+        """Per-column (min, max) from manifest stats — no data scan when
+        every live file carries stats and no tombstones are pending.
+        Values come back in the stats domain (numbers/strings;
         timestamps as ISO strings — parquet footer stats are typed, the
-        JSON manifest encoding is not). Falls back to a real aggregate
-        otherwise, and for all-null columns returns (None, None).
+        JSON manifest encoding is not). All-null columns yield
+        (None, None).
 
         With ``predicates`` (one conjunction dict or a list — their OR;
         r8, VERDICT r7 #4): the extrema of the MATCHING rows. Files some
         branch provably covers in full fold from their footer stats;
-        only boundary files that partially overlap are scanned (with
-        the full OR as residual), and a file whose stats can't prove
-        coverage joins the scan leg — exact either way, metadata-only
-        in the common case."""
+        boundary files are scanned with the full OR as residual. ALL
+        requested columns share ONE boundary scan (self-review r8: a
+        per-column scan re-read the same parquet k times) — sound
+        because a row double-counted between a column's fold and the
+        shared scan cannot move a min/max. DECIMAL/BINARY columns never
+        fold: their manifest stats are ``default=str`` strings whose
+        lexicographic order diverges from the value order ('9.5' >
+        '10.2'), so those columns take the scan leg in full — exact,
+        only slower. Tombstones degrade everything to the exact
+        filtered aggregate."""
+        from pyspark.sql import functions as _F
+
+        cols = list(columns)
+        out: dict[str, tuple[Any, Any]] = {c: (None, None) for c in cols}
         snap = self.snapshot(snapshot_id)
         if snap is None:
-            return (None, None)
-        phys = self._column_mapping.get(column, column)
+            return out
+        types = {f.name: f.dataType for f in self.schema.fields}
+        foldable = {c: _stats_foldable(types[c]) for c in cols}
         branches = _normalize_branches(predicates) if predicates else None
-        from pyspark.sql import functions as _F
+
+        def _residual(df):
+            if branches is not None:
+                df = df.filter(
+                    _F.coalesce(
+                        _branches_match_cond(branches, lambda c: c),
+                        _F.lit(False),
+                    )
+                )
+            return df
+
+        def _agg_all(df) -> dict[str, tuple[Any, Any]]:
+            row = df.agg(
+                *[
+                    f
+                    for i, c in enumerate(cols)
+                    for f in (
+                        _F.min(c).alias(f"mn{i}"),
+                        _F.max(c).alias(f"mx{i}"),
+                    )
+                ]
+            ).collect()[0]
+            return {
+                c: (
+                    _to_stats_domain(row[f"mn{i}"]),
+                    _to_stats_domain(row[f"mx{i}"]),
+                )
+                for i, c in enumerate(cols)
+            }
 
         if snap.get("delete_manifests"):
             # tombstones hide rows from stats — exact filtered aggregate
@@ -4637,16 +4687,9 @@ class LakeTable:
             elif len(branches) == 1:
                 df = self.scan(branches[0], snapshot_id)
             else:
-                df = self.scan_pruned_any(branches, snapshot_id).filter(
-                    _F.coalesce(
-                        _branches_match_cond(branches, lambda c: c),
-                        _F.lit(False),
-                    )
-                )
-            row = df.agg(
-                _F.min(column).alias("mn"), _F.max(column).alias("mx")
-            ).collect()[0]
-            return (_to_stats_domain(row["mn"]), _to_stats_domain(row["mx"]))
+                df = _residual(self.scan_pruned_any(branches, snapshot_id))
+            return _agg_all(df)
+        mapping = self._column_mapping
         if branches is None:
             files = self.plan_files(None, snapshot_id)
             phys_branches = None
@@ -4656,57 +4699,56 @@ class LakeTable:
                 if len(branches) == 1
                 else self.plan_files_any(branches, snapshot_id)
             )
-            mapping = self._column_mapping
             phys_branches = [
                 {mapping.get(c, c): v for c, v in b.items()}
                 for b in branches
             ]
-        lo: Any = None
-        hi: Any = None
-        to_scan: list[dict[str, Any]] = []
+        lo: dict[str, Any] = {}
+        hi: dict[str, Any] = {}
+        scan_paths: set[str] = set()
+        if not all(foldable.values()):
+            # an unfoldable column needs every matching row — covered
+            # files included (their rows all match, so the residual
+            # keeps them; double-counting vs another column's fold is
+            # harmless for extrema)
+            scan_paths.update(r["file_path"] for r in files)
         for r in files:
-            mins = json.loads(r["column_mins"])
-            maxs = json.loads(r["column_maxs"])
             if phys_branches is not None and not any(
                 _file_fully_matches(r, pb) for pb in phys_branches
             ):
-                to_scan.append(r)  # boundary file — exact rows needed
+                scan_paths.add(r["file_path"])  # boundary — exact rows
                 continue
-            if phys not in mins or phys not in maxs:
-                nulls = json.loads(r.get("column_null_counts") or "{}")
-                if nulls.get(phys) == r["record_count"]:
-                    continue  # all-null file contributes nothing
-                to_scan.append(r)  # live rows without stats — scan them
-                continue
-            lo = mins[phys] if lo is None or mins[phys] < lo else lo
-            hi = maxs[phys] if hi is None or maxs[phys] > hi else hi
-        if to_scan:
-            df = self._read_live(
-                [r["file_path"] for r in to_scan], snap
-            )
-            mapping = self._column_mapping
-            df = df.select(
+            mins = json.loads(r["column_mins"])
+            maxs = json.loads(r["column_maxs"])
+            nulls = json.loads(r.get("column_null_counts") or "{}")
+            for c in cols:
+                if not foldable[c]:
+                    continue  # already on the scan leg in full
+                phys = mapping.get(c, c)
+                if phys not in mins or phys not in maxs:
+                    if nulls.get(phys) == r["record_count"]:
+                        continue  # all-null file contributes nothing
+                    scan_paths.add(r["file_path"])  # statless live rows
+                    continue
+                if c not in lo or mins[phys] < lo[c]:
+                    lo[c] = mins[phys]
+                if c not in hi or maxs[phys] > hi[c]:
+                    hi[c] = maxs[phys]
+        if scan_paths:
+            df = self._read_live(sorted(scan_paths), snap).select(
                 *[
                     _F.col(mapping[f.name]).alias(f.name)
                     for f in self.schema.fields
                 ]
             )
-            if branches is not None:
-                df = df.filter(
-                    _F.coalesce(
-                        _branches_match_cond(branches, lambda c: c),
-                        _F.lit(False),
-                    )
-                )
-            row = df.agg(
-                _F.min(column).alias("mn"), _F.max(column).alias("mx")
-            ).collect()[0]
-            smn, smx = _to_stats_domain(row["mn"]), _to_stats_domain(row["mx"])
-            if smn is not None and (lo is None or smn < lo):
-                lo = smn
-            if smx is not None and (hi is None or smx > hi):
-                hi = smx
-        return (lo, hi)
+            scanned = _agg_all(_residual(df))
+            for c in cols:
+                smn, smx = scanned[c]
+                if smn is not None and (c not in lo or smn < lo[c]):
+                    lo[c] = smn
+                if smx is not None and (c not in hi or smx > hi[c]):
+                    hi[c] = smx
+        return {c: (lo.get(c), hi.get(c)) for c in cols}
 
     def count_rows_by(
         self,
@@ -4779,6 +4821,10 @@ class LakeTable:
                 for b in branches
             ]
         phys = self._column_mapping.get(column, column)
+        # decimal/binary stats don't round-trip to typed group values
+        # (default=str serialization; self-review r8) — those group
+        # columns take the scan leg in full, exact either way
+        foldable = _stats_foldable(col_field.dataType)
         meta_pairs: list[tuple[Any, int]] = []
         boundary: list[dict[str, Any]] = []
         for r in files:
@@ -4795,7 +4841,8 @@ class LakeTable:
                 meta_pairs.append((None, rc))  # all-null → NULL group
                 continue
             if (
-                phys in mins
+                foldable
+                and phys in mins
                 and mins[phys] == maxs[phys]
                 and nulls.get(phys) == 0
             ):
@@ -5090,6 +5137,19 @@ def _pred_cond(c, op: str, val: Any):
         "<": c < val, "<=": c <= val, ">": c > val,
         ">=": c >= val, "=": c == val, "!=": c != val,
     }[op]
+
+
+def _stats_foldable(dtype: Any) -> bool:
+    """Whether a column's manifest stats reconstruct its value ORDER:
+    numbers/strings/booleans round-trip through JSON; timestamps/dates
+    serialize as isoformat (lexicographic == chronological). DECIMAL
+    stats serialize via ``json.dumps(default=str)`` and BINARY via a
+    lossy utf-8 decode — for both, string order diverges from value
+    order ('9.5' > '10.2'), so folds over them would be silently wrong
+    (self-review r8); those columns always take the exact scan leg."""
+    from pyspark.sql.types import BinaryType, DecimalType
+
+    return not isinstance(dtype, (DecimalType, BinaryType))
 
 
 def _from_stats_domain(dtype: Any, v: Any) -> Any:

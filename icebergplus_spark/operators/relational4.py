@@ -1130,3 +1130,65 @@ def q159_sql_group_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND ts < '2024-01-20 12:00:00' "
         "GROUP BY event_type HAVING n > 5 ORDER BY event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — JOIN PRUNING through the generic SELECT path (r8, VERDICT r7
+# missing #2): the most common analytics shape — a fact-dim join with a
+# range WHERE on the fact side — runs through lake_sql against two lake
+# tables; the fact table's view is pruned to the files the WHERE can
+# match (alias-qualified attribution, every OR branch constrains the
+# fact), the dim joins whole. The oracle replays the identical join
+# over raw orders/customer, so a hash match proves the pruned view
+# loses no rows at any range boundary. Planted pytests
+# (test_sql_join_pruning.py) pin the file counts; this pins exactness.
+# ---------------------------------------------------------------------------
+@register(
+    "q160_sql_join_pruned",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE (o.o_orderdate >= DATE '1994-01-01'
+       AND o.o_orderdate < DATE '1994-07-01')
+   OR (o.o_orderdate >= DATE '1997-01-01'
+       AND o.o_orderdate < DATE '1997-04-01')
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+)
+def q160_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_joinp_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.w_orders", orders.schema)
+    # year-sliced appends (1992-1998) so the two WHERE windows have
+    # whole files to skip and boundary files to residual-filter
+    for y in range(1992, 1999):
+        fact.append(
+            orders.filter(F.year("o_orderdate") == y).repartition(2)
+        )
+    dim = cat.create_table("bench.w_cust", cust.schema)
+    dim.append(cust)
+    return lake_sql(
+        cat,
+        "SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.w_orders o JOIN bench.w_cust c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE (o.o_orderdate >= '1994-01-01' "
+        "AND o.o_orderdate < '1994-07-01') "
+        "OR (o.o_orderdate >= '1997-01-01' "
+        "AND o.o_orderdate < '1997-04-01') "
+        "GROUP BY c.c_mktsegment ORDER BY segment",
+    )

@@ -318,3 +318,111 @@ def test_sql_group_count_routes_and_matches(spark, tmp_path):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_decimal_stats_never_fold(spark, tmp_path):
+    """Self-review r8: decimal manifest stats are default=str strings
+    whose lexicographic order diverges from value order ('9.5' >
+    '10.2') — extrema and grouped counts on decimal columns must take
+    the exact scan leg, not the fold."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, IntegerType
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("price", DecimalType(10, 2), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whd")).start()
+    t = cat.create_table("db.dec", schema)
+    # '9.50' > '10.20' lexicographically — the fold-poison shape
+    t.append(
+        spark.createDataFrame(
+            [(1, Decimal("9.50")), (2, Decimal("10.20"))], schema
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, Decimal("100.05")), (4, Decimal("2.00"))], schema
+        ).coalesce(1)
+    )
+    assert t.stats_min_max("price") == (Decimal("2.00"), Decimal("100.05"))
+    assert t.stats_min_max("price", predicates={"k": ("<", 3)}) == (
+        Decimal("9.50"),
+        Decimal("10.20"),
+    )
+    # grouped count on a decimal column — scan leg, exact
+    got = {
+        (r["price"], r["cnt"])
+        for r in t.count_rows_by("price").collect()
+    }
+    assert got == {
+        (Decimal("9.50"), 1),
+        (Decimal("10.20"), 1),
+        (Decimal("100.05"), 1),
+        (Decimal("2.00"), 1),
+    }
+    # SQL inventory fast path on the decimal column — exact values
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    [row] = lake_sql(
+        cat, "SELECT MIN(price) AS lo, MAX(price) AS hi FROM db.dec"
+    ).collect()
+    assert (row["lo"], row["hi"]) == (Decimal("2.00"), Decimal("100.05"))
+
+
+def test_having_on_countlike_column_name_declines(spark, tmp_path):
+    """Self-review r8: HAVING on a group column named counter/county
+    must NOT be treated as the COUNT alias — the fast path declines and
+    the generic path answers it correctly."""
+    from icebergplus_spark.lake.sql_dml import _group_count_select, lake_sql
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("counter", IntegerType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whc")).start()
+    t = cat.create_table("db.cnt", schema)
+    t.append(
+        spark.createDataFrame(
+            [(k, k % 3) for k in range(9)], schema
+        ).coalesce(1)
+    )
+    q = (
+        "SELECT counter, COUNT(*) AS n FROM db.cnt "
+        "GROUP BY counter HAVING counter > 1 ORDER BY counter"
+    )
+    assert _group_count_select(cat, q) is None  # declined, not mangled
+    got = [(r["counter"], r["n"]) for r in lake_sql(cat, q).collect()]
+    assert got == [(2, 3)]  # groups where counter > 1 — NOT count > 1
+    # the real count alias still rides the fast path
+    q2 = (
+        "SELECT counter, COUNT(*) AS n FROM db.cnt "
+        "GROUP BY counter HAVING n > 2 ORDER BY counter"
+    )
+    assert _group_count_select(cat, q2) is not None
+    assert [(r["counter"], r["n"]) for r in lake_sql(cat, q2).collect()] == [
+        (0, 3), (1, 3), (2, 3),
+    ]
+
+
+def test_stats_extrema_single_boundary_scan(table):
+    """Self-review r8: MIN/MAX over several columns share ONE boundary
+    scan — _read_live fires at most once per stats_extrema call."""
+    t = table
+    calls = []
+    orig = t._read_live
+
+    def spy(paths, snap):
+        calls.append(list(paths))
+        return orig(paths, snap)
+
+    t._read_live = spy
+    out = t.stats_extrema(["k", "s"], predicates={"k": ("<", 15)})
+    assert out["k"] == (0, 14)
+    assert out["s"] == ("a0", "b14")  # b10..b14 ∪ a0..a9 → min a0 max b14
+    assert len(calls) == 1, f"boundary scans: {len(calls)}"

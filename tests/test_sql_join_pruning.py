@@ -257,3 +257,53 @@ def test_top_level_where_guards():
         _top_level_where("SELECT a FROM t WHERE k > 1 UNION SELECT a FROM u")
         is None
     )
+
+
+def test_outer_join_is_null_not_pruned(spark, cat):
+    """Self-review r8: LEFT JOIN ... WHERE f.x IS NULL (the anti-join
+    idiom) null-extends the fact side — pruning fact files on IS NULL
+    would fabricate/drop rows. The dim drives, every dim_id value has
+    fact partners, so the true result is empty; with the label filter
+    it's rows whose fact side is genuinely missing."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    # dim 0..3 all have fact rows; amount never null in fact files →
+    # an IS NULL on the fact side only holds for null-extended rows
+    got = lake_sql(
+        cat,
+        "SELECT d.dim_id AS dim_id FROM db.dim d "
+        "LEFT JOIN db.fact f ON d.dim_id = f.dim_id "
+        "WHERE f.amount IS NULL",
+    ).collect()
+    assert got == []  # every dim row has partners — no null-extension
+    assert calls == []  # and the fact view was NOT pruned
+    # null-REJECTING terms on the null-supplying side stay prunable
+    calls2 = _recording(fact, "plan_files_any")
+    got2 = sorted(
+        r["k"]
+        for r in lake_sql(
+            cat,
+            "SELECT f.k AS k FROM db.dim d "
+            "LEFT JOIN db.fact f ON d.dim_id = f.dim_id "
+            "WHERE f.k >= 30",
+        ).collect()
+    )
+    assert got2 == list(range(30, 40))
+    assert len(calls2) == 1 and len(calls2[0]) == 1
+
+
+def test_comma_self_join_not_pruned(spark, cat):
+    """Self-review r8: 'FROM t a, t b' is a self-join the FROM/JOIN
+    alias counter missed — one shared view must not be pruned on one
+    context's terms."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT a.k AS k FROM db.fact a, db.fact b "
+        "WHERE a.k < 2 AND a.dim_id = b.dim_id AND b.k >= 30 "
+        "ORDER BY k",
+    ).collect()
+    # a.k in {0,1}; partners with same dim_id and k>=30 exist for both
+    assert sorted({r["k"] for r in got}) == [0, 1]
+    assert calls == []
