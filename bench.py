@@ -164,7 +164,13 @@ def w04_join_pruned_select(spark, sf_dir: str):
     root = tempfile.mkdtemp(prefix="bench_w04_")
     cat = LocalLakeCatalog(spark, root).start()
     fact = cat.create_table("bench.w4_orders", orders.schema)
-    for y in range(1992, 1999):
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
         fact.append(
             orders.filter(F.year("o_orderdate") == y).repartition(2)
         )
@@ -177,10 +183,10 @@ def w04_join_pruned_select(spark, sf_dir: str):
         "AS DOUBLE) AS revenue "
         "FROM bench.w4_orders o JOIN bench.w4_cust c "
         "ON o.o_custkey = c.c_custkey "
-        "WHERE (o.o_orderdate >= '1994-01-01' "
-        "AND o.o_orderdate < '1994-07-01') "
-        "OR (o.o_orderdate >= '1997-01-01' "
-        "AND o.o_orderdate < '1997-04-01') "
+        "WHERE (o.o_orderdate >= '1996-01-01' "
+        "AND o.o_orderdate < '1996-07-01') "
+        "OR (o.o_orderdate >= '1999-01-01' "
+        "AND o.o_orderdate < '1999-04-01') "
         "GROUP BY c.c_mktsegment",
     )
 

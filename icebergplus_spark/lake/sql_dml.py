@@ -484,6 +484,11 @@ def _replace_ident(stmt: str, ident: str, view: str) -> str:
     )
 
 
+_IN_SUBQUERY = re.compile(
+    rf"^({_IDENT})\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _DECLINE = object()
 
 
@@ -1506,6 +1511,35 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             )
         ident, where = m.groups()
         t = catalog.load_table(ident)
+        # DELETE ... WHERE col IN (SELECT ...) (r8): the subquery runs
+        # through the ordinary SELECT machinery (fast paths, pruned
+        # views, lake identifiers), and the key set drives an EQUALITY
+        # delete — the 100 TB path: `delete_by_key` never collects the
+        # keys to the driver, prunes unhittable files by range/bloom
+        # (distributed past EQ_SKIP_KEYS_CAP), and tombstones the rest.
+        # A CoW rewrite keyed on an unbounded subquery would rewrite
+        # whole files per key; compaction folds the tombstones later.
+        m_sub = _IN_SUBQUERY.match(where.strip())
+        if m_sub:
+            col, subq = m_sub.groups()
+            if col not in t.schema.fieldNames():
+                raise UnsupportedSQL(f"no such column: {col}")
+            keys = lake_sql(catalog, subq.strip())
+            if len(keys.columns) != 1:
+                raise UnsupportedSQL(
+                    "IN-subquery must return exactly one column, got "
+                    f"{len(keys.columns)}"
+                )
+            from pyspark.sql import functions as F
+
+            dtype = next(
+                f.dataType for f in t.schema.fields if f.name == col
+            )
+            return t.delete_by_key(
+                keys.select(
+                    F.col(keys.columns[0]).cast(dtype).alias(col)
+                ).distinct()
+            )
         return t.delete(_or_arg(t, where))
 
     if head == "UPDATE":

@@ -1152,10 +1152,10 @@ SELECT c.c_mktsegment AS segment,
          AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE (o.o_orderdate >= DATE '1994-01-01'
-       AND o.o_orderdate < DATE '1994-07-01')
-   OR (o.o_orderdate >= DATE '1997-01-01'
-       AND o.o_orderdate < DATE '1997-04-01')
+WHERE (o.o_orderdate >= TIMESTAMP '1996-01-01'
+       AND o.o_orderdate < TIMESTAMP '1996-07-01')
+   OR (o.o_orderdate >= TIMESTAMP '1999-01-01'
+       AND o.o_orderdate < TIMESTAMP '1999-04-01')
 GROUP BY c.c_mktsegment
 ORDER BY segment
 """,
@@ -1171,9 +1171,17 @@ def q160_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lake_sql_joinp_")
     cat = LocalLakeCatalog(spark, root).start()
     fact = cat.create_table("bench.w_orders", orders.schema)
-    # year-sliced appends (1992-1998) so the two WHERE windows have
-    # whole files to skip and boundary files to residual-filter
-    for y in range(1992, 1999):
+    # year-sliced appends (years derived from the DATA — the synthetic
+    # corpus spans 1995-2001, not TPC-H's 1992-1998; a static range
+    # silently dropped rows, self-review r8) so the two WHERE windows
+    # have whole files to skip and boundary files to residual-filter
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
         fact.append(
             orders.filter(F.year("o_orderdate") == y).repartition(2)
         )
@@ -1186,9 +1194,71 @@ def q160_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.w_orders o JOIN bench.w_cust c "
         "ON o.o_custkey = c.c_custkey "
-        "WHERE (o.o_orderdate >= '1994-01-01' "
-        "AND o.o_orderdate < '1994-07-01') "
-        "OR (o.o_orderdate >= '1997-01-01' "
-        "AND o.o_orderdate < '1997-04-01') "
+        "WHERE (o.o_orderdate >= '1996-01-01' "
+        "AND o.o_orderdate < '1996-07-01') "
+        "OR (o.o_orderdate >= '1999-01-01' "
+        "AND o.o_orderdate < '1999-04-01') "
         "GROUP BY c.c_mktsegment ORDER BY segment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — DELETE WHERE col IN (SELECT ...) (r8): the subquery-keyed
+# delete every retention/GDPR pipeline runs. The key set comes from an
+# ordinary SELECT (here: customers of one segment below an account-
+# balance cutoff) and drives LakeTable.delete_by_key — an EQUALITY
+# delete whose keys never land on the driver: unhittable files are
+# exempted by range/bloom stats, matching files get tombstones, and the
+# scan applies them. Oracle = NOT IN over the same raw tables, so a
+# hash match proves key-set completeness and tombstone exactness.
+# ---------------------------------------------------------------------------
+@register(
+    "q161_sql_delete_in_subquery",
+    oracle="""
+SELECT o.o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+WHERE o.o_custkey NOT IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 1000.0
+)
+GROUP BY o.o_orderstatus
+ORDER BY status
+""",
+)
+def q161_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_insub_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_insub", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_insub", cust.schema)
+    c.append(cust)
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_insub WHERE o_custkey IN ("
+        "SELECT c_custkey FROM bench.cust_insub "
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 1000.0)",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderstatus AS status, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_insub GROUP BY o_orderstatus ORDER BY status",
     )

@@ -310,3 +310,36 @@ def test_count_not_null_metadata_fold(spark, tmp_path):
         cat, "SELECT COUNT(*) AS n FROM db.pc WHERE tag IS NULL"
     ).collect()
     assert row["n"] == 6  # f1 (4) + f3 (2 nulls)
+
+
+def test_delete_in_subquery(spark, tmp_path):
+    """r8: DELETE ... WHERE col IN (SELECT ...) routes the key set to
+    the equality-delete path (delete_by_key — never collected to the
+    driver); the subquery gets full SELECT machinery."""
+    from pyspark.sql.types import LongType
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whs")).start()
+    t = cat.create_table("db.main", SCHEMA)
+    for ks, tags in FILES:
+        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+    side = cat.create_table(
+        "db.side",
+        StructType([StructField("kk", IntegerType(), True)]),
+    )
+    side.append(
+        spark.createDataFrame([(2,), (9,), (14,), (99,)], "kk int")
+    )
+    lake_sql(
+        cat,
+        "DELETE FROM db.main WHERE k IN "
+        "(SELECT kk FROM db.side WHERE kk < 50)",
+    )
+    assert _ks(cat.load_table("db.main")) == [
+        k for k in range(16) if k not in (2, 9, 14)
+    ]
+    # multi-column subquery is a loud error, not a silent guess
+    with pytest.raises(UnsupportedSQL, match="one column"):
+        lake_sql(
+            cat,
+            "DELETE FROM db.main WHERE k IN (SELECT k, tag FROM db.main)",
+        )
