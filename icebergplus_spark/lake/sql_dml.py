@@ -1987,6 +1987,55 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         return spark.createDataFrame([row])
 
     if head == "MERGE":
+        # MERGE ... USING (SELECT ...) alias (r8): the subquery source
+        # runs through the ordinary SELECT machinery (lake identifiers,
+        # pruned views, fast paths), registers as a temp view, and the
+        # statement rewrites onto the named-source grammar below. The
+        # paren match is a quote-aware depth scan — a regex would cut
+        # at the first ')' inside the subquery.
+        mu = re.match(
+            rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+(\w+))?\s+"
+            rf"USING\s*\(",
+            stmt,
+            re.IGNORECASE,
+        )
+        if mu:
+            open_i = mu.end() - 1
+            depth, in_str, j = 0, False, open_i
+            while j < len(stmt):
+                ch = stmt[j]
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            if depth != 0:
+                raise UnsupportedSQL("unbalanced parens in MERGE USING")
+            subq = stmt[open_i + 1:j].strip()
+            rest = stmt[j + 1:].strip()
+            am = re.match(
+                r"^(?:AS\s+)?(\w+)\s+(ON\s+.+)$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not am:
+                raise UnsupportedSQL(
+                    "MERGE USING (subquery) requires an alias: "
+                    "USING (SELECT ...) AS s ON ..."
+                )
+            alias, tail = am.groups()
+            view = f"lake_merge_src_{alias}"
+            lake_sql(catalog, subq).createOrReplaceTempView(view)
+            tgt_alias = f" {mu.group(2)}" if mu.group(2) else ""
+            stmt = (
+                f"MERGE INTO {mu.group(1)}{tgt_alias} "
+                f"USING {view} AS {alias} {tail}"
+            )
         m = _MERGE.match(stmt)
         if not m:
             raise UnsupportedSQL(f"cannot parse MERGE: {stmt[:80]!r}")

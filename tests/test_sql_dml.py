@@ -718,3 +718,35 @@ def test_call_bad_arguments_surface_as_grammar_errors(cat):
         lake_sql(cat, "CALL system.rollback_to_snapshot('db.t')")
     with pytest.raises(UnsupportedSQL, match="literals"):
         lake_sql(cat, "CALL system.expire_snapshots('db.t', true)")
+
+
+def test_merge_using_subquery(spark, cat):
+    """r8: MERGE ... USING (SELECT ...) AS s — the subquery source runs
+    through the ordinary SELECT machinery, then the statement rewrites
+    onto the named-source grammar. Paren matching is depth-scanned, so
+    function calls inside the subquery survive."""
+    src = cat.create_table("db.m_src", SCHEMA)
+    src.append(
+        spark.createDataFrame(
+            [(2, "two", 0.0), (3, "skip", 0.0), (9, "nine", 9.0)], SCHEMA
+        )
+    )
+    lake_sql(
+        cat,
+        "MERGE INTO db.t AS t "
+        "USING (SELECT k, UPPER(COALESCE(name, '')) AS name, score "
+        "FROM db.m_src WHERE name != 'skip') AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r["k"]: r["name"] for r in cat.load_table("db.t").scan().collect()}
+    assert got[2] == "TWO" and got[9] == "NINE"
+    assert 3 in got and got[3] != "SKIP"  # filtered out of the source
+    # subquery without an alias is a loud error
+    with pytest.raises(UnsupportedSQL, match="alias"):
+        lake_sql(
+            cat,
+            "MERGE INTO db.t USING (SELECT k FROM db.m_src) "
+            "ON db.t.k = k WHEN MATCHED THEN DELETE",
+        )
