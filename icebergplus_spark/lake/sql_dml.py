@@ -655,10 +655,11 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
 
 
 _GROUP_COUNT = re.compile(
-    rf"^SELECT\s+({_IDENT})\s*,\s*COUNT\(\s*\*\s*\)\s+AS\s+(\w+)\s+"
+    rf"^SELECT\s+({_IDENT}(?:\s*,\s*{_IDENT})*)\s*,\s*"
+    rf"COUNT\(\s*\*\s*\)\s+AS\s+(\w+)\s+"
     rf"FROM\s+({_IDENT})"
     rf"(?:\s+WHERE\s+(.+?))?"
-    rf"\s+GROUP\s+BY\s+({_IDENT}|1)"
+    rf"\s+GROUP\s+BY\s+((?:{_IDENT}|\d+)(?:\s*,\s*(?:{_IDENT}|\d+))*)"
     rf"(?:\s+HAVING\s+(\w+|COUNT\(\s*\*\s*\))\s*(<=|>=|!=|<>|=|<|>)\s*"
     rf"({_NUM}))?"
     rf"(?:\s+ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?)?"
@@ -681,10 +682,16 @@ def _group_count_select(catalog: LocalLakeCatalog, stmt: str):
     if not m:
         return None
     (
-        gcol, alias, ident, where, by, hv_left, hv_op, hv_lit,
+        gsel, alias, ident, where, by, hv_left, hv_op, hv_lit,
         ob_key, ob_dir, limit,
     ) = m.groups()
-    if by != "1" and by != gcol:
+    gcols = [c.strip() for c in gsel.split(",")]
+    by_keys = [b.strip() for b in by.split(",")]
+    # GROUP BY must name exactly the selected group columns — by name
+    # in any order, or positionally (1..n)
+    if sorted(by_keys) != sorted(gcols) and by_keys != [
+        str(i + 1) for i in range(len(gcols))
+    ]:
         return None
     # HAVING left side must BE the count — the alias or literal
     # COUNT(*). (Self-review r8: a startswith('COUNT') test also
@@ -694,20 +701,20 @@ def _group_count_select(catalog: LocalLakeCatalog, stmt: str):
         re.fullmatch(r"COUNT\(\s*\*\s*\)", hv_left, re.IGNORECASE)
     ):
         return None
-    if ob_key is not None and ob_key not in (gcol, alias):
+    if ob_key is not None and ob_key not in (*gcols, alias):
         return None
     table = _try_load(catalog, ident)
     if table is None:
         return None
     names = set(table.schema.fieldNames())
-    if gcol not in names:
+    if not all(c in names for c in gcols):
         return None
     pred_arg = _pred_arg_of(table, where) if where else None
     if pred_arg is _DECLINE:
         return None
     from pyspark.sql import functions as F
 
-    df = table.count_rows_by(gcol, predicates=pred_arg, alias=alias)
+    df = table.count_rows_by(gcols, predicates=pred_arg, alias=alias)
     if hv_left is not None:
         n = F.col(alias)
         lit = _parse_literal(hv_lit)

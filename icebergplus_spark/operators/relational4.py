@@ -1262,3 +1262,57 @@ def q161_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.ord_insub GROUP BY o_orderstatus ORDER BY status",
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — MULTI-KEY grouped counts from metadata (r8): the partition ×
+# day rollup — events land partitioned by (event_type, day), so every
+# file is single-valued in BOTH group columns and a whole-day WHERE
+# folds the counts entirely from manifests (count_rows_by multi-key;
+# the intra-day bound forces real boundary scans too). Oracle replays
+# the grouped count over raw events; planted pytest proves the fold by
+# deleting data files.
+# ---------------------------------------------------------------------------
+@register(
+    "q162_sql_group_count_multi",
+    oracle="""
+SELECT event_type,
+       STRFTIME(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05'
+  AND ts < TIMESTAMP '2024-01-12 12:00:00'
+GROUP BY 1, 2
+""",
+)
+def q162_sql_group_count_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="lake_sql_gmulti_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table(
+        "bench.ev_gmulti", ev.schema, partition_cols=["event_type", "day"]
+    )
+    for d in range(1, 32, 4):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 4)
+            )
+        )
+    return lake_sql(
+        cat,
+        "SELECT event_type, day, COUNT(*) AS n FROM bench.ev_gmulti "
+        "WHERE ts >= '2024-01-05 00:00:00' "
+        "AND ts < '2024-01-12 12:00:00' "
+        "GROUP BY event_type, day",
+    )

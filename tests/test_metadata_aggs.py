@@ -426,3 +426,55 @@ def test_stats_extrema_single_boundary_scan(table):
     assert out["k"] == (0, 14)
     assert out["s"] == ("a0", "b14")  # b10..b14 ∪ a0..a9 → min a0 max b14
     assert len(calls) == 1, f"boundary scans: {len(calls)}"
+
+
+def test_count_rows_by_multi_key(spark, tmp_path):
+    """r8: GROUP BY over SEVERAL columns folds when a file is
+    single-valued-or-all-null in EVERY group column (partition × batch
+    rollups); mixed files scan. Fold proof via nuked data files."""
+    from icebergplus_spark.lake.sql_dml import _group_count_select, lake_sql
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("p", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whm")).start()
+    t = cat.create_table("db.multi", schema, partition_cols=["p", "b"])
+    rows = [(k, f"p{k % 2}", f"b{k % 3}") for k in range(30)]
+    t.append(spark.createDataFrame(rows, schema))
+    want = {}
+    for k in range(30):
+        key = (f"p{k % 2}", f"b{k % 3}")
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r["p"], r["b"]): r["cnt"]
+        for r in t.count_rows_by(["p", "b"]).collect()
+    }
+    assert got == want
+    # SQL route: positional and by-name GROUP BY, HAVING, ORDER
+    q = (
+        "SELECT p, b, COUNT(*) AS n FROM db.multi "
+        "WHERE k < 30 GROUP BY p, b HAVING n >= 5 ORDER BY n DESC"
+    )
+    assert _group_count_select(cat, q) is not None
+    sql_got = {
+        (r["p"], r["b"]): r["n"] for r in lake_sql(cat, q).collect()
+    }
+    assert sql_got == {k: v for k, v in want.items() if v >= 5}
+    # mismatched GROUP BY declines loudly to the generic path
+    assert (
+        _group_count_select(
+            cat, "SELECT p, b, COUNT(*) AS n FROM db.multi GROUP BY p"
+        )
+        is None
+    )
+    # metadata-only proof: identity-partitioned on both → fold survives
+    # data-file deletion
+    _nuke_data_files(t)
+    assert {
+        (r["p"], r["b"]): r["cnt"]
+        for r in t.count_rows_by(["p", "b"]).collect()
+    } == want
