@@ -154,9 +154,11 @@ class LakeRestServer:
         ``pageToken`` from a prior response), return one page and a
         ``next-page-token`` while more remain. Without ``pageSize`` the
         full list returns in one response (spec-legal; back-compat with
-        pre-r7 clients). The token is an opaque offset — listings are
+        pre-r7 clients). The token is an opaque offset — LISTINGS are
         sorted, so a mid-pagination create/drop skews one boundary at
-        worst, the same weak consistency the spec allows."""
+        worst, the same weak consistency the spec allows. (The files
+        metadata endpoint does NOT route here: its rows follow manifest
+        order and its token pins the snapshot id, r8.)"""
         params = LakeRestServer._page_params(query)
         if params is None:
             return items, None
@@ -426,16 +428,47 @@ class LakeRestServer:
                 # parquet row COUNT (footer metadata, no row read), so
                 # one page costs O(pageSize + manifests-touched). Row
                 # order is (snapshot manifest order, within-manifest
-                # order) — fixed for a snapshot, so tokens stay stable.
+                # order), and the token PINS the snapshot id — a commit
+                # or compaction landing mid-pagination cannot shear the
+                # offsets, because snapshots (and their manifests) are
+                # immutable; an EXPIRED pinned snapshot restarts from
+                # the current one (weak consistency, stated).
+                import base64
+
                 import pyarrow.parquet as _pq
 
-                snap = t.snapshot()
+                size_raw = query.get("pageSize", [None])[0]
+                token_raw = query.get("pageToken", [None])[0]
+                paged = size_raw is not None or token_raw is not None
+                try:
+                    size = (
+                        max(1, int(size_raw))
+                        if size_raw is not None
+                        else 1000
+                    )
+                except ValueError:
+                    paged, size = False, 1 << 62
+                snap_pin, start = None, 0
+                if token_raw:
+                    try:
+                        s_id, off = (
+                            base64.urlsafe_b64decode(token_raw.encode())
+                            .decode()
+                            .split(":", 1)
+                        )
+                        snap_pin, start = int(s_id), int(off)
+                    except Exception:
+                        paged, start = False, 0  # malformed → whole list
+                if not paged:
+                    size = 1 << 62
+                snap = t.snapshot(snap_pin)
+                if snap is None and snap_pin is not None:
+                    snap = t.snapshot()  # pinned snapshot expired
+                    start = 0
                 manifests = snap["manifests"] if snap else []
-                params = self._page_params(query)
-                start, size = params if params else (0, 1 << 62)
                 page, pos, more = [], 0, False
-                for m in manifests:
-                    path = os.path.join(t._meta_dir, m)
+                for mf in manifests:
+                    path = os.path.join(t._meta_dir, mf)
                     n = _pq.read_metadata(path).num_rows
                     if len(page) >= size:
                         if n > 0:  # an empty manifest isn't "more"
@@ -453,11 +486,11 @@ class LakeRestServer:
                         more = True
                         break
                     pos += n
-                nxt = (
-                    self._page_token(start + len(page))
-                    if params and more
-                    else None
-                )
+                nxt = None
+                if paged and more and snap is not None:
+                    nxt = base64.urlsafe_b64encode(
+                        f"{snap['snapshot_id']}:{start + len(page)}".encode()
+                    ).decode()
                 ddl = "manifest entries"
             else:
                 return 404, {

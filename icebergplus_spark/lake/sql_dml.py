@@ -376,8 +376,14 @@ def _coerce_time_literals(
     rows. A datetime literal goes through ``_coerce_stat_literal``'s
     isoformat instead, where lexicographic == chronological."""
     from datetime import datetime
+    from decimal import Decimal, InvalidOperation
 
-    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     types = {f.name: f.dataType for f in table.schema.fields}
     out: list[dict[str, Any]] = []
@@ -398,6 +404,24 @@ def _coerce_time_literals(
                 items = pred if isinstance(pred, list) else [pred]
                 coerced = [(op, cv(v)) for op, v in items]
                 nb[col] = coerced if isinstance(pred, list) else coerced[0]
+            elif isinstance(dt, DecimalType):
+                # DECIMAL stats serialize as strings — a quoted SQL
+                # literal left as str would compare LEXICOGRAPHICALLY
+                # with them in the prune ('100.05' > '5' is False;
+                # self-review r8: silent mis-prune). As a Decimal the
+                # str-vs-Decimal stat compare TypeErrors → file kept
+                # (safe), and the residual compares numerically.
+                def cvd(v):
+                    if isinstance(v, str):
+                        try:
+                            return Decimal(v)
+                        except InvalidOperation:
+                            return v
+                    return v
+
+                items = pred if isinstance(pred, list) else [pred]
+                coerced = [(op, cvd(v)) for op, v in items]
+                nb[col] = coerced if isinstance(pred, list) else coerced[0]
             else:
                 nb[col] = pred
         out.append(nb)
@@ -416,7 +440,7 @@ def _finalize_branches(
     LIKE never expands the branch COUNT (a prefix is an AND of two
     bounds inside its own conjunction), so single-conjunction callers
     stay single-conjunction."""
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import BinaryType, StringType
 
     types = {f.name: f.dataType for f in table.schema.fields}
     out: list[dict[str, Any]] = []
@@ -424,6 +448,16 @@ def _finalize_branches(
         nb: dict[str, Any] = {}
         for col, pred in b.items():
             items = pred if isinstance(pred, list) else [pred]
+            if isinstance(types.get(col), BinaryType) and any(
+                op not in ("isnull", "notnull") for op, _ in items
+            ):
+                # binary stats are a LOSSY utf-8 decode — value-level
+                # terms would prune on a corrupted ordering
+                # (self-review r8); SELECT falls back, DML errors loud
+                raise UnsupportedSQL(
+                    f"comparisons on binary column {col!r} are not in "
+                    "the stats grammar; use the Python API"
+                )
             expanded: list[tuple[str, Any]] = []
             for op, v in items:
                 if op != "like":
@@ -488,6 +522,25 @@ _IN_SUBQUERY = re.compile(
     rf"^({_IDENT})\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parens_balanced(s: str) -> bool:
+    """Quote-aware paren balance — guards the greedy _IN_SUBQUERY
+    capture (self-review r8: 'k IN (SELECT...) OR m IN (SELECT...)'
+    matched with a mangled subquery and surfaced a raw Spark
+    ParseException instead of the grammar's clean UnsupportedSQL)."""
+    depth, in_str = 0, False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+    return depth == 0 and not in_str
 
 _DECLINE = object()
 
@@ -1527,6 +1580,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         # A CoW rewrite keyed on an unbounded subquery would rewrite
         # whole files per key; compaction folds the tombstones later.
         m_sub = _IN_SUBQUERY.match(where.strip())
+        if m_sub and not _parens_balanced(m_sub.group(2)):
+            m_sub = None  # compound WHERE ending in ')' — grammar path
         if m_sub:
             col, subq = m_sub.groups()
             if col not in t.schema.fieldNames():
@@ -2036,13 +2091,24 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     "USING (SELECT ...) AS s ON ..."
                 )
             alias, tail = am.groups()
-            view = f"lake_merge_src_{alias}"
+            # uuid-suffixed view: two concurrent MERGEs in one session
+            # using the same source alias must not race on a shared
+            # name, and the view must not outlive the statement
+            # (self-review r8) — hence drop-in-finally around a
+            # recursive dispatch of the rewritten statement
+            import uuid as _uuid
+
+            view = f"lake_merge_src_{alias}_{_uuid.uuid4().hex[:12]}"
             lake_sql(catalog, subq).createOrReplaceTempView(view)
             tgt_alias = f" {mu.group(2)}" if mu.group(2) else ""
-            stmt = (
-                f"MERGE INTO {mu.group(1)}{tgt_alias} "
-                f"USING {view} AS {alias} {tail}"
-            )
+            try:
+                return lake_sql(
+                    catalog,
+                    f"MERGE INTO {mu.group(1)}{tgt_alias} "
+                    f"USING {view} AS {alias} {tail}",
+                )
+            finally:
+                spark.catalog.dropTempView(view)
         m = _MERGE.match(stmt)
         if not m:
             raise UnsupportedSQL(f"cannot parse MERGE: {stmt[:80]!r}")

@@ -4808,6 +4808,7 @@ class LakeTable:
                 else self.scan_pruned_any(branches, snapshot_id)
             )
             return _grouped(base)
+        mapping = self._column_mapping
         if branches is None:
             files = self.plan_files(None, snapshot_id)
             phys_branches = None
@@ -4817,12 +4818,10 @@ class LakeTable:
                 if len(branches) == 1
                 else self.plan_files_any(branches, snapshot_id)
             )
-            mapping = self._column_mapping
             phys_branches = [
                 {mapping.get(c, c): v for c, v in b.items()}
                 for b in branches
             ]
-        mapping = self._column_mapping
         # decimal/binary stats don't round-trip to typed group values
         # (default=str serialization; self-review r8) — those group
         # columns take the scan leg in full, exact either way

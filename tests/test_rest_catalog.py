@@ -697,3 +697,37 @@ def test_metadata_table_pagination_round_trip(spark, server):
 
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(f"{base}/nonsense?pageSize=5", timeout=5)
+
+
+def test_files_pagination_pins_snapshot(spark, server):
+    """r8 self-review: a commit landing mid-pagination must not shear
+    page offsets — the files token pins the snapshot id, and snapshots
+    are immutable, so the reassembled set equals the pinned snapshot's
+    inventory exactly."""
+    import json as _json
+    import urllib.request
+
+    cat = _client(spark, server)
+    t = cat.create_table("db.pin", SCHEMA)
+    for i in range(8):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    pinned_files = {f["file_path"] for f in t.plan_files()}
+
+    base = f"{server.base_url}/v1/namespaces/db/tables/pin/metadata"
+    with urllib.request.urlopen(f"{base}/files?pageSize=3", timeout=5) as r:
+        p1 = _json.loads(r.read())
+    assert len(p1["rows"]) == 3
+    tok = p1["next-page-token"]
+    # a NEW commit lands between pages
+    t.append(_df(spark, [(99, "late")]).coalesce(1))
+    got = {row["file_path"] for row in p1["rows"]}
+    while tok:
+        with urllib.request.urlopen(
+            f"{base}/files?pageSize=3&pageToken={tok}", timeout=5
+        ) as r:
+            p = _json.loads(r.read())
+        got.update(row["file_path"] for row in p["rows"])
+        tok = p.get("next-page-token")
+    # exactly the pinned snapshot's 8 files — the late file excluded,
+    # nothing duplicated or dropped
+    assert got == pinned_files

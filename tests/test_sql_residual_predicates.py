@@ -343,3 +343,52 @@ def test_delete_in_subquery(spark, tmp_path):
             cat,
             "DELETE FROM db.main WHERE k IN (SELECT k, tag FROM db.main)",
         )
+
+
+def test_in_subquery_compound_where_raises_cleanly(spark, tmp_path):
+    """r8 self-review: 'k IN (SELECT...) OR m IN (SELECT...)' must NOT
+    be swallowed by the greedy IN-subquery capture — it falls to the
+    grammar path and raises the clean UnsupportedSQL, never a raw
+    Spark ParseException on mangled text."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whc")).start()
+    t = cat.create_table("db.cmp", SCHEMA)
+    t.append(spark.createDataFrame(_rows(range(4), ["a"] * 4), SCHEMA))
+    with pytest.raises(UnsupportedSQL, match="unsupported WHERE term"):
+        lake_sql(
+            cat,
+            "DELETE FROM db.cmp WHERE k IN (SELECT k FROM db.cmp) "
+            "OR val IN (SELECT val FROM db.cmp)",
+        )
+
+
+def test_decimal_literal_comparisons_exact(spark, tmp_path):
+    """r8 self-review: quoted literals against DECIMAL columns coerce
+    to Decimal — '100.05' > '5' must be TRUE (numeric), not False
+    (lexicographic); the prune keeps the file and the residual compares
+    numerically."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("price", DecimalType(10, 2), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whd")).start()
+    t = cat.create_table("db.decp", schema)
+    t.append(
+        spark.createDataFrame(
+            [(1, Decimal("100.05")), (2, Decimal("2.00"))], schema
+        ).coalesce(1)
+    )
+    got = sorted(
+        r["k"]
+        for r in lake_sql(
+            cat, "SELECT k FROM db.decp WHERE price > '5'"
+        ).collect()
+    )
+    assert got == [1]
+    lake_sql(cat, "DELETE FROM db.decp WHERE price > '5'")
+    assert _ks(cat.load_table("db.decp")) == [2]
