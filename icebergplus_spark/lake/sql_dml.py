@@ -1620,6 +1620,34 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 raise UnsupportedSQL(f"cannot parse SET term {term!r}")
             assignments[col.strip()] = F.expr(expr.strip())
         t = catalog.load_table(ident)
+        # UPDATE ... WHERE col IN (SELECT ...) (r8): same routing as
+        # the DELETE form — the subquery's key set becomes a MERGE
+        # source (stats-targeted CoW: only files intersecting the key
+        # range rewrite), with the insert clause off. SET expressions
+        # see the target row exactly as update_where's do.
+        m_sub = _IN_SUBQUERY.match(where.strip())
+        if m_sub and _parens_balanced(m_sub.group(2)):
+            keycol, subq = m_sub.groups()
+            if keycol not in t.schema.fieldNames():
+                raise UnsupportedSQL(f"no such column: {keycol}")
+            keys = lake_sql(catalog, subq.strip())
+            if len(keys.columns) != 1:
+                raise UnsupportedSQL(
+                    "IN-subquery must return exactly one column, got "
+                    f"{len(keys.columns)}"
+                )
+            dtype = next(
+                f.dataType for f in t.schema.fields if f.name == keycol
+            )
+            src = keys.select(
+                F.col(keys.columns[0]).cast(dtype).alias(keycol)
+            ).distinct()
+            return t.merge_into(
+                src,
+                on=keycol,
+                when_matched_update=assignments,
+                when_not_matched_insert=False,
+            )
         return t.update_where(_or_arg(t, where), assignments)
 
     if head == "ALTER":

@@ -1316,3 +1316,68 @@ def q162_sql_group_count_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND ts < '2024-01-12 12:00:00' "
         "GROUP BY event_type, day",
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — UPDATE ... WHERE col IN (SELECT ...) (r8): the subquery-keyed
+# update (re-scoring, re-labeling, PII-masking pipelines). The key set
+# becomes a stats-targeted MERGE source with the insert clause off —
+# only files whose key range intersects the keys rewrite. Oracle
+# replays with CASE WHEN ... IN, so a hash match proves both the key
+# set and that non-matching rows were untouched.
+# ---------------------------------------------------------------------------
+@register(
+    "q163_sql_update_in_subquery",
+    oracle="""
+WITH flagged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey IN (
+           SELECT c_custkey FROM customer
+           WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 9000.0
+         ) THEN 'FLAGGED' ELSE o_orderpriority END AS pri,
+         o_totalprice
+  FROM orders
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM flagged
+GROUP BY pri
+ORDER BY pri
+""",
+)
+def q163_sql_update_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_updsub_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_updsub", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_updsub", cust.schema)
+    c.append(cust)
+    lake_sql(
+        cat,
+        "UPDATE bench.ord_updsub SET o_orderpriority = 'FLAGGED' "
+        "WHERE o_custkey IN (SELECT c_custkey FROM bench.cust_updsub "
+        "WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 9000.0)",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_updsub GROUP BY o_orderpriority ORDER BY pri",
+    )

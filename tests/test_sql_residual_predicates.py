@@ -392,3 +392,31 @@ def test_decimal_literal_comparisons_exact(spark, tmp_path):
     assert got == [1]
     lake_sql(cat, "DELETE FROM db.decp WHERE price > '5'")
     assert _ks(cat.load_table("db.decp")) == [2]
+
+
+def test_update_in_subquery(spark, tmp_path):
+    """r8: UPDATE ... WHERE col IN (SELECT ...) routes the key set to a
+    stats-targeted MERGE (insert clause off) — every matching row
+    updates, keys outside the table are ignored."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whu")).start()
+    t = cat.create_table("db.upd", SCHEMA)
+    for ks, tags in FILES:
+        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+    side = cat.create_table(
+        "db.keys", StructType([StructField("kk", IntegerType(), True)])
+    )
+    side.append(
+        spark.createDataFrame([(1,), (9,), (9,), (404,)], "kk int")
+    )
+    lake_sql(
+        cat,
+        "UPDATE db.upd SET val = -5, tag = 'hit' WHERE k IN "
+        "(SELECT kk FROM db.keys)",
+    )
+    got = {
+        r["k"]: (r["val"], r["tag"])
+        for r in cat.load_table("db.upd").scan().collect()
+    }
+    assert got[1] == (-5.0, "hit") and got[9] == (-5.0, "hit")
+    assert got[0] == (0.0, None) and got[12] == (12.0, "ok")
+    assert len(got) == 16  # key 404 inserted NOTHING
