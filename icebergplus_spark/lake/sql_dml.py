@@ -518,6 +518,21 @@ def _replace_ident(stmt: str, ident: str, view: str) -> str:
     )
 
 
+def _replace_prefix(stmt: str, ident: str, view: str) -> str:
+    """Rewrite full-table-name-qualified COLUMN refs onto the view:
+    ``db.t.k`` → ``<view>.k``. Runs AFTER every whole-identifier
+    substitution, so any remaining ``db.t.<seg>`` text is a column
+    path, not a table reference (r9, ADVICE r8 low: these refs used to
+    pass through untouched and fail Spark resolution against the
+    rewritten view)."""
+    pat = re.compile(rf"(?<![\w.]){re.escape(ident)}\.")
+    segments = re.split(rf"({_STR})", stmt)
+    return "".join(
+        seg if i % 2 else pat.sub(view + ".", seg)
+        for i, seg in enumerate(segments)
+    )
+
+
 _IN_SUBQUERY = re.compile(
     rf"^({_IDENT})\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1006,9 +1021,17 @@ _TAIL_KW = re.compile(
 # predicate context — a shared pruned view would be wrong for at least
 # one of them, so their presence disables join pruning entirely
 _MULTI_CONTEXT = re.compile(
-    r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bEXISTS\b|\(\s*SELECT\b",
+    r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bMINUS\b|\bEXISTS\b|\(\s*SELECT\b",
     re.IGNORECASE,
 )
+# SEMI/ANTI joins take the right side OUT of the output scope: a bare
+# WHERE column that exists only in the right lake table's schema is
+# resolved by Spark against the LEFT relation (no ambiguity error), so
+# bare-column attribution would prune the wrong table (ADVICE r8 high).
+# Alias-qualified terms stay sound: a right-side qualifier is a Spark
+# resolution error (statement fails before the view serves), a
+# left-side qualifier names the preserved side.
+_SEMI_ANTI = re.compile(r"\b(SEMI|ANTI)\b", re.IGNORECASE)
 _ALIAS_KW = {
     "where", "on", "join", "inner", "left", "right", "full", "cross",
     "group", "order", "having", "limit", "union", "using", "as", "semi",
@@ -1091,11 +1114,15 @@ def _per_table_branches(
     # except IS NULL). Self-review r8: LEFT JOIN ... WHERE f.x IS NULL
     # (the anti-join idiom) would have fabricated/dropped rows.
     outer = re.search(r"\b(LEFT|RIGHT|FULL)\b", masked, re.IGNORECASE)
+    semi_anti = _SEMI_ANTI.search(masked)
     alias_of: dict[str, str] = {}
     for m in _FROM_ALIAS.finditer(masked):
         ident, alias = m.group(1), m.group(2)
         if ident not in hits:
             continue
+        # the full table name is its own unambiguous qualifier
+        # (FROM db.t WHERE db.t.k > 5) — r9
+        alias_of.setdefault(ident, ident)
         if alias and alias.lower() not in _ALIAS_KW:
             alias_of[alias] = ident
     try:
@@ -1144,6 +1171,10 @@ def _per_table_branches(
                     prefix, _, bare = col.rpartition(".")
                     if alias_of.get(prefix) == ident and bare in fields[ident]:
                         _add(bare, pred)
+                    continue
+                if semi_anti:
+                    # bare columns may resolve to the left relation
+                    # even when a right lake table also has the name
                     continue
                 owners = [i for i, fs in fields.items() if col in fs]
                 if owners == [ident]:
@@ -1210,6 +1241,17 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
             and ident.split(".", 1)[0].lower() in aliases
         ):
             continue  # qualified column ref, not a table identifier
+        base, _, kind = ident.rpartition(".")
+        if (
+            base in hits
+            and kind not in _SQL_META_KINDS
+            and ident not in from_idents
+        ):
+            # full-table-name-qualified column ref (FROM db.t WHERE
+            # db.t.x > 5): db.t already resolved (sorted order puts the
+            # prefix first), so db.t.x is a column path — loading it is
+            # a guaranteed 404 round trip on REST (ADVICE r8 low)
+            continue
         t = _try_load(catalog, ident)
         if t is not None:
             hits[ident] = t
@@ -1225,10 +1267,12 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     # db.t.snapshots in either direction (review r7: this used to be a
     # second inline copy of the substitution with a stale claim that
     # ordering provided the safety)
+    views: list[tuple[str, str]] = []
     for ident, bt, kind in meta_hits:
         view = _lake_view_name(ident)
         bt.metadata_df(kind).createOrReplaceTempView(view)
         stmt = _replace_ident(stmt, ident, view)
+        views.append((ident, view))
     # join pruning (r8): tables whose files the statement's top-level
     # WHERE provably constrains get a PRUNED view — the fact side of a
     # fact-dim join stops reading every live footer; the statement's
@@ -1236,6 +1280,7 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     pruned = _per_table_branches(stmt, hits)
     for ident, t in hits.items():
         view = _lake_view_name(ident)
+        views.append((ident, view))
         tb = pruned.get(ident)
         if tb is not None:
             try:
@@ -1248,6 +1293,12 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
                 pass  # e.g. LIKE on a non-string column — full view
         t.to_view(view)
         stmt = _replace_ident(stmt, ident, view)
+    # remaining `<ident>.<col>` text is full-name-qualified COLUMN refs
+    # (every table/metadata identifier is substituted by now) — rewrite
+    # the parent onto its view, longest ident first so `db.t.snapshots.`
+    # never half-matches under `db.t.` (r9)
+    for ident, view in sorted(views, key=lambda p: -len(p[0])):
+        stmt = _replace_prefix(stmt, ident, view)
     return stmt
 
 

@@ -731,3 +731,40 @@ def test_files_pagination_pins_snapshot(spark, server):
     # exactly the pinned snapshot's 8 files — the late file excluded,
     # nothing duplicated or dropped
     assert got == pinned_files
+
+
+def test_full_name_qualified_columns_cost_no_extra_loads(spark, server):
+    """ADVICE r8 (low): `FROM db.t WHERE db.t.k > 1` — the qualified
+    column ref db.t.k must not trigger its own (guaranteed-404) load
+    attempt once db.t has resolved; each such ref was one HTTP round
+    trip on the REST catalog."""
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    cat = _client(spark, server)
+    t = cat.create_table("db.qt", SCHEMA)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+
+    reqs = []
+    orig = server._handle
+
+    def spy(method, path, query, body):
+        reqs.append((method, path))
+        return orig(method, path, query, body)
+
+    server._handle = spy
+    got = sorted(
+        r["k"]
+        for r in lake_sql(
+            cat,
+            "SELECT db.qt.k AS k, db.qt.v AS v FROM db.qt "
+            "WHERE db.qt.k > 1",
+        ).collect()
+    )
+    assert got == [2, 3]
+    misses = [
+        (m, p)
+        for m, p in reqs
+        if m == "GET" and p.rstrip("/").endswith("/tables/qt.k")
+        or p.rstrip("/").endswith("/tables/qt.v")
+    ]
+    assert misses == [], f"qualified column refs hit the catalog: {misses}"

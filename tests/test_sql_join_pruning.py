@@ -307,3 +307,83 @@ def test_comma_self_join_not_pruned(spark, cat):
     # a.k in {0,1}; partners with same dim_id and k>=30 exist for both
     assert sorted({r["k"] for r in got}) == [0, 1]
     assert calls == []
+
+
+def test_semi_anti_join_disables_bare_column_attribution(spark, cat):
+    """ADVICE r8 (high): in a SEMI/ANTI join the right side's columns
+    are out of the output scope — a bare WHERE column that exists only
+    in the right LAKE table's schema resolves to the LEFT relation with
+    no ambiguity error, so bare-column attribution would prune the
+    WRONG table. dim file A holds label='keep' keys {0,1}, file B
+    label='drop' keys {2,3}; pruning dim on the left view's bare
+    `label` would drop file B and let keys 2,3 leak through the ANTI
+    join."""
+    dim2 = cat.create_table("db.dim2", DIM)
+    dim2.append(
+        spark.createDataFrame([(0, "keep"), (1, "keep")], DIM).coalesce(1)
+    )
+    dim2.append(
+        spark.createDataFrame([(2, "drop"), (3, "drop")], DIM).coalesce(1)
+    )
+    handles = {"db.dim2": dim2}
+    cat.load_table = lambda ident: handles[ident]
+    calls = _recording(dim2, "plan_files_any")
+    spark.createDataFrame(
+        [(i, "keep") for i in range(6)], DIM
+    ).createOrReplaceTempView("ev_semi_anti")
+    got = sorted(
+        r["dim_id"]
+        for r in lake_sql(
+            cat,
+            "SELECT e.dim_id AS dim_id FROM ev_semi_anti e "
+            "LEFT ANTI JOIN db.dim2 d ON e.dim_id = d.dim_id "
+            "WHERE label = 'keep'",
+        ).collect()
+    )
+    assert got == [4, 5]  # keys 0..3 all exist in dim2 — excluded
+    assert calls == []  # dim2 served UNPRUNED
+
+
+def test_semi_join_alias_qualified_prune_still_applies(spark, cat):
+    """Alias-qualified terms on the PRESERVED side stay prunable under
+    SEMI/ANTI (a right-side qualifier is a Spark resolution error, so
+    only sound attributions survive)."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = sorted(
+        r["k"]
+        for r in lake_sql(
+            cat,
+            "SELECT f.k AS k FROM db.fact f "
+            "LEFT SEMI JOIN db.dim d ON f.dim_id = d.dim_id "
+            "WHERE f.k >= 30",
+        ).collect()
+    )
+    assert got == list(range(30, 40))
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+
+
+def test_minus_disables_pruning(spark, cat):
+    """ADVICE r8 (medium): MINUS is Spark's EXCEPT synonym — a WHERE
+    term from the first arm must never prune the second arm's table."""
+    assert (
+        _top_level_where("SELECT a FROM t WHERE k > 1 MINUS SELECT a FROM u")
+        is None
+    )
+    fact, dim = _patched(cat)
+    calls = _recording(dim, "plan_files_any")
+    # the view's `label` column shadows db.dim's: attributing the first
+    # arm's label='x' to db.dim would prune its only file (labels
+    # d0..d3, 'x' outside the stats range) and the MINUS would subtract
+    # nothing — returning {0,1} instead of the true empty set
+    spark.createDataFrame(
+        [(i, "x") for i in range(6)],
+        "mk int, label string",
+    ).createOrReplaceTempView("mk_view")
+    got = lake_sql(
+        cat,
+        "SELECT mk FROM mk_view WHERE mk < 2 AND label = 'x' "
+        "MINUS SELECT dim_id AS mk FROM db.dim",
+    ).collect()
+    assert got == []  # dim_ids 0..3 subtract both first-arm rows
+    assert calls == []
