@@ -1381,3 +1381,73 @@ def q163_sql_update_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.ord_updsub GROUP BY o_orderpriority ORDER BY pri",
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — CTE over the lake SQL fast paths (r9, VERDICT r8 #1): the way
+# analysts actually write the fact-dim shape — a range-WHERE CTE over
+# the fact table, joined to the dim in the main query. The CTE body
+# dispatches through lake_sql recursively (sql_dml._with_select), so it
+# takes the SAME pruned-view path a bare SELECT does: only files whose
+# footer stats can match the window are planned; the main query's join
+# runs over the lazy CTE view (Catalyst inlines it — a plan rewrite,
+# not a materialization). Oracle replays the identical WITH over raw
+# orders/customer, so a hash match proves the decomposition loses no
+# rows at any range boundary. Planted pytests (test_sql_cte.py) pin the
+# file counts; this pins exactness.
+# ---------------------------------------------------------------------------
+@register(
+    "q164_sql_cte_pruned",
+    oracle="""
+WITH recent AS (
+  SELECT o_custkey, o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(r.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM recent r
+JOIN customer c ON r.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+)
+def q164_sql_cte_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_cte_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.cte_orders", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        fact.append(
+            orders.filter(F.year("o_orderdate") == y).repartition(2)
+        )
+    dim = cat.create_table("bench.cte_cust", cust.schema)
+    dim.append(cust)
+    return lake_sql(
+        cat,
+        "WITH recent AS ("
+        "  SELECT o_custkey, o_totalprice FROM bench.cte_orders"
+        "  WHERE o_orderdate >= '1996-01-01'"
+        "  AND o_orderdate < '1996-07-01'"
+        ") "
+        "SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(r.o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM recent r JOIN bench.cte_cust c ON r.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY segment",
+    )
