@@ -1166,6 +1166,21 @@ def _mask_literals(stmt: str) -> str:
     )
 
 
+def _cut_at_tail(stmt: str, masked: str, start: int, pat: re.Pattern) -> str:
+    """Slice ``stmt[start:]`` up to the first depth-0 match of ``pat``
+    on the masked text (same length, literals x'd out)."""
+    depth = 0
+    for i in range(start, len(masked)):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and pat.match(masked, i):
+            return stmt[start:i].strip()
+    return stmt[start:].strip()
+
+
 def _top_level_where(stmt: str) -> str | None:
     """The statement's single top-level WHERE clause text, or None when
     pruning on it could be unsound: more than one WHERE, any subquery /
@@ -1181,17 +1196,121 @@ def _top_level_where(stmt: str) -> str | None:
     wheres = list(re.finditer(r"\bWHERE\b", masked, re.IGNORECASE))
     if len(wheres) != 1:
         return None
-    start = wheres[0].end()
-    depth = 0
-    for i in range(start, len(masked)):
-        ch = masked[i]
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and _TAIL_KW.match(masked, i):
-            return stmt[start:i].strip()
-    return stmt[start:].strip()
+    return _cut_at_tail(stmt, masked, wheres[0].end(), _TAIL_KW)
+
+
+_JOIN_ON = re.compile(
+    rf"\b(?:(LEFT|RIGHT|FULL|INNER)\s+)?(?:(OUTER|SEMI|ANTI)\s+)?"
+    rf"JOIN\s+({_IDENT})(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\b",
+    re.IGNORECASE,
+)
+_ON_TAIL = re.compile(
+    r"\b(JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|WHERE|GROUP|ORDER|"
+    r"HAVING|LIMIT|WINDOW|QUALIFY)\b|,",
+    re.IGNORECASE,
+)
+
+
+def _merge_conj(terms: dict[str, Any], col: str, pred: Any) -> None:
+    """AND-merge one column's predicate into a conjunction dict in
+    place — a column constrained twice becomes an AND-list (shared by
+    the WHERE and ON attribution paths)."""
+    items = pred if isinstance(pred, list) else [pred]
+    if col in terms:
+        cur = terms[col]
+        terms[col] = (cur if isinstance(cur, list) else [cur]) + list(items)
+    else:
+        terms[col] = pred
+
+
+def _on_clause_constraints(
+    stmt: str,
+    masked: str,
+    hits: dict[str, "LakeTable"],
+    alias_of: dict[str, str],
+    fields: dict[str, set],
+) -> dict[str, list[list[dict[str, Any]]]]:
+    """Literal conjuncts from JOIN ... ON clauses, per lake table (r9,
+    VERDICT r8 #2): ``JOIN d ON f.k = d.k AND f.ts >= X`` prunes the
+    fact exactly like the WHERE form. Output: per table, a list of
+    CLAUSES (one per ON that constrains it), each clause a list of
+    OR-branch dicts (IN-lists expand) — the caller AND-merges clauses
+    into the table's WHERE branches.
+
+    Which side an ON may prune depends on the join type — ON filters
+    MATCH CANDIDACY, and the preserved side of an outer join survives a
+    failed match with the other side null-extended (no file read), so:
+    INNER and LEFT SEMI constrain both sides; LEFT [OUTER] and LEFT
+    ANTI constrain only the join's RIGHT table (a preserved-left row
+    failing the ON still appears / still survives the anti); RIGHT
+    [OUTER] constrains everything EXCEPT the right table; FULL
+    constrains nothing. Unlike the WHERE path, IS NULL terms stay
+    prunable on the constrainable side: null-extended output rows come
+    from NO file of that table, and matched rows genuinely satisfy the
+    ON.
+
+    Bare columns attribute only within the ON's SCOPE (tables whose
+    FROM/JOIN position precedes this ON): an in-scope duplicate is
+    Spark's AMBIGUOUS_REFERENCE (statement dies before the view
+    serves), while an out-of-scope lake table owning the same name
+    must not swallow the term."""
+    first_pos: dict[str, int] = {}
+    for fm in _FROM_ALIAS.finditer(masked):
+        if fm.group(1) in hits:
+            first_pos.setdefault(fm.group(1), fm.start())
+    out: dict[str, list[list[dict[str, Any]]]] = {}
+    for m in _JOIN_ON.finditer(masked):
+        side = (m.group(1) or "").upper()
+        kind = (m.group(2) or "").upper()
+        right = m.group(3)
+        if side == "FULL":
+            continue
+        text = _cut_at_tail(stmt, masked, m.end(), _ON_TAIL)
+        if not text:
+            continue
+        try:
+            if len(_split_bool(text, "OR")) > 1:
+                continue  # a disjunctive ON doesn't AND-merge — skip
+            branches = _parse_branch(_strip_parens(text), tolerant=True)
+        except UnsupportedSQL:
+            continue
+        in_scope = {
+            i for i, p in first_pos.items() if p <= m.start()
+        } | ({right} if right in hits else set())
+        for ident in hits:
+            if kind == "ANTI" or (side == "LEFT" and kind in ("", "OUTER")):
+                if ident != right:
+                    continue
+            elif side == "RIGHT":
+                if ident == right:
+                    continue
+            # INNER / bare JOIN / LEFT SEMI: both sides constrainable
+            per_branch: list[dict[str, Any]] = []
+            for b in branches:
+                terms: dict[str, Any] = {}
+                for col, pred in b.items():
+                    if "." in col:
+                        prefix, _, bare = col.rpartition(".")
+                        if (
+                            alias_of.get(prefix) == ident
+                            and bare in fields[ident]
+                        ):
+                            _merge_conj(terms, bare, pred)
+                        continue
+                    owners = [
+                        i
+                        for i in in_scope
+                        if col in fields[i]
+                    ]
+                    if owners == [ident]:
+                        _merge_conj(terms, col, pred)
+                if not terms:
+                    per_branch = []
+                    break  # one branch unconstrained → clause unusable
+                per_branch.append(terms)
+            if per_branch:
+                out.setdefault(ident, []).append(per_branch)
+    return out
 
 
 def _per_table_branches(
@@ -1214,11 +1333,27 @@ def _per_table_branches(
     sound — the statement's own WHERE does exact row filtering on top).
     A table is pruned only when EVERY branch constrains it (an
     unconstrained branch matches any row). A table read under two
-    aliases gets no pruning (one shared view, two contexts)."""
-    where = _top_level_where(stmt)
-    if where is None or not hits:
+    aliases gets no pruning (one shared view, two contexts).
+
+    r9 (VERDICT r8 #2): literal conjuncts in JOIN ... ON clauses feed
+    the same prune, side-gated by join type (``_on_clause_constraints``
+    owns that analysis). ON constraints AND-merge into every WHERE
+    branch — they hold for the table's contribution regardless of
+    which OR branch a row satisfies — and apply even when the
+    statement has no WHERE at all."""
+    if not hits:
         return {}
     masked = _mask_literals(stmt)
+    if _MULTI_CONTEXT.search(masked):
+        return {}
+    wheres = list(re.finditer(r"\bWHERE\b", masked, re.IGNORECASE))
+    if len(wheres) > 1:
+        return {}
+    where = (
+        _cut_at_tail(stmt, masked, wheres[0].end(), _TAIL_KW)
+        if wheres
+        else None
+    )
     # OUTER joins null-extend one side: a surviving result row may
     # carry all-NULL columns for table T without any T row matching —
     # so T may only be pruned on NULL-REJECTING terms (every grammar op
@@ -1236,15 +1371,18 @@ def _per_table_branches(
         alias_of.setdefault(ident, ident)
         if alias and alias.lower() not in _ALIAS_KW:
             alias_of[alias] = ident
-    try:
-        branches = [
-            d
-            for b in _split_bool(where, "OR")
-            for d in _parse_branch(_strip_parens(b), tolerant=True)
-        ]
-    except UnsupportedSQL:
-        return {}
+    branches: list[dict[str, Any]] = []
+    if where is not None:
+        try:
+            branches = [
+                d
+                for b in _split_bool(where, "OR")
+                for d in _parse_branch(_strip_parens(b), tolerant=True)
+            ]
+        except UnsupportedSQL:
+            branches = []  # unusable WHERE widens to ON-only pruning
     fields = {ident: set(t.schema.fieldNames()) for ident, t in hits.items()}
+    on_map = _on_clause_constraints(stmt, masked, hits, alias_of, fields)
     out: dict[str, list[dict[str, Any]]] = {}
     for ident in hits:
         # a table READ under more than one context shares ONE view —
@@ -1300,9 +1438,27 @@ def _per_table_branches(
             for pred in b.values()
             for op, _ in (pred if isinstance(pred, list) else [pred])
         ):
-            continue  # IS NULL accepts null-extended rows — no prune
-        if per_branch:
-            out[ident] = per_branch
+            per_branch = []  # IS NULL accepts null-extended rows — the
+            # WHERE-derived prune is off, but side-gated ON constraints
+            # below still apply (their soundness is per-ON, r9)
+        combined = per_branch
+        for clause in on_map.get(ident, ()):
+            base = combined if combined else [{}]
+            merged: list[dict[str, Any]] = []
+            for wb in base:
+                for ob in clause:
+                    nb = {
+                        c: (list(p) if isinstance(p, list) else p)
+                        for c, p in wb.items()
+                    }
+                    for c, p in ob.items():
+                        _merge_conj(nb, c, p)
+                    merged.append(nb)
+            if len(merged) > _IN_EXPANSION_CAP:
+                break  # keep what's merged so far — still sound, wider
+            combined = merged
+        if combined:
+            out[ident] = combined
     return out
 
 

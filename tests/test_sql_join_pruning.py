@@ -387,3 +387,192 @@ def test_minus_disables_pruning(spark, cat):
     ).collect()
     assert got == []  # dim_ids 0..3 subtract both first-arm rows
     assert calls == []
+
+
+# --------------------------- ON-clause pruning (r9) ---------------------------
+
+
+def test_inner_join_on_conjunct_prunes_fact(spark, cat):
+    """r9 (VERDICT r8 #2): a literal range in the ON clause prunes the
+    fact exactly like the WHERE form."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = [(r["label"], r["n"]) for r in lake_sql(
+        cat,
+        "SELECT d.label AS label, COUNT(*) AS n "
+        "FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id AND f.k >= 10 AND f.k < 20 "
+        "GROUP BY d.label ORDER BY label",
+    ).collect()]
+    assert got == [("d0", 2), ("d1", 2), ("d2", 3), ("d3", 3)]
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+
+
+def test_on_and_where_bounds_merge(spark, cat):
+    """One bound in WHERE, the other in ON — the merged conjunction
+    prunes on BOTH (one of four files survives)."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = sorted(r["k"] for r in lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id AND f.k < 20 "
+        "WHERE f.k >= 10",
+    ).collect())
+    assert got == list(range(10, 20))
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+
+
+def test_left_join_on_prunes_right_side_only(spark, cat):
+    """LEFT JOIN: the ON filters the RIGHT side's match candidacy —
+    the right table prunes; the preserved LEFT table must not (its
+    rows survive a failed ON, null-extended)."""
+    fact, dim = _patched(cat)
+    # right side (fact) prunable
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT d.dim_id AS dim_id, f.k AS k FROM db.dim d "
+        "LEFT JOIN db.fact f ON d.dim_id = f.dim_id AND f.k >= 30",
+    ).collect()
+    # every dim_id has k>=30 partners: dim_id 0 → {32,36}, 1 → {33,37}…
+    assert len(got) == 10 and all(r["k"] >= 30 for r in got)
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+    # preserved side (fact on the left) NOT prunable from ON
+    calls2 = _recording(fact, "plan_files_any")
+    got2 = lake_sql(
+        cat,
+        "SELECT f.k AS k, d.label AS label FROM db.fact f "
+        "LEFT JOIN db.dim d ON f.dim_id = d.dim_id AND f.k < 10",
+    ).collect()
+    assert len(got2) == 40  # all fact rows survive; k>=10 null-extended
+    assert sum(1 for r in got2 if r["label"] is None) == 30
+    assert calls2 == []
+
+
+def test_right_join_on_prunes_left_side_only(spark, cat):
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT f.k AS k, d.dim_id AS dim_id FROM db.fact f "
+        "RIGHT JOIN db.dim d ON f.dim_id = d.dim_id AND f.k >= 30",
+    ).collect()
+    assert len(got) == 10 and all(r["k"] >= 30 for r in got)
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+    # preserved side (fact as the RIGHT table) not prunable
+    calls2 = _recording(fact, "plan_files_any")
+    got2 = lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.dim d "
+        "RIGHT JOIN db.fact f ON d.dim_id = f.dim_id AND f.k < 10",
+    ).collect()
+    assert len(got2) == 40
+    assert calls2 == []
+
+
+def test_full_join_on_never_prunes(spark, cat):
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT f.k AS k, d.dim_id AS d_id FROM db.fact f "
+        "FULL JOIN db.dim d ON f.dim_id = d.dim_id AND f.k < 10",
+    ).collect()
+    assert len(got) == 40  # 10 matched + 30 left-only (+0 right-only)
+    assert calls == []
+
+
+def test_anti_join_on_prunes_right_only(spark, cat):
+    """LEFT ANTI: the right table's ON terms restrict the exclusion
+    set exactly (rows failing them never matched) — prunable. The
+    preserved left side is NOT (non-matching rows survive)."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = sorted(r["dim_id"] for r in lake_sql(
+        cat,
+        "SELECT d.dim_id AS dim_id FROM db.dim d "
+        "LEFT ANTI JOIN db.fact f "
+        "ON d.dim_id = f.dim_id AND f.k >= 35",
+    ).collect())
+    # k in [35,40): dim_ids {35%4,36%4,37%4,38%4,39%4} = {0,1,2,3} →
+    # every dim row excluded
+    assert got == []
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+    # left side of the anti must never prune on ON terms
+    calls2 = _recording(fact, "plan_files_any")
+    got2 = sorted(r["k"] for r in lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.fact f "
+        "LEFT ANTI JOIN db.dim d ON f.dim_id = d.dim_id AND f.k < 10",
+    ).collect())
+    assert got2 == list(range(10, 40))  # k>=10 never match → survive
+    assert calls2 == []
+
+
+def test_on_bare_column_out_of_scope_not_attributed(spark, cat):
+    """A bare column in ON #1 that is unique to a lake table joined
+    LATER resolves against the in-scope relations (here the non-lake
+    view) — attributing it to the later table would prune wrongly."""
+    hits = {
+        "db.fact": cat.load_table("db.fact"),
+        "db.dim": cat.load_table("db.dim"),
+    }
+    out = _per_table_branches(
+        # `label` is unique to db.dim among lake tables, but db.dim is
+        # NOT in scope of the first ON — ev.label is what Spark sees
+        "SELECT * FROM ev e JOIN db.fact f "
+        "ON e.id = f.k AND label = 'x' "
+        "JOIN db.dim d ON f.dim_id = d.dim_id",
+        hits,
+    )
+    assert "db.dim" not in out
+    # and nothing attributed `label` to the fact either
+    assert all("label" not in b for b in out.get("db.fact", []))
+
+
+def test_disjunctive_on_skipped(spark, cat):
+    """An OR inside the ON doesn't AND-merge — the clause is skipped
+    (wider), results stay exact."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = sorted(r["k"] for r in lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id AND (f.k < 5 OR f.k >= 35)",
+    ).collect())
+    assert got == [0, 1, 2, 3, 4, 35, 36, 37, 38, 39]
+    assert calls == []
+
+
+def test_on_results_match_unpruned_reference(spark, cat):
+    """ON-pruned joins return exactly what fully-resolved unpruned SQL
+    does across join types."""
+    fact, dim = _patched(cat)
+    fact.to_view("fact_on_ref")
+    dim.to_view("dim_on_ref")
+    shapes = [
+        "SELECT f.k AS k, d.label AS label FROM {f} f JOIN {d} d "
+        "ON f.dim_id = d.dim_id AND f.k BETWEEN 12 AND 27",
+        "SELECT d.dim_id AS i, f.k AS k FROM {d} d LEFT JOIN {f} f "
+        "ON d.dim_id = f.dim_id AND f.amount >= 33.0",
+        "SELECT f.k AS k, d.label AS label FROM {f} f RIGHT JOIN {d} d "
+        "ON f.dim_id = d.dim_id AND f.k >= 38",
+        "SELECT f.k AS k FROM {f} f LEFT SEMI JOIN {d} d "
+        "ON f.dim_id = d.dim_id AND f.k < 7",
+    ]
+    key = lambda t: tuple((v is None, v) for v in t)
+    for q in shapes:
+        got = sorted(
+            (tuple(r) for r in lake_sql(
+                cat, q.format(f="db.fact", d="db.dim")
+            ).collect()),
+            key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in fact.spark.sql(
+                q.format(f="fact_on_ref", d="dim_on_ref")
+            ).collect()),
+            key=key,
+        )
+        assert got == want and got, q
