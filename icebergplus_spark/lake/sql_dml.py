@@ -537,6 +537,33 @@ _IN_SUBQUERY = re.compile(
     rf"^({_IDENT})\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_NOT_IN_SUBQUERY = re.compile(
+    rf"^({_IDENT})\s+NOT\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXISTS_SUBQUERY = re.compile(r"\bEXISTS\s*\(", re.IGNORECASE)
+
+
+def _subquery_keys(
+    catalog: LocalLakeCatalog, t: LakeTable, col: str, subq: str
+):
+    """Run an (NOT) IN-subquery and shape its single column onto the
+    target column's name/type. Returns (keys_df, has_null) — the NULL
+    probe is ONE bounded action (limit 1), not a collect."""
+    from pyspark.sql import functions as F
+
+    if col not in t.schema.fieldNames():
+        raise UnsupportedSQL(f"no such column: {col}")
+    keys = lake_sql(catalog, subq.strip())
+    if len(keys.columns) != 1:
+        raise UnsupportedSQL(
+            "IN-subquery must return exactly one column, got "
+            f"{len(keys.columns)}"
+        )
+    dtype = next(f.dataType for f in t.schema.fields if f.name == col)
+    src = keys.select(F.col(keys.columns[0]).cast(dtype).alias(col))
+    has_null = src.filter(F.col(col).isNull()).limit(1).count() > 0
+    return src, has_null
 
 
 def _parens_balanced(s: str) -> bool:
@@ -1906,23 +1933,38 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             m_sub = None  # compound WHERE ending in ')' — grammar path
         if m_sub:
             col, subq = m_sub.groups()
-            if col not in t.schema.fieldNames():
-                raise UnsupportedSQL(f"no such column: {col}")
-            keys = lake_sql(catalog, subq.strip())
-            if len(keys.columns) != 1:
-                raise UnsupportedSQL(
-                    "IN-subquery must return exactly one column, got "
-                    f"{len(keys.columns)}"
-                )
+            src, _ = _subquery_keys(catalog, t, col, subq)
+            return t.delete_by_key(src.distinct())
+        # DELETE ... WHERE col NOT IN (SELECT ...) (r9, VERDICT r8 #3):
+        # three-valued NULL semantics are the classic silent-wrong trap —
+        # ANY NULL in the key set makes `col NOT IN (...)` never TRUE
+        # (NULL or FALSE for every row), so the statement is a no-op;
+        # otherwise rows with col IS NULL evaluate NULL (kept) and the
+        # rest delete exactly when unmatched. Routed as an anti-join
+        # through merge_into's BY SOURCE delete with an explicit
+        # IS NOT NULL condition — never a driver-side key collect.
+        m_nsub = _NOT_IN_SUBQUERY.match(where.strip())
+        if m_nsub and not _parens_balanced(m_nsub.group(2)):
+            m_nsub = None
+        if m_nsub:
             from pyspark.sql import functions as F
 
-            dtype = next(
-                f.dataType for f in t.schema.fields if f.name == col
+            col, subq = m_nsub.groups()
+            src, has_null = _subquery_keys(catalog, t, col, subq)
+            if has_null:
+                return t  # NOT IN over a NULL-bearing set matches no row
+            return t.merge_into(
+                src.distinct(),
+                on=col,
+                when_not_matched_insert=False,
+                when_not_matched_by_source_delete=True,
+                not_matched_by_source_condition=F.col(col).isNotNull(),
             )
-            return t.delete_by_key(
-                keys.select(
-                    F.col(keys.columns[0]).cast(dtype).alias(col)
-                ).distinct()
+        if _EXISTS_SUBQUERY.search(where):
+            raise UnsupportedSQL(
+                "EXISTS/correlated subqueries are not supported in DML "
+                "WHERE; use an uncorrelated [NOT] IN (SELECT ...) or the "
+                "Python API (scan().filter + overwrite)"
             )
         return t.delete(_or_arg(t, where))
 
@@ -1950,25 +1992,36 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         m_sub = _IN_SUBQUERY.match(where.strip())
         if m_sub and _parens_balanced(m_sub.group(2)):
             keycol, subq = m_sub.groups()
-            if keycol not in t.schema.fieldNames():
-                raise UnsupportedSQL(f"no such column: {keycol}")
-            keys = lake_sql(catalog, subq.strip())
-            if len(keys.columns) != 1:
-                raise UnsupportedSQL(
-                    "IN-subquery must return exactly one column, got "
-                    f"{len(keys.columns)}"
-                )
-            dtype = next(
-                f.dataType for f in t.schema.fields if f.name == keycol
-            )
-            src = keys.select(
-                F.col(keys.columns[0]).cast(dtype).alias(keycol)
-            ).distinct()
+            src, _ = _subquery_keys(catalog, t, keycol, subq)
             return t.merge_into(
-                src,
+                src.distinct(),
                 on=keycol,
                 when_matched_update=assignments,
                 when_not_matched_insert=False,
+            )
+        # UPDATE ... WHERE col NOT IN (SELECT ...) (r9): same NULL
+        # semantics as the DELETE form (any NULL key ⇒ no row updates;
+        # NULL target keys never update), routed through merge_into's
+        # BY SOURCE update clause — target rows with no source match
+        # get the SET expressions, matched rows stay untouched.
+        m_nsub = _NOT_IN_SUBQUERY.match(where.strip())
+        if m_nsub and _parens_balanced(m_nsub.group(2)):
+            keycol, subq = m_nsub.groups()
+            src, has_null = _subquery_keys(catalog, t, keycol, subq)
+            if has_null:
+                return t
+            return t.merge_into(
+                src.distinct(),
+                on=keycol,
+                when_not_matched_insert=False,
+                when_not_matched_by_source_update=assignments,
+                not_matched_by_source_condition=F.col(keycol).isNotNull(),
+            )
+        if _EXISTS_SUBQUERY.search(where):
+            raise UnsupportedSQL(
+                "EXISTS/correlated subqueries are not supported in DML "
+                "WHERE; use an uncorrelated [NOT] IN (SELECT ...) or the "
+                "Python API (scan().filter + overwrite)"
             )
         return t.update_where(_or_arg(t, where), assignments)
 

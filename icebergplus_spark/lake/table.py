@@ -2962,6 +2962,7 @@ class LakeTable:
         not_matched_by_source_condition: Any | None,
         t0: float,
         not_matched_insert_condition: Any | None = None,
+        when_not_matched_by_source_update: dict[str, Any] | None = None,
     ) -> "LakeTable":
         """Merge-on-read MERGE under deletion vectors: the same
         clause/gate semantics as the copy-on-write ``merge_into``
@@ -2982,12 +2983,16 @@ class LakeTable:
             raise ValueError("update and delete matched-clauses are exclusive")
 
         mapping = self._column_mapping
+        by_source = bool(
+            when_not_matched_by_source_delete
+            or when_not_matched_by_source_update
+        )
         snap = self.snapshot()
         k0 = keys[0]
         bounds = source.agg(
             _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
         ).first()
-        if bounds["lo"] is None and not when_not_matched_by_source_delete:
+        if bounds["lo"] is None and not by_source:
             return self
         # NOTE: snap may be None (never-written table) — only inserts
         # can fire then; the generic flow below handles it (empty
@@ -2995,7 +3000,7 @@ class LakeTable:
         # matching the CoW path's operation for CDC consumers (r6
         # review: the old early-return appended with missing source
         # columns unfilled and a different op name).
-        if when_not_matched_by_source_delete:
+        if by_source:
             affected = self.plan_files()
         elif bounds["lo"] is None:
             affected = []
@@ -3072,14 +3077,16 @@ class LakeTable:
             if (when_matched_update or when_matched_delete)
             else _F.lit(False)
         )
-        if when_not_matched_by_source_delete:
-            is_target_only = _F.col("__s").isNull()
-            bys_gate = (
-                is_target_only
-                & _F.coalesce(not_matched_by_source_condition, _F.lit(False))
-                if not_matched_by_source_condition is not None
-                else is_target_only
-            )
+        is_target_only = _F.col("__s").isNull()
+        bys_gate = (
+            is_target_only
+            & _F.coalesce(not_matched_by_source_condition, _F.lit(False))
+            if not_matched_by_source_condition is not None
+            else is_target_only
+        )
+        if by_source:
+            # delete: tombstone, done. update: tombstone the pre-image
+            # and append the post-image below, like the matched clause.
             kill = kill | bys_gate
         matches = joined.filter(kill).select(
             _F.col("__file").alias("file_path"), _F.col("__pos").alias("pos")
@@ -3095,6 +3102,16 @@ class LakeTable:
                 col = _F.when(
                     gate, as_col(when_matched_update[f.name], f.dataType)
                 ).otherwise(col)
+            if (
+                when_not_matched_by_source_update
+                and f.name in when_not_matched_by_source_update
+            ):
+                col = _F.when(
+                    bys_gate,
+                    as_col(
+                        when_not_matched_by_source_update[f.name], f.dataType
+                    ),
+                ).otherwise(col)
             if when_not_matched_insert:
                 src_col = (
                     _F.col(f"src_{f.name}")
@@ -3108,6 +3125,8 @@ class LakeTable:
         append_gate = _F.lit(False)
         if when_matched_update:
             append_gate = append_gate | gate
+        if when_not_matched_by_source_update:
+            append_gate = append_gate | bys_gate
         if when_not_matched_insert:
             append_gate = append_gate | ins_gate
         if carry_lineage:
@@ -3116,7 +3135,8 @@ class LakeTable:
             # birth — the inheritance rule mints theirs from the new
             # file's committed first-row-id, same as the CoW path
             birth = _F.when(
-                gate, _F.lit(None).cast("long")
+                gate | (bys_gate if when_not_matched_by_source_update else _F.lit(False)),
+                _F.lit(None).cast("long"),
             ).otherwise(_F.col(self.LINEAGE_BIRTH_COL))
             appended = joined.filter(append_gate).select(
                 *out_cols,
@@ -3185,6 +3205,7 @@ class LakeTable:
         when_not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: Any | None = None,
         not_matched_insert_condition: Any | None = None,
+        when_not_matched_by_source_update: dict[str, Any] | None = None,
     ) -> "LakeTable":
         """Multi-clause MERGE (Iceberg/Delta ``MERGE INTO`` parity,
         beyond the single-clause upsert ``merge``):
@@ -3210,6 +3231,13 @@ class LakeTable:
           columns. This clause must examine EVERY target row, so it
           disables stats targeting and rewrites the whole table — the
           same full-target scan Delta/Iceberg pay for BY SOURCE clauses.
+        - ``when_not_matched_by_source_update``: column → literal or
+          Column expression over TARGET columns, applied to target rows
+          with NO source match (Delta's ``WHEN NOT MATCHED BY SOURCE
+          THEN UPDATE`` — and the engine of SQL ``UPDATE ... WHERE col
+          NOT IN (subquery)``, r9), optionally gated by
+          ``not_matched_by_source_condition``. Mutually exclusive with
+          the BY SOURCE delete clause; same full-target scan.
 
         Copy-on-write and stats-targeted like ``merge``: only files whose
         key range intersects the source's [min,max] are rewritten."""
@@ -3220,11 +3248,22 @@ class LakeTable:
         keys = [on] if isinstance(on, str) else list(on)
         if when_matched_update and when_matched_delete:
             raise ValueError("update and delete matched-clauses are exclusive")
+        if when_not_matched_by_source_delete and when_not_matched_by_source_update:
+            raise ValueError(
+                "update and delete BY SOURCE clauses are exclusive"
+            )
         names = self.schema.fieldNames()
         for c in keys:
             if c not in names or c not in source.columns:
                 raise KeyError(f"merge key {c!r} missing from table or source")
-        bad = [c for c in (when_matched_update or {}) if c not in names]
+        bad = [
+            c
+            for c in (
+                list(when_matched_update or {})
+                + list(when_not_matched_by_source_update or {})
+            )
+            if c not in names
+        ]
         if bad:
             raise KeyError(f"no such column(s): {bad}")
         props = self.properties or {}
@@ -3249,23 +3288,28 @@ class LakeTable:
                 not_matched_by_source_condition,
                 t0,
                 not_matched_insert_condition,
+                when_not_matched_by_source_update,
             )
         mapping = self._column_mapping
+        by_source = bool(
+            when_not_matched_by_source_delete
+            or when_not_matched_by_source_update
+        )
 
         # stats-target affected files by the source's key range (first key)
         k0 = keys[0]
         bounds = source.agg(
             _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
         ).first()
-        if bounds["lo"] is None and not when_not_matched_by_source_delete:
+        if bounds["lo"] is None and not by_source:
             # Empty source (or all-NULL first key): nothing can match and
-            # nothing can insert. BUT a BY SOURCE delete clause must still
-            # judge every target row — SQL semantics delete the whole
+            # nothing can insert. BUT a BY SOURCE clause must still
+            # judge every target row — SQL semantics fire it on the whole
             # (condition-matching) target when the source is empty, the
             # full-sync/replication case — so it falls through.
             return self
         all_files = self.plan_files()
-        if when_not_matched_by_source_delete:
+        if by_source:
             # BY SOURCE clauses judge every target row — no file can be
             # carried over unexamined
             affected = all_files
@@ -3330,12 +3374,30 @@ class LakeTable:
         def as_col(v, dtype):
             return (v if isinstance(v, Column) else _F.lit(v)).cast(dtype)
 
+        is_target_only = _F.col("__s").isNull()
+        # same NULL-means-no-fire coalescing as the matched gate
+        bys_gate = (
+            is_target_only
+            & _F.coalesce(not_matched_by_source_condition, _F.lit(False))
+            if not_matched_by_source_condition is not None
+            else is_target_only
+        )
         out_cols = []
         for f in self.schema.fields:
             col = _F.col(f.name)
             if when_matched_update and f.name in when_matched_update:
                 col = _F.when(
                     gate, as_col(when_matched_update[f.name], f.dataType)
+                ).otherwise(col)
+            if (
+                when_not_matched_by_source_update
+                and f.name in when_not_matched_by_source_update
+            ):
+                col = _F.when(
+                    bys_gate,
+                    as_col(
+                        when_not_matched_by_source_update[f.name], f.dataType
+                    ),
                 ).otherwise(col)
             if when_not_matched_insert:
                 src_col = (
@@ -3357,14 +3419,6 @@ class LakeTable:
             # keeping the unconditional merge plan unchanged)
             result = result.filter(~is_source_only | ins_gate)
         if when_not_matched_by_source_delete:
-            is_target_only = _F.col("__s").isNull()
-            # same NULL-means-no-fire coalescing as the matched gate
-            bys_gate = (
-                is_target_only
-                & _F.coalesce(not_matched_by_source_condition, _F.lit(False))
-                if not_matched_by_source_condition is not None
-                else is_target_only
-            )
             result = result.filter(~bys_gate)
         # unmatched-source rows with insert disabled are gone; matched &
         # target-only rows keep/compute target columns
@@ -3374,6 +3428,10 @@ class LakeTable:
             birth = _F.col(self.LINEAGE_BIRTH_COL)
             if when_matched_update:
                 birth = _F.when(gate, _F.lit(None).cast("long")).otherwise(birth)
+            if when_not_matched_by_source_update:
+                birth = _F.when(
+                    bys_gate, _F.lit(None).cast("long")
+                ).otherwise(birth)
             result = result.select(
                 *out_cols,
                 _F.col(self.LINEAGE_ID_COL),

@@ -1451,3 +1451,146 @@ def q164_sql_cte_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM recent r JOIN bench.cte_cust c ON r.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment ORDER BY segment",
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — DELETE ... WHERE col NOT IN (SELECT ...) (r9, VERDICT r8 #3):
+# the keep-list delete (retention allowlists, GDPR keep-sets) with
+# SQL's three-valued NULL semantics done right. Phase 1 deletes orders
+# whose custkey is NOT among one segment's customers (anti-join via
+# merge_into's BY SOURCE delete, never a driver-side key collect; the
+# IS NOT NULL condition keeps NULL-key rows, as NULL NOT IN evaluates
+# NULL). Phase 2 replays a NOT IN whose key set CONTAINS a NULL — the
+# classic trap: it must be a NO-OP (NOT IN over a NULL-bearing set is
+# never TRUE). The oracle replays both phases declaratively; a hash
+# match proves phase 1's exact key set AND phase 2's no-op-ness.
+# ---------------------------------------------------------------------------
+@register(
+    "q165_sql_delete_not_in",
+    oracle="""
+SELECT o.o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+GROUP BY o.o_orderstatus
+ORDER BY status
+""",
+)
+def q165_sql_delete_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_notin_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_notin", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_notin", cust.schema)
+    c.append(cust)
+    # phase 1: keep only AUTOMOBILE customers' orders
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_notin WHERE o_custkey NOT IN ("
+        "SELECT c_custkey FROM bench.cust_notin "
+        "WHERE c_mktsegment = 'AUTOMOBILE')",
+    )
+    # phase 2: a NULL-bearing key set — MUST be a no-op (any NULL key
+    # makes NOT IN never TRUE); the oracle's result proves it
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_notin WHERE o_custkey NOT IN ("
+        "SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END "
+        "FROM bench.cust_notin)",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderstatus AS status, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_notin GROUP BY o_orderstatus ORDER BY status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — UPDATE ... WHERE col NOT IN (SELECT ...) (r9): the complement
+# of q163 — rows OUTSIDE the key set get the SET expressions, routed
+# through merge_into's new WHEN NOT MATCHED BY SOURCE UPDATE clause
+# (Delta parity). The oracle's CASE uses DuckDB's own NOT IN, so a
+# hash match proves the anti-join reproduces three-valued semantics
+# over a non-NULL key set; the second phase replays a NULL-bearing set
+# (must no-op), mirroring q165.
+# ---------------------------------------------------------------------------
+@register(
+    "q166_sql_update_not_in",
+    oracle="""
+WITH flagged AS (
+  SELECT CASE WHEN o_custkey NOT IN (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+         ) THEN 'EXTERNAL' ELSE o_orderpriority END AS pri,
+         o_totalprice
+  FROM orders
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM flagged
+GROUP BY pri
+ORDER BY pri
+""",
+)
+def q166_sql_update_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_updnotin_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_updnotin", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_updnotin", cust.schema)
+    c.append(cust)
+    lake_sql(
+        cat,
+        "UPDATE bench.ord_updnotin SET o_orderpriority = 'EXTERNAL' "
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM "
+        "bench.cust_updnotin WHERE c_mktsegment = 'FURNITURE')",
+    )
+    # NULL-bearing key set — must not update anything
+    lake_sql(
+        cat,
+        "UPDATE bench.ord_updnotin SET o_orderpriority = 'WRONG' "
+        "WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0 "
+        "THEN NULL ELSE c_custkey END FROM bench.cust_updnotin)",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_updnotin GROUP BY o_orderpriority ORDER BY pri",
+    )

@@ -1,0 +1,181 @@
+"""NOT IN (SELECT ...) DML (r9, VERDICT r8 #3) — the three-valued NULL
+semantics battery. SQL's trap: ANY NULL in the key set makes
+``col NOT IN (...)`` never TRUE (the whole statement is a no-op), and a
+NULL target key evaluates NULL (row kept / not updated). Routed as an
+anti-join through merge_into's BY SOURCE clauses — never a driver-side
+key collect. Plus loud refusals for EXISTS/correlated shapes and the
+new ``when_not_matched_by_source_update`` merge clause itself."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
+
+T = StructType(
+    [
+        StructField("k", IntegerType(), True),
+        StructField("v", StringType(), True),
+    ]
+)
+KEYS = StructType([StructField("kk", IntegerType(), True)])
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = c.create_table("db.t", T)
+    # k 1..8 plus one NULL-key row
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 9)] + [(None, "vnull")], T
+        )
+    )
+    ks = c.create_table("db.keys", KEYS)
+    ks.append(spark.createDataFrame([(2,), (4,), (6,)], KEYS))
+    ksn = c.create_table("db.keys_null", KEYS)
+    ksn.append(spark.createDataFrame([(2,), (None,), (6,)], KEYS))
+    return c
+
+
+def _rows(cat):
+    return sorted(
+        (
+            (r["k"], r["v"])
+            for r in lake_sql(cat, "SELECT k, v FROM db.t").collect()
+        ),
+        key=lambda p: (p[0] is None, p[0], p[1]),
+    )
+
+
+def test_delete_not_in_basic(spark, cat):
+    """Deletes exactly the non-NULL keys outside the set; the NULL-key
+    row evaluates NULL → kept."""
+    lake_sql(
+        cat, "DELETE FROM db.t WHERE k NOT IN (SELECT kk FROM db.keys)"
+    )
+    assert _rows(cat) == [
+        (2, "v2"), (4, "v4"), (6, "v6"), (None, "vnull"),
+    ]
+
+
+def test_delete_not_in_null_key_set_is_noop(spark, cat):
+    """ANY NULL in the key set ⇒ NOT IN is never TRUE ⇒ the DELETE
+    removes nothing (the classic silent-wrong trap, done right)."""
+    before = _rows(cat)
+    lake_sql(
+        cat,
+        "DELETE FROM db.t WHERE k NOT IN (SELECT kk FROM db.keys_null)",
+    )
+    assert _rows(cat) == before and len(before) == 9
+
+
+def test_update_not_in_basic(spark, cat):
+    """Updates exactly the non-NULL keys outside the set; matched rows
+    and the NULL-key row untouched."""
+    lake_sql(
+        cat,
+        "UPDATE db.t SET v = 'OUT' "
+        "WHERE k NOT IN (SELECT kk FROM db.keys)",
+    )
+    assert _rows(cat) == [
+        (1, "OUT"), (2, "v2"), (3, "OUT"), (4, "v4"),
+        (5, "OUT"), (6, "v6"), (7, "OUT"), (8, "OUT"),
+        (None, "vnull"),
+    ]
+
+
+def test_update_not_in_null_key_set_is_noop(spark, cat):
+    before = _rows(cat)
+    lake_sql(
+        cat,
+        "UPDATE db.t SET v = 'OUT' "
+        "WHERE k NOT IN (SELECT kk FROM db.keys_null)",
+    )
+    assert _rows(cat) == before
+
+
+def test_update_not_in_set_expression_sees_target_row(spark, cat):
+    lake_sql(
+        cat,
+        "UPDATE db.t SET v = concat(v, '!') "
+        "WHERE k NOT IN (SELECT kk FROM db.keys)",
+    )
+    got = dict(_rows(cat))
+    assert got[1] == "v1!" and got[2] == "v2" and got[8] == "v8!"
+
+
+def test_exists_refused_loudly(spark, cat):
+    for stmt in (
+        "DELETE FROM db.t WHERE EXISTS (SELECT 1 FROM db.keys)",
+        "UPDATE db.t SET v = 'x' "
+        "WHERE EXISTS (SELECT 1 FROM db.keys WHERE kk = 2)",
+    ):
+        with pytest.raises(UnsupportedSQL, match="EXISTS/correlated"):
+            lake_sql(cat, stmt)
+
+
+def test_correlated_in_subquery_fails_loudly(spark, cat):
+    """A correlated IN-subquery (references the target) cannot resolve
+    standalone — it surfaces an error, never a silent wrong delete."""
+    before = _rows(cat)
+    with pytest.raises(Exception):
+        lake_sql(
+            cat,
+            "DELETE FROM db.t WHERE k IN "
+            "(SELECT kk FROM db.keys WHERE kk = db.t.k)",
+        )
+    assert _rows(cat) == before
+
+
+def test_merge_by_source_update_clause_cow(spark, cat):
+    """The new merge_into clause directly: unmatched target rows get
+    the SET expressions, matched rows don't; exclusive with the BY
+    SOURCE delete."""
+    t = cat.load_table("db.t")
+    src = spark.createDataFrame([(2,), (4,)], "k int")
+    t.merge_into(
+        src,
+        on="k",
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"v": F.lit("stale")},
+        not_matched_by_source_condition=F.col("k").isNotNull(),
+    )
+    got = dict(_rows(cat))
+    assert got[2] == "v2" and got[4] == "v4"
+    assert all(got[k] == "stale" for k in (1, 3, 5, 6, 7, 8))
+    assert got[None] == "vnull"  # condition-gated: NULL key untouched
+    with pytest.raises(ValueError, match="exclusive"):
+        t.merge_into(
+            src,
+            on="k",
+            when_not_matched_by_source_delete=True,
+            when_not_matched_by_source_update={"v": F.lit("x")},
+        )
+
+
+def test_not_in_delete_mor_tombstones(spark, tmp_path):
+    """Merge-on-read route: the NOT IN delete lands as DV tombstones
+    (no data-file rewrite), and the scan applies them."""
+    c = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
+    t = c.create_table("db.m", T)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(1, 7)], T)
+    )
+    files_before = {f["file_path"] for f in t.plan_files()}
+    ks = c.create_table("db.mkeys", KEYS)
+    ks.append(spark.createDataFrame([(1,), (2,), (3,)], KEYS))
+    lake_sql(
+        c, "DELETE FROM db.m WHERE k NOT IN (SELECT kk FROM db.mkeys)"
+    )
+    t2 = c.load_table("db.m")
+    assert sorted(r["k"] for r in t2.scan().collect()) == [1, 2, 3]
+    # original data files untouched — the delete is tombstones
+    assert files_before <= {f["file_path"] for f in t2.plan_files()}
