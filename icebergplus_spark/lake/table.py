@@ -4432,6 +4432,87 @@ class LakeTable:
             files = files.filter(self._stats_keep_condition(phys_preds))
         return [r.asDict() for r in files.collect()]
 
+    def _manifest_df(self, snap: dict[str, Any]) -> DataFrame:
+        """The snapshot's manifest entries as a Spark DataFrame — the
+        substrate every executor-tier planning/fold path filters."""
+        return self.spark.read.parquet(
+            *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
+        )
+
+    def _n_manifest_entries(self, snap: dict[str, Any]) -> int:
+        """Entry count from manifest parquet FOOTERS (no data I/O) —
+        the tier-selection input shared by plan_files and the metadata
+        folds (r9)."""
+        return sum(
+            pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
+            for m in snap["manifests"]
+        )
+
+    def _fold_distributed(self, snap: dict[str, Any]) -> bool:
+        """Whether metadata folds should run as Spark jobs over the
+        manifest parquet instead of a driver-side loop (r9, VERDICT r8
+        #4: ``count_rows_by``'s ``meta_pairs`` was O(live files) on the
+        driver) — same knob and default as ``plan_files``."""
+        threshold = int(
+            self.properties.get("planning.distributed-threshold", "100000")
+        )
+        return self._n_manifest_entries(snap) > threshold
+
+    def _stats_full_condition(self, phys_preds: dict[str, Any]):
+        """Catalyst twin of ``_file_fully_matches``: TRUE only when the
+        entry's stats PROVE every row of the file satisfies all
+        predicates — [min,max] entirely inside the range and a
+        known-zero null count for comparisons, exact null-count
+        equalities for IS [NOT] NULL. Uncastable stats compare NULL →
+        coalesced FALSE, mirroring the driver path's TypeError → scan
+        leg (never wrong, only slower)."""
+        from pyspark.sql import functions as _F
+
+        from icebergplus_spark.lake.transforms import field_name
+
+        phys_types = {
+            f.name: f.dataType for f in self.physical_schema.fields
+        }
+        for pf in self.partition_spec:
+            if pf["transform"] != "identity":
+                phys_types.setdefault(field_name(pf), None)
+        cond = _F.lit(True)
+        for col, pred in phys_preds.items():
+            dtype = phys_types.get(col)
+            mn = _F.get_json_object(_F.col("column_mins"), f"$.{col}")
+            mx = _F.get_json_object(_F.col("column_maxs"), f"$.{col}")
+            nullc = _F.get_json_object(
+                _F.col("column_null_counts"), f"$.{col}"
+            ).cast("long")
+            mn_c = mn.cast(dtype) if dtype is not None else mn
+            mx_c = mx.cast(dtype) if dtype is not None else mx
+            for op, val in _pred_list(pred):
+                if op == "isnull":
+                    cond = cond & _F.coalesce(
+                        nullc == _F.col("record_count"), _F.lit(False)
+                    )
+                    continue
+                if op == "notnull":
+                    cond = cond & _F.coalesce(nullc == 0, _F.lit(False))
+                    continue
+                lit = _F.lit(val)
+                proven = {
+                    "<": mx_c < lit,
+                    "<=": mx_c <= lit,
+                    ">": mn_c > lit,
+                    ">=": mn_c >= lit,
+                    "=": (mn_c == lit) & (mx_c == lit),
+                    "!=": (lit < mn_c) | (mx_c < lit),
+                }[op]
+                cond = (
+                    cond
+                    & _F.coalesce(nullc == 0, _F.lit(False))
+                    & mn.isNotNull()
+                    & mx.isNotNull()
+                    & _F.coalesce(proven, _F.lit(False))
+                )
+        return cond
+
     def _stats_keep_condition(self, phys_preds: dict[str, Any]):
         """Catalyst condition over manifest-entry rows implementing the
         same keep/prune semantics as the driver-side ``_file_matches``
@@ -4621,6 +4702,8 @@ class LakeTable:
                 )
                 .count()
             )
+        if self._fold_distributed(snap):
+            return self._count_rows_distributed(snap, branches)
         if branches is None:
             kept = self.plan_files(None, snapshot_id)
             return sum(r["record_count"] for r in kept)
@@ -4650,6 +4733,50 @@ class LakeTable:
             df = self._read_live([r["file_path"] for r in partial], snap)
             df = df.select(
                 *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+            )
+            total += df.filter(
+                _F.coalesce(
+                    _branches_match_cond(branches, lambda c: c), _F.lit(False)
+                )
+            ).count()
+        return total
+
+    def _count_rows_distributed(
+        self, snap: dict[str, Any], branches: list[dict[str, Any]] | None
+    ) -> int:
+        """``count_rows``'s fold as a Spark job over the manifest
+        parquet (r9, VERDICT r8 #4): kept entries never land on the
+        driver — fully-covered files SUM(record_count) on executors,
+        and only the boundary files' PATHS are collected (bounded by
+        the residual scan the driver must build anyway)."""
+        from pyspark.sql import functions as _F
+
+        files = self._manifest_df(snap)
+        if branches is None:
+            n = files.agg(_F.sum("record_count")).first()[0]
+            return int(n or 0)
+        mapping = self._column_mapping
+        phys_branches = [
+            {mapping.get(c, c): v for c, v in b.items()} for b in branches
+        ]
+        keep_any = _F.lit(False)
+        full_any = _F.lit(False)
+        for pb in phys_branches:
+            keep_any = keep_any | self._stats_keep_condition(pb)
+            full_any = full_any | self._stats_full_condition(pb)
+        files = files.filter(keep_any)
+        n = files.filter(full_any).agg(_F.sum("record_count")).first()[0]
+        total = int(n or 0)
+        boundary = sorted(
+            r[0]
+            for r in files.filter(~full_any).select("file_path").collect()
+        )
+        if boundary:
+            df = self._read_live(boundary, snap).select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
             )
             total += df.filter(
                 _F.coalesce(
@@ -4747,6 +4874,10 @@ class LakeTable:
             else:
                 df = _residual(self.scan_pruned_any(branches, snapshot_id))
             return _agg_all(df)
+        if self._fold_distributed(snap):
+            return self._stats_extrema_distributed(
+                snap, cols, types, foldable, branches, _residual, _agg_all
+            )
         mapping = self._column_mapping
         if branches is None:
             files = self.plan_files(None, snapshot_id)
@@ -4794,6 +4925,97 @@ class LakeTable:
                     hi[c] = maxs[phys]
         if scan_paths:
             df = self._read_live(sorted(scan_paths), snap).select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            scanned = _agg_all(_residual(df))
+            for c in cols:
+                smn, smx = scanned[c]
+                if smn is not None and (c not in lo or smn < lo[c]):
+                    lo[c] = smn
+                if smx is not None and (c not in hi or smx > hi[c]):
+                    hi[c] = smx
+        return {c: (lo.get(c), hi.get(c)) for c in cols}
+
+    def _stats_extrema_distributed(
+        self,
+        snap: dict[str, Any],
+        cols: list[str],
+        types: dict[str, Any],
+        foldable: dict[str, bool],
+        branches: list[dict[str, Any]] | None,
+        _residual,
+        _agg_all,
+    ) -> dict[str, tuple[Any, Any]]:
+        """``stats_extrema``'s fold as a Spark job over the manifest
+        parquet (r9, VERDICT r8 #4): fully-covered entries MIN/MAX
+        their typed stats on executors (one agg for every requested
+        column); only boundary/statless files' paths are collected for
+        the shared residual scan. Collected extrema convert back to the
+        stats domain (``_to_stats_domain``) so the scan-leg merge uses
+        the same ordering the driver tier does."""
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        files = self._manifest_df(snap)
+        full_any = _F.lit(True)
+        if branches is not None:
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+            keep_any = _F.lit(False)
+            full_any = _F.lit(False)
+            for pb in phys_branches:
+                keep_any = keep_any | self._stats_keep_condition(pb)
+                full_any = full_any | self._stats_full_condition(pb)
+            files = files.filter(keep_any)
+        aggs = []
+        statless = _F.lit(False)
+        fold_cols = [c for c in cols if foldable[c]]
+        for i, c in enumerate(fold_cols):
+            phys = mapping.get(c, c)
+            mn = _F.get_json_object(_F.col("column_mins"), f"$.{phys}")
+            mx = _F.get_json_object(_F.col("column_maxs"), f"$.{phys}")
+            nullc = _F.get_json_object(
+                _F.col("column_null_counts"), f"$.{phys}"
+            ).cast("long")
+            all_null = _F.coalesce(
+                nullc == _F.col("record_count"), _F.lit(False)
+            )
+            aggs.append(_F.min(mn.cast(types[c])).alias(f"mn{i}"))
+            aggs.append(_F.max(mx.cast(types[c])).alias(f"mx{i}"))
+            # a fully-covered file with LIVE rows but no stats for this
+            # column still needs its exact rows (driver-tier parity)
+            statless = statless | (
+                (mn.isNull() | mx.isNull()) & ~all_null
+            )
+        lo: dict[str, Any] = {}
+        hi: dict[str, Any] = {}
+        if aggs:
+            row = files.filter(full_any).agg(*aggs).first()
+            for i, c in enumerate(fold_cols):
+                mn_v = _to_stats_domain(row[f"mn{i}"])
+                mx_v = _to_stats_domain(row[f"mx{i}"])
+                if mn_v is not None:
+                    lo[c] = mn_v
+                if mx_v is not None:
+                    hi[c] = mx_v
+        boundary_cond = (
+            _F.lit(True)
+            if not all(foldable[c] for c in cols)
+            else (~full_any) | statless
+        )
+        boundary = sorted(
+            r[0]
+            for r in files.filter(boundary_cond)
+            .select("file_path")
+            .collect()
+        )
+        if boundary:
+            df = self._read_live(boundary, snap).select(
                 *[
                     _F.col(mapping[f.name]).alias(f.name)
                     for f in self.schema.fields
@@ -4866,6 +5088,10 @@ class LakeTable:
                 else self.scan_pruned_any(branches, snapshot_id)
             )
             return _grouped(base)
+        if self._fold_distributed(snap):
+            return self._count_rows_by_distributed(
+                snap, columns, col_fields, branches, alias, _grouped
+            )
         mapping = self._column_mapping
         if branches is None:
             files = self.plan_files(None, snapshot_id)
@@ -4931,6 +5157,90 @@ class LakeTable:
         return (
             meta_df.groupBy(*columns)
             .agg(_F.sum(alias).cast("long").alias(alias))
+        )
+
+    def _count_rows_by_distributed(
+        self,
+        snap: dict[str, Any],
+        columns: list[str],
+        col_fields: list,
+        branches: list[dict[str, Any]] | None,
+        alias: str,
+        _grouped,
+    ) -> DataFrame:
+        """``count_rows_by``'s fold as a Spark job over the manifest
+        parquet (r9, VERDICT r8 #4: the ``meta_pairs`` list was O(live
+        files) on the driver). Classification — fully covered by some
+        branch AND single-valued (or all-null) in every group column —
+        compiles to Catalyst over the JSON stats; qualifying entries
+        contribute ``(group values, record_count)`` WITHOUT leaving
+        executors, and only boundary files' paths are collected (the
+        residual scan needs exactly that list). Group-value equality
+        tests compare the raw JSON stat strings — a single value
+        serializes identically in min and max — and values surface via
+        the same cast the keep-condition uses."""
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        files = self._manifest_df(snap)
+        full_any = _F.lit(True)
+        if branches is not None:
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+            keep_any = _F.lit(False)
+            full_any = _F.lit(False)
+            for pb in phys_branches:
+                keep_any = keep_any | self._stats_keep_condition(pb)
+                full_any = full_any | self._stats_full_condition(pb)
+            files = files.filter(keep_any)
+        g_ok = _F.lit(True)
+        g_vals = []
+        for f in col_fields:
+            phys = mapping.get(f.name, f.name)
+            mn = _F.get_json_object(_F.col("column_mins"), f"$.{phys}")
+            mx = _F.get_json_object(_F.col("column_maxs"), f"$.{phys}")
+            nullc = _F.get_json_object(
+                _F.col("column_null_counts"), f"$.{phys}"
+            ).cast("long")
+            all_null = _F.coalesce(
+                nullc == _F.col("record_count"), _F.lit(False)
+            )
+            single = (
+                _F.lit(_stats_foldable(f.dataType))
+                & mn.isNotNull()
+                & mx.isNotNull()
+                & (mn == mx)
+                & _F.coalesce(nullc == 0, _F.lit(False))
+            )
+            g_ok = g_ok & (all_null | single)
+            g_vals.append(
+                _F.when(all_null, _F.lit(None))
+                .otherwise(mn)
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+        foldable_entry = full_any & g_ok
+        meta_df = files.filter(foldable_entry).select(
+            *g_vals, _F.col("record_count").cast("long").alias(alias)
+        )
+        boundary = sorted(
+            r[0]
+            for r in files.filter(~foldable_entry)
+            .select("file_path")
+            .collect()
+        )
+        if boundary:
+            bdf = self._read_live(boundary, snap).select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            meta_df = meta_df.unionByName(_grouped(bdf))
+        return meta_df.groupBy(*columns).agg(
+            _F.sum(alias).cast("long").alias(alias)
         )
 
     def scan(

@@ -478,3 +478,97 @@ def test_count_rows_by_multi_key(spark, tmp_path):
         (r["p"], r["b"]): r["cnt"]
         for r in t.count_rows_by(["p", "b"]).collect()
     } == want
+
+
+# ------------------- executor-tier folds (r9, VERDICT r8 #4) -------------------
+
+
+def _force_distributed(t):
+    """Route the metadata folds to the executor tier and spy on it."""
+    t.set_property("planning.distributed-threshold", "0")
+    calls = []
+    orig = t._manifest_df
+    t._manifest_df = lambda *a, **kw: (calls.append(1) or orig(*a, **kw))
+    return calls
+
+
+def test_count_rows_distributed_equivalence(table):
+    """Forced-low threshold: count_rows folds over manifest parquet in
+    Spark and returns exactly the driver tier's answers, across
+    no-predicate / fully-covered / boundary / OR shapes."""
+    t = table
+    shapes = [
+        None,
+        {"k": ("<", 10)},               # file 1 fully covered
+        {"k": ("<", 5)},                # boundary
+        [{"k": ("<", 3)}, {"k": (">=", 30)}],  # OR, mixed
+        {"s": ("notnull", None)},       # null-count proof
+        {"k": [(">=", 10), ("<", 30)]},  # closed range = full file 2
+    ]
+    want = [t.count_rows(p) for p in shapes]
+    calls = _force_distributed(t)
+    got = [t.count_rows(p) for p in shapes]
+    assert got == want
+    assert len(calls) == len(shapes)
+    # pure-metadata shapes survive data-file deletion on the exec tier
+    _nuke_data_files(t)
+    assert t.count_rows() == want[0]
+    assert t.count_rows({"k": ("<", 10)}) == want[1]
+
+
+def test_stats_extrema_distributed_equivalence(table):
+    t = table
+    want_all = t.stats_extrema(["k", "s"])
+    want_pred = t.stats_extrema(["k"], predicates={"k": [(">=", 10), ("<", 30)]})
+    want_bound = t.stats_extrema(["k"], predicates={"k": ("<", 7)})
+    calls = _force_distributed(t)
+    assert t.stats_extrema(["k", "s"]) == want_all
+    assert (
+        t.stats_extrema(["k"], predicates={"k": [(">=", 10), ("<", 30)]})
+        == want_pred
+    )
+    assert t.stats_extrema(["k"], predicates={"k": ("<", 7)}) == want_bound
+    assert calls
+
+
+def test_count_rows_by_distributed_equivalence(spark, tmp_path):
+    """Identity-partitioned grouped counts on the executor tier match
+    the driver tier exactly — including the all-null group, boundary
+    scans, and the deleted-data-files metadata proof."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whd")).start()
+    t = cat.create_table("db.gdist", SCHEMA, partition_cols=["s"])
+    rows = [(k, f"p{k % 3}" if k % 7 else None) for k in range(30)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+
+    def grab(pred=None):
+        return {
+            (r["s"], r["cnt"])
+            for r in t.count_rows_by("s", predicates=pred).collect()
+        }
+
+    want = grab()
+    want_cov = grab({"k": ("<", 30)})
+    want_bnd = grab({"k": ("<", 2)})
+    calls = _force_distributed(t)
+    assert grab() == want
+    assert grab({"k": ("<", 30)}) == want_cov
+    assert grab({"k": ("<", 2)}) == want_bnd
+    assert len(calls) == 3
+    _nuke_data_files(t)
+    assert grab() == want  # single-valued groups fold from metadata
+
+
+def test_count_rows_by_distributed_multivalued_boundary(table):
+    """Multi-valued group files route to the scan leg on the exec tier
+    too (same answers as the driver tier's boundary path)."""
+    t = table
+    want = {
+        (r["s"], r["cnt"])
+        for r in t.count_rows_by("s", predicates={"k": (">=", 30)}).collect()
+    }
+    _force_distributed(t)
+    got = {
+        (r["s"], r["cnt"])
+        for r in t.count_rows_by("s", predicates={"k": (">=", 30)}).collect()
+    }
+    assert got == want == {("c30", 1), ("c32", 1), ("c34", 1), (None, 2)}

@@ -278,3 +278,44 @@ def test_eq_delete_distributed_pruning_at_real_caps(spark, tmp_path):
     n_runs = len(pruned_sets)
     t.scan().count()
     assert len(pruned_sets) == n_runs
+
+
+def test_metadata_folds_executor_tier_at_real_threshold(spark, tmp_path):
+    """r9 (VERDICT r8 #4): past the REAL planning.distributed-threshold
+    the metadata folds (count_rows / stats_extrema) run as Spark jobs
+    over the manifest parquet — proven metadata-only: the 110k entries
+    reference synthetic paths no scan could read, so a correct answer
+    means no entry list ever landed on the driver AND no data file was
+    opened. Predicates align with file k-ranges so every kept entry is
+    fully covered (no boundary scan leg)."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.hugefold", SCHEMA)
+    seed = _write_files(str(tmp_path / "seedf"), 0, 1)
+    n_entries = 110_000
+    entries = _clone_entries(t, seed[0], n_entries)
+    manifests = []
+    per = n_entries // 10
+    for g in range(10):
+        manifests.append(t._write_manifest(entries[g * per:(g + 1) * per]))
+    t._commit_snapshot("append", manifests, entries, time.time())
+    assert "planning.distributed-threshold" not in (t.properties or {})
+
+    routed = []
+    orig = t._manifest_df
+    t._manifest_df = lambda *a, **kw: (routed.append(1) or orig(*a, **kw))
+    rc = entries[0]["record_count"]
+    t_fold = time.time()
+    assert t.count_rows() == n_entries * rc
+    # [400_000, 405_000) aligns with the 10-wide k ranges → 500 files,
+    # all fully covered — zero scan legs over unreadable paths
+    assert (
+        t.count_rows({"k": [(">=", 400_000), ("<", 405_000)]}) == 500 * rc
+    )
+    lo, hi = t.stats_min_max(
+        "k", predicates={"k": [(">=", 400_000), ("<", 405_000)]}
+    )
+    fold_s = time.time() - t_fold
+    assert (lo, hi) == (400_000, 404_999)
+    assert len(routed) == 3
+    assert fold_s < 90.0, f"executor fold budget blown: {fold_s:.1f}s"
+    print(f"\n110k-entry folds (exec tier): {fold_s:.2f}s for 3 folds")
