@@ -492,6 +492,140 @@ class LakeRestServer:
                         f"{snap['snapshot_id']}:{start + len(page)}".encode()
                     ).decode()
                 ddl = "manifest entries"
+            elif kind == "entries":
+                # (snapshot × manifest entry) rows with ADDED/EXISTING
+                # status (r9, VERDICT r8 #5): same incremental page
+                # assembly as `files` — manifests before the offset are
+                # skipped by footer row counts — but the token pins the
+                # METADATA VERSION, not a snapshot id: entries span
+                # every retained snapshot, and only the immutable
+                # vN.metadata.json fixes that enumeration. An expired
+                # pinned version restarts from current (weak
+                # consistency, same stance as `files`).
+                import base64
+
+                import pyarrow.parquet as _pq
+
+                size_raw = query.get("pageSize", [None])[0]
+                token_raw = query.get("pageToken", [None])[0]
+                paged = size_raw is not None or token_raw is not None
+                try:
+                    size = (
+                        max(1, int(size_raw))
+                        if size_raw is not None
+                        else 1000
+                    )
+                except ValueError:
+                    paged, size = False, 1 << 62
+                ver_pin, start = None, 0
+                if token_raw:
+                    try:
+                        v, off = (
+                            base64.urlsafe_b64decode(token_raw.encode())
+                            .decode()
+                            .split(":", 1)
+                        )
+                        ver_pin, start = int(v), int(off)
+                    except Exception:
+                        paged, start = False, 0
+                if not paged:
+                    size = 1 << 62
+                meta, ver = t._meta, t._meta["_version"]
+                if ver_pin is not None and ver_pin != ver:
+                    try:
+                        with open(
+                            os.path.join(
+                                t._meta_dir, f"v{ver_pin}.metadata.json"
+                            )
+                        ) as fh:
+                            meta, ver = json.load(fh), ver_pin
+                    except OSError:
+                        start = 0  # pinned version expired → restart
+                born: dict[str, int] = {}
+                pairs: list[tuple[int, str]] = []
+                for s_ in sorted(
+                    meta["snapshots"], key=lambda x: x["snapshot_id"]
+                ):
+                    for m in s_["manifests"]:
+                        born.setdefault(m, s_["snapshot_id"])
+                        pairs.append((s_["snapshot_id"], m))
+                page, pos, more = [], 0, False
+                for sid, mf in pairs:
+                    path = os.path.join(t._meta_dir, mf)
+                    n = _pq.read_metadata(path).num_rows
+                    if len(page) >= size:
+                        if n > 0:
+                            more = True
+                            break
+                        continue
+                    if pos + n <= start:
+                        pos += n
+                        continue
+                    chunk = _pq.read_table(
+                        path,
+                        columns=[
+                            "file_path",
+                            "record_count",
+                            "file_size_bytes",
+                        ],
+                    ).to_pylist()
+                    skip = max(0, start - pos)
+                    take = chunk[skip:skip + (size - len(page))]
+                    page.extend(
+                        {
+                            "status": 1 if born[mf] == sid else 0,
+                            "snapshot_id": sid,
+                            **e,
+                        }
+                        for e in take
+                    )
+                    if skip + len(take) < n:
+                        more = True
+                        break
+                    pos += n
+                nxt = None
+                if paged and more:
+                    nxt = base64.urlsafe_b64encode(
+                        f"{ver}:{start + len(page)}".encode()
+                    ).decode()
+                ddl = (
+                    "status int, snapshot_id long, file_path string, "
+                    "record_count long, file_size_bytes long"
+                )
+            elif kind == "partitions":
+                # bounded by partition count — a plain positional page
+                # over the freshly aggregated rows
+                rows, ddl = t.partitions_rows()
+                page, nxt = self._paginate(rows, query)
+            elif kind in ("all_files", "all_delete_files"):
+                # audit kinds: files across EVERY retained snapshot,
+                # deduped by path in (sorted distinct manifest, entry)
+                # order — positional pages over the computed list
+                # (weak consistency under concurrent commits, stated)
+                import pyarrow.parquet as _pq
+
+                mkey = (
+                    "manifests" if kind == "all_files" else "delete_manifests"
+                )
+                all_m = sorted(
+                    {
+                        m
+                        for s_ in t._meta["snapshots"]
+                        for m in s_.get(mkey, [])
+                    }
+                )
+                seen: set[str] = set()
+                rows = []
+                for mf in all_m:
+                    for e in _pq.read_table(
+                        os.path.join(t._meta_dir, mf)
+                    ).to_pylist():
+                        if e["file_path"] in seen:
+                            continue
+                        seen.add(e["file_path"])
+                        rows.append(e)
+                page, nxt = self._paginate(rows, query)
+                ddl = "manifest entries"
             else:
                 return 404, {
                     "error": {"message": f"unknown metadata table: {kind}"}

@@ -4100,7 +4100,161 @@ class LakeTable:
                 {"path": m, "snapshot_id": snap["snapshot_id"]}
                 for m in (snap["manifests"] if snap else [])
             ], "path string, snapshot_id long"
+        if kind == "all_manifests":
+            return [
+                {"path": m, "snapshot_id": s["snapshot_id"], "content": "data"}
+                for s in self._meta["snapshots"]
+                for m in s["manifests"]
+            ] + [
+                {
+                    "path": m,
+                    "snapshot_id": s["snapshot_id"],
+                    "content": "deletes",
+                }
+                for s in self._meta["snapshots"]
+                for m in s.get("delete_manifests", [])
+            ], "path string, snapshot_id long, content string"
+        if kind == "metadata_log_entries":
+            # Iceberg's db.t.metadata_log_entries: every metadata version
+            # on disk with its pointer status
+            import glob as _glob
+
+            cur = self._meta["_version"]
+            rows = []
+            for path in sorted(
+                _glob.glob(os.path.join(self._meta_dir, "v*.metadata.json")),
+                key=lambda x: int(os.path.basename(x)[1:].split(".")[0]),
+            ):
+                v = int(os.path.basename(path)[1:].split(".")[0])
+                rows.append(
+                    {
+                        "metadata_file": path,
+                        "version": v,
+                        "timestamp_ms": int(os.path.getmtime(path) * 1000),
+                        "is_current": v == cur,
+                    }
+                )
+            return rows, (
+                "metadata_file string, version int, timestamp_ms long, "
+                "is_current boolean"
+            )
+        if kind == "delete_files":
+            snap = self.snapshot()
+            return (
+                [
+                    {
+                        "file_path": e["file_path"],
+                        "content": e["content"],
+                        "record_count": e["record_count"],
+                        "file_size_bytes": e["file_size_bytes"],
+                        "equality_cols": e["equality_cols"],
+                        "applies_before": e["applies_before"],
+                    }
+                    for e in self._delete_entries(snap)
+                ]
+                if snap
+                else []
+            ), (
+                "file_path string, content string, record_count long, "
+                "file_size_bytes long, equality_cols string, applies_before long"
+            )
+        if kind == "deletion_vectors":
+            # one row per LIVE (data file, vector): victim, tombstoned
+            # cardinality, and encoded size — the observability face of
+            # the v3 representation (which data files carry how much
+            # dead weight; feeds compaction targeting)
+            from icebergplus_spark.lake import dv as _dvmod
+
+            snap = self.snapshot()
+            blobs: dict[str, tuple[bytes, str]] = {}
+            for e in self._delete_entries(snap) if snap else []:
+                if e["content"] != "dv":
+                    continue
+                t = pq.read_table(e["file_path"], columns=["file_path", "dv"])
+                for f, b in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("dv").to_pylist(),
+                ):
+                    blobs[f] = (bytes(b), e["file_path"])  # last wins
+            live = {
+                _as_uri(p)
+                for p in (self._snapshot_paths(snap) if snap else [])
+            }
+            return [
+                {
+                    "data_file": f,
+                    "cardinality": _dvmod.cardinality(b),
+                    "vector_bytes": len(b),
+                    "vector_file": src,
+                }
+                for f, (b, src) in sorted(blobs.items())
+                if f in live
+            ], (
+                "data_file string, cardinality long, vector_bytes long, "
+                "vector_file string"
+            )
+        if kind == "statistics":
+            s = self.statistics
+            return (
+                [
+                    {
+                        "column": c,
+                        "ndv": v["ndv"],
+                        "null_count": v["null_count"],
+                        "min": v["min"],
+                        "max": v["max"],
+                        "snapshot_id": s["snapshot_id"],
+                        "mode": s["mode"],
+                        "is_fresh": self.statistics_fresh,
+                    }
+                    for c, v in sorted(s["columns"].items())
+                ]
+                if s
+                else []
+            ), (
+                "column string, ndv long, null_count long, min string, "
+                "max string, snapshot_id long, mode string, is_fresh boolean"
+            )
         return None
+
+    def partitions_rows(self) -> tuple[list[dict], str]:
+        """Spark-free ``partitions`` metadata rows (r9, VERDICT r8 #5):
+        a pyarrow aggregation over the current snapshot's manifests —
+        the REST server's substrate (it runs without a SparkSession).
+        Output is bounded by partition count; the local
+        ``metadata_df('partitions')`` keeps its distributed read."""
+        ddl = "partition string, file_count long, record_count long"
+        if not self.partition_spec:
+            return [], ddl
+        from icebergplus_spark.lake.transforms import field_name
+
+        mapping = self._column_mapping
+        phys = [
+            mapping.get(pf["source"], pf["source"])
+            if pf["transform"] == "identity"
+            else field_name(pf)
+            for pf in self.partition_spec
+        ]
+        snap = self.snapshot()
+        agg: dict[str, list[int]] = {}
+        for m in (snap["manifests"] if snap else []):
+            t = pq.read_table(
+                os.path.join(self._meta_dir, m),
+                columns=["record_count", "column_mins"],
+            )
+            for rc, mins_json in zip(
+                t.column("record_count").to_pylist(),
+                t.column("column_mins").to_pylist(),
+            ):
+                mins = json.loads(mins_json)
+                key = "/".join(f"{p}={mins.get(p)}" for p in phys)
+                cur = agg.setdefault(key, [0, 0])
+                cur[0] += 1
+                cur[1] += rc
+        return [
+            {"partition": k, "file_count": fc, "record_count": rc}
+            for k, (fc, rc) in sorted(agg.items())
+        ], ddl
 
     def metadata_df(self, kind: str) -> DataFrame:
         """Queryable metadata as a DataFrame — the Spark-side analogue of
@@ -4161,17 +4315,6 @@ class LakeTable:
             return self.spark.read.parquet(
                 *[os.path.join(self._meta_dir, m) for m in all_dm]
             ).dropDuplicates(["file_path"])
-        elif kind == "all_manifests":
-            rows = [
-                {"path": m, "snapshot_id": s["snapshot_id"], "content": "data"}
-                for s in self._meta["snapshots"]
-                for m in s["manifests"]
-            ] + [
-                {"path": m, "snapshot_id": s["snapshot_id"], "content": "deletes"}
-                for s in self._meta["snapshots"]
-                for m in s.get("delete_manifests", [])
-            ]
-            schema = "path string, snapshot_id long, content string"
         elif kind == "entries":
             # Iceberg's db.t.entries: one row per (snapshot, manifest
             # entry) with the status relative to that snapshot — a
@@ -4204,85 +4347,6 @@ class LakeTable:
             schema = (
                 "status int, snapshot_id long, file_path string, "
                 "record_count long, file_size_bytes long"
-            )
-        elif kind == "metadata_log_entries":
-            # Iceberg's db.t.metadata_log_entries: every metadata version
-            # on disk with its pointer status
-            import glob as _glob
-
-            cur = self._meta["_version"]
-            rows = []
-            for path in sorted(
-                _glob.glob(os.path.join(self._meta_dir, "v*.metadata.json")),
-                key=lambda x: int(os.path.basename(x)[1:].split(".")[0]),
-            ):
-                v = int(os.path.basename(path)[1:].split(".")[0])
-                rows.append(
-                    {
-                        "metadata_file": path,
-                        "version": v,
-                        "timestamp_ms": int(os.path.getmtime(path) * 1000),
-                        "is_current": v == cur,
-                    }
-                )
-            schema = (
-                "metadata_file string, version int, timestamp_ms long, "
-                "is_current boolean"
-            )
-        elif kind == "deletion_vectors":
-            # one row per LIVE (data file, vector): victim, tombstoned
-            # cardinality, and encoded size — the observability face of
-            # the v3 representation (which data files carry how much
-            # dead weight; feeds compaction targeting)
-            from icebergplus_spark.lake import dv as _dvmod
-
-            snap = self.snapshot()
-            blobs: dict[str, tuple[bytes, str]] = {}
-            for e in self._delete_entries(snap) if snap else []:
-                if e["content"] != "dv":
-                    continue
-                t = pq.read_table(e["file_path"], columns=["file_path", "dv"])
-                for f, b in zip(
-                    t.column("file_path").to_pylist(),
-                    t.column("dv").to_pylist(),
-                ):
-                    blobs[f] = (bytes(b), e["file_path"])  # last wins
-            live = {_as_uri(p) for p in (self._snapshot_paths(snap) if snap else [])}
-            rows = [
-                {
-                    "data_file": f,
-                    "cardinality": _dvmod.cardinality(b),
-                    "vector_bytes": len(b),
-                    "vector_file": src,
-                }
-                for f, (b, src) in sorted(blobs.items())
-                if f in live
-            ]
-            schema = (
-                "data_file string, cardinality long, vector_bytes long, "
-                "vector_file string"
-            )
-        elif kind == "delete_files":
-            # Iceberg's db.t.delete_files metadata table
-            snap = self.snapshot()
-            rows = (
-                [
-                    {
-                        "file_path": e["file_path"],
-                        "content": e["content"],
-                        "record_count": e["record_count"],
-                        "file_size_bytes": e["file_size_bytes"],
-                        "equality_cols": e["equality_cols"],
-                        "applies_before": e["applies_before"],
-                    }
-                    for e in self._delete_entries(snap)
-                ]
-                if snap
-                else []
-            )
-            schema = (
-                "file_path string, content string, record_count long, "
-                "file_size_bytes long, equality_cols string, applies_before long"
             )
         elif kind == "partitions":
             from pyspark.sql import functions as _F
@@ -4317,29 +4381,6 @@ class LakeTable:
                     _F.count(_F.lit(1)).alias("file_count"),
                     _F.sum("record_count").alias("record_count"),
                 )
-            )
-        elif kind == "statistics":
-            s = self.statistics
-            rows = (
-                [
-                    {
-                        "column": c,
-                        "ndv": v["ndv"],
-                        "null_count": v["null_count"],
-                        "min": v["min"],
-                        "max": v["max"],
-                        "snapshot_id": s["snapshot_id"],
-                        "mode": s["mode"],
-                        "is_fresh": self.statistics_fresh,
-                    }
-                    for c, v in sorted(s["columns"].items())
-                ]
-                if s
-                else []
-            )
-            schema = (
-                "column string, ndv long, null_count long, min string, "
-                "max string, snapshot_id long, mode string, is_fresh boolean"
             )
         else:
             raise ValueError(f"unknown metadata table: {kind}")
