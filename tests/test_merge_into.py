@@ -220,3 +220,67 @@ def test_upsert_validates_schema(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema mismatch"):
         t.upsert(reordered, "id")
+
+
+def test_merge_exempts_unhit_in_range_files(spark, tmp_path):
+    """r9 (VERDICT r8 #6): a plain MERGE whose source keys SPAN the
+    table but HIT only two files must carry the mid-range unhit files
+    over untouched — bloom probes with the actual keys exempt what the
+    first-key [lo,hi] filter cannot."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.mprune", SCHEMA, bloom_cols=["id"])
+    for lo in range(0, 40, 10):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", float(i)) for i in range(lo, lo + 10)],
+                SCHEMA,
+            ).coalesce(1)
+        )
+    files_before = sorted(f["file_path"] for f in t.plan_files())
+    assert len(files_before) == 4
+    # keys 5 and 35: range [5,35] covers ALL four files; blooms prove
+    # files 10-19 and 20-29 unhittable
+    src = spark.createDataFrame(
+        [(5, "HIT", 1.0), (35, "HIT", 2.0), (45, "NEW", 3.0)], SCHEMA
+    )
+    t.merge_into(src, on="id", when_matched_update={"grp": F.lit("HIT")})
+    files_after = {f["file_path"] for f in t.plan_files()}
+    untouched = set(files_before) & files_after
+    # the two unhit mid-range files survive with their ORIGINAL paths
+    assert len(untouched) == 2
+    for f in t.plan_files():
+        if f["file_path"] in untouched:
+            import json as _json
+
+            mins = _json.loads(f["column_mins"])
+            assert mins["id"] in (10, 20)
+    got = {r["id"]: r["grp"] for r in t.scan().collect()}
+    assert got[5] == "HIT" and got[35] == "HIT" and got[45] == "NEW"
+    assert got[12] == f"g{12 % 3}" and len(got) == 41
+
+
+def test_merge_exempt_all_null_source_keys(spark, tmp_path):
+    """All-NULL source keys match nothing — every in-range file is
+    exempt; insert-only semantics still apply to the unmatched rows."""
+    t = _table(
+        spark, tmp_path, "mnull",
+        [(1, "a", 1.0), (2, "b", 2.0), (30, "c", 3.0)],
+    )
+    t.append(
+        spark.createDataFrame([(40, "d", 4.0), (50, "e", 5.0)], SCHEMA)
+        .coalesce(1)
+    )
+    files_before = {f["file_path"] for f in t.plan_files()}
+    src = spark.createDataFrame(
+        [(None, "x", 9.0), (None, "y", 8.0)], SCHEMA
+    )
+    t.merge_into(
+        src, on="id", when_matched_update={"grp": F.lit("Z")},
+        when_not_matched_insert=True,
+    )
+    # no target file rewritten; NULL keys never match (inserted rows
+    # come from the not-matched clause)
+    assert files_before <= {f["file_path"] for f in t.plan_files()}
+    rows = t.scan().collect()
+    assert sum(1 for r in rows if r["grp"] == "Z") == 0
+    assert sum(1 for r in rows if r["id"] is None) == 2
