@@ -989,6 +989,19 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
     return catalog.spark.sql("WITH " + ", ".join(parts) + " " + new_main)
 
 
+def _read_query(catalog: LocalLakeCatalog, query: str):
+    """Run a read query with the FULL SELECT stack — fast paths, CTE
+    decomposition, lake identifiers, time travel — so the sources of
+    INSERT / CTAS / COPY get the same treatment as top-level SELECTs
+    (r9: a WITH-headed INSERT source used to skip the CTE fast paths)."""
+    q = query.strip()
+    if re.match(r"^(SELECT|VALUES|WITH)\b", q, re.IGNORECASE):
+        return lake_sql(catalog, q)
+    return catalog.spark.sql(
+        _resolve_lake_tables(catalog, _rewrite_time_travel(catalog, q))
+    )
+
+
 def _align(df, table: LakeTable):
     """Column alignment (by name when the sets match, else by position)
     plus standard INSERT type coercion to the table schema — SQL
@@ -1674,11 +1687,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     raise UnsupportedSQL(f"cannot parse INSERT: {inner[:80]!r}")
                 mode, ident, col_list, query = m.groups()
                 t_ins = catalog.load_table(ident)
-                df = spark.sql(
-                    _resolve_lake_tables(
-                        catalog, _rewrite_time_travel(catalog, query)
-                    )
-                )
+                df = _read_query(catalog, query)
                 if col_list:
                     df = _apply_column_list(df, t_ins, col_list)
                 df = _align(df, t_ins)
@@ -1818,11 +1827,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             ident, part_cols, query = cm.groups()
             if catalog.table_exists(ident):
                 raise UnsupportedSQL(f"table already exists: {ident}")
-            df = spark.sql(
-                _resolve_lake_tables(
-                    catalog, _rewrite_time_travel(catalog, query)
-                )
-            )
+            df = _read_query(catalog, query)
             table = catalog.create_table(
                 ident,
                 df.schema,
@@ -1896,12 +1901,11 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             raise UnsupportedSQL(f"cannot parse INSERT: {stmt[:80]!r}")
         mode, ident, col_list, query = m.groups()
         table = catalog.load_table(ident)
-        # the <query> source reads get the same lake-identifier and
-        # time-travel resolution as top-level SELECTs: INSERT INTO t
-        # SELECT ... FROM db.src works with no to_view (ADVICE r3).
-        df = spark.sql(
-            _resolve_lake_tables(catalog, _rewrite_time_travel(catalog, query))
-        )
+        # the <query> source runs through the FULL SELECT stack (fast
+        # paths, CTE decomposition, lake identifiers, time travel):
+        # INSERT INTO t SELECT ... FROM db.src works with no to_view
+        # (ADVICE r3); INSERT INTO t WITH ... gets the CTE paths (r9).
+        df = _read_query(catalog, query)
         if col_list:
             df = _apply_column_list(df, table, col_list)
         df = _align(df, table)
@@ -2271,11 +2275,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             src, inner_q, path_lit, fmt = em.groups()
             out_path = path_lit[1:-1].replace("''", "'")
             query = inner_q if inner_q else f"SELECT * FROM {src}"
-            df = spark.sql(
-                _resolve_lake_tables(
-                    catalog, _rewrite_time_travel(catalog, query)
-                )
-            )
+            df = _read_query(catalog, query)
             fmt = fmt.upper()
             # ONE execution of the source query (review r7: the report's
             # df.count() re-ran the whole query after the export)
@@ -2605,16 +2605,45 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     # every unmatched source row got inserted
                     kwargs["not_matched_insert_condition"] = cond_col
             else:  # NOT MATCHED BY SOURCE
-                if action.upper() != "DELETE":
-                    raise UnsupportedSQL(
-                        "WHEN NOT MATCHED BY SOURCE supports DELETE only"
-                    )
-                if kwargs.get("when_not_matched_by_source_delete"):
+                if kwargs.get("when_not_matched_by_source_delete") or kwargs.get(
+                    "when_not_matched_by_source_update"
+                ):
                     raise UnsupportedSQL(
                         "multiple WHEN NOT MATCHED BY SOURCE clauses are "
                         "not supported"
                     )
-                kwargs["when_not_matched_by_source_delete"] = True
+                if action.upper() == "DELETE":
+                    kwargs["when_not_matched_by_source_delete"] = True
+                elif re.match(r"^UPDATE\s+SET\s+", action, re.IGNORECASE):
+                    # BY SOURCE rows have NO source image — SET
+                    # expressions may reference target columns only
+                    # (Delta's rule; a silent NULL would be worse)
+                    sets = re.sub(
+                        r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE
+                    )
+                    if re.search(
+                        rf"(?<![\w.]){re.escape(s_alias)}\.", sets
+                    ) or (cond and re.search(
+                        rf"(?<![\w.]){re.escape(s_alias)}\.", cond
+                    )):
+                        raise UnsupportedSQL(
+                            "WHEN NOT MATCHED BY SOURCE expressions cannot "
+                            "reference the source (no source row matched)"
+                        )
+                    upd = {}
+                    for term in _split_top_level(sets):
+                        col, _, expr = term.partition("=")
+                        upd[
+                            re.sub(
+                                rf"^{re.escape(t_alias)}\.", "", col.strip()
+                            )
+                        ] = F.expr(_rewrite_refs(expr.strip(), t_alias, None))
+                    kwargs["when_not_matched_by_source_update"] = upd
+                else:
+                    raise UnsupportedSQL(
+                        "WHEN NOT MATCHED BY SOURCE supports DELETE and "
+                        "UPDATE SET"
+                    )
                 if cond_col is not None:
                     kwargs["not_matched_by_source_condition"] = cond_col
         return table.merge_into(source, on=keys, **kwargs)

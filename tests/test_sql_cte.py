@@ -229,3 +229,34 @@ def test_results_match_unpruned_reference(spark, cat):
             ).collect()
         ]
         assert got == want and got, q
+
+
+def test_insert_source_with_cte(spark, cat):
+    """INSERT INTO t <WITH-headed query> routes through the CTE fast
+    paths like a top-level SELECT (r9)."""
+    tgt = cat.create_table("db.tgt_cte", FACT)
+    fact, dim = cat.load_table("db.fact"), cat.load_table("db.dim")
+    handles = {"db.fact": fact, "db.dim": dim, "db.tgt_cte": tgt}
+    cat.load_table = lambda ident: handles[ident]
+    calls = _recording(fact, "plan_files_any")
+    lake_sql(
+        cat,
+        "INSERT INTO db.tgt_cte "
+        "WITH lo AS (SELECT * FROM db.fact WHERE k >= 10 AND k < 20) "
+        "SELECT k, dim_id, amount FROM lo",
+    )
+    assert sorted(
+        r["k"] for r in lake_sql(cat, "SELECT k FROM db.tgt_cte").collect()
+    ) == list(range(10, 20))
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+
+
+def test_ctas_source_with_cte(spark, cat):
+    got = lake_sql(
+        cat,
+        "CREATE TABLE db.ctas_cte AS "
+        "WITH hi AS (SELECT k FROM db.fact WHERE k >= 36) "
+        "SELECT COUNT(*) AS n FROM hi",
+    )
+    rows = lake_sql(cat, "SELECT n FROM db.ctas_cte").collect()
+    assert [r["n"] for r in rows] == [4]

@@ -179,3 +179,38 @@ def test_not_in_delete_mor_tombstones(spark, tmp_path):
     assert sorted(r["k"] for r in t2.scan().collect()) == [1, 2, 3]
     # original data files untouched — the delete is tombstones
     assert files_before <= {f["file_path"] for f in t2.plan_files()}
+
+
+def test_merge_sql_by_source_update_clause(spark, cat):
+    """SQL surface for the r9 clause: WHEN NOT MATCHED BY SOURCE THEN
+    UPDATE SET — target rows without a source match get the SET
+    expressions (target-only namespace), matched rows stay."""
+    got = lake_sql(
+        cat,
+        "MERGE INTO db.t AS t "
+        "USING (SELECT kk AS k FROM db.keys) AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k IS NOT NULL "
+        "THEN UPDATE SET v = concat(t.v, '~')",
+    )
+    rows = dict(_rows(cat))
+    assert rows[2] == "v2" and rows[4] == "v4" and rows[6] == "v6"
+    assert rows[1] == "v1~" and rows[8] == "v8~"
+    assert rows[None] == "vnull"  # condition-gated
+
+    # source references are refused loudly (no source row matched)
+    with pytest.raises(UnsupportedSQL, match="cannot reference"):
+        lake_sql(
+            cat,
+            "MERGE INTO db.t AS t "
+            "USING (SELECT kk AS k FROM db.keys) AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.k",
+        )
+    # and DELETE + UPDATE BY SOURCE together refuse
+    with pytest.raises(UnsupportedSQL, match="multiple"):
+        lake_sql(
+            cat,
+            "MERGE INTO db.t AS t "
+            "USING (SELECT kk AS k FROM db.keys) AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'",
+        )
