@@ -830,6 +830,93 @@ def _group_count_select(catalog: LocalLakeCatalog, stmt: str):
     return df
 
 
+_GROUP_AGG = re.compile(
+    rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+    rf"(?:\s+WHERE\s+(.+?))?"
+    rf"\s+GROUP\s+BY\s+((?:{_IDENT}|\d+)(?:\s*,\s*(?:{_IDENT}|\d+))*)"
+    rf"(?:\s+ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?)?"
+    rf"(?:\s+LIMIT\s+(\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GA_AGG_ITEM = re.compile(
+    rf"^(?:(MIN|MAX)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
+    rf"\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
+    """Metadata-answered grouped MIN/MAX/COUNT (r9): ``SELECT <group
+    cols>, MIN(c) AS a, MAX(d) AS b, COUNT(*) AS n FROM <lake table>
+    [WHERE <grammar>] GROUP BY ... [ORDER BY ...] [LIMIT k]`` routes to
+    ``LakeTable.agg_by`` — the per-partition freshness/inventory shape:
+    identity-partitioned files contribute their footer stats from the
+    MANIFEST, only multi-valued/boundary files are scanned, and the
+    merge happens in Spark. Returns None → generic paths (identical
+    results, no fold). The COUNT-only shape with HAVING stays on
+    ``_group_count_select`` (tried first)."""
+    m = _GROUP_AGG.match(stmt.strip())
+    if not m:
+        return None
+    sel, ident, where, by, ob_key, ob_dir, limit = m.groups()
+    if re.search(
+        r"\bAS\s+OF\b|\bJOIN\b|\bHAVING\b|\(\s*SELECT\b",
+        stmt,
+        re.IGNORECASE,
+    ):
+        return None
+    gcols: list[tuple[int, str]] = []  # (1-based select position, name)
+    aggs: list[tuple[str, str | None, str]] = []
+    order: list[str] = []
+    for pos, raw in enumerate(_split_top_level(sel), start=1):
+        item = raw.strip()
+        if re.fullmatch(_IDENT, item) and "." not in item:
+            gcols.append((pos, item))
+            order.append(item)
+            continue
+        am = _GA_AGG_ITEM.match(item)
+        if not am:
+            return None
+        fn_mm, col, fn_cnt, alias = am.groups()
+        aggs.append(((fn_mm or fn_cnt).upper(), col, alias))
+        order.append(alias)
+    if not gcols or not aggs:
+        return None
+    names_g = [n for _, n in gcols]
+    by_keys = [b.strip() for b in by.split(",")]
+    if sorted(by_keys) != sorted(names_g) and by_keys != [
+        str(p) for p, _ in gcols
+    ]:
+        return None
+    if ob_key is not None and ob_key not in (
+        *names_g,
+        *[a for _, _, a in aggs],
+    ):
+        return None
+    table = _try_load(catalog, ident)
+    if table is None:
+        return None
+    names = set(table.schema.fieldNames())
+    if not all(n in names for n in names_g):
+        return None
+    if not all(c in names for fn, c, _ in aggs if fn != "COUNT"):
+        return None
+    pred_arg = _pred_arg_of(table, where) if where else None
+    if pred_arg is _DECLINE:
+        return None
+    from pyspark.sql import functions as F
+
+    df = table.agg_by(names_g, aggs, predicates=pred_arg).select(*order)
+    if ob_key is not None:
+        key = F.col(ob_key)
+        df = df.orderBy(
+            key.desc() if (ob_dir or "").upper() == "DESC" else key.asc()
+        )
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df
+
+
 _SIMPLE_SELECT = re.compile(
     rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)"
     rf"(\s+(?:GROUP|ORDER|HAVING|LIMIT)\b.*)?$",
@@ -1742,6 +1829,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             _agg_select,
             _count_select,
             _group_count_select,
+            _group_agg_select,
             _pruned_select,
         ):
             fast = fast_path(catalog, stmt)

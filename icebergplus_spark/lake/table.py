@@ -5254,6 +5254,285 @@ class LakeTable:
             .agg(_F.sum(alias).cast("long").alias(alias))
         )
 
+    def agg_by(
+        self,
+        column: str | list[str],
+        aggs: list[tuple[str, str | None, str]],
+        predicates: (
+            dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
+        ) = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Grouped MIN/MAX/COUNT answered from manifest stats where
+        possible (r9) — the per-partition freshness/inventory shape
+        (``SELECT part, MAX(ts), COUNT(*) ... GROUP BY part``) that
+        lakehouse dashboards poll constantly. ``aggs`` is a list of
+        ``(fn, col, alias)`` with fn in MIN|MAX|COUNT (col ignored for
+        COUNT).
+
+        Fold rule per file: fully covered by some predicate branch AND
+        single-valued (or all-null) in every GROUP column AND, for each
+        MIN/MAX column, stats-foldable with stats present (or all-null
+        — MIN/MAX ignore NULLs, so the file contributes NULL). COUNT
+        contributes record_count. Everything unprovable routes to the
+        shared boundary scan; the two halves merge IN SPARK
+        (min-of-mins / max-of-maxs / sum-of-counts), so group
+        cardinality never lands on the driver. Tombstones degrade to
+        the exact grouped scan. Same two-tier design as
+        ``count_rows_by``: past ``planning.distributed-threshold`` the
+        classification runs over manifest parquet on executors."""
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import LongType, StructField
+
+        columns = [column] if isinstance(column, str) else list(column)
+        for fn, c, _a in aggs:
+            if fn.upper() not in ("MIN", "MAX", "COUNT"):
+                raise ValueError(f"unsupported agg {fn!r}")
+            if fn.upper() != "COUNT" and c not in self.schema.fieldNames():
+                raise KeyError(f"no such column: {c}")
+        col_fields = [
+            next(f for f in self.schema.fields if f.name == c)
+            for c in columns
+        ]
+        types = {f.name: f.dataType for f in self.schema.fields}
+
+        def _agg_exprs():
+            out = []
+            for fn, c, a in aggs:
+                fnu = fn.upper()
+                if fnu == "COUNT":
+                    out.append(_F.count(_F.lit(1)).cast("long").alias(a))
+                elif fnu == "MIN":
+                    out.append(_F.min(c).alias(a))
+                else:
+                    out.append(_F.max(c).alias(a))
+            return out
+
+        def _merge_exprs():
+            out = []
+            for fn, _c, a in aggs:
+                fnu = fn.upper()
+                if fnu == "COUNT":
+                    out.append(_F.sum(a).cast("long").alias(a))
+                elif fnu == "MIN":
+                    out.append(_F.min(a).alias(a))
+                else:
+                    out.append(_F.max(a).alias(a))
+            return out
+
+        out_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in col_fields]
+            + [
+                StructField(
+                    a,
+                    LongType() if fn.upper() == "COUNT" else types[c],
+                    True,
+                )
+                for fn, c, a in aggs
+            ]
+        )
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return self.spark.createDataFrame([], out_schema)
+        branches = _normalize_branches(predicates) if predicates else None
+
+        def _grouped(df: DataFrame) -> DataFrame:
+            if branches is not None:
+                df = df.filter(
+                    _F.coalesce(
+                        _branches_match_cond(branches, lambda c: c),
+                        _F.lit(False),
+                    )
+                )
+            return df.groupBy(*columns).agg(*_agg_exprs())
+
+        if snap.get("delete_manifests"):
+            base = (
+                self.scan(None, snapshot_id)
+                if branches is None
+                else self.scan_pruned_any(branches, snapshot_id)
+            )
+            return _grouped(base)
+        mapping = self._column_mapping
+        mm_cols = [c for fn, c, _ in aggs if fn.upper() != "COUNT"]
+        if self._fold_distributed(snap):
+            return self._agg_by_distributed(
+                snap, columns, col_fields, aggs, branches, _grouped,
+                _merge_exprs, types,
+            )
+        if branches is None:
+            files = self.plan_files(None, snapshot_id)
+            phys_branches = None
+        else:
+            files = (
+                self.plan_files(branches[0], snapshot_id)
+                if len(branches) == 1
+                else self.plan_files_any(branches, snapshot_id)
+            )
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+        foldable = {
+            c: _stats_foldable(types[c])
+            for c in set(columns) | set(mm_cols)
+        }
+        meta_pairs: list[tuple] = []
+        boundary: list[dict[str, Any]] = []
+        for r in files:
+            if phys_branches is not None and not any(
+                _file_fully_matches(r, pb) for pb in phys_branches
+            ):
+                boundary.append(r)
+                continue
+            mins = json.loads(r["column_mins"])
+            maxs = json.loads(r["column_maxs"])
+            nulls = json.loads(r.get("column_null_counts") or "{}")
+            rc = r["record_count"]
+            vals: list[Any] | None = []
+            for f in col_fields:
+                phys = mapping.get(f.name, f.name)
+                if nulls.get(phys) == rc:
+                    vals.append(None)
+                elif (
+                    foldable[f.name]
+                    and phys in mins
+                    and mins[phys] == maxs[phys]
+                    and nulls.get(phys) == 0
+                ):
+                    vals.append(_from_stats_domain(f.dataType, mins[phys]))
+                else:
+                    vals = None
+                    break
+            if vals is None:
+                boundary.append(r)
+                continue
+            for fn, c, _a in aggs:
+                if fn.upper() == "COUNT":
+                    vals.append(rc)
+                    continue
+                phys = mapping.get(c, c)
+                if nulls.get(phys) == rc:
+                    vals.append(None)  # all-null: MIN/MAX ignore it
+                elif foldable[c] and phys in mins and phys in maxs:
+                    src = mins if fn.upper() == "MIN" else maxs
+                    vals.append(_from_stats_domain(types[c], src[phys]))
+                else:
+                    vals = None
+                    break
+            if vals is None:
+                boundary.append(r)
+            else:
+                meta_pairs.append(tuple(vals))
+        meta_df = self.spark.createDataFrame(meta_pairs, out_schema)
+        if boundary:
+            bdf = self._read_live(
+                [r["file_path"] for r in boundary], snap
+            ).select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            meta_df = meta_df.unionByName(_grouped(bdf))
+        return meta_df.groupBy(*columns).agg(*_merge_exprs())
+
+    def _agg_by_distributed(
+        self,
+        snap: dict[str, Any],
+        columns: list[str],
+        col_fields: list,
+        aggs: list[tuple[str, str | None, str]],
+        branches: list[dict[str, Any]] | None,
+        _grouped,
+        _merge_exprs,
+        types: dict[str, Any],
+    ) -> DataFrame:
+        """``agg_by``'s executor tier: the same classification as the
+        driver loop compiled to Catalyst over the manifest parquet —
+        entries never land on the driver, only boundary file paths."""
+        from pyspark.sql import functions as _F
+
+        mapping = self._column_mapping
+        files = self._manifest_df(snap)
+        full_any = _F.lit(True)
+        if branches is not None:
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+            keep_any = _F.lit(False)
+            full_any = _F.lit(False)
+            for pb in phys_branches:
+                keep_any = keep_any | self._stats_keep_condition(pb)
+                full_any = full_any | self._stats_full_condition(pb)
+            files = files.filter(keep_any)
+
+        def _stat(col_json: str, phys: str):
+            return _F.get_json_object(_F.col(col_json), f"$.{phys}")
+
+        ok = _F.lit(True)
+        sel = []
+        for f in col_fields:
+            phys = mapping.get(f.name, f.name)
+            mn, mx = _stat("column_mins", phys), _stat("column_maxs", phys)
+            nullc = _stat("column_null_counts", phys).cast("long")
+            all_null = _F.coalesce(
+                nullc == _F.col("record_count"), _F.lit(False)
+            )
+            single = (
+                _F.lit(_stats_foldable(f.dataType))
+                & mn.isNotNull()
+                & mx.isNotNull()
+                & (mn == mx)
+                & _F.coalesce(nullc == 0, _F.lit(False))
+            )
+            ok = ok & (all_null | single)
+            sel.append(
+                _F.when(all_null, _F.lit(None))
+                .otherwise(mn)
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+        for fn, c, a in aggs:
+            if fn.upper() == "COUNT":
+                sel.append(_F.col("record_count").cast("long").alias(a))
+                continue
+            phys = mapping.get(c, c)
+            mn, mx = _stat("column_mins", phys), _stat("column_maxs", phys)
+            nullc = _stat("column_null_counts", phys).cast("long")
+            all_null = _F.coalesce(
+                nullc == _F.col("record_count"), _F.lit(False)
+            )
+            usable = _F.lit(_stats_foldable(types[c])) & (
+                all_null | (mn.isNotNull() & mx.isNotNull())
+            )
+            ok = ok & usable
+            v = mn if fn.upper() == "MIN" else mx
+            sel.append(
+                _F.when(all_null, _F.lit(None))
+                .otherwise(v)
+                .cast(types[c])
+                .alias(a)
+            )
+        foldable_entry = full_any & ok
+        meta_df = files.filter(foldable_entry).select(*sel)
+        boundary = sorted(
+            r[0]
+            for r in files.filter(~foldable_entry)
+            .select("file_path")
+            .collect()
+        )
+        if boundary:
+            bdf = self._read_live(boundary, snap).select(
+                *[
+                    _F.col(mapping[f.name]).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            meta_df = meta_df.unionByName(_grouped(bdf))
+        return meta_df.groupBy(*columns).agg(*_merge_exprs())
+
     def _count_rows_by_distributed(
         self,
         snap: dict[str, Any],

@@ -1594,3 +1594,58 @@ def q166_sql_update_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.ord_updnotin GROUP BY o_orderpriority ORDER BY pri",
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — grouped MIN/MAX/COUNT from metadata (r9): the per-partition
+# freshness/inventory dashboard shape — events partitioned by
+# event_type, asking each partition's first/last timestamp and row
+# count over a ranged window. Routes through sql_dml._group_agg_select
+# onto LakeTable.agg_by: files single-valued in the group column and
+# fully covered by the WHERE contribute footer stats from the MANIFEST
+# (min-of-mins / max-of-maxs / sum-of-counts merge IN SPARK); only the
+# intra-day boundary files are scanned. Oracle replays the grouped
+# aggregate over raw events; planted pytests
+# (test_metadata_aggs.py::test_agg_by_*) prove the fold by deleting
+# data files and pin both tiers' equivalence.
+# ---------------------------------------------------------------------------
+@register(
+    "q167_sql_group_agg_meta",
+    oracle="""
+SELECT event_type,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03'
+  AND ts < TIMESTAMP '2024-01-18 12:00:00'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q167_sql_group_agg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lake_sql_gagg_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table(
+        "bench.ev_gagg", ev.schema, partition_cols=["event_type"]
+    )
+    for d in range(1, 32, 2):
+        t.append(
+            ev.filter(
+                (F.dayofmonth("ts") >= d) & (F.dayofmonth("ts") < d + 2)
+            )
+        )
+    return lake_sql(
+        cat,
+        "SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+        "COUNT(*) AS n FROM bench.ev_gagg "
+        "WHERE ts >= '2024-01-03 00:00:00' "
+        "AND ts < '2024-01-18 12:00:00' "
+        "GROUP BY event_type ORDER BY event_type",
+    )

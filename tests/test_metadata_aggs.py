@@ -572,3 +572,132 @@ def test_count_rows_by_distributed_multivalued_boundary(table):
         for r in t.count_rows_by("s", predicates={"k": (">=", 30)}).collect()
     }
     assert got == want == {("c30", 1), ("c32", 1), ("c34", 1), (None, 2)}
+
+
+# ---------------- grouped MIN/MAX/COUNT folds (agg_by, r9) ----------------
+
+
+def test_agg_by_metadata_fold_partitioned(spark, tmp_path):
+    """Per-partition freshness (part, MIN/MAX(k), COUNT(*)) folds from
+    manifests on an identity-partitioned table — proven by deleting the
+    data files."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whab")).start()
+    t = cat.create_table("db.ab", SCHEMA, partition_cols=["s"])
+    rows = [(k, f"p{k % 3}") for k in range(30)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    aggs = [("MIN", "k", "lo"), ("MAX", "k", "hi"), ("COUNT", None, "n")]
+
+    def grab(pred=None):
+        return {
+            (r["s"], r["lo"], r["hi"], r["n"])
+            for r in t.agg_by("s", aggs, predicates=pred).collect()
+        }
+
+    want = {
+        (f"p{i}", i, 27 + i, 10) for i in range(3)
+    }
+    assert grab() == want
+    assert grab({"k": ("<", 30)}) == want  # fully covered → still folds
+    _nuke_data_files(t)
+    assert grab() == want  # pure metadata
+
+
+def test_agg_by_boundary_nulls_and_equivalence(table):
+    """Multi-valued group files scan; all-null agg columns contribute
+    NULL (MIN/MAX ignore them); results equal the plain Spark answer
+    at both tiers."""
+    from pyspark.sql import functions as F
+
+    t = table  # files: k 0-9, 10-29, 30-34 (s null on odds in file 3)
+    aggs = [("MIN", "k", "lo"), ("MAX", "k", "hi"), ("COUNT", None, "n")]
+    want = {
+        (r["s"], r["lo"], r["hi"], r["n"])
+        for r in t.scan()
+        .groupBy("s")
+        .agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        (r["s"], r["lo"], r["hi"], r["n"])
+        for r in t.agg_by("s", aggs).collect()
+    }
+    assert got == want
+    # predicate shape with boundary files
+    want_p = {
+        (r["s"], r["hi"])
+        for r in t.scan({"k": (">=", 5)})
+        .groupBy("s").agg(F.max("k").alias("hi")).collect()
+    }
+    got_p = {
+        (r["s"], r["hi"])
+        for r in t.agg_by(
+            "s", [("MAX", "k", "hi")], predicates={"k": (">=", 5)}
+        ).collect()
+    }
+    assert got_p == want_p
+    # executor tier equivalence
+    calls = _force_distributed(t)
+    got_d = {
+        (r["s"], r["lo"], r["hi"], r["n"])
+        for r in t.agg_by("s", aggs).collect()
+    }
+    assert got_d == want and calls
+
+
+def test_agg_by_all_null_agg_column(spark, tmp_path):
+    """A file whose agg column is entirely NULL folds as a NULL
+    contribution — the merged MIN/MAX ignores it, COUNT keeps it."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whn")).start()
+    t = cat.create_table("db.abn", SCHEMA, partition_cols=["s"])
+    t.append(
+        spark.createDataFrame(
+            [(None, "px"), (None, "px")], SCHEMA
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(5, "px"), (9, "px")], SCHEMA).coalesce(1)
+    )
+    got = t.agg_by(
+        "s", [("MIN", "k", "lo"), ("MAX", "k", "hi"), ("COUNT", None, "n")]
+    ).collect()
+    assert [(r["s"], r["lo"], r["hi"], r["n"]) for r in got] == [
+        ("px", 5, 9, 4)
+    ]
+
+
+def test_sql_group_agg_fast_path(spark, tmp_path):
+    """The SQL surface routes the grouped MIN/MAX/COUNT shape onto
+    agg_by and equals the generic Spark answer — proven metadata-only
+    by deleting the data files."""
+    from icebergplus_spark.lake.sql_dml import _group_agg_select, lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whsa")).start()
+    t = cat.create_table("db.sqlagg", SCHEMA, partition_cols=["s"])
+    rows = [(k, f"p{k % 2}") for k in range(20)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    q = (
+        "SELECT s, MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n "
+        "FROM db.sqlagg WHERE k >= 0 GROUP BY s ORDER BY s"
+    )
+    fast = _group_agg_select(cat, q)
+    assert fast is not None
+    got = [(r["s"], r["lo"], r["hi"], r["n"]) for r in fast.collect()]
+    assert got == [("p0", 0, 18, 10), ("p1", 1, 19, 10)]
+    _nuke_data_files(t)
+    again = [
+        (r["s"], r["lo"], r["hi"], r["n"])
+        for r in lake_sql(cat, q).collect()
+    ]
+    assert again == got  # answered from the manifest
+    # HAVING routes away from this path (generic correctness preserved)
+    assert (
+        _group_agg_select(
+            cat,
+            "SELECT s, MAX(k) AS hi FROM db.sqlagg GROUP BY s "
+            "HAVING hi > 3",
+        )
+        is None
+    )
