@@ -43,6 +43,7 @@ HEADLINE = [
     "w02_dv_delete_scan",  # deletion-vector MoR write+read path (r5)
     "w03_sql_range_dml_scan",  # SQL range DELETE + pruned OR SELECT (r7)
     "w04_join_pruned_select",  # fact-dim join with pruned fact view (r8)
+    "w05_cte_notin_groupagg",  # NOT IN delete + CTE-pruned join + agg fold (r9)
 ]
 
 
@@ -191,11 +192,64 @@ def w04_join_pruned_select(spark, sf_dir: str):
     )
 
 
+def w05_cte_notin_groupagg(spark, sf_dir: str):
+    """r9 surface headline: year-sliced orders ingest, a NOT IN
+    keep-list DELETE (anti-join through merge_into's BY SOURCE clause,
+    bloom-exempted rewrite set), then the CTE-shaped fact-dim join —
+    the CTE body rides the pruned fast path — capped with a grouped
+    MIN/MAX/COUNT that folds from manifest stats (agg_by). One timed
+    region covering the round's three new SQL-reachable paths on a
+    fresh warehouse."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    root = tempfile.mkdtemp(prefix="bench_w05_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.w5_orders", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        fact.append(
+            orders.filter(F.year("o_orderdate") == y).repartition(2)
+        )
+    dim = cat.create_table("bench.w5_cust", cust.schema)
+    dim.append(cust)
+    lake_sql(
+        cat,
+        "DELETE FROM bench.w5_orders WHERE o_custkey NOT IN ("
+        "SELECT c_custkey FROM bench.w5_cust)",
+    )
+    return lake_sql(
+        cat,
+        "WITH recent AS ("
+        "  SELECT o_custkey, o_orderpriority, o_orderdate"
+        "  FROM bench.w5_orders"
+        "  WHERE o_orderdate >= '1996-01-01'"
+        "  AND o_orderdate < '1996-10-01'"
+        ") "
+        "SELECT c.c_mktsegment AS segment, COUNT(*) AS n, "
+        "MIN(r.o_orderdate) AS first_day, MAX(r.o_orderdate) AS last_day "
+        "FROM recent r JOIN bench.w5_cust c ON r.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment",
+    )
+
+
 LOCAL_QUERIES = {
     "w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan,
     "w02_dv_delete_scan": w02_dv_delete_scan,
     "w03_sql_range_dml_scan": w03_sql_range_dml_scan,
     "w04_join_pruned_select": w04_join_pruned_select,
+    "w05_cte_notin_groupagg": w05_cte_notin_groupagg,
 }
 
 
