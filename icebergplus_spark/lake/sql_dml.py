@@ -545,11 +545,19 @@ _EXISTS_SUBQUERY = re.compile(r"\bEXISTS\s*\(", re.IGNORECASE)
 
 
 def _subquery_keys(
-    catalog: LocalLakeCatalog, t: LakeTable, col: str, subq: str
+    catalog: LocalLakeCatalog,
+    t: LakeTable,
+    col: str,
+    subq: str,
+    probe: bool = False,
 ):
     """Run an (NOT) IN-subquery and shape its single column onto the
-    target column's name/type. Returns (keys_df, has_null) — the NULL
-    probe is ONE bounded action (limit 1), not a collect."""
+    target column's name/type. Returns (keys_df, has_null, is_empty).
+    The NULL/emptiness probe is ONE aggregate action and only runs for
+    ``probe=True`` (the NOT IN callers, whose semantics hinge on it) —
+    the IN callers skip it entirely (review r9: the probe doubled
+    every IN-subquery statement's subquery cost for a flag they
+    discard)."""
     from pyspark.sql import functions as F
 
     if col not in t.schema.fieldNames():
@@ -562,8 +570,12 @@ def _subquery_keys(
         )
     dtype = next(f.dataType for f in t.schema.fields if f.name == col)
     src = keys.select(F.col(keys.columns[0]).cast(dtype).alias(col))
-    has_null = src.filter(F.col(col).isNull()).limit(1).count() > 0
-    return src, has_null
+    if not probe:
+        return src, False, False
+    row = src.agg(
+        F.count(F.lit(1)).alias("n"), F.count(col).alias("nn")
+    ).first()
+    return src, row["n"] > row["nn"], row["n"] == 0
 
 
 def _parens_balanced(s: str) -> bool:
@@ -1528,25 +1540,14 @@ def _per_table_branches(
             continue
         per_branch: list[dict[str, Any]] = []
         for b in branches:
+            # a branch may constrain one column both alias-qualified
+            # and bare — _merge_conj AND-lists, never overwrites
             terms: dict[str, Any] = {}
-
-            def _add(col: str, pred: Any) -> None:
-                # the branch may constrain one column both alias-
-                # qualified and bare — AND-list them, don't overwrite
-                items = pred if isinstance(pred, list) else [pred]
-                if col in terms:
-                    cur = terms[col]
-                    terms[col] = (
-                        cur if isinstance(cur, list) else [cur]
-                    ) + list(items)
-                else:
-                    terms[col] = pred
-
             for col, pred in b.items():
                 if "." in col:
                     prefix, _, bare = col.rpartition(".")
                     if alias_of.get(prefix) == ident and bare in fields[ident]:
-                        _add(bare, pred)
+                        _merge_conj(terms, bare, pred)
                     continue
                 if semi_anti:
                     # bare columns may resolve to the left relation
@@ -1554,7 +1555,7 @@ def _per_table_branches(
                     continue
                 owners = [i for i, fs in fields.items() if col in fs]
                 if owners == [ident]:
-                    _add(col, pred)
+                    _merge_conj(terms, col, pred)
             if not terms:
                 per_branch = []
                 break  # this branch doesn't constrain the table
@@ -2025,7 +2026,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             m_sub = None  # compound WHERE ending in ')' — grammar path
         if m_sub:
             col, subq = m_sub.groups()
-            src, _ = _subquery_keys(catalog, t, col, subq)
+            src, _, _ = _subquery_keys(catalog, t, col, subq)
             return t.delete_by_key(src.distinct())
         # DELETE ... WHERE col NOT IN (SELECT ...) (r9, VERDICT r8 #3):
         # three-valued NULL semantics are the classic silent-wrong trap —
@@ -2042,17 +2043,24 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             from pyspark.sql import functions as F
 
             col, subq = m_nsub.groups()
-            src, has_null = _subquery_keys(catalog, t, col, subq)
+            src, has_null, empty = _subquery_keys(
+                catalog, t, col, subq, probe=True
+            )
             if has_null:
                 return t  # NOT IN over a NULL-bearing set matches no row
+            # NOT IN over the EMPTY set is TRUE for EVERY row — NULL
+            # keys included (review r9: the IS NOT NULL gate wrongly
+            # kept them; x NOT IN {} never consults x)
             return t.merge_into(
                 src.distinct(),
                 on=col,
                 when_not_matched_insert=False,
                 when_not_matched_by_source_delete=True,
-                not_matched_by_source_condition=F.col(col).isNotNull(),
+                not_matched_by_source_condition=(
+                    None if empty else F.col(col).isNotNull()
+                ),
             )
-        if _EXISTS_SUBQUERY.search(where):
+        if _EXISTS_SUBQUERY.search(_mask_literals(where)):
             raise UnsupportedSQL(
                 "EXISTS/correlated subqueries are not supported in DML "
                 "WHERE; use an uncorrelated [NOT] IN (SELECT ...) or the "
@@ -2084,7 +2092,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         m_sub = _IN_SUBQUERY.match(where.strip())
         if m_sub and _parens_balanced(m_sub.group(2)):
             keycol, subq = m_sub.groups()
-            src, _ = _subquery_keys(catalog, t, keycol, subq)
+            src, _, _ = _subquery_keys(catalog, t, keycol, subq)
             return t.merge_into(
                 src.distinct(),
                 on=keycol,
@@ -2099,17 +2107,23 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         m_nsub = _NOT_IN_SUBQUERY.match(where.strip())
         if m_nsub and _parens_balanced(m_nsub.group(2)):
             keycol, subq = m_nsub.groups()
-            src, has_null = _subquery_keys(catalog, t, keycol, subq)
+            src, has_null, empty = _subquery_keys(
+                catalog, t, keycol, subq, probe=True
+            )
             if has_null:
                 return t
+            # empty set ⇒ NOT IN is TRUE for every row, NULL keys
+            # included (review r9) — drop the IS NOT NULL gate
             return t.merge_into(
                 src.distinct(),
                 on=keycol,
                 when_not_matched_insert=False,
                 when_not_matched_by_source_update=assignments,
-                not_matched_by_source_condition=F.col(keycol).isNotNull(),
+                not_matched_by_source_condition=(
+                    None if empty else F.col(keycol).isNotNull()
+                ),
             )
-        if _EXISTS_SUBQUERY.search(where):
+        if _EXISTS_SUBQUERY.search(_mask_literals(where)):
             raise UnsupportedSQL(
                 "EXISTS/correlated subqueries are not supported in DML "
                 "WHERE; use an uncorrelated [NOT] IN (SELECT ...) or the "

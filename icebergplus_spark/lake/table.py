@@ -2972,8 +2972,17 @@ class LakeTable:
             return affected
         mapping = self._column_mapping
         phys_cols = [mapping.get(c, c) for c in keys]
+        # cast to the TARGET key types before probing (review r9: an
+        # uncast DOUBLE source key probed _bloom_key(1.0) against a
+        # bloom built from the BIGINT 1 — every probe missed and a file
+        # holding matched rows was wrongly exempted; the join itself
+        # coerces, so the probe must compare in the same domain)
+        types = {f.name: f.dataType for f in self.schema.fields}
         keys_phys = source.select(
-            *[_F.col(c).alias(p) for c, p in zip(keys, phys_cols)]
+            *[
+                _F.col(c).cast(types[c]).alias(p)
+                for c, p in zip(keys, phys_cols)
+            ]
         ).dropDuplicates()
         uris = [_as_uri(f["file_path"]) for f in affected]
         stats = {_as_uri(f["file_path"]): f for f in affected}
@@ -4301,7 +4310,20 @@ class LakeTable:
                 t.column("column_mins").to_pylist(),
             ):
                 mins = json.loads(mins_json)
-                key = "/".join(f"{p}={mins.get(p)}" for p in phys)
+                # render exactly like the DataFrame path's
+                # get_json_object + concat_ws: JSON booleans lowercase,
+                # NULL values drop their whole segment (review r9: a
+                # Python str() emitted 'True'/'None' and REST disagreed
+                # with the local partitions view)
+                segs = []
+                for p in phys:
+                    v = mins.get(p)
+                    if v is None:
+                        continue
+                    if isinstance(v, bool):
+                        v = "true" if v else "false"
+                    segs.append(f"{p}={v}")
+                key = "/".join(segs)
                 cur = agg.setdefault(key, [0, 0])
                 cur[0] += 1
                 cur[1] += rc
@@ -4537,11 +4559,22 @@ class LakeTable:
     def _n_manifest_entries(self, snap: dict[str, Any]) -> int:
         """Entry count from manifest parquet FOOTERS (no data I/O) —
         the tier-selection input shared by plan_files and the metadata
-        folds (r9)."""
-        return sum(
-            pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
-            for m in snap["manifests"]
-        )
+        folds (r9). Memoized per manifest set: manifests are immutable
+        once committed, and the folds would otherwise read every footer
+        twice per call (once for tier selection, once inside
+        plan_files — review r9)."""
+        key = tuple(snap["manifests"])
+        cache = getattr(self, "_entry_count_cache", None)
+        if cache is None:
+            cache = self._entry_count_cache = {}
+        if key not in cache:
+            if len(cache) > 64:
+                cache.clear()  # bounded: handles see few live snapshots
+            cache[key] = sum(
+                pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
+                for m in snap["manifests"]
+            )
+        return cache[key]
 
     def _fold_distributed(self, snap: dict[str, Any]) -> bool:
         """Whether metadata folds should run as Spark jobs over the
@@ -4715,10 +4748,7 @@ class LakeTable:
                 }, timers={"totalPlanningDuration": time.time() - t_plan})
             )
             return []
-        n_entries = sum(
-            pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
-            for m in snap["manifests"]
-        )
+        n_entries = self._n_manifest_entries(snap)
         threshold = int(
             self.properties.get("planning.distributed-threshold", "100000")
         )

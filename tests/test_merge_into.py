@@ -284,3 +284,28 @@ def test_merge_exempt_all_null_source_keys(spark, tmp_path):
     rows = t.scan().collect()
     assert sum(1 for r in rows if r["grp"] == "Z") == 0
     assert sum(1 for r in rows if r["id"] is None) == 2
+
+
+def test_merge_exempt_probes_cast_source_keys(spark, tmp_path):
+    """Review r9: bloom probes must compare in the TARGET key domain —
+    an uncast DOUBLE source key hashed differently from the BIGINT
+    bloom entry and wrongly exempted a file holding matched rows."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.mcast", SCHEMA, bloom_cols=["id"])
+    for lo in range(0, 40, 10):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"g{i}", float(i)) for i in range(lo, lo + 10)],
+                SCHEMA,
+            ).coalesce(1)
+        )
+    # DOUBLE-typed source keys spanning the table: 5.0 and 35.0 match
+    # ids 5 and 35 under Spark's join coercion
+    src = spark.createDataFrame(
+        [(5.0, "HIT", 0.0), (35.0, "HIT", 0.0)],
+        "id double, grp string, val double",
+    )
+    t.merge_into(src, on="id", when_matched_update={"grp": F.lit("HIT")})
+    got = {r["id"]: r["grp"] for r in t.scan().collect()}
+    assert got[5] == "HIT" and got[35] == "HIT"
+    assert got[12] == "g12" and len(got) == 40

@@ -701,3 +701,33 @@ def test_sql_group_agg_fast_path(spark, tmp_path):
         )
         is None
     )
+
+
+def test_partitions_rows_matches_dataframe_view(spark, tmp_path):
+    """Review r9: the spark-free partitions_rows must render partition
+    keys exactly like metadata_df('partitions') — JSON booleans
+    lowercase, NULL values drop their segment."""
+    from pyspark.sql.types import BooleanType
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whpr")).start()
+    sch = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("flag", BooleanType(), True),
+        ]
+    )
+    t = cat.create_table("db.prows", sch, partition_cols=["flag"])
+    t.append(
+        spark.createDataFrame(
+            [(1, True), (2, True), (3, False), (4, None)], sch
+        )
+    )
+    rows, _ = t.partitions_rows()
+    want = {
+        (r["partition"], r["file_count"], r["record_count"])
+        for r in t.metadata_df("partitions").collect()
+    }
+    assert {
+        (r["partition"], r["file_count"], r["record_count"]) for r in rows
+    } == want
+    assert {r["partition"] for r in rows} >= {"flag=true", "flag=false"}

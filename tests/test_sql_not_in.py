@@ -214,3 +214,33 @@ def test_merge_sql_by_source_update_clause(spark, cat):
             "WHEN NOT MATCHED BY SOURCE THEN DELETE "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'",
         )
+
+
+def test_not_in_empty_key_set_hits_every_row(spark, cat):
+    """Review r9: `x NOT IN (empty set)` is TRUE for EVERY row — NULL
+    keys included (the expression never consults x). DELETE empties the
+    table; UPDATE rewrites all rows."""
+    lake_sql(
+        cat,
+        "UPDATE db.t SET v = 'ALL' "
+        "WHERE k NOT IN (SELECT kk FROM db.keys WHERE kk > 1000)",
+    )
+    rows = _rows(cat)
+    assert len(rows) == 9 and all(v == "ALL" for _, v in rows)
+    lake_sql(
+        cat,
+        "DELETE FROM db.t "
+        "WHERE k NOT IN (SELECT kk FROM db.keys WHERE kk > 1000)",
+    )
+    assert _rows(cat) == []  # the NULL-key row went too
+
+
+def test_exists_inside_string_literal_not_refused(spark, cat):
+    """Review r9: the EXISTS guard must scan the literal-masked text —
+    a string literal containing 'EXISTS (' is grammar-path data."""
+    lake_sql(
+        cat,
+        "UPDATE db.t SET v = 'EXISTS (archived)' WHERE k = 3",
+    )
+    lake_sql(cat, "DELETE FROM db.t WHERE v = 'EXISTS (archived)'")
+    assert all(k != 3 for k, _ in _rows(cat))
