@@ -534,11 +534,11 @@ def _replace_prefix(stmt: str, ident: str, view: str) -> str:
 
 
 _IN_SUBQUERY = re.compile(
-    rf"^({_IDENT})\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
+    rf"^({_IDENT})\s+IN\s*\(\s*((?:SELECT|WITH)\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _NOT_IN_SUBQUERY = re.compile(
-    rf"^({_IDENT})\s+NOT\s+IN\s*\(\s*(SELECT\b.+)\)\s*$",
+    rf"^({_IDENT})\s+NOT\s+IN\s*\(\s*((?:SELECT|WITH)\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _EXISTS_SUBQUERY = re.compile(r"\bEXISTS\s*\(", re.IGNORECASE)

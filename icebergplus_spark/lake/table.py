@@ -4395,31 +4395,76 @@ class LakeTable:
             # Iceberg's db.t.entries: one row per (snapshot, manifest
             # entry) with the status relative to that snapshot — a
             # manifest's BIRTH snapshot marks its entries ADDED (1),
-            # later snapshots referencing it carry them EXISTING (0)
+            # later snapshots referencing it carry them EXISTING (0).
+            # The (manifest → referencing snapshots) map is tiny
+            # metadata; the entry volume is not — past the distributed
+            # threshold the manifests read in Spark and the map joins
+            # on the (unique) manifest file name, so entry rows never
+            # land on the driver (r9; the loop below materialized
+            # O(snapshots × entries) driver-side rows).
             import pyarrow.parquet as _pq
 
             born: dict[str, int] = {}
-            rows = []
+            refs: list[tuple[str, int]] = []
             for snap in sorted(
                 self._meta["snapshots"], key=lambda x: x["snapshot_id"]
             ):
                 for m in snap["manifests"]:
-                    if m not in born:
-                        born[m] = snap["snapshot_id"]
-                    t = _pq.read_table(
-                        os.path.join(self._meta_dir, m),
-                        columns=["file_path", "record_count", "file_size_bytes"],
+                    born.setdefault(m, snap["snapshot_id"])
+                    refs.append((m, snap["snapshot_id"]))
+            distinct_m = sorted(born)
+            threshold = int(
+                self.properties.get(
+                    "planning.distributed-threshold", "100000"
+                )
+            )
+            n_entries = sum(
+                _pq.read_metadata(
+                    os.path.join(self._meta_dir, m)
+                ).num_rows
+                for m in distinct_m
+            )
+            if distinct_m and n_entries > threshold:
+                from pyspark.sql import functions as _F
+
+                map_df = self.spark.createDataFrame(
+                    [
+                        (m, sid, 1 if born[m] == sid else 0)
+                        for m, sid in refs
+                    ],
+                    "mf string, snapshot_id long, status int",
+                )
+                mdf = self.spark.read.parquet(
+                    *[os.path.join(self._meta_dir, m) for m in distinct_m]
+                ).withColumn(
+                    "mf",
+                    _F.element_at(
+                        _F.split(_F.input_file_name(), "/"), -1
+                    ),
+                )
+                return mdf.join(_F.broadcast(map_df), "mf").select(
+                    "status",
+                    "snapshot_id",
+                    "file_path",
+                    "record_count",
+                    "file_size_bytes",
+                )
+            rows = []
+            for m, sid in refs:
+                t = _pq.read_table(
+                    os.path.join(self._meta_dir, m),
+                    columns=["file_path", "record_count", "file_size_bytes"],
+                )
+                for e in t.to_pylist():
+                    rows.append(
+                        {
+                            "status": 1 if born[m] == sid else 0,
+                            "snapshot_id": sid,
+                            "file_path": e["file_path"],
+                            "record_count": e["record_count"],
+                            "file_size_bytes": e["file_size_bytes"],
+                        }
                     )
-                    for e in t.to_pylist():
-                        rows.append(
-                            {
-                                "status": 1 if born[m] == snap["snapshot_id"] else 0,
-                                "snapshot_id": snap["snapshot_id"],
-                                "file_path": e["file_path"],
-                                "record_count": e["record_count"],
-                                "file_size_bytes": e["file_size_bytes"],
-                            }
-                        )
             schema = (
                 "status int, snapshot_id long, file_path string, "
                 "record_count long, file_size_bytes long"

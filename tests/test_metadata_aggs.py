@@ -731,3 +731,16 @@ def test_partitions_rows_matches_dataframe_view(spark, tmp_path):
         (r["partition"], r["file_count"], r["record_count"]) for r in rows
     } == want
     assert {r["partition"] for r in rows} >= {"flag=true", "flag=false"}
+
+
+def test_entries_distributed_tier_equivalence(table):
+    """r9: past the distributed threshold metadata_df('entries') reads
+    manifests in Spark and joins the (manifest → snapshot, status) map
+    — identical rows to the driver loop."""
+    t = table
+    key = lambda r: (r["snapshot_id"], r["file_path"], r["status"])
+    want = sorted(map(key, t.metadata_df("entries").collect()))
+    t.set_property("planning.distributed-threshold", "0")
+    got = sorted(map(key, t.metadata_df("entries").collect()))
+    assert got == want and len(want) == 6  # 1 + 2 + 3 snapshot views
+    assert {s for _, _, s in got} == {0, 1}

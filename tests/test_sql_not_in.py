@@ -244,3 +244,14 @@ def test_exists_inside_string_literal_not_refused(spark, cat):
     )
     lake_sql(cat, "DELETE FROM db.t WHERE v = 'EXISTS (archived)'")
     assert all(k != 3 for k, _ in _rows(cat))
+
+
+def test_with_headed_subquery_in_dml(spark, cat):
+    """r9: [NOT] IN subqueries may be WITH-headed — the CTE machinery
+    runs inside the key-set dispatch."""
+    lake_sql(
+        cat,
+        "DELETE FROM db.t WHERE k NOT IN ("
+        "WITH ks AS (SELECT kk FROM db.keys) SELECT kk FROM ks)",
+    )
+    assert [k for k, _ in _rows(cat)] == [2, 4, 6, None]
