@@ -1424,6 +1424,14 @@ class LakeTable:
         bloom work past EQ_SKIP_BLOOM_BUDGET fall back to range-only /
         no pruning — correctness never depends on this function, only
         join width does."""
+        if not self._eq_key_types_match(entry):
+            # the stored key columns' types differ from the table's —
+            # the anti-join COERCES (non-ANSI: BIGINT = STRING casts
+            # the string to BIGINT), but range/bloom probes compare raw
+            # values and would wrongly exempt files holding rows the
+            # coerced join deletes (review r9). No pruning; the join
+            # stays exact.
+            return set()
         if entry.get("record_count", self.EQ_SKIP_KEYS_CAP + 1) > self.EQ_SKIP_KEYS_CAP:
             # VERDICT r5 #3: key sets past the driver cap prune through
             # the DISTRIBUTED tier — range bounds from one Spark
@@ -1474,6 +1482,35 @@ class LakeTable:
         if not key_rows:
             return set(uris)
         return self._eq_prunable_uris(cols, key_rows, uris, stats_by_uri)
+
+    def _eq_key_types_match(self, entry: dict[str, Any]) -> bool:
+        """Whether a stored equality-delete file's key column types
+        equal the table's physical types — the precondition for every
+        stats/bloom probe (memoized; delete files are immutable).
+        Unreadable/unknown → False (no pruning, sound)."""
+        cache = getattr(self, "_eq_types_cache", None)
+        if cache is None:
+            cache = self._eq_types_cache = {}
+        key = entry["file_path"]
+        if key not in cache:
+            try:
+                from pyspark.sql.pandas.types import from_arrow_type
+
+                dsch = pq.read_schema(entry["file_path"])
+                phys = {
+                    f.name: f.dataType
+                    for f in self.physical_schema.fields
+                }
+                ok = all(
+                    from_arrow_type(dsch.field(c).type) == phys.get(c)
+                    for c in json.loads(entry["equality_cols"])
+                )
+            except Exception:
+                ok = False
+            if len(cache) > 256:
+                cache.clear()
+            cache[key] = ok
+        return cache[key]
 
     def _eq_prunable_uris(
         self,
@@ -2094,6 +2131,14 @@ class LakeTable:
             key_rows = [
                 tuple(r) for r in sample if all(v is not None for v in r)
             ]
+            # probes compare raw key values with table-domain stats;
+            # a type-mismatched key column would be coerced by the
+            # join but not by the probes (review r9) — skip pruning
+            tgt_types = {f.name: f.dataType for f in self.schema.fields}
+            typed_ok = all(
+                f.dataType == tgt_types.get(c)
+                for c, f in zip(keys.columns, keys.schema.fields)
+            )
             if len(sample) <= self.EQ_SKIP_KEYS_CAP:
                 if not key_rows:  # every key has a NULL — matches nothing
                     if extra_summary:
@@ -2101,11 +2146,17 @@ class LakeTable:
                             t0, snap, extra_summary
                         )
                     return self
-                stats = self._file_stats_by_uri(snap)
-                skip = self._eq_prunable_uris(
-                    phys_cols, key_rows, [_as_uri(p) for p in paths], stats
-                )
-                paths = [p for p in paths if _as_uri(p) not in skip]
+                if typed_ok:
+                    stats = self._file_stats_by_uri(snap)
+                    skip = self._eq_prunable_uris(
+                        phys_cols,
+                        key_rows,
+                        [_as_uri(p) for p in paths],
+                        stats,
+                    )
+                    paths = [p for p in paths if _as_uri(p) not in skip]
+            elif not typed_ok:
+                pass  # no pruning — the anti-join below stays exact
             else:
                 # VERDICT r5 #3: past the driver cap, prune through the
                 # distributed range+bloom tier — key rows stay on
@@ -2972,17 +3023,21 @@ class LakeTable:
             return affected
         mapping = self._column_mapping
         phys_cols = [mapping.get(c, c) for c in keys]
-        # cast to the TARGET key types before probing (review r9: an
-        # uncast DOUBLE source key probed _bloom_key(1.0) against a
-        # bloom built from the BIGINT 1 — every probe missed and a file
-        # holding matched rows was wrongly exempted; the join itself
-        # coerces, so the probe must compare in the same domain)
+        # probes only when the source key types EQUAL the target's
+        # (review r9, twice: an uncast DOUBLE key hashed differently
+        # from the BIGINT bloom entry; and a cast-to-target probe still
+        # diverged for STRING targets, where the non-ANSI join casts
+        # the NUMERIC side onto the string column with truncation —
+        # '5.5' = 5L is TRUE. No probe domain can mirror that, so a
+        # type mismatch exempts nothing and the join stays exact.)
         types = {f.name: f.dataType for f in self.schema.fields}
+        src_types = {
+            c: f.dataType for c, f in zip(source.columns, source.schema.fields)
+        }
+        if any(src_types.get(c) != types[c] for c in keys):
+            return affected
         keys_phys = source.select(
-            *[
-                _F.col(c).cast(types[c]).alias(p)
-                for c, p in zip(keys, phys_cols)
-            ]
+            *[_F.col(c).alias(p) for c, p in zip(keys, phys_cols)]
         ).dropDuplicates()
         uris = [_as_uri(f["file_path"]) for f in affected]
         stats = {_as_uri(f["file_path"]): f for f in affected}
@@ -4312,9 +4367,11 @@ class LakeTable:
                 mins = json.loads(mins_json)
                 # render exactly like the DataFrame path's
                 # get_json_object + concat_ws: JSON booleans lowercase,
-                # NULL values drop their whole segment (review r9: a
-                # Python str() emitted 'True'/'None' and REST disagreed
-                # with the local partitions view)
+                # NULL values drop their whole segment, and floats use
+                # Java's Double.toString notation (Jackson re-serializes
+                # them server-side in Spark: 1e-07 → '1.0E-7') — review
+                # r9, twice: Python str() diverged on bools/NULLs and
+                # then on exponent-notation doubles
                 segs = []
                 for p in phys:
                     v = mins.get(p)
@@ -4322,6 +4379,8 @@ class LakeTable:
                         continue
                     if isinstance(v, bool):
                         v = "true" if v else "false"
+                    elif isinstance(v, float):
+                        v = _java_double_str(v)
                     segs.append(f"{p}={v}")
                 key = "/".join(segs)
                 cur = agg.setdefault(key, [0, 0])
@@ -4418,13 +4477,12 @@ class LakeTable:
                     "planning.distributed-threshold", "100000"
                 )
             )
-            n_entries = sum(
-                _pq.read_metadata(
-                    os.path.join(self._meta_dir, m)
-                ).num_rows
-                for m in distinct_m
-            )
-            if distinct_m and n_entries > threshold:
+            # gate on the OUTPUT row count — one row per (referencing
+            # snapshot × entry), not per distinct entry: long-lived
+            # tables whose snapshots share manifests multiply the
+            # driver-side row list by the reference count (review r9)
+            n_rows = sum(self._manifest_row_count(m) for m, _ in refs)
+            if distinct_m and n_rows > threshold:
                 from pyspark.sql import functions as _F
 
                 map_df = self.spark.createDataFrame(
@@ -4608,18 +4666,24 @@ class LakeTable:
         once committed, and the folds would otherwise read every footer
         twice per call (once for tier selection, once inside
         plan_files — review r9)."""
-        key = tuple(snap["manifests"])
-        cache = getattr(self, "_entry_count_cache", None)
+        return sum(
+            self._manifest_row_count(m) for m in snap["manifests"]
+        )
+
+    def _manifest_row_count(self, manifest: str) -> int:
+        """One manifest's entry count from its parquet footer, memoized
+        per handle — manifests are immutable, and the fold/entries
+        paths would otherwise re-read the same footers per call."""
+        cache = getattr(self, "_manifest_rows_cache", None)
         if cache is None:
-            cache = self._entry_count_cache = {}
-        if key not in cache:
-            if len(cache) > 64:
-                cache.clear()  # bounded: handles see few live snapshots
-            cache[key] = sum(
-                pq.read_metadata(os.path.join(self._meta_dir, m)).num_rows
-                for m in snap["manifests"]
-            )
-        return cache[key]
+            cache = self._manifest_rows_cache = {}
+        if manifest not in cache:
+            if len(cache) > 4096:
+                cache.clear()  # bounded
+            cache[manifest] = pq.read_metadata(
+                os.path.join(self._meta_dir, manifest)
+            ).num_rows
+        return cache[manifest]
 
     def _fold_distributed(self, snap: dict[str, Any]) -> bool:
         """Whether metadata folds should run as Spark jobs over the
@@ -5897,6 +5961,44 @@ class LakeTable:
         for lo, hi in ranges:
             cond = cond | ((c >= _F.lit(lo)) & (c < _F.lit(hi)))
         return df.filter(cond)
+
+
+def _java_double_str(v: float) -> str:
+    """Java ``Double.toString`` notation: decimal for 1e-3 ≤ |v| < 1e7
+    (always with a fractional part), otherwise ``d.dddE±e`` with one
+    digit before the point and no exponent padding — what Jackson (and
+    so Spark's ``get_json_object``) emits for JSON doubles. Keeps the
+    spark-free partitions rows byte-identical to the DataFrame path."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return str(v)
+    a = abs(v)
+    if v == 0.0:
+        return "-0.0" if str(v).startswith("-") else "0.0"
+    if 1e-3 <= a < 1e7:
+        s = repr(v)
+        if "e" in s or "E" in s:  # repr chose sci-notation — expand
+            s = f"{v:.17g}"
+        if "." not in s:
+            s += ".0"
+        return s
+    mr = repr(v)
+    if "e" in mr:  # repr already shortest-roundtrip sci notation
+        m, e = mr.split("e")
+        exp = int(e)
+    else:  # decimal repr — normalize to one digit before the point
+        neg = mr.startswith("-")
+        digs = mr.lstrip("-")
+        ip, _, fp = digs.partition(".")
+        alld = (ip + fp).lstrip("0")
+        if ip.lstrip("0"):
+            exp = len(ip) - 1
+        else:
+            exp = -(len(fp) - len(fp.lstrip("0")) + 1)
+        alld = alld.rstrip("0") or "0"
+        m = ("-" if neg else "") + alld[0] + "." + (alld[1:] or "0")
+    if "." not in m:
+        m += ".0"
+    return f"{m}E{exp}"
 
 
 def _normalize_branches(predicates) -> list[dict[str, Any]]:

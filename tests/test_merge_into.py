@@ -287,9 +287,12 @@ def test_merge_exempt_all_null_source_keys(spark, tmp_path):
 
 
 def test_merge_exempt_probes_cast_source_keys(spark, tmp_path):
-    """Review r9: bloom probes must compare in the TARGET key domain —
-    an uncast DOUBLE source key hashed differently from the BIGINT
-    bloom entry and wrongly exempted a file holding matched rows."""
+    """Review r9 (twice): a type-mismatched source key can't share a
+    probe domain with the target's stats/blooms — an uncast DOUBLE key
+    hashed differently from the BIGINT bloom entry, and a cast probe
+    still diverged for STRING targets under non-ANSI join coercion.
+    Mismatched types now disable the exemption entirely; results must
+    stay exact either way."""
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.mcast", SCHEMA, bloom_cols=["id"])
     for lo in range(0, 40, 10):
@@ -309,3 +312,34 @@ def test_merge_exempt_probes_cast_source_keys(spark, tmp_path):
     got = {r["id"]: r["grp"] for r in t.scan().collect()}
     assert got[5] == "HIT" and got[35] == "HIT"
     assert got[12] == "g12" and len(got) == 40
+
+
+def test_merge_exempt_skipped_for_string_target_keys(spark, tmp_path):
+    """Non-ANSI coercion makes BIGINT-source = STRING-target truncate
+    the STRING side ('5.5' = 5 is TRUE) — no probe domain mirrors
+    that, so mismatched key types must exempt nothing and the matched
+    row must still update."""
+    from pyspark.sql.types import StringType
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    sch = StructType(
+        [
+            StructField("code", StringType(), True),
+            StructField("grp", StringType(), True),
+            StructField("val", DoubleType(), True),
+        ]
+    )
+    t = cat.create_table("db.mstr", sch, bloom_cols=["code"])
+    t.append(
+        spark.createDataFrame([("5.5", "a", 1.0)], sch).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([("9.9", "b", 2.0)], sch).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(5, "HIT", 0.0)], "code bigint, grp string, val double"
+    )
+    t.merge_into(src, on="code", when_matched_update={"grp": F.lit("HIT")})
+    got = {r["code"]: r["grp"] for r in t.scan().collect()}
+    # '5.5' = 5L is TRUE under the session's non-ANSI coercion
+    assert got["5.5"] == "HIT" and got["9.9"] == "b"

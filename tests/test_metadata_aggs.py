@@ -731,6 +731,32 @@ def test_partitions_rows_matches_dataframe_view(spark, tmp_path):
         (r["partition"], r["file_count"], r["record_count"]) for r in rows
     } == want
     assert {r["partition"] for r in rows} >= {"flag=true", "flag=false"}
+    # floats: Jackson renders exponent notation ('1.0E-7') — the
+    # spark-free path must match byte-for-byte (review r9)
+    from pyspark.sql.types import DoubleType
+
+    sch2 = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("w", DoubleType(), True),
+        ]
+    )
+    t2 = cat.create_table("db.prowsf", sch2, partition_cols=["w"])
+    t2.append(
+        spark.createDataFrame(
+            [(1, 1e-07), (2, 1e-07), (3, 5.5), (4, 12345678.9)], sch2
+        )
+    )
+    rows2, _ = t2.partitions_rows()
+    want2 = {
+        (r["partition"], r["file_count"], r["record_count"])
+        for r in t2.metadata_df("partitions").collect()
+    }
+    assert {
+        (r["partition"], r["file_count"], r["record_count"])
+        for r in rows2
+    } == want2
+    assert {r["partition"] for r in rows2} >= {"w=1.0E-7", "w=5.5"}
 
 
 def test_entries_distributed_tier_equivalence(table):

@@ -410,3 +410,34 @@ def test_delete_by_key_empty_table_still_commits_marker(spark, tmp_path):
     # the contract is only that data is unchanged)
     assert t.scan().count() == 0
     assert t.current_snapshot_id in (before, before + 1)
+
+
+def test_delete_by_key_type_mismatch_disables_pruning(spark, tmp_path):
+    """Review r9: DOUBLE keys against a BIGINT key column hash
+    differently from the stored blooms — pruning must stand down (both
+    the eq-to-dv resolve path and scan-time stored-delete pruning) and
+    the coerced anti-join must still delete exactly the right rows."""
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whtm")).start()
+    t = cat.create_table("db.tm", SCHEMA, bloom_cols=["k"])
+    for lo in (0, 10):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 5)], SCHEMA
+            ).coalesce(1)
+        )
+    keys = spark.createDataFrame([(1.0,), (12.0,)], "k double")
+    t.delete_by_key(keys)
+    assert sorted(r["k"] for r in t.scan().collect()) == [
+        0, 2, 3, 4, 10, 11, 13, 14,
+    ]
+    # eq-to-dv route with mismatched types
+    t2 = cat.create_table("db.tm2", SCHEMA, bloom_cols=["k"])
+    t2.set_property("delete.representation", "dv")
+    t2.set_property("delete.eq-to-dv", "true")
+    t2.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(8)], SCHEMA)
+    )
+    t2.delete_by_key(spark.createDataFrame([(3.0,), (6.0,)], "k double"))
+    assert sorted(r["k"] for r in t2.scan().collect()) == [0, 1, 2, 4, 5, 7]
