@@ -846,6 +846,7 @@ _GROUP_AGG = re.compile(
     rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
     rf"(?:\s+WHERE\s+(.+?))?"
     rf"\s+GROUP\s+BY\s+((?:{_IDENT}|\d+)(?:\s*,\s*(?:{_IDENT}|\d+))*)"
+    rf"(?:\s+HAVING\s+(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*({_NUM}))?"
     rf"(?:\s+ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?)?"
     rf"(?:\s+LIMIT\s+(\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -870,11 +871,11 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
     m = _GROUP_AGG.match(stmt.strip())
     if not m:
         return None
-    sel, ident, where, by, ob_key, ob_dir, limit = m.groups()
+    (
+        sel, ident, where, by, hv_left, hv_op, hv_lit, ob_key, ob_dir, limit,
+    ) = m.groups()
     if re.search(
-        r"\bAS\s+OF\b|\bJOIN\b|\bHAVING\b|\(\s*SELECT\b",
-        stmt,
-        re.IGNORECASE,
+        r"\bAS\s+OF\b|\bJOIN\b|\(\s*SELECT\b", stmt, re.IGNORECASE
     ):
         return None
     gcols: list[tuple[int, str]] = []  # (1-based select position, name)
@@ -905,6 +906,10 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
         *[a for _, _, a in aggs],
     ):
         return None
+    # HAVING: a numeric comparison on an AGG ALIAS only — it filters
+    # the tiny grouped frame; anything else declines to generic
+    if hv_left is not None and hv_left not in {a for _, _, a in aggs}:
+        return None
     table = _try_load(catalog, ident)
     if table is None:
         return None
@@ -919,6 +924,16 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
     from pyspark.sql import functions as F
 
     df = table.agg_by(names_g, aggs, predicates=pred_arg).select(*order)
+    if hv_left is not None:
+        n = F.col(hv_left)
+        lit = _parse_literal(hv_lit)
+        df = df.filter(
+            {
+                "<": n < lit, "<=": n <= lit, ">": n > lit,
+                ">=": n >= lit, "=": n == lit, "!=": n != lit,
+                "<>": n != lit,
+            }[hv_op]
+        )
     if ob_key is not None:
         key = F.col(ob_key)
         df = df.orderBy(

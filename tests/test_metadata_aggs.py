@@ -692,12 +692,20 @@ def test_sql_group_agg_fast_path(spark, tmp_path):
         for r in lake_sql(cat, q).collect()
     ]
     assert again == got  # answered from the manifest
-    # HAVING routes away from this path (generic correctness preserved)
+    # HAVING on an agg alias filters the grouped frame (r9)
+    hv = _group_agg_select(
+        cat,
+        "SELECT s, MAX(k) AS hi FROM db.sqlagg GROUP BY s "
+        "HAVING hi > 18 ORDER BY s",
+    )
+    assert hv is not None
+    assert [(r["s"], r["hi"]) for r in hv.collect()] == [("p1", 19)]
+    # HAVING on a non-alias (group col / unknown) declines to generic
     assert (
         _group_agg_select(
             cat,
             "SELECT s, MAX(k) AS hi FROM db.sqlagg GROUP BY s "
-            "HAVING hi > 3",
+            "HAVING s > 3",
         )
         is None
     )
