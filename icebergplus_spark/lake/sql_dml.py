@@ -2085,13 +2085,33 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
 
     if head == "UPDATE":
         m = re.match(
-            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise UnsupportedSQL("UPDATE requires SET ... WHERE ...")
+            raise UnsupportedSQL("UPDATE requires SET ...")
         ident, sets, where = m.groups()
+        if where is None:
+            # whole-table UPDATE (r9): standard SQL, no WHERE — every
+            # row gets the SET expressions. Routed through merge_into's
+            # BY SOURCE update with an EMPTY source: all rows are
+            # target-only, the full-target rewrite is the honest cost,
+            # and lineage/constraints ride the merge machinery.
+            t = catalog.load_table(ident)
+            assignments = {}
+            for term in _split_top_level(sets):
+                col, _, expr = term.partition("=")
+                if not expr:
+                    raise UnsupportedSQL(f"cannot parse SET term {term!r}")
+                assignments[col.strip()] = F.expr(expr.strip())
+            k0 = t.schema.fieldNames()[0]
+            return t.merge_into(
+                spark.createDataFrame([], t.schema).select(k0),
+                on=k0,
+                when_not_matched_insert=False,
+                when_not_matched_by_source_update=assignments,
+            )
         assignments: dict[str, Any] = {}
         for term in _split_top_level(sets):
             col, _, expr = term.partition("=")

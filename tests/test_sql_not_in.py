@@ -255,3 +255,13 @@ def test_with_headed_subquery_in_dml(spark, cat):
         "WITH ks AS (SELECT kk FROM db.keys) SELECT kk FROM ks)",
     )
     assert [k for k, _ in _rows(cat)] == [2, 4, 6, None]
+
+
+def test_update_without_where_updates_every_row(spark, cat):
+    """r9: standard-SQL whole-table UPDATE — no WHERE, every row gets
+    the SET expressions (NULL keys included), via the BY SOURCE update
+    with an empty source."""
+    lake_sql(cat, "UPDATE db.t SET v = concat('x', coalesce(v, '?'))")
+    rows = _rows(cat)
+    assert len(rows) == 9 and all(v.startswith("x") for _, v in rows)
+    assert dict(rows)[None] == "xvnull"
