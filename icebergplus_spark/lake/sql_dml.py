@@ -2045,17 +2045,21 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
 
     if head == "DELETE":
         m = re.match(
-            rf"^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
+            rf"^DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise UnsupportedSQL(
-                "DELETE requires a WHERE clause (truncate via "
-                "INSERT OVERWRITE with an empty query)"
-            )
+            raise UnsupportedSQL(f"cannot parse DELETE: {stmt[:80]!r}")
         ident, where = m.groups()
         t = catalog.load_table(ident)
+        if where is None:
+            # whole-table DELETE (r9): standard SQL, no WHERE — the
+            # empty conjunction matches every row. Rides the ordinary
+            # delete machinery (CoW replace or MOR tombstones per the
+            # table's write.delete.mode, op 'delete' for CDC
+            # consumers), unlike TRUNCATE's bare empty-overwrite.
+            return t.delete({})
         # DELETE ... WHERE col IN (SELECT ...) (r8): the subquery runs
         # through the ordinary SELECT machinery (fast paths, pruned
         # views, lake identifiers), and the key set drives an EQUALITY

@@ -110,8 +110,8 @@ def test_unsupported_surfaces_clearly(cat):
     # exact range — only NON-prefix patterns remain outside the grammar
     with pytest.raises(UnsupportedSQL, match="prefix"):
         lake_sql(cat, "DELETE FROM db.t WHERE name LIKE '%a'")
-    with pytest.raises(UnsupportedSQL, match="WHERE"):
-        lake_sql(cat, "DELETE FROM db.t")
+    # r9: DELETE without WHERE is now the standard-SQL whole-table
+    # delete (covered in test_sql_not_in.py) — no longer an error
     with pytest.raises(UnsupportedSQL, match="unsupported statement"):
         lake_sql(cat, "GRANT SELECT ON db.t TO analyst")
     # r7 (VERDICT r6 #1): a closed range used to raise "constrained

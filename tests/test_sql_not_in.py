@@ -286,3 +286,19 @@ def test_update_grammar_regressions(spark, cat):
     )
     rows = _rows(cat)
     assert all(v == "txn" for _, v in rows) and len(rows) == 9
+
+
+def test_delete_without_where_removes_every_row(spark, cat):
+    """r9: standard-SQL whole-table DELETE — the empty conjunction
+    matches every row; history stays time-travelable (snapshot op
+    'delete', not a truncate overwrite)."""
+    t = cat.load_table("db.t")
+    before_snap = t.current_snapshot_id
+    lake_sql(cat, "DELETE FROM db.t")
+    assert _rows(cat) == []
+    t = cat.load_table("db.t")
+    assert t.snapshot()["operation"] == "delete"
+    assert sorted(
+        r["k"] for r in t.scan(snapshot_id=before_snap).collect()
+        if r["k"] is not None
+    ) == list(range(1, 9))
