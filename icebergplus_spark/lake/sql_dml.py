@@ -596,6 +596,288 @@ def _parens_balanced(s: str) -> bool:
                     return False
     return depth == 0 and not in_str
 
+_EXISTS_CONJ = re.compile(
+    r"^(NOT\s+)?EXISTS\s*\(\s*((?:SELECT|WITH)\b.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EQ_CORR = re.compile(rf"^({_IDENT})\s*=\s*({_IDENT})$")
+_SUBQ_HINT = re.compile(
+    r"\b(?:IN|EXISTS)\s*\(\s*(?:SELECT|WITH)\b", re.IGNORECASE
+)
+_EXISTS_TAIL_KW = re.compile(
+    r"\b(GROUP|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|QUALIFY|"
+    r"WINDOW|JOIN)\b",
+    re.IGNORECASE,
+)
+_NO_SUBQ = object()
+
+
+def _kw_at_depth0(masked: str, pat: re.Pattern) -> re.Match | None:
+    """First match of ``pat`` at paren depth 0 in literal-masked text."""
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(masked, i)
+            if m:
+                return m
+    return None
+
+
+def _target_col(tok: str, quals: set[str], t: LakeTable) -> str | None:
+    """``<qual>.<col>`` → ``col`` when ``qual`` names the DML target and
+    the column exists in its schema; else None (the token belongs to
+    the subquery's own scope)."""
+    prefix, _, bare = tok.rpartition(".")
+    if prefix in quals and bare in t.schema.fieldNames():
+        return bare
+    return None
+
+
+def _exists_correlation(
+    t: LakeTable, ident: str, subq: str
+) -> tuple[str, str] | None:
+    """Correlated-equality EXISTS body → ``(target_col, keys_sql)``
+    where ``keys_sql`` is the de-correlated key query (run through the
+    ordinary [NOT] IN machinery): ``SELECT 1 FROM s WHERE s.k = t.k AND
+    s.active = 1`` becomes ``('k', "SELECT s.k AS k FROM s WHERE
+    s.active = 1")``. Returns None for an UNCORRELATED body (no target
+    reference — the caller treats the EXISTS as a constant gate).
+    Raises UnsupportedSQL, loudly, for every correlation this rewrite
+    cannot prove equivalent: target refs outside the WHERE, non-equality
+    correlation conjuncts, more than one correlation, a subquery FROM
+    alias shadowing the target's name, or top-level GROUP/ORDER/JOIN/
+    set-op clauses (their interaction with conjunct removal is not
+    analyzed)."""
+    masked = _mask_literals(subq)
+    quals = {ident, ident.rpartition(".")[2]}
+    ref_pat = re.compile(
+        rf"(?<![\w.])(?:{'|'.join(re.escape(q) for q in sorted(quals))})\.",
+    )
+    if not ref_pat.search(masked):
+        return None  # uncorrelated — constant-gate semantics
+    if not re.match(r"^SELECT\b", masked.strip(), re.IGNORECASE):
+        raise UnsupportedSQL(
+            "correlated EXISTS body must be a plain SELECT"
+        )
+    from_m = _kw_at_depth0(masked, re.compile(r"\bFROM\b", re.IGNORECASE))
+    where_m = _kw_at_depth0(masked, re.compile(r"\bWHERE\b", re.IGNORECASE))
+    if not from_m or not where_m or where_m.start() < from_m.end():
+        raise UnsupportedSQL(
+            "correlated EXISTS: target column referenced outside a "
+            "WHERE equality conjunct"
+        )
+    if _kw_at_depth0(masked[where_m.end():], _EXISTS_TAIL_KW) or \
+            _kw_at_depth0(masked[:where_m.start()], _EXISTS_TAIL_KW):
+        raise UnsupportedSQL(
+            "correlated EXISTS with JOIN/GROUP/ORDER/LIMIT/set-op "
+            "clauses is not supported; use an uncorrelated IN (SELECT "
+            "...) instead"
+        )
+    if ref_pat.search(masked[:where_m.end()]):
+        raise UnsupportedSQL(
+            "correlated EXISTS: target column referenced in the select "
+            "list or FROM clause"
+        )
+    head = subq[from_m.end():where_m.start()].strip()
+    masked_head = masked[from_m.end():where_m.start()]
+    for q in quals:
+        if re.search(rf"(?<![\w.]){re.escape(q)}(?![\w.])", masked_head):
+            raise UnsupportedSQL(
+                f"correlated EXISTS: subquery FROM references {q!r}, "
+                "shadowing the DML target — qualify with a distinct "
+                "alias"
+            )
+    corr: list[tuple[str, str]] = []
+    keep: list[str] = []
+    for c in _split_bool(subq[where_m.end():], "AND"):
+        cs = _strip_parens(c.strip())
+        m2 = _EQ_CORR.match(cs)
+        if m2:
+            a, b = m2.groups()
+            a_t, b_t = _target_col(a, quals, t), _target_col(b, quals, t)
+            if a_t and b_t:
+                raise UnsupportedSQL(
+                    "correlated EXISTS: both equality sides reference "
+                    "the target"
+                )
+            if a_t or b_t:
+                corr.append((a_t or b_t, b if a_t else a))
+                continue
+        if ref_pat.search(_mask_literals(cs)):
+            raise UnsupportedSQL(
+                f"correlated EXISTS: only one `src.col = target.col` "
+                f"equality may reference the target (got {cs!r})"
+            )
+        keep.append(c.strip())
+    if len(corr) != 1:
+        raise UnsupportedSQL(
+            "correlated EXISTS needs exactly one target-correlated "
+            f"equality conjunct, found {len(corr)}"
+        )
+    col, other = corr[0]
+    keys_sql = f"SELECT {other} AS {col} FROM {head}"
+    if keep:
+        keys_sql += " WHERE " + " AND ".join(keep)
+    return col, keys_sql
+
+
+def _subquery_dml(
+    catalog: LocalLakeCatalog,
+    t: LakeTable,
+    ident: str,
+    where: str,
+    assignments: dict[str, Any] | None,
+):
+    """Subquery-bearing DML WHERE router (r10, VERDICT r9 #1+#3),
+    shared by DELETE (``assignments=None``) and UPDATE: splits the
+    WHERE into top-level AND conjuncts, allows exactly ONE
+    ``col [NOT] IN (SELECT ...)`` or ``[NOT] EXISTS (SELECT ...)``
+    conjunct, parses the remainder under the ordinary grammar, and
+    routes through ONE ``merge_into`` pass — the grammar remainder both
+    gates the firing clause row-by-row (``matched_condition`` /
+    ``not_matched_by_source_condition``) and prunes target files
+    through ``target_branches``, so ``DELETE ... WHERE k IN (SELECT
+    ...) AND ts < X`` keeps the range conjunct's manifest pruning.
+
+    Returns ``_NO_SUBQ`` when the WHERE has no subquery conjunct (the
+    caller's pure-grammar paths own it). Semantics notes:
+
+    - NOT IN: three-valued logic applies to the subquery TERM — any
+      NULL in the key set makes ``col NOT IN (...)`` never TRUE, so the
+      whole AND-conjunction (and the statement) is a no-op regardless
+      of the other conjuncts; the EMPTY set makes the term TRUE for
+      every row (NULL keys included), reducing the statement to the
+      grammar remainder alone.
+    - EXISTS with one ``src.col = target.col`` equality is the
+      semi-join (``merge_into`` matched clause); NOT EXISTS is the
+      anti-join (BY SOURCE clause) — unlike NOT IN, a NULL target key
+      never matches, so NOT EXISTS FIRES on it (no IsNotNull gate) and
+      NULLs in the key set are inert rather than statement-voiding.
+    - Uncorrelated [NOT] EXISTS is a constant gate: probe emptiness
+      once, then run the remainder (or the whole-table op) or no-op.
+    """
+    from pyspark.sql import functions as F
+
+    from .table import _branches_match_cond
+
+    if not _SUBQ_HINT.search(_mask_literals(where)):
+        return _NO_SUBQ
+    try:
+        parts = [p.strip() for p in _split_bool(where, "AND")]
+    except UnsupportedSQL:
+        return _NO_SUBQ  # dangling AND — the grammar path errors loudly
+    subs: list[tuple[str, Any]] = []
+    rest: list[str] = []
+    for p in parts:
+        q = _strip_parens(p)
+        m = _IN_SUBQUERY.match(q)
+        if m and _parens_balanced(m.group(2)):
+            subs.append(("in", m.groups()))
+            continue
+        m = _NOT_IN_SUBQUERY.match(q)
+        if m and _parens_balanced(m.group(2)):
+            subs.append(("not_in", m.groups()))
+            continue
+        m = _EXISTS_CONJ.match(q)
+        if m and _parens_balanced(m.group(2)):
+            subs.append(
+                ("not_exists" if m.group(1) else "exists", m.group(2))
+            )
+            continue
+        rest.append(p)
+    if not subs:
+        return _NO_SUBQ
+    if len(subs) > 1:
+        raise UnsupportedSQL(
+            "at most one [NOT] IN / [NOT] EXISTS subquery conjunct per "
+            "DML WHERE; split the statement or use the Python API"
+        )
+    kind, payload = subs[0]
+    rest_text = " AND ".join(rest).strip()
+    rest_branches = cond = None
+    if rest_text:
+        # the remainder must be ONE grammar conjunction (IN-lists may
+        # expand it to branches); a parse failure raises the grammar's
+        # own loud error — never a silent semantic narrowing
+        rest_branches = _finalize_branches(t, _parse_branch(rest_text))
+        cond = _branches_match_cond(rest_branches, lambda c: c)
+
+    def _grammar_only():
+        """The statement minus the subquery term — used when the term
+        folds to constant-TRUE (NOT IN {}, satisfied EXISTS gate)."""
+        if not rest_branches:
+            arg: Any = {}
+        elif len(rest_branches) == 1:
+            arg = rest_branches[0]
+        else:
+            arg = rest_branches
+        return (
+            t.delete(arg)
+            if assignments is None
+            else t.update_where(arg, assignments)
+        )
+
+    if kind in ("exists", "not_exists"):
+        corr = _exists_correlation(t, ident, payload)
+        if corr is None:  # uncorrelated — probe once, constant gate
+            nonempty = lake_sql(catalog, payload.strip()).limit(1).count() > 0
+            fire = nonempty if kind == "exists" else not nonempty
+            return _grammar_only() if fire else t
+        col, keys_sql = corr
+        src, _, _ = _subquery_keys(catalog, t, col, keys_sql)
+        if kind == "exists":
+            return t.merge_into(
+                src.distinct(),
+                on=col,
+                when_matched_update=assignments,
+                when_matched_delete=assignments is None,
+                matched_condition=cond,
+                when_not_matched_insert=False,
+                target_branches=rest_branches,
+            )
+        return t.merge_into(
+            src.distinct(),
+            on=col,
+            when_not_matched_insert=False,
+            when_not_matched_by_source_delete=assignments is None,
+            when_not_matched_by_source_update=assignments,
+            not_matched_by_source_condition=cond,
+            target_branches=rest_branches,
+        )
+
+    col, subq = payload
+    if kind == "in":
+        src, _, _ = _subquery_keys(catalog, t, col, subq)
+        return t.merge_into(
+            src.distinct(),
+            on=col,
+            when_matched_update=assignments,
+            when_matched_delete=assignments is None,
+            matched_condition=cond,
+            when_not_matched_insert=False,
+            target_branches=rest_branches,
+        )
+    src, has_null, empty = _subquery_keys(catalog, t, col, subq, probe=True)
+    if has_null:
+        return t  # NOT IN over a NULL-bearing set: statement no-op
+    if empty:
+        return _grammar_only()  # NOT IN {} is TRUE for every row
+    bys = F.col(col).isNotNull() if cond is None else cond & F.col(col).isNotNull()
+    return t.merge_into(
+        src.distinct(),
+        on=col,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=assignments is None,
+        when_not_matched_by_source_update=assignments,
+        not_matched_by_source_condition=bys,
+        target_branches=rest_branches,
+    )
+
+
 _DECLINE = object()
 
 
@@ -2107,11 +2389,19 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     None if empty else F.col(col).isNotNull()
                 ),
             )
+        # compound subquery WHERE (r10, VERDICT r9 #1+#3): one
+        # [NOT] IN / [NOT] EXISTS conjunct AND grammar conjuncts —
+        # routed through one merge_into pass; the grammar remainder
+        # still prunes target files (target_branches)
+        routed = _subquery_dml(catalog, t, ident, where, None)
+        if routed is not _NO_SUBQ:
+            return routed
         if _EXISTS_SUBQUERY.search(_mask_literals(where)):
             raise UnsupportedSQL(
-                "EXISTS/correlated subqueries are not supported in DML "
-                "WHERE; use an uncorrelated [NOT] IN (SELECT ...) or the "
-                "Python API (scan().filter + overwrite)"
+                "this EXISTS/IN-subquery WHERE shape is not supported in "
+                "DML (subquery terms must be whole top-level AND "
+                "conjuncts); use an uncorrelated [NOT] IN (SELECT ...) "
+                "or the Python API (scan().filter + overwrite)"
             )
         return t.delete(_or_arg(t, where))
 
@@ -2171,11 +2461,18 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     None if empty else F.col(keycol).isNotNull()
                 ),
             )
+        # compound subquery WHERE (r10) — same router as DELETE; the
+        # SET assignments become the merge's matched / BY SOURCE
+        # update clause
+        routed = _subquery_dml(catalog, t, ident, where, assignments)
+        if routed is not _NO_SUBQ:
+            return routed
         if _EXISTS_SUBQUERY.search(_mask_literals(where)):
             raise UnsupportedSQL(
-                "EXISTS/correlated subqueries are not supported in DML "
-                "WHERE; use an uncorrelated [NOT] IN (SELECT ...) or the "
-                "Python API (scan().filter + overwrite)"
+                "this EXISTS/IN-subquery WHERE shape is not supported in "
+                "DML (subquery terms must be whole top-level AND "
+                "conjuncts); use an uncorrelated [NOT] IN (SELECT ...) "
+                "or the Python API (scan().filter + overwrite)"
             )
         return t.update_where(_or_arg(t, where), assignments)
 

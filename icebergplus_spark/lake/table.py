@@ -3073,6 +3073,7 @@ class LakeTable:
         t0: float,
         not_matched_insert_condition: Any | None = None,
         when_not_matched_by_source_update: dict[str, Any] | None = None,
+        target_branches: list[dict[str, Any]] | None = None,
     ) -> "LakeTable":
         """Merge-on-read MERGE under deletion vectors: the same
         clause/gate semantics as the copy-on-write ``merge_into``
@@ -3124,6 +3125,19 @@ class LakeTable:
                 if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
             ]
             affected = self._merge_unhit_exempt(affected, source, keys)
+        if target_branches:
+            # same caller-gated prune as the CoW path (r10): unread
+            # files' rows can't fire any clause, so they keep their DV
+            # state and bytes untouched
+            keep = {
+                f["file_path"]
+                for f in (
+                    self.plan_files(target_branches[0])
+                    if len(target_branches) == 1
+                    else self.plan_files_any(target_branches)
+                )
+            }
+            affected = [f for f in affected if f["file_path"] in keep]
         paths = sorted(f["file_path"] for f in affected)
         carry_lineage = "row_id_assignments" in self._meta
         lin_cols = [self.LINEAGE_ID_COL, self.LINEAGE_BIRTH_COL]
@@ -3319,6 +3333,7 @@ class LakeTable:
         not_matched_by_source_condition: Any | None = None,
         not_matched_insert_condition: Any | None = None,
         when_not_matched_by_source_update: dict[str, Any] | None = None,
+        target_branches: list[dict[str, Any]] | None = None,
     ) -> "LakeTable":
         """Multi-clause MERGE (Iceberg/Delta ``MERGE INTO`` parity,
         beyond the single-clause upsert ``merge``):
@@ -3353,7 +3368,22 @@ class LakeTable:
           the BY SOURCE delete clause; same full-target scan.
 
         Copy-on-write and stats-targeted like ``merge``: only files whose
-        key range intersects the source's [min,max] are rewritten."""
+        key range intersects the source's [min,max] are rewritten.
+
+        ``target_branches`` (r10, VERDICT r9 #1 — compound subquery DML):
+        an OR-of-conjunction branch list (``delete``'s predicate shape,
+        logical column names) that the CALLER asserts gates every firing
+        clause — i.e. a target row can fire a matched / BY SOURCE clause
+        only if it matches some branch (the caller must AND the
+        equivalent row condition into ``matched_condition`` /
+        ``not_matched_by_source_condition``). Files whose stats rule out
+        every branch then carry over UNEXAMINED — this is what lets
+        ``DELETE ... WHERE k IN (SELECT ...) AND ts < X`` keep the range
+        conjunct's manifest pruning. Requires
+        ``when_not_matched_insert=False``: matched-vs-not-matched
+        classification of SOURCE rows reads target rows, and pruning by
+        a non-key predicate can drop files that DO hold key matches —
+        an insert clause would then resurrect matched keys."""
         t0 = time.time()
         from pyspark.sql import Column
         from pyspark.sql import functions as _F
@@ -3361,6 +3391,12 @@ class LakeTable:
         keys = [on] if isinstance(on, str) else list(on)
         if when_matched_update and when_matched_delete:
             raise ValueError("update and delete matched-clauses are exclusive")
+        if target_branches is not None and when_not_matched_insert:
+            raise ValueError(
+                "target_branches requires when_not_matched_insert=False: "
+                "file pruning by a non-key predicate breaks NOT MATCHED "
+                "classification of source rows"
+            )
         if when_not_matched_by_source_delete and when_not_matched_by_source_update:
             raise ValueError(
                 "update and delete BY SOURCE clauses are exclusive"
@@ -3402,6 +3438,7 @@ class LakeTable:
                 t0,
                 not_matched_insert_condition,
                 when_not_matched_by_source_update,
+                target_branches,
             )
         mapping = self._column_mapping
         by_source = bool(
@@ -3438,6 +3475,20 @@ class LakeTable:
                 if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
             ]
             affected = self._merge_unhit_exempt(affected, source, keys)
+        if target_branches:
+            # caller-gated clauses can only fire on rows matching some
+            # branch; files ruled out by stats carry over unexamined
+            # (sound because when_not_matched_insert is off — validated
+            # above — so no clause judges rows from pruned files)
+            keep = {
+                f["file_path"]
+                for f in (
+                    self.plan_files(target_branches[0])
+                    if len(target_branches) == 1
+                    else self.plan_files_any(target_branches)
+                )
+            }
+            affected = [f for f in affected if f["file_path"] in keep]
         affected_paths = {f["file_path"] for f in affected}
         untouched = [f for f in all_files if f["file_path"] not in affected_paths]
 

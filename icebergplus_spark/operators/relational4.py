@@ -1649,3 +1649,176 @@ def q167_sql_group_agg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND ts < '2024-01-18 12:00:00' "
         "GROUP BY event_type ORDER BY event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — compound subquery DML WHERE (r10, VERDICT r9 #1): the
+# incremental-maintenance DELETE shape — a key-set subquery ANDed with
+# a time bound: `DELETE ... WHERE k IN (SELECT ...) AND ts < X`.
+# Routed through ONE merge_into pass: the key set drives the semi-join
+# (never collected to the driver), the range conjunct both gates the
+# clause row-by-row AND prunes target files through target_branches
+# (planted file-count proof in test_sql_subquery_compound.py). Three
+# phases: compound IN + range, compound NOT IN over a NULL-bearing set
+# (must no-op — any NULL key makes NOT IN never TRUE, regardless of
+# the other conjuncts), compound NOT IN + range over a clean set. The
+# oracle replays all three declaratively; survivors of sequential
+# row-level DELETEs compose as the conjunction of NOT(phase_i).
+# ---------------------------------------------------------------------------
+@register(
+    "q168_sql_delete_compound_subquery",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+WHERE NOT (o.o_custkey IN (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           AND o.o_orderdate < TIMESTAMP '1995-01-01')
+  AND NOT (o.o_custkey NOT IN (
+             SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+           AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+)
+def q168_sql_delete_compound_subquery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_comp_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_comp", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_comp", cust.schema)
+    c.append(cust)
+    # phase 1: key-set semi-join AND time bound — the range conjunct
+    # prunes whole year-files out of the rewrite
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_comp WHERE o_custkey IN ("
+        "SELECT c_custkey FROM bench.cust_comp "
+        "WHERE c_mktsegment = 'BUILDING') "
+        "AND o_orderdate < '1995-01-01'",
+    )
+    # phase 2: NULL-bearing NOT IN set — whole statement MUST no-op
+    # even though the range conjunct alone would match rows
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_comp WHERE o_custkey NOT IN ("
+        "SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END "
+        "FROM bench.cust_comp) AND o_orderdate >= '1997-06-01'",
+    )
+    # phase 3: clean keep-set NOT IN AND time bound
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_comp WHERE o_custkey NOT IN ("
+        "SELECT c_custkey FROM bench.cust_comp WHERE c_acctbal >= 0) "
+        "AND o_orderdate >= '1997-06-01'",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderstatus AS status, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_comp GROUP BY o_orderstatus ORDER BY status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — EXISTS / NOT EXISTS subquery DML (r10, VERDICT r9 #3):
+# correlated-equality EXISTS rewrites onto the same merge machinery —
+# `EXISTS (SELECT 1 FROM s WHERE s.k = t.k AND <inner filters>)` is
+# the semi-join (matched clause), NOT EXISTS the anti-join (BY SOURCE
+# clause; unlike NOT IN, NULL keys in the set are inert and a NULL
+# target key FIRES the NOT EXISTS). Phase 1 updates recent orders of
+# high-balance customers via correlated EXISTS + range; phase 2
+# deletes old orders whose customer has no non-MACHINERY row via
+# NOT EXISTS + range. The oracle replays both with DuckDB's native
+# EXISTS, so a hash match proves the de-correlation rewrite exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q169_sql_exists_dml",
+    oracle="""
+WITH upd AS (
+  SELECT CASE WHEN EXISTS (
+           SELECT 1 FROM customer c
+           WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         THEN 'HOT' ELSE o.o_orderpriority END AS pri,
+         o.o_custkey, o.o_orderdate, o.o_totalprice
+  FROM orders o
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM upd u
+WHERE NOT (NOT EXISTS (
+             SELECT 1 FROM customer c
+             WHERE c.c_custkey = u.o_custkey
+               AND c.c_mktsegment <> 'MACHINERY')
+           AND u.o_orderdate < TIMESTAMP '1994-01-01')
+GROUP BY pri
+ORDER BY pri
+""",
+)
+def q169_sql_exists_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_exists_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_ex", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_ex", cust.schema)
+    c.append(cust)
+    # phase 1: correlated EXISTS semi-join + range conjunct (UPDATE)
+    lake_sql(
+        cat,
+        "UPDATE bench.ord_ex SET o_orderpriority = 'HOT' "
+        "WHERE EXISTS (SELECT 1 FROM bench.cust_ex c "
+        "WHERE c.c_custkey = ord_ex.o_custkey AND c.c_acctbal > 5000) "
+        "AND o_orderdate >= '1997-01-01'",
+    )
+    # phase 2: NOT EXISTS anti-join + range conjunct (DELETE)
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_ex "
+        "WHERE NOT EXISTS (SELECT 1 FROM bench.cust_ex c "
+        "WHERE c.c_custkey = ord_ex.o_custkey "
+        "AND c.c_mktsegment <> 'MACHINERY') "
+        "AND o_orderdate < '1994-01-01'",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_ex GROUP BY o_orderpriority ORDER BY pri",
+    )

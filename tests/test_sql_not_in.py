@@ -111,14 +111,45 @@ def test_update_not_in_set_expression_sees_target_row(spark, cat):
     assert got[1] == "v1!" and got[2] == "v2" and got[8] == "v8!"
 
 
-def test_exists_refused_loudly(spark, cat):
-    for stmt in (
-        "DELETE FROM db.t WHERE EXISTS (SELECT 1 FROM db.keys)",
+def test_uncorrelated_exists_is_a_constant_gate(spark, cat):
+    """r10: uncorrelated EXISTS is supported as a constant gate — a
+    non-empty probe makes the statement fire (here: whole-table
+    UPDATE), an EXISTS over a filtered-to-empty set makes it a no-op."""
+    lake_sql(
+        cat,
         "UPDATE db.t SET v = 'x' "
         "WHERE EXISTS (SELECT 1 FROM db.keys WHERE kk = 2)",
+    )
+    assert {v for _, v in _rows(cat)} == {"x"}
+    before = _rows(cat)
+    lake_sql(
+        cat,
+        "DELETE FROM db.t "
+        "WHERE EXISTS (SELECT 1 FROM db.keys WHERE kk = 999)",
+    )
+    assert _rows(cat) == before
+
+
+def test_unsupported_exists_shapes_still_refuse_loudly(spark, cat):
+    """Non-equality correlation, and EXISTS inside an OR (not a whole
+    top-level conjunct), keep loud refusals — never a silent wrong
+    rewrite."""
+    before = _rows(cat)
+    for stmt, pat in (
+        (
+            "DELETE FROM db.t WHERE EXISTS "
+            "(SELECT 1 FROM db.keys s WHERE s.kk < db.t.k)",
+            "correlated EXISTS",
+        ),
+        (
+            "DELETE FROM db.t WHERE k = 1 OR EXISTS "
+            "(SELECT 1 FROM db.keys)",
+            "EXISTS",
+        ),
     ):
-        with pytest.raises(UnsupportedSQL, match="EXISTS/correlated"):
+        with pytest.raises(UnsupportedSQL, match=pat):
             lake_sql(cat, stmt)
+    assert _rows(cat) == before
 
 
 def test_correlated_in_subquery_fails_loudly(spark, cat):
