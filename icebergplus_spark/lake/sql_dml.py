@@ -1330,6 +1330,50 @@ def _parse_with(stmt: str) -> tuple[list[tuple[str, str, str]], str] | None:
     return ctes, main
 
 
+def _sub_cte_relation_refs(body: str, name: str, view: str) -> str | None:
+    """Rewrite FROM/JOIN relation references to resolved CTE ``name``
+    onto its temp ``view``, keeping ``name`` alive as the relation
+    alias (``FROM a`` → ``FROM <view> AS a``) so every qualified
+    (``a.col``) and bare column reference inside the body resolves
+    EXACTLY as before the rewrite; a reference carrying its own alias
+    (``FROM a x``) swaps only the relation name. Returns None — caller
+    keeps the native path — when any other standalone occurrence of
+    the name remains: a comma join (indistinguishable from a select-
+    list column without a parser), the name doubling as another
+    relation's alias (scope shadowing), or a bare column spelled like
+    the CTE. Conservative by construction: declining the rewrite only
+    costs the fast path, never correctness (r10, VERDICT r9 #2)."""
+    masked = _mask_literals(body)
+    pat = re.compile(
+        rf"\b(?:FROM|JOIN)\s+({re.escape(name)})(?![\w(.])", re.IGNORECASE
+    )
+    edits: list[tuple[int, int, str]] = []
+    covered: set[tuple[int, int]] = set()
+    for m in pat.finditer(masked):
+        s, e = m.span(1)
+        j = e
+        while j < len(masked) and masked[j].isspace():
+            j += 1
+        nm = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", masked[j:], re.IGNORECASE)
+        has_alias = bool(nm) and nm.group(1).lower() not in _ALIAS_KW
+        edits.append((s, e, view if has_alias else f"{view} AS {name}"))
+        covered.add((s, e))
+    std = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w(])")
+    for m in std.finditer(masked):
+        s, e = m.span()
+        if (s, e) in covered:
+            continue
+        if e < len(masked) and masked[e] == ".":
+            continue  # qualified column ref — resolves to our AS alias
+        return None  # unprovable occurrence — decline the rewrite
+    if not edits:
+        return None  # referenced, but never in a provable position
+    out = body
+    for s, e, repl in sorted(edits, reverse=True):
+        out = out[:s] + repl + out[e:]
+    return out
+
+
 def _with_select(catalog: LocalLakeCatalog, stmt: str):
     """CTE fast path (r9, VERDICT r8 #1): ``WITH x AS (SELECT ...
     WHERE ts >= ...) SELECT ... FROM x JOIN db.dim ...`` used to route
@@ -1352,7 +1396,19 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
     list, and the main query text is only touched by the same
     identifier substitution every SELECT gets. A body referencing any
     CTE name is detected on the literal-masked text (standalone
-    occurrence, not a prefix/suffix of a longer identifier)."""
+    occurrence, not a prefix/suffix of a longer identifier).
+
+    r10 (VERDICT r9 #2): sibling-referencing chains — ``WITH a AS
+    (...), b AS (SELECT ... FROM a ...)`` — resolve in DEFINITION
+    order: once a body dispatches, its name maps to the lazy temp
+    view, and every LATER body's references to that name rewrite onto
+    the view before ITS dispatch — so chained bodies ride the same
+    fast-path stack instead of going native. A reference to a
+    not-yet-resolved name (forward/self reference, or a predecessor
+    that itself fell back to native text) keeps the native path for
+    that body. Scoping stays exact: a CTE name shadowing a lake table
+    is substituted away before ``_resolve_lake_tables`` ever sees the
+    text, so the shadow wins, as in SQL."""
     import hashlib
 
     parsed = _parse_with(stmt)
@@ -1360,13 +1416,30 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
         return None
     ctes, main = parsed
     names = [n for n, _, _ in ctes]
+    # (?![\w(]) — never treat a function call spelled like a CTE name
+    # as a reference
+    ref_pat = {
+        n: re.compile(rf"(?<![\w.]){re.escape(n)}(?![\w(])") for n in names
+    }
+    resolved: dict[str, str] = {}
     parts: list[str] = []
-    for name, collist, body in ctes:
-        body = body.strip()
-        masked_body = _mask_literals(body)
-        standalone = not any(
-            re.search(rf"(?<![\w.]){re.escape(n)}(?![\w(])", masked_body)
+    for name, collist, orig_body in ctes:
+        orig_body = orig_body.strip()
+        body: str | None = orig_body
+        for n, view in resolved.items():
+            if not ref_pat[n].search(_mask_literals(body)):
+                continue
+            body = _sub_cte_relation_refs(body, n, view)
+            if body is None:
+                break  # unprovable reference shape — native path below
+        # resolved names may legitimately remain in the text (the
+        # inserted ``AS <name>`` alias and ``name.col`` refs) — only a
+        # reference to an UNRESOLVED name (forward/self, or a native
+        # predecessor) blocks the recursive dispatch
+        standalone = body is not None and not any(
+            ref_pat[n].search(_mask_literals(body))
             for n in names
+            if n not in resolved
         )
         if standalone and re.match(
             r"^(SELECT|VALUES|WITH)\b", body, re.IGNORECASE
@@ -1377,10 +1450,13 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
                 f"{hashlib.md5(body.encode()).hexdigest()[:8]}"
             )
             df.createOrReplaceTempView(view)
+            resolved[name] = view
             new_body = f"SELECT * FROM {view}"
         else:
+            # native fallback keeps the ORIGINAL text — the prologue
+            # still defines every sibling name, so Spark resolves it
             new_body = _resolve_lake_tables(
-                catalog, _rewrite_time_travel(catalog, body)
+                catalog, _rewrite_time_travel(catalog, orig_body)
             )
         parts.append(f"{name}{collist} AS ({new_body})")
     new_main = _resolve_lake_tables(

@@ -260,3 +260,112 @@ def test_ctas_source_with_cte(spark, cat):
     )
     rows = lake_sql(cat, "SELECT n FROM db.ctas_cte").collect()
     assert [r["n"] for r in rows] == [4]
+
+
+def test_chained_cte_rides_fast_paths(spark, cat):
+    """r10 (VERDICT r9 #2): a sibling-referencing chain resolves in
+    definition order — BOTH bodies dispatch recursively (each gets its
+    own ``__lake_cte_*`` temp view), and the first body's range WHERE
+    still plans only the files it can match (one of four)."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    before = {t.name for t in spark.catalog.listTables()}
+    got = [
+        (r["dim_id"], r["n"])
+        for r in lake_sql(
+            cat,
+            "WITH lo AS ("
+            "  SELECT k, dim_id FROM db.fact WHERE k >= 10 AND k < 20"
+            "), agg AS ("
+            "  SELECT dim_id, COUNT(*) AS n FROM lo GROUP BY dim_id"
+            ") "
+            "SELECT dim_id, n FROM agg ORDER BY dim_id",
+        ).collect()
+    ]
+    assert got == [(0, 2), (1, 2), (2, 3), (3, 3)]
+    assert len(calls) == 1 and len(calls[0]) == 1, calls
+    new = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name not in before and t.name.startswith("__lake_cte_")
+    }
+    # the CHAINED body dispatched recursively too — its own view exists
+    assert any(v.startswith("__lake_cte_agg_") for v in new), new
+    assert any(v.startswith("__lake_cte_lo_") for v in new), new
+
+
+def test_chained_cte_metadata_fold(spark, cat):
+    """A chain whose SECOND body is a manifest fold over a lake table
+    (referencing the first only for a cross-check join) — the fold
+    still answers from metadata: planted by DELETING the fact table's
+    data files; only the r10 recursive dispatch of chained bodies can
+    answer (the native path would scan and fail)."""
+    import os
+
+    fact, dim = _patched(cat)
+    got_pre = lake_sql(
+        cat,
+        "WITH seg AS (SELECT dim_id, label FROM db.dim), "
+        "tot AS (SELECT COUNT(*) AS n FROM db.fact WHERE k >= 0) "
+        "SELECT s.label AS label, t.n AS n FROM seg s CROSS JOIN tot t "
+        "ORDER BY label",
+    ).collect()
+    assert [(r["label"], r["n"]) for r in got_pre] == [
+        (f"d{i}", 40) for i in range(4)
+    ]
+    for f in fact.plan_files():
+        os.remove(f["file_path"])
+    got = lake_sql(
+        cat,
+        "WITH lo AS (SELECT dim_id, label FROM db.dim WHERE dim_id < 2), "
+        "tot AS (SELECT COUNT(*) AS n FROM db.fact WHERE k >= 0), "
+        "j AS (SELECT lo.label AS label, tot.n AS n "
+        "      FROM lo CROSS JOIN tot) "
+        "SELECT label, n FROM j ORDER BY label",
+    ).collect()
+    assert [(r["label"], r["n"]) for r in got] == [("d0", 40), ("d1", 40)]
+
+
+def test_chain_with_qualified_refs_and_aliases(spark, cat):
+    """Qualified sibling refs (``lo.k``) resolve through the inserted
+    ``AS <name>`` alias; an explicit alias on the sibling reference
+    swaps only the relation name."""
+    got = lake_sql(
+        cat,
+        "WITH lo AS (SELECT k, dim_id FROM db.fact WHERE k < 4), "
+        "j AS (SELECT lo.k AS k, d.label AS label "
+        "      FROM lo JOIN db.dim d ON lo.dim_id = d.dim_id), "
+        "j2 AS (SELECT x.k AS k, x.label AS label FROM j AS x "
+        "       WHERE x.k >= 1) "
+        "SELECT k, label FROM j2 ORDER BY k",
+    ).collect()
+    assert [(r["k"], r["label"]) for r in got] == [
+        (1, "d1"), (2, "d2"), (3, "d3"),
+    ]
+
+
+def test_chain_column_spelled_like_cte_stays_correct(spark, cat):
+    """A select-list column aliased to a sibling's name must never be
+    rewritten — the body declines the substitution (native path) and
+    the result is exact."""
+    got = lake_sql(
+        cat,
+        "WITH a AS (SELECT k FROM db.fact WHERE k < 3), "
+        "b AS (SELECT k AS a FROM a) "
+        "SELECT a FROM b ORDER BY a",
+    ).collect()
+    assert [r["a"] for r in got] == [0, 1, 2]
+
+
+def test_chain_comma_join_of_sibling_stays_native_and_correct(spark, cat):
+    """A comma join of a resolved sibling is indistinguishable from a
+    select-list column without a parser — the body must decline the
+    rewrite (native path) and still return exact rows."""
+    got = lake_sql(
+        cat,
+        "WITH a AS (SELECT k FROM db.fact WHERE k < 2), "
+        "b AS (SELECT a.k AS ak, d.label AS label FROM a, db.dim d "
+        "      WHERE a.k = d.dim_id) "
+        "SELECT ak, label FROM b ORDER BY ak",
+    ).collect()
+    assert [(r["ak"], r["label"]) for r in got] == [(0, "d0"), (1, "d1")]
