@@ -243,13 +243,39 @@ def _parse_branch(
     ``tolerant=True`` (r8, the join-pruning extractor): terms outside
     the grammar are SKIPPED instead of raising. Sound for pruning only
     — a skipped conjunct can only widen the file set, never narrow it
-    — so tolerant output must never drive row matching."""
+    — so tolerant output must never drive row matching.
+
+    r10 (VERDICT r9 #4): in tolerant mode, a parenthesized disjunction
+    CONJUNCT — ``a = b AND (x < 5 OR x >= 35)`` — distributes over the
+    branch set like an IN-list (cross product, same expansion cap).
+    Soundness: a row satisfying the conjunction satisfies SOME
+    alternative entirely, so the distributed branches' union is a
+    superset per alternative; an alternative whose terms all skip
+    yields the un-narrowed base branch (wider, still sound). Exact-
+    match callers (DML row ops) stay non-tolerant and keep refusing
+    the shape."""
     base: dict[str, Any] = {}
     in_terms: list[tuple[str, list[Any]]] = []
+    or_terms: list[list[dict[str, Any]]] = []
     parts = _split_bool(branch, "AND")
     i = 0
     while i < len(parts):
         part = _strip_parens(parts[i])
+        if tolerant:
+            alts = _split_bool(part, "OR")
+            if len(alts) > 1:
+                try:
+                    alt_branches = [
+                        d
+                        for a in alts
+                        for d in _parse_branch(_strip_parens(a), tolerant=True)
+                    ]
+                except UnsupportedSQL:
+                    alt_branches = []
+                if alt_branches:
+                    or_terms.append(alt_branches)
+                i += 1
+                continue
         m_full = _BETWEEN_FULL.match(part)
         if m_full:
             col, lo, hi = m_full.groups()
@@ -329,6 +355,20 @@ def _parse_branch(
                 f"IN-list expansion exceeds {_IN_EXPANSION_CAP} branches; "
                 "use the Python API (delete_by_key / scan().filter)"
             )
+        branches = expanded
+    for alt_branches in or_terms:  # tolerant-only (r10)
+        expanded = []
+        for b in branches:
+            for ab in alt_branches:
+                nb = {
+                    c: (list(p) if isinstance(p, list) else p)
+                    for c, p in b.items()
+                }
+                for c, p in ab.items():
+                    _merge_conj(nb, c, p)
+                expanded.append(nb)
+        if len(expanded) > _IN_EXPANSION_CAP:
+            continue  # dropping the disjunct conjunct widens — sound
         branches = expanded
     return branches
 
@@ -1777,8 +1817,10 @@ def _on_clause_constraints(
     VERDICT r8 #2): ``JOIN d ON f.k = d.k AND f.ts >= X`` prunes the
     fact exactly like the WHERE form. Output: per table, a list of
     CLAUSES (one per ON that constrains it), each clause a list of
-    OR-branch dicts (IN-lists expand) — the caller AND-merges clauses
-    into the table's WHERE branches.
+    OR-branch dicts (IN-lists expand; r10, VERDICT r9 #4: top-level OR
+    alternatives in the ON parse per-branch like the WHERE path, each
+    alternative required to constrain the table) — the caller
+    AND-merges clauses into the table's WHERE branches.
 
     Which side an ON may prune depends on the join type — ON filters
     MATCH CANDIDACY, and the preserved side of an outer join survives a
@@ -1812,9 +1854,19 @@ def _on_clause_constraints(
         if not text:
             continue
         try:
-            if len(_split_bool(text, "OR")) > 1:
-                continue  # a disjunctive ON doesn't AND-merge — skip
-            branches = _parse_branch(_strip_parens(text), tolerant=True)
+            # disjunctive ONs (r10, VERDICT r9 #4) parse like the WHERE
+            # path: each OR alternative becomes its own branch dict.
+            # Soundness per branch: a row pair matches the ON only if
+            # SOME alternative holds entirely — keeping files matching
+            # ANY branch's terms is a superset; a tolerant-skipped
+            # conjunct only WIDENS its branch; a branch with no usable
+            # term for a table makes the whole clause unusable for that
+            # table (the existing every-branch-must-constrain rule).
+            branches = [
+                d
+                for p in _split_bool(text, "OR")
+                for d in _parse_branch(_strip_parens(p), tolerant=True)
+            ]
         except UnsupportedSQL:
             continue
         in_scope = {

@@ -531,9 +531,10 @@ def test_on_bare_column_out_of_scope_not_attributed(spark, cat):
     assert all("label" not in b for b in out.get("db.fact", []))
 
 
-def test_disjunctive_on_skipped(spark, cat):
-    """An OR inside the ON doesn't AND-merge — the clause is skipped
-    (wider), results stay exact."""
+def test_disjunctive_on_conjunct_prunes(spark, cat):
+    """r10 (VERDICT r9 #4): a parenthesized OR conjunct in the ON
+    distributes over the branch set — files matching NEITHER
+    alternative are pruned (two of four here), results exact."""
     fact, dim = _patched(cat)
     calls = _recording(fact, "plan_files_any")
     got = sorted(r["k"] for r in lake_sql(
@@ -542,7 +543,96 @@ def test_disjunctive_on_skipped(spark, cat):
         "ON f.dim_id = d.dim_id AND (f.k < 5 OR f.k >= 35)",
     ).collect())
     assert got == [0, 1, 2, 3, 4, 35, 36, 37, 38, 39]
+    assert len(calls) == 1 and len(calls[0]) == 2, calls
+
+
+def test_top_level_or_on_prunes(spark, cat):
+    """A top-level disjunctive ON — every alternative constrains the
+    fact, so the union of alternatives prunes (2 of 4 files)."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = sorted(r["k"] for r in lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.fact f JOIN db.dim d "
+        "ON (f.dim_id = d.dim_id AND f.k < 5) "
+        "OR (f.dim_id = d.dim_id AND f.k >= 35)",
+    ).collect())
+    assert got == [0, 1, 2, 3, 4, 35, 36, 37, 38, 39]
+    assert len(calls) == 1 and len(calls[0]) == 2, calls
+
+
+def test_disjunctive_on_branch_without_term_disables(spark, cat):
+    """An OR alternative that doesn't constrain the fact (dim-only
+    term) makes the clause unusable for the fact — rows may match via
+    that alternative from ANY file."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = sorted(r["k"] for r in lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.fact f JOIN db.dim d "
+        "ON f.dim_id = d.dim_id AND (f.k < 5 OR d.label = 'd2')",
+    ).collect())
+    # alt2 matches every k with dim_id=2: k%4==2 → 2,6,...,38
+    assert got == sorted(
+        set(range(0, 5)) | {k for k in range(40) if k % 4 == 2}
+    )
     assert calls == []
+
+
+def test_disjunctive_on_left_join_right_side_only(spark, cat):
+    """Side gating applies to disjunctive ONs exactly like conjunctive
+    ones: LEFT JOIN prunes only the right table per alternative."""
+    fact, dim = _patched(cat)
+    calls = _recording(fact, "plan_files_any")
+    got = lake_sql(
+        cat,
+        "SELECT d.dim_id AS dim_id, f.k AS k FROM db.dim d "
+        "LEFT JOIN db.fact f "
+        "ON d.dim_id = f.dim_id AND (f.k >= 35 OR f.k < 3)",
+    ).collect()
+    matched = [r for r in got if r["k"] is not None]
+    assert all(r["k"] >= 35 or r["k"] < 3 for r in matched)
+    assert len(calls) == 1 and len(calls[0]) == 2, calls
+    # preserved side: fact on the LEFT must NOT prune from the ON
+    calls2 = _recording(fact, "plan_files_any")
+    got2 = lake_sql(
+        cat,
+        "SELECT f.k AS k FROM db.fact f LEFT JOIN db.dim d "
+        "ON f.dim_id = d.dim_id AND (f.k < 5 OR f.k >= 35)",
+    ).collect()
+    assert len(got2) == 40
+    assert calls2 == []
+
+
+def test_disjunctive_on_results_match_unpruned(spark, cat):
+    """Disjunctive-ON joins return exactly what unpruned SQL does."""
+    fact, dim = _patched(cat)
+    fact.to_view("fact_dor_ref")
+    dim.to_view("dim_dor_ref")
+    shapes = [
+        "SELECT f.k AS k, d.label AS label FROM {f} f JOIN {d} d "
+        "ON f.dim_id = d.dim_id AND (f.k BETWEEN 2 AND 6 OR f.k >= 37)",
+        "SELECT d.dim_id AS i, f.k AS k FROM {d} d LEFT JOIN {f} f "
+        "ON d.dim_id = f.dim_id AND (f.amount < 4.0 OR f.amount >= 38.0)",
+        "SELECT f.k AS k FROM {f} f JOIN {d} d "
+        "ON (f.dim_id = d.dim_id AND f.k IN (1, 2)) "
+        "OR (f.dim_id = d.dim_id AND f.k = 39)",
+    ]
+    key = lambda t: tuple((v is None, v) for v in t)
+    for q in shapes:
+        got = sorted(
+            (tuple(r) for r in lake_sql(
+                cat, q.format(f="db.fact", d="db.dim")
+            ).collect()),
+            key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in fact.spark.sql(
+                q.format(f="fact_dor_ref", d="dim_dor_ref")
+            ).collect()),
+            key=key,
+        )
+        assert got == want and got, q
 
 
 def test_on_results_match_unpruned_reference(spark, cat):
