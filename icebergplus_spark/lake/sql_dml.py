@@ -636,6 +636,95 @@ def _parens_balanced(s: str) -> bool:
                     return False
     return depth == 0 and not in_str
 
+_SCALAR_CMP = re.compile(
+    rf"({_IDENT})\s*(<=|>=|<>|!=|=|<|>)\s*\(\s*(?:SELECT|WITH)\b",
+    re.IGNORECASE,
+)
+
+
+def _sql_literal(v: Any) -> str | None:
+    """Python value → SQL literal text, or None when the value can't be
+    rendered as a grammar-safe literal. Timestamps/dates render as
+    plain quoted ISO strings — that's the form the WHERE grammar
+    coerces chronologically (``_coerce_time_literals``) and Spark
+    compares correctly against temporal columns."""
+    import math
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v) if math.isfinite(v) else None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, date):
+        return "'" + v.isoformat() + "'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _inline_scalar_subqueries(
+    catalog: LocalLakeCatalog, text: str, _cap: int = 8
+) -> str:
+    """Scalar-subquery inlining (r10, VERDICT r9 #5): every
+    ``col OP (SELECT ...)`` comparison whose subquery runs standalone
+    and yields at most one single-column row is replaced by the
+    value's literal — the high-watermark shape ``WHERE ts > (SELECT
+    MAX(ts) FROM checkpoint)`` then rides the ordinary pruned fast
+    paths, and the scalar itself is answered by the subquery's OWN
+    fast path (a MIN/MAX fold reads zero data files when manifest
+    stats cover; the scan leg is the automatic fallback when they
+    don't). An empty result inlines as NULL — SQL's scalar-subquery
+    semantics (the comparison yields NULL: reads match nothing, the
+    DML grammar refuses loudly rather than guessing). Declines —
+    leaving the text untouched — on multi-row or multi-column results,
+    resolution failures (correlated references), and unrenderable
+    values; a declined span falls to the caller's generic/refusal
+    path, never a silent rewrite."""
+    for _ in range(_cap):
+        masked = _mask_literals(text)
+        replaced = False
+        for m in _SCALAR_CMP.finditer(masked):
+            open_i = masked.index("(", m.end(2))
+            depth, j = 0, open_i
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                continue
+            try:
+                df = lake_sql(catalog, text[open_i + 1:j].strip())
+                if len(df.columns) != 1:
+                    continue
+                rows = df.take(2)
+            except Exception:
+                continue  # correlated/unresolvable — leave the span
+            if len(rows) > 1:
+                continue  # not scalar — Spark's own error path applies
+            lit = _sql_literal(rows[0][0] if rows else None)
+            if lit is None:
+                continue
+            text = text[:open_i] + lit + text[j + 1:]
+            replaced = True
+            break  # offsets moved — re-scan
+        if not replaced:
+            return text
+    return text
+
+
 _EXISTS_CONJ = re.compile(
     r"^(NOT\s+)?EXISTS\s*\(\s*((?:SELECT|WITH)\b.+)\)$",
     re.IGNORECASE | re.DOTALL,
@@ -985,7 +1074,7 @@ _AGG_SELECT = re.compile(
 )
 _AGG_ITEM = re.compile(
     rf"^(?:(MIN|MAX)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
-    rf"\s+AS\s+(\w+)$",
+    rf"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
 
@@ -1035,7 +1124,13 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
         if not im:
             return None
         fn_mm, col, fn_cnt, alias = im.groups()
-        items.append(((fn_mm or fn_cnt).upper(), col, alias))
+        fn = (fn_mm or fn_cnt).upper()
+        if alias is None:
+            # Spark's default naming for unaliased aggregates (r10 —
+            # scalar subqueries are usually written without AS):
+            # lowercase fn, `count(1)` for COUNT(*)
+            alias = "count(1)" if fn == "COUNT" else f"{fn.lower()}({col})"
+        items.append((fn, col, alias))
     if not items:
         return None
     table = _try_load(catalog, ident)
@@ -2274,6 +2369,15 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 )
         return txn.commit()
 
+    if head in ("SELECT", "VALUES") and _SCALAR_CMP.search(
+        _mask_literals(stmt)
+    ):
+        # r10: high-watermark scalar comparisons inline before the fast
+        # paths so their WHERE still prunes. WITH-headed statements are
+        # excluded here (a subquery could reference a CTE name that
+        # shadows a real table); their bodies get the pass on their own
+        # recursive dispatch.
+        stmt = _inline_scalar_subqueries(catalog, stmt)
     if head == "WITH":
         fast = _with_select(catalog, stmt)
         if fast is not None:
@@ -2470,6 +2574,11 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             # table's write.delete.mode, op 'delete' for CDC
             # consumers), unlike TRUNCATE's bare empty-overwrite.
             return t.delete({})
+        if _SCALAR_CMP.search(_mask_literals(where)):
+            # r10: scalar comparisons ('ts <= (SELECT MAX(ts) FROM cp)')
+            # inline to literals so the grammar conjunct still prunes;
+            # composes with [NOT] IN / EXISTS conjuncts below
+            where = _inline_scalar_subqueries(catalog, where)
         # DELETE ... WHERE col IN (SELECT ...) (r8): the subquery runs
         # through the ordinary SELECT machinery (fast paths, pruned
         # views, lake identifiers), and the key set drives an EQUALITY
@@ -2550,6 +2659,10 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             # update_where machinery (CoW or MOR per table properties,
             # op 'update' for CDC consumers) does the full rewrite
             return t.update_where({}, assignments)
+        if _SCALAR_CMP.search(_mask_literals(where)):
+            # r10: same scalar inlining as DELETE (the SET text is
+            # never touched — only the WHERE segment reaches here)
+            where = _inline_scalar_subqueries(catalog, where)
         # UPDATE ... WHERE col IN (SELECT ...) (r8): same routing as
         # the DELETE form — the subquery's key set becomes a MERGE
         # source (stats-targeted CoW: only files intersecting the key

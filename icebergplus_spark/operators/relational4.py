@@ -1822,3 +1822,72 @@ def q169_sql_exists_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.ord_ex GROUP BY o_orderpriority ORDER BY pri",
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — scalar-subquery WHERE inlining (r10, VERDICT r9 #5): THE
+# incremental-consumer read shape — `SELECT ... WHERE ts > (SELECT
+# MAX(ts) FROM checkpoint)`. The scalar is answered by the subquery's
+# own fast path (a MAX fold over manifest stats — zero data reads when
+# stats cover; tests plant this by deleting the checkpoint's files)
+# and inlined as a literal, so the outer aggregate rides the pruned
+# group-agg fold: whole year-files answer from metadata, only the
+# boundary file scans. The checkpoint is itself populated through a
+# fold (INSERT ... SELECT MAX(...) WHERE ...), so the oracle can
+# derive the same watermark declaratively from raw orders.
+# ---------------------------------------------------------------------------
+@register(
+    "q170_sql_scalar_watermark",
+    oracle="""
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE o_orderdate > (
+  SELECT MAX(o_orderdate) FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY o_orderpriority
+ORDER BY pri
+""",
+)
+def q170_sql_scalar_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_sql_wm_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_wm", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    cp = cat.create_table(
+        "bench.wm_cp",
+        spark.createDataFrame(
+            [], orders.select(F.col("o_orderdate").alias("wm")).schema
+        ).schema,
+    )
+    # the checkpoint row itself comes from a MAX fold over the lake
+    lake_sql(
+        cat,
+        "INSERT INTO bench.wm_cp SELECT MAX(o_orderdate) AS wm "
+        "FROM bench.ord_wm WHERE o_orderdate < '1997-01-01'",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_wm "
+        "WHERE o_orderdate > (SELECT MAX(wm) FROM bench.wm_cp) "
+        "GROUP BY o_orderpriority ORDER BY pri",
+    )
