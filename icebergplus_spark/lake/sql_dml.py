@@ -3220,18 +3220,26 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             source = spark.table(view)
         else:
             source = spark.table(src_view)
-        # ON must be a conjunction of same-named key equalities — that is
-        # merge_into's join contract (and Iceberg's fast-path shape)
+        # ON is a conjunction of same-named key equalities (merge_into's
+        # join contract / Iceberg's fast-path shape), r10 (VERDICT r9
+        # #7) plus optional LITERAL conjuncts on the TARGET
+        # (``ON t.k = s.k AND t.ts >= X``) — collected for the range-
+        # pruning block after clause parsing. The split is quote-aware
+        # (a literal containing ' AND ' must not cut a term).
         keys = []
-        for term in re.split(r"\s+AND\s+", on_expr, flags=re.IGNORECASE):
+        on_literal_terms: list[str] = []
+        for term in _split_bool(on_expr, "AND"):
             em = re.match(
                 rf"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$", term
             )
-            if not em or em.group(2) != em.group(4):
-                raise UnsupportedSQL(
-                    f"MERGE ON must be same-named key equalities, got {term!r}"
-                )
-            keys.append(em.group(2))
+            if em and em.group(2) == em.group(4):
+                keys.append(em.group(2))
+                continue
+            on_literal_terms.append(term.strip())
+        if not keys:
+            raise UnsupportedSQL(
+                "MERGE ON needs at least one same-named key equality"
+            )
         kwargs: dict[str, Any] = {"when_not_matched_insert": False}
         for cm in re.finditer(
             r"WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)"
@@ -3334,6 +3342,64 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     )
                 if cond_col is not None:
                     kwargs["not_matched_by_source_condition"] = cond_col
+        if on_literal_terms:
+            # r10 (VERDICT r9 #7): literal target conjuncts in the ON —
+            # ``MERGE ... ON t.k = s.k AND t.ts >= X`` — fold into the
+            # matched gate AND feed plan_files_any (target_branches), so
+            # files outside the range carry over unexamined. This is
+            # EXACT only for matched-clause-only MERGEs: with an INSERT
+            # clause, a source row whose key partner fails the range is
+            # NOT MATCHED per SQL (it must insert — but its pair rides
+            # one joined row, which can't both keep the target and
+            # insert the source); with a BY SOURCE clause, a target row
+            # failing the range is NOT MATCHED BY SOURCE per SQL (it
+            # must fire that clause — the fold would classify it
+            # matched). Both shapes refuse loudly.
+            from .table import _branches_match_cond
+
+            if kwargs.get("when_not_matched_insert") or kwargs.get(
+                "when_not_matched_by_source_delete"
+            ) or kwargs.get("when_not_matched_by_source_update"):
+                raise UnsupportedSQL(
+                    "literal ON conjuncts are only supported with "
+                    "WHEN MATCHED clauses (an INSERT / BY SOURCE clause "
+                    "changes what the failed-range pairs must do); move "
+                    "the range into the WHEN conditions"
+                )
+            cleaned = []
+            for term in on_literal_terms:
+                if re.search(
+                    rf"(?<![\w.]){re.escape(s_alias)}\.",
+                    _mask_literals(term),
+                ):
+                    raise UnsupportedSQL(
+                        "literal ON conjuncts may reference the TARGET "
+                        f"only (got {term!r}); filter the source in a "
+                        "USING (SELECT ...) subquery instead"
+                    )
+                t2 = re.sub(
+                    rf"(?<![\w.]){re.escape(t_alias)}\.", "", term
+                )
+                if t2 == term:
+                    raise UnsupportedSQL(
+                        "literal ON conjuncts must qualify the target "
+                        f"alias explicitly (got {term!r})"
+                    )
+                cleaned.append(t2)
+            tb = _finalize_branches(
+                table, _parse_branch(" AND ".join(cleaned))
+            )
+            names = set(table.schema.fieldNames())
+            bad = [c for b in tb for c in b if c not in names]
+            if bad:
+                raise UnsupportedSQL(f"no such target column(s): {bad}")
+            on_cond = _branches_match_cond(tb, lambda c: c)
+            kwargs["matched_condition"] = (
+                on_cond
+                if "matched_condition" not in kwargs
+                else kwargs["matched_condition"] & on_cond
+            )
+            kwargs["target_branches"] = tb
         return table.merge_into(source, on=keys, **kwargs)
 
     raise UnsupportedSQL(

@@ -343,3 +343,115 @@ def test_merge_exempt_skipped_for_string_target_keys(spark, tmp_path):
     got = {r["code"]: r["grp"] for r in t.scan().collect()}
     # '5.5' = 5L is TRUE under the session's non-ANSI coercion
     assert got["5.5"] == "HIT" and got["9.9"] == "b"
+
+
+def test_merge_on_range_conjunct_prunes_target(spark, tmp_path):
+    """r10 (VERDICT r9 #7): ``MERGE ... ON t.k = s.k AND t.val < X``
+    — the literal target conjunct gates the matched clause AND prunes
+    target files (the out-of-range file carries over byte-identical)."""
+    from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.mr", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(i, "lo", float(i)) for i in range(4)], SCHEMA
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "hi", float(i) + 100.0) for i in range(4, 8)], SCHEMA
+        ).coalesce(1)
+    )
+    s = cat.create_table("db.mr_src", SCHEMA)
+    s.append(
+        spark.createDataFrame([(2, "S", 0.0), (6, "S", 0.0)], SCHEMA)
+    )
+    high = {f["file_path"] for f in t.plan_files({"val": (">=", 100.0)})}
+    assert len(high) == 1
+    lake_sql(
+        cat,
+        "MERGE INTO db.mr t USING db.mr_src s "
+        "ON t.id = s.id AND t.val < 50.0 "
+        "WHEN MATCHED THEN UPDATE SET t.grp = s.grp",
+    )
+    t2 = cat.load_table("db.mr")
+    after = {f["file_path"] for f in t2.plan_files()}
+    assert high <= after, "out-of-range file must carry over unrewritten"
+    got = {r["id"]: r["grp"] for r in t2.scan().collect()}
+    # id=2 (val=2 < 50) fires; id=6 (val=106) matches the key but
+    # fails the ON range — per SQL, NOT matched: target row untouched
+    assert got[2] == "S" and got[6] == "hi"
+
+
+def test_merge_on_range_with_matched_condition_composes(spark, tmp_path):
+    """An ON range AND a WHEN MATCHED AND condition both gate."""
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.mrc", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], SCHEMA
+        )
+    )
+    s = cat.create_table("db.mrc_src", SCHEMA)
+    s.append(
+        spark.createDataFrame(
+            [(1, "S", 0.0), (2, "S", 0.0), (3, "S", 0.0)], SCHEMA
+        )
+    )
+    lake_sql(
+        cat,
+        "MERGE INTO db.mrc t USING db.mrc_src s "
+        "ON t.id = s.id AND t.val < 3.0 "
+        "WHEN MATCHED AND t.grp = 'a' THEN UPDATE SET t.grp = s.grp",
+    )
+    got = {
+        r["id"]: r["grp"]
+        for r in cat.load_table("db.mrc").scan().collect()
+    }
+    # id=1: val<3 ∧ grp='a' → fires; id=2: grp='b' → no; id=3: val=3 → no
+    assert got == {1: "S", 2: "b", 3: "a"}
+
+
+def test_merge_on_range_refusals(spark, tmp_path):
+    """INSERT / BY SOURCE clauses, source-side literals, and
+    unqualified literals refuse loudly (their failed-range pairs have
+    different SQL obligations the fold can't express)."""
+    from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.mrf", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    s = cat.create_table("db.mrf_src", SCHEMA)
+    s.append(spark.createDataFrame([(1, "S", 0.0)], SCHEMA))
+    base = "MERGE INTO db.mrf t USING db.mrf_src s ON t.id = s.id AND {on} "
+    for on, tail, pat in (
+        (
+            "t.val < 5.0",
+            "WHEN MATCHED THEN UPDATE SET t.grp = s.grp "
+            "WHEN NOT MATCHED THEN INSERT *",
+            "INSERT / BY SOURCE",
+        ),
+        (
+            "t.val < 5.0",
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            "INSERT / BY SOURCE",
+        ),
+        (
+            "s.val < 5.0",
+            "WHEN MATCHED THEN UPDATE SET t.grp = s.grp",
+            "TARGET only",
+        ),
+        (
+            "val < 5.0",
+            "WHEN MATCHED THEN UPDATE SET t.grp = s.grp",
+            "qualify the target",
+        ),
+    ):
+        with pytest.raises(UnsupportedSQL, match=pat):
+            lake_sql(cat, base.format(on=on) + tail)
+    assert {
+        r["grp"] for r in cat.load_table("db.mrf").scan().collect()
+    } == {"a"}
