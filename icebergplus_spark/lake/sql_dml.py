@@ -1269,7 +1269,7 @@ _GROUP_AGG = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _GA_AGG_ITEM = re.compile(
-    rf"^(?:(MIN|MAX)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
+    rf"^(?:(MIN|MAX|SUM|AVG)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
     rf"\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
@@ -1339,6 +1339,21 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
         return None
     if not all(c in names for fn, c, _ in aggs if fn != "COUNT"):
         return None
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    typm = {f.name: f.dataType for f in table.schema.fields}
+    for fn, c, _ in aggs:
+        if fn in ("SUM", "AVG") and not isinstance(
+            typm[c], (ByteType, ShortType, IntegerType, LongType)
+        ):
+            # float/double sums are scan-order-dependent — the generic
+            # path computes them exactly with no fold (r10)
+            return None
     pred_arg = _pred_arg_of(table, where) if where else None
     if pred_arg is _DECLINE:
         return None

@@ -62,6 +62,17 @@ MANIFEST_SCHEMA = pa.schema(
         # manifest level, so pruning happens at PLAN time, before any
         # file is opened).
         ("column_blooms", pa.string()),
+        # JSON {physical col: exact int sum of non-null values} for
+        # INTEGER columns, harvested at write time (r10, VERDICT r9
+        # #8) — parquet footers carry no sums, but the manifest is OURS
+        # (Iceberg parity not required), so grouped SUM/AVG can fold
+        # like MIN/MAX/COUNT. Integer-only by design: a float sum is
+        # scan-order-dependent and a fold could not reproduce the
+        # scan's rounding. A column absent here (all-null file,
+        # non-integer type, pre-upgrade manifest, or harvesting
+        # disabled via write.stats.column-sums=false) routes that file
+        # to the exact scan leg.
+        ("column_sums", pa.string()),
     ]
 )
 
@@ -320,14 +331,48 @@ def _apply_entry_blooms(entry: dict[str, Any], bloom_cols: list[str]) -> None:
     entry["column_blooms"] = json.dumps(blooms)
 
 
+def _apply_column_sums(entry: dict[str, Any]) -> None:
+    """Exact per-file sums of INTEGER columns (r10, VERDICT r9 #8):
+    one extra read of the just-written (page-cache-hot) file,
+    restricted to integer leaves, vectorized null-skipping Arrow sum.
+    Python ints are arbitrary-precision, so the JSON round-trip is
+    exact at any magnitude. An all-null column yields no entry (its
+    SQL SUM is NULL — the fold reads absence + all-null stats as a
+    NULL contribution). Floats/decimals are deliberately excluded: a
+    double sum depends on scan order, so a fold could not reproduce
+    the exact scan result. On object storage this is a second GET per
+    written file — disable with write.stats.column-sums=false (the
+    fold then degrades to the exact scan leg, never wrong)."""
+    import pyarrow.compute as pc
+
+    pf = pq.ParquetFile(entry["file_path"])
+    int_cols = [
+        f.name for f in pf.schema_arrow if pa.types.is_integer(f.type)
+    ]
+    sums: dict[str, int] = {}
+    if int_cols:
+        tbl = pf.read(columns=int_cols)
+        for c in int_cols:
+            s = pc.sum(tbl.column(c))
+            if s.is_valid:
+                sums[c] = s.as_py()
+    entry["column_sums"] = json.dumps(sums)
+
+
 def _harvest_entry(
-    path: str, seg_types: dict[str, str], bloom_cols: list[str]
+    path: str,
+    seg_types: dict[str, str],
+    bloom_cols: list[str],
+    sums: bool = True,
 ) -> dict[str, Any]:
     """The complete per-file harvest, dependency-free of LakeTable so
-    executors can run it (footer stats + path partition stats + blooms)."""
+    executors can run it (footer stats + path partition stats + blooms
+    + integer column sums)."""
     entry = _harvest_footer(path)
     _apply_partition_stats(entry, seg_types)
     _apply_entry_blooms(entry, bloom_cols)
+    if sums:
+        _apply_column_sums(entry)
     return entry
 
 
@@ -2362,10 +2407,12 @@ class LakeTable:
 
         seg_types = self._seg_types()
         bloom_cols = list(self._meta.get("bloom_cols") or [])
+        want_sums = self._harvest_sums()
         out_schema = (
             "file_path string, record_count long, file_size_bytes long, "
             "column_mins string, column_maxs string, "
-            "column_null_counts string, column_blooms string"
+            "column_null_counts string, column_blooms string, "
+            "column_sums string"
         )
         pdf = self.spark.createDataFrame(
             [(p,) for p in sorted(paths)], "path string"
@@ -2376,7 +2423,7 @@ class LakeTable:
         def harvest(batches):
             for b in batches:
                 rows = [
-                    _harvest_entry(p, seg_types, bloom_cols)
+                    _harvest_entry(p, seg_types, bloom_cols, sums=want_sums)
                     for p in b["path"]
                 ]
                 yield pd.DataFrame(
@@ -2389,6 +2436,7 @@ class LakeTable:
                             "column_maxs": e["column_maxs"],
                             "column_null_counts": e["column_null_counts"],
                             "column_blooms": e.get("column_blooms"),
+                            "column_sums": e.get("column_sums"),
                         }
                         for e in rows
                     ]
@@ -2400,6 +2448,8 @@ class LakeTable:
             e = r.asDict()
             if e.get("column_blooms") is None:
                 e.pop("column_blooms")
+            if e.get("column_sums") is None:
+                e.pop("column_sums")
             entries.append(e)
         return entries
 
@@ -4061,7 +4111,19 @@ class LakeTable:
         lifting is the pure ``_harvest_entry``, which the distributed
         harvest (``_harvest_data_files``) ships to executors unchanged."""
         return _harvest_entry(
-            path, self._seg_types(), self._meta.get("bloom_cols") or []
+            path,
+            self._seg_types(),
+            self._meta.get("bloom_cols") or [],
+            sums=self._harvest_sums(),
+        )
+
+    def _harvest_sums(self) -> bool:
+        """Whether write-time integer column sums are harvested
+        (table property ``write.stats.column-sums``, default true —
+        see ``_apply_column_sums`` for the object-store trade-off)."""
+        return (
+            self.properties.get("write.stats.column-sums", "true")
+            != "false"
         )
 
     def _seg_types(self) -> dict[str, str]:
@@ -4705,8 +4767,12 @@ class LakeTable:
 
     def _manifest_df(self, snap: dict[str, Any]) -> DataFrame:
         """The snapshot's manifest entries as a Spark DataFrame — the
-        substrate every executor-tier planning/fold path filters."""
-        return self.spark.read.parquet(
+        substrate every executor-tier planning/fold path filters.
+        mergeSchema: a snapshot can mix pre-upgrade manifests (no
+        column_sums) with current ones — the union schema makes the
+        missing stat NULL (→ that file takes the scan leg) instead of
+        depending on which file Spark samples for the schema (r10)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
         )
 
@@ -5457,8 +5523,19 @@ class LakeTable:
         possible (r9) — the per-partition freshness/inventory shape
         (``SELECT part, MAX(ts), COUNT(*) ... GROUP BY part``) that
         lakehouse dashboards poll constantly. ``aggs`` is a list of
-        ``(fn, col, alias)`` with fn in MIN|MAX|COUNT (col ignored for
-        COUNT).
+        ``(fn, col, alias)`` with fn in MIN|MAX|COUNT|SUM|AVG (col
+        ignored for COUNT).
+
+        SUM/AVG (r10, VERDICT r9 #8) are INTEGER-column-only and fold
+        from the write-time per-file sums in ``column_sums`` (exact —
+        Python/JSON ints don't round); AVG expands internally to
+        SUM + non-null COUNT, divided ONCE after the merge, so the
+        fold and scan halves combine exactly. Files without a
+        harvested sum (pre-upgrade manifests, all-null-unprovable,
+        write.stats.column-sums=false) route to the scan leg — never
+        wrong, only slower. Float/double SUM is deliberately NOT
+        foldable (scan-order-dependent rounding); callers keep those
+        on the exact scan path.
 
         Fold rule per file: fully covered by some predicate branch AND
         single-valued (or all-null) in every GROUP column AND, for each
@@ -5472,27 +5549,74 @@ class LakeTable:
         ``count_rows_by``: past ``planning.distributed-threshold`` the
         classification runs over manifest parquet on executors."""
         from pyspark.sql import functions as _F
-        from pyspark.sql.types import LongType, StructField
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructField,
+        )
 
         columns = [column] if isinstance(column, str) else list(column)
+        types = {f.name: f.dataType for f in self.schema.fields}
+        int_types = (ByteType, ShortType, IntegerType, LongType)
         for fn, c, _a in aggs:
-            if fn.upper() not in ("MIN", "MAX", "COUNT"):
+            if fn.upper() not in ("MIN", "MAX", "COUNT", "SUM", "AVG"):
                 raise ValueError(f"unsupported agg {fn!r}")
             if fn.upper() != "COUNT" and c not in self.schema.fieldNames():
                 raise KeyError(f"no such column: {c}")
+            if fn.upper() in ("SUM", "AVG") and not isinstance(
+                types[c], int_types
+            ):
+                raise ValueError(
+                    f"{fn.upper()}({c}) fold supports integer columns "
+                    "only (a float sum is scan-order-dependent); use "
+                    "the exact scan path"
+                )
+        # plan aggs: AVG expands to SUM + non-null COUNT ("CNT"); the
+        # final projection divides once after the merge
+        plan_aggs: list[tuple[str, str | None, str]] = []
+        finals = []
+        final_fields: list[StructField] = []
+        for fn, c, a in aggs:
+            fnu = fn.upper()
+            if fnu == "AVG":
+                plan_aggs.append(("SUM", c, f"__{a}_s"))
+                plan_aggs.append(("CNT", c, f"__{a}_c"))
+                finals.append(
+                    (_F.col(f"__{a}_s") / _F.col(f"__{a}_c"))
+                    .cast("double")
+                    .alias(a)
+                )
+                final_fields.append(StructField(a, DoubleType(), True))
+            else:
+                plan_aggs.append((fnu, c, a))
+                finals.append(_F.col(a))
+                final_fields.append(
+                    StructField(
+                        a,
+                        LongType()
+                        if fnu in ("COUNT", "SUM")
+                        else types[c],
+                        True,
+                    )
+                )
         col_fields = [
             next(f for f in self.schema.fields if f.name == c)
             for c in columns
         ]
-        types = {f.name: f.dataType for f in self.schema.fields}
 
         def _agg_exprs():
             out = []
-            for fn, c, a in aggs:
-                fnu = fn.upper()
-                if fnu == "COUNT":
+            for fn, c, a in plan_aggs:
+                if fn == "COUNT":
                     out.append(_F.count(_F.lit(1)).cast("long").alias(a))
-                elif fnu == "MIN":
+                elif fn == "CNT":  # non-null count (the AVG divisor)
+                    out.append(_F.count(c).cast("long").alias(a))
+                elif fn == "SUM":
+                    out.append(_F.sum(c).cast("long").alias(a))
+                elif fn == "MIN":
                     out.append(_F.min(c).alias(a))
                 else:
                     out.append(_F.max(c).alias(a))
@@ -5500,11 +5624,10 @@ class LakeTable:
 
         def _merge_exprs():
             out = []
-            for fn, _c, a in aggs:
-                fnu = fn.upper()
-                if fnu == "COUNT":
+            for fn, _c, a in plan_aggs:
+                if fn in ("COUNT", "CNT", "SUM"):
                     out.append(_F.sum(a).cast("long").alias(a))
-                elif fnu == "MIN":
+                elif fn == "MIN":
                     out.append(_F.min(a).alias(a))
                 else:
                     out.append(_F.max(a).alias(a))
@@ -5515,15 +5638,21 @@ class LakeTable:
             + [
                 StructField(
                     a,
-                    LongType() if fn.upper() == "COUNT" else types[c],
+                    LongType()
+                    if fn in ("COUNT", "CNT", "SUM")
+                    else types[c],
                     True,
                 )
-                for fn, c, a in aggs
+                for fn, c, a in plan_aggs
             ]
+        )
+        final_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in col_fields]
+            + final_fields
         )
         snap = self.snapshot(snapshot_id)
         if snap is None:
-            return self.spark.createDataFrame([], out_schema)
+            return self.spark.createDataFrame([], final_schema)
         branches = _normalize_branches(predicates) if predicates else None
 
         def _grouped(df: DataFrame) -> DataFrame:
@@ -5542,14 +5671,14 @@ class LakeTable:
                 if branches is None
                 else self.scan_pruned_any(branches, snapshot_id)
             )
-            return _grouped(base)
+            return _grouped(base).select(*columns, *finals)
         mapping = self._column_mapping
-        mm_cols = [c for fn, c, _ in aggs if fn.upper() != "COUNT"]
+        mm_cols = [c for fn, c, _ in plan_aggs if fn in ("MIN", "MAX")]
         if self._fold_distributed(snap):
             return self._agg_by_distributed(
-                snap, columns, col_fields, aggs, branches, _grouped,
+                snap, columns, col_fields, plan_aggs, branches, _grouped,
                 _merge_exprs, types,
-            )
+            ).select(*columns, *finals)
         if branches is None:
             files = self.plan_files(None, snapshot_id)
             phys_branches = None
@@ -5597,15 +5726,35 @@ class LakeTable:
             if vals is None:
                 boundary.append(r)
                 continue
-            for fn, c, _a in aggs:
-                if fn.upper() == "COUNT":
+            sums = None
+            for fn, c, _a in plan_aggs:
+                if fn == "COUNT":
                     vals.append(rc)
                     continue
                 phys = mapping.get(c, c)
+                if fn == "CNT":
+                    # non-null count needs the null stat to be KNOWN
+                    if phys in nulls:
+                        vals.append(rc - nulls[phys])
+                    else:
+                        vals = None
+                        break
+                    continue
+                if fn == "SUM":
+                    if sums is None:
+                        sums = json.loads(r.get("column_sums") or "{}")
+                    if phys in sums:
+                        vals.append(int(sums[phys]))
+                    elif nulls.get(phys) == rc:
+                        vals.append(None)  # all-null: SUM is NULL
+                    else:
+                        vals = None  # no harvested sum — scan leg
+                        break
+                    continue
                 if nulls.get(phys) == rc:
                     vals.append(None)  # all-null: MIN/MAX ignore it
                 elif foldable[c] and phys in mins and phys in maxs:
-                    src = mins if fn.upper() == "MIN" else maxs
+                    src = mins if fn == "MIN" else maxs
                     vals.append(_from_stats_domain(types[c], src[phys]))
                 else:
                     vals = None
@@ -5625,7 +5774,11 @@ class LakeTable:
                 ]
             )
             meta_df = meta_df.unionByName(_grouped(bdf))
-        return meta_df.groupBy(*columns).agg(*_merge_exprs())
+        return (
+            meta_df.groupBy(*columns)
+            .agg(*_merge_exprs())
+            .select(*columns, *finals)
+        )
 
     def _agg_by_distributed(
         self,
@@ -5684,21 +5837,40 @@ class LakeTable:
                 .cast(f.dataType)
                 .alias(f.name)
             )
+        has_sums = "column_sums" in files.columns
         for fn, c, a in aggs:
-            if fn.upper() == "COUNT":
+            fnu = fn.upper()
+            if fnu == "COUNT":
                 sel.append(_F.col("record_count").cast("long").alias(a))
                 continue
             phys = mapping.get(c, c)
-            mn, mx = _stat("column_mins", phys), _stat("column_maxs", phys)
             nullc = _stat("column_null_counts", phys).cast("long")
             all_null = _F.coalesce(
                 nullc == _F.col("record_count"), _F.lit(False)
             )
+            if fnu == "CNT":  # non-null count: null stat must be KNOWN
+                ok = ok & nullc.isNotNull()
+                sel.append(
+                    (_F.col("record_count") - nullc).cast("long").alias(a)
+                )
+                continue
+            if fnu == "SUM":  # r10: write-time integer sums
+                sm = (
+                    _stat("column_sums", phys).cast("long")
+                    if has_sums
+                    else _F.lit(None).cast("long")
+                )
+                ok = ok & (sm.isNotNull() | all_null)
+                sel.append(
+                    _F.when(all_null, _F.lit(None)).otherwise(sm).alias(a)
+                )
+                continue
+            mn, mx = _stat("column_mins", phys), _stat("column_maxs", phys)
             usable = _F.lit(_stats_foldable(types[c])) & (
                 all_null | (mn.isNotNull() & mx.isNotNull())
             )
             ok = ok & usable
-            v = mn if fn.upper() == "MIN" else mx
+            v = mn if fnu == "MIN" else mx
             sel.append(
                 _F.when(all_null, _F.lit(None))
                 .otherwise(v)

@@ -1891,3 +1891,57 @@ def q170_sql_scalar_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o_orderdate > (SELECT MAX(wm) FROM bench.wm_cp) "
         "GROUP BY o_orderpriority ORDER BY pri",
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — grouped SUM/AVG manifest folds (r10, VERDICT r9 #8): the
+# corpus-inventory shape — per-language character totals/averages over
+# a ranged slice of the documents table. Parquet footers carry no
+# sums, so the engine harvests exact per-file INTEGER sums into its
+# own manifest at write time (column_sums — the manifest is ours,
+# Iceberg parity not required); agg_by folds SUM, and AVG as
+# SUM + non-null COUNT divided once after the merge, in the same
+# two-tier fold as MIN/MAX/COUNT. Files the WHERE fully covers fold
+# from metadata; boundary files scan; halves merge in Spark. Planted
+# pytest (test_sum_folds.py) proves the fold by deleting data files
+# and pins pre-upgrade back-compat (no sums ⇒ scan leg).
+# ---------------------------------------------------------------------------
+@register(
+    "q171_sql_sum_fold",
+    oracle="""
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       AVG(n_chars) AS avg_chars,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE doc_id >= 100
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q171_sql_sum_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lake_sql_sumfold_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.docs_sum", docs.schema)
+    # several appends → several files, so the WHERE has both fully
+    # covered files (fold) and a boundary file (scan)
+    n = docs.count()
+    step = max(n // 4, 1)
+    for lo in range(0, n, step):
+        t.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).repartition(2)
+        )
+    return lake_sql(
+        cat,
+        "SELECT lang, SUM(n_chars) AS total_chars, AVG(n_chars) AS "
+        "avg_chars, COUNT(*) AS n FROM bench.docs_sum "
+        "WHERE doc_id >= 100 GROUP BY lang ORDER BY lang",
+    )
