@@ -44,6 +44,7 @@ HEADLINE = [
     "w03_sql_range_dml_scan",  # SQL range DELETE + pruned OR SELECT (r7)
     "w04_join_pruned_select",  # fact-dim join with pruned fact view (r8)
     "w05_cte_notin_groupagg",  # NOT IN delete + CTE-pruned join + agg fold (r9)
+    "w06_watermark_compound_dml",  # compound IN+range delete, scalar watermark read, SUM fold (r10)
 ]
 
 
@@ -244,12 +245,72 @@ def w05_cte_notin_groupagg(spark, sf_dir: str):
     )
 
 
+def w06_watermark_compound_dml(spark, sf_dir: str):
+    """r10 surface headline: year-sliced orders ingest, a compound
+    subquery DELETE (`o_custkey IN (SELECT ...) AND o_orderdate < X` —
+    one merge pass, range conjunct pruning the rewrite set via
+    target_branches), a scalar-subquery watermark read (the MAX fold
+    answers the scalar from manifest stats, the outer aggregate rides
+    the pruned group fold), capped with a grouped SUM/AVG that folds
+    from the write-time column sums. One timed region over the round's
+    new SQL-reachable paths on a fresh warehouse."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    root = tempfile.mkdtemp(prefix="bench_w06_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.w6_orders", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        fact.append(
+            orders.filter(F.year("o_orderdate") == y).repartition(2)
+        )
+    dim = cat.create_table("bench.w6_cust", cust.schema)
+    dim.append(cust)
+    lake_sql(
+        cat,
+        "DELETE FROM bench.w6_orders WHERE o_custkey IN ("
+        "SELECT c_custkey FROM bench.w6_cust "
+        "WHERE c_mktsegment = 'BUILDING') "
+        "AND o_orderdate < '1994-01-01'",
+    )
+    cp = cat.create_table(
+        "bench.w6_cp",
+        orders.select(F.col("o_orderdate").alias("wm")).limit(0).schema,
+    )
+    lake_sql(
+        cat,
+        "INSERT INTO bench.w6_cp SELECT MAX(o_orderdate) AS wm "
+        "FROM bench.w6_orders WHERE o_orderdate < '1997-01-01'",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderstatus AS status, SUM(o_custkey) AS key_mass, "
+        "AVG(o_custkey) AS key_avg, COUNT(*) AS n "
+        "FROM bench.w6_orders "
+        "WHERE o_orderdate > (SELECT MAX(wm) FROM bench.w6_cp) "
+        "GROUP BY o_orderstatus",
+    )
+
+
 LOCAL_QUERIES = {
     "w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan,
     "w02_dv_delete_scan": w02_dv_delete_scan,
     "w03_sql_range_dml_scan": w03_sql_range_dml_scan,
     "w04_join_pruned_select": w04_join_pruned_select,
     "w05_cte_notin_groupagg": w05_cte_notin_groupagg,
+    "w06_watermark_compound_dml": w06_watermark_compound_dml,
 }
 
 

@@ -1073,7 +1073,7 @@ _AGG_SELECT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM = re.compile(
-    rf"^(?:(MIN|MAX)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
+    rf"^(?:(MIN|MAX|SUM|AVG)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
     rf"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
@@ -1142,6 +1142,15 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     pred_arg = _pred_arg_of(table, where) if where else None
     if pred_arg is _DECLINE:
         return None
+    if any(fn in ("SUM", "AVG") for fn, _c, _a in items):
+        # r10: scalar SUM/AVG ride the zero-group agg_by fold (write-
+        # time column sums; AVG = SUM + non-null COUNT, one division
+        # post-merge). Non-integer columns raise inside agg_by —
+        # decline to the generic exact scan instead.
+        try:
+            return table.agg_by([], list(items), predicates=pred_arg)
+        except ValueError:
+            return None
     from pyspark.sql.types import LongType, StructField, StructType
 
     # ONE extrema call for every MIN/MAX column — they share a single

@@ -5524,7 +5524,11 @@ class LakeTable:
         (``SELECT part, MAX(ts), COUNT(*) ... GROUP BY part``) that
         lakehouse dashboards poll constantly. ``aggs`` is a list of
         ``(fn, col, alias)`` with fn in MIN|MAX|COUNT|SUM|AVG (col
-        ignored for COUNT).
+        ignored for COUNT). ``column=[]`` is the SCALAR shape (r10):
+        one global row, every file foldable the same way minus the
+        single-valued-group requirement — this is what answers
+        ``SELECT SUM(x) FROM t WHERE ...`` (and the scalar subqueries
+        the r10 inliner feeds) from metadata.
 
         SUM/AVG (r10, VERDICT r9 #8) are INTEGER-column-only and fold
         from the write-time per-file sums in ``column_sums`` (exact —
@@ -5625,7 +5629,17 @@ class LakeTable:
         def _merge_exprs():
             out = []
             for fn, _c, a in plan_aggs:
-                if fn in ("COUNT", "CNT", "SUM"):
+                if fn in ("COUNT", "CNT"):
+                    # coalesce for the ZERO-GROUP (scalar) shape: a
+                    # global agg over no contributions is one row of
+                    # NULLs, but SQL says COUNT of nothing is 0 (SUM
+                    # stays NULL — also SQL)
+                    out.append(
+                        _F.coalesce(_F.sum(a), _F.lit(0))
+                        .cast("long")
+                        .alias(a)
+                    )
+                elif fn == "SUM":
                     out.append(_F.sum(a).cast("long").alias(a))
                 elif fn == "MIN":
                     out.append(_F.min(a).alias(a))
@@ -5652,7 +5666,18 @@ class LakeTable:
         )
         snap = self.snapshot(snapshot_id)
         if snap is None:
-            return self.spark.createDataFrame([], final_schema)
+            if columns:
+                return self.spark.createDataFrame([], final_schema)
+            # scalar shape over a never-written table: SQL global
+            # aggregates still return ONE row (COUNT 0, SUM/AVG/MIN/
+            # MAX NULL) — final_fields already carries the output
+            # types in aggs order
+            row = tuple(
+                0 if fn.upper() == "COUNT" else None for fn, _c, _a in aggs
+            )
+            return self.spark.createDataFrame(
+                [row], StructType(final_fields)
+            )
         branches = _normalize_branches(predicates) if predicates else None
 
         def _grouped(df: DataFrame) -> DataFrame:

@@ -179,3 +179,50 @@ def test_sum_fold_with_where_boundary(spark, tmp_path):
     ]
     # a: 2+3+4=9 over 3 rows; b: fully covered (10..40)=100 over 4
     assert got == [("a", 9, 3.0), ("b", 100, 25.0)]
+
+
+def test_scalar_sum_avg_fold(spark, tmp_path):
+    """Zero-group (scalar) shape: SELECT SUM/AVG/COUNT FROM t answers
+    from the manifest — planted by deleting the data files."""
+    cat, t = _mk(spark, tmp_path)
+    for f in t.plan_files():
+        os.remove(f["file_path"])
+    r = lake_sql(
+        cat,
+        "SELECT SUM(x) AS s, AVG(x) AS av, COUNT(*) AS n FROM db.t",
+    ).collect()
+    assert [(x["s"], x["av"], x["n"]) for x in r] == [(110, 13.75, 9)]
+    # unaliased spelling matches Spark's default naming
+    df = lake_sql(cat, "SELECT SUM(x), AVG(x) FROM db.t")
+    assert df.columns == ["sum(x)", "avg(x)"]
+
+
+def test_scalar_sum_where_fully_covered_folds(spark, tmp_path):
+    """A WHERE fully covering one file folds it; the NULL-bearing file
+    is a genuine boundary (NULL fails every comparison) and scans."""
+    cat, t = _mk(spark, tmp_path)
+    r = lake_sql(
+        cat, "SELECT SUM(x) AS s, COUNT(*) AS n FROM db.t WHERE x >= 1"
+    ).collect()
+    assert [(x["s"], x["n"]) for x in r] == [(110, 8)]
+
+
+def test_scalar_sum_never_written_and_empty(spark, tmp_path):
+    """SQL global-aggregate shape over a never-written table: ONE row,
+    COUNT 0, SUM NULL."""
+    c = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    c.create_table("db.e", T)
+    r = lake_sql(c, "SELECT SUM(x) AS s, COUNT(*) AS n FROM db.e").collect()
+    assert [(x["s"], x["n"]) for x in r] == [(None, 0)]
+
+
+def test_scalar_sum_subquery_composes_with_inliner(spark, tmp_path):
+    """(SELECT SUM(x) FROM t) as a scalar subquery: the inliner runs it
+    through the fold and the outer statement rides the literal."""
+    cat, t = _mk(spark, tmp_path)
+    r = lake_sql(
+        cat,
+        "SELECT COUNT(*) AS n FROM db.t "
+        "WHERE x < (SELECT SUM(x) FROM db.t)",
+    ).collect()
+    assert [x["n"] for x in r] == [8]  # every non-null x < 110
