@@ -299,3 +299,18 @@ def test_compound_on_mor_dv_table(spark, cat, tmp_path):
         r["k"] for r in lake_sql(c, "SELECT k FROM db.m").collect()
     )
     assert got == [1, 3, 4, 5, 6, 7, 8]
+
+
+def test_compound_rest_with_inlist_and_between(spark, cat):
+    """Grammar remainders that exercise the splitter's edges: an
+    IN-list conjunct (branch expansion) and BETWEEN (whose own AND is
+    split and re-joined in order)."""
+    lake_sql(
+        cat,
+        "DELETE FROM db.t WHERE k IN (SELECT kk FROM db.keys) "
+        "AND v IN ('v2', 'v6') AND ts BETWEEN 1 AND 4",
+    )
+    got = {(k, ts) for k, ts, _ in _rows(cat)}
+    # only k=2 satisfies all three (k=6 fails BETWEEN: ts=11)
+    assert (2, 2) not in got and (6, 11) in got
+    assert len(got) == 8
