@@ -689,6 +689,7 @@ def _inline_scalar_subqueries(
     resolution failures (correlated references), and unrenderable
     values; a declined span falls to the caller's generic/refusal
     path, never a silent rewrite."""
+    declined: set[str] = set()  # never re-run a failed/non-scalar span
     for _ in range(_cap):
         masked = _mask_literals(text)
         replaced = False
@@ -705,17 +706,21 @@ def _inline_scalar_subqueries(
                 j += 1
             if depth != 0:
                 continue
+            sub = text[open_i + 1:j].strip()
+            if sub in declined:
+                continue
             try:
-                df = lake_sql(catalog, text[open_i + 1:j].strip())
-                if len(df.columns) != 1:
-                    continue
-                rows = df.take(2)
+                df = lake_sql(catalog, sub)
+                rows = df.take(2) if len(df.columns) == 1 else [0, 0]
             except Exception:
+                declined.add(sub)
                 continue  # correlated/unresolvable — leave the span
             if len(rows) > 1:
+                declined.add(sub)
                 continue  # not scalar — Spark's own error path applies
             lit = _sql_literal(rows[0][0] if rows else None)
             if lit is None:
+                declined.add(sub)
                 continue
             text = text[:open_i] + lit + text[j + 1:]
             replaced = True
