@@ -1945,3 +1945,141 @@ def q171_sql_sum_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_chars, COUNT(*) AS n FROM bench.docs_sum "
         "WHERE doc_id >= 100 GROUP BY lang ORDER BY lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — sibling-referencing CTE chain (r10, VERDICT r9 #2): the
+# analyst-funnel shape — WITH recent AS (ranged scan), by_cust AS
+# (aggregate OVER recent), final join to the dimension. Definition-
+# order resolution makes BOTH bodies ride the recursive fast-path
+# dispatch (the first body's range WHERE plans only matching files;
+# the second body's FROM reference rewrites onto the resolved lazy
+# view, keeping the CTE name as its alias). Oracle replays the same
+# chain in DuckDB.
+# ---------------------------------------------------------------------------
+@register(
+    "q172_sql_cte_chain",
+    oracle="""
+WITH recent AS (
+  SELECT o_custkey, o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+), by_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS spend
+  FROM recent
+  GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(ROUND(SUM(b.spend), 2) AS DOUBLE) AS revenue
+FROM by_cust b
+JOIN customer c ON b.o_custkey = c.c_custkey
+WHERE b.n_orders >= 2
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+)
+def q172_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_ctechain_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.chain_orders", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        fact.append(
+            orders.filter(F.year("o_orderdate") == y).repartition(2)
+        )
+    dim = cat.create_table("bench.chain_cust", cust.schema)
+    dim.append(cust)
+    return lake_sql(
+        cat,
+        "WITH recent AS ("
+        "  SELECT o_custkey, o_totalprice FROM bench.chain_orders"
+        "  WHERE o_orderdate >= '1996-01-01'"
+        "  AND o_orderdate < '1997-01-01'"
+        "), by_cust AS ("
+        "  SELECT o_custkey, COUNT(*) AS n_orders, "
+        "  SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS spend "
+        "  FROM recent GROUP BY o_custkey"
+        ") "
+        "SELECT c.c_mktsegment AS segment, COUNT(*) AS n_cust, "
+        "CAST(ROUND(SUM(b.spend), 2) AS DOUBLE) AS revenue "
+        "FROM by_cust b JOIN bench.chain_cust c "
+        "ON b.o_custkey = c.c_custkey "
+        "WHERE b.n_orders >= 2 "
+        "GROUP BY c.c_mktsegment ORDER BY segment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — disjunctive ON pruning (r10, VERDICT r9 #4): a fact-dim join
+# whose ON carries a parenthesized OR of two date windows — the
+# "campaign periods" shape. The tolerant extractor distributes the
+# disjunction over the branch set, so only year-files intersecting
+# EITHER window are planned; results replay exactly in DuckDB's
+# native join.
+# ---------------------------------------------------------------------------
+@register(
+    "q173_sql_disjunctive_on",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c
+  ON o.o_custkey = c.c_custkey
+ AND (o.o_orderdate < TIMESTAMP '1993-01-01'
+      OR o.o_orderdate >= TIMESTAMP '1997-06-01')
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+)
+def q173_sql_disjunctive_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_dison_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.dison_orders", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        fact.append(
+            orders.filter(F.year("o_orderdate") == y).repartition(2)
+        )
+    dim = cat.create_table("bench.dison_cust", cust.schema)
+    dim.append(cust)
+    return lake_sql(
+        cat,
+        "SELECT c.c_mktsegment AS segment, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.dison_orders o JOIN bench.dison_cust c "
+        "ON o.o_custkey = c.c_custkey "
+        "AND (o.o_orderdate < '1993-01-01' "
+        "OR o.o_orderdate >= '1997-06-01') "
+        "GROUP BY c.c_mktsegment ORDER BY segment",
+    )
