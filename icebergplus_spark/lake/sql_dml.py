@@ -690,6 +690,7 @@ def _inline_scalar_subqueries(
     values; a declined span falls to the caller's generic/refusal
     path, never a silent rewrite."""
     declined: set[str] = set()  # never re-run a failed/non-scalar span
+    done: dict[str, str] = {}  # duplicate spans reuse the literal
     for _ in range(_cap):
         masked = _mask_literals(text)
         replaced = False
@@ -709,6 +710,10 @@ def _inline_scalar_subqueries(
             sub = text[open_i + 1:j].strip()
             if sub in declined:
                 continue
+            if sub in done:
+                text = text[:open_i] + done[sub] + text[j + 1:]
+                replaced = True
+                break
             try:
                 df = lake_sql(catalog, sub)
                 rows = df.take(2) if len(df.columns) == 1 else [0, 0]
@@ -722,6 +727,7 @@ def _inline_scalar_subqueries(
             if lit is None:
                 declined.add(sub)
                 continue
+            done[sub] = lit
             text = text[:open_i] + lit + text[j + 1:]
             replaced = True
             break  # offsets moved — re-scan
@@ -762,13 +768,17 @@ def _kw_at_depth0(masked: str, pat: re.Pattern) -> re.Match | None:
 
 
 def _target_col(tok: str, quals: set[str], t: LakeTable) -> str | None:
-    """``<qual>.<col>`` → ``col`` when ``qual`` names the DML target and
-    the column exists in its schema; else None (the token belongs to
-    the subquery's own scope)."""
+    """``<qual>.<col>`` → the schema-cased column name when ``qual``
+    names the DML target and the column exists in its schema; else
+    None (the token belongs to the subquery's own scope). Matching is
+    case-INSENSITIVE on both parts — Spark resolves identifiers that
+    way, and a case-sensitive check would silently misclassify a
+    correlation (review r10)."""
     prefix, _, bare = tok.rpartition(".")
-    if prefix in quals and bare in t.schema.fieldNames():
-        return bare
-    return None
+    if prefix.lower() not in {q.lower() for q in quals}:
+        return None
+    by_lower = {f.lower(): f for f in t.schema.fieldNames()}
+    return by_lower.get(bare.lower())
 
 
 def _exists_correlation(
@@ -788,8 +798,12 @@ def _exists_correlation(
     analyzed)."""
     masked = _mask_literals(subq)
     quals = {ident, ident.rpartition(".")[2]}
+    # case-insensitive like Spark's identifier resolution (review r10:
+    # a case-sensitive pattern would misclassify `ORD_EX.k` as
+    # uncorrelated, or miss an uppercase alias shadowing the target)
     ref_pat = re.compile(
         rf"(?<![\w.])(?:{'|'.join(re.escape(q) for q in sorted(quals))})\.",
+        re.IGNORECASE,
     )
     if not ref_pat.search(masked):
         return None  # uncorrelated — constant-gate semantics
@@ -819,15 +833,29 @@ def _exists_correlation(
     head = subq[from_m.end():where_m.start()].strip()
     masked_head = masked[from_m.end():where_m.start()]
     for q in quals:
-        if re.search(rf"(?<![\w.]){re.escape(q)}(?![\w.])", masked_head):
+        if re.search(
+            rf"(?<![\w.]){re.escape(q)}(?![\w.])", masked_head,
+            re.IGNORECASE,
+        ):
             raise UnsupportedSQL(
                 f"correlated EXISTS: subquery FROM references {q!r}, "
                 "shadowing the DML target — qualify with a distinct "
                 "alias"
             )
+    inner_where = subq[where_m.end():]
+    if len(_split_bool(inner_where, "OR")) > 1:
+        # `s.k = t.k AND a = 1 OR b = 2` groups as (corr AND a=1) OR
+        # b=2 — removing the correlation conjunct from one OR arm
+        # cannot be proven equivalent; silently mis-grouping it would
+        # delete the wrong rows (review r10)
+        raise UnsupportedSQL(
+            "correlated EXISTS with a top-level OR in its WHERE is not "
+            "supported; parenthesize into a single conjunction or use "
+            "an uncorrelated IN (SELECT ...)"
+        )
     corr: list[tuple[str, str]] = []
     keep: list[str] = []
-    for c in _split_bool(subq[where_m.end():], "AND"):
+    for c in _split_bool(inner_where, "AND"):
         cs = _strip_parens(c.strip())
         m2 = _EQ_CORR.match(cs)
         if m2:
@@ -1519,6 +1547,11 @@ def _sub_cte_relation_refs(body: str, name: str, view: str) -> str | None:
         while j < len(masked) and masked[j].isspace():
             j += 1
         nm = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", masked[j:], re.IGNORECASE)
+        if nm and nm.group(1).lower() in ("tablesample", "pivot", "unpivot"):
+            # relation-suffix clauses bind BEFORE an alias in Spark's
+            # grammar — `FROM <view> AS a TABLESAMPLE(...)` would not
+            # parse; keep the native path (review r10)
+            return None
         has_alias = bool(nm) and nm.group(1).lower() not in _ALIAS_KW
         edits.append((s, e, view if has_alias else f"{view} AS {name}"))
         covered.add((s, e))
@@ -1609,12 +1642,19 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
             r"^(SELECT|VALUES|WITH)\b", body, re.IGNORECASE
         ):
             df = lake_sql(catalog, body)
+            cols = [c for c in collist[1:-1].split(",") if c] if collist else []
+            if cols and len(cols) == len(df.columns):
+                # a column list renames positionally — the view must
+                # carry the RENAMED schema or sibling references would
+                # see the body's original names (review r10)
+                df = df.toDF(*cols)
             view = (
                 f"__lake_cte_{name}_"
                 f"{hashlib.md5(body.encode()).hexdigest()[:8]}"
             )
             df.createOrReplaceTempView(view)
-            resolved[name] = view
+            if not cols or len(cols) == len(df.columns):
+                resolved[name] = view
             new_body = f"SELECT * FROM {view}"
         else:
             # native fallback keeps the ORIGINAL text — the prologue
@@ -1855,6 +1895,10 @@ _ALIAS_KW = {
     "group", "order", "having", "limit", "union", "using", "as", "semi",
     "anti", "lateral", "natural", "window", "qualify", "intersect",
     "except", "when", "set", "values",
+    # relation-suffix keywords (review r10: treating one as an alias
+    # made the CTE-chain rewrite drop its needed `AS <name>`)
+    "tablesample", "pivot", "unpivot", "offset", "sort", "distribute",
+    "cluster",
 }
 _FROM_ALIAS = re.compile(
     rf"\b(?:FROM|JOIN)\s+({_IDENT})(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
@@ -3406,8 +3450,13 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                         f"only (got {term!r}); filter the source in a "
                         "USING (SELECT ...) subquery instead"
                     )
-                t2 = re.sub(
-                    rf"(?<![\w.]){re.escape(t_alias)}\.", "", term
+                # quote-safe strip (review r10: a raw re.sub would
+                # rewrite string literals containing '<t_alias>.')
+                pat = re.compile(rf"(?<![\w.]){re.escape(t_alias)}\.")
+                segments = re.split(rf"({_STR})", term)
+                t2 = "".join(
+                    seg if i % 2 else pat.sub("", seg)
+                    for i, seg in enumerate(segments)
                 )
                 if t2 == term:
                     raise UnsupportedSQL(

@@ -455,3 +455,32 @@ def test_merge_on_range_refusals(spark, tmp_path):
     assert {
         r["grp"] for r in cat.load_table("db.mrf").scan().collect()
     } == {"a"}
+
+
+def test_merge_on_range_literal_containing_alias_dot(spark, tmp_path):
+    """A string literal containing '<t_alias>.' in the ON range must
+    not be corrupted by the alias strip (review r10)."""
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.mlit", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "t.special", 1.0), (2, "plain", 2.0)], SCHEMA
+        )
+    )
+    s = cat.create_table("db.mlit_src", SCHEMA)
+    s.append(
+        spark.createDataFrame([(1, "S", 0.0), (2, "S", 0.0)], SCHEMA)
+    )
+    lake_sql(
+        cat,
+        "MERGE INTO db.mlit t USING db.mlit_src s "
+        "ON t.id = s.id AND t.grp = 't.special' "
+        "WHEN MATCHED THEN UPDATE SET t.val = 99.0",
+    )
+    got = {
+        r["id"]: r["val"]
+        for r in cat.load_table("db.mlit").scan().collect()
+    }
+    assert got == {1: 99.0, 2: 2.0}

@@ -369,3 +369,29 @@ def test_chain_comma_join_of_sibling_stays_native_and_correct(spark, cat):
         "SELECT ak, label FROM b ORDER BY ak",
     ).collect()
     assert [(r["ak"], r["label"]) for r in got] == [(0, "d0"), (1, "d1")]
+
+
+def test_chain_with_column_list_exposes_renamed_schema(spark, cat):
+    """A column list renames positionally; sibling references must see
+    the RENAMED names (review r10)."""
+    got = lake_sql(
+        cat,
+        "WITH a (x, d) AS (SELECT k, dim_id FROM db.fact WHERE k < 4), "
+        "b AS (SELECT x, d FROM a WHERE x >= 1) "
+        "SELECT x, d FROM b ORDER BY x",
+    ).collect()
+    assert [(r["x"], r["d"]) for r in got] == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_chain_sibling_with_tablesample_not_mistaken_for_alias(spark, cat):
+    """TABLESAMPLE after a sibling reference is a relation suffix, not
+    an alias — the rewrite must keep `AS <name>` so qualified refs
+    resolve (review r10). 100 PERCENT keeps the result deterministic."""
+    got = lake_sql(
+        cat,
+        "WITH a AS (SELECT k FROM db.fact WHERE k < 3), "
+        "b AS (SELECT a.k FROM a TABLESAMPLE (100 PERCENT) "
+        "      WHERE a.k >= 0) "
+        "SELECT k FROM b ORDER BY k",
+    ).collect()
+    assert [r["k"] for r in got] == [0, 1, 2]

@@ -314,3 +314,42 @@ def test_compound_rest_with_inlist_and_between(spark, cat):
     # only k=2 satisfies all three (k=6 fails BETWEEN: ts=11)
     assert (2, 2) not in got and (6, 11) in got
     assert len(got) == 8
+
+
+def test_exists_inner_or_refused(spark, cat):
+    """`corr AND a=1 OR b=2` groups as (corr AND a=1) OR b=2 — conjunct
+    surgery can't be proven equivalent, so the statement refuses
+    loudly instead of deleting the wrong rows (review r10)."""
+    before = _rows(cat)
+    with pytest.raises(UnsupportedSQL, match="top-level OR"):
+        lake_sql(
+            cat,
+            "DELETE FROM db.t WHERE EXISTS (SELECT 1 FROM db.keys s "
+            "WHERE s.kk = t.k AND s.kk = 2 OR s.kk = 6)",
+        )
+    assert _rows(cat) == before
+
+
+def test_exists_case_insensitive_target_refs(spark, cat):
+    """Spark resolves identifiers case-insensitively — the correlation
+    extractor must too (review r10)."""
+    lake_sql(
+        cat,
+        "DELETE FROM db.t WHERE EXISTS "
+        "(SELECT 1 FROM db.keys s WHERE s.kk = T.K) AND ts < 5",
+    )
+    got = {(k, ts) for k, ts, _ in _rows(cat)}
+    assert (2, 2) not in got and (6, 11) in got
+
+
+def test_exists_uppercase_alias_shadow_refused(spark, cat):
+    """An UPPERCASE subquery alias spelling the target's name still
+    trips the shadow guard (review r10)."""
+    before = _rows(cat)
+    with pytest.raises(UnsupportedSQL, match="shadow"):
+        lake_sql(
+            cat,
+            "DELETE FROM db.t WHERE EXISTS "
+            "(SELECT 1 FROM db.keys T WHERE T.kk = t.k)",
+        )
+    assert _rows(cat) == before
