@@ -1106,7 +1106,8 @@ _AGG_SELECT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM = re.compile(
-    rf"^(?:(MIN|MAX|SUM|AVG)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
+    rf"^(?:(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*({_IDENT})\s*\)"
+    rf"|(COUNT)\s*\(\s*\*\s*\))"
     rf"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
@@ -1162,7 +1163,11 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
             # Spark's default naming for unaliased aggregates (r10 —
             # scalar subqueries are usually written without AS):
             # lowercase fn, `count(1)` for COUNT(*)
-            alias = "count(1)" if fn == "COUNT" else f"{fn.lower()}({col})"
+            alias = (
+                "count(1)"
+                if fn == "COUNT" and col is None
+                else f"{fn.lower()}({col})"
+            )
         items.append((fn, col, alias))
     if not items:
         return None
@@ -1175,7 +1180,10 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     pred_arg = _pred_arg_of(table, where) if where else None
     if pred_arg is _DECLINE:
         return None
-    if any(fn in ("SUM", "AVG") for fn, _c, _a in items):
+    if any(
+        fn in ("SUM", "AVG") or (fn == "COUNT" and c is not None)
+        for fn, c, _a in items
+    ):
         # r10: scalar SUM/AVG ride the zero-group agg_by fold (write-
         # time column sums; AVG = SUM + non-null COUNT, one division
         # post-merge). Non-integer columns raise inside agg_by —
@@ -1311,7 +1319,8 @@ _GROUP_AGG = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _GA_AGG_ITEM = re.compile(
-    rf"^(?:(MIN|MAX|SUM|AVG)\s*\(\s*({_IDENT})\s*\)|(COUNT)\s*\(\s*\*\s*\))"
+    rf"^(?:(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*({_IDENT})\s*\)"
+    rf"|(COUNT)\s*\(\s*\*\s*\))"
     rf"\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
@@ -1379,7 +1388,9 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
     names = set(table.schema.fieldNames())
     if not all(n in names for n in names_g):
         return None
-    if not all(c in names for fn, c, _ in aggs if fn != "COUNT"):
+    if not all(
+        c in names for fn, c, _ in aggs if fn != "COUNT" or c is not None
+    ):
         return None
     from pyspark.sql.types import (
         ByteType,

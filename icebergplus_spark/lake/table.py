@@ -5568,7 +5568,10 @@ class LakeTable:
         for fn, c, _a in aggs:
             if fn.upper() not in ("MIN", "MAX", "COUNT", "SUM", "AVG"):
                 raise ValueError(f"unsupported agg {fn!r}")
-            if fn.upper() != "COUNT" and c not in self.schema.fieldNames():
+            if (
+                (fn.upper() != "COUNT" or c is not None)
+                and c not in self.schema.fieldNames()
+            ):
                 raise KeyError(f"no such column: {c}")
             if fn.upper() in ("SUM", "AVG") and not isinstance(
                 types[c], int_types
@@ -5594,6 +5597,12 @@ class LakeTable:
                     .alias(a)
                 )
                 final_fields.append(StructField(a, DoubleType(), True))
+            elif fnu == "COUNT" and c is not None:
+                # COUNT(col): the non-null count (r10) — folds from
+                # record_count minus the column's null stat
+                plan_aggs.append(("CNT", c, a))
+                finals.append(_F.col(a))
+                final_fields.append(StructField(a, LongType(), True))
             else:
                 plan_aggs.append((fnu, c, a))
                 finals.append(_F.col(a))

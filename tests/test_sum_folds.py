@@ -226,3 +226,25 @@ def test_scalar_sum_subquery_composes_with_inliner(spark, tmp_path):
         "WHERE x < (SELECT SUM(x) FROM db.t)",
     ).collect()
     assert [x["n"] for x in r] == [8]  # every non-null x < 110
+
+
+def test_count_col_folds(spark, tmp_path):
+    """COUNT(col) — the non-null count — folds from record_count minus
+    the null stat, scalar and grouped, planted by deleting files."""
+    cat, t = _mk(spark, tmp_path)
+    for f in t.plan_files():
+        os.remove(f["file_path"])
+    r = lake_sql(
+        cat, "SELECT COUNT(x) AS nn, COUNT(*) AS n FROM db.t"
+    ).collect()
+    assert [(x["nn"], x["n"]) for x in r] == [(8, 9)]
+    g = lake_sql(
+        cat,
+        "SELECT g, COUNT(x) AS nn, COUNT(*) AS n FROM db.t "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(x["g"], x["nn"], x["n"]) for x in g] == [
+        ("a", 4, 5), ("b", 4, 4)
+    ]
+    # Spark-exact unaliased naming
+    assert lake_sql(cat, "SELECT COUNT(x) FROM db.t").columns == ["count(x)"]
