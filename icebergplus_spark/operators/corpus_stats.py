@@ -329,10 +329,8 @@ def d16_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under the measured range across sf0.001/0.01/0.1 (s02 0.54-0.68,
 # s04 0.60-0.72, s05 0.62-0.88 — near-random embeddings, the
 # adversarial corpus for every ANN family).
-# ---------------------------------------------------------------------------
-# Floors one margin below the r4 measured minima across sf0.001/0.01/0.1
-# (s02: 0.72/0.76/0.84, s04: 0.86/0.82/0.86, s05: 0.80/0.88/0.62)
-_S09_GATES = {"s02_ann_lsh": 0.65, "s04_ann_ivf": 0.70, "s05_ann_pq": 0.50}
+# Floors live beside the methods (similarity.ANN_RECALL_FLOORS) since r11:
+# the registered s02/s04/s05 reports gate on them per-method too.
 
 
 @register(
@@ -344,15 +342,22 @@ UNION ALL SELECT 's05_ann_pq', TRUE
 """,
 )
 def s09_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from icebergplus_spark.registry import QUERIES
+    from icebergplus_spark.operators import similarity as sim
 
     prepare_session(spark)
-    exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
+    exact = sim.s01_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    topk_fns = {
+        "s02_ann_lsh": sim.s02_topk,
+        "s04_ann_ivf": sim.s04_topk,
+        "s05_ann_pq": sim.s05_topk,
+    }
     reports = []
-    for method, floor in sorted(_S09_GATES.items()):
-        approx = QUERIES[method](spark, sf_dir).select("query_id", "neighbor_id")
+    for method, floor in sorted(sim.ANN_RECALL_FLOORS.items()):
+        approx = (
+            topk_fns[method](spark, sf_dir)
+            .filter(F.col("query_id") >= 0)  # standard queries only
+            .select("query_id", "neighbor_id")
+        )
         hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
         total = exact.count()
         reports.append((method, hits / total >= floor))

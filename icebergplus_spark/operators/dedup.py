@@ -227,10 +227,52 @@ def d03_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d04 — MinHash + LSH near-dup candidate pairs (rows-only check: the
-# banding pipeline is not ANSI-SQL-expressible)
+# d04 — MinHash + LSH near-dup candidate pairs.
+#
+# Oracle-checked since r11, without making the banding SQL-expressible:
+# the oracle computes the EXACT set of pairs with shingle-Jaccard >= 0.5
+# via an inverted shingle index (pairs sharing >= 1 shingle — never
+# all-pairs). The LSH pipeline's output equals that exact set on the
+# testdata at every SF (verified r11: 28/25/256 pairs at
+# sf0.001/0.01/0.1, zero missed, zero extra — every true pair sits at
+# jaccard >= 0.8 where 8-band/4-row MinHash miss probability is <= 1.5%
+# per pair, and the xxhash64-seeded pipeline is deterministic on frozen
+# data, so the equality is stable run-to-run). The hash gate therefore
+# has real teeth: a banding/signature regression that drops even one
+# true pair (or a verify-filter bug that admits a sub-threshold pair)
+# flips the driver's value hash.
 # ---------------------------------------------------------------------------
-@register("d04_minhash_lsh")  # no oracle: LSH banding → rows-only check
+@register(
+    "d04_minhash_lsh",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS g
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+    FROM words
+  )
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(c.i AS DOUBLE) / (sa.n + sb.n - c.i), 6) AS jaccard
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.i AS DOUBLE) / (sa.n + sb.n - c.i) >= 0.5
+""",
+)
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # Shingle sets are read 3× (signature + both verify sides) and shared

@@ -62,6 +62,127 @@ def cosine(a, b):
 
 
 # ---------------------------------------------------------------------------
+# Planted ANN ground truth (r11): the three approximate methods
+# (s02 LSH, s04 IVF, s05 PQ) are approximate BY CONSTRUCTION over
+# arbitrary queries, so their raw top-k was rows-only-checkable. The
+# registered queries are reshaped to a HASH-EXACT report instead:
+#
+#   * PLANT_TARGETS corpus vectors are copied verbatim as extra query
+#     vectors (query_id = -(vec_id+1)). The true nearest neighbor of a
+#     planted query is its source vector at cosine 1.0 (verified: the
+#     testdata corpus has no duplicate embeddings; runner-up cosine
+#     ≤ 0.5 at every SF), and EVERY sane ANN index must retrieve an
+#     identical vector — same sign bits, same IVF cell, same PQ codes.
+#   * The report emits, per planted query: the exact top-1 recomputed
+#     by brute force (expected_id — the DuckDB oracle recomputes this
+#     via real SQL, not a literal), the id the ANN pipeline actually
+#     retrieved at rank 1 (retrieved_id), its exact rounded cosine,
+#     and the method's recall@5-above-floor boolean over the standard
+#     N_QUERIES query set (floors from ANN_RECALL_FLOORS, measured in
+#     r4 and re-gated by s09 + tests/test_similarity.py).
+#
+# A broken index (missed planted vector, wrong rerank order, recall
+# regression) flips retrieved_id / drops a row / flips the boolean —
+# all hash-visible to the driver. The approximate top-k surface stays
+# testable through the *_topk functions (s09 + tests consume them).
+# ---------------------------------------------------------------------------
+PLANT_TARGETS = [17, 123, 321]  # corpus ids copied as queries -(id+1)
+# Floors one margin below the r4 measured minima across sf0.001/0.01/0.1
+# (s02: 0.72/0.76/0.84, s04: 0.86/0.82/0.86, s05: 0.80/0.88/0.62)
+ANN_RECALL_FLOORS = {"s02_ann_lsh": 0.65, "s04_ann_ivf": 0.70, "s05_ann_pq": 0.50}
+
+
+def _ext_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) with PLANT_TARGETS copied as negative-id
+    query rows. Planted rows are QUERIES only — every corpus side below
+    filters vec_id >= 0 so index contents are unchanged."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id").isin(PLANT_TARGETS)).select(
+        (-(F.col("vec_id") + F.lit(1))).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(planted)
+
+
+def _exact_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, expected_id): brute-force exact top-1 for each planted
+    query — the s01 shape (broadcast query batch × corpus stream)."""
+    emb = _emb(spark, sf_dir)
+    pq = emb.filter(F.col("vec_id").isin(PLANT_TARGETS)).select(
+        (-(F.col("vec_id") + F.lit(1))).alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("expected_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "expected_id")
+    return (
+        corpus.crossJoin(F.broadcast(pq))
+        .select(
+            "query_id",
+            "expected_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "expected_id")
+    )
+
+
+def _ann_report(spark: SparkSession, sf_dir: str, method: str, topk: DataFrame) -> DataFrame:
+    """Hash-exact report for one ANN method (see block comment above)."""
+    exact = s01_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    std = topk.filter(F.col("query_id") >= 0).select("query_id", "neighbor_id")
+    hits = std.join(exact, ["query_id", "neighbor_id"]).count()
+    recall_ok = bool(hits / (N_QUERIES * TOP_K) >= ANN_RECALL_FLOORS[method])
+    planted = topk.filter((F.col("query_id") < 0) & (F.col("rk") == 1)).select(
+        "query_id", F.col("neighbor_id").alias("retrieved_id"), "cos_sim"
+    )
+    return (
+        planted.join(_exact_top1_planted(spark, sf_dir), "query_id")
+        .select(
+            "query_id",
+            "expected_id",
+            "retrieved_id",
+            "cos_sim",
+            F.lit(recall_ok).alias("recall_ok"),
+        )
+    )
+
+
+def _ann_planted_oracle() -> str:
+    """DuckDB twin of the planted half of the report: recomputes each
+    planted query's exact top-1 by brute force (the ANN pipeline must
+    agree on retrieved_id + cosine for the hash to match); recall_ok
+    is the Spark-computed floor gate and is TRUE whenever the method
+    meets its measured floor."""
+    vals = ", ".join(
+        f"(CAST({-(t + 1)} AS BIGINT), CAST({t} AS BIGINT))" for t in PLANT_TARGETS
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+t(query_id, tid) AS (SELECT * FROM (VALUES {vals})),
+scored AS (
+  SELECT t.query_id, e.vec_id,
+         ROUND(list_dot_product(q.v, e.v) /
+               (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(e.v, e.v))),
+               6) AS cos_sim
+  FROM t JOIN e q ON q.vec_id = t.tid CROSS JOIN e
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id,
+       vec_id AS expected_id,
+       vec_id AS retrieved_id,
+       cos_sim,
+       TRUE AS recall_ok
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # s01 — brute-force cosine top-k (exact baseline)
 # ---------------------------------------------------------------------------
 @register(
@@ -143,13 +264,14 @@ def _hyperplanes(dim: int, table: int):
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
-@register("s02_ann_lsh")  # no oracle: approximate by construction
-def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s02_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k over the standard + planted query set (the raw
+    approximate surface; s02_ann_lsh reports on it hash-exactly)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    emb = _emb(spark, sf_dir)
-    dim = _dim(emb, sf_dir)
+    emb = _ext_emb(spark, sf_dir)
+    dim = _dim(_emb(spark, sf_dir), sf_dir)
     # (T*P, dim) matrix of all tables' hyperplanes — one matmul per batch
     # computes every sign bit (vectorized Arrow path; interpreted JVM
     # folds cost ~T*P per-row expression evaluations).
@@ -169,7 +291,8 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", table_buckets("embedding").alias("buckets")
     )
     # Corpus: one (table, bucket) row per table — T rows per vector.
-    corpus = bucketed.select(
+    # Planted rows (negative ids) are queries only, never index content.
+    corpus = bucketed.filter(F.col("vec_id") >= 0).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         F.posexplode("buckets").alias("table_id", "bucket"),
@@ -210,6 +333,11 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s02_ann_lsh", oracle=_ann_planted_oracle())
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_report(spark, sf_dir, "s02_ann_lsh", s02_topk(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # s04 — IVF (inverted-file) ANN: coarse k-means quantizer + nprobe search
 # (the other scale path the north star names alongside LSH).
@@ -233,7 +361,8 @@ def _train_centroids(emb: DataFrame, dim: int):
     import numpy as np
 
     sample = (
-        emb.select("vec_id", "embedding")
+        emb.filter(F.col("vec_id") >= 0)  # corpus only, never planted queries
+        .select("vec_id", "embedding")
         .orderBy("vec_id")  # deterministic sample
         .limit(512)
         .collect()
@@ -251,13 +380,14 @@ def _train_centroids(emb: DataFrame, dim: int):
     return cents.tolist()
 
 
-@register("s04_ann_ivf")  # no oracle: approximate by construction
-def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s04_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k over the standard + planted query set (the raw
+    approximate surface; s04_ann_ivf reports on it hash-exactly)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    emb = _emb(spark, sf_dir)
-    dim = _dim(emb, sf_dir)
+    emb = _ext_emb(spark, sf_dir)
+    dim = _dim(_emb(spark, sf_dir), sf_dir)
     cents_np = _cached(
         ("ivf_centroids", sf_dir),
         lambda: np.array(_train_centroids(emb, dim), dtype="float64"),
@@ -277,7 +407,7 @@ def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = emb.select(
         "vec_id", "embedding", nearest_cells("embedding").alias("cells")
     )
-    corpus = ranked.select(
+    corpus = ranked.filter(F.col("vec_id") >= 0).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         F.element_at("cells", 1).alias("cell"),
@@ -303,6 +433,11 @@ def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+@register("s04_ann_ivf", oracle=_ann_planted_oracle())
+def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_report(spark, sf_dir, "s04_ann_ivf", s04_topk(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -495,32 +630,39 @@ def _train_pq_codebooks(emb: DataFrame, dim: int):
     return books
 
 
-@register("s05_ann_pq")  # no oracle: approximate by construction
-def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s05_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k over the standard + planted query set (the raw
+    approximate surface; s05_ann_pq reports on it hash-exactly)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     emb = _emb(spark, sf_dir)
+    ext = _ext_emb(spark, sf_dir)
     dim = _dim(emb, sf_dir)
     dm = dim // PQ_M
     books = _cached(("pq_codebooks", sf_dir), lambda: _train_pq_codebooks(emb, dim))
     bnorm2 = (books**2).sum(axis=2)  # (M, K)
 
     def _build_lut():
+        # Standard + planted queries; LUT row order = vec_id ascending,
+        # so qids maps LUT position back to the real query id.
         qrows = (
-            emb.filter(F.col("vec_id") < N_QUERIES)
+            ext.filter(F.col("vec_id") < N_QUERIES)
             .select("vec_id", "embedding")
             .collect()
         )
-        qmat = np.array(
-            [r["embedding"] for r in sorted(qrows, key=lambda r: r["vec_id"])],
-            dtype="float64",
-        )
+        qrows = sorted(qrows, key=lambda r: r["vec_id"])
+        qids = [int(r["vec_id"]) for r in qrows]
+        qmat = np.array([r["embedding"] for r in qrows], dtype="float64")
         qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
         # LUT[q, m, k] = q's m-th subvector · codebook[m][k]
-        return np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), PQ_M, dm), books)
+        return (
+            np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), PQ_M, dm), books),
+            qids,
+        )
 
-    lut = _cached(("pq_query_lut", sf_dir), _build_lut)
+    lut, qids = _cached(("pq_query_lut_ext", sf_dir), _build_lut)
+    qid_of_pos = F.array(*[F.lit(q).cast("long") for q in qids])
 
     @pandas_udf("array<int>")
     def pq_encode(col: pd.Series) -> pd.Series:
@@ -545,8 +687,11 @@ def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         enc.select(
             F.col("vec_id").alias("neighbor_id"),
-            F.posexplode(adc_scores("codes")).alias("query_id", "adc_ip"),
+            F.posexplode(adc_scores("codes")).alias("qpos", "adc_ip"),
         )
+        # posexplode yields the LUT row position — map back to the real
+        # query id (negative for planted queries) before self-exclusion
+        .withColumn("query_id", F.element_at(qid_of_pos, F.col("qpos") + 1))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     wc = Window.partitionBy("query_id").orderBy(
@@ -558,7 +703,7 @@ def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    qdf = ext.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     rer = (
@@ -576,6 +721,11 @@ def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+@register("s05_ann_pq", oracle=_ann_planted_oracle())
+def s05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_report(spark, sf_dir, "s05_ann_pq", s05_topk(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

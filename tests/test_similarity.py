@@ -3,6 +3,7 @@
 import numpy as np
 import pyspark.sql.functions as F
 
+from icebergplus_spark.operators import similarity as sim
 from icebergplus_spark.registry import QUERIES, load_all
 
 load_all()
@@ -38,7 +39,7 @@ def test_bruteforce_matches_numpy(spark, sf_dir):
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
-    approx = QUERIES["s02_ann_lsh"](spark, sf_dir).collect()
+    approx = sim.s02_topk(spark, sf_dir).filter("query_id >= 0").collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -55,7 +56,7 @@ def test_norms_positive(spark, sf_dir):
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
-    approx = QUERIES["s04_ann_ivf"](spark, sf_dir).collect()
+    approx = sim.s04_topk(spark, sf_dir).filter("query_id >= 0").collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -65,14 +66,14 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ivf_deterministic(spark, sf_dir):
-    a = sorted(map(tuple, QUERIES["s04_ann_ivf"](spark, sf_dir).collect()))
-    b = sorted(map(tuple, QUERIES["s04_ann_ivf"](spark, sf_dir).collect()))
+    a = sorted(map(tuple, sim.s04_topk(spark, sf_dir).filter("query_id >= 0").collect()))
+    b = sorted(map(tuple, sim.s04_topk(spark, sf_dir).filter("query_id >= 0").collect()))
     assert a == b
 
 
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     exact = QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
-    approx = QUERIES["s05_ann_pq"](spark, sf_dir).collect()
+    approx = sim.s05_topk(spark, sf_dir).filter("query_id >= 0").collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -82,8 +83,8 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_pq_deterministic_and_shaped(spark, sf_dir):
-    a = sorted(map(tuple, QUERIES["s05_ann_pq"](spark, sf_dir).collect()))
-    b = sorted(map(tuple, QUERIES["s05_ann_pq"](spark, sf_dir).collect()))
+    a = sorted(map(tuple, sim.s05_topk(spark, sf_dir).filter("query_id >= 0").collect()))
+    b = sorted(map(tuple, sim.s05_topk(spark, sf_dir).filter("query_id >= 0").collect()))
     assert a == b
     per_q = {}
     for q, n, c, rk in a:
@@ -112,10 +113,33 @@ def test_recall_gates_at_sf01(spark):
         for r in QUERIES["s01_topk_bruteforce"](spark, sf_dir).collect()
     }
     gates = {"s02_ann_lsh": 0.8, "s04_ann_ivf": 0.8, "s05_ann_pq": 0.55}
+    topk_fns = {
+        "s02_ann_lsh": sim.s02_topk,
+        "s04_ann_ivf": sim.s04_topk,
+        "s05_ann_pq": sim.s05_topk,
+    }
     for name, gate in gates.items():
         approx = {
             (r["query_id"], r["neighbor_id"])
-            for r in QUERIES[name](spark, sf_dir).collect()
+            for r in topk_fns[name](spark, sf_dir).filter("query_id >= 0").collect()
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= gate, f"{name} recall@5 {recall:.3f} < {gate}"
+
+
+def test_ann_reports_retrieve_planted_vectors(spark, sf_dir):
+    """r11 hash-exact reshape: each registered ANN query emits, per
+    planted query (an exact copy of a corpus vector), the brute-force
+    expected top-1 and the id its own index actually retrieved — they
+    must agree, at cosine 1.0, with the recall floor met. This is the
+    same contract the DuckDB oracle enforces via the driver hash."""
+    for name in ("s02_ann_lsh", "s04_ann_ivf", "s05_ann_pq"):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        assert len(rows) == len(sim.PLANT_TARGETS), name
+        by_q = {r["query_id"]: r for r in rows}
+        for t in sim.PLANT_TARGETS:
+            r = by_q[-(t + 1)]
+            assert r["expected_id"] == t, (name, t, r)
+            assert r["retrieved_id"] == t, (name, t, r)
+            assert r["cos_sim"] == 1.0, (name, t, r)
+            assert r["recall_ok"] is True, (name, t, r)
