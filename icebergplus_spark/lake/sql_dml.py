@@ -736,6 +736,167 @@ def _inline_scalar_subqueries(
     return text
 
 
+_SCALAR_SPAN_GUARD = re.compile(
+    r"\b(IN|EXISTS|ANY|ALL|SOME|FROM|JOIN|LATERAL|UNION|EXCEPT|INTERSECT)\s*$",
+    re.IGNORECASE,
+)
+_SPAN_OPEN = re.compile(r"\(\s*(?:SELECT|WITH)\b", re.IGNORECASE)
+_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+_FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _scalar_eval(catalog: LocalLakeCatalog, sub: str) -> str | None:
+    """Run ``sub`` standalone and render its single value as a TYPED
+    literal (r11): temporal values carry the TIMESTAMP/DATE prefix and
+    numeric/NULL values a CAST to the subquery's OWN result type, so a
+    select-list or SET position keeps the column type exactly (a bare
+    ``15000`` literal would come back int32 where COUNT(*) is bigint;
+    bare quoted strings — the _inline_scalar_subqueries form — are only
+    safe in WHERE comparisons, where the grammar coerces). None =
+    decline (multi-row, multi-column, correlated/unresolvable, or
+    unrenderable value); empty result = typed NULL, SQL's scalar
+    semantics."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    try:
+        df = lake_sql(catalog, sub)
+        rows = df.take(2) if len(df.columns) == 1 else [0, 0]
+    except Exception:
+        return None
+    if len(rows) > 1:
+        return None
+    v = rows[0][0] if rows else None
+    lit = _sql_literal(v)
+    if lit is None:
+        return None
+    if isinstance(v, datetime):
+        return "TIMESTAMP " + lit
+    if isinstance(v, date):
+        return "DATE " + lit
+    if v is None or isinstance(v, (bool, int, float, Decimal)):
+        dtype = df.schema.fields[0].dataType.simpleString()
+        return f"CAST({lit} AS {dtype.upper()})"
+    return lit
+
+
+def _inline_scalar_spans(
+    catalog: LocalLakeCatalog,
+    text: str,
+    *,
+    select_list: bool = False,
+    _cap: int = 8,
+) -> str:
+    """Positional scalar-subquery inlining (r11, VERDICT r10 #2):
+    beyond r10's ``col OP (SELECT ...)`` comparisons, a scalar subquery
+    can sit in any VALUE position — an UPDATE SET right-hand side
+    (``SET x = (SELECT MAX(v) FROM s)``) or a select-list item
+    (``SELECT (SELECT COUNT(*) FROM s) AS n, ...``). Each ``(SELECT``/
+    ``(WITH`` span is replaced by its value's typed literal when the
+    subquery runs standalone and yields at most one single-column row,
+    so the scalar is answered by the subquery's OWN fast path (manifest
+    folds read zero data files when stats cover) and the host statement
+    keeps riding its pruned paths.
+
+    Declines — leaving the span untouched — when the preceding token
+    keeps set/table semantics (IN/EXISTS/ANY/ALL/SOME, FROM/JOIN/
+    LATERAL derived tables, set operators), when the subquery is
+    multi-row/multi-column/correlated/unrenderable, and (select_list)
+    when the span is an ENTIRE unaliased select item — inlining would
+    rename Spark's ``scalarsubquery()`` output column, so that shape
+    falls through to the native path instead. With select_list=True
+    only spans before the statement's depth-0 FROM are touched (the
+    select list proper); WHERE comparisons stay r10's
+    _inline_scalar_subqueries."""
+    declined: set[str] = set()
+    done: dict[str, str] = {}
+    for _ in range(_cap):
+        masked = _mask_literals(text)
+        stop = len(masked)
+        if select_list:
+            m_from = _kw_at_depth0(masked, _FROM_KW)
+            if m_from is not None:
+                stop = m_from.start()
+        replaced = False
+        for m in _SPAN_OPEN.finditer(masked):
+            open_i = m.start()
+            if open_i >= stop:
+                break
+            if _SCALAR_SPAN_GUARD.search(masked[:open_i].rstrip()):
+                continue
+            depth, j = 0, open_i
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                continue
+            sub = text[open_i + 1:j].strip()
+            if sub in declined:
+                continue
+            if select_list:
+                before = masked[:open_i].rstrip()
+                nxt = masked[j + 1:].lstrip()
+                item_start = before.endswith(",") or re.search(
+                    r"\bSELECT(\s+DISTINCT)?$", before, re.IGNORECASE
+                )
+                item_end = (
+                    nxt == ""
+                    or nxt.startswith(",")
+                    or re.match(r"FROM\b", nxt, re.IGNORECASE)
+                )
+                if item_start and item_end:
+                    declined.add(sub)  # unaliased whole item (see doc)
+                    continue
+            if sub in done:
+                lit = done[sub]
+            else:
+                lit = _scalar_eval(catalog, sub)
+                if lit is None:
+                    declined.add(sub)
+                    continue
+                done[sub] = lit
+            text = text[:open_i] + lit + text[j + 1:]
+            replaced = True
+            break  # offsets moved — re-scan
+        if not replaced:
+            return text
+    return text
+
+
+def _inline_set_scalars(catalog: LocalLakeCatalog, sets: str) -> str:
+    """SET-clause scalar inlining with a loud refusal: any span the
+    positional inliner declines (correlated, multi-row, multi-column,
+    unrenderable) would otherwise reach F.expr and surface a raw
+    Catalyst TABLE_OR_VIEW_NOT_FOUND — refuse with the grammar's error
+    instead so the caller knows exactly which shape is unsupported."""
+    sets = _inline_scalar_spans(catalog, sets)
+    if _SPAN_OPEN.search(_mask_literals(sets)):
+        raise UnsupportedSQL(
+            "UPDATE SET subquery must be an uncorrelated scalar "
+            "(single row, single column); rewrite the statement or use "
+            "MERGE for correlated assignments"
+        )
+    return sets
+
+
+def _split_set_where(rest: str) -> tuple[str, str | None]:
+    """UPDATE tail ``<assignments> [WHERE <cond>]`` → (sets, where),
+    split at the first depth-0 WHERE in literal-masked text. The old
+    non-greedy regex split at the first raw ``WHERE`` token — wrong
+    both for subqueries in SET (their inner WHERE) and for string
+    literals containing the word (r11)."""
+    masked = _mask_literals(rest)
+    m = _kw_at_depth0(masked, _WHERE_KW)
+    if m is None:
+        return rest.strip(), None
+    return rest[: m.start()].strip(), rest[m.end():].strip()
+
+
 _EXISTS_CONJ = re.compile(
     r"^(NOT\s+)?EXISTS\s*\(\s*((?:SELECT|WITH)\b.+)\)$",
     re.IGNORECASE | re.DOTALL,
@@ -2431,14 +2592,19 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 )
             elif ihead == "UPDATE":
                 m = re.match(
-                    rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)"
-                    rf"(?:\s+WHERE\s+(.+))?$",
+                    rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+)$",
                     inner,
                     re.IGNORECASE | re.DOTALL,
                 )
                 if not m:
                     raise UnsupportedSQL("UPDATE requires SET ...")
-                ident, sets, where = m.groups()
+                ident, rest = m.groups()
+                sets, where = _split_set_where(rest)
+                if _SPAN_OPEN.search(_mask_literals(sets)):
+                    # same SET scalar inlining as top-level UPDATE;
+                    # the scalar is read OUTSIDE the transaction
+                    # (standard SQL: subqueries see pre-txn state)
+                    sets = _inline_set_scalars(catalog, sets)
                 txn.update_where(
                     ident,
                     {}
@@ -2462,6 +2628,13 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         # shadows a real table); their bodies get the pass on their own
         # recursive dispatch.
         stmt = _inline_scalar_subqueries(catalog, stmt)
+    if head == "SELECT" and _SPAN_OPEN.search(_mask_literals(stmt)):
+        # r11 (VERDICT r10 #2): select-list scalars — SELECT (SELECT
+        # COUNT(*) FROM s) AS n, ... — inline as typed literals so the
+        # scalar answers from the inner table's manifest folds and the
+        # host statement keeps its fast paths. Spans after the depth-0
+        # FROM (derived tables, WHERE set-subqueries) are untouched.
+        stmt = _inline_scalar_spans(catalog, stmt, select_list=True)
     if head == "WITH":
         fast = _with_select(catalog, stmt)
         if fast is not None:
@@ -2728,13 +2901,19 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
 
     if head == "UPDATE":
         m = re.match(
-            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise UnsupportedSQL("UPDATE requires SET ...")
-        ident, sets, where = m.groups()
+        ident, rest = m.groups()
+        sets, where = _split_set_where(rest)
+        if _SPAN_OPEN.search(_mask_literals(sets)):
+            # r11 (VERDICT r10 #2): SET x = (SELECT MAX(v) FROM s) —
+            # the scalar folds from the inner table's manifests and
+            # lands as a typed literal; declines refuse loudly
+            sets = _inline_set_scalars(catalog, sets)
         assignments = _parse_assignments(sets)
         t = catalog.load_table(ident)
         if where is None:

@@ -2083,3 +2083,87 @@ def q173_sql_disjunctive_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OR o.o_orderdate >= '1997-06-01') "
         "GROUP BY c.c_mktsegment ORDER BY segment",
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — scalar subqueries beyond WHERE (r11, VERDICT r10 #2): the
+# reference-data maintenance shape. An UPDATE caps late orders' price
+# at a value read from a checkpoint table via `SET o_totalprice =
+# (SELECT MAX(cap) ...)` — the scalar folds from the cap table's
+# manifests (zero data reads when stats cover; test_sql_scalar_set.py
+# proves it by deleting the cap files) and lands as a typed literal,
+# so the UPDATE itself still range-prunes target files. The follow-up
+# read carries a SELECT-LIST scalar (`(SELECT COUNT(*) ...) AS
+# grand_n`) that inlines the same way — answered by a COUNT fold —
+# while the grouped aggregate rides its pruned fast path. The oracle
+# derives cap and grand_n declaratively from raw orders.
+# ---------------------------------------------------------------------------
+@register(
+    "q174_sql_scalar_set",
+    oracle="""
+WITH cap AS (
+  SELECT MAX(o_totalprice) AS cap FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-01-01'
+),
+upd AS (
+  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-06-01'
+              THEN (SELECT cap FROM cap) ELSE o_totalprice END AS price,
+         o_orderpriority
+  FROM orders
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS grand_n,
+       o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(38,2))), 2) AS DOUBLE) AS revenue
+FROM upd
+GROUP BY o_orderpriority
+ORDER BY pri
+""",
+)
+def q174_sql_scalar_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_sql_scalarset_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_ss", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    cap = cat.create_table(
+        "bench.cap_ss",
+        spark.createDataFrame(
+            [], orders.select(F.col("o_totalprice").alias("cap")).schema
+        ).schema,
+    )
+    # the cap row itself comes from a MAX fold over the lake
+    lake_sql(
+        cat,
+        "INSERT INTO bench.cap_ss SELECT MAX(o_totalprice) AS cap "
+        "FROM bench.ord_ss WHERE o_orderdate < '1995-01-01'",
+    )
+    # SET scalar: folds from cap_ss manifests, inlines as a literal,
+    # and the UPDATE's WHERE still range-prunes target files
+    lake_sql(
+        cat,
+        "UPDATE bench.ord_ss SET o_totalprice = "
+        "(SELECT MAX(cap) FROM bench.cap_ss) "
+        "WHERE o_orderdate >= '1997-06-01'",
+    )
+    # select-list scalar: inlines from a COUNT fold
+    return lake_sql(
+        cat,
+        "SELECT (SELECT COUNT(*) FROM bench.ord_ss) AS grand_n, "
+        "o_orderpriority AS pri, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_ss GROUP BY o_orderpriority ORDER BY pri",
+    )
