@@ -6219,6 +6219,76 @@ class LakeTable:
             cond = cond | ((c >= _F.lit(lo)) & (c < _F.lit(hi)))
         return df.filter(cond)
 
+    def scan_pruned_by_keys(
+        self,
+        col: str,
+        keys_df: DataFrame,
+        branches: list[dict[str, Any]] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Key-set pruned scan for READS (r11, VERDICT r10 #3): the
+        frame reads ONLY files whose manifest stats might hold a key
+        from ``keys_df`` — the same range+bloom tiers DML's merge/
+        eq-delete pruning uses (``_eq_prunable_uris`` under
+        EQ_SKIP_KEYS_CAP, the distributed tier past it), behind the
+        same probe-domain type gate: the key column's dtype must EQUAL
+        the table column's (Spark's non-ANSI join coercion — BIGINT =
+        STRING truncates the string side — can never be mirrored by
+        raw-value stats/bloom probes, review r9). Optional ``branches``
+        pre-prunes with the grammar's OR-of-conjunctions planner so a
+        range conjunct keeps its manifest pruning too.
+
+        Returns None when pruning is unsound or pointless (type
+        mismatch, ≤1 candidate file) — the caller keeps the unpruned
+        path; correctness never depends on this method, only scan
+        width does. The returned frame carries NO residual filter: the
+        caller's own IN/WHERE text still applies for exact rows. An
+        empty or all-NULL key set proves every file skippable (``x IN
+        ()`` is FALSE and ``x IN (NULL…)`` never TRUE)."""
+        from pyspark.sql import functions as _F
+
+        if len(keys_df.columns) != 1:
+            return None
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return None
+        types = {f.name: f.dataType for f in self.schema.fields}
+        if col not in types or keys_df.schema.fields[0].dataType != types[col]:
+            return None  # probe-domain mismatch: no sound pruning
+        files = (
+            self.plan_files_any(branches, snapshot_id)
+            if branches
+            else self.plan_files(None, snapshot_id)
+        )
+        if len(files) <= 1:
+            return None  # nothing to prune — unpruned path is identical
+        mapping = self._column_mapping
+        phys = mapping.get(col, col)
+        keys_phys = keys_df.select(
+            _F.col(keys_df.columns[0]).alias(phys)
+        ).dropDuplicates()
+        uris = [_as_uri(f["file_path"]) for f in files]
+        stats = {_as_uri(f["file_path"]): f for f in files}
+        sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
+        if len(sample) <= self.EQ_SKIP_KEYS_CAP:
+            key_rows = [tuple(r) for r in sample if r[0] is not None]
+            skip = (
+                self._eq_prunable_uris([phys], key_rows, uris, stats)
+                if key_rows
+                else set(uris)
+            )
+        else:
+            skip = self._eq_prunable_uris_distributed(
+                [phys], keys_phys, uris, stats
+            )
+        kept = [f for f in files if _as_uri(f["file_path"]) not in skip]
+        if not kept:
+            return self.spark.createDataFrame([], self.schema)
+        df = self._read_live([f["file_path"] for f in kept], snap)
+        return df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
+
 
 def _java_double_str(v: float) -> str:
     """Java ``Double.toString`` notation: decimal for 1e-3 ≤ |v| < 1e7

@@ -2167,3 +2167,64 @@ def q174_sql_scalar_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.ord_ss GROUP BY o_orderpriority ORDER BY pri",
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — key-set file pruning for SELECT `WHERE k IN (SELECT ...)`
+# (r11, VERDICT r10 #3): the incremental-batch read shape — aggregate
+# the fact slice whose keys appear in a recent-batch table. DML got
+# this pruning in r8 (q161); reads declined to native Spark until now.
+# The fact table is appended in l_orderkey-range buckets, so the
+# uncorrelated IN-subquery's key range ([0, 1000)) lets
+# scan_pruned_by_keys skip every out-of-range bucket via the eq-delete
+# range+bloom tiers (planted file-count gate in
+# tests/test_sql_in_prune.py; probe-domain type gate verified there
+# too). A date conjunct composes: it keeps its own branch pruning and
+# row filtering.
+# ---------------------------------------------------------------------------
+@register(
+    "q175_sql_in_prune",
+    oracle="""
+SELECT l_returnflag AS rf,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
+      )
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag
+ORDER BY rf
+""",
+)
+def q175_sql_in_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_sql_inprune_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.li_ip", li.schema)
+    hi = li.agg(F.max("l_orderkey")).first()[0] + 1
+    step = max(hi // 4, 1)
+    for lo in range(0, hi, step):
+        fact.append(
+            li.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < lo + step)
+            ).repartition(2)
+        )
+    batch = cat.create_table("bench.ord_ip", orders.schema)
+    batch.append(orders)
+    return lake_sql(
+        cat,
+        "SELECT l_returnflag AS rf, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS qty FROM bench.li_ip "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM bench.ord_ip "
+        "WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT') "
+        "AND l_shipdate >= '1995-01-01' "
+        "GROUP BY l_returnflag ORDER BY rf",
+    )
