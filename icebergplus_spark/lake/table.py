@@ -306,56 +306,74 @@ def _apply_partition_stats(
     entry["column_null_counts"] = json.dumps(nulls)
 
 
-def _apply_entry_blooms(entry: dict[str, Any], bloom_cols: list[str]) -> None:
+def _apply_entry_blooms(
+    entry: dict[str, Any], bloom_cols: list[str], data: "pa.Table | None" = None
+) -> None:
     """Per-file bloom filters for the opted-in columns (pure function —
-    shared by the driver and distributed harvest paths)."""
+    shared by the driver and distributed harvest paths). ``data`` is
+    the harvest's shared one-pass column read (r11): when present, no
+    file I/O happens here."""
     if not bloom_cols:
         return
     import pyarrow.compute as pc
 
     path = entry["file_path"]
-    pf = pq.ParquetFile(path)
-    file_cols = set(pf.schema_arrow.names)
     mins = json.loads(entry["column_mins"])
     maxs = json.loads(entry["column_maxs"])
+    file_cols = (
+        set(data.schema.names)
+        if data is not None
+        else set(pq.ParquetFile(path).schema_arrow.names)
+    )
     blooms: dict[str, str] = {}
     for col in bloom_cols:
         if col in file_cols:
-            vals = pc.unique(
-                pq.read_table(path, columns=[col]).column(0)
-            ).to_pylist()
-            blooms[col] = _build_bloom_hex(vals)
+            column = (
+                data.column(col)
+                if data is not None
+                else pq.read_table(path, columns=[col]).column(0)
+            )
+            blooms[col] = _build_bloom_hex(pc.unique(column).to_pylist())
         elif col in mins and mins[col] == maxs[col]:
             # identity-partition column: constant from the path
             blooms[col] = _build_bloom_hex([mins[col]])
     entry["column_blooms"] = json.dumps(blooms)
 
 
-def _apply_column_sums(entry: dict[str, Any]) -> None:
+def _apply_column_sums(
+    entry: dict[str, Any], data: "pa.Table | None" = None
+) -> None:
     """Exact per-file sums of INTEGER columns (r10, VERDICT r9 #8):
-    one extra read of the just-written (page-cache-hot) file,
-    restricted to integer leaves, vectorized null-skipping Arrow sum.
-    Python ints are arbitrary-precision, so the JSON round-trip is
-    exact at any magnitude. An all-null column yields no entry (its
-    SQL SUM is NULL — the fold reads absence + all-null stats as a
-    NULL contribution). Floats/decimals are deliberately excluded: a
-    double sum depends on scan order, so a fold could not reproduce
-    the exact scan result. On object storage this is a second GET per
-    written file — disable with write.stats.column-sums=false (the
-    fold then degrades to the exact scan leg, never wrong)."""
+    vectorized null-skipping Arrow sum over the integer leaves. Python
+    ints are arbitrary-precision, so the JSON round-trip is exact at
+    any magnitude. An all-null column yields no entry (its SQL SUM is
+    NULL — the fold reads absence + all-null stats as a NULL
+    contribution). Floats/decimals are deliberately excluded: a double
+    sum depends on scan order, so a fold could not reproduce the exact
+    scan result. ``data`` is the harvest's shared one-pass read (r11:
+    blooms and sums read the file once between them, and the read runs
+    NEXT TO the just-written page-cache-hot file — on the driver under
+    the fan-out threshold, on executors past it — measured 48 ms of
+    w01's 2.9 s at sf0.1, see SCALING.md). Disable with
+    write.stats.column-sums=false (the fold then degrades to the exact
+    scan leg, never wrong)."""
     import pyarrow.compute as pc
 
-    pf = pq.ParquetFile(entry["file_path"])
-    int_cols = [
-        f.name for f in pf.schema_arrow if pa.types.is_integer(f.type)
-    ]
+    if data is None:
+        pf = pq.ParquetFile(entry["file_path"])
+        int_cols = [
+            f.name for f in pf.schema_arrow if pa.types.is_integer(f.type)
+        ]
+        data = pf.read(columns=int_cols) if int_cols else None
+    else:
+        int_cols = [
+            f.name for f in data.schema if pa.types.is_integer(f.type)
+        ]
     sums: dict[str, int] = {}
-    if int_cols:
-        tbl = pf.read(columns=int_cols)
-        for c in int_cols:
-            s = pc.sum(tbl.column(c))
-            if s.is_valid:
-                sums[c] = s.as_py()
+    for c in int_cols:
+        s = pc.sum(data.column(c))
+        if s.is_valid:
+            sums[c] = s.as_py()
     entry["column_sums"] = json.dumps(sums)
 
 
@@ -367,12 +385,26 @@ def _harvest_entry(
 ) -> dict[str, Any]:
     """The complete per-file harvest, dependency-free of LakeTable so
     executors can run it (footer stats + path partition stats + blooms
-    + integer column sums)."""
+    + integer column sums). Blooms and sums share ONE column read
+    (r11, VERDICT r10 #4): the union of bloom columns and integer
+    leaves is decoded in a single pass instead of one file read per
+    stat family."""
     entry = _harvest_footer(path)
     _apply_partition_stats(entry, seg_types)
-    _apply_entry_blooms(entry, bloom_cols)
+    pf = pq.ParquetFile(path)
+    file_cols = list(pf.schema_arrow.names)
+    int_cols = (
+        [f.name for f in pf.schema_arrow if pa.types.is_integer(f.type)]
+        if sums
+        else []
+    )
+    want = [
+        c for c in file_cols if c in set(int_cols) | set(bloom_cols)
+    ]
+    data = pf.read(columns=want) if want else None
+    _apply_entry_blooms(entry, bloom_cols, data=data)
     if sums:
-        _apply_column_sums(entry)
+        _apply_column_sums(entry, data=data)
     return entry
 
 
