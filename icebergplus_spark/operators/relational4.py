@@ -2228,3 +2228,73 @@ def q175_sql_in_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND l_shipdate >= '1995-01-01' "
         "GROUP BY l_returnflag ORDER BY rf",
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — multiple subquery conjuncts in one DML WHERE (r11, VERDICT
+# r10 #5): the chained incremental-maintenance DELETE the r10 router
+# refused ("at most one subquery conjunct") — prune BUILDING-segment
+# orders (IN) excluding well-funded accounts (NOT IN) before a cutoff
+# (range conjunct). Both key sets and the grammar remainder feed ONE
+# merge pass: the target chains a semi + anti join, the surviving key
+# tuples become the merge source, the range conjunct still prunes
+# target files (target_branches) and gates rows (matched_condition).
+# NULL-phase semantics (NULL-bearing NOT IN set voids the statement)
+# are pinned in tests/test_sql_multi_subquery.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q176_sql_multi_subquery",
+    oracle="""
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE NOT (
+    o_custkey IN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 5000)
+    AND o_orderdate < TIMESTAMP '1994-01-01'
+)
+GROUP BY o_orderpriority
+ORDER BY pri
+""",
+)
+def q176_sql_multi_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="lake_sql_multisub_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_mq", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    c = cat.create_table("bench.cust_mq", cust.schema)
+    c.append(cust)
+    lake_sql(
+        cat,
+        "DELETE FROM bench.ord_mq "
+        "WHERE o_custkey IN (SELECT c_custkey FROM bench.cust_mq "
+        "WHERE c_mktsegment = 'BUILDING') "
+        "AND o_custkey NOT IN (SELECT c_custkey FROM bench.cust_mq "
+        "WHERE c_acctbal > 5000) "
+        "AND o_orderdate < '1994-01-01'",
+    )
+    return lake_sql(
+        cat,
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM bench.ord_mq GROUP BY o_orderpriority ORDER BY pri",
+    )

@@ -212,13 +212,22 @@ def test_update_compound_not_in_keeps_pruned_file(spark, cat):
     assert marked == {1, 3, 4}  # NULL key kept un-updated
 
 
-def test_two_subquery_conjuncts_refused(spark, cat):
-    with pytest.raises(UnsupportedSQL, match="at most one"):
-        lake_sql(
-            cat,
-            "DELETE FROM db.t WHERE k IN (SELECT kk FROM db.keys) "
-            "AND k IN (SELECT kk FROM db.keysn)",
-        )
+def test_two_subquery_conjuncts_compose(spark, cat):
+    """r11 (VERDICT r10 #5): two IN conjuncts compose through one
+    merge pass instead of the r10 refusal — only keys in BOTH sets
+    delete (keys = {2,6}, keysn = {2,NULL}; NULL in an IN set is
+    inert — only k=2 goes). The full multi-conjunct battery lives in
+    test_sql_multi_subquery.py."""
+    lake_sql(
+        cat,
+        "DELETE FROM db.t WHERE k IN (SELECT kk FROM db.keys) "
+        "AND k IN (SELECT kk FROM db.keysn)",
+    )
+    got = {(k, ts) for k, ts, _ in _rows(cat)}
+    assert got == {
+        (1, 1), (3, 3), (4, 4), (None, 1),
+        (5, 10), (6, 11), (7, 12), (8, 13),
+    }
 
 
 def test_exists_correlation_refusals(spark, cat):
