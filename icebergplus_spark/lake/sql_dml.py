@@ -1390,7 +1390,8 @@ _AGG_SELECT = re.compile(
 )
 _AGG_ITEM = re.compile(
     rf"^(?:(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*({_IDENT})\s*\)"
-    rf"|(COUNT)\s*\(\s*\*\s*\))"
+    rf"|(COUNT)\s*\(\s*\*\s*\)"
+    rf"|COUNT\s*\(\s*DISTINCT\s+({_IDENT})\s*\))"
     rf"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
@@ -1440,17 +1441,22 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
         im = _AGG_ITEM.match(raw.strip())
         if not im:
             return None
-        fn_mm, col, fn_cnt, alias = im.groups()
-        fn = (fn_mm or fn_cnt).upper()
+        fn_mm, col, fn_cnt, cd_col, alias = im.groups()
+        if cd_col is not None:
+            fn, col = "COUNT_DISTINCT", cd_col
+        else:
+            fn = (fn_mm or fn_cnt).upper()
         if alias is None:
             # Spark's default naming for unaliased aggregates (r10 —
             # scalar subqueries are usually written without AS):
-            # lowercase fn, `count(1)` for COUNT(*)
-            alias = (
-                "count(1)"
-                if fn == "COUNT" and col is None
-                else f"{fn.lower()}({col})"
-            )
+            # lowercase fn, `count(1)` for COUNT(*), and the literal
+            # `count(DISTINCT c)` spelling (r11)
+            if fn == "COUNT_DISTINCT":
+                alias = f"count(DISTINCT {col})"
+            elif fn == "COUNT" and col is None:
+                alias = "count(1)"
+            else:
+                alias = f"{fn.lower()}({col})"
         items.append((fn, col, alias))
     if not items:
         return None
@@ -1464,7 +1470,8 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     if pred_arg is _DECLINE:
         return None
     if any(
-        fn in ("SUM", "AVG") or (fn == "COUNT" and c is not None)
+        fn in ("SUM", "AVG", "COUNT_DISTINCT")
+        or (fn == "COUNT" and c is not None)
         for fn, c, _a in items
     ):
         # r10: scalar SUM/AVG ride the zero-group agg_by fold (write-
@@ -1603,7 +1610,8 @@ _GROUP_AGG = re.compile(
 )
 _GA_AGG_ITEM = re.compile(
     rf"^(?:(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*({_IDENT})\s*\)"
-    rf"|(COUNT)\s*\(\s*\*\s*\))"
+    rf"|(COUNT)\s*\(\s*\*\s*\)"
+    rf"|COUNT\s*\(\s*DISTINCT\s+({_IDENT})\s*\))"
     rf"\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
@@ -1641,8 +1649,11 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
         am = _GA_AGG_ITEM.match(item)
         if not am:
             return None
-        fn_mm, col, fn_cnt, alias = am.groups()
-        aggs.append(((fn_mm or fn_cnt).upper(), col, alias))
+        fn_mm, col, fn_cnt, cd_col, alias = am.groups()
+        if cd_col is not None:
+            aggs.append(("COUNT_DISTINCT", cd_col, alias))
+        else:
+            aggs.append(((fn_mm or fn_cnt).upper(), col, alias))
         order.append(alias)
     if not gcols or not aggs:
         return None

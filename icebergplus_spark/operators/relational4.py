@@ -2298,3 +2298,60 @@ def q176_sql_multi_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DOUBLE) AS revenue "
         "FROM bench.ord_mq GROUP BY o_orderpriority ORDER BY pri",
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — COUNT(DISTINCT) grouped fold (r11, VERDICT r10 #6): the
+# corpus-diversity shape — per-language distinct source and distinct
+# char-length counts over a ranged slice of the documents table.
+# Write-time per-file EXACT value sets (`column_distincts`: integer
+# leaves by default, `source` opted in via
+# write.stats.distinct-columns) merge by union IN SPARK with the
+# boundary scan leg's collect_set — exact, never an estimate; files
+# without a fitting sketch (over write.stats.distinct-cap,
+# pre-upgrade manifests) route to the scan leg.
+# tests/test_count_distinct_fold.py proves the fold by deleting data
+# files and pins the over-cap/opt-out/back-compat routes.
+# ---------------------------------------------------------------------------
+@register(
+    "q177_sql_count_distinct_fold",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_lengths,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE doc_id >= 100
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q177_sql_count_distinct_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lake_sql_cdfold_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.docs_cd", docs.schema)
+    t.set_property("write.stats.distinct-columns", "source")
+    t.set_property("write.stats.distinct-cap", "4096")
+    # several appends → the WHERE fully covers some files (fold) and
+    # cuts one (boundary scan); halves union-merge in Spark
+    n = docs.count()
+    step = max(n // 4, 1)
+    for lo in range(0, n, step):
+        t.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).repartition(2)
+        )
+    return lake_sql(
+        cat,
+        "SELECT lang, COUNT(DISTINCT source) AS n_sources, "
+        "COUNT(DISTINCT n_chars) AS n_lengths, COUNT(*) AS n "
+        "FROM bench.docs_cd WHERE doc_id >= 100 "
+        "GROUP BY lang ORDER BY lang",
+    )
