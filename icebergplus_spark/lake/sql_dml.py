@@ -1821,10 +1821,10 @@ def _in_subquery_select(catalog: LocalLakeCatalog, stmt: str):
         if _SUBQ_HINT.search(_mask_literals(p)):
             return None  # NOT IN / EXISTS / nested — native path
         rest.append(p)
-    if len(in_terms) != 1:
+    if not in_terms:
         return None
-    col, subq = in_terms[0]
-    if col not in set(table.schema.fieldNames()):
+    names = set(table.schema.fieldNames())
+    if any(col not in names for col, _ in in_terms):
         return None
     branches = None
     if rest:
@@ -1834,20 +1834,27 @@ def _in_subquery_select(catalog: LocalLakeCatalog, stmt: str):
             )
         except UnsupportedSQL:
             return None
-    try:
-        keys = lake_sql(catalog, subq.strip())
-    except Exception:
-        return None  # correlated/unresolvable — native path
-    if len(keys.columns) != 1:
-        return None
-    pruned = table.scan_pruned_by_keys(col, keys, branches=branches)
+    resolved: list[tuple[str, Any]] = []
+    for col, subq in in_terms:
+        try:
+            keys = lake_sql(catalog, subq.strip())
+        except Exception:
+            return None  # correlated/unresolvable — native path
+        if len(keys.columns) != 1:
+            return None
+        resolved.append((col, keys))
+    pruned = table.scan_pruned_by_keys(resolved, branches=branches)
     if pruned is None:
         return None  # type gate / single file — native path
     view = f"{_lake_view_name(ident)}_inprune"
     pruned.createOrReplaceTempView(view)
-    kview = f"{_lake_view_name(ident)}_inkeys"
-    keys.createOrReplaceTempView(kview)
-    conds = [f"{col} IN (SELECT `{keys.columns[0]}` FROM {kview})"] + rest
+    conds = list(rest)
+    for i, (col, keys) in enumerate(resolved):
+        kview = f"{_lake_view_name(ident)}_inkeys{i}"
+        keys.createOrReplaceTempView(kview)
+        conds.insert(
+            i, f"{col} IN (SELECT `{keys.columns[0]}` FROM {kview})"
+        )
     return table.spark.sql(
         f"SELECT {sel} FROM {view} WHERE {' AND '.join(conds)} {tail or ''}"
     )

@@ -6415,39 +6415,48 @@ class LakeTable:
 
     def scan_pruned_by_keys(
         self,
-        col: str,
-        keys_df: DataFrame,
+        terms: list[tuple[str, DataFrame]],
         branches: list[dict[str, Any]] | None = None,
         snapshot_id: int | None = None,
     ) -> DataFrame | None:
         """Key-set pruned scan for READS (r11, VERDICT r10 #3): the
         frame reads ONLY files whose manifest stats might hold a key
-        from ``keys_df`` — the same range+bloom tiers DML's merge/
-        eq-delete pruning uses (``_eq_prunable_uris`` under
-        EQ_SKIP_KEYS_CAP, the distributed tier past it), behind the
-        same probe-domain type gate: the key column's dtype must EQUAL
-        the table column's (Spark's non-ANSI join coercion — BIGINT =
-        STRING truncates the string side — can never be mirrored by
-        raw-value stats/bloom probes, review r9). Optional ``branches``
-        pre-prunes with the grammar's OR-of-conjunctions planner so a
-        range conjunct keeps its manifest pruning too.
+        from every ``(col, keys_df)`` term — the same range+bloom
+        tiers DML's merge/eq-delete pruning uses
+        (``_eq_prunable_uris`` under EQ_SKIP_KEYS_CAP, the distributed
+        tier past it), behind the same probe-domain type gate: a key
+        column's dtype must EQUAL the table column's (Spark's non-ANSI
+        join coercion — BIGINT = STRING truncates the string side —
+        can never be mirrored by raw-value stats/bloom probes, review
+        r9). With several terms the per-term skip sets UNION: the
+        terms are AND conjuncts, so a file any one term proves
+        unhittable cannot satisfy the conjunction. A term that fails
+        the type gate is ignored for pruning (the others still prune
+        soundly). Optional ``branches`` pre-prunes with the grammar's
+        OR-of-conjunctions planner so a range conjunct keeps its
+        manifest pruning too.
 
-        Returns None when pruning is unsound or pointless (type
-        mismatch, ≤1 candidate file) — the caller keeps the unpruned
-        path; correctness never depends on this method, only scan
-        width does. The returned frame carries NO residual filter: the
+        Returns None when pruning is unsound or pointless (no usable
+        term, ≤1 candidate file) — the caller keeps the unpruned path;
+        correctness never depends on this method, only scan width
+        does. The returned frame carries NO residual filter: the
         caller's own IN/WHERE text still applies for exact rows. An
         empty or all-NULL key set proves every file skippable (``x IN
         ()`` is FALSE and ``x IN (NULL…)`` never TRUE)."""
         from pyspark.sql import functions as _F
 
-        if len(keys_df.columns) != 1:
-            return None
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return None
         types = {f.name: f.dataType for f in self.schema.fields}
-        if col not in types or keys_df.schema.fields[0].dataType != types[col]:
+        usable = [
+            (col, keys_df)
+            for col, keys_df in terms
+            if len(keys_df.columns) == 1
+            and col in types
+            and keys_df.schema.fields[0].dataType == types[col]
+        ]
+        if not usable:
             return None  # probe-domain mismatch: no sound pruning
         files = (
             self.plan_files_any(branches, snapshot_id)
@@ -6457,24 +6466,26 @@ class LakeTable:
         if len(files) <= 1:
             return None  # nothing to prune — unpruned path is identical
         mapping = self._column_mapping
-        phys = mapping.get(col, col)
-        keys_phys = keys_df.select(
-            _F.col(keys_df.columns[0]).alias(phys)
-        ).dropDuplicates()
         uris = [_as_uri(f["file_path"]) for f in files]
         stats = {_as_uri(f["file_path"]): f for f in files}
-        sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
-        if len(sample) <= self.EQ_SKIP_KEYS_CAP:
-            key_rows = [tuple(r) for r in sample if r[0] is not None]
-            skip = (
-                self._eq_prunable_uris([phys], key_rows, uris, stats)
-                if key_rows
-                else set(uris)
-            )
-        else:
-            skip = self._eq_prunable_uris_distributed(
-                [phys], keys_phys, uris, stats
-            )
+        skip: set[str] = set()
+        for col, keys_df in usable:
+            phys = mapping.get(col, col)
+            keys_phys = keys_df.select(
+                _F.col(keys_df.columns[0]).alias(phys)
+            ).dropDuplicates()
+            sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
+            if len(sample) <= self.EQ_SKIP_KEYS_CAP:
+                key_rows = [tuple(r) for r in sample if r[0] is not None]
+                skip |= (
+                    self._eq_prunable_uris([phys], key_rows, uris, stats)
+                    if key_rows
+                    else set(uris)
+                )
+            else:
+                skip |= self._eq_prunable_uris_distributed(
+                    [phys], keys_phys, uris, stats
+                )
         kept = [f for f in files if _as_uri(f["file_path"]) not in skip]
         if not kept:
             return self.spark.createDataFrame([], self.schema)

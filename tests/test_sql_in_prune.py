@@ -51,7 +51,7 @@ def test_in_subquery_read_prunes_files(spark, tmp_path):
     pruned scan must read exactly 1 of the 4 files."""
     cat, t, _ = _mk(spark, tmp_path)
     keys = lake_sql(cat, "SELECT kk FROM db.keys")
-    pruned = t.scan_pruned_by_keys("k", keys)
+    pruned = t.scan_pruned_by_keys([("k", keys)])
     assert pruned is not None
     assert len(pruned.inputFiles()) == 1
     df = lake_sql(cat, Q)
@@ -84,7 +84,7 @@ def test_in_subquery_type_mismatch_disables_pruning(spark, tmp_path):
     skeys = cat.create_table("db.skeys", KS)
     skeys.append(spark.createDataFrame([("3",), ("7",)], KS).coalesce(1))
     str_keys = lake_sql(cat, "SELECT kk FROM db.skeys")
-    assert t.scan_pruned_by_keys("k", str_keys) is None
+    assert t.scan_pruned_by_keys([("k", str_keys)]) is None
     rows = lake_sql(
         cat,
         "SELECT k FROM db.fact WHERE k IN (SELECT kk FROM db.skeys) "
@@ -148,3 +148,22 @@ def test_in_subquery_agg_tail(spark, tmp_path):
         "WHERE k IN (SELECT kk FROM db.keys)",
     ).collect()
     assert (rows[0]["n"], rows[0]["s"]) == (3, 22)
+
+
+def test_two_in_conjuncts_prune_by_union(spark, tmp_path):
+    """Multiple IN conjuncts: per-term skip sets union — a file any
+    one term's range proves unhittable is skipped, rows satisfy both
+    terms. keys {3,7} (range prunes files 2-4); keys2 {7,12} (range
+    prunes files 3-4, KEEPS file 2) — the union keeps file 1 only,
+    tighter than either term alone."""
+    cat, t, _ = _mk(spark, tmp_path)
+    k2 = cat.create_table("db.keys2", K)
+    k2.append(spark.createDataFrame([(7,), (12,)], K).coalesce(1))
+    df = lake_sql(
+        cat,
+        "SELECT k FROM db.fact WHERE k IN (SELECT kk FROM db.keys) "
+        "AND k IN (SELECT kk FROM db.keys2) ORDER BY k",
+    )
+    fact_files = [f for f in df.inputFiles() if "/fact/" in f]
+    assert len(fact_files) == 1
+    assert [r["k"] for r in df.collect()] == [7]
