@@ -3755,6 +3755,11 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     sets = re.sub(
                         r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE
                     )
+                    if _SPAN_OPEN.search(_mask_literals(sets)):
+                        # r11: scalar subqueries in MERGE SET inline
+                        # like UPDATE SET (typed literal from the
+                        # subquery's own fold); declines refuse loudly
+                        sets = _inline_set_scalars(catalog, sets)
                     upd = {}
                     for term in _split_top_level(sets):
                         col, _, expr = term.partition("=")
@@ -3808,6 +3813,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                             "WHEN NOT MATCHED BY SOURCE expressions cannot "
                             "reference the source (no source row matched)"
                         )
+                    if _SPAN_OPEN.search(_mask_literals(sets)):
+                        sets = _inline_set_scalars(catalog, sets)
                     upd = {}
                     for term in _split_top_level(sets):
                         col, _, expr = term.partition("=")

@@ -199,3 +199,41 @@ def test_select_in_subquery_untouched(spark, tmp_path):
         "ORDER BY id",
     ).collect()
     assert [r["id"] for r in rows] == [2]
+
+
+def test_merge_matched_update_set_scalar(spark, tmp_path):
+    """Scalar subqueries inline in MERGE's WHEN MATCHED UPDATE SET."""
+    cat, _, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(1,), (2,)], "id bigint")
+    src.createOrReplaceTempView("m_src")
+    lake_sql(
+        cat,
+        "MERGE INTO db.t t USING m_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = (SELECT MAX(cap) FROM db.cap)",
+    )
+    assert _vals(cat) == {1: 77.0, 2: 77.0, 3: 30.0}
+
+
+def test_merge_by_source_update_set_scalar(spark, tmp_path):
+    cat, _, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(1,), (2,)], "id bigint")
+    src.createOrReplaceTempView("m_src2")
+    lake_sql(
+        cat,
+        "MERGE INTO db.t t USING m_src2 s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+        "v = (SELECT MIN(cap) FROM db.cap)",
+    )
+    assert _vals(cat) == {1: 10.0, 2: 20.0, 3: 55.0}
+
+
+def test_merge_set_multirow_scalar_refused(spark, tmp_path):
+    cat, _, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(1,)], "id bigint")
+    src.createOrReplaceTempView("m_src3")
+    with pytest.raises(UnsupportedSQL, match="uncorrelated scalar"):
+        lake_sql(
+            cat,
+            "MERGE INTO db.t t USING m_src3 s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = (SELECT cap FROM db.cap)",
+        )
