@@ -5882,13 +5882,7 @@ class LakeTable:
             return _grouped(base, exact=True).select(*columns, *finals)
         mapping = self._column_mapping
         mm_cols = [c for fn, c, _ in plan_aggs if fn in ("MIN", "MAX")]
-        has_cd = any(fn == "CD" for fn, _c, _a in plan_aggs)
-        # COUNT(DISTINCT) classification stays on the driver tier for
-        # now: the executor tier compiles per-file folds to Catalyst
-        # JSON probes, and array-valued sketches don't fit that shape
-        # yet — correctness is identical, only classification locality
-        # differs past the distributed threshold
-        if self._fold_distributed(snap) and not has_cd:
+        if self._fold_distributed(snap):
             return self._agg_by_distributed(
                 snap, columns, col_fields, plan_aggs, branches, _grouped,
                 _merge_exprs, types,
@@ -6066,6 +6060,7 @@ class LakeTable:
                 .alias(f.name)
             )
         has_sums = "column_sums" in files.columns
+        has_dist = "column_distincts" in files.columns
         for fn, c, a in aggs:
             fnu = fn.upper()
             if fnu == "COUNT":
@@ -6076,6 +6071,22 @@ class LakeTable:
             all_null = _F.coalesce(
                 nullc == _F.col("record_count"), _F.lit(False)
             )
+            if fnu == "CD":  # r11: write-time exact distinct sets
+                from pyspark.sql.types import ArrayType as _ArrayType
+
+                ds = (
+                    _stat("column_distincts", phys)
+                    if has_dist
+                    else _F.lit(None).cast("string")
+                )
+                ok = ok & (ds.isNotNull() | all_null)
+                arr_t = _ArrayType(types[c], False)
+                sel.append(
+                    _F.when(all_null, _F.array().cast(arr_t))
+                    .otherwise(_F.from_json(ds, arr_t))
+                    .alias(a)
+                )
+                continue
             if fnu == "CNT":  # non-null count: null stat must be KNOWN
                 ok = ok & nullc.isNotNull()
                 sel.append(

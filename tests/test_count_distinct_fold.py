@@ -185,3 +185,47 @@ def test_sql_grouped_and_scalar_cd(spark, tmp_path):
         cat, "SELECT g, COUNT(DISTINCT x) AS dx FROM db.t GROUP BY g"
     )
     assert sorted(map(tuple, df2.collect())) == [("a", 3), ("b", 5)]
+
+
+def test_cd_fold_distributed_tier(spark, tmp_path):
+    """Past planning.distributed-threshold the CD classification runs
+    over manifest parquet on executors (get_json_object + from_json
+    array sketches) — same answers, data files deleted to plant the
+    fold; boundary-over-cap and all-null routes included."""
+    c, t = _mk(
+        spark, tmp_path, props=[("write.stats.distinct-columns", "s")]
+    )
+    t.set_property("planning.distributed-threshold", "1")
+    t2 = c.load_table("db.t")
+    expect = sorted(
+        map(
+            tuple,
+            t2.agg_by(
+                "g",
+                [
+                    ("COUNT_DISTINCT", "x", "dx"),
+                    ("COUNT_DISTINCT", "s", "ds"),
+                    ("COUNT", None, "n"),
+                ],
+            ).collect(),
+        )
+    )
+    assert expect == [("a", 3, 4, 11), ("b", 5, 2, 10)]
+    for f in t2.plan_files():
+        os.remove(f["file_path"])
+    got = sorted(
+        map(
+            tuple,
+            c.load_table("db.t")
+            .agg_by(
+                "g",
+                [
+                    ("COUNT_DISTINCT", "x", "dx"),
+                    ("COUNT_DISTINCT", "s", "ds"),
+                    ("COUNT", None, "n"),
+                ],
+            )
+            .collect(),
+        )
+    )
+    assert got == expect
