@@ -45,6 +45,7 @@ HEADLINE = [
     "w04_join_pruned_select",  # fact-dim join with pruned fact view (r8)
     "w05_cte_notin_groupagg",  # NOT IN delete + CTE-pruned join + agg fold (r9)
     "w06_watermark_compound_dml",  # compound IN+range delete, scalar watermark read, SUM fold (r10)
+    "w07_multikey_dml_cd_scan",  # multi-conjunct DML, scalar SET, IN-pruned read, COUNT(DISTINCT) fold (r11)
 ]
 
 
@@ -304,6 +305,87 @@ def w06_watermark_compound_dml(spark, sf_dir: str):
     )
 
 
+def w07_multikey_dml_cd_scan(spark, sf_dir: str):
+    """r11 surface headline: quartile-sliced orders ingest (distinct
+    sets for o_orderpriority harvested at write time), an UPDATE whose
+    SET value is a scalar subquery (inlined from the cap table's MAX
+    fold), a multi-conjunct DELETE (IN + NOT IN + range through ONE
+    merge pass), a COUNT(DISTINCT) read that folds from the per-file
+    value sets, and a key-set-pruned IN-subquery read as the returned
+    frame. One timed region over the round's new SQL-reachable paths
+    on a fresh warehouse."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+    from icebergplus_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="bench_w07_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.w7_ord", orders.schema)
+    t.set_property("write.stats.distinct-columns", "o_orderpriority")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    step = max(hi // 4, 1)
+    for lo in range(0, hi, step):
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + step)
+            ).repartition(2)
+        )
+    c = cat.create_table("bench.w7_cust", cust.schema)
+    c.append(cust)
+    cap = cat.create_table(
+        "bench.w7_cap",
+        spark.createDataFrame(
+            [], orders.select(F.col("o_totalprice").alias("cap")).schema
+        ).schema,
+    )
+    lake_sql(
+        cat,
+        "INSERT INTO bench.w7_cap SELECT MAX(o_totalprice) AS cap "
+        "FROM bench.w7_ord WHERE o_orderkey < 1000",
+    )
+    # scalar SET from the cap table's fold + range prune
+    lake_sql(
+        cat,
+        "UPDATE bench.w7_ord SET o_totalprice = "
+        "(SELECT MIN(cap) FROM bench.w7_cap) "
+        "WHERE o_orderdate >= '1998-06-01'",
+    )
+    # multi-conjunct DELETE: IN + NOT IN + range, one merge pass
+    lake_sql(
+        cat,
+        "DELETE FROM bench.w7_ord WHERE o_custkey IN "
+        "(SELECT c_custkey FROM bench.w7_cust "
+        "WHERE c_mktsegment = 'BUILDING') "
+        "AND o_custkey NOT IN (SELECT c_custkey FROM bench.w7_cust "
+        "WHERE c_acctbal > 5000) "
+        "AND o_orderdate < '1994-01-01'",
+    )
+    # COUNT(DISTINCT) fold over the write-time value sets
+    lake_sql(
+        cat,
+        "SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS dp, "
+        "COUNT(*) AS n FROM bench.w7_ord GROUP BY o_orderstatus",
+    ).collect()
+    # key-set-pruned IN-subquery read
+    return lake_sql(
+        cat,
+        "SELECT o_orderstatus AS st, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,2))), 2) "
+        "AS DOUBLE) AS revenue FROM bench.w7_ord "
+        "WHERE o_orderkey IN (SELECT c_custkey FROM bench.w7_cust "
+        "WHERE c_custkey < 2000) "
+        "GROUP BY o_orderstatus ORDER BY st",
+    )
+
+
 LOCAL_QUERIES = {
     "w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan,
     "w02_dv_delete_scan": w02_dv_delete_scan,
@@ -311,6 +393,7 @@ LOCAL_QUERIES = {
     "w04_join_pruned_select": w04_join_pruned_select,
     "w05_cte_notin_groupagg": w05_cte_notin_groupagg,
     "w06_watermark_compound_dml": w06_watermark_compound_dml,
+    "w07_multikey_dml_cd_scan": w07_multikey_dml_cd_scan,
 }
 
 
