@@ -403,17 +403,40 @@ def _apply_column_distincts(
     lossily, so they never get a sketch and their files keep the exact
     scan leg). Over-cap columns are omitted, not truncated: a partial
     set would under-count. Computed from the harvest's shared column
-    read — no extra file I/O."""
+    read — no extra file I/O.
+
+    INTEGER columns are pre-gated by the footer's [min,max] width: a
+    range wider than ``cap`` would USUALLY exceed the cap, so the
+    unique computation is skipped outright — this keeps high-
+    cardinality key columns (the ones that made the default harvest
+    cost real wall time on write headlines, measured r11) at ZERO
+    cost, while small-domain columns (flags, enums, line numbers)
+    still get their sets. The trade is documented: a sparse wide-range
+    column under the cap loses its sketch (scan leg, exact); widen
+    write.stats.distinct-cap or opt the column in via
+    write.stats.distinct-columns to force the computation (opted-in
+    and string columns always compute)."""
     import pyarrow.compute as pc
 
     out: dict[str, list] = {}
     if data is not None:
+        mins = json.loads(entry.get("column_mins") or "{}")
+        maxs = json.loads(entry.get("column_maxs") or "{}")
         for c in distinct_cols:
             if c not in data.schema.names:
                 continue
             t = data.schema.field(c).type
-            if not (pa.types.is_integer(t) or pa.types.is_string(t)
-                    or pa.types.is_large_string(t)):
+            if pa.types.is_integer(t):
+                lo, hi = mins.get(c), maxs.get(c)
+                if (
+                    isinstance(lo, int)
+                    and isinstance(hi, int)
+                    and hi - lo >= cap
+                ):
+                    continue  # range-width gate: would usually overflow
+            elif not (
+                pa.types.is_string(t) or pa.types.is_large_string(t)
+            ):
                 continue
             uniq = [
                 v

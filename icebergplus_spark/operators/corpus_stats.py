@@ -345,7 +345,7 @@ def s09_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergplus_spark.operators import similarity as sim
 
     prepare_session(spark)
-    exact = sim.s01_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = sim._exact_pairs(spark, sf_dir)  # session-cached, 50 tuples
     topk_fns = {
         "s02_ann_lsh": sim.s02_topk,
         "s04_ann_ivf": sim.s04_topk,
@@ -353,14 +353,12 @@ def s09_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     reports = []
     for method, floor in sorted(sim.ANN_RECALL_FLOORS.items()):
-        approx = (
-            topk_fns[method](spark, sf_dir)
-            .filter(F.col("query_id") >= 0)  # standard queries only
-            .select("query_id", "neighbor_id")
-        )
-        hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
-        total = exact.count()
-        reports.append((method, hits / total >= floor))
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_fns[method](spark, sf_dir).collect()
+            if r["query_id"] >= 0  # standard queries only
+        }
+        reports.append((method, len(approx & exact) / len(exact) >= floor))
     return spark.createDataFrame(reports, "method string, recall_ok boolean")
 
 

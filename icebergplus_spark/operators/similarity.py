@@ -103,6 +103,15 @@ def _ext_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(planted)
 
 
+def _ext_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard + planted QUERY rows only (N_QUERIES + planted —
+    tiny). The index-side pipelines hash/encode the corpus from the
+    original table in ONE pass and run the same UDF separately over
+    this small frame; routing the whole union through the corpus UDF
+    doubled every scan branch (measured ~2× wall on s04, r11)."""
+    return _ext_emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+
+
 def _exact_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, expected_id): brute-force exact top-1 for each planted
     query — the s01 shape (broadcast query batch × corpus stream)."""
@@ -128,24 +137,61 @@ def _exact_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_report(spark: SparkSession, sf_dir: str, method: str, topk: DataFrame) -> DataFrame:
-    """Hash-exact report for one ANN method (see block comment above)."""
-    exact = s01_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    std = topk.filter(F.col("query_id") >= 0).select("query_id", "neighbor_id")
-    hits = std.join(exact, ["query_id", "neighbor_id"]).count()
-    recall_ok = bool(hits / (N_QUERIES * TOP_K) >= ANN_RECALL_FLOORS[method])
-    planted = topk.filter((F.col("query_id") < 0) & (F.col("rk") == 1)).select(
-        "query_id", F.col("neighbor_id").alias("retrieved_id"), "cos_sim"
+def _exact_pairs(spark: SparkSession, sf_dir: str) -> set:
+    """The exact (query_id, neighbor_id) top-k pairs for the standard
+    query set, collected ONCE per corpus and session-cached — shared
+    by all three ANN reports and s09 (50 tuples; the brute-force job
+    runs once, not once per method)."""
+    return _cached(
+        ("exact_pairs", sf_dir),
+        lambda: {
+            (r["query_id"], r["neighbor_id"])
+            for r in s01_topk_bruteforce(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .collect()
+        },
     )
-    return (
-        planted.join(_exact_top1_planted(spark, sf_dir), "query_id")
-        .select(
-            "query_id",
-            "expected_id",
-            "retrieved_id",
-            "cos_sim",
-            F.lit(recall_ok).alias("recall_ok"),
+
+
+def _ann_report(spark: SparkSession, sf_dir: str, method: str, topk: DataFrame) -> DataFrame:
+    """Hash-exact report for one ANN method (see block comment above).
+    ONE action over the approximate pipeline: the full top-k is tiny
+    ((N_QUERIES + planted) × TOP_K rows), so it collects once and the
+    recall boolean + planted rows derive driver-side — two actions
+    over the same lineage would execute the whole index build twice
+    (measured ~2× wall on s04, r11)."""
+    rows = topk.collect()
+    exact = _exact_pairs(spark, sf_dir)
+    hits = sum(
+        1
+        for r in rows
+        if r["query_id"] >= 0 and (r["query_id"], r["neighbor_id"]) in exact
+    )
+    recall_ok = bool(
+        hits / (N_QUERIES * TOP_K) >= ANN_RECALL_FLOORS[method]
+    )
+    expected = _cached(
+        ("planted_top1", sf_dir),
+        lambda: {
+            r["query_id"]: r["expected_id"]
+            for r in _exact_top1_planted(spark, sf_dir).collect()
+        },
+    )
+    out = [
+        (
+            int(r["query_id"]),
+            int(expected[r["query_id"]]),
+            int(r["neighbor_id"]),
+            float(r["cos_sim"]),
+            recall_ok,
         )
+        for r in rows
+        if r["query_id"] < 0 and r["rk"] == 1
+    ]
+    return spark.createDataFrame(
+        sorted(out),
+        "query_id long, expected_id long, retrieved_id long, "
+        "cos_sim double, recall_ok boolean",
     )
 
 
@@ -270,8 +316,8 @@ def s02_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    emb = _ext_emb(spark, sf_dir)
-    dim = _dim(_emb(spark, sf_dir), sf_dir)
+    emb = _emb(spark, sf_dir)
+    dim = _dim(emb, sf_dir)
     # (T*P, dim) matrix of all tables' hyperplanes — one matmul per batch
     # computes every sign bit (vectorized Arrow path; interpreted JVM
     # folds cost ~T*P per-row expression evaluations).
@@ -287,20 +333,18 @@ def s02_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = bits.reshape(len(x), N_TABLES, N_PLANES) @ powers  # (n, T)
         return pd.Series([row.astype("int32").tolist() for row in b])
 
-    bucketed = emb.select(
-        "vec_id", "embedding", table_buckets("embedding").alias("buckets")
-    )
-    # Corpus: one (table, bucket) row per table — T rows per vector.
-    # Planted rows (negative ids) are queries only, never index content.
-    corpus = bucketed.filter(F.col("vec_id") >= 0).select(
+    # Corpus: one (table, bucket) row per table — T rows per vector,
+    # hashed from the ORIGINAL table in one pass. Queries (standard +
+    # planted, a tiny frame) run the same UDF separately.
+    corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.posexplode("buckets").alias("table_id", "bucket"),
+        F.posexplode(table_buckets("embedding")).alias("table_id", "bucket"),
     )
-    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = _ext_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.posexplode("buckets").alias("table_id", "qbucket"),
+        F.posexplode(table_buckets("embedding")).alias("table_id", "qbucket"),
     )
     # Multiprobe: each table probes the query's bucket + all 1-bit flips.
     probes = queries.select(
@@ -386,8 +430,8 @@ def s04_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    emb = _ext_emb(spark, sf_dir)
-    dim = _dim(_emb(spark, sf_dir), sf_dir)
+    emb = _emb(spark, sf_dir)
+    dim = _dim(emb, sf_dir)
     cents_np = _cached(
         ("ivf_centroids", sf_dir),
         lambda: np.array(_train_centroids(emb, dim), dtype="float64"),
@@ -404,18 +448,19 @@ def s04_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(d, axis=1, kind="stable")
         return pd.Series([row.astype("int32").tolist() for row in order])
 
-    ranked = emb.select(
-        "vec_id", "embedding", nearest_cells("embedding").alias("cells")
-    )
-    corpus = ranked.filter(F.col("vec_id") >= 0).select(
+    # Corpus assigned from the ORIGINAL table in one pass; queries
+    # (standard + planted, tiny) run the same UDF separately.
+    corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.element_at("cells", 1).alias("cell"),
+        F.element_at(nearest_cells("embedding"), 1).alias("cell"),
     )
-    queries = ranked.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = _ext_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.explode(F.slice("cells", 1, IVF_NPROBE)).alias("cell"),
+        F.explode(
+            F.slice(nearest_cells("embedding"), 1, IVF_NPROBE)
+        ).alias("cell"),
     )
     scored = (
         queries.join(corpus, "cell")
@@ -637,7 +682,7 @@ def s05_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = _emb(spark, sf_dir)
-    ext = _ext_emb(spark, sf_dir)
+    qbase = _ext_queries(spark, sf_dir)
     dim = _dim(emb, sf_dir)
     dm = dim // PQ_M
     books = _cached(("pq_codebooks", sf_dir), lambda: _train_pq_codebooks(emb, dim))
@@ -646,11 +691,7 @@ def s05_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_lut():
         # Standard + planted queries; LUT row order = vec_id ascending,
         # so qids maps LUT position back to the real query id.
-        qrows = (
-            ext.filter(F.col("vec_id") < N_QUERIES)
-            .select("vec_id", "embedding")
-            .collect()
-        )
+        qrows = qbase.select("vec_id", "embedding").collect()
         qrows = sorted(qrows, key=lambda r: r["vec_id"])
         qids = [int(r["vec_id"]) for r in qrows]
         qmat = np.array([r["embedding"] for r in qrows], dtype="float64")
@@ -703,7 +744,7 @@ def s05_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    qdf = ext.filter(F.col("vec_id") < N_QUERIES).select(
+    qdf = qbase.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     rer = (
