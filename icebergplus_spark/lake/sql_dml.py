@@ -1798,11 +1798,16 @@ def _in_subquery_select(catalog: LocalLakeCatalog, stmt: str):
         return None
     if not _SUBQ_HINT.search(_mask_literals(where)):
         return None
+    masked_stmt = _mask_literals(stmt)
+    last_seg = ident.rpartition(".")[2]
     if re.search(
-        re.escape(ident) + r"\s*\.", _mask_literals(stmt), re.IGNORECASE
+        rf"(?<![\w.])(?:{re.escape(ident)}|{re.escape(last_seg)})\s*\.",
+        masked_stmt,
+        re.IGNORECASE,
     ):
-        return None  # table-qualified column refs — the rebuilt
-        # statement renames the relation, so decline to native
+        return None  # table-qualified column refs (full ident OR its
+        # last segment — Spark accepts both) — the rebuilt statement
+        # renames the relation, so decline to native
     table = _try_load(catalog, ident)
     if table is None:
         return None
@@ -2708,6 +2713,35 @@ def _resolve_lake_tables(catalog: LocalLakeCatalog, stmt: str) -> str:
     # never half-matches under `db.t.` (r9)
     for ident, view in sorted(views, key=lambda p: -len(p[0])):
         stmt = _replace_prefix(stmt, ident, view)
+    # LAST-SEGMENT-qualified column refs (r11): Spark resolves
+    # `SELECT t.k FROM db.t` — the bare table name qualifies columns —
+    # but the view substitution loses that name. Rewrite `t.` → view
+    # prefix when it is UNAMBIGUOUS: the segment is not a declared
+    # alias (the alias already qualifies something else), not shared
+    # by two resolved tables, and not itself a resolved identifier.
+    seg_counts: dict[str, int] = {}
+    for ident, _v in views:
+        seg = ident.rpartition(".")[2].lower()
+        seg_counts[seg] = seg_counts.get(seg, 0) + 1
+    resolved_lower = {ident.lower() for ident, _v in views}
+    # a relation with a DECLARED alias loses its name as a qualifier
+    # in Spark's scoping — don't resurrect it
+    aliased_idents = {
+        m.group(1).lower()
+        for m in _FROM_ALIAS.finditer(masked)
+        if m.group(2) and m.group(2).lower() not in _ALIAS_KW
+    }
+    for ident, view in views:
+        seg = ident.rpartition(".")[2]
+        if (
+            "." not in ident
+            or ident.lower() in aliased_idents
+            or seg.lower() in aliases
+            or seg_counts[seg.lower()] > 1
+            or seg.lower() in resolved_lower
+        ):
+            continue
+        stmt = _replace_prefix(stmt, seg, view)
     return stmt
 
 

@@ -750,3 +750,34 @@ def test_merge_using_subquery(spark, cat):
             "MERGE INTO db.t USING (SELECT k FROM db.m_src) "
             "ON db.t.k = k WHEN MATCHED THEN DELETE",
         )
+
+
+def test_last_segment_qualified_columns_resolve(spark, tmp_path):
+    """Spark resolves `SELECT t.k FROM db.t` — the bare table name
+    qualifies columns — and rejects it once an explicit alias is
+    declared. The generic lake resolve mirrors both (r11): the
+    substituted view gets the last segment rewritten as a qualifier
+    only when unambiguous and unaliased."""
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh_q")).start()
+    t = cat.create_table(
+        "db.qt", spark.createDataFrame([(1, 1.0)], "k bigint, v double").schema
+    )
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(5)],
+                                   "k bigint, v double"))
+    rows = lake_sql(
+        cat, "SELECT qt.k FROM db.qt WHERE qt.k < 3 ORDER BY qt.k"
+    ).collect()
+    assert [r["k"] for r in rows] == [0, 1, 2]
+    # full spelling keeps working alongside
+    rows = lake_sql(
+        cat, "SELECT db.qt.k FROM db.qt WHERE db.qt.v >= 3.0 ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in rows] == [3, 4]
+    # a declared alias removes the name qualifier, like Spark
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        lake_sql(cat, "SELECT qt.k FROM db.qt x WHERE qt.k < 3").collect()

@@ -167,3 +167,19 @@ def test_two_in_conjuncts_prune_by_union(spark, tmp_path):
     fact_files = [f for f in df.inputFiles() if "/fact/" in f]
     assert len(fact_files) == 1
     assert [r["k"] for r in df.collect()] == [7]
+
+
+def test_qualified_refs_decline_to_native(spark, tmp_path):
+    """Bare-table-name qualifiers (`fact.k` — Spark's usual spelling
+    for an unaliased table) must decline the rebuild (the pruned view
+    renames the relation) and stay correct on the native path. The
+    full `db.fact.k` spelling combined with an IN-subquery is not
+    resolvable on the native path either (pre-existing), so only the
+    last-segment form is covered here."""
+    cat, t, _ = _mk(spark, tmp_path)
+    rows = lake_sql(
+        cat,
+        "SELECT fact.k FROM db.fact WHERE fact.k IN "
+        "(SELECT kk FROM db.keys) ORDER BY fact.k",
+    ).collect()
+    assert [r["k"] for r in rows] == [3, 7]
