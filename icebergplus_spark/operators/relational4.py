@@ -2355,3 +2355,67 @@ def q177_sql_count_distinct_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM bench.docs_cd WHERE doc_id >= 100 "
         "GROUP BY lang ORDER BY lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — multiple IN-subquery conjuncts on a READ (r11): the
+# cross-filter shape — lineitems whose order is URGENT (first key set)
+# AND whose part is small-size (second key set), over the
+# quartile-bucketed fact. Each term's range+bloom skip set UNIONS
+# (an AND conjunct any term proves unhittable for a file kills the
+# file), so the scan is at most as wide as the tightest term; both IN
+# terms re-aim at resolved key views in the rebuilt statement
+# (planted union-prune gate in tests/test_sql_in_prune.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q178_sql_multi_in_read",
+    oracle="""
+SELECT l_returnflag AS rf,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey < 2000 AND o_orderpriority = '1-URGENT'
+      )
+  AND l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_size <= 20
+      )
+GROUP BY l_returnflag
+ORDER BY rf
+""",
+)
+def q178_sql_multi_in_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    root = tempfile.mkdtemp(prefix="lake_sql_multiin_")
+    cat = LocalLakeCatalog(spark, root).start()
+    fact = cat.create_table("bench.li_mi", li.schema)
+    hi = li.agg(F.max("l_orderkey")).first()[0] + 1
+    step = max(hi // 4, 1)
+    for lo in range(0, hi, step):
+        fact.append(
+            li.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < lo + step)
+            ).repartition(2)
+        )
+    o = cat.create_table("bench.ord_mi", orders.schema)
+    o.append(orders)
+    p = cat.create_table("bench.part_mi", part.schema)
+    p.append(part)
+    return lake_sql(
+        cat,
+        "SELECT l_returnflag AS rf, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS qty FROM bench.li_mi "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM bench.ord_mi "
+        "WHERE o_orderkey < 2000 AND o_orderpriority = '1-URGENT') "
+        "AND l_partkey IN (SELECT p_partkey FROM bench.part_mi "
+        "WHERE p_size <= 20) "
+        "GROUP BY l_returnflag ORDER BY rf",
+    )
