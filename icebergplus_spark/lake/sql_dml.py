@@ -1787,12 +1787,27 @@ def _in_subquery_select(catalog: LocalLakeCatalog, stmt: str):
     already-resolved key frame (the subquery is not re-derived
     textually). Grammar conjuncts keep their own manifest pruning via
     the branch planner. Returns None — generic path, identical rows —
-    for anything unprovable: NOT IN/EXISTS terms, multi-IN, qualified
-    refs, correlated/multi-column subqueries, type mismatches."""
-    m = _SIMPLE_SELECT.match(stmt.strip())
+    for anything unprovable: NOT IN/EXISTS terms, qualified refs,
+    correlated/multi-column subqueries, type mismatches.
+
+    The WHERE/tail split is DEPTH-0 (r11): _SIMPLE_SELECT's regex tail
+    split cuts at a GROUP BY *inside* the subquery, so aggregate key
+    subqueries (``SELECT k FROM s GROUP BY k``) would always have
+    declined; a select-list span before FROM makes the non-greedy
+    ident garbage and declines at _try_load, same as before."""
+    m = re.match(
+        rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
+        stmt.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
     if not m:
         return None
-    sel, ident, where, tail = m.groups()
+    sel, ident, rest = m.groups()
+    tm = _kw_at_depth0(_mask_literals(rest), _TAIL_KW)
+    if tm is None:
+        where, tail = rest, None
+    else:
+        where, tail = rest[: tm.start()].strip(), rest[tm.start():]
     blob = _mask_literals(f"{sel} {tail or ''}")
     if re.search(r"\bAS\s+OF\b|\bJOIN\b|\(\s*SELECT\b", blob, re.IGNORECASE):
         return None

@@ -183,3 +183,18 @@ def test_qualified_refs_decline_to_native(spark, tmp_path):
         "(SELECT kk FROM db.keys) ORDER BY fact.k",
     ).collect()
     assert [r["k"] for r in rows] == [3, 7]
+
+
+def test_inner_group_by_subquery_routes_and_prunes(spark, tmp_path):
+    """An aggregate key subquery (GROUP BY inside the IN) must not cut
+    the WHERE/tail split — the read still routes through the pruned
+    scan (r11 depth-0 split)."""
+    cat, t, _ = _mk(spark, tmp_path)
+    df = lake_sql(
+        cat,
+        "SELECT k FROM db.fact WHERE k IN "
+        "(SELECT kk FROM db.keys GROUP BY kk) ORDER BY k",
+    )
+    fact_files = [f for f in df.inputFiles() if "/fact/" in f]
+    assert len(fact_files) == 1
+    assert [r["k"] for r in df.collect()] == [3, 7]
