@@ -191,3 +191,66 @@ def test_remainder_gates_rows_not_just_files(spark, tmp_path):
         for r in lake_sql(cat, "SELECT a, v FROM db.t2").collect()
     )
     assert left == [(1, 20.0), (2, 30.0)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_mini_oracle(spark, tmp_path, seed):
+    """Randomized battery: random target rows (NULLs included), random
+    key sets (possibly empty or NULL-bearing), IN + NOT IN + range —
+    the engine's surviving rows must equal a pure-Python evaluator
+    applying SQL's three-valued logic row by row (with the NOT IN
+    NULL-set statement-void rule)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice([None] + list(range(8))),
+            rng.choice([None] + list(range(6))),
+            float(i),
+        )
+        for i in range(30)
+    ]
+    s1 = [rng.choice(range(8)) for _ in range(rng.randint(0, 5))]
+    s2 = [
+        rng.choice([None] + list(range(6)))
+        for _ in range(rng.randint(0, 4))
+    ]
+    cut = rng.choice([10.0, 20.0, 28.0])
+
+    c = LocalLakeCatalog(spark, str(tmp_path / f"wh{seed}")).start()
+    t = c.create_table("db.r", T)
+    t.append(spark.createDataFrame(rows, T).coalesce(2))
+    k1 = c.create_table("db.k1", K)
+    if s1:
+        k1.append(spark.createDataFrame([(v,) for v in s1], K))
+    k2 = c.create_table("db.k2", K)
+    if s2:
+        k2.append(spark.createDataFrame([(v,) for v in s2], K))
+
+    lake_sql(
+        c,
+        "DELETE FROM db.r WHERE a IN (SELECT k FROM db.k1) "
+        "AND b NOT IN (SELECT k FROM db.k2) AND v < "
+        f"{cut}",
+    )
+    key = lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0, p[2])
+    got = sorted(
+        [
+            (r["a"], r["b"], r["v"])
+            for r in lake_sql(c, "SELECT a, b, v FROM db.r").collect()
+        ],
+        key=key,
+    )
+
+    def deleted(a, b, v):
+        if any(x is None for x in s2):
+            return False  # NOT IN over a NULL-bearing set: never TRUE
+        t1 = a is not None and a in s1
+        t2 = (b is not None and b not in s2) if s2 else True
+        return t1 and t2 and v < cut
+
+    expect = sorted(
+        [(a, b, v) for a, b, v in rows if not deleted(a, b, v)], key=key
+    )
+    assert got == expect, (seed, s1, s2, cut)
