@@ -107,3 +107,20 @@ corpus.overwrite(curated)
 print(f"[7 publish      ] curated corpus snapshot "
       f"{corpus.current_snapshot_id}: {corpus.scan().count()} docs "
       f"(raw still at snapshot 1 for time travel)")
+
+# -- 8. corpus-diversity report (r11): COUNT(DISTINCT) folds from the
+#       write-time per-file value sets — per-language distinct sources
+#       without scanning data files, and a batch-scoped read whose
+#       IN-subquery prunes the corpus down to the recent batch's key
+#       range before any row is read.
+from icebergplus_spark.lake.sql_dml import lake_sql  # noqa: E402
+
+corpus.set_property("write.stats.distinct-columns", "source")
+corpus.set_property("write.stats.distinct-cap", "4096")
+corpus.overwrite(corpus.scan())  # rewrite once so files carry the sets
+diversity = lake_sql(
+    catalog,
+    "SELECT lang, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n "
+    "FROM pipeline.documents GROUP BY lang ORDER BY lang",
+)
+print("[8 diversity    ]", {r["lang"]: r["n_sources"] for r in diversity.collect()})
