@@ -198,3 +198,12 @@ def test_inner_group_by_subquery_routes_and_prunes(spark, tmp_path):
     fact_files = [f for f in df.inputFiles() if "/fact/" in f]
     assert len(fact_files) == 1
     assert [r["k"] for r in df.collect()] == [3, 7]
+
+
+def test_in_pruned_read_applies_tombstones(spark, tmp_path):
+    """The pruned scan goes through _read_live: a MoR tombstone on a
+    key inside the kept file set must not resurrect the row."""
+    cat, t, _ = _mk(spark, tmp_path)
+    t.delete_by_key(spark.createDataFrame([(3,)], "k bigint"))
+    rows = lake_sql(cat, Q).collect()
+    assert [r["k"] for r in rows] == [7]

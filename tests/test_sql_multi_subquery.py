@@ -254,3 +254,27 @@ def test_randomized_mini_oracle(spark, tmp_path, seed):
         [(a, b, v) for a, b, v in rows if not deleted(a, b, v)], key=key
     )
     assert got == expect, (seed, s1, s2, cut)
+
+
+def test_multi_conjunct_on_dv_table(spark, tmp_path):
+    """Multi-conjunct DML routes through merge_into's MoR path when
+    the table uses deletion vectors — same rows as the CoW shape."""
+    c = LocalLakeCatalog(spark, str(tmp_path / "whdv")).start()
+    t = c.create_table("db.dv", T)
+    t.set_property("delete.representation", "dv")
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 5, float(i)) for i in range(20)], T
+        ).coalesce(2)
+    )
+    s1 = c.create_table("db.dvs1", K)
+    s1.append(spark.createDataFrame([(i,) for i in range(0, 20, 2)], K))
+    s2 = c.create_table("db.dvs2", K)
+    s2.append(spark.createDataFrame([(1,), (2,)], K))
+    lake_sql(
+        c,
+        "DELETE FROM db.dv WHERE a IN (SELECT k FROM db.dvs1) "
+        "AND b IN (SELECT k FROM db.dvs2) AND a < 15",
+    )
+    left = sorted(r["a"] for r in lake_sql(c, "SELECT a FROM db.dv").collect())
+    assert left == sorted(set(range(20)) - {2, 6, 12})
