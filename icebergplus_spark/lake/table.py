@@ -5973,6 +5973,17 @@ class LakeTable:
                         vals.append(list(dist[phys]))
                     elif nulls.get(phys) == rc:
                         vals.append([])  # all-null: zero distinct values
+                    elif (
+                        foldable.get(c, _stats_foldable(types[c]))
+                        and phys in mins
+                        and mins[phys] == maxs[phys]
+                        and nulls.get(phys) == 0
+                    ):
+                        # single-valued column (identity partitions,
+                        # constant segments): stats ARE the set
+                        vals.append(
+                            [_from_stats_domain(types[c], mins[phys])]
+                        )
                     else:
                         vals = None  # no harvested set — scan leg
                         break
@@ -6102,11 +6113,21 @@ class LakeTable:
                     if has_dist
                     else _F.lit(None).cast("string")
                 )
-                ok = ok & (ds.isNotNull() | all_null)
+                mn = _stat("column_mins", phys)
+                mx = _stat("column_maxs", phys)
+                single = (
+                    _F.lit(_stats_foldable(types[c]))
+                    & mn.isNotNull()
+                    & mx.isNotNull()
+                    & (mn == mx)
+                    & _F.coalesce(nullc == 0, _F.lit(False))
+                )
+                ok = ok & (ds.isNotNull() | all_null | single)
                 arr_t = _ArrayType(types[c], False)
                 sel.append(
                     _F.when(all_null, _F.array().cast(arr_t))
-                    .otherwise(_F.from_json(ds, arr_t))
+                    .when(ds.isNotNull(), _F.from_json(ds, arr_t))
+                    .otherwise(_F.array(mn.cast(types[c])))
                     .alias(a)
                 )
                 continue

@@ -229,3 +229,26 @@ def test_cd_fold_distributed_tier(spark, tmp_path):
         )
     )
     assert got == expect
+
+
+def test_cd_single_valued_column_folds_from_minmax(spark, tmp_path):
+    """A column that is CONSTANT within each file (identity partitions,
+    per-group files) folds even without a harvested set: min==max with
+    zero nulls IS the one-element set. Proven with data files deleted,
+    on both tiers, including a string group column."""
+    c, t = _mk(
+        spark, tmp_path, props=[("write.stats.column-distincts", "false")]
+    )
+    # g is constant per file; distincts harvest is OFF — only the
+    # min==max fallback can answer
+    for f in t.plan_files():
+        os.remove(f["file_path"])
+    rows = t.agg_by([], [("COUNT_DISTINCT", "g", "dg")]).collect()
+    assert rows[0]["dg"] == 2
+    t.set_property("planning.distributed-threshold", "1")
+    rows = (
+        c.load_table("db.t")
+        .agg_by([], [("COUNT_DISTINCT", "g", "dg")])
+        .collect()
+    )
+    assert rows[0]["dg"] == 2
