@@ -397,8 +397,75 @@ LOCAL_QUERIES = {
 }
 
 
+class _ABPeer:
+    """Driver side of the A/B harness (r12, VERDICT r11 #2): a second
+    Python/JVM running tools/bench_server.py on a detached git worktree
+    of ``--ab <ref>``. Timed runs strictly ALTERNATE between the two
+    trees (current, ref, current, ref ...), so ambient load hits both
+    sides of every pair equally and the per-query ``ab_ratio`` is
+    attributable to code, not to the box — the measurement the w06
+    bisect did by hand in r11, built in."""
+
+    def __init__(self, ref: str) -> None:
+        import subprocess
+        import tempfile
+
+        self.repo = os.path.dirname(os.path.abspath(__file__))
+        self.dir = tempfile.mkdtemp(prefix="bench_ab_")
+        self.tree = os.path.join(self.dir, "tree")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", self.tree, ref],
+            cwd=self.repo,
+            check=True,
+            capture_output=True,
+        )
+        self.proc = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(self.repo, "tools", "bench_server.py"),
+                self.tree,
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        ready = self._recv()
+        assert ready.get("ready"), f"ab server failed to start: {ready}"
+
+    def _recv(self) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                return {"ok": False, "err": "ab server exited"}
+            if line.startswith("ABJSON:"):
+                return json.loads(line[len("ABJSON:"):])
+
+    def cmd(self, command: str) -> dict:
+        self.proc.stdin.write(command + "\n")
+        self.proc.stdin.flush()
+        return self._recv()
+
+    def close(self) -> None:
+        import subprocess
+
+        try:
+            self.proc.stdin.write("exit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", self.tree],
+            cwd=self.repo,
+            capture_output=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ab_ref = None
+    if "--ab" in sys.argv:
+        ab_ref = sys.argv[sys.argv.index("--ab") + 1]
     # Quiet-window gate (r5 verdict #7): timings on a loaded box are
     # attribution noise, not data. Record the 1-min loadavg at start;
     # flag the run when it exceeds SPARK_GRAFT_LOAD_GATE (default: half
@@ -416,6 +483,9 @@ def main() -> None:
         fn = LOCAL_QUERIES.get(name) or registry.QUERIES[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    peer = _ABPeer(ab_ref) if ab_ref else None
+    ab_sec: dict[str, float] = {}
+    ab_ratio: dict[str, float | None] = {}
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -431,18 +501,42 @@ def main() -> None:
         spark.catalog.clearCache()
         run(name)
         run(name)  # 2nd warm-up: C2 JIT needs >1 pass to reach steady state
+        peer_ok = False
+        if peer is not None:
+            peer.cmd("clear")
+            peer_ok = (
+                peer.cmd(f"warm {name}")["ok"]
+                and peer.cmd(f"warm {name}")["ok"]
+            )
         # Median-of-3 with per-query spread (r4 verdict #7): the box's
         # busy-window drift (±15-25%, SCALING.md) is bigger than most
         # real deltas — the median resists one polluted run, and the
         # spread makes regressions attributable without a manual A/B.
+        # Under --ab the timed runs ALTERNATE current/ref so ambient
+        # load cancels out of the ratio.
         times = []
+        peer_times = []
         for _ in range(3):
             t0 = time.time()
             run(name)
             times.append(time.time() - t0)
+            if peer_ok:
+                r = peer.cmd(f"time {name}")
+                if r["ok"]:
+                    peer_times.append(r["sec"])
+                else:
+                    peer_ok = False
         times.sort()
         per_query[name] = round(times[1], 3)
         spread[name] = round(times[-1] - times[0], 3)
+        if peer is not None:
+            if peer_times:
+                ab_sec[name] = sorted(peer_times)[len(peer_times) // 2]
+                ab_ratio[name] = round(per_query[name] / ab_sec[name], 3)
+            else:
+                ab_ratio[name] = None  # query absent/failed in ref tree
+    if peer is not None:
+        peer.close()
     total = round(sum(per_query.values()), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -461,6 +555,17 @@ def main() -> None:
                 "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
                 "load_gate": load_gate,
                 "quiet_window": load_1m <= load_gate,
+                **(
+                    {
+                        "ab_ref": ab_ref,
+                        "ab_sec": {
+                            k: round(v, 3) for k, v in ab_sec.items()
+                        },
+                        "ab_ratio": ab_ratio,
+                    }
+                    if ab_ref
+                    else {}
+                ),
             }
         )
     )

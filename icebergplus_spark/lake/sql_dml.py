@@ -743,6 +743,7 @@ _SCALAR_SPAN_GUARD = re.compile(
 _SPAN_OPEN = re.compile(r"\(\s*(?:SELECT|WITH)\b", re.IGNORECASE)
 _WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
 _FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
+_AS_KW = re.compile(r"\bAS\b", re.IGNORECASE)
 
 
 def _scalar_eval(catalog: LocalLakeCatalog, sub: str) -> str | None:
@@ -785,7 +786,6 @@ def _inline_scalar_spans(
     text: str,
     *,
     select_list: bool = False,
-    _cap: int = 8,
 ) -> str:
     """Positional scalar-subquery inlining (r11, VERDICT r10 #2):
     beyond r10's ``col OP (SELECT ...)`` comparisons, a scalar subquery
@@ -810,7 +810,12 @@ def _inline_scalar_spans(
     _inline_scalar_subqueries."""
     declined: set[str] = set()
     done: dict[str, str] = {}
-    for _ in range(_cap):
+    # loop until a pass makes no progress (r12, ADVICE r11: a fixed
+    # replacement cap left valid spans uninlined in statements with
+    # many scalar subqueries, turning a supported SET shape into a
+    # refusal). Terminates: each pass removes one masked span (the
+    # inlined literal is masked itself) or returns.
+    while True:
         masked = _mask_literals(text)
         stop = len(masked)
         if select_list:
@@ -839,18 +844,33 @@ def _inline_scalar_spans(
             if sub in declined:
                 continue
             if select_list:
-                before = masked[:open_i].rstrip()
-                nxt = masked[j + 1:].lstrip()
-                item_start = before.endswith(",") or re.search(
-                    r"\bSELECT(\s+DISTINCT)?$", before, re.IGNORECASE
-                )
-                item_end = (
-                    nxt == ""
-                    or nxt.startswith(",")
-                    or re.match(r"FROM\b", nxt, re.IGNORECASE)
-                )
-                if item_start and item_end:
-                    declined.add(sub)  # unaliased whole item (see doc)
+                # the span's select item runs to the next depth-0 comma
+                # (or the FROM stop); without an explicit depth-0 AS
+                # alias in the item's tail, inlining would change
+                # Spark's auto-generated column name (scalarsubquery()
+                # → the literal's rendering) — a schema divergence from
+                # the native path, for WHOLE items and for items merely
+                # CONTAINING a span alike (r12, ADVICE r11). Decline;
+                # the shape falls through to the native path.
+                # depth floors at 0: closers unmatched WITHIN the tail
+                # close parens opened before the span (the span nested
+                # in a function call) — the alias still sits at item
+                # level. A conservative early comma-break inside such a
+                # call just declines → native path, never wrong.
+                k, d2, has_as = j + 1, 0, False
+                while k < stop:
+                    ch = masked[k]
+                    if ch == "(":
+                        d2 += 1
+                    elif ch == ")":
+                        d2 = max(0, d2 - 1)
+                    elif ch == "," and d2 == 0:
+                        break
+                    elif d2 == 0 and _AS_KW.match(masked, k):
+                        has_as = True
+                    k += 1
+                if not has_as:
+                    declined.add(sub)  # unaliased item (see doc)
                     continue
             if sub in done:
                 lit = done[sub]
@@ -865,7 +885,6 @@ def _inline_scalar_spans(
             break  # offsets moved — re-scan
         if not replaced:
             return text
-    return text
 
 
 def _inline_set_scalars(catalog: LocalLakeCatalog, sets: str) -> str:

@@ -395,6 +395,7 @@ def _apply_column_distincts(
     data: "pa.Table | None",
     distinct_cols: list[str],
     cap: int,
+    opt_in: "frozenset[str] | set[str]" = frozenset(),
 ) -> None:
     """Exact per-file distinct-value sets (r11, VERDICT r10 #6):
     {col: sorted non-null uniques} for each requested column whose
@@ -414,8 +415,10 @@ def _apply_column_distincts(
     still get their sets. The trade is documented: a sparse wide-range
     column under the cap loses its sketch (scan leg, exact); widen
     write.stats.distinct-cap or opt the column in via
-    write.stats.distinct-columns to force the computation (opted-in
-    and string columns always compute)."""
+    write.stats.distinct-columns to force the computation — ``opt_in``
+    carries those physical names, and they bypass the range-width gate
+    (r12, ADVICE r11: the gate previously applied to opted-in integer
+    columns too, silently defeating the documented escape hatch)."""
     import pyarrow.compute as pc
 
     out: dict[str, list] = {}
@@ -426,7 +429,7 @@ def _apply_column_distincts(
             if c not in data.schema.names:
                 continue
             t = data.schema.field(c).type
-            if pa.types.is_integer(t):
+            if pa.types.is_integer(t) and c not in opt_in:
                 lo, hi = mins.get(c), maxs.get(c)
                 if (
                     isinstance(lo, int)
@@ -455,6 +458,7 @@ def _harvest_entry(
     sums: bool = True,
     distinct_cols: list[str] | None = None,
     distinct_cap: int = 128,
+    distinct_opt_in: "frozenset[str] | set[str]" = frozenset(),
 ) -> dict[str, Any]:
     """The complete per-file harvest, dependency-free of LakeTable so
     executors can run it (footer stats + path partition stats + blooms
@@ -487,7 +491,9 @@ def _harvest_entry(
     if sums:
         _apply_column_sums(entry, data=data)
     if distinct_cols:
-        _apply_column_distincts(entry, data, distinct_cols, distinct_cap)
+        _apply_column_distincts(
+            entry, data, distinct_cols, distinct_cap, distinct_opt_in
+        )
     return entry
 
 
@@ -2525,6 +2531,7 @@ class LakeTable:
         want_sums = self._harvest_sums()
         dcols = self._distinct_cols()
         dcap = self._distinct_cap()
+        dopt = self._distinct_opt_in()
         out_schema = (
             "file_path string, record_count long, file_size_bytes long, "
             "column_mins string, column_maxs string, "
@@ -2543,6 +2550,7 @@ class LakeTable:
                     _harvest_entry(
                         p, seg_types, bloom_cols, sums=want_sums,
                         distinct_cols=dcols, distinct_cap=dcap,
+                        distinct_opt_in=dopt,
                     )
                     for p in b["path"]
                 ]
@@ -4240,6 +4248,7 @@ class LakeTable:
             sums=self._harvest_sums(),
             distinct_cols=self._distinct_cols(),
             distinct_cap=self._distinct_cap(),
+            distinct_opt_in=self._distinct_opt_in(),
         )
 
     def _distinct_cols(self) -> list[str] | None:
@@ -4276,6 +4285,20 @@ class LakeTable:
 
     def _distinct_cap(self) -> int:
         return int(self.properties.get("write.stats.distinct-cap", "128"))
+
+    def _distinct_opt_in(self) -> frozenset:
+        """PHYSICAL names of the columns explicitly opted in via
+        ``write.stats.distinct-columns`` — these bypass the integer
+        range-width gate in ``_apply_column_distincts`` (r12, ADVICE
+        r11: the documented escape hatch for sparse wide-range int
+        columns must actually work)."""
+        return frozenset(
+            self._column_mapping.get(c.strip(), c.strip())
+            for c in self.properties.get(
+                "write.stats.distinct-columns", ""
+            ).split(",")
+            if c.strip()
+        )
 
     def _harvest_sums(self) -> bool:
         """Whether write-time integer column sums are harvested
@@ -5018,6 +5041,18 @@ class LakeTable:
                     "=": (mn_c == lit) & (mx_c == lit),
                     "!=": (lit < mn_c) | (mx_c < lit),
                 }[op]
+                # NaN hazard (r12, mirrors _file_fully_matches): float
+                # footer stats omit NaN, so < / <= / = (and != against
+                # a NaN literal) can never be proven from them
+                if _float_stat_type(dtype) and (
+                    op in ("<", "<=", "=")
+                    or (
+                        op == "!="
+                        and isinstance(val, float)
+                        and val != val
+                    )
+                ):
+                    proven = _F.lit(False)
                 cond = (
                     cond
                     & _F.coalesce(nullc == 0, _F.lit(False))
@@ -5075,6 +5110,19 @@ class LakeTable:
                 keep = keep & (
                     nullc.isNull() | (nullc < _F.col("record_count"))
                 )
+                # NaN hazard (r12, mirrors _file_matches): float footer
+                # stats omit NaN (ordered greater than every real), so
+                # max-side prunes (>, >=), constant-file !=, and = on a
+                # NaN literal are unsound — keep the file
+                if _float_stat_type(dtype) and (
+                    op in (">", ">=", "!=")
+                    or (
+                        op == "="
+                        and isinstance(val, float)
+                        and val != val
+                    )
+                ):
+                    continue
                 if op == "!=":
                     # prune only the constant file mn == val == mx
                     keep = keep & (
@@ -6652,17 +6700,42 @@ def _pred_cond(c, op: str, val: Any):
     }[op]
 
 
+def _float_stat_type(dtype: Any) -> bool:
+    """Whether a column's manifest stats carry the NaN hazard: float/
+    double footer min/max omit NaN while Spark/DuckDB order NaN greater
+    than every real value (r12). ``None`` dtype (transformed partition
+    stats — always int/string) is not hazardous."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    return isinstance(dtype, (FloatType, DoubleType))
+
+
 def _stats_foldable(dtype: Any) -> bool:
     """Whether a column's manifest stats reconstruct its value ORDER:
-    numbers/strings/booleans round-trip through JSON; timestamps/dates
+    integers/strings/booleans round-trip through JSON; timestamps/dates
     serialize as isoformat (lexicographic == chronological). DECIMAL
     stats serialize via ``json.dumps(default=str)`` and BINARY via a
     lossy utf-8 decode — for both, string order diverges from value
     order ('9.5' > '10.2'), so folds over them would be silently wrong
-    (self-review r8); those columns always take the exact scan leg."""
-    from pyspark.sql.types import BinaryType, DecimalType
+    (self-review r8); those columns always take the exact scan leg.
+    FLOAT/DOUBLE are excluded too (r12, ADVICE r11): parquet footer
+    min/max OMIT NaN (measured: pyarrow writes min=max=1.0 for
+    {1.0, NaN} with null_count=0), while Spark and DuckDB order NaN
+    GREATER than every real — so min==max does not prove single-valued,
+    and a stats MAX misses a NaN that the exact scan would return.
+    Float columns always take the exact scan leg — never wrong, only
+    slower (mirrors how column_sums exclude floats for order-dependent
+    addition)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+    )
 
-    return not isinstance(dtype, (DecimalType, BinaryType))
+    return not isinstance(
+        dtype, (DecimalType, BinaryType, FloatType, DoubleType)
+    )
 
 
 def _from_stats_domain(dtype: Any, v: Any) -> Any:
@@ -6742,6 +6815,17 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, Any] | None) -> boo
                 continue  # no stats → cannot prune
             mn, mx = mins[col], maxs[col]
             val = _coerce_stat_literal(mn, val)
+            # NaN hazard (r12): float footer stats OMIT NaN, and Spark/
+            # DuckDB order NaN GREATER than every real — a file {1.0,
+            # NaN} has max=1.0 yet its NaN row satisfies x > 5. Max-side
+            # prunes (>, >=), constant-file != prunes, and = against a
+            # NaN literal are therefore unsound on float stats; min-side
+            # prunes stay (NaN never satisfies < / <= / = real-literal).
+            if isinstance(mn, float) or isinstance(mx, float):
+                if op in (">", ">=", "!="):
+                    continue
+                if op == "=" and isinstance(val, float) and val != val:
+                    continue
             try:
                 if op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)):
                     return False
@@ -6791,6 +6875,16 @@ def _file_fully_matches(
                 return False
             mn, mx = mins[col], maxs[col]
             val = _coerce_stat_literal(mn, val)
+            # NaN hazard (r12): an invisible NaN row (omitted from float
+            # footer stats, ordered greater than every real by Spark and
+            # DuckDB) FAILS < / <= / = and != NaN-literal — those proofs
+            # are unsound on float stats. > / >= / != real-literal stay:
+            # NaN satisfies them.
+            if isinstance(mn, float) or isinstance(mx, float):
+                if op in ("<", "<=", "="):
+                    return False
+                if op == "!=" and isinstance(val, float) and val != val:
+                    return False
             try:
                 proven = {
                     "<": mx < val,
