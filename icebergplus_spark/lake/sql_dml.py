@@ -1752,6 +1752,77 @@ _SIMPLE_SELECT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_TOPK_SELECT = re.compile(
+    rf"^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+    rf"(?:\s+WHERE\s+(.+?))?"
+    rf"\s+ORDER\s+BY\s+(\w+)(\s+ASC|\s+DESC)?(\s+NULLS\s+LAST)?"
+    rf"((?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+LAST)?)*)"
+    rf"\s+LIMIT\s+(\d+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _topk_select(catalog: LocalLakeCatalog, stmt: str):
+    """Top-k read fast path (r12, VERDICT r11 #3): ``SELECT ... FROM t
+    [WHERE <grammar preds>] ORDER BY col [DESC|ASC [NULLS LAST]]
+    [, tiebreaks] LIMIT k`` — the "latest N rows" read — scans only
+    the files whose stats can still reach the global top-k
+    (``LakeTable.plan_files_topk``: min-ordered row accounting proves
+    a value bound ≥ k rows beat, then max(col) ≥ bound keeps). The
+    ORIGINAL statement re-runs against the pruned view, so ordering,
+    ties, secondary keys, LIMIT, and the WHERE text stay exact Spark
+    semantics. Returns None — native path, identical rows — for
+    aggregations/DISTINCT (cardinality changes), subqueries/joins/time
+    travel, an aliased or unknown order column, qualified refs, plain
+    ASC over possibly-null columns (Spark sorts nulls FIRST there),
+    NULLS FIRST (regex won't match), or a declined pruning (MoR
+    tombstones, type gate, stats too thin)."""
+    m = _TOPK_SELECT.match(stmt.strip())
+    if not m:
+        return None
+    sel, ident, where, col, direction, nulls_last, _tie, k = m.groups()
+    blob = _mask_literals(f"{sel} {where or ''}")
+    if re.search(
+        r"\bAS\s+OF\b|\bJOIN\b|\(\s*SELECT\b|\bDISTINCT\b|\bGROUP\b"
+        r"|\bHAVING\b|\bOVER\b",
+        blob,
+        re.IGNORECASE,
+    ):
+        return None
+    if re.search(rf"\bAS\s+{re.escape(col)}\b", sel, re.IGNORECASE):
+        return None  # ORDER BY may bind the select alias — decline
+    table = _try_load(catalog, ident)
+    if table is None:
+        return None
+    if col not in table.schema.fieldNames():
+        return None
+    last_seg = ident.rpartition(".")[2]
+    if re.search(
+        rf"(?<![\w.])(?:{re.escape(ident)}|{re.escape(last_seg)})\s*\.",
+        _mask_literals(stmt),
+        re.IGNORECASE,
+    ):
+        return None  # qualified refs — the rebuilt statement renames
+    branches = None
+    if where:
+        try:
+            branches = _finalize_branches(table, _parse_where_or(where))
+        except UnsupportedSQL:
+            return None
+    descending = bool(direction) and direction.strip().upper() == "DESC"
+    pruned = table.scan_topk(
+        col,
+        int(k),
+        descending=descending,
+        branches=branches,
+        require_no_nulls=not descending and not nulls_last,
+    )
+    if pruned is None:
+        return None
+    view = f"{_lake_view_name(ident)}_topk"
+    pruned.createOrReplaceTempView(view)
+    return table.spark.sql(_replace_ident(stmt, ident, view))
+
 
 def _pruned_select(catalog: LocalLakeCatalog, stmt: str):
     """SELECT fast path (VERDICT r6 #1): when the statement is a
@@ -2931,6 +3002,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             _count_select,
             _group_count_select,
             _group_agg_select,
+            _topk_select,
             _pruned_select,
             _in_subquery_select,
         ):

@@ -6597,6 +6597,172 @@ class LakeTable:
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
 
+    def plan_files_topk(
+        self,
+        col: str,
+        k: int,
+        descending: bool = True,
+        branches: list[dict[str, Any]] | None = None,
+        require_no_nulls: bool = False,
+        snapshot_id: int | None = None,
+    ) -> list[dict[str, Any]] | None:
+        """Top-k read pruning from manifest stats (r12, VERDICT r11
+        "Next round" #3): ``SELECT ... ORDER BY col DESC LIMIT k`` — the
+        "latest N rows" pattern — needs only the files whose max(col)
+        can still reach the global top-k.
+
+        Soundness is two-phase. PHASE 1 establishes a value bound the
+        stats PROVE at least ``k`` qualifying rows beat: walk candidate
+        files by their min(col) descending (for DESC; max ascending for
+        ASC) and accumulate each file's provably-qualifying non-null row
+        count (record_count − null_count, and — under ``branches`` —
+        only files some branch FULLY covers, so every counted row
+        really satisfies the WHERE) until ≥ k; the bound is the last
+        accumulated file's min. Every accumulated row is ≥ its file's
+        min ≥ bound, so the k-th result value is ≥ bound. PHASE 2 keeps
+        exactly the files that could hold a row ≥ bound: max(col) ≥
+        bound, plus every statless file (unknowable → must read);
+        provably all-null files drop (NULLS LAST never reach a top-k
+        that k non-null rows already fill). Using per-file MIN for the
+        bound (not a naive "first files by max cover k rows") is what
+        makes this sound: a big-max file may hold arbitrarily small
+        rows, but no file can hold rows below its own min.
+
+        Declines (returns None → caller keeps the exact unpruned path):
+        MoR tombstones (record_count includes soft-deleted rows — the
+        accounting would overcount), a non-``_stats_foldable`` order
+        column (decimal/binary stat order diverges from value order;
+        float/double footer stats omit NaN, which sorts GREATEST),
+        an unknown column, or stats too thin to reach ``k``.
+        ``require_no_nulls`` (plain ASC, where Spark sorts nulls
+        FIRST): any candidate file with possible nulls in ``col``
+        declines — null rows would outrank every value."""
+        if k <= 0:
+            return []
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        if snap.get("delete_manifests"):
+            return None  # hidden rows → row accounting unsound
+        field = next(
+            (f for f in self.schema.fields if f.name == col), None
+        )
+        if field is None or not _stats_foldable(field.dataType):
+            return None
+        mapping = self._column_mapping
+        phys = mapping.get(col, col)
+        if branches:
+            files = (
+                self.plan_files(branches[0], snapshot_id)
+                if len(branches) == 1
+                else self.plan_files_any(branches, snapshot_id)
+            )
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+        else:
+            files = self.plan_files(None, snapshot_id)
+            phys_branches = None
+        entries = []
+        for r in files:
+            mins = json.loads(r["column_mins"])
+            maxs = json.loads(r["column_maxs"])
+            nulls = json.loads(r.get("column_null_counts") or "{}")
+            rc = r["record_count"]
+            nn = nulls.get(phys)
+            entries.append(
+                {
+                    "r": r,
+                    "lo": mins.get(phys),
+                    "hi": maxs.get(phys),
+                    "nn": nn,
+                    "rc": rc,
+                    "all_null": nn == rc,
+                    "full": phys_branches is None
+                    or any(
+                        _file_fully_matches(r, pb) for pb in phys_branches
+                    ),
+                }
+            )
+        if require_no_nulls and any(
+            e["nn"] is None or e["nn"] > 0 for e in entries
+        ):
+            return None
+        contrib = [
+            (e["lo"] if descending else e["hi"], e["rc"] - e["nn"])
+            for e in entries
+            if e["full"]
+            and e["lo"] is not None
+            and e["hi"] is not None
+            and e["nn"] is not None
+            and e["rc"] - e["nn"] > 0
+        ]
+        try:
+            contrib.sort(key=lambda p: p[0], reverse=descending)
+        except TypeError:
+            return None  # mixed-type stats — no sound ordering
+        cum, bound = 0, None
+        for v, n in contrib:
+            cum += n
+            if cum >= k:
+                bound = v
+                break
+        if bound is None:
+            return None  # stats can't cover k rows — pruning pointless
+        kept = []
+        for e in entries:
+            if e["all_null"]:
+                continue
+            if e["lo"] is None or e["hi"] is None:
+                kept.append(e["r"])  # statless → must read
+                continue
+            edge = e["hi"] if descending else e["lo"]
+            try:
+                ok = edge >= bound if descending else edge <= bound
+            except TypeError:
+                ok = True  # incomparable → keep, never wrong
+            if ok:
+                kept.append(e["r"])
+        return kept
+
+    def scan_topk(
+        self,
+        col: str,
+        k: int,
+        descending: bool = True,
+        branches: list[dict[str, Any]] | None = None,
+        require_no_nulls: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Frame over the ``plan_files_topk`` file set (logical columns,
+        NO residual sort/filter — the caller's own ORDER BY/LIMIT/WHERE
+        text applies for exact semantics, including ties and secondary
+        sort keys). None when the pruning declines; the caller keeps
+        the exact unpruned path — correctness never depends on this
+        method, only scan width does."""
+        from pyspark.sql import functions as _F
+
+        files = self.plan_files_topk(
+            col,
+            k,
+            descending,
+            branches,
+            require_no_nulls,
+            snapshot_id,
+        )
+        if files is None:
+            return None
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        mapping = self._column_mapping
+        df = self._read_live(
+            [f["file_path"] for f in files], self.snapshot(snapshot_id)
+        )
+        return df.select(
+            *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
+        )
+
 
 def _java_double_str(v: float) -> str:
     """Java ``Double.toString`` notation: decimal for 1e-3 ≤ |v| < 1e7

@@ -2419,3 +2419,55 @@ def q178_sql_multi_in_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE p_size <= 20) "
         "GROUP BY l_returnflag ORDER BY rf",
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — top-k read fast path from manifest stats (r12, VERDICT r11
+# #3): the "latest N rows" dashboard read — ``ORDER BY ts DESC LIMIT
+# k`` over a year-chunked ingest. ``plan_files_topk`` proves a value
+# bound at least k rows beat by walking candidate files' MINs
+# descending and accumulating non-null row counts, then keeps only
+# files whose MAX can still reach the bound — the residual statement
+# re-runs against the pruned view, so ordering, ties, the secondary
+# key, and LIMIT are exact Spark semantics. A WHERE conjunct composes
+# (full-cover counting). Planted kept-file-count gates + the decline
+# ladder (MoR tombstones, float NaN hazard, alias shadowing, plain
+# ASC over nullables, thin stats) in tests/test_topk_read.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q179_sql_topk_read",
+    oracle="""
+SELECT o_orderkey AS okey,
+       CAST(o_orderdate AS TIMESTAMP) AS odate,
+       o_totalprice AS price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+ORDER BY o_orderdate DESC, o_orderkey ASC
+LIMIT 50
+""",
+)
+def q179_sql_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_sql_topk_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_tk", orders.schema)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    return lake_sql(
+        cat,
+        "SELECT o_orderkey AS okey, o_orderdate AS odate, "
+        "o_totalprice AS price FROM bench.ord_tk "
+        "WHERE o_orderdate >= '1994-01-01' "
+        "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 50",
+    )
