@@ -1410,7 +1410,8 @@ _AGG_SELECT = re.compile(
 _AGG_ITEM = re.compile(
     rf"^(?:(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*({_IDENT})\s*\)"
     rf"|(COUNT)\s*\(\s*\*\s*\)"
-    rf"|COUNT\s*\(\s*DISTINCT\s+({_IDENT})\s*\))"
+    rf"|COUNT\s*\(\s*DISTINCT\s+({_IDENT})\s*\)"
+    rf"|APPROX_COUNT_DISTINCT\s*\(\s*({_IDENT})\s*\))"
     rf"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
@@ -1460,9 +1461,11 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
         im = _AGG_ITEM.match(raw.strip())
         if not im:
             return None
-        fn_mm, col, fn_cnt, cd_col, alias = im.groups()
+        fn_mm, col, fn_cnt, cd_col, acd_col, alias = im.groups()
         if cd_col is not None:
             fn, col = "COUNT_DISTINCT", cd_col
+        elif acd_col is not None:
+            fn, col = "APPROX_COUNT_DISTINCT", acd_col
         else:
             fn = (fn_mm or fn_cnt).upper()
         if alias is None:
@@ -1472,6 +1475,8 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
             # `count(DISTINCT c)` spelling (r11)
             if fn == "COUNT_DISTINCT":
                 alias = f"count(DISTINCT {col})"
+            elif fn == "APPROX_COUNT_DISTINCT":
+                alias = f"approx_count_distinct({col})"
             elif fn == "COUNT" and col is None:
                 alias = "count(1)"
             else:
@@ -1487,6 +1492,26 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
         return None
     pred_arg = _pred_arg_of(table, where) if where else None
     if pred_arg is _DECLINE:
+        return None
+    # r12 (VERDICT r11 #7): APPROX_COUNT_DISTINCT answers from merged
+    # write-time HLL sketches. Pre-resolve every ACD item; any decline
+    # (unsketched file, tombstones, partial WHERE coverage) routes the
+    # WHOLE statement to the native path — Spark's scan-side HLL++ —
+    # which is approximate too, so the surface never pretends a sketch
+    # exists. Mixing ACD with the agg_by family (SUM/AVG/CD) declines:
+    # the single-row assembly below carries only MIN/MAX/COUNT(*).
+    acd_vals: dict[str, int] = {}
+    for fn, c, a in items:
+        if fn == "APPROX_COUNT_DISTINCT":
+            v = table.hll_count_distinct(c, predicates=pred_arg)
+            if v is None:
+                return None
+            acd_vals[a] = v
+    if acd_vals and any(
+        fn in ("SUM", "AVG", "COUNT_DISTINCT")
+        or (fn == "COUNT" and c is not None)
+        for fn, c, _a in items
+    ):
         return None
     if any(
         fn in ("SUM", "AVG", "COUNT_DISTINCT")
@@ -1506,7 +1531,13 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
     # ONE extrema call for every MIN/MAX column — they share a single
     # boundary scan inside stats_extrema (self-review r8: per-column
     # stats_min_max re-read the same boundary parquet k times)
-    mm_cols = sorted({col for fn, col, _ in items if fn != "COUNT"})
+    mm_cols = sorted(
+        {
+            col
+            for fn, col, _ in items
+            if fn not in ("COUNT", "APPROX_COUNT_DISTINCT")
+        }
+    )
     row, fields = [], []
     try:
         extrema = (
@@ -1515,6 +1546,10 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
             else {}
         )
         for fn, col, alias in items:
+            if fn == "APPROX_COUNT_DISTINCT":
+                row.append(acd_vals[alias])
+                fields.append(StructField(alias, LongType(), False))
+                continue
             if fn == "COUNT":
                 row.append(table.count_rows(pred_arg))
                 fields.append(StructField(alias, LongType(), False))
@@ -4034,6 +4069,17 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 else kwargs["matched_condition"] & on_cond
             )
             kwargs["target_branches"] = tb
+        if src_table is not None and not kwargs.get(
+            "when_not_matched_insert"
+        ):
+            # r12 (VERDICT r11 #4): insert-off MERGE from a lake-table
+            # source — prune SOURCE files by the target's key domain
+            # (scan_pruned_for_merge; sound because a pruned source row
+            # is provably unmatchable and there is no INSERT clause to
+            # want it). None → unpruned view, identical rows.
+            pruned_src = src_table.scan_pruned_for_merge(table, keys)
+            if pruned_src is not None:
+                source = pruned_src
         return table.merge_into(source, on=keys, **kwargs)
 
     raise UnsupportedSQL(

@@ -86,6 +86,28 @@ MANIFEST_SCHEMA = pa.schema(
         # pre-upgrade manifest, write.stats.column-distincts=false)
         # routes that file to the exact scan leg.
         ("column_distincts", pa.string()),
+        # JSON {physical col: hex HLL registers} for columns opted in
+        # via write.stats.hll-columns (r12, VERDICT r11 #7): dense
+        # HyperLogLog register arrays (2^write.stats.hll-precision
+        # bytes, default p=11 → 2048 registers ≈ 2.3% std error),
+        # hashed with md5 over the bloom-canonical bytes so the sketch
+        # is engine-neutral and executor/driver identical. Registers
+        # merge by bytewise MAX across files, so APPROX_COUNT_DISTINCT
+        # answers from metadata even for columns whose exact distinct
+        # sets overflow write.stats.distinct-cap. Absent → the query
+        # falls back to Spark's scan-side HLL++ — approximate either
+        # way, never silently exact-looking.
+        ("column_hlls", pa.string()),
+        # JSON {physical col: NaN count} for FLOAT/DOUBLE columns,
+        # harvested at write time from the shared column read (r12):
+        # parquet footer min/max OMIT NaN while Spark/DuckDB order NaN
+        # GREATER than every real value, so float-stat prunes in the
+        # NaN-sensitive directions (max-side keeps, full-coverage
+        # proofs, constant-file !=) are sound ONLY when a file's NaN
+        # count is provably zero. A column absent here (pre-upgrade
+        # manifest, write.stats.nan-counts=false) keeps the
+        # conservative no-prune behavior — never wrong, only wider.
+        ("column_nan_counts", pa.string()),
     ]
 )
 
@@ -451,6 +473,102 @@ def _apply_column_distincts(
     entry["column_distincts"] = json.dumps(out)
 
 
+def _apply_column_hlls(
+    entry: dict[str, Any],
+    data: "pa.Table | None",
+    hll_cols: list[str],
+    p: int,
+) -> None:
+    """Per-file dense HyperLogLog sketches (r12, VERDICT r11 #7) for
+    the opted-in ``write.stats.hll-columns``: md5 over the
+    bloom-canonical bytes of each DISTINCT non-null value (the uniques
+    the shared harvest read already computes for blooms/distinct sets)
+    feeds the classic register update h→(idx, rho). md5 keeps the
+    sketch engine-neutral and identical on driver and executors
+    (PYTHONHASHSEED-free). Registers are 1 byte each; the JSON value
+    is the hex of the 2^p-byte array. All-null columns store an
+    all-zero sketch (estimate 0)."""
+    import pyarrow.compute as pc
+
+    out: dict[str, str] = {}
+    if data is not None:
+        m = 1 << p
+        shift = 64 - p
+        mask = (1 << shift) - 1
+        for c in hll_cols:
+            if c not in data.schema.names:
+                continue
+            regs = bytearray(m)
+            for v in pc.unique(data.column(c)).to_pylist():
+                if v is None:
+                    continue
+                h = int.from_bytes(
+                    hashlib.md5(_bloom_key(v)).digest()[:8], "little"
+                )
+                idx = h >> shift
+                w = h & mask
+                rho = shift - w.bit_length() + 1
+                if rho > regs[idx]:
+                    regs[idx] = rho
+            out[c] = bytes(regs).hex()
+    entry["column_hlls"] = json.dumps(out)
+
+
+def _hll_merge(sketches: "list[bytes]") -> bytes:
+    """Bytewise-max union of dense register arrays — the standard HLL
+    merge, associative and order-free (what makes the fold exact-as-a-
+    sketch: merging per-file sketches equals sketching the whole)."""
+    out = bytearray(sketches[0])
+    for s in sketches[1:]:
+        for i, r in enumerate(s):
+            if r > out[i]:
+                out[i] = r
+    return bytes(out)
+
+
+def _hll_estimate(regs: bytes, p: int) -> int:
+    """Classic HLL estimator (Flajolet et al. 2007) with the
+    small-range linear-counting correction — ±1.04/sqrt(2^p) std
+    error (≈2.3% at the default p=11)."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = 0.0
+    zeros = 0
+    for r in regs:
+        s += 2.0 ** -r
+        if r == 0:
+            zeros += 1
+    e = alpha * m * m / s
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return int(round(e))
+
+
+def _apply_column_nan_counts(
+    entry: dict[str, Any], data: "pa.Table | None"
+) -> None:
+    """Exact per-file NaN counts of FLOAT/DOUBLE columns (r12): the
+    stat that makes float-column pruning sound — parquet footer
+    min/max omit NaN, so a max-side keep (``x > v`` matches NaN under
+    Spark/DuckDB ordering) is only provable when the file provably
+    holds none. Computed from the harvest's shared column read;
+    ``pc.is_nan`` nulls propagate and ``pc.sum`` skips them, so the
+    count covers non-null cells exactly. Disable with
+    write.stats.nan-counts=false (float pruning then degrades to the
+    conservative keep — never wrong, only wider)."""
+    import pyarrow.compute as pc
+
+    out: dict[str, int] = {}
+    if data is not None:
+        for f in data.schema:
+            if pa.types.is_floating(f.type):
+                s = pc.sum(pc.cast(pc.is_nan(data.column(f.name)), "int64"))
+                out[f.name] = s.as_py() if s.is_valid else 0
+    entry["column_nan_counts"] = json.dumps(out)
+
+
 def _harvest_entry(
     path: str,
     seg_types: dict[str, str],
@@ -459,6 +577,9 @@ def _harvest_entry(
     distinct_cols: list[str] | None = None,
     distinct_cap: int = 128,
     distinct_opt_in: "frozenset[str] | set[str]" = frozenset(),
+    nan_counts: bool = True,
+    hll_cols: list[str] | None = None,
+    hll_p: int = 11,
 ) -> dict[str, Any]:
     """The complete per-file harvest, dependency-free of LakeTable so
     executors can run it (footer stats + path partition stats + blooms
@@ -481,10 +602,20 @@ def _harvest_entry(
         distinct_cols = [
             f.name for f in pf.schema_arrow if pa.types.is_integer(f.type)
         ]
+    float_cols = (
+        [f.name for f in pf.schema_arrow if pa.types.is_floating(f.type)]
+        if nan_counts
+        else []
+    )
     want = [
         c
         for c in file_cols
-        if c in set(int_cols) | set(bloom_cols) | set(distinct_cols)
+        if c
+        in set(int_cols)
+        | set(bloom_cols)
+        | set(distinct_cols)
+        | set(float_cols)
+        | set(hll_cols or [])
     ]
     data = pf.read(columns=want) if want else None
     _apply_entry_blooms(entry, bloom_cols, data=data)
@@ -494,6 +625,13 @@ def _harvest_entry(
         _apply_column_distincts(
             entry, data, distinct_cols, distinct_cap, distinct_opt_in
         )
+    if nan_counts:
+        _apply_column_nan_counts(
+            entry,
+            data.select(float_cols) if data is not None and float_cols else None,
+        )
+    if hll_cols:
+        _apply_column_hlls(entry, data, hll_cols, hll_p)
     return entry
 
 
@@ -847,7 +985,17 @@ class LakeTable:
             data_type = _parse_datatype_string(data_type)
         if name in [f.name for f in self.schema.fields]:
             raise ValueError(f"column exists: {name}")
-        new_id = max(self.field_ids.values(), default=0) + 1
+        # Iceberg invariant (r12): field ids are NEVER reused, even
+        # after a drop — ``last_field_id`` is the monotone high-water
+        # mark (older metadata without it falls back to the live max,
+        # which drop_column now also records before removing an id)
+        new_id = (
+            max(
+                self._meta.get("last_field_id", 0),
+                max(self.field_ids.values(), default=0),
+            )
+            + 1
+        )
         # physical name must be unique across ALL physical names ever used
         physical = name if name not in self._column_mapping.values() else f"f{new_id}_{name}"
         added_at = self.current_snapshot_id or 0
@@ -857,6 +1005,7 @@ class LakeTable:
             sch = StructType(sch.fields + [StructField(name, data_type, nullable)])
             meta["schema"] = sch.jsonValue()
             meta["field_ids"] = {**meta["field_ids"], name: new_id}
+            meta["last_field_id"] = new_id
             meta["column_mapping"] = {**meta["column_mapping"], name: physical}
             if default is not None:
                 meta["column_defaults"] = {
@@ -951,6 +1100,13 @@ class LakeTable:
             meta["schema"] = StructType(
                 [f for f in sch.fields if f.name != name]
             ).jsonValue()
+            # record the high-water mark BEFORE the id leaves the map,
+            # so a later add_column can never resurrect it (Iceberg's
+            # no-id-reuse invariant, r12)
+            meta["last_field_id"] = max(
+                meta.get("last_field_id", 0),
+                max(meta["field_ids"].values(), default=0),
+            )
             meta["field_ids"] = {
                 k: v for k, v in meta["field_ids"].items() if k != name
             }
@@ -2532,11 +2688,15 @@ class LakeTable:
         dcols = self._distinct_cols()
         dcap = self._distinct_cap()
         dopt = self._distinct_opt_in()
+        want_nans = self._harvest_nans()
+        hcols = self._hll_cols()
+        hp = self._hll_p()
         out_schema = (
             "file_path string, record_count long, file_size_bytes long, "
             "column_mins string, column_maxs string, "
             "column_null_counts string, column_blooms string, "
-            "column_sums string, column_distincts string"
+            "column_sums string, column_distincts string, "
+            "column_nan_counts string, column_hlls string"
         )
         pdf = self.spark.createDataFrame(
             [(p,) for p in sorted(paths)], "path string"
@@ -2550,7 +2710,8 @@ class LakeTable:
                     _harvest_entry(
                         p, seg_types, bloom_cols, sums=want_sums,
                         distinct_cols=dcols, distinct_cap=dcap,
-                        distinct_opt_in=dopt,
+                        distinct_opt_in=dopt, nan_counts=want_nans,
+                        hll_cols=hcols, hll_p=hp,
                     )
                     for p in b["path"]
                 ]
@@ -2566,6 +2727,8 @@ class LakeTable:
                             "column_blooms": e.get("column_blooms"),
                             "column_sums": e.get("column_sums"),
                             "column_distincts": e.get("column_distincts"),
+                            "column_nan_counts": e.get("column_nan_counts"),
+                            "column_hlls": e.get("column_hlls"),
                         }
                         for e in rows
                     ]
@@ -4249,6 +4412,37 @@ class LakeTable:
             distinct_cols=self._distinct_cols(),
             distinct_cap=self._distinct_cap(),
             distinct_opt_in=self._distinct_opt_in(),
+            nan_counts=self._harvest_nans(),
+            hll_cols=self._hll_cols(),
+            hll_p=self._hll_p(),
+        )
+
+    def _hll_cols(self) -> list[str]:
+        """PHYSICAL names of the columns opted in to write-time HLL
+        sketches via ``write.stats.hll-columns`` (r12, VERDICT r11
+        #7). Opt-in only: the sketch hashes every per-file distinct
+        value, which is real write-time work on high-NDV columns —
+        exactly the columns the sketch exists for."""
+        return sorted(
+            {
+                self._column_mapping.get(c.strip(), c.strip())
+                for c in self.properties.get(
+                    "write.stats.hll-columns", ""
+                ).split(",")
+                if c.strip()
+            }
+        )
+
+    def _hll_p(self) -> int:
+        return int(self.properties.get("write.stats.hll-precision", "11"))
+
+    def _harvest_nans(self) -> bool:
+        """Whether write-time float/double NaN counts are harvested
+        (table property ``write.stats.nan-counts``, default true) —
+        the stat that keeps float-column pruning BOTH sound and
+        engaged (see ``_apply_column_nan_counts``)."""
+        return (
+            self.properties.get("write.stats.nan-counts", "true") != "false"
         )
 
     def _distinct_cols(self) -> list[str] | None:
@@ -4954,10 +5148,21 @@ class LakeTable:
         mergeSchema: a snapshot can mix pre-upgrade manifests (no
         column_sums) with current ones — the union schema makes the
         missing stat NULL (→ that file takes the scan leg) instead of
-        depending on which file Spark samples for the schema (r10)."""
-        return self.spark.read.option("mergeSchema", "true").parquet(
+        depending on which file Spark samples for the schema (r10).
+        column_nan_counts (r12) is guaranteed present — a NULL column
+        when every manifest predates it — so the Catalyst keep/full
+        conditions can always reference it (NULL → unknown → the
+        conservative float path)."""
+        from pyspark.sql import functions as _F
+
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self._meta_dir, m) for m in snap["manifests"]]
         )
+        if "column_nan_counts" not in df.columns:
+            df = df.withColumn(
+                "column_nan_counts", _F.lit(None).cast("string")
+            )
+        return df
 
     def _n_manifest_entries(self, snap: dict[str, Any]) -> int:
         """Entry count from manifest parquet FOOTERS (no data I/O) —
@@ -5043,7 +5248,9 @@ class LakeTable:
                 }[op]
                 # NaN hazard (r12, mirrors _file_fully_matches): float
                 # footer stats omit NaN, so < / <= / = (and != against
-                # a NaN literal) can never be proven from them
+                # a NaN literal) are provable only from files the
+                # harvest proved NaN-free (column_nan_counts == 0;
+                # absent/unknown → no proof)
                 if _float_stat_type(dtype) and (
                     op in ("<", "<=", "=")
                     or (
@@ -5052,7 +5259,10 @@ class LakeTable:
                         and val != val
                     )
                 ):
-                    proven = _F.lit(False)
+                    nanc = _F.get_json_object(
+                        _F.col("column_nan_counts"), f"$.{col}"
+                    ).cast("long")
+                    proven = _F.coalesce(nanc == 0, _F.lit(False)) & proven
                 cond = (
                     cond
                     & _F.coalesce(nullc == 0, _F.lit(False))
@@ -5113,7 +5323,9 @@ class LakeTable:
                 # NaN hazard (r12, mirrors _file_matches): float footer
                 # stats omit NaN (ordered greater than every real), so
                 # max-side prunes (>, >=), constant-file !=, and = on a
-                # NaN literal are unsound — keep the file
+                # NaN literal prune only files the harvest proved
+                # NaN-free (column_nan_counts == 0; unknown → keep)
+                nan_unsafe = None
                 if _float_stat_type(dtype) and (
                     op in (">", ">=", "!=")
                     or (
@@ -5122,11 +5334,18 @@ class LakeTable:
                         and val != val
                     )
                 ):
-                    continue
+                    nanc = _F.get_json_object(
+                        _F.col("column_nan_counts"), f"$.{col}"
+                    ).cast("long")
+                    nan_unsafe = ~_F.coalesce(nanc == 0, _F.lit(False))
+                keep_term = (
+                    nan_unsafe if nan_unsafe is not None else _F.lit(False)
+                )
                 if op == "!=":
                     # prune only the constant file mn == val == mx
                     keep = keep & (
-                        mn.isNull() | mx.isNull() | (mn != lit) | (mx != lit)
+                        keep_term
+                        | mn.isNull() | mx.isNull() | (mn != lit) | (mx != lit)
                     )
                     continue
                 if op in ("<", "<="):
@@ -5134,10 +5353,11 @@ class LakeTable:
                     keep = keep & (mn.isNull() | cond)
                 elif op in (">", ">="):
                     cond = mx > lit if op == ">" else mx >= lit
-                    keep = keep & (mx.isNull() | cond)
+                    keep = keep & (keep_term | mx.isNull() | cond)
                 elif op == "=":
                     keep = keep & (
-                        mn.isNull() | mx.isNull() | ((mn <= lit) & (mx >= lit))
+                        keep_term
+                        | mn.isNull() | mx.isNull() | ((mn <= lit) & (mx >= lit))
                     )
                     if col in phys_bloom:
                         hexs = _F.get_json_object(
@@ -6597,6 +6817,156 @@ class LakeTable:
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
         )
 
+    def hll_count_distinct(
+        self,
+        col: str,
+        predicates: (
+            dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
+        ) = None,
+        snapshot_id: int | None = None,
+    ) -> int | None:
+        """APPROX_COUNT_DISTINCT answered from write-time HLL sketches
+        (r12, VERDICT r11 #7): per-file dense registers
+        (``column_hlls``, opt-in via write.stats.hll-columns) merge by
+        bytewise max — the union of sketches IS the sketch of the
+        union — and one estimator call answers from metadata. This is
+        the tier above the exact distinct sets: over
+        write.stats.distinct-cap the exact fold correctly degrades to
+        a scan, while the sketch keeps giving high-NDV columns a
+        metadata answer (bounded error ≈2.3% at p=11, never presented
+        as exact — the function name says approx).
+
+        Returns None — caller falls back to Spark's scan-side
+        ``approx_count_distinct`` — when the fold cannot be a faithful
+        sketch of the live matching rows: tombstones pending (hidden
+        rows are baked into the sketches), any live file without a
+        sketch, mixed precisions, or (under ``predicates``) any kept
+        file NOT fully covered by some branch (a partial file's rows
+        can't be subtracted from a sketch)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        if snap.get("delete_manifests"):
+            return None
+        mapping = self._column_mapping
+        phys = mapping.get(col, col)
+        branches = (
+            _normalize_branches(predicates) if predicates else None
+        )
+        if branches is None:
+            files = self.plan_files(None, snapshot_id)
+            phys_branches = None
+        else:
+            files = (
+                self.plan_files(branches[0], snapshot_id)
+                if len(branches) == 1
+                else self.plan_files_any(branches, snapshot_id)
+            )
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+        sketches: list[bytes] = []
+        size = None
+        for r in files:
+            if phys_branches is not None and not any(
+                _file_fully_matches(r, pb) for pb in phys_branches
+            ):
+                return None  # partial file — a sketch can't subtract
+            nulls = json.loads(r.get("column_null_counts") or "{}")
+            if nulls.get(phys) == r["record_count"]:
+                continue  # all-null: contributes nothing
+            hlls = json.loads(r.get("column_hlls") or "{}")
+            hx = hlls.get(phys)
+            if not hx:
+                return None  # unsketched live file — scan fallback
+            regs = bytes.fromhex(hx)
+            if size is None:
+                size = len(regs)
+            elif len(regs) != size:
+                return None  # mixed precisions can't merge
+            sketches.append(regs)
+        if not sketches:
+            return 0
+        p = size.bit_length() - 1
+        return _hll_estimate(_hll_merge(sketches), p)
+
+    def scan_pruned_for_merge(
+        self,
+        target: "LakeTable",
+        keys: list[str],
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """SOURCE-side MERGE file pruning (r12, VERDICT r11 #4): at
+        100 TB the MERGE source is often itself a huge lake table (the
+        incremental-ingest pattern), yet only its rows whose keys can
+        exist in the TARGET matter to matched/BY-SOURCE clauses. This
+        is ``merge_into``'s target range tier mirrored in reverse:
+        read the TARGET's key domain from ITS manifest stats
+        (``stats_extrema`` — no data scan when stats cover) and keep
+        only source files whose key stats intersect it, per key,
+        behind the same probe-domain type gate as
+        ``scan_pruned_by_keys`` (dtypes must be EQUAL — non-ANSI join
+        coercion can't be mirrored by raw-value stat compares) plus
+        the ``_stats_foldable`` gate (float keys: NaN==NaN matches in
+        Spark but is invisible to footer stats; decimal/binary: stat
+        order diverges).
+
+        SOUND ONLY for merges with ``when_not_matched_insert=False``
+        (callers must check): a pruned source row is provably
+        unmatchable, so it cannot fire a matched clause and cannot
+        flip any target row's BY SOURCE status — but an INSERT clause
+        would have to append it. Returns None (caller keeps the
+        unpruned source) when pruning is unsound or pointless:
+        type-gate miss, stats gaps, ≤1 source file, empty/unknowable
+        target domain, or nothing actually pruned. Tombstones on
+        either side stay sound: deleted rows only ever WIDEN stats
+        domains, and the kept-file read applies this table's DVs."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return None
+        files = self.plan_files(None, snapshot_id)
+        if len(files) <= 1:
+            return None
+        src_types = {f.name: f.dataType for f in self.schema.fields}
+        tgt_types = {f.name: f.dataType for f in target.schema.fields}
+        usable = [
+            k
+            for k in keys
+            if k in src_types
+            and k in tgt_types
+            and src_types[k] == tgt_types[k]
+            and _stats_foldable(src_types[k])
+        ]
+        if not usable:
+            return None
+        domains = target.stats_extrema(usable)
+        mapping = self._column_mapping
+        kept = files
+        for k in usable:
+            lo, hi = domains.get(k, (None, None))
+            if lo is None or hi is None:
+                return None  # empty/all-null/unknowable target domain
+            phys = mapping.get(k, k)
+            kept = [
+                f
+                for f in kept
+                if _file_matches(f, {phys: [(">=", lo), ("<=", hi)]})
+            ]
+        if len(kept) == len(files):
+            return None  # nothing pruned — unpruned path is identical
+        from pyspark.sql import functions as _F
+
+        if not kept:
+            return self.spark.createDataFrame([], self.schema)
+        df = self._read_live([f["file_path"] for f in kept], snap)
+        return df.select(
+            *[
+                _F.col(mapping[f.name]).alias(f.name)
+                for f in self.schema.fields
+            ]
+        )
+
     def plan_files_topk(
         self,
         col: str,
@@ -6951,6 +7321,7 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, Any] | None) -> boo
     maxs = json.loads(row["column_maxs"])
     blooms = json.loads(row.get("column_blooms") or "{}")
     nulls = json.loads(row.get("column_null_counts") or "{}")
+    nans = json.loads(row.get("column_nan_counts") or "{}")
     for col, pred in predicates.items():
         for op, val in _pred_list(pred):
             # null-count prunes (r8): a row matches IS NULL only in a
@@ -6985,9 +7356,13 @@ def _file_matches(row: dict[str, Any], predicates: dict[str, Any] | None) -> boo
             # DuckDB order NaN GREATER than every real — a file {1.0,
             # NaN} has max=1.0 yet its NaN row satisfies x > 5. Max-side
             # prunes (>, >=), constant-file != prunes, and = against a
-            # NaN literal are therefore unsound on float stats; min-side
-            # prunes stay (NaN never satisfies < / <= / = real-literal).
-            if isinstance(mn, float) or isinstance(mx, float):
+            # NaN literal are therefore unsound on float stats UNLESS
+            # the harvest proved the file NaN-free (column_nan_counts);
+            # min-side prunes stay (NaN never satisfies < / <= /
+            # = real-literal).
+            if (
+                isinstance(mn, float) or isinstance(mx, float)
+            ) and nans.get(col) != 0:
                 if op in (">", ">=", "!="):
                     continue
                 if op == "=" and isinstance(val, float) and val != val:
@@ -7020,6 +7395,7 @@ def _file_fully_matches(
     mins = json.loads(row["column_mins"])
     maxs = json.loads(row["column_maxs"])
     nulls = json.loads(row.get("column_null_counts") or "{}")
+    nans = json.loads(row.get("column_nan_counts") or "{}")
     for col, pred in predicates.items():
         for op, val in _pred_list(pred):
             # null-predicate proofs come straight from the null count
@@ -7044,9 +7420,12 @@ def _file_fully_matches(
             # NaN hazard (r12): an invisible NaN row (omitted from float
             # footer stats, ordered greater than every real by Spark and
             # DuckDB) FAILS < / <= / = and != NaN-literal — those proofs
-            # are unsound on float stats. > / >= / != real-literal stay:
-            # NaN satisfies them.
-            if isinstance(mn, float) or isinstance(mx, float):
+            # are unsound on float stats unless the harvest proved the
+            # file NaN-free. > / >= / != real-literal stay: NaN
+            # satisfies them.
+            if (
+                isinstance(mn, float) or isinstance(mx, float)
+            ) and nans.get(col) != 0:
                 if op in ("<", "<=", "="):
                     return False
                 if op == "!=" and isinstance(val, float) and val != val:

@@ -2471,3 +2471,56 @@ def q179_sql_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o_orderdate >= '1994-01-01' "
         "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 50",
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — APPROX_COUNT_DISTINCT from write-time HLL sketches (r12,
+# VERDICT r11 #7): per-file dense registers (write.stats.hll-columns
+# opt-in, md5-hashed → engine-neutral) merge by bytewise max, one
+# estimator call answers from metadata — the tier above the exact
+# distinct sets for columns whose NDV overflows
+# write.stats.distinct-cap. q57-style bounded-error gate: the driver
+# hashes the exact count and a boolean asserting the sketch landed
+# within 10% relative error (the sketch value itself is
+# engine-specific). Metadata-answer proof (nuked data files), merge
+# associativity, cap interaction, and the decline ladder are in
+# tests/test_hll_fold.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q180_sql_approx_cd_fold",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_10pct
+FROM lineitem
+""",
+)
+def q180_sql_approx_cd_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    li = _t(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="lake_sql_hll_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.li_hll", li.schema)
+    t.set_property("write.stats.hll-columns", "l_partkey")
+    hi = li.agg(F.max("l_orderkey")).first()[0] + 1
+    step = max(hi // 4, 1)
+    for lo in range(0, hi, step):
+        t.append(
+            li.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < lo + step)
+            ).repartition(2)
+        )
+    got = lake_sql(
+        cat,
+        "SELECT APPROX_COUNT_DISTINCT(l_partkey) AS a, COUNT(*) AS n "
+        "FROM bench.li_hll",
+    ).first()
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    return spark.createDataFrame(
+        [(got["n"], exact, abs(got["a"] - exact) <= 0.10 * exact)],
+        "n long, exact_parts long, approx_within_10pct boolean",
+    )
