@@ -2524,3 +2524,77 @@ def q180_sql_approx_cd_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(got["n"], exact, abs(got["a"] - exact) <= 0.10 * exact)],
         "n long, exact_parts long, approx_within_10pct boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — Iceberg v2 metadata export, driver-checked (r12, VERDICT r11
+# #5): export a lake snapshot as a genuine Iceberg v2 tree
+# (lake/iceberg_export.py), then answer the query FROM THE EXPORTED
+# METADATA ALONE — total records summed over the manifest Avro's
+# entries, and the global o_orderkey extremes decoded from the spec's
+# single-value binary lower/upper bounds. The oracle recomputes the
+# same three values from the raw table, so a wrong record count, a
+# mis-serialized bound, or a mis-encoded Avro framing all flip the
+# hash. JVM avro reference-reader cross-check + tombstone/type
+# refusals live in tests/test_iceberg_export.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q181_iceberg_export",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_okey,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+FROM orders
+""",
+)
+def q181_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import struct
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.iceberg_export import export_iceberg_snapshot
+    from icebergplus_spark.sources.avro_io import read_ocf_generic
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_ice_exp_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_ice", orders.schema)
+    hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    step = max(hi // 3, 1)
+    for lo in range(0, hi, step):
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + step)
+            ).repartition(2)
+        )
+    meta_path = export_iceberg_snapshot(t, tempfile.mkdtemp(prefix="ice_"))
+    with open(meta_path) as f:
+        md = json.load(f)
+    _, [mlist] = read_ocf_generic(md["snapshots"][0]["manifest-list"])
+    _, entries = read_ocf_generic(mlist["manifest_path"])
+    okey_id = t.field_ids["o_orderkey"]
+    total = 0
+    lo_v = hi_v = None
+    for e in entries:
+        d = e["data_file"]
+        total += d["record_count"]
+        lows = {b["key"]: b["value"] for b in d["lower_bounds"]}
+        highs = {b["key"]: b["value"] for b in d["upper_bounds"]}
+        flo = struct.unpack("<q", lows[okey_id])[0]
+        fhi = struct.unpack("<q", highs[okey_id])[0]
+        lo_v = flo if lo_v is None else min(lo_v, flo)
+        hi_v = fhi if hi_v is None else max(hi_v, fhi)
+    # the referenced parquet is directly readable by any engine —
+    # prove it by answering the status cardinality FROM those files
+    paths = [e["data_file"]["file_path"] for e in entries]
+    n_status = (
+        spark.read.parquet(*paths)
+        .select(F.countDistinct("o_orderstatus"))
+        .first()[0]
+    )
+    return spark.createDataFrame(
+        [(total, lo_v, hi_v, n_status)],
+        "total_records long, min_okey long, max_okey long, n_status long",
+    )

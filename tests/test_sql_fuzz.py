@@ -56,6 +56,7 @@ def test_generator_covers_every_kind():
         "agg",
         "group",
         "cte",
+        "merge",
         "delete",
         "update",
         "insert",

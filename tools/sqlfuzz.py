@@ -180,7 +180,7 @@ def gen_statement(rng: random.Random) -> dict[str, Any]:
             "items": rng.sample(_AGG_ITEMS, rng.randint(1, 3)),
             "branches": _branches(rng, False) if rng.random() < 0.5 else [],
         }
-    if roll < 0.60:  # CTE chain
+    if roll < 0.56:  # CTE chain
         return {
             "kind": "cte",
             "branches": _branches(rng, False),
@@ -191,6 +191,28 @@ def gen_statement(rng: random.Random) -> dict[str, Any]:
             ),
             "chain": rng.random() < 0.5,
         }
+    if roll < 0.62:  # MERGE (matched-only clauses; source ids unique)
+        st = {
+            "kind": "merge",
+            "action": rng.choice(["update", "delete"]),
+            "cond": rng.choice(
+                [
+                    None,
+                    "s.v2 < 20.0",
+                    "t.g >= 2",
+                    "t.h IS NOT NULL AND s.g2 > 1",
+                ]
+            ),
+        }
+        if st["action"] == "update":
+            st["sets"] = rng.choice(
+                [
+                    ["t.v = s.v2"],
+                    ["t.v = s.v2 + 1.0", "t.h = t.h + 100"],
+                    ["t.g = s.g2"],
+                ]
+            )
+        return st
     if roll < 0.78:  # DELETE
         return {"kind": "delete", "branches": _branches(rng, True)}
     if roll < 0.94:  # UPDATE
@@ -247,6 +269,16 @@ def render(st: dict[str, Any]) -> str:
         if w2:
             tail += f" WHERE {w2}"
         return f"WITH {base} {tail}"
+    if st["kind"] == "merge":
+        cond = f" AND {st['cond']}" if st.get("cond") else ""
+        if st["action"] == "delete":
+            act = "DELETE"
+        else:
+            act = "UPDATE SET " + ", ".join(st["sets"])
+        return (
+            "MERGE INTO db.t t USING db.msrc s ON t.id = s.id "
+            f"WHEN MATCHED{cond} THEN {act}"
+        )
     if st["kind"] == "delete":
         return f"DELETE FROM db.t{w}" if where else "DELETE FROM db.t WHERE id < 0"
     if st["kind"] == "update":
@@ -286,6 +318,8 @@ def shrink_candidates(st: dict[str, Any]):
         yield {**st, "order": None, "limit": None}
     if st.get("chain"):
         yield {**st, "chain": None}
+    if st.get("cond"):
+        yield {**st, "cond": None}
 
 
 # --------------------------------------------------------------------------
@@ -294,7 +328,12 @@ def shrink_candidates(st: dict[str, Any]):
 class SqlFuzzer:
     """One seeded differential run against a fresh catalog."""
 
-    TABLES = {"db.t": "fz_t", "db.k1": "fz_k1", "db.k2": "fz_k2"}
+    TABLES = {
+        "db.t": "fz_t",
+        "db.k1": "fz_k1",
+        "db.k2": "fz_k2",
+        "db.msrc": "fz_msrc",
+    }
 
     def __init__(self, spark, workdir: str, seed: int, duckdb: bool = True):
         from pyspark.sql.types import (
@@ -351,6 +390,25 @@ class SqlFuzzer:
             ]
             if vals:
                 kt.append(spark.createDataFrame([(x,) for x in vals], self.K))
+        # MERGE source: UNIQUE ids (SQL MERGE forbids multi-match),
+        # partially overlapping db.t's id range, in two files
+        self.M = StructType(
+            [
+                StructField("id", LongType(), True),
+                StructField("v2", DoubleType(), True),
+                StructField("g2", LongType(), True),
+            ]
+        )
+        ms = self.cat.create_table("db.msrc", self.M)
+        ids = self.rng.sample(range(0, nid + 20), self.rng.randint(5, 25))
+        rows = [
+            (i, round(self.rng.uniform(-5, 45), 3), self.rng.randint(0, 5))
+            for i in sorted(ids)
+        ]
+        half = len(rows) // 2
+        for chunk in (rows[:half], rows[half:]):
+            if chunk:
+                ms.append(spark.createDataFrame(chunk, self.M).coalesce(1))
 
     # -- state + twins -----------------------------------------------------
     def _rows(self, ident: str) -> list[tuple]:
@@ -362,13 +420,19 @@ class SqlFuzzer:
             self._row_cache[ident] = cached
         return cached
 
+    def _schema_of(self, ident: str):
+        if ident == "db.t":
+            return self.T
+        if ident == "db.msrc":
+            return self.M
+        return self.K
+
     def _register_views(self) -> None:
         if self._views_fresh:
             return
         for ident, view in self.TABLES.items():
-            schema = self.T if ident == "db.t" else self.K
             self.spark.createDataFrame(
-                self._rows(ident), schema
+                self._rows(ident), self._schema_of(ident)
             ).createOrReplaceTempView(view)
         self._views_fresh = True
 
@@ -404,7 +468,7 @@ class SqlFuzzer:
         con = duckdb.connect()
         try:
             for ident, view in self.TABLES.items():
-                schema = self.T if ident == "db.t" else self.K
+                schema = self._schema_of(ident)
                 pdf = pd.DataFrame(
                     self._rows(ident), columns=schema.fieldNames()
                 )
@@ -461,8 +525,72 @@ class SqlFuzzer:
             return None
 
         # DML: expected post-state from the materialized twin
+        import re as _re
+
         pre = self._rows("db.t")
         self._register_views()
+        if st["kind"] == "merge":
+            # matched-only MERGE; source ids unique, so s.col resolves
+            # as a correlated scalar subquery in the twin
+            mcond = st.get("cond")
+            inner = "s.id = fz_t.id"
+            if mcond:
+                inner += " AND (" + _re.sub(
+                    r"\bt\.", "fz_t.", mcond
+                ) + ")"
+            match = (
+                f"coalesce(EXISTS (SELECT 1 FROM fz_msrc s WHERE {inner})"
+                ", false)"
+            )
+            if st["action"] == "delete":
+                expect_sql = (
+                    f"SELECT * FROM fz_t AS fz_t WHERE NOT {match}"
+                )
+            else:
+                assigns = {}
+                for term in st["sets"]:
+                    col, _, expr = term.partition("=")
+                    expr = _re.sub(
+                        r"\bs\.(\w+)",
+                        r"(SELECT s.\1 FROM fz_msrc s WHERE "
+                        + inner
+                        + ")",
+                        expr.strip(),
+                    )
+                    expr = _re.sub(r"\bt\.", "fz_t.", expr)
+                    assigns[col.strip().removeprefix("t.")] = expr
+                types = {
+                    f.name: f.dataType.simpleString()
+                    for f in self.T.fields
+                }
+                items = [
+                    (
+                        f"CAST(CASE WHEN {match} THEN ({assigns[c]}) "
+                        f"ELSE {c} END AS {types[c]}) AS {c}"
+                        if c in assigns
+                        else c
+                    )
+                    for c in self.T.fieldNames()
+                ]
+                expect_sql = (
+                    f"SELECT {', '.join(items)} FROM fz_t AS fz_t"
+                )
+            expected = [
+                tuple(r) for r in self.spark.sql(expect_sql).collect()
+            ]
+            try:
+                lake_sql(self.cat, sql)
+            except UnsupportedSQL:
+                expected = pre
+            self._row_cache.pop("db.t", None)
+            self._views_fresh = False
+            post = self._rows("db.t")
+            if self._canon(post) != self._canon(expected):
+                return (
+                    f"merge post-state differs: {len(post)} rows vs "
+                    f"{len(expected)} expected (pre={len(pre)})"
+                )
+            return None
         where = _render_where(st.get("branches", [])) or "id < 0"
         cond = f"coalesce(({self._rewrite(where)}), false)"
         if st["kind"] == "delete":
