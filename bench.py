@@ -46,6 +46,7 @@ HEADLINE = [
     "w05_cte_notin_groupagg",  # NOT IN delete + CTE-pruned join + agg fold (r9)
     "w06_watermark_compound_dml",  # compound IN+range delete, scalar watermark read, SUM fold (r10)
     "w07_multikey_dml_cd_scan",  # multi-conjunct DML, scalar SET, IN-pruned read, COUNT(DISTINCT) fold (r11)
+    "w08_topk_hll_export_scan",  # top-k pruned read, HLL fold, source-pruned MERGE, Iceberg export (r12)
 ]
 
 
@@ -386,6 +387,89 @@ def w07_multikey_dml_cd_scan(spark, sf_dir: str):
     )
 
 
+def w08_topk_hll_export_scan(spark, sf_dir: str):
+    """r12 surface headline: year-chunked orders ingest with an HLL
+    sketch column harvested at write time, a 'latest 100 orders' read
+    through the top-k manifest pruner, an APPROX_COUNT_DISTINCT
+    answered from merged sketches, an insert-off MERGE DELETE whose
+    lake-table source is pruned by the target's key domain, and an
+    Iceberg v2 metadata export whose manifest Avro is decoded back as
+    the returned frame — one timed region over the round's new
+    SQL-reachable paths on a fresh warehouse."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.iceberg_export import export_iceberg_snapshot
+    from icebergplus_spark.lake.sql_dml import lake_sql
+    from icebergplus_spark.sources import load_table
+    from icebergplus_spark.sources.avro_io import read_ocf_generic
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="bench_w08_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.w8_ord", orders.schema)
+    t.set_property("write.stats.hll-columns", "o_custkey")
+    years = sorted(
+        r["y"]
+        for r in orders.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .collect()
+    )
+    for y in years:
+        t.append(orders.filter(F.year("o_orderdate") == y).repartition(2))
+    # latest-100 read: top-k manifest pruning + residual sort
+    lake_sql(
+        cat,
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM bench.w8_ord "
+        "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100",
+    ).collect()
+    # approx NDV from merged write-time sketches (metadata only)
+    lake_sql(
+        cat,
+        "SELECT APPROX_COUNT_DISTINCT(o_custkey) AS nc, COUNT(*) AS n "
+        "FROM bench.w8_ord",
+    ).collect()
+    # insert-off MERGE DELETE; the lake-table source prunes by the
+    # target's key domain (scan_pruned_for_merge)
+    src = cat.create_table(
+        "bench.w8_churn",
+        orders.select("o_custkey", "o_orderpriority").schema,
+    )
+    src.append(
+        orders.select("o_custkey", "o_orderpriority")
+        .filter(F.col("o_custkey") % 7 == 0)
+        .dropDuplicates(["o_custkey"])
+        .repartition(4)
+    )
+    lake_sql(
+        cat,
+        "MERGE INTO bench.w8_ord t USING bench.w8_churn s "
+        "ON t.o_custkey = s.o_custkey "
+        "WHEN MATCHED AND s.o_orderpriority = '1-URGENT' THEN DELETE",
+    )
+    # Iceberg v2 export; the manifest Avro decodes as the result
+    meta_path = export_iceberg_snapshot(
+        cat.load_table("bench.w8_ord"), tempfile.mkdtemp(prefix="w8ice_")
+    )
+    with open(meta_path) as f:
+        md = json.load(f)
+    _, [mlist] = read_ocf_generic(md["snapshots"][0]["manifest-list"])
+    _, entries = read_ocf_generic(mlist["manifest_path"])
+    return spark.createDataFrame(
+        [
+            (
+                len(entries),
+                sum(e["data_file"]["record_count"] for e in entries),
+                sum(e["data_file"]["file_size_in_bytes"] for e in entries),
+            )
+        ],
+        "n_files long, total_records long, total_bytes long",
+    )
+
+
 LOCAL_QUERIES = {
     "w01_lake_ingest_compact_scan": w01_lake_ingest_compact_scan,
     "w02_dv_delete_scan": w02_dv_delete_scan,
@@ -394,6 +478,7 @@ LOCAL_QUERIES = {
     "w05_cte_notin_groupagg": w05_cte_notin_groupagg,
     "w06_watermark_compound_dml": w06_watermark_compound_dml,
     "w07_multikey_dml_cd_scan": w07_multikey_dml_cd_scan,
+    "w08_topk_hll_export_scan": w08_topk_hll_export_scan,
 }
 
 
