@@ -551,6 +551,21 @@ def main() -> None:
     ab_ref = None
     if "--ab" in sys.argv:
         ab_ref = sys.argv[sys.argv.index("--ab") + 1]
+    elif "--no-ab" not in sys.argv:
+        # default A/B ref (r12, VERDICT r11 #2): .bench_ab_ref pins the
+        # previous round's final tree, so every plain `python bench.py`
+        # run — the driver's included — carries per-query ab_ratio and
+        # ambient load can never again masquerade as a regression.
+        # Env override: SPARK_GRAFT_AB_REF (empty string disables).
+        ab_ref = os.environ.get("SPARK_GRAFT_AB_REF")
+        if ab_ref is None:
+            pin = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".bench_ab_ref"
+            )
+            if os.path.exists(pin):
+                with open(pin) as f:
+                    ab_ref = f.read().strip()
+        ab_ref = ab_ref or None
     # Quiet-window gate (r5 verdict #7): timings on a loaded box are
     # attribution noise, not data. Record the 1-min loadavg at start;
     # flag the run when it exceeds SPARK_GRAFT_LOAD_GATE (default: half
@@ -568,7 +583,17 @@ def main() -> None:
         fn = LOCAL_QUERIES.get(name) or registry.QUERIES[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    peer = _ABPeer(ab_ref) if ab_ref else None
+    peer = None
+    if ab_ref:
+        try:
+            peer = _ABPeer(ab_ref)
+        except Exception as e:  # dirty/missing ref, no git — plain run
+            print(
+                f"# ab peer unavailable ({type(e).__name__}: {e}); "
+                "running without --ab",
+                file=sys.stderr,
+            )
+            ab_ref = None
     ab_sec: dict[str, float] = {}
     ab_ratio: dict[str, float | None] = {}
     per_query: dict[str, float] = {}

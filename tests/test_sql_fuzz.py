@@ -57,6 +57,7 @@ def test_generator_covers_every_kind():
         "group",
         "cte",
         "merge",
+        "txn",
         "delete",
         "update",
         "insert",

@@ -213,7 +213,31 @@ def gen_statement(rng: random.Random) -> dict[str, Any]:
                 ]
             )
         return st
-    if roll < 0.78:  # DELETE
+    if roll < 0.66:  # transaction block: 2-3 sequential DMLs, one CAS
+        inner = []
+        for _ in range(rng.randint(2, 3)):
+            r2 = rng.random()
+            if r2 < 0.45:
+                inner.append(
+                    {"kind": "delete", "branches": _branches(rng, True)}
+                )
+            elif r2 < 0.8:
+                inner.append(
+                    {
+                        "kind": "update",
+                        "sets": rng.sample(
+                            ["v = -1.0", "s = 'txn'", "h = h + 100"],
+                            rng.randint(1, 2),
+                        ),
+                        "branches": _branches(rng, True),
+                    }
+                )
+            else:
+                inner.append(
+                    {"kind": "insert", "branches": _branches(rng, True)}
+                )
+        return {"kind": "txn", "inner": inner}
+    if roll < 0.80:  # DELETE
         return {"kind": "delete", "branches": _branches(rng, True)}
     if roll < 0.94:  # UPDATE
         n_sets = rng.randint(1, 3)
@@ -269,6 +293,9 @@ def render(st: dict[str, Any]) -> str:
         if w2:
             tail += f" WHERE {w2}"
         return f"WITH {base} {tail}"
+    if st["kind"] == "txn":
+        body = "; ".join(render(s) for s in st["inner"])
+        return f"BEGIN; {body}; COMMIT"
     if st["kind"] == "merge":
         cond = f" AND {st['cond']}" if st.get("cond") else ""
         if st["action"] == "delete":
@@ -312,6 +339,13 @@ def shrink_candidates(st: dict[str, Any]):
     if len(sets) > 1:
         for i in range(len(sets)):
             yield {**st, "sets": sets[:i] + sets[i + 1:]}
+    inner = st.get("inner") or []
+    if len(inner) > 1:
+        for i in range(len(inner)):
+            yield {**st, "inner": inner[:i] + inner[i + 1:]}
+    for i, s in enumerate(inner):
+        for cand in shrink_candidates(s):
+            yield {**st, "inner": inner[:i] + [cand] + inner[i + 1:]}
     if st.get("order") or st.get("limit"):
         # dropped together: LIMIT without ORDER BY is a nondeterministic
         # subset — both engines would legitimately disagree
@@ -529,6 +563,67 @@ class SqlFuzzer:
 
         pre = self._rows("db.t")
         self._register_views()
+        if st["kind"] == "txn":
+            # sequential composition on the evolving state; INSERT
+            # sources evaluate against the PRE-txn snapshot (their
+            # lake scans pin file lists at parse time). A refusal
+            # anywhere aborts the whole block — state untouched.
+            self.spark.createDataFrame(
+                pre, self.T
+            ).createOrReplaceTempView("fz_t_pre")
+            cur = list(pre)
+            for inner in st["inner"]:
+                self.spark.createDataFrame(
+                    cur, self.T
+                ).createOrReplaceTempView("fz_t_step")
+                w = (
+                    _render_where(inner.get("branches", []))
+                    or "id < 0"
+                )
+                c = f"coalesce(({self._rewrite(w)}), false)"
+                if inner["kind"] == "delete":
+                    q = f"SELECT * FROM fz_t_step WHERE NOT {c}"
+                elif inner["kind"] == "update":
+                    assigns = {}
+                    for term in inner["sets"]:
+                        col, _, expr = term.partition("=")
+                        assigns[col.strip()] = self._rewrite(expr.strip())
+                    types = {
+                        f.name: f.dataType.simpleString()
+                        for f in self.T.fields
+                    }
+                    items = [
+                        (
+                            f"CAST(CASE WHEN {c} THEN ({assigns[x]}) "
+                            f"ELSE {x} END AS {types[x]}) AS {x}"
+                            if x in assigns
+                            else x
+                        )
+                        for x in self.T.fieldNames()
+                    ]
+                    q = f"SELECT {', '.join(items)} FROM fz_t_step"
+                else:  # insert — source is the PRE-txn snapshot
+                    c_pre = c.replace("fz_t", "fz_t_pre")
+                    q = (
+                        "SELECT * FROM fz_t_step UNION ALL "
+                        "SELECT id + 1000, g, h, s, v FROM fz_t_pre "
+                        f"WHERE {c_pre}"
+                    )
+                cur = [tuple(r) for r in self.spark.sql(q).collect()]
+            expected = cur
+            try:
+                lake_sql(self.cat, sql)
+            except UnsupportedSQL:
+                expected = pre
+            self._row_cache.pop("db.t", None)
+            self._views_fresh = False
+            post = self._rows("db.t")
+            if self._canon(post) != self._canon(expected):
+                return (
+                    f"txn post-state differs: {len(post)} rows vs "
+                    f"{len(expected)} expected (pre={len(pre)})"
+                )
+            return None
         if st["kind"] == "merge":
             # matched-only MERGE; source ids unique, so s.col resolves
             # as a correlated scalar subquery in the twin
