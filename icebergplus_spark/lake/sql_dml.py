@@ -1665,7 +1665,8 @@ _GROUP_AGG = re.compile(
 _GA_AGG_ITEM = re.compile(
     rf"^(?:(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*({_IDENT})\s*\)"
     rf"|(COUNT)\s*\(\s*\*\s*\)"
-    rf"|COUNT\s*\(\s*DISTINCT\s+({_IDENT})\s*\))"
+    rf"|COUNT\s*\(\s*DISTINCT\s+({_IDENT})\s*\)"
+    rf"|APPROX_COUNT_DISTINCT\s*\(\s*({_IDENT})\s*\))"
     rf"\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
@@ -1703,9 +1704,11 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
         am = _GA_AGG_ITEM.match(item)
         if not am:
             return None
-        fn_mm, col, fn_cnt, cd_col, alias = am.groups()
+        fn_mm, col, fn_cnt, cd_col, acd_col, alias = am.groups()
         if cd_col is not None:
             aggs.append(("COUNT_DISTINCT", cd_col, alias))
+        elif acd_col is not None:
+            aggs.append(("APPROX_COUNT_DISTINCT", acd_col, alias))
         else:
             aggs.append(((fn_mm or fn_cnt).upper(), col, alias))
         order.append(alias)
@@ -1760,7 +1763,31 @@ def _group_agg_select(catalog: LocalLakeCatalog, stmt: str):
         return None
     from pyspark.sql import functions as F
 
-    df = table.agg_by(names_g, aggs, predicates=pred_arg).select(*order)
+    if any(fn == "APPROX_COUNT_DISTINCT" for fn, _c, _a in aggs):
+        # r12: grouped ACD folds from per-file HLL sketches when every
+        # candidate file is single-valued in the group columns and
+        # sketched — only the {ACD, COUNT(*)} item mix is expressible
+        # there; anything richer (or a declined fold) goes native,
+        # where Spark's scan-side HLL++ answers (approximate too)
+        if any(
+            fn not in ("APPROX_COUNT_DISTINCT", "COUNT") or c is not None
+            for fn, c, _a in aggs
+            if fn != "APPROX_COUNT_DISTINCT"
+        ):
+            return None
+        fold = table.hll_count_distinct_by(
+            names_g,
+            [
+                ("ACD" if fn == "APPROX_COUNT_DISTINCT" else fn, c, a)
+                for fn, c, a in aggs
+            ],
+            predicates=pred_arg,
+        )
+        if fold is None:
+            return None
+        df = fold.select(*order)
+    else:
+        df = table.agg_by(names_g, aggs, predicates=pred_arg).select(*order)
     if hv_left is not None:
         n = F.col(hv_left)
         lit = _parse_literal(hv_lit)

@@ -6891,6 +6891,143 @@ class LakeTable:
         p = size.bit_length() - 1
         return _hll_estimate(_hll_merge(sketches), p)
 
+    def hll_count_distinct_by(
+        self,
+        group_cols: list[str],
+        items: list[tuple[str, str | None, str]],
+        predicates: (
+            dict[str, tuple[str, Any]] | list[dict[str, Any]] | None
+        ) = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """GROUPED APPROX_COUNT_DISTINCT from write-time HLL sketches
+        (r12): the per-partition-diversity shape — ``SELECT part,
+        APPROX_COUNT_DISTINCT(user), COUNT(*) ... GROUP BY part`` —
+        answered from metadata when every candidate file is
+        single-valued (or all-null) in the group columns (the
+        clustered-ingest layout ``count_rows_by`` already exploits)
+        and carries a sketch for every ACD column. Registers merge by
+        bytewise max per group ON THE DRIVER: the fold path's group
+        count is bounded by the file count, and the non-distributed
+        planning tier already has the entries in hand — past
+        ``planning.distributed-threshold`` this declines (None) and
+        the native scan-side HLL++ answers instead, approximate
+        either way.
+
+        ``items``: ``(fn, col, alias)`` with fn in {"ACD", "COUNT"}
+        (COUNT is ``COUNT(*)``, answered from record_count). Returns
+        None — caller keeps the native path — on tombstones,
+        multi-valued group files, missing sketches, partial predicate
+        coverage, non-reconstructable group types, or the distributed
+        tier."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        snap = self.snapshot(snapshot_id)
+        gfields = [
+            f for f in self.schema.fields if f.name in set(group_cols)
+        ]
+        if len(gfields) != len(group_cols):
+            return None
+        gfields.sort(key=lambda f: group_cols.index(f.name))
+        out_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in gfields]
+            + [
+                StructField(a, LongType(), fn == "COUNT")
+                for fn, _c, a in items
+            ]
+        )
+        if snap is None:
+            return self.spark.createDataFrame([], out_schema)
+        if snap.get("delete_manifests"):
+            return None
+        if any(
+            not _stats_foldable(f.dataType) for f in gfields
+        ):
+            return None
+        if self._n_manifest_entries(snap) > int(
+            self.properties.get("planning.distributed-threshold", "100000")
+        ):
+            return None  # driver-tier fold only — native path past it
+        mapping = self._column_mapping
+        branches = (
+            _normalize_branches(predicates) if predicates else None
+        )
+        if branches is None:
+            files = self.plan_files(None, snapshot_id)
+            phys_branches = None
+        else:
+            files = (
+                self.plan_files(branches[0], snapshot_id)
+                if len(branches) == 1
+                else self.plan_files_any(branches, snapshot_id)
+            )
+            phys_branches = [
+                {mapping.get(c, c): v for c, v in b.items()}
+                for b in branches
+            ]
+        state: dict[tuple, dict[str, Any]] = {}
+        size = None
+        for r in files:
+            if phys_branches is not None and not any(
+                _file_fully_matches(r, pb) for pb in phys_branches
+            ):
+                return None  # partial file — sketches can't subtract
+            mins = json.loads(r["column_mins"])
+            maxs = json.loads(r["column_maxs"])
+            nulls = json.loads(r.get("column_null_counts") or "{}")
+            hlls = json.loads(r.get("column_hlls") or "{}")
+            rc = r["record_count"]
+            key = []
+            for f in gfields:
+                phys = mapping.get(f.name, f.name)
+                if nulls.get(phys) == rc:
+                    key.append(None)
+                elif (
+                    phys in mins
+                    and mins[phys] == maxs[phys]
+                    and nulls.get(phys) == 0
+                ):
+                    key.append(_from_stats_domain(f.dataType, mins[phys]))
+                else:
+                    return None  # multi-valued group file
+            slot = state.setdefault(
+                tuple(key), {"n": 0, "regs": {}}
+            )
+            slot["n"] += rc
+            for fn, c, _a in items:
+                if fn != "ACD":
+                    continue
+                phys = mapping.get(c, c)
+                if nulls.get(phys) == rc:
+                    continue  # all-null: contributes nothing
+                hx = hlls.get(phys)
+                if not hx:
+                    return None
+                regs = bytes.fromhex(hx)
+                if size is None:
+                    size = len(regs)
+                elif len(regs) != size:
+                    return None
+                cur = slot["regs"].get(c)
+                slot["regs"][c] = (
+                    regs if cur is None else _hll_merge([cur, regs])
+                )
+        rows = []
+        for key, slot in state.items():
+            vals = list(key)
+            for fn, c, _a in items:
+                if fn == "COUNT":
+                    vals.append(slot["n"])
+                else:
+                    regs = slot["regs"].get(c)
+                    vals.append(
+                        0
+                        if regs is None
+                        else _hll_estimate(regs, size.bit_length() - 1)
+                    )
+            rows.append(tuple(vals))
+        return self.spark.createDataFrame(rows, out_schema)
+
     def scan_pruned_for_merge(
         self,
         target: "LakeTable",

@@ -2598,3 +2598,76 @@ def q181_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, lo_v, hi_v, n_status)],
         "total_records long, min_okey long, max_okey long, n_status long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — GROUPED APPROX_COUNT_DISTINCT fold (r12): the per-partition
+# diversity dashboard — customers per order-priority — answered from
+# write-time HLL sketches when the ingest is clustered by the group
+# column (one append per priority → files single-valued in it, the
+# same layout count_rows_by exploits). Registers merge per group by
+# bytewise max on the driver (group count ≤ file count in the fold
+# tier); COUNT(*) rides record_count. q57-style gate: exact per-group
+# counts + booleans asserting every sketch landed within 10%.
+# Multi-valued layouts / unsketched files fall to Spark's scan-side
+# HLL++ (tests/test_hll_fold.py pins both routes + the nuked-files
+# metadata proof).
+# ---------------------------------------------------------------------------
+@register(
+    "q182_sql_grouped_acd_fold",
+    oracle="""
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+       TRUE AS approx_within_10pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY pri
+""",
+)
+def q182_sql_grouped_acd_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import lake_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_sql_gacd_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_ga", orders.schema)
+    t.set_property("write.stats.hll-columns", "o_custkey")
+    pris = sorted(
+        r[0]
+        for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    for p in pris:  # clustered ingest: files single-valued in the group col
+        t.append(
+            orders.filter(F.col("o_orderpriority") == p).repartition(2)
+        )
+    approx = {
+        r["o_orderpriority"]: (r["a"], r["n"])
+        for r in lake_sql(
+            cat,
+            "SELECT o_orderpriority, "
+            "APPROX_COUNT_DISTINCT(o_custkey) AS a, COUNT(*) AS n "
+            "FROM bench.ord_ga GROUP BY o_orderpriority",
+        ).collect()
+    }
+    exact = {
+        r["pri"]: r["e"]
+        for r in orders.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.countDistinct("o_custkey").alias("e"))
+        .collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                p,
+                approx[p][1],
+                exact[p],
+                abs(approx[p][0] - exact[p]) <= 0.10 * exact[p],
+            )
+            for p in pris
+        ],
+        "pri string, n long, exact_cust long, approx_within_10pct boolean",
+    ).orderBy("pri")

@@ -159,6 +159,65 @@ def test_declines(spark, tmp_path):
     assert abs(got - 50) <= 10
 
 
+def test_grouped_acd_fold(spark, tmp_path):
+    """GROUP BY + APPROX_COUNT_DISTINCT over clustered ingest (one
+    append per group → files single-valued in the group column) folds
+    from metadata: registers merge per group, COUNT(*) rides
+    record_count. The nuked-data-files proof pins the metadata
+    answer."""
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whg")).start()
+    t = cat.create_table("db.g", T)
+    t.set_property("write.stats.hll-columns", "u")
+    exact = {}
+    for gk, n in (("a", 900), ("b", 1400), ("c", 300)):
+        vals = [(i, (i * 13) % (n // 2), gk) for i in range(n)]
+        exact[gk] = (len({v for _k, v, _s in vals}), n)
+        t.append(
+            spark.createDataFrame(
+                [(k, u, s) for k, u, s in vals], T
+            ).coalesce(2)
+        )
+    got = {
+        r["s"]: (r["a"], r["n"])
+        for r in lake_sql(
+            cat,
+            "SELECT s, APPROX_COUNT_DISTINCT(u) AS a, COUNT(*) AS n "
+            "FROM db.g GROUP BY s ORDER BY s",
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for gk, (ex, n) in exact.items():
+        assert got[gk][1] == n
+        assert abs(got[gk][0] - ex) <= max(0.10 * ex, 3)
+    # metadata proof: nuke the data — the grouped fold still answers
+    for f in t.plan_files():
+        os.remove(f["file_path"])
+    again = {
+        r["s"]: r["a"]
+        for r in lake_sql(
+            cat,
+            "SELECT s, APPROX_COUNT_DISTINCT(u) AS a, COUNT(*) AS n "
+            "FROM db.g GROUP BY s ORDER BY s",
+        ).collect()
+    }
+    assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_grouped_acd_multivalued_group_goes_native(spark, tmp_path):
+    """Files spanning several group values can't fold — the statement
+    falls to the native scan (Spark HLL++) and stays correct."""
+    cat, t = _mk(spark, tmp_path)  # s cycles within every file
+    assert (
+        t.hll_count_distinct_by(["s"], [("ACD", "u", "a")]) is None
+    )
+    rows = lake_sql(
+        cat,
+        "SELECT s, APPROX_COUNT_DISTINCT(u) AS a FROM db.h "
+        "GROUP BY s ORDER BY s LIMIT 5",
+    ).collect()
+    assert len(rows) == 5 and all(r["a"] > 0 for r in rows)
+
+
 def test_distributed_harvest_writes_sketches(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whd")).start()
     t = cat.create_table("db.dist", T)
