@@ -180,6 +180,43 @@ def test_select_list_unaliased_item_declines(spark, tmp_path):
     assert df.collect()[0][0] == 2
 
 
+def test_select_list_span_inside_unaliased_item_declines(spark, tmp_path):
+    """r12 (ADVICE r11): an unaliased item that merely CONTAINS a span
+    — ``(SELECT COUNT(*) FROM s) + 1`` — must decline too: inlining
+    would change Spark's auto-generated column name from
+    ``(scalarsubquery() + 1)`` to the literal's rendering, a schema
+    divergence from the native path."""
+    cat, _, _ = _mk(spark, tmp_path)
+    df = lake_sql(
+        cat,
+        "SELECT (SELECT COUNT(*) FROM db.cap) + 1 FROM db.t WHERE id = 1",
+    )
+    assert df.columns == ["(scalarsubquery() + 1)"]
+    assert df.collect()[0][0] == 3
+    # ... while the SAME expression WITH an alias still inlines (the
+    # literal answers from db.cap's own fold even with its data gone)
+    cat2, _, cap2 = _mk(spark, tmp_path / "w2")
+    for f in cap2.plan_files():
+        os.remove(f["file_path"])
+    df2 = lake_sql(
+        cat2,
+        "SELECT (SELECT COUNT(*) FROM db.cap) + 1 AS n1 "
+        "FROM db.t WHERE id = 1",
+    )
+    assert df2.columns == ["n1"] and df2.collect()[0][0] == 3
+
+
+def test_update_set_many_scalar_spans_all_inline(spark, tmp_path):
+    """r12 (ADVICE r11): the inliner loops to fixpoint — a SET clause
+    with more than eight scalar subqueries (the old replacement cap)
+    must still inline every span instead of refusing."""
+    cat, t, _ = _mk(spark, tmp_path)
+    span = "(SELECT MIN(cap) FROM db.cap)"  # 55
+    expr = " + ".join([span] * 10)
+    lake_sql(cat, f"UPDATE db.t SET v = {expr} WHERE id = 1")
+    assert _vals(cat)[1] == 550.0
+
+
 def test_select_derived_table_untouched(spark, tmp_path):
     """(SELECT ...) after FROM is a derived table, never inlined."""
     cat, _, _ = _mk(spark, tmp_path)
