@@ -50,11 +50,12 @@ def test_generator_covers_every_kind():
     import random
 
     rng = random.Random(3)
-    kinds = {gen_statement(rng)["kind"] for _ in range(200)}
+    kinds = {gen_statement(rng)["kind"] for _ in range(300)}
     assert kinds == {
         "select",
         "agg",
         "group",
+        "union",
         "cte",
         "merge",
         "txn",

@@ -14,7 +14,14 @@ randomized multi-conjunct mini-oracle to the WHOLE supported surface:
   incl. COUNT(DISTINCT), grouped aggregates, CTE chains, select-list
   scalar subqueries, ORDER BY/LIMIT;
 - DML: DELETE / UPDATE (multi-assignment SET with stacked scalar
-  subqueries) / INSERT INTO ... SELECT, against CoW and DV tables.
+  subqueries) / INSERT INTO ... SELECT, against CoW and DV tables;
+- grouped HAVING (alias form) and UNION ALL pairs;
+- MERGE against a unique-key lake source: matched update/delete with
+  mixed target/source conditions, NOT MATCHED INSERT *, upsert, and
+  NOT MATCHED BY SOURCE delete;
+- BEGIN/COMMIT transaction blocks (2-3 sequential DMLs, one CAS) with
+  a sequential-composition twin — INSERT sources pin the pre-txn
+  snapshot, matching the engine's parse-time scan pinning.
 
 Differential oracles:
 1. the MATERIALIZE-EVERYTHING ``spark.sql`` twin: every lake table's
@@ -174,11 +181,23 @@ def gen_statement(rng: random.Random) -> dict[str, Any]:
             "branches": _branches(rng, False) if rng.random() < 0.6 else [],
         }
     if roll < 0.48:  # grouped aggregates
-        return {
+        st = {
             "kind": "group",
             "group": rng.choice(["g", "h", "s"]),
             "items": rng.sample(_AGG_ITEMS, rng.randint(1, 3)),
             "branches": _branches(rng, False) if rng.random() < 0.5 else [],
+        }
+        if rng.random() < 0.35:
+            # alias-form HAVING (the lake fast path's supported shape)
+            if "COUNT(*) AS cnt" not in st["items"]:
+                st["items"].append("COUNT(*) AS cnt")
+            st["having"] = f"cnt {rng.choice(['>', '>=', '<'])} {rng.randint(1, 8)}"
+        return st
+    if roll < 0.52:  # UNION ALL of two filtered projections
+        return {
+            "kind": "union",
+            "branches": _branches(rng, False),
+            "branches2": _branches(rng, False),
         }
     if roll < 0.56:  # CTE chain
         return {
@@ -191,20 +210,23 @@ def gen_statement(rng: random.Random) -> dict[str, Any]:
             ),
             "chain": rng.random() < 0.5,
         }
-    if roll < 0.62:  # MERGE (matched-only clauses; source ids unique)
-        st = {
-            "kind": "merge",
-            "action": rng.choice(["update", "delete"]),
-            "cond": rng.choice(
+    if roll < 0.62:  # MERGE (unique-key source)
+        action = rng.choice(
+            ["update", "delete", "insert_only", "upsert", "bys_delete"]
+        )
+        st = {"kind": "merge", "action": action, "cond": None}
+        if action in ("update", "delete"):
+            st["cond"] = rng.choice(
                 [
                     None,
                     "s.v2 < 20.0",
                     "t.g >= 2",
                     "t.h IS NOT NULL AND s.g2 > 1",
                 ]
-            ),
-        }
-        if st["action"] == "update":
+            )
+        elif action == "bys_delete":
+            st["cond"] = rng.choice([None, "t.g >= 2", "t.h < 10"])
+        if action == "update":
             st["sets"] = rng.choice(
                 [
                     ["t.v = s.v2"],
@@ -212,6 +234,8 @@ def gen_statement(rng: random.Random) -> dict[str, Any]:
                     ["t.g = s.g2"],
                 ]
             )
+        elif action == "upsert":
+            st["sets"] = ["t.v = s.v2"]
         return st
     if roll < 0.66:  # transaction block: 2-3 sequential DMLs, one CAS
         inner = []
@@ -277,9 +301,19 @@ def render(st: dict[str, Any]) -> str:
         return f"SELECT {', '.join(st['items'])} FROM db.t{w}"
     if st["kind"] == "group":
         g = st["group"]
-        return (
+        sql = (
             f"SELECT {g}, {', '.join(st['items'])} FROM db.t{w} "
             f"GROUP BY {g}"
+        )
+        if st.get("having"):
+            sql += f" HAVING {st['having']}"
+        return sql
+    if st["kind"] == "union":
+        w2 = _render_where(st.get("branches2", []))
+        return (
+            f"SELECT id, g, v FROM db.t{w} UNION ALL "
+            f"SELECT id, g, v FROM db.t"
+            + (f" WHERE {w2}" if w2 else "")
         )
     if st["kind"] == "cte":
         w2 = _render_where(st.get("branches2", []))
@@ -298,14 +332,26 @@ def render(st: dict[str, Any]) -> str:
         return f"BEGIN; {body}; COMMIT"
     if st["kind"] == "merge":
         cond = f" AND {st['cond']}" if st.get("cond") else ""
+        head = "MERGE INTO db.t t USING db.msrc s ON t.id = s.id "
         if st["action"] == "delete":
-            act = "DELETE"
-        else:
-            act = "UPDATE SET " + ", ".join(st["sets"])
-        return (
-            "MERGE INTO db.t t USING db.msrc s ON t.id = s.id "
-            f"WHEN MATCHED{cond} THEN {act}"
-        )
+            return head + f"WHEN MATCHED{cond} THEN DELETE"
+        if st["action"] == "update":
+            return (
+                head
+                + f"WHEN MATCHED{cond} THEN UPDATE SET "
+                + ", ".join(st["sets"])
+            )
+        if st["action"] == "insert_only":
+            return head + "WHEN NOT MATCHED THEN INSERT *"
+        if st["action"] == "upsert":
+            return (
+                head
+                + "WHEN MATCHED THEN UPDATE SET "
+                + ", ".join(st["sets"])
+                + " WHEN NOT MATCHED THEN INSERT *"
+            )
+        # bys_delete
+        return head + f"WHEN NOT MATCHED BY SOURCE{cond} THEN DELETE"
     if st["kind"] == "delete":
         return f"DELETE FROM db.t{w}" if where else "DELETE FROM db.t WHERE id < 0"
     if st["kind"] == "update":
@@ -354,6 +400,8 @@ def shrink_candidates(st: dict[str, Any]):
         yield {**st, "chain": None}
     if st.get("cond"):
         yield {**st, "cond": None}
+    if st.get("having"):
+        yield {**st, "having": None}
 
 
 # --------------------------------------------------------------------------
@@ -537,7 +585,7 @@ class SqlFuzzer:
         from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
 
         sql = render(st)
-        if st["kind"] in ("select", "agg", "group", "cte"):
+        if st["kind"] in ("select", "agg", "group", "cte", "union"):
             self._register_views()
             want = self.spark.sql(self._rewrite(sql))
             want_cols, want_rows = want.columns, want.collect()
@@ -625,21 +673,53 @@ class SqlFuzzer:
                 )
             return None
         if st["kind"] == "merge":
-            # matched-only MERGE; source ids unique, so s.col resolves
-            # as a correlated scalar subquery in the twin
+            # unique-key source, so s.col resolves as a correlated
+            # scalar subquery in the twin
             mcond = st.get("cond")
-            inner = "s.id = fz_t.id"
-            if mcond:
-                inner += " AND (" + _re.sub(
-                    r"\bt\.", "fz_t.", mcond
-                ) + ")"
+            inner = "ms.id = fz_t.id"
+            if mcond and st["action"] in ("update", "delete"):
+                tw = _re.sub(r"\bt\.", "fz_t.", mcond)
+                tw = _re.sub(r"\bs\.", "ms.", tw)
+                inner += " AND (" + tw + ")"
             match = (
-                f"coalesce(EXISTS (SELECT 1 FROM fz_msrc s WHERE {inner})"
+                f"coalesce(EXISTS (SELECT 1 FROM fz_msrc ms WHERE {inner})"
                 ", false)"
+            )
+            insert_leg = (
+                " UNION ALL SELECT ms.id, CAST(NULL AS BIGINT), "
+                "CAST(NULL AS BIGINT), CAST(NULL AS STRING), "
+                "CAST(NULL AS DOUBLE) FROM fz_msrc ms WHERE NOT EXISTS "
+                "(SELECT 1 FROM fz_t WHERE fz_t.id = ms.id)"
             )
             if st["action"] == "delete":
                 expect_sql = (
                     f"SELECT * FROM fz_t AS fz_t WHERE NOT {match}"
+                )
+            elif st["action"] == "insert_only":
+                expect_sql = (
+                    "SELECT * FROM fz_t AS fz_t" + insert_leg
+                )
+            elif st["action"] == "bys_delete":
+                # BY SOURCE delete fires on target rows with NO source
+                # match (and the target-only condition); keep = matched
+                # OR NOT cond
+                keep = match
+                if mcond:
+                    c_t = _re.sub(r"\bt\.", "fz_t.", mcond)
+                    keep = (
+                        f"({match} OR NOT coalesce(({c_t}), false))"
+                    )
+                expect_sql = (
+                    f"SELECT * FROM fz_t AS fz_t WHERE {keep}"
+                )
+            elif st["action"] == "upsert":
+                expect_sql = (
+                    "SELECT id, g, h, s, CAST(CASE WHEN "
+                    + match
+                    + " THEN (SELECT ms.v2 FROM fz_msrc ms WHERE "
+                    + inner
+                    + ") ELSE v END AS double) AS v "
+                    "FROM fz_t AS fz_t" + insert_leg
                 )
             else:
                 assigns = {}
@@ -647,7 +727,7 @@ class SqlFuzzer:
                     col, _, expr = term.partition("=")
                     expr = _re.sub(
                         r"\bs\.(\w+)",
-                        r"(SELECT s.\1 FROM fz_msrc s WHERE "
+                        r"(SELECT ms.\1 FROM fz_msrc ms WHERE "
                         + inner
                         + ")",
                         expr.strip(),
