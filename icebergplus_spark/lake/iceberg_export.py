@@ -460,3 +460,156 @@ def export_iceberg_snapshot(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as out:
         out.write("1")
     return meta_path
+
+
+# -- the reverse direction: reading an Iceberg v2 table ---------------------
+
+
+def _resolve_metadata_path(path: str) -> str:
+    """``path`` may be a table directory (Hadoop-catalog layout:
+    metadata/version-hint.text → vN.metadata.json), a metadata
+    directory, or a metadata.json file itself."""
+    if os.path.isfile(path):
+        return path
+    meta_dir = path
+    if os.path.isdir(os.path.join(path, "metadata")):
+        meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            p = os.path.join(meta_dir, name)
+            if os.path.exists(p):
+                return p
+    candidates = sorted(
+        n for n in os.listdir(meta_dir) if n.endswith(".metadata.json")
+    )
+    if not candidates:
+        raise FileNotFoundError(
+            f"no Iceberg metadata.json under {path!r}"
+        )
+    return os.path.join(meta_dir, candidates[-1])
+
+
+def read_iceberg_snapshot(
+    spark, path: str, snapshot_id: int | None = None
+):
+    """Read an Apache Iceberg v2 table (written by THIS exporter or by
+    any engine whose metadata Avro uses the null/deflate codec —
+    Iceberg's Java writer default is deflate) as a Spark DataFrame:
+    metadata.json → manifest list → data manifests → the live parquet
+    file set, read directly. The import subset mirrors the export
+    subset and refuses loudly outside it: delete manifests
+    (content=1) or DELETED-status surviving state are not applied —
+    a table with row-level deletes must be compacted by its owner
+    first (the same contract the exporter states)."""
+    from icebergplus_spark.sources.avro_io import read_ocf_generic
+
+    meta_path = _resolve_metadata_path(path)
+    with open(meta_path) as f:
+        md = json.load(f)
+    if md.get("format-version") not in (1, 2):
+        raise ValueError(
+            f"unsupported Iceberg format-version: {md.get('format-version')}"
+        )
+    snap_id = snapshot_id or md.get("current-snapshot-id")
+    snap = next(
+        (s for s in md.get("snapshots", []) if s["snapshot-id"] == snap_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snap_id} not found in {meta_path}")
+    base = os.path.dirname(meta_path)
+
+    def _local(p: str) -> str:
+        p = p.removeprefix("file:")
+        return p if os.path.isabs(p) else os.path.join(base, p)
+
+    _, manifests = read_ocf_generic(_local(snap["manifest-list"]))
+    paths: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            raise NotImplementedError(
+                "Iceberg delete manifests (row-level deletes) are "
+                "outside the import subset — compact the source table "
+                "so the live file set IS the data, then re-read"
+            )
+        _, entries = read_ocf_generic(_local(m["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:  # DELETED entry
+                continue
+            d = e["data_file"]
+            fmt = str(d.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"file format {fmt} is outside the import subset"
+                )
+            paths.append(_local(d["file_path"]))
+    schema = md["schemas"][md.get("current-schema-id", 0)]
+    names = [f["name"] for f in schema["fields"]]
+    if not paths:
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(
+                        f["name"],
+                        _spark_type(f["type"]),
+                        not f.get("required", False),
+                    )
+                    for f in schema["fields"]
+                ]
+            ),
+        )
+    df = spark.read.parquet(*paths)
+    return df.select(*[c for c in names if c in df.columns])
+
+
+def _spark_type(ice: Any):
+    """Iceberg schema type → Spark DataType (the import subset's
+    inverse of ``_iceberg_field_type``)."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(ice, dict):
+        if ice.get("type") == "list":
+            return ArrayType(
+                _spark_type(ice["element"]),
+                not ice.get("element-required", False),
+            )
+        raise ValueError(f"unsupported Iceberg type: {ice!r}")
+    m = _re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", ice)
+    if m:
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    simple = {
+        "long": LongType(),
+        "int": IntegerType(),
+        "double": DoubleType(),
+        "float": FloatType(),
+        "string": StringType(),
+        "boolean": BooleanType(),
+        "binary": BinaryType(),
+        "date": DateType(),
+        "timestamptz": TimestampType(),
+        "timestamp": TimestampNTZType(),
+    }
+    if ice in simple:
+        return simple[ice]
+    raise ValueError(f"unsupported Iceberg type: {ice!r}")

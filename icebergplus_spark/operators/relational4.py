@@ -2671,3 +2671,59 @@ def q182_sql_grouped_acd_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "pri string, n long, exact_cust long, approx_within_10pct boolean",
     ).orderBy("pri")
+
+
+# ---------------------------------------------------------------------------
+# q183 — Iceberg v2 IMPORT round-trip (r12): the reverse of q181 — a
+# lake snapshot exported as genuine Iceberg v2 metadata is read BACK
+# through `read_iceberg_snapshot` (metadata.json → manifest-list Avro
+# → manifest Avro → the live parquet set, version-hint discovery) and
+# aggregated; the oracle recomputes the same aggregate from the raw
+# table, so any wrong path resolution, Avro decode, status filter, or
+# schema projection flips the hash. Foreign-written-Avro import and
+# the delete-manifest refusal are pinned in
+# tests/test_iceberg_export.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q183_iceberg_import",
+    oracle="""
+SELECT o_orderstatus AS st,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS ck_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY st
+""",
+)
+def q183_iceberg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.iceberg_export import (
+        export_iceberg_snapshot,
+        read_iceberg_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_ice_imp_")
+    cat = LocalLakeCatalog(spark, root).start()
+    t = cat.create_table("bench.ord_imp", orders.schema)
+    hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    step = max(hi // 3, 1)
+    for lo in range(0, hi, step):
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + step)
+            ).repartition(2)
+        )
+    dest = tempfile.mkdtemp(prefix="ice_imp_")
+    export_iceberg_snapshot(t, dest)
+    back = read_iceberg_snapshot(spark, dest)  # version-hint discovery
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("ck_sum"),
+        )
+        .orderBy("st")
+    )

@@ -245,6 +245,77 @@ def test_unsupported_type_refuses_with_column_name(spark, tmp_path):
         export_iceberg_snapshot(t, str(tmp_path / "ice2"))
 
 
+def test_import_roundtrip(spark, tmp_path):
+    """read_iceberg_snapshot over an exported tree returns exactly the
+    table's rows — by table dir (version-hint discovery), metadata dir,
+    and metadata.json path alike."""
+    from icebergplus_spark.lake.iceberg_export import read_iceberg_snapshot
+
+    _, t, dest, md = _export(spark, tmp_path)
+    want = sorted(map(tuple, t.scan().collect()))
+    for entry in (
+        dest,
+        os.path.join(dest, "metadata"),
+        os.path.join(dest, "metadata", "v1.metadata.json"),
+    ):
+        got = read_iceberg_snapshot(spark, entry)
+        assert got.columns == ["k", "name", "price", "ts"]
+        assert sorted(map(tuple, got.collect())) == want
+
+
+def test_import_foreign_jvm_written_manifest(spark, tmp_path):
+    """A metadata tree whose Avro was written by the JVM reference
+    implementation (not our codec) imports identically — the reader
+    handles foreign-written OCF bytes, not just its own."""
+    import uuid as _uuid
+
+    from icebergplus_spark.lake.iceberg_export import read_iceberg_snapshot
+    from icebergplus_spark.sources.avro_io import read_ocf_generic
+
+    _, t, dest, md = _export(spark, tmp_path)
+    list_path = md["snapshots"][0]["manifest-list"]
+    _, [mlist] = read_ocf_generic(list_path)
+    manifest_path = mlist["manifest_path"]
+    jvm = spark.sparkContext._jvm
+    for src in (list_path, manifest_path):
+        # JVM round-trip: reference reader -> reference writer
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(src),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        schema = reader.getSchema()
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        )
+        out = src + ".jvm"
+        writer.create(schema, jvm.java.io.File(out))
+        while reader.hasNext():
+            writer.append(reader.next())
+        reader.close()
+        writer.close()
+        os.replace(out, src)
+    got = read_iceberg_snapshot(spark, dest)
+    want = sorted(map(tuple, t.scan().collect()))
+    assert sorted(map(tuple, got.collect())) == want
+
+
+def test_import_refuses_delete_manifests(spark, tmp_path):
+    from icebergplus_spark.lake.iceberg_export import read_iceberg_snapshot
+    from icebergplus_spark.sources.avro_io import (
+        read_ocf_generic,
+        write_ocf_generic,
+    )
+
+    _, _, dest, md = _export(spark, tmp_path)
+    list_path = md["snapshots"][0]["manifest-list"]
+    schema, [mlist] = read_ocf_generic(list_path)
+    fake_delete = dict(mlist)
+    fake_delete["content"] = 1  # a delete manifest
+    write_ocf_generic(list_path, schema, [mlist, fake_delete])
+    with pytest.raises(NotImplementedError, match="delete manifests"):
+        read_iceberg_snapshot(spark, dest)
+
+
 def test_schema_evolution_ids_survive_export(spark, tmp_path):
     """Field-ids are the engine's persisted ids — a dropped+added
     column must NOT reuse the dropped id (Iceberg's core invariant)."""
