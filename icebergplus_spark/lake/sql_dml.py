@@ -75,6 +75,7 @@ import json
 import re
 from typing import Any
 
+from icebergplus_spark.localrel import attached_rows, local_rows_df
 from icebergplus_spark.lake.catalog import LocalLakeCatalog
 from icebergplus_spark.lake.table import LakeTable
 
@@ -716,7 +717,13 @@ def _inline_scalar_subqueries(
                 break
             try:
                 df = lake_sql(catalog, sub)
-                rows = df.take(2) if len(df.columns) == 1 else [0, 0]
+                if len(df.columns) != 1:
+                    rows = [0, 0]
+                else:
+                    # fold-built frames carry their driver-computed rows;
+                    # reading them back skips a whole Spark action (r12)
+                    lr = attached_rows(df)
+                    rows = lr[:2] if lr is not None else df.take(2)
             except Exception:
                 declined.add(sub)
                 continue  # correlated/unresolvable — leave the span
@@ -762,7 +769,11 @@ def _scalar_eval(catalog: LocalLakeCatalog, sub: str) -> str | None:
 
     try:
         df = lake_sql(catalog, sub)
-        rows = df.take(2) if len(df.columns) == 1 else [0, 0]
+        if len(df.columns) != 1:
+            rows = [0, 0]
+        else:
+            lr = attached_rows(df)  # fold frames: no Spark action (r12)
+            rows = lr[:2] if lr is not None else df.take(2)
     except Exception:
         return None
     if len(rows) > 1:
@@ -1398,8 +1409,8 @@ def _count_select(catalog: LocalLakeCatalog, stmt: str):
     n = table.count_rows(pred_arg)
     # Spark names an unaliased COUNT(*) column `count(1)` — match it so
     # the fast path is invisible to callers
-    return table.spark.createDataFrame(
-        [(n,)], f"`{alias or 'count(1)'}` bigint"
+    return local_rows_df(
+        table.spark, [(n,)], f"`{alias or 'count(1)'}` bigint"
     )
 
 
@@ -1569,7 +1580,7 @@ def _agg_select(catalog: LocalLakeCatalog, stmt: str):
             )
     except Exception:
         return None  # unconvertible stats domain — generic path
-    return table.spark.createDataFrame([tuple(row)], StructType(fields))
+    return local_rows_df(table.spark, [tuple(row)], StructType(fields))
 
 
 _GROUP_COUNT = re.compile(
@@ -3194,7 +3205,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             raise UnsupportedSQL("TRUNCATE TABLE <identifier>")
         table = catalog.load_table(m.group(1))
         # replace-commit with an empty frame: history stays time-travelable
-        return table.overwrite(spark.createDataFrame([], table.schema))
+        return table.overwrite(local_rows_df(spark, [], table.schema))
 
     if head == "DROP":
         m = re.match(
@@ -3480,8 +3491,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         ]
         rows += [(k, v, True, "property") for k, v in sorted(t.properties.items())]
         rows += [(k, v, True, "constraint") for k, v in sorted(t.constraints.items())]
-        return spark.createDataFrame(
-            rows, "name string, info string, nullable boolean, kind string"
+        return local_rows_df(
+            spark, rows, "name string, info string, nullable boolean, kind string"
         )
 
     if head == "SHOW":
@@ -3500,8 +3511,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 }
                 for n in list_materialized_views(catalog)
             ]
-            return spark.createDataFrame(
-                rows, "name string, source string, stale_snapshots long"
+            return local_rows_df(
+                spark, rows, "name string, source string, stale_snapshots long"
             )
         # Trino syntax: SHOW STATS FOR t → the persisted ANALYZE result
         sm = re.match(rf"^SHOW\s+STATS\s+FOR\s+({_IDENT})$", stmt, re.IGNORECASE)
@@ -3541,8 +3552,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                     f"'{k}'='{v}'" for k, v in sorted(props.items())
                 )
                 parts.append(f"TBLPROPERTIES ({kv})")
-            return spark.createDataFrame(
-                [("\n".join(parts),)], "create_statement string"
+            return local_rows_df(
+                spark, [("\n".join(parts),)], "create_statement string"
             )
         m = re.match(
             r"^SHOW\s+(TABLES|VIEWS)(?:\s+IN\s+(\w+))?$", stmt, re.IGNORECASE
@@ -3553,7 +3564,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         names = (
             catalog.list_tables(ns) if kind == "TABLES" else catalog.list_views(ns)
         )
-        return spark.createDataFrame([(n,) for n in names], "identifier string")
+        return local_rows_df(spark, [(n,) for n in names], "identifier string")
 
     if head == "VACUUM":
         m = re.match(rf"^VACUUM\s+({_IDENT})$", stmt, re.IGNORECASE)
@@ -3615,7 +3626,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             k: (json.dumps(v) if isinstance(v, (list, dict)) else v)
             for k, v in sorted(report.items())
         }
-        return spark.createDataFrame([row])
+        return local_rows_df(spark, [row])
 
     if head == "RESTORE":
         # Delta syntax: RESTORE TABLE t TO VERSION AS OF <snapshot_id>
@@ -3629,8 +3640,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
         from icebergplus_spark.lake.maintenance import rollback
 
         report = rollback(catalog.load_table(m.group(1)), int(m.group(2)))
-        return spark.createDataFrame(
-            [{k: str(v) for k, v in sorted(report.items())}]
+        return local_rows_df(
+            spark, [{k: str(v) for k, v in sorted(report.items())}]
         )
 
     if head == "COPY":
@@ -3668,7 +3679,8 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
                 n = df.count()
             finally:
                 df.unpersist()
-            return spark.createDataFrame(
+            return local_rows_df(
+                spark,
                 [(out_path, fmt, n)],
                 "path string, format string, rows long",
             )
@@ -3821,7 +3833,7 @@ def lake_sql(catalog: LocalLakeCatalog, sql: str):
             k: (json.dumps(v) if isinstance(v, (list, dict)) else v)
             for k, v in sorted(report.items())
         }
-        return spark.createDataFrame([row])
+        return local_rows_df(spark, [row])
 
     if head == "MERGE":
         # MERGE ... USING (SELECT ...) alias (r8): the subquery source

@@ -36,6 +36,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from icebergplus_spark.localrel import local_rows_df
+
 from icebergplus_spark.lake.commitio import (  # noqa: F401 — re-export
     ConcurrentCommitError,
     RenameCommitIO,
@@ -514,6 +516,107 @@ def _apply_column_hlls(
     entry["column_hlls"] = json.dumps(out)
 
 
+_NDV_P = 12  # dense-HLL precision for the write-time NDV sketch (rsd ~1.6%)
+
+
+def _ndv_hash64(uniq: "pa.Array") -> "Any":
+    """Vectorized 64-bit hashes of an Arrow array of DISTINCT non-null
+    values: numeric/temporal/bool values go through a splitmix64
+    finalizer over their raw 64-bit representation (pure numpy);
+    strings/decimals/other objects through pandas' vectorized siphash.
+    Internal to the NDV summary sketch — deliberately NOT the md5
+    domain the oracled APPROX_COUNT_DISTINCT folds use. Returns None
+    for types neither path can hash (nested) — the column is skipped."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = uniq.type
+    try:
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_temporal(t)
+        ):
+            x = pc.cast(uniq, pa.int64(), safe=False).to_numpy(
+                zero_copy_only=False
+            )
+            h = x.astype(np.uint64)
+        elif pa.types.is_floating(t):
+            h = (
+                uniq.cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+            )
+        elif (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_decimal(t)
+        ):
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                np.asarray(uniq.to_pylist(), dtype=object)
+            ).astype(np.uint64)
+        else:
+            return None
+    except Exception:
+        return None
+    with np.errstate(over="ignore"):
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _ndv_sketch_columns(
+    data: "pa.Table", cols: list[str], p: int = _NDV_P
+) -> dict[str, str]:
+    """{col: hex dense-HLL registers} over each column's distinct
+    non-null values — the per-file carrier the batch NDV summary merges
+    (replaces the per-write Observation/CollectMetrics pass, r12: the
+    sketch rides the harvest's shared column read next to the
+    just-written file, instead of a per-row HLL++ update inside every
+    write job)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    mask = np.uint64((1 << (64 - p)) - 1)
+    out: dict[str, str] = {}
+    for c in cols:
+        if c not in data.schema.names:
+            continue
+        try:
+            uniq = pc.unique(data.column(c).combine_chunks())
+            uniq = uniq.drop_null()
+        except Exception:
+            continue  # un-hashable physical type — no sketch, no harm
+        h = _ndv_hash64(uniq)
+        if h is None:
+            continue
+        regs = np.zeros(m, dtype=np.uint8)
+        if len(h):
+            idx = (h >> shift).astype(np.int64)
+            w = h & mask
+            bl = np.zeros(len(w), dtype=np.int64)
+            nz = w != 0
+            # w < 2^(64-p) <= 2^53 for p >= 11: float64 log2 is exact
+            # at these magnitudes, so bit_length via floor(log2)+1 is
+            bl[nz] = (
+                np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+                + 1
+            )
+            rho = np.minimum(255, (64 - p) - bl + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rho)
+        out[c] = regs.tobytes().hex()
+    return out
+
+
 def _hll_merge(sketches: "list[bytes]") -> bytes:
     """Bytewise-max union of dense register arrays — the standard HLL
     merge, associative and order-free (what makes the fold exact-as-a-
@@ -580,6 +683,7 @@ def _harvest_entry(
     nan_counts: bool = True,
     hll_cols: list[str] | None = None,
     hll_p: int = 11,
+    ndv: bool = False,
 ) -> dict[str, Any]:
     """The complete per-file harvest, dependency-free of LakeTable so
     executors can run it (footer stats + path partition stats + blooms
@@ -607,6 +711,11 @@ def _harvest_entry(
         if nan_counts
         else []
     )
+    ndv_cols = (
+        [f.name for f in pf.schema_arrow if not pa.types.is_nested(f.type)]
+        if ndv
+        else []
+    )
     want = [
         c
         for c in file_cols
@@ -616,6 +725,7 @@ def _harvest_entry(
         | set(distinct_cols)
         | set(float_cols)
         | set(hll_cols or [])
+        | set(ndv_cols)
     ]
     data = pf.read(columns=want) if want else None
     _apply_entry_blooms(entry, bloom_cols, data=data)
@@ -632,6 +742,10 @@ def _harvest_entry(
         )
     if hll_cols:
         _apply_column_hlls(entry, data, hll_cols, hll_p)
+    if ndv_cols and data is not None:
+        # batch-NDV carrier for the commit summary — never persisted
+        # into the manifest (the writer pops it after merging)
+        entry["column_ndv"] = json.dumps(_ndv_sketch_columns(data, ndv_cols))
     return entry
 
 
@@ -1999,7 +2113,7 @@ class LakeTable:
         applied — what every rewrite path (compact/cow-delete/merge) must
         read, or tombstoned rows would resurrect in the rewrite."""
         if not paths:
-            return self.spark.createDataFrame([], self.physical_schema)
+            return local_rows_df(self.spark, [], self.physical_schema)
         if not (snap and snap.get("delete_manifests")):
             return self._read_physical(paths)
         df = self._read_physical(paths, with_meta=True)
@@ -2084,7 +2198,8 @@ class LakeTable:
         mat_paths = [p for p in paths if p in mat]
         pieces: list[DataFrame] = []
         if plain:
-            lin = self.spark.createDataFrame(
+            lin = local_rows_df(
+                self.spark,
                 self._lineage_assignments(snap, plain, all_paths),
                 "__lin_file string, __first long, __birth long",
             )
@@ -2118,7 +2233,8 @@ class LakeTable:
             # birth" — how rewrites mint ids for INSERTED rows and stamp
             # last-updated on UPDATED rows without any write-side
             # coordination (carried rows keep their non-null values).
-            inh = self.spark.createDataFrame(
+            inh = local_rows_df(
+                self.spark,
                 self._lineage_assignments(snap, mat_paths, all_paths),
                 "__inh_file string, __inh_first long, __inh_birth long",
             )
@@ -2183,7 +2299,7 @@ class LakeTable:
             schema = schema.add(
                 StructField("_last_updated_snapshot_id", LongType())
             )
-            return self.spark.createDataFrame([], schema)
+            return local_rows_df(self.spark, [], schema)
 
         if snap is None or not self._snapshot_paths(snap):
             return _empty()
@@ -2588,20 +2704,19 @@ class LakeTable:
         df = df.select(
             *[_F.col(c).cast(types[c]).alias(mapping[c]) for c in df.columns]
         )
-        # Single-pass column NDV stats: Observation metrics are computed
-        # BY the write action itself (map-side partial aggregates piggy-
-        # backing on the scan) — no second pass over the data. This is
-        # how the engine gets Iceberg-puffin-style distinct-count stats
-        # "for free" at 100 TB; stored in the snapshot summary under
-        # added-ndv and usable for join-strategy decisions.
-        from pyspark.sql import Observation
-
-        obs = Observation(f"ndv-{uuid.uuid4().hex}")
+        # Column NDV stats (added-ndv in the snapshot summary) ride the
+        # HARVEST's shared column read since r12: the old per-write
+        # Observation put a CollectMetrics HLL++ update on every row of
+        # every write job (measured +0.18 s on a 2-file append — fixed
+        # cost the commit path paid ~50× per bench pass), where the
+        # vectorized sketch over each file's Arrow uniques runs next to
+        # the just-written page-cache-hot file in microseconds-per-value
+        # and fans out with the distributed harvest past the threshold.
+        # Values are a dense-HLL estimate (rsd ~1.6%, exact-by-linear-
+        # counting at small cardinalities) instead of HLL++ rsd 5% —
+        # still approximate stats, just cheaper and tighter. Opt out
+        # with write.stats.ndv=false.
         phys_cols = list(df.columns)
-        df = df.observe(
-            obs,
-            *[_F.approx_count_distinct(c).alias(c) for c in phys_cols],
-        )
         snap_dir = os.path.join(self.table_dir, "data", f"snap-{uuid.uuid4().hex}")
         df, pcols = self._apply_partition_transforms(df)
         # Write distribution (Iceberg write.distribution-mode parity):
@@ -2641,30 +2756,59 @@ class LakeTable:
             writer = writer.partitionBy(*pcols)
         writer.parquet(snap_dir)
         inverse = {p: l for l, p in mapping.items()}
-        try:
-            ndv = {inverse.get(c, c): int(v) for c, v in obs.get.items()}
-        except Exception:
-            ndv = {}  # observation unavailable (e.g. empty plan) — stats are optional
+        want_ndv = (self.properties or {}).get("write.stats.ndv", "true") != "false"
         paths = [
             os.path.join(root, fn)
             for root, _dirs, files in os.walk(snap_dir)
             for fn in files
             if fn.endswith(".parquet")
         ]
+        import numpy as _np
+
         entries = []
-        for entry in self._harvest_data_files(paths):
+        ndv_regs: dict[str, Any] = {}
+        for entry in self._harvest_data_files(paths, ndv=want_ndv):
+            raw = entry.pop("column_ndv", None)
             if entry["record_count"] == 0:
                 # Spark occasionally emits a zero-row task file;
                 # registering it bloats manifests and — having
                 # no stats — defeats pruning. Drop it.
                 os.remove(entry["file_path"])
                 continue
+            if raw:
+                for c, hexregs in json.loads(raw).items():
+                    b = _np.frombuffer(bytes.fromhex(hexregs), dtype=_np.uint8)
+                    cur = ndv_regs.get(c)
+                    if cur is None:
+                        ndv_regs[c] = b.copy()
+                    else:
+                        _np.maximum(cur, b, out=cur)
             entries.append(entry)
         entries.sort(key=lambda e: e["file_path"])
+        ndv: dict[str, int] = {}
+        if want_ndv and entries:
+            for c, regs in ndv_regs.items():
+                if c in phys_cols:
+                    ndv[inverse.get(c, c)] = _hll_estimate(
+                        regs.tobytes(), _NDV_P
+                    )
+            # identity-partition columns live in the Hive path, not the
+            # file bytes: each entry carries the segment value as its
+            # min==max stat, so the batch's distinct count is EXACT here
+            for c in self._seg_types():
+                if c in phys_cols and c not in ndv_regs:
+                    vals = set()
+                    for e in entries:
+                        m = json.loads(e.get("column_mins") or "{}")
+                        if c in m:
+                            vals.add(m[c])
+                    ndv[inverse.get(c, c)] = len(vals)
         manifest = self._write_manifest(entries)
         return entries, ndv, manifest
 
-    def _harvest_data_files(self, paths: list[str]) -> list[dict[str, Any]]:
+    def _harvest_data_files(
+        self, paths: list[str], ndv: bool = False
+    ) -> list[dict[str, Any]]:
         """Write-time stats for a batch of new files. Past the table
         property ``write.stats-harvest.distributed-threshold`` (default
         64 files) the footer reads fan out as a Spark job — one task
@@ -2679,7 +2823,7 @@ class LakeTable:
             self.properties.get("write.stats-harvest.distributed-threshold", "64")
         )
         if len(paths) <= threshold:
-            return [self._harvest_data_file(p) for p in paths]
+            return [self._harvest_data_file(p, ndv=ndv) for p in paths]
         import pandas as pd
 
         seg_types = self._seg_types()
@@ -2696,7 +2840,8 @@ class LakeTable:
             "column_mins string, column_maxs string, "
             "column_null_counts string, column_blooms string, "
             "column_sums string, column_distincts string, "
-            "column_nan_counts string, column_hlls string"
+            "column_nan_counts string, column_hlls string, "
+            "column_ndv string"
         )
         pdf = self.spark.createDataFrame(
             [(p,) for p in sorted(paths)], "path string"
@@ -2711,7 +2856,7 @@ class LakeTable:
                         p, seg_types, bloom_cols, sums=want_sums,
                         distinct_cols=dcols, distinct_cap=dcap,
                         distinct_opt_in=dopt, nan_counts=want_nans,
-                        hll_cols=hcols, hll_p=hp,
+                        hll_cols=hcols, hll_p=hp, ndv=ndv,
                     )
                     for p in b["path"]
                 ]
@@ -2729,6 +2874,7 @@ class LakeTable:
                             "column_distincts": e.get("column_distincts"),
                             "column_nan_counts": e.get("column_nan_counts"),
                             "column_hlls": e.get("column_hlls"),
+                            "column_ndv": e.get("column_ndv"),
                         }
                         for e in rows
                     ]
@@ -2744,6 +2890,8 @@ class LakeTable:
                 e.pop("column_sums")
             if e.get("column_distincts") is None:
                 e.pop("column_distincts")
+            if e.get("column_ndv") is None:
+                e.pop("column_ndv", None)
             entries.append(e)
         return entries
 
@@ -3005,7 +3153,7 @@ class LakeTable:
                     t = pq.read_table(os.path.join(self._meta_dir, m))
                     new_files.extend(t.column("file_path").to_pylist())
         if not new_files:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
@@ -3151,7 +3299,7 @@ class LakeTable:
             to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
         )
         if to_id is None:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         mapping = self._column_mapping
 
         def logical(df: DataFrame) -> DataFrame:
@@ -3159,7 +3307,7 @@ class LakeTable:
                 *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
             )
 
-        empty = self.spark.createDataFrame([], self.schema)
+        empty = local_rows_df(self.spark, [], self.schema)
         frames: list[DataFrame] = []
         prev: dict[str, Any] | None = None
         for s in self._lineage(to_id):
@@ -3205,7 +3353,7 @@ class LakeTable:
                 )
             prev = s
         if not frames:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     def to_view(self, name: str, snapshot_id: int | None = None) -> str:
@@ -3345,11 +3493,64 @@ class LakeTable:
         )
         return self
 
+    def _merge_source_probe(
+        self, source: DataFrame, keys: list[str]
+    ) -> tuple[dict[str, Any], list | None, DataFrame | None]:
+        """ONE Spark action on the MERGE hot path instead of two (r12,
+        guide §1.2 — fewer passes): ``_merge_unhit_exempt``'s distinct
+        key sample doubles as the bounds probe. When the sample fits
+        under ``EQ_SKIP_KEYS_CAP`` it IS the complete distinct key set,
+        so the first-key [lo, hi] derive driver-side and the separate
+        min/max aggregate never runs. Returns ``(bounds, sample,
+        keys_phys)``: ``bounds`` maps 'lo'/'hi'; ``sample`` is the
+        collected distinct key tuples (None when over cap or when the
+        probe declines); ``keys_phys`` the deduped physical key frame
+        (None iff the probe's type gate declined). Declines — running
+        the plain aggregate — on source/target key-type mismatch (the
+        exempt tier's own gate) and on float/double first keys, where a
+        NaN would break the Python-side min/max (Spark orders NaN
+        largest; mirroring the sums family's float exclusion)."""
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import DoubleType, FloatType
+
+        mapping = self._column_mapping
+        k0 = keys[0]
+        types = {f.name: f.dataType for f in self.schema.fields}
+        src_types = {
+            c: f.dataType for c, f in zip(source.columns, source.schema.fields)
+        }
+        fused = all(src_types.get(c) == types[c] for c in keys) and not isinstance(
+            types[k0], (FloatType, DoubleType)
+        )
+        keys_phys = None
+        if fused:
+            phys_cols = [mapping.get(c, c) for c in keys]
+            keys_phys = source.select(
+                *[_F.col(c).alias(p) for c, p in zip(keys, phys_cols)]
+            ).dropDuplicates()
+            sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
+            if len(sample) <= self.EQ_SKIP_KEYS_CAP:
+                k0_vals = [r[0] for r in sample if r[0] is not None]
+                return (
+                    {
+                        "lo": min(k0_vals, default=None),
+                        "hi": max(k0_vals, default=None),
+                    },
+                    sample,
+                    keys_phys,
+                )
+        bounds = source.agg(
+            _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
+        ).first()
+        return bounds, None, keys_phys
+
     def _merge_unhit_exempt(
         self,
         affected: list[dict[str, Any]],
         source: DataFrame,
         keys: list[str],
+        sample: list | None = None,
+        keys_phys: DataFrame | None = None,
     ) -> list[dict[str, Any]]:
         """Exempt in-range target files NO source key can hit (r9,
         VERDICT r8 #6): the first-key [lo,hi] filter keeps every file
@@ -3380,12 +3581,14 @@ class LakeTable:
         }
         if any(src_types.get(c) != types[c] for c in keys):
             return affected
-        keys_phys = source.select(
-            *[_F.col(c).alias(p) for c, p in zip(keys, phys_cols)]
-        ).dropDuplicates()
+        if keys_phys is None:
+            keys_phys = source.select(
+                *[_F.col(c).alias(p) for c, p in zip(keys, phys_cols)]
+            ).dropDuplicates()
         uris = [_as_uri(f["file_path"]) for f in affected]
         stats = {_as_uri(f["file_path"]): f for f in affected}
-        sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
+        if sample is None:
+            sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
         if len(sample) <= self.EQ_SKIP_KEYS_CAP:
             key_rows = [
                 tuple(r) for r in sample if all(v is not None for v in r)
@@ -3444,12 +3647,20 @@ class LakeTable:
         )
         snap = self.snapshot()
         k0 = keys[0]
-        bounds = source.agg(
-            _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
-        ).first()
+        # BY SOURCE clauses scan every target file regardless of the
+        # source key range — bounds are never consulted there, so the
+        # probe action is skipped outright (r12).
+        bounds, key_sample, keys_phys = (
+            ({"lo": None, "hi": None}, None, None)
+            if by_source
+            else self._merge_source_probe(source, keys)
+        )
         if bounds["lo"] is None and not by_source:
             # same r9 fix as the CoW path: all-NULL keys still insert
-            if not when_not_matched_insert or source.isEmpty():
+            src_empty = (
+                not key_sample if key_sample is not None else source.isEmpty()
+            )
+            if not when_not_matched_insert or src_empty:
                 return self
         # NOTE: snap may be None (never-written table) — only inserts
         # can fire then; the generic flow below handles it (empty
@@ -3468,7 +3679,9 @@ class LakeTable:
                 for f in affected
                 if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
             ]
-            affected = self._merge_unhit_exempt(affected, source, keys)
+            affected = self._merge_unhit_exempt(
+                affected, source, keys, sample=key_sample, keys_phys=keys_phys
+            )
         if target_branches:
             # same caller-gated prune as the CoW path (r10): unread
             # files' rows can't fire any clause, so they keep their DV
@@ -3503,8 +3716,7 @@ class LakeTable:
         else:
             from pyspark.sql.types import LongType, StringType, StructField
 
-            target = self.spark.createDataFrame(
-                [],
+            target = local_rows_df(self.spark, [],
                 StructType(
                     self.schema.fields
                     + [
@@ -3792,9 +4004,14 @@ class LakeTable:
 
         # stats-target affected files by the source's key range (first key)
         k0 = keys[0]
-        bounds = source.agg(
-            _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
-        ).first()
+        # BY SOURCE clauses scan every target file regardless of the
+        # source key range — bounds are never consulted there, so the
+        # probe action is skipped outright (r12).
+        bounds, key_sample, keys_phys = (
+            ({"lo": None, "hi": None}, None, None)
+            if by_source
+            else self._merge_source_probe(source, keys)
+        )
         if bounds["lo"] is None and not by_source:
             # Empty source: nothing can match and nothing can insert.
             # An all-NULL first key also matches nothing, BUT its rows
@@ -3802,7 +4019,12 @@ class LakeTable:
             # is on (r9 fix: this used to return early and silently
             # drop the inserts). BY SOURCE clauses always fall through:
             # they judge every target row even against an empty source.
-            if not when_not_matched_insert or source.isEmpty():
+            # A complete (under-cap) key sample answers emptiness for
+            # free: no distinct key tuples ⇔ no source rows.
+            src_empty = (
+                not key_sample if key_sample is not None else source.isEmpty()
+            )
+            if not when_not_matched_insert or src_empty:
                 return self
         all_files = self.plan_files()
         if by_source:
@@ -3818,7 +4040,9 @@ class LakeTable:
                 for f in affected
                 if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
             ]
-            affected = self._merge_unhit_exempt(affected, source, keys)
+            affected = self._merge_unhit_exempt(
+                affected, source, keys, sample=key_sample, keys_phys=keys_phys
+            )
         if target_branches:
             # caller-gated clauses can only fire on rows matching some
             # branch; files ruled out by stats carry over unexamined
@@ -3859,7 +4083,7 @@ class LakeTable:
                     *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
                 )
                 if affected
-                else self.spark.createDataFrame([], self.schema)
+                else local_rows_df(self.spark, [], self.schema)
             )
         target = target.withColumn("__t", _F.lit(True))
         join_cond = _F.lit(True)
@@ -4396,7 +4620,7 @@ class LakeTable:
         )
         return self
 
-    def _harvest_data_file(self, path: str) -> dict[str, Any]:
+    def _harvest_data_file(self, path: str, ndv: bool = False) -> dict[str, Any]:
         """Full write-time stats for one new data file: footer min/max/
         null counts, path-derived partition stats, and — for the
         table's opted-in ``bloom_cols`` — a per-file bloom filter built
@@ -4415,6 +4639,7 @@ class LakeTable:
             nan_counts=self._harvest_nans(),
             hll_cols=self._hll_cols(),
             hll_p=self._hll_p(),
+            ndv=ndv,
         )
 
     def _hll_cols(self) -> list[str]:
@@ -4897,8 +5122,7 @@ class LakeTable:
         elif kind == "files":
             snap = self.snapshot()
             if not snap:
-                return self.spark.createDataFrame(
-                    [], "file_path string, record_count long, file_size_bytes long, "
+                return local_rows_df(self.spark, [], "file_path string, record_count long, file_size_bytes long, "
                     "column_mins string, column_maxs string"
                 )
             # distributed read of the manifest parquet files themselves
@@ -4920,7 +5144,7 @@ class LakeTable:
                 # same schema as a populated read (the full manifest
                 # schema) so consumers can select stats columns on a
                 # never-written table too
-                return self.spark.createDataFrame([], _ddl_of(MANIFEST_SCHEMA))
+                return local_rows_df(self.spark, [], _ddl_of(MANIFEST_SCHEMA))
             return (
                 self.spark.read.parquet(
                     *[os.path.join(self._meta_dir, m) for m in all_manifests]
@@ -4936,7 +5160,7 @@ class LakeTable:
                 }
             )
             if not all_dm:
-                return self.spark.createDataFrame([], _ddl_of(DELETE_MANIFEST_SCHEMA))
+                return local_rows_df(self.spark, [], _ddl_of(DELETE_MANIFEST_SCHEMA))
             return self.spark.read.parquet(
                 *[os.path.join(self._meta_dir, m) for m in all_dm]
             ).dropDuplicates(["file_path"])
@@ -4975,7 +5199,8 @@ class LakeTable:
             if distinct_m and n_rows > threshold:
                 from pyspark.sql import functions as _F
 
-                map_df = self.spark.createDataFrame(
+                map_df = local_rows_df(
+                    self.spark,
                     [
                         (m, sid, 1 if born[m] == sid else 0)
                         for m, sid in refs
@@ -5023,8 +5248,7 @@ class LakeTable:
             from icebergplus_spark.lake.transforms import field_name
 
             if not self.partition_spec:
-                return self.spark.createDataFrame(
-                    [], "partition string, file_count long, record_count long"
+                return local_rows_df(self.spark, [], "partition string, file_count long, record_count long"
                 )
             files = self.metadata_df("files")
             mapping = self._column_mapping
@@ -5053,7 +5277,7 @@ class LakeTable:
             )
         else:
             raise ValueError(f"unknown metadata table: {kind}")
-        return self.spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
+        return local_rows_df(self.spark, rows, schema)  # type: ignore[arg-type]
 
     # -- scan machinery ----------------------------------------------------
     def _physical_predicates(
@@ -5845,7 +6069,7 @@ class LakeTable:
         )
         snap = self.snapshot(snapshot_id)
         if snap is None:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         branches = _normalize_branches(predicates) if predicates else None
 
         def _grouped(df: DataFrame) -> DataFrame:
@@ -5922,7 +6146,7 @@ class LakeTable:
                 boundary.append(r)
             else:
                 meta_pairs.append((*vals, rc))
-        meta_df = self.spark.createDataFrame(meta_pairs, out_schema)
+        meta_df = local_rows_df(self.spark, meta_pairs, out_schema)
         if boundary:
             bdf = self._read_live(
                 [r["file_path"] for r in boundary], snap
@@ -6140,7 +6364,7 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         if snap is None:
             if columns:
-                return self.spark.createDataFrame([], final_schema)
+                return local_rows_df(self.spark, [], final_schema)
             # scalar shape over a never-written table: SQL global
             # aggregates still return ONE row (COUNT 0, SUM/AVG/MIN/
             # MAX NULL) — final_fields already carries the output
@@ -6149,8 +6373,8 @@ class LakeTable:
                 0 if fn.upper() in ("COUNT", "COUNT_DISTINCT") else None
                 for fn, _c, _a in aggs
             )
-            return self.spark.createDataFrame(
-                [row], StructType(final_fields)
+            return local_rows_df(
+                self.spark, [row], StructType(final_fields)
             )
         branches = _normalize_branches(predicates) if predicates else None
 
@@ -6287,7 +6511,7 @@ class LakeTable:
                 boundary.append(r)
             else:
                 meta_pairs.append(tuple(vals))
-        meta_df = self.spark.createDataFrame(meta_pairs, out_schema)
+        meta_df = local_rows_df(self.spark, meta_pairs, out_schema)
         if boundary:
             bdf = self._read_live(
                 [r["file_path"] for r in boundary], snap
@@ -6563,7 +6787,7 @@ class LakeTable:
             snapshot_id = max(eligible, key=lambda s: s["timestamp_ms"])["snapshot_id"]
         files = self.plan_files(predicates, snapshot_id)
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         from pyspark.sql import functions as _F
 
         # read physical columns (identity-partition values recovered from
@@ -6690,7 +6914,7 @@ class LakeTable:
         underneath reads only the pruned file set."""
         files = self.plan_files_any(branches, snapshot_id)
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
@@ -6717,10 +6941,10 @@ class LakeTable:
         stays a single ``_read_live``. Built for the MV-refresh
         touched-bucket scan (VERDICT r5 #1)."""
         if not ranges:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         files = self.plan_files_ranges(col, ranges, snapshot_id)
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         from pyspark.sql import functions as _F
 
         mapping = self._column_mapping
@@ -6811,7 +7035,7 @@ class LakeTable:
                 )
         kept = [f for f in files if _as_uri(f["file_path"]) not in skip]
         if not kept:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         df = self._read_live([f["file_path"] for f in kept], snap)
         return df.select(
             *[_F.col(mapping[f.name]).alias(f.name) for f in self.schema.fields]
@@ -6937,7 +7161,7 @@ class LakeTable:
             ]
         )
         if snap is None:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         if snap.get("delete_manifests"):
             return None
         if any(
@@ -7026,7 +7250,7 @@ class LakeTable:
                         else _hll_estimate(regs, size.bit_length() - 1)
                     )
             rows.append(tuple(vals))
-        return self.spark.createDataFrame(rows, out_schema)
+        return local_rows_df(self.spark, rows, out_schema)
 
     def scan_pruned_for_merge(
         self,
@@ -7095,7 +7319,7 @@ class LakeTable:
         from pyspark.sql import functions as _F
 
         if not kept:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         df = self._read_live([f["file_path"] for f in kept], snap)
         return df.select(
             *[
@@ -7261,7 +7485,7 @@ class LakeTable:
         if files is None:
             return None
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return local_rows_df(self.spark, [], self.schema)
         mapping = self._column_mapping
         df = self._read_live(
             [f["file_path"] for f in files], self.snapshot(snapshot_id)

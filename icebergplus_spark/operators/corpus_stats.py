@@ -34,6 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
@@ -359,7 +360,7 @@ def s09_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["query_id"] >= 0  # standard queries only
         }
         reports.append((method, len(approx & exact) / len(exact) >= floor))
-    return spark.createDataFrame(reports, "method string, recall_ok boolean")
+    return local_rows_df(spark, reports, "method string, recall_ok boolean")
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from icebergplus_spark.functions.exact import dsum
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
@@ -494,8 +495,8 @@ def q92_lake_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_big", LongType(), False),
         ]
     )
-    return spark.createDataFrame(
-        [(n_rows, int(min_key), int(max_key), n_big)], out_schema
+    return local_rows_df(
+        spark, [(n_rows, int(min_key), int(max_key), n_big)], out_schema
     )
 
 
@@ -1426,8 +1427,8 @@ def q128_validate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("balance_ok", report.get("balance_ok", 0)),
         ("small_key", report.get("small_key", 0)),
     ]
-    return spark.createDataFrame(
-        rows, "constraint_name string, violations long"
+    return local_rows_df(
+        spark, rows, "constraint_name string, violations long"
     )
 
 
@@ -1468,7 +1469,7 @@ def q129_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans("lineitems_without_order", li, "l_orderkey", orders, "o_orderkey"),
         orphans("customers_without_nation", cust, "c_nationkey", nation, "n_nationkey"),
     ]
-    return spark.createDataFrame(rows, "relation string, orphans long")
+    return local_rows_df(spark, rows, "relation string, orphans long")
 
 
 # ---------------------------------------------------------------------------

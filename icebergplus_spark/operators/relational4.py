@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table, register_views
@@ -2594,7 +2595,8 @@ def q181_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.countDistinct("o_orderstatus"))
         .first()[0]
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(total, lo_v, hi_v, n_status)],
         "total_records long, min_okey long, max_okey long, n_status long",
     )

@@ -19,6 +19,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.registry import register
 from icebergplus_spark.session import prepare_session
 from icebergplus_spark.sources import load_table
@@ -188,7 +189,8 @@ def _ann_report(spark: SparkSession, sf_dir: str, method: str, topk: DataFrame) 
         for r in rows
         if r["query_id"] < 0 and r["rk"] == 1
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         sorted(out),
         "query_id long, expected_id long, retrieved_id long, "
         "cos_sim double, recall_ok boolean",
@@ -362,6 +364,14 @@ def s02_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(corpus, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
+        # ONE exchange for dedup + the later per-query window (r12,
+        # guide §2.4): hash-partitioning by query_id alone satisfies
+        # both the (query_id, neighbor_id) dedup's clustering and the
+        # query_id window's, so Catalyst inserts no further Exchange —
+        # previously this pipeline shuffled twice (by pair, then by
+        # query). Candidate rows still carry the vectors, so shuffling
+        # them once instead of twice also halves the shuffled bytes.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # dedupe across tables
     )
     scored = cands.select(
@@ -470,6 +480,14 @@ def s04_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
+        # ONE exchange for dedup + the later per-query window (r12,
+        # guide §2.4): hash-partitioning by query_id alone satisfies
+        # both the (query_id, neighbor_id) dedup's clustering and the
+        # query_id window's, so Catalyst inserts no further Exchange —
+        # previously this pipeline shuffled twice (by pair, then by
+        # query). Candidate rows still carry the vectors, so shuffling
+        # them once instead of twice also halves the shuffled bytes.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
@@ -578,6 +596,14 @@ def s06_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
+        # ONE exchange for dedup + the later per-query window (r12,
+        # guide §2.4): hash-partitioning by query_id alone satisfies
+        # both the (query_id, neighbor_id) dedup's clustering and the
+        # query_id window's, so Catalyst inserts no further Exchange —
+        # previously this pipeline shuffled twice (by pair, then by
+        # query). Candidate rows still carry the vectors, so shuffling
+        # them once instead of twice also halves the shuffled bytes.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
@@ -924,6 +950,14 @@ def s07_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(probes), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
+        # ONE exchange for dedup + the later per-query window (r12,
+        # guide §2.4): hash-partitioning by query_id alone satisfies
+        # both the (query_id, neighbor_id) dedup's clustering and the
+        # query_id window's, so Catalyst inserts no further Exchange —
+        # previously this pipeline shuffled twice (by pair, then by
+        # query). Candidate rows still carry the vectors, so shuffling
+        # them once instead of twice also halves the shuffled bytes.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(

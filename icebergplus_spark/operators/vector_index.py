@@ -175,6 +175,14 @@ def query_index(
         .join(corpus, F.col("vec_id") == F.col("neighbor_id"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
+        # ONE exchange for dedup + the later per-query window (r12,
+        # guide §2.4): hash-partitioning by query_id alone satisfies
+        # both the (query_id, neighbor_id) dedup's clustering and the
+        # query_id window's, so Catalyst inserts no further Exchange —
+        # previously this pipeline shuffled twice (by pair, then by
+        # query). Candidate rows still carry the vectors, so shuffling
+        # them once instead of twice also halves the shuffled bytes.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
