@@ -2291,6 +2291,14 @@ def _align(df, table: LakeTable):
 
     fields = table.schema.fields
     want = [f.name for f in fields]
+    if [f.name for f in df.schema.fields] == want and all(
+        a.dataType == b.dataType for a, b in zip(df.schema.fields, fields)
+    ):
+        # already aligned: the select below would be an identity — skip
+        # it so fold-built frames keep their attached driver rows (r12:
+        # INSERT INTO ... SELECT <fold> then takes the driver-side
+        # tiny-batch write instead of a Spark job)
+        return df
     if sorted(df.columns) == sorted(want):
         pairs = [(f.name, f) for f in fields]
     elif len(df.columns) == len(want):

@@ -956,20 +956,40 @@ class LakeTable:
                 checks.setdefault(
                     f"__required_{f.name}", f"{f.name} IS NOT NULL"
                 )
-        for name, expr in checks.items():
-            bad = df.filter(
+        if not checks:
+            return
+        # ONE aggregated pass over the batch for ALL checks (r12, guide
+        # §1.2 — fewer passes): the old loop ran one filter+limit(1)
+        # action PER check, so a table with K constraints/required
+        # columns paid K full-batch scans on every clean append. The
+        # example-row probe only runs on the (rare) failure path.
+        counts = df.agg(
+            *[
+                _F.sum(
+                    _F.when(
+                        ~_F.coalesce(
+                            _F.expr(expr).cast("boolean"), _F.lit(True)
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i, (_name, expr) in enumerate(checks.items())
+            ]
+        ).first()
+        for i, (name, expr) in enumerate(checks.items()):
+            if not counts[i]:
+                continue
+            row = df.filter(
                 ~_F.coalesce(_F.expr(expr).cast("boolean"), _F.lit(True))
-            ).limit(1)
-            row = bad.collect()
-            if row:
-                label = (
-                    f"required column {name[len('__required_'):]!r} is null"
-                    if name.startswith("__required_")
-                    else f"constraint {name!r} ({expr}) violated"
-                )
-                raise ConstraintViolation(
-                    f"{label}, e.g. by row {row[0].asDict()}"
-                )
+            ).limit(1).collect()
+            label = (
+                f"required column {name[len('__required_'):]!r} is null"
+                if name.startswith("__required_")
+                else f"constraint {name!r} ({expr}) violated"
+            )
+            raise ConstraintViolation(
+                f"{label}, e.g. by row {row[0].asDict()}"
+            )
 
     def validate(self, df: DataFrame) -> dict[str, int]:
         """Expectation REPORT (DLT's 'expect' / warn mode): count each
@@ -2682,6 +2702,116 @@ class LakeTable:
                 pcols.append(hidden)
         return df, pcols
 
+    # Spark scalar type → (pyarrow type factory, value converter); the
+    # closed set the driver-side tiny-batch writer supports. Physical
+    # parquet types match what Spark's own writer emits under this
+    # engine's session confs (TIMESTAMP_MICROS adjusted-to-UTC, date32,
+    # decimal128, no INT96).
+    def _write_rows_driver(
+        self, rows: list, schema: StructType, snap_dir: str
+    ) -> list[str] | None:
+        """Write a driver-local row batch as ONE parquet data file with
+        pyarrow, skipping the Spark write job entirely (r12, guide
+        §1.2/§5). Returns the written path list, or None to decline —
+        partitioned/sorted tables, >4096 rows, type coercion needed,
+        non-scalar or long-string values, or a non-UTC driver process
+        (naive datetimes would be reinterpreted) all fall back to the
+        ordinary Spark write, which is never wrong, only slower."""
+        import datetime as _dt
+        import time as _time
+
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            ByteType,
+            DateType,
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        if self.partition_spec or len(rows) > 4096:
+            return None
+        if (self.properties or {}).get("write.sort-order", "").strip():
+            return None
+        table_types = {f.name: f.dataType for f in self.schema.fields}
+        mapping = self._column_mapping
+        utc_process = _time.timezone == 0 and not _time.daylight
+        simple = {
+            BooleanType: pa.bool_,
+            ByteType: pa.int8,
+            ShortType: pa.int16,
+            IntegerType: pa.int32,
+            LongType: pa.int64,
+            FloatType: pa.float32,
+            DoubleType: pa.float64,
+            StringType: pa.string,
+            BinaryType: pa.binary,
+            DateType: pa.date32,
+        }
+        arrays, fields = [], []
+        for i, f in enumerate(schema.fields):
+            dt = table_types.get(f.name)
+            if dt is None or dt != f.dataType:
+                return None  # coercion needed — Spark cast semantics
+            vals = [
+                (r[f.name] if hasattr(r, "__fields__") else r[i])
+                for r in rows
+            ]
+            if type(dt) in simple:
+                pa_t = simple[type(dt)]()
+                if isinstance(dt, (StringType, BinaryType)) and any(
+                    v is not None and len(v) > 256 for v in vals
+                ):
+                    return None  # keep footer min/max trivially exact
+            elif isinstance(dt, TimestampType):
+                pa_t = pa.timestamp("us", tz="UTC")
+                if not utc_process and any(
+                    v is not None and v.tzinfo is None for v in vals
+                ):
+                    return None
+                vals = [
+                    (
+                        v.replace(tzinfo=_dt.timezone.utc)
+                        if v is not None and v.tzinfo is None
+                        else v
+                    )
+                    for v in vals
+                ]
+            elif isinstance(dt, TimestampNTZType):
+                pa_t = pa.timestamp("us")
+            else:
+                # nested/interval/etc — Spark path. DECIMAL declines
+                # too: parquet-cpp and parquet-mr expose different
+                # footer-stat subsets for FLBA decimals (cpp: min/max +
+                # null_count, mr: null_count only through this harvest),
+                # and stats parity is the invariant here.
+                return None
+            try:
+                arrays.append(pa.array(vals, type=pa_t))
+            except Exception:
+                return None  # unrenderable value — Spark path
+            fields.append(pa.field(mapping.get(f.name, f.name), pa_t))
+        if not rows:
+            return []  # empty commit: no file at all (Spark path would
+            # write zero-row task files and drop them again)
+        os.makedirs(snap_dir, exist_ok=True)
+        path = os.path.join(
+            snap_dir, f"part-00000-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            path,
+            compression="snappy",
+        )
+        return [path]
+
     def _write_data_files(
         self, df: DataFrame, distribution: str | None
     ) -> tuple[list[dict[str, Any]], dict[str, int], str]:
@@ -2699,8 +2829,12 @@ class LakeTable:
         # files every later scan fails to read.
         from pyspark.sql import functions as _F
 
+        from icebergplus_spark.localrel import attached_rows
+
         mapping = self._column_mapping
         types = {f.name: f.dataType for f in self.schema.fields}
+        local_rows = attached_rows(df)
+        local_schema = df.schema if local_rows is not None else None
         df = df.select(
             *[_F.col(c).cast(types[c]).alias(mapping[c]) for c in df.columns]
         )
@@ -2718,6 +2852,23 @@ class LakeTable:
         # with write.stats.ndv=false.
         phys_cols = list(df.columns)
         snap_dir = os.path.join(self.table_dir, "data", f"snap-{uuid.uuid4().hex}")
+        # Tiny driver-computed batches (scalar-fold INSERTs, watermark/
+        # checkpoint rows, report frames — local_rows_df carriers) write
+        # their ONE parquet file directly on the driver (r12, guide
+        # §1.2/§5: don't schedule a distributed job for rows the driver
+        # already holds). A 1-row watermark append used to pay a full
+        # Spark write job (~0.2-0.4 s of pure task/commit overhead —
+        # and on a real cluster, a network round trip per empty task);
+        # pyarrow writes the same TIMESTAMP_MICROS/date32/decimal128
+        # physical types Spark would. Gated: equal source/target types
+        # (the cast select above is then a pure rename), scalar types
+        # only, unpartitioned, no declared sort order, <= 4096 rows —
+        # anything else declines to the ordinary Spark write below.
+        paths_override: list[str] | None = None
+        if local_rows is not None:
+            paths_override = self._write_rows_driver(
+                local_rows, local_schema, snap_dir
+            )
         df, pcols = self._apply_partition_transforms(df)
         # Write distribution (Iceberg write.distribution-mode parity):
         # a partitionBy write emits one file PER (task, partition value)
@@ -2751,18 +2902,21 @@ class LakeTable:
             if not pcols and distribution == "range":
                 df = df.repartitionByRange(*[_F.col(c) for c in order])
             df = df.sortWithinPartitions(*order)
-        writer = df.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(snap_dir)
+        if paths_override is None:
+            writer = df.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(snap_dir)
+            paths = [
+                os.path.join(root, fn)
+                for root, _dirs, files in os.walk(snap_dir)
+                for fn in files
+                if fn.endswith(".parquet")
+            ]
+        else:
+            paths = paths_override
         inverse = {p: l for l, p in mapping.items()}
         want_ndv = (self.properties or {}).get("write.stats.ndv", "true") != "false"
-        paths = [
-            os.path.join(root, fn)
-            for root, _dirs, files in os.walk(snap_dir)
-            for fn in files
-            if fn.endswith(".parquet")
-        ]
         import numpy as _np
 
         entries = []
@@ -3695,6 +3849,16 @@ class LakeTable:
                 )
             }
             affected = [f for f in affected if f["file_path"] in keep]
+        if not affected and not when_not_matched_insert:
+            # Stats-proven no-op (r12): zero target files survive the
+            # range/key/branch prune, so no row can match any clause
+            # (BY SOURCE targets ALL files — affected is empty only on
+            # an empty table) and no insert clause exists. Skip the
+            # join/write job AND the snapshot — same "nothing matched,
+            # no snapshot churn" contract as delete_where. At 100 TB
+            # this is the entire value of manifest pruning: a MERGE
+            # whose source range misses the table costs zero data I/O.
+            return self
         paths = sorted(f["file_path"] for f in affected)
         carry_lineage = "row_id_assignments" in self._meta
         lin_cols = [self.LINEAGE_ID_COL, self.LINEAGE_BIRTH_COL]
@@ -4057,6 +4221,16 @@ class LakeTable:
                 )
             }
             affected = [f for f in affected if f["file_path"] in keep]
+        if not affected and not when_not_matched_insert:
+            # Stats-proven no-op (r12): zero target files survive the
+            # range/key/branch prune, so no row can match any clause
+            # (BY SOURCE targets ALL files — affected is empty only on
+            # an empty table) and no insert clause exists. Skip the
+            # join/write job AND the snapshot — same "nothing matched,
+            # no snapshot churn" contract as delete_where. At 100 TB
+            # this is the entire value of manifest pruning: a MERGE
+            # whose source range misses the table costs zero data I/O.
+            return self
         affected_paths = {f["file_path"] for f in affected}
         untouched = [f for f in all_files if f["file_path"] not in affected_paths]
 
