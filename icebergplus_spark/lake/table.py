@@ -6072,7 +6072,11 @@ class LakeTable:
         lo: dict[str, Any] = {}
         hi: dict[str, Any] = {}
         scan_paths: set[str] = set()
-        if not all(foldable.values()):
+        # float/double columns fold per FILE on NaN-free evidence (r12,
+        # see agg_by._fold_ok); statically unfoldable types (DECIMAL/
+        # BINARY string-order hazard) still route EVERY file to the scan
+        is_float = {c: _float_stat_type(types[c]) for c in cols}
+        if any(not foldable[c] and not is_float[c] for c in cols):
             # an unfoldable column needs every matching row — covered
             # files included (their rows all match, so the residual
             # keeps them; double-counting vs another column's fold is
@@ -6087,10 +6091,18 @@ class LakeTable:
             mins = json.loads(r["column_mins"])
             maxs = json.loads(r["column_maxs"])
             nulls = json.loads(r.get("column_null_counts") or "{}")
+            nans = json.loads(r.get("column_nan_counts") or "{}")
             for c in cols:
-                if not foldable[c]:
+                if not foldable[c] and not is_float[c]:
                     continue  # already on the scan leg in full
                 phys = mapping.get(c, c)
+                if not foldable[c] and nans.get(phys) != 0:
+                    # NaN-bearing or unproven float file: footer max
+                    # omits NaN while Spark orders it greatest — exact
+                    # rows only
+                    if nulls.get(phys) != r["record_count"]:
+                        scan_paths.add(r["file_path"])
+                    continue
                 if phys not in mins or phys not in maxs:
                     if nulls.get(phys) == r["record_count"]:
                         continue  # all-null file contributes nothing
@@ -6112,7 +6124,12 @@ class LakeTable:
                 smn, smx = scanned[c]
                 if smn is not None and (c not in lo or smn < lo[c]):
                     lo[c] = smn
-                if smx is not None and (c not in hi or smx > hi[c]):
+                # NaN guard (r12): Spark/DuckDB order NaN GREATEST, but
+                # Python's nan > x is False — a scan-leg NaN max must
+                # still win over a folded real value
+                if smx is not None and (
+                    c not in hi or smx > hi[c] or smx != smx
+                ):
                     hi[c] = smx
         return {c: (lo.get(c), hi.get(c)) for c in cols}
 
@@ -6151,7 +6168,15 @@ class LakeTable:
             files = files.filter(keep_any)
         aggs = []
         statless = _F.lit(False)
-        fold_cols = [c for c in cols if foldable[c]]
+        # float/double columns fold per ENTRY on NaN-free evidence
+        # (r12, driver-tier parity — see stats_extrema); their footer
+        # stats are safe to include in the fold agg even for NaN-bearing
+        # entries (footer min IS the true min, footer max is a lower
+        # bound the boundary scan's NaN-aware merge corrects), so only
+        # the boundary routing needs the per-entry condition.
+        is_float = {c: _float_stat_type(types[c]) for c in cols}
+        fold_cols = [c for c in cols if foldable[c] or is_float[c]]
+        float_bad = _F.lit(False)
         for i, c in enumerate(fold_cols):
             phys = mapping.get(c, c)
             mn = _F.get_json_object(_F.col("column_mins"), f"$.{phys}")
@@ -6169,6 +6194,13 @@ class LakeTable:
             statless = statless | (
                 (mn.isNull() | mx.isNull()) & ~all_null
             )
+            if not foldable[c]:
+                nanc = _F.get_json_object(
+                    _F.col("column_nan_counts"), f"$.{phys}"
+                ).cast("long")
+                float_bad = float_bad | (
+                    ~_F.coalesce(nanc == 0, _F.lit(False)) & ~all_null
+                )
         lo: dict[str, Any] = {}
         hi: dict[str, Any] = {}
         if aggs:
@@ -6182,8 +6214,8 @@ class LakeTable:
                     hi[c] = mx_v
         boundary_cond = (
             _F.lit(True)
-            if not all(foldable[c] for c in cols)
-            else (~full_any) | statless
+            if not all(foldable[c] or is_float[c] for c in cols)
+            else (~full_any) | statless | float_bad
         )
         boundary = sorted(
             r[0]
@@ -6203,7 +6235,10 @@ class LakeTable:
                 smn, smx = scanned[c]
                 if smn is not None and (c not in lo or smn < lo[c]):
                     lo[c] = smn
-                if smx is not None and (c not in hi or smx > hi[c]):
+                # NaN guard (r12): see the driver tier
+                if smx is not None and (
+                    c not in hi or smx > hi[c] or smx != smx
+                ):
                     hi[c] = smx
         return {c: (lo.get(c), hi.get(c)) for c in cols}
 
@@ -6604,14 +6639,28 @@ class LakeTable:
             mins = json.loads(r["column_mins"])
             maxs = json.loads(r["column_maxs"])
             nulls = json.loads(r.get("column_null_counts") or "{}")
+            nans = json.loads(r.get("column_nan_counts") or "{}")
             rc = r["record_count"]
+
+            def _fold_ok(col: str, phys: str) -> bool:
+                # float/double fold per FILE when the harvest proved the
+                # file NaN-free (r12): footer min/max omit NaN, so the
+                # static type gate refused floats outright — but
+                # column_nan_counts == 0 removes the one hazard, and the
+                # engine's pruning tiers already trust exactly this
+                # evidence. NaN-bearing / unproven files keep routing to
+                # the exact scan leg.
+                if foldable.get(col, _stats_foldable(types[col])):
+                    return True
+                return _float_stat_type(types[col]) and nans.get(phys) == 0
+
             vals: list[Any] | None = []
             for f in col_fields:
                 phys = mapping.get(f.name, f.name)
                 if nulls.get(phys) == rc:
                     vals.append(None)
                 elif (
-                    foldable[f.name]
+                    _fold_ok(f.name, phys)
                     and phys in mins
                     and mins[phys] == maxs[phys]
                     and nulls.get(phys) == 0
@@ -6640,7 +6689,7 @@ class LakeTable:
                     elif nulls.get(phys) == rc:
                         vals.append([])  # all-null: zero distinct values
                     elif (
-                        foldable.get(c, _stats_foldable(types[c]))
+                        _fold_ok(c, phys)
                         and phys in mins
                         and mins[phys] == maxs[phys]
                         and nulls.get(phys) == 0
@@ -6675,7 +6724,7 @@ class LakeTable:
                     continue
                 if nulls.get(phys) == rc:
                     vals.append(None)  # all-null: MIN/MAX ignore it
-                elif foldable[c] and phys in mins and phys in maxs:
+                elif _fold_ok(c, phys) and phys in mins and phys in maxs:
                     src = mins if fn == "MIN" else maxs
                     vals.append(_from_stats_domain(types[c], src[phys]))
                 else:
@@ -6736,6 +6785,18 @@ class LakeTable:
         def _stat(col_json: str, phys: str):
             return _F.get_json_object(_F.col(col_json), f"$.{phys}")
 
+        def _usable_type(dtype, phys: str):
+            # static type gate, OR per-entry NaN-free evidence for
+            # float/double (r12 — same rule as the driver loop's
+            # _fold_ok; see its comment)
+            cond = _F.lit(_stats_foldable(dtype))
+            if _float_stat_type(dtype):
+                cond = cond | _F.coalesce(
+                    _stat("column_nan_counts", phys).cast("long") == 0,
+                    _F.lit(False),
+                )
+            return cond
+
         ok = _F.lit(True)
         sel = []
         for f in col_fields:
@@ -6746,7 +6807,7 @@ class LakeTable:
                 nullc == _F.col("record_count"), _F.lit(False)
             )
             single = (
-                _F.lit(_stats_foldable(f.dataType))
+                _usable_type(f.dataType, phys)
                 & mn.isNotNull()
                 & mx.isNotNull()
                 & (mn == mx)
@@ -6782,7 +6843,7 @@ class LakeTable:
                 mn = _stat("column_mins", phys)
                 mx = _stat("column_maxs", phys)
                 single = (
-                    _F.lit(_stats_foldable(types[c]))
+                    _usable_type(types[c], phys)
                     & mn.isNotNull()
                     & mx.isNotNull()
                     & (mn == mx)
@@ -6815,7 +6876,7 @@ class LakeTable:
                 )
                 continue
             mn, mx = _stat("column_mins", phys), _stat("column_maxs", phys)
-            usable = _F.lit(_stats_foldable(types[c])) & (
+            usable = _usable_type(types[c], phys) & (
                 all_null | (mn.isNotNull() & mx.isNotNull())
             )
             ok = ok & usable
