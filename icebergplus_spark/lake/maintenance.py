@@ -278,13 +278,7 @@ def compact(
         writer = writer.partitionBy(*pcols)
     writer.parquet(out_dir)
 
-    new_entries = []
-    for root, _dirs, fns in os.walk(out_dir):
-        for fn in fns:
-            if fn.endswith(".parquet"):
-                entry = table._harvest_data_file(os.path.join(root, fn))
-                new_entries.append(entry)
-    new_entries.sort(key=lambda e: e["file_path"])
+    new_entries = table._harvest_dir(out_dir)
     # Consolidated manifest: untouched big files + the new compacted files.
     all_entries = sorted(big + new_entries, key=lambda e: e["file_path"])
     manifest = table._write_manifest(all_entries)

@@ -3049,6 +3049,30 @@ class LakeTable:
             entries.append(e)
         return entries
 
+    def _harvest_dir(
+        self, out_dir: str, drop_empty: bool = False
+    ) -> list[dict[str, Any]]:
+        """Harvest every parquet file a rewrite job left under
+        ``out_dir`` as ONE batch through ``_harvest_data_files`` —
+        identical per-file stats, but past the distributed threshold
+        the column reads fan out next to the data instead of running
+        as a driver-serial loop (r12, guide §5: a MERGE/UPDATE/DELETE/
+        compaction rewriting thousands of files at 100 TB must not
+        harvest them one-by-one on the driver; the append path already
+        fans out, the rewrite paths now share it). ``drop_empty`` skips
+        zero-row task files in the returned entries (the DV-combining
+        callers keep those files on disk but never register them)."""
+        paths = [
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(out_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+        entries = self._harvest_data_files(paths)
+        if drop_empty:
+            entries = [e for e in entries if e["record_count"]]
+        return sorted(entries, key=lambda e: e["file_path"])
+
     def upsert(
         self,
         df: DataFrame,
@@ -3203,7 +3227,7 @@ class LakeTable:
           rewritten. The object-store analogue is a server-side copy."""
         t0 = time.time()
         phys_names = {f.name for f in self.physical_schema.fields}
-        entries = []
+        added_paths: list[str] = []
         if (paths is None) == (base_dir is None):
             raise ValueError("add_files: pass exactly one of paths / base_dir")
         if base_dir is not None:
@@ -3243,8 +3267,8 @@ class LakeTable:
                         os.link(src, dst)  # zero-copy on one filesystem
                     except OSError:
                         _shutil.copyfile(src, dst)
-                    entries.append(self._harvest_data_file(dst))
-            if not entries:
+                    added_paths.append(dst)
+            if not added_paths:
                 raise ValueError(f"add_files: no parquet files under {base_dir}")
         else:
             if self.partition_spec:
@@ -3260,8 +3284,14 @@ class LakeTable:
                         f"add_files: {p} shares no columns with the table "
                         f"(physical schema: {sorted(phys_names)})"
                     )
-                entries.append(self._harvest_data_file(p))
-        entries.sort(key=lambda e: e["file_path"])
+                added_paths.append(p)
+        # ONE batch through the shared harvest (r12, guide §5): past the
+        # distributed threshold a large migration's footer/column reads
+        # fan out as a Spark job instead of a driver-serial loop.
+        entries = sorted(
+            self._harvest_data_files(added_paths),
+            key=lambda e: e["file_path"],
+        )
         manifest = self._write_manifest(entries)
         base = self.snapshot()
         self._commit_snapshot(
@@ -3625,11 +3655,7 @@ class LakeTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    entry = self._harvest_data_file(os.path.join(root, fn))
-                    new_entries.append(entry)
+        new_entries.extend(self._harvest_dir(out_dir))
         new_entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
@@ -4007,14 +4033,9 @@ class LakeTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
-        new_entries: list[dict[str, Any]] = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    e = self._harvest_data_file(os.path.join(root, fn))
-                    if e["record_count"]:
-                        new_entries.append(e)
-        new_entries.sort(key=lambda e: e["file_path"])
+        new_entries: list[dict[str, Any]] = self._harvest_dir(
+            out_dir, drop_empty=True
+        )
         dmanifest = (
             self._build_dv_manifest(snap, matches) if snap else None
         )
@@ -4368,12 +4389,7 @@ class LakeTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
-        new_entries: list[dict[str, Any]] = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    new_entries.append(self._harvest_data_file(os.path.join(root, fn)))
-        new_entries.sort(key=lambda e: e["file_path"])
+        new_entries: list[dict[str, Any]] = self._harvest_dir(out_dir)
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
         )
@@ -4453,11 +4469,7 @@ class LakeTable:
             if pcols:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(out_dir)
-            for root, _dirs, fns in os.walk(out_dir):
-                for fn in fns:
-                    if fn.endswith(".parquet"):
-                        entry = self._harvest_data_file(os.path.join(root, fn))
-                        new_entries.append(entry)
+            new_entries.extend(self._harvest_dir(out_dir))
             new_entries.sort(key=lambda e: e["file_path"])
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
@@ -4629,14 +4641,9 @@ class LakeTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
-        new_entries: list[dict[str, Any]] = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    e = self._harvest_data_file(os.path.join(root, fn))
-                    if e["record_count"]:
-                        new_entries.append(e)
-        new_entries.sort(key=lambda e: e["file_path"])
+        new_entries: list[dict[str, Any]] = self._harvest_dir(
+            out_dir, drop_empty=True
+        )
         dmanifest = self._build_dv_manifest(snap, matches)
         if dmanifest is None and not new_entries:
             import shutil as _shutil
@@ -4772,12 +4779,7 @@ class LakeTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
-        new_entries: list[dict[str, Any]] = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    new_entries.append(self._harvest_data_file(os.path.join(root, fn)))
-        new_entries.sort(key=lambda e: e["file_path"])
+        new_entries: list[dict[str, Any]] = self._harvest_dir(out_dir)
         manifest = self._write_manifest(
             sorted(untouched + new_entries, key=lambda e: e["file_path"])
         )

@@ -237,3 +237,57 @@ def test_distributed_stats_harvest_equivalence(spark, tmp_path):
     t = cat.load_table("db.t")
     assert len(t.plan_files({"k": ("=", 3)})) < len(t.plan_files())
     assert t.scan().count() == 64
+
+
+def test_rewrite_paths_harvest_distributed_equivalence(spark, tmp_path):
+    """The rewrite paths (UPDATE / MERGE / DELETE CoW / compact) harvest
+    their output files through the same batched ``_harvest_data_files``
+    as append (r12 `_harvest_dir`), so past the distributed threshold
+    the column reads fan out instead of running driver-serial. Stats
+    and data must be identical either side of the threshold."""
+    import json as _json
+
+    from icebergplus_spark.lake import compact
+
+    def build(root, threshold):
+        cat = LocalLakeCatalog(spark, root).start()
+        t = cat.create_table("db.rw", SCHEMA, bloom_cols=["v"])
+        t.set_property(
+            "write.stats-harvest.distributed-threshold", str(threshold)
+        )
+        t.refresh()
+        for lo in (0, 120):
+            t.append(
+                spark.createDataFrame(
+                    [(f"p{i % 3}", i) for i in range(lo, lo + 120)], SCHEMA
+                ).repartition(4)
+            )
+        t.update_where({"part": ("=", "p1")}, {"v": F.col("v") + 1000})
+        t.delete({"v": (">", 1300)})
+        src = spark.createDataFrame([("px", 7), ("py", 8)], SCHEMA)
+        t.merge_into(
+            src,
+            on=["v"],
+            when_matched_update={"part": F.col("src_part")},
+            when_not_matched_insert=True,
+        )
+        compact(t, target_file_size=1 << 20, small_file_threshold=1 << 20)
+        stats = sorted(
+            repr(
+                (
+                    _json.loads(f["column_mins"]),
+                    _json.loads(f["column_maxs"]),
+                    _json.loads(f["column_null_counts"]),
+                    f.get("column_blooms"),
+                    f["record_count"],
+                )
+            )
+            for f in t.plan_files()
+        )
+        rows = sorted(map(tuple, t.scan().collect()))
+        return stats, rows
+
+    d_stats, d_rows = build(str(tmp_path / "wh_driver"), 10_000)
+    x_stats, x_rows = build(str(tmp_path / "wh_dist"), 0)
+    assert d_rows == x_rows
+    assert d_stats == x_stats
