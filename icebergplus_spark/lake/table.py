@@ -2835,9 +2835,20 @@ class LakeTable:
         types = {f.name: f.dataType for f in self.schema.fields}
         local_rows = attached_rows(df)
         local_schema = df.schema if local_rows is not None else None
-        df = df.select(
-            *[_F.col(c).cast(types[c]).alias(mapping[c]) for c in df.columns]
-        )
+        # Skip the rename/cast select when it would be an identity
+        # projection (r12, guide §1.2): the common append ships a frame
+        # already in the table's names and types, and the per-column
+        # col().cast().alias() chain costs ~25 py4j round trips (~0.1 s
+        # of driver latency on every append) to build a Project node
+        # Catalyst immediately collapses. Any name or type difference
+        # takes the full coercion select below, unchanged.
+        if any(
+            f.name != mapping[f.name] or f.dataType != types[f.name]
+            for f in df.schema.fields
+        ):
+            df = df.select(
+                *[_F.col(c).cast(types[c]).alias(mapping[c]) for c in df.columns]
+            )
         # Column NDV stats (added-ndv in the snapshot summary) ride the
         # HARVEST's shared column read since r12: the old per-write
         # Observation put a CollectMetrics HLL++ update on every row of
