@@ -3941,8 +3941,20 @@ class LakeTable:
         join_cond = _F.lit(True)
         for c in keys:
             join_cond = join_cond & (_F.col(c) == _F.col(f"src_{c}"))
-        # ONE evaluation feeds both the DV encode and the append write
-        joined = target.join(src, join_cond, "full_outer").localCheckpoint()
+        # ONE evaluation feeds both the DV encode and the append write.
+        # Insert-off merges take a LEFT join (r12, guide §3.1): with no
+        # NOT MATCHED insert clause, source-only rows fire nothing — the
+        # matched/BY SOURCE gates and the append gate all require target
+        # presence — so the outer side is dead weight. The CoW path gets
+        # this rewrite free from EliminateOuterJoin, but HERE the eager
+        # localCheckpoint sits between the join and the downstream
+        # filters, so Catalyst never sees the proof; choosing the join
+        # type at build time restores broadcast eligibility (the target
+        # side is not shuffled at all when the source fits the
+        # threshold) and stops materializing unmatched source rows in
+        # the checkpoint.
+        join_how = "full_outer" if when_not_matched_insert else "left_outer"
+        joined = target.join(src, join_cond, join_how).localCheckpoint()
         is_matched = _F.col("__t").isNotNull() & _F.col("__s").isNotNull()
         gate = (
             is_matched & _F.coalesce(matched_condition, _F.lit(False))

@@ -599,14 +599,14 @@ WHERE ROUND(
 """,
 )
 def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from icebergplus_spark.operators.similarity import cosine
+    import numpy as np
 
     prepare_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     # SIZE GUARD: this is the exact O(N²) all-pairs baseline — it exists
     # to measure the bucketed paths' recall (d14, s02/s04), not to run
     # on a corpus. Refuse beyond the bound rather than silently launch
-    # a broadcast-N² plan at 100 TB; the scale paths are d14 (semantic
+    # an all-pairs plan at 100 TB; the scale paths are d14 (semantic
     # dedup) and s02/s04 (ANN). Override knowingly via D08_MAX_ROWS.
     max_rows = int(os.environ.get("D08_MAX_ROWS", "200000"))
     n = emb.count()
@@ -617,13 +617,80 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tool; use d14/s02/s04 at corpus scale, or raise "
             "D08_MAX_ROWS deliberately)"
         )
-    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-    cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
-    return pairs.select("doc_a", "doc_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= 0.35
+    if n == 0:
+        return spark.createDataFrame([], "doc_a long, doc_b long, cos_sim double")
+    # r12 (guide §4.2, §8.3): the old broadcast-nested-loop evaluated
+    # THREE interpreted O(dim) higher-order folds per pair (dot + both
+    # norms recomputed every time) — 93 s for 2M pairs at sf0.1. Same
+    # corpus bytes now ship once as a Python broadcast (the old plan's
+    # BroadcastExchange shipped them to every executor too) and each
+    # mapInPandas task computes its rows' dot products against the whole
+    # corpus with vectorized numpy, accumulating PER DIMENSION so every
+    # double rounds in exactly the JVM fold's order — bit-identical
+    # cos values (see `dot`: elements cast to double, multiply, strict
+    # left-to-right sum; norms are the same fold over the same floats).
+    # The final ROUND + threshold stay IN SPARK on the raw double, so
+    # rounding and NaN/Inf comparison semantics are untouched; Python
+    # pre-filters only with a strict superset cutoff below the
+    # ROUND(,6) >= 0.35 boundary (and keeps every non-finite cos).
+    # null vec_id / null embedding rows can never emit a pair in the old
+    # plan (NULL join keys match nothing; NULL cos fails the filter) —
+    # drop them before the numpy kernel, which needs dense arrays.
+    live = emb.select("vec_id", "embedding").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
+    corpus = live.toPandas()
+    if len(corpus) == 0:
+        return spark.createDataFrame([], "doc_a long, doc_b long, cos_sim double")
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    M = np.array([np.asarray(v) for v in corpus["embedding"]], dtype=np.float32)
+    M64 = M.astype(np.float64)
+    dim = M64.shape[1]
+    nsq = np.zeros(len(ids))
+    for k in range(dim):  # per-dimension: the JVM fold's rounding order
+        nsq += M64[:, k] * M64[:, k]
+    norms = np.sqrt(nsq)
+    bc = spark.sparkContext.broadcast((ids, M64, norms))
+    cutoff = 0.349999  # strict superset of round(x,6) >= 0.35
+
+    def fn(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        bids, bM, bnorms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            aids = pdf["vec_id"].to_numpy(dtype=_np.int64)
+            A = _np.array(
+                [_np.asarray(v) for v in pdf["embedding"]], dtype=_np.float32
+            ).astype(_np.float64)
+            acc = _np.zeros((len(aids), len(bids)))
+            anorm = _np.zeros(len(aids))
+            for k in range(A.shape[1]):
+                acc += A[:, k : k + 1] * bM[None, :, k]
+                anorm += A[:, k] * A[:, k]
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (_np.sqrt(anorm)[:, None] * bnorms[None, :])
+            keep = (aids[:, None] < bids[None, :]) & (
+                (cos >= cutoff) | ~_np.isfinite(cos)
+            )
+            ii, jj = _np.nonzero(keep)
+            if len(ii):
+                yield _pd.DataFrame(
+                    {
+                        "doc_a": aids[ii],
+                        "doc_b": bids[jj],
+                        "cos_raw": cos[ii, jj],
+                    }
+                )
+
+    raw = live.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(fn, "doc_a long, doc_b long, cos_raw double")
+    return raw.select(
+        "doc_a", "doc_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -53,3 +53,33 @@ def test_dup_clusters_cover_pair_nodes(spark, sf_dir):
         r["keeper_id"] == min(int(m) for m in r["members"].split(","))
         for r in clusters
     )
+
+
+def test_connected_components_tiers_agree(spark):
+    """r12 size tier: the driver union-find (default) and the iterative
+    distributed tier (driver_cap=0) must produce the identical
+    (node, comp) partition on the same graph."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20), (5, 4), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    slow = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_cap=0).collect()
+    }
+    assert fast == slow == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20
+    }
+
+
+def test_connected_components_string_nodes(spark):
+    """The driver tier preserves the node column type (string ids)."""
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "x")], "doc_a string, doc_b string"
+    )
+    comps = connected_components(edges)
+    assert dict(comps.collect()) == {"a": "a", "b": "a", "c": "a", "x": "x"}
+    assert comps.schema["comp"].dataType.simpleString() == "string"

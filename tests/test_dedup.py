@@ -73,3 +73,63 @@ def test_d08_size_guard(spark, monkeypatch):
     monkeypatch.setenv("D08_MAX_ROWS", "3")
     with _pytest.raises(ValueError, match="all-pairs baseline refused"):
         d08_embedding_neardup(spark, "/root/testdata/sf0.001").count()
+
+
+def test_d08_numpy_kernel_matches_jvm_fold(spark, tmp_path):
+    """r12: d08's vectorized kernel must reproduce the JVM higher-order
+    fold bit-for-bit — same per-dimension rounding order — on a synthetic
+    corpus with varied magnitudes (run both the old broadcast-join
+    expression and the new pipeline over the same parquet)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from icebergplus_spark.operators.dedup import d08_embedding_neardup
+    from icebergplus_spark.operators.similarity import cosine
+
+    rng = np.random.RandomState(7)
+    n, dim = 120, 16
+    M = (rng.randn(n, dim) * rng.choice([1e-3, 1.0, 1e3], size=(n, 1))).astype(
+        "float32"
+    )
+    rows = [(i, M[i].tolist(), 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    got = sorted(
+        tuple(r) for r in d08_embedding_neardup(spark, sf).collect()
+    )
+    a = df.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    old = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+    want = sorted(tuple(r) for r in old.collect())
+    assert got == want and len(got) > 0
+
+
+def test_d08_null_rows_are_inert(spark, tmp_path):
+    """Rows with NULL vec_id or NULL embedding emit no pair (the old
+    plan's NULL-join/NULL-filter behavior)."""
+    from icebergplus_spark.operators.dedup import d08_embedding_neardup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (None, [1.0, 0.0], 0),
+        (3, None, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    got = sorted(tuple(r) for r in d08_embedding_neardup(spark, sf).collect())
+    assert got == [(1, 2, 1.0)]
