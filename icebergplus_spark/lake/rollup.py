@@ -48,6 +48,12 @@ MV_KEY_FORMAT_KEY = "bucket_key_format"
 # falls back to one [min, max] envelope range — still pruned on both
 # bounds, never wrong, only coarser.
 TOUCHED_BUCKET_CAP = 10_000
+# r13 (guide §1.2 — fewer passes/commits): when the invalidation set
+# covers at least this fraction of the rollup's data FILES (driver-side
+# stats check, no Spark job), the merge would rewrite most of the table
+# anyway and the dead-key tombstone would add a second commit — one
+# atomic overwrite of (refreshed ∪ untouched rows) replaces both.
+OVERWRITE_FILE_FRACTION = 0.5
 # per-refresh scan-subtree bound: more ranges than this are greedily
 # merged across the smallest gaps (each merge trades a few extra files
 # scanned for one fewer union branch)
@@ -126,32 +132,252 @@ def _coalesce_ranges(
     return [(lo, hi) for lo, hi in ranges]
 
 
-def _scan_touched(
-    source: LakeTable, time_col: str, touched: DataFrame, window: str
-) -> DataFrame | None:
-    """Scan the source restricted to the touched buckets, with
-    file-level pruning on BOTH bounds of each coalesced bucket range —
-    ONE scan subtree (``scan_ranges``), never a union of scans (a
-    per-range union analyzes O(N²) in Catalyst's relation dedup).
-    Returns None when no bucket was touched. The caller still
-    semi-joins on the exact touched set — the ranges are purely an
-    I/O reduction, so a too-coarse range is never wrong."""
-    sample = touched.limit(TOUCHED_BUCKET_CAP + 1).collect()
-    if not sample:
-        return None
+def _bucket_floor(ts: _dt.datetime, window: str) -> _dt.datetime:
+    """Start of the bucket containing ``ts`` — the driver-side twin of
+    Spark's ``date_trunc(window, ts)`` for the units ``_bucket_upper``
+    supports. Used only to widen stats spans to bucket boundaries, so
+    ranges stay bucket-aligned (every covered bucket is covered
+    WHOLE — the property the range-membership tests below rest on)."""
+    w = window.lower()
+    base = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+    if w in ("year", "yyyy", "yy"):
+        return base.replace(month=1, day=1)
+    if w == "quarter":
+        return base.replace(month=((ts.month - 1) // 3) * 3 + 1, day=1)
+    if w in ("month", "mon", "mm"):
+        return base.replace(day=1)
+    if w == "week":  # Spark truncates to Monday
+        return base - _dt.timedelta(days=base.weekday())
+    if w in ("day", "dd"):
+        return base
+    if w == "hour":
+        return ts.replace(minute=0, second=0, microsecond=0)
+    if w == "minute":
+        return ts.replace(second=0, microsecond=0)
+    if w == "second":
+        return ts.replace(microsecond=0)
+    raise ValueError(f"unsupported rollup window: {window}")
+
+
+def _changed_ts_spans(
+    source: LakeTable, time_col: str, last: int, current: int
+) -> list[tuple[_dt.datetime, _dt.datetime]] | None:
+    """[min, max] VALUE spans of ``time_col`` over every data file a
+    commit in ``(last, current]`` added, removed, or tombstone-touched —
+    read from manifest stats only (``changed_files``: no Spark job, no
+    data file read, r13). Every gained or lost row lives in one of
+    those files, so the spans bound every bucket the window could have
+    invalidated. Returns None when a span cannot be proven (a non-empty
+    file without time stats) — the caller falls back to the exact
+    row-level changelog. All-null/empty files contribute nothing (a
+    NULL time value has no bucket, same as the old semi-join)."""
+    import json as _json
+
+    phys = source._column_mapping.get(time_col, time_col)
+    spans: list[tuple[_dt.datetime, _dt.datetime]] = []
+    for f in source.changed_files(last, current):
+        mins = _json.loads(f["column_mins"])
+        if phys not in mins:
+            nulls = _json.loads(f.get("column_null_counts") or "{}")
+            if f["record_count"] == 0 or nulls.get(phys) == f["record_count"]:
+                continue
+            return None
+        lo, hi = mins[phys], _json.loads(f["column_maxs"])[phys]
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return None
+        try:
+            spans.append(
+                (_dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi))
+            )
+        except ValueError:
+            return None
+    return spans
+
+
+def _ranges_from_spans(
+    spans: list[tuple[_dt.datetime, _dt.datetime]],
+    window: str,
+    max_ranges: int = MAX_SCAN_RANGES,
+) -> list[tuple[_dt.datetime, _dt.datetime]]:
+    """Value spans → minimal sorted list of bucket-aligned half-open
+    [lo, hi) ranges; overlapping/adjacent spans fuse, then the greedy
+    smallest-gap merge bounds the count like ``_coalesce_ranges``."""
+    aligned = sorted(
+        [
+            _bucket_floor(lo, window),
+            _bucket_upper(_bucket_floor(hi, window), window),
+        ]
+        for lo, hi in spans
+    )
+    merged: list[list[_dt.datetime]] = []
+    for lo, hi in aligned:
+        if merged and merged[-1][1] >= lo:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i)
+            for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def _touched_ranges(
+    source: LakeTable, time_col: str, window: str, last: int, current: int
+) -> list[tuple[_dt.datetime, _dt.datetime]] | None:
+    """The refresh's invalidation set as bucket-aligned [lo, hi)
+    ranges. Fast path: manifest stats only (zero Spark actions). When a
+    changed file lacks provable time stats, fall back to ONE collect
+    over the row-level changelog's distinct buckets (exact, as r12) —
+    and past TOUCHED_BUCKET_CAP, to a distributed min/max envelope.
+    Returns None when nothing with a bucket changed.
+
+    Because every range is bucket-aligned, a bucket inside a coalesced
+    gap is covered WHOLE: its recompute from the source is exact and
+    idempotent, so range membership can replace exact-set membership in
+    every consumer (refresh filter, dead-cell detection, untouched
+    carry) — no joins, no broadcasts, no IN-lists."""
+    spans = _changed_ts_spans(source, time_col, last, current)
+    if spans is not None:
+        return _ranges_from_spans(spans, window) if spans else None
+    changes = source.scan_changelog(
+        from_snapshot_id=last, to_snapshot_id=current
+    )
+    raw = changes.select(
+        F.date_trunc(window, time_col).alias("bucket")
+    ).distinct()
+    sample = raw.limit(TOUCHED_BUCKET_CAP + 1).collect()
     buckets = [r["bucket"] for r in sample if r["bucket"] is not None]
     if not buckets:
         return None
     if len(sample) > TOUCHED_BUCKET_CAP:
-        # too many buckets to enumerate driver-side: one envelope range
-        # from a distributed min/max (both bounds still prune files)
-        row = touched.agg(
+        row = raw.agg(
             F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
         ).first()
-        ranges = [(row["lo"], _bucket_upper(row["hi"], window))]
-    else:
-        ranges = _coalesce_ranges(buckets, window)
-    return source.scan_ranges(time_col, ranges)
+        return [(row["lo"], _bucket_upper(row["hi"], window))]
+    return _coalesce_ranges(buckets, window)
+
+
+def _column_space_ranges(source: LakeTable, time_col: str, ranges):
+    """Bucket-space [lo, hi) datetime ranges → the time column's value
+    space. DATE columns get date literals: their manifest stats are
+    bare-date ISO strings, and a datetime literal's isoformat
+    ('...T00:00:00') sorts lexicographically AFTER the bare date, which
+    silently broke the stats prune at exact bucket boundaries (a file
+    whose max date equals a range's lo was dropped). Bounds are
+    bucket-aligned; a non-midnight upper bound rounds UP so no date
+    value inside the range is lost."""
+    from pyspark.sql.types import DateType
+
+    if not isinstance(source.schema[time_col].dataType, DateType):
+        return ranges
+    out = []
+    for lo, hi in ranges:
+        hi_d = (
+            hi.date()
+            if hi.time() == _dt.time()
+            else hi.date() + _dt.timedelta(days=1)
+        )
+        out.append((lo.date(), hi_d))
+    return out
+
+
+def _bucket_in_ranges(col, ranges) -> "F.Column":
+    """Boolean column: bucket start inside any [lo, hi) range. NULL
+    buckets yield NULL → excluded by a plain filter, like the
+    semi-joins this replaces."""
+    cond = F.lit(False)
+    for lo, hi in ranges:
+        cond = cond | ((col >= F.lit(lo)) & (col < F.lit(hi)))
+    return cond
+
+
+def _rows_in_touched(df: DataFrame, ranges) -> DataFrame:
+    return df.filter(_bucket_in_ranges(F.col("bucket"), ranges))
+
+
+def _rows_outside_touched(df: DataFrame, ranges) -> DataFrame:
+    """Complement of ``_rows_in_touched`` that KEEPS null-bucket rows
+    (three-valued logic would drop them through a bare negation)."""
+    col = F.col("bucket")
+    return df.filter(col.isNull() | ~_bucket_in_ranges(col, ranges))
+
+
+def _fold_refreshed(
+    rollup: LakeTable, ranges, refreshed: DataFrame
+) -> int:
+    """Land the refreshed touched-bucket aggregate in the rollup with
+    as few commits as the invalidation shape allows (r13, guide §1.2).
+    Returns the number of dead cells removed.
+
+    Tiers, decided from the rollup's own file stats (driver-side
+    manifest read — no Spark job):
+
+    - empty rollup → one overwrite; nothing can be stale.
+    - no rollup file intersects a touched range → pure insert: merge
+      only; no pre-existing row lives in a touched bucket, so the
+      dead-key pass is provably empty and skipped.
+    - ≥ OVERWRITE_FILE_FRACTION of files intersect touched ranges →
+      the merge would rewrite most files AND the tombstone pass would
+      add a second commit; ONE atomic overwrite of (refreshed ∪ rows
+      outside touched buckets) replaces merge + delete_by_key.
+    - otherwise → merge + dead-key tombstone as before, with the
+      dead-key scan pruned to the touched ranges (it previously read
+      the whole rollup to find stale cells that can only live in
+      touched buckets)."""
+    from icebergplus_spark.lake.table import _file_matches
+
+    all_files = rollup.plan_files()
+    if not all_files:
+        rollup.overwrite(refreshed)
+        return 0
+    preds = [
+        rollup._physical_predicates({"bucket": [(">=", lo), ("<", hi)]})
+        for lo, hi in ranges
+    ]
+    affected = [
+        f for f in all_files if any(_file_matches(f, p) for p in preds)
+    ]
+    if not affected:
+        rollup.merge(refreshed, key="bucket_key")
+        return 0
+    # Dead cells = keys in touched buckets the refresh no longer
+    # produces. Both sides are key-unique (groupBy output; key-merged
+    # table), so a broadcast anti-join equals exceptAll without its
+    # shuffle (refreshed is already checkpointed — the broadcast is a
+    # driver copy of the touched cells only).
+    refreshed_keys = F.broadcast(refreshed.select("bucket_key"))
+    if len(affected) >= OVERWRITE_FILE_FRACTION * len(all_files):
+        old = rollup.scan()
+        n_dead = (
+            _rows_in_touched(old, ranges)
+            .join(refreshed_keys, "bucket_key", "left_anti")
+            .count()
+        )
+        rollup.overwrite(
+            refreshed.unionByName(_rows_outside_touched(old, ranges))
+        )
+        return n_dead
+    rollup.merge(refreshed, key="bucket_key")
+    # A touched bucket can come back EMPTY (every source row deleted):
+    # recompute yields no row for it, so the merge alone would leave
+    # the stale aggregate standing — tombstone rollup rows in touched
+    # buckets whose key the refresh no longer produces. Stale cells can
+    # only live in touched buckets, so the scan prunes to the ranges.
+    dead_keys = (
+        _rows_in_touched(rollup.scan_ranges("bucket", ranges), ranges)
+        .select("bucket_key")
+        .join(refreshed_keys, "bucket_key", "left_anti")
+        .localCheckpoint()
+    )
+    n_dead = dead_keys.count()
+    if n_dead:
+        rollup.delete_by_key(dead_keys)
+    return n_dead
 
 
 def _ensure_key_format_v2(table: LakeTable, build_full, current: int) -> bool:
@@ -204,52 +430,27 @@ def refresh_rollup(
     # (appends read only added files; delete commits diff only affected
     # files) — its buckets are exactly the invalidation set, the same
     # contract a hypertable's invalidation log provides.
-    changes = source.scan_changelog(
-        from_snapshot_id=last, to_snapshot_id=current
-    )
-    # localCheckpoint: the changelog plan is evaluated ONCE here; the
-    # three consumers below (range-building collect, the two broadcast
-    # semi-joins) all read the materialized buckets, and no downstream
-    # plan embeds the changelog subtree (see the refreshed note below).
-    touched = changes.select(
-        F.date_trunc(window, "ts").alias("bucket")
-    ).distinct().localCheckpoint()
-    # recompute ONLY the touched buckets from the full source (correct
-    # under late data landing in old buckets), then merge by bucket key
-    src = _scan_touched(source, "ts", touched, window)
-    if src is None:
+    # Invalidation from manifest stats of the window's changed FILES —
+    # zero Spark actions in the common case; legacy stats fall back to
+    # one collect over the row-level changelog (r13, guide §1.2).
+    ranges = _touched_ranges(source, "ts", window, last, current)
+    if ranges is None:
         _record_refreshed_snapshot(rollup, current)
         return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
-    # ONE evaluation + lineage truncation: localCheckpoint
-    # materializes the touched-bucket aggregate eagerly (r5 flagged the
-    # triple compute) AND replaces its lineage — which embeds the full
-    # changelog plan — with a tiny LogicalRDD. Without the truncation,
-    # merge/dead-key plans each re-embed the changelog subtree and
-    # Catalyst analysis goes quadratic in refresh depth (measured:
-    # minutes per refresh by the third tick).
+    # recompute ONLY the touched buckets from the full source (correct
+    # under late data landing in old buckets). localCheckpoint: ONE
+    # evaluation shared by the count / fold / dead-key consumers (r5
+    # flagged the triple compute); the lineage is a plain pruned file
+    # scan + range filter — no changelog subtree to re-embed.
     refreshed = (
-        _aggregate(src, window)
-        .join(F.broadcast(touched), "bucket", "left_semi")
+        _rows_in_touched(
+            _aggregate(source.scan_ranges("ts", ranges), window), ranges
+        )
         .withColumn("bucket_key", _bucket_key())
         .localCheckpoint()
     )
     n = refreshed.count()
-    rollup.merge(refreshed, key="bucket_key")
-    # A touched bucket can come back EMPTY (every source row
-    # deleted): recompute yields no row for it, so the merge alone
-    # would leave the stale aggregate standing — tombstone rollup
-    # rows in touched buckets whose key the refresh no longer
-    # produces.
-    dead_keys = (
-        rollup.scan()
-        .join(F.broadcast(touched), "bucket", "left_semi")
-        .select("bucket_key")
-        .exceptAll(refreshed.select("bucket_key"))
-        .localCheckpoint()
-    )
-    n_dead = dead_keys.count()
-    if n_dead:
-        rollup.delete_by_key(dead_keys)
+    n_dead = _fold_refreshed(rollup, ranges, refreshed)
     _record_refreshed_snapshot(rollup, current)
     return {
         "refreshed_buckets": n,
@@ -390,33 +591,30 @@ def refresh_materialized(catalog, name: str) -> dict:
     changes = source.scan_changelog(
         from_snapshot_id=last, to_snapshot_id=current
     ).filter(F.col(spec["time_col"]).isNotNull())
-    touched = changes.select(
-        F.date_trunc(spec["window"], spec["time_col"]).alias("bucket")
-    ).distinct().localCheckpoint()
-    src = _scan_touched(source, spec["time_col"], touched, spec["window"])
-    if src is None:
+    ranges = _touched_ranges(
+        source, spec["time_col"], spec["window"], last, current
+    )
+    if ranges is None:
         _record_refreshed_snapshot(mv, current)
         return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
-    # see refresh_rollup: localCheckpoint = one evaluation + lineage
-    # truncation (the changelog subtree must not re-embed downstream)
+    # see refresh_rollup: one shared evaluation; the lineage is a
+    # pruned scan + range filter, changelog-free
     refreshed = (
-        _mv_aggregate(src, spec)
-        .join(F.broadcast(touched), "bucket", "left_semi")
+        _rows_in_touched(
+            _mv_aggregate(
+                source.scan_ranges(
+                    spec["time_col"],
+                    _column_space_ranges(source, spec["time_col"], ranges),
+                ),
+                spec,
+            ),
+            ranges,
+        )
         .withColumn("bucket_key", _mv_bucket_key(spec))
         .localCheckpoint()
     )
     n = refreshed.count()
-    mv.merge(refreshed, key="bucket_key")
-    dead_keys = (
-        mv.scan()
-        .join(F.broadcast(touched), "bucket", "left_semi")
-        .select("bucket_key")
-        .exceptAll(refreshed.select("bucket_key"))
-        .localCheckpoint()
-    )
-    n_dead = dead_keys.count()
-    if n_dead:
-        mv.delete_by_key(dead_keys)
+    n_dead = _fold_refreshed(mv, ranges, refreshed)
     _record_refreshed_snapshot(mv, current)
     return {
         "refreshed_buckets": n,

@@ -3504,6 +3504,34 @@ class LakeTable:
 
         empty = local_rows_df(self.spark, [], self.schema)
         frames: list[DataFrame] = []
+        for prev, s, pre_paths, post_paths in self._commit_changes(
+            from_snapshot_id, to_id
+        ):
+            sid = s["snapshot_id"]
+            pre = logical(self._read_live(pre_paths, prev)) if pre_paths else empty
+            post = logical(self._read_live(post_paths, s)) if post_paths else empty
+            if pre_paths:
+                ins, dels = post.exceptAll(pre), pre.exceptAll(post)
+            else:
+                ins, dels = post, None  # pure append: no diff needed
+            for df, tag in ((ins, "insert"), (dels, "delete")):
+                if df is None:
+                    continue
+                frames.append(
+                    df.withColumn("_change_type", _F.lit(tag)).withColumn(
+                        "_commit_snapshot_id", _F.lit(sid).cast("long")
+                    )
+                )
+        if not frames:
+            return local_rows_df(self.spark, [], out_schema)
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def _commit_changes(self, from_snapshot_id: int, to_id: int):
+        """Shared lineage walk behind ``scan_changelog`` and
+        ``changed_files``: yields ``(prev, snap, pre_paths, post_paths)``
+        per data-changing commit in ``(from_snapshot_id, to_id]`` —
+        pre/post are the file paths the commit removed/added, widened by
+        the files new MoR tombstones can reach. Metadata-only."""
         prev: dict[str, Any] | None = None
         for s in self._lineage(to_id):
             sid = s["snapshot_id"]
@@ -3532,24 +3560,49 @@ class LakeTable:
             else:
                 pre_paths = sorted(p_prev - p_s)
                 post_paths = sorted(p_s - p_prev)
-            pre = logical(self._read_live(pre_paths, prev)) if pre_paths else empty
-            post = logical(self._read_live(post_paths, s)) if post_paths else empty
-            if pre_paths:
-                ins, dels = post.exceptAll(pre), pre.exceptAll(post)
-            else:
-                ins, dels = post, None  # pure append: no diff needed
-            for df, tag in ((ins, "insert"), (dels, "delete")):
-                if df is None:
-                    continue
-                frames.append(
-                    df.withColumn("_change_type", _F.lit(tag)).withColumn(
-                        "_commit_snapshot_id", _F.lit(sid).cast("long")
-                    )
-                )
+            yield prev, s, pre_paths, post_paths
             prev = s
-        if not frames:
-            return local_rows_df(self.spark, [], out_schema)
-        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def changed_files(
+        self, from_snapshot_id: int = 0, to_snapshot_id: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Manifest entries (stats included) of every data file some
+        commit in ``(from_snapshot_id, to_snapshot_id]`` added, removed,
+        or reached with new tombstones — the FILE-level invalidation set
+        behind incremental rollup refresh (r13). Any row the table
+        gained or lost in the window lives in one of these files, so
+        their stats bound the changed key space without evaluating the
+        row-level changelog (no Spark job, no data file read)."""
+        to_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.current_snapshot_id
+        )
+        if to_id is None:
+            return []
+        out: dict[str, dict[str, Any]] = {}
+        cache: dict[str, dict[str, dict[str, Any]]] = {}
+
+        def entries_map(snap: dict[str, Any] | None) -> dict[str, dict[str, Any]]:
+            merged: dict[str, dict[str, Any]] = {}
+            for m in snap["manifests"] if snap else []:
+                if m not in cache:
+                    t = pq.read_table(os.path.join(self._meta_dir, m))
+                    cache[m] = {r["file_path"]: r for r in t.to_pylist()}
+                merged.update(cache[m])
+            return merged
+
+        for prev, s, pre_paths, post_paths in self._commit_changes(
+            from_snapshot_id, to_id
+        ):
+            for snap, paths in ((prev, pre_paths), (s, post_paths)):
+                if not paths:
+                    continue
+                emap = entries_map(snap)
+                for p in paths:
+                    if p not in out and p in emap:
+                        out[p] = emap[p]
+        return list(out.values())
 
     def to_view(self, name: str, snapshot_id: int | None = None) -> str:
         """Register the table's current (or time-traveled) scan as a temp
