@@ -642,3 +642,114 @@ def test_refresh_prunes_on_transform_partitioned_source(spark, tmp_path):
     assert _canon(rollup.scan().drop("bucket_key")) == _canon(
         full_recompute(source)
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: stats-driven invalidation + tiered fold (overwrite / insert-only /
+# merge+tombstone), each tier proven equal to the full recompute and the
+# commit shapes pinned.
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_floor_matches_spark_date_trunc(spark):
+    """_bucket_floor is the driver-side twin of Spark's date_trunc —
+    a mismatch would mis-align invalidation ranges and silently skip
+    changed buckets."""
+    import datetime as dt
+
+    from icebergplus_spark.lake.rollup import _bucket_floor
+
+    samples = [
+        dt.datetime(2024, 2, 29, 13, 47, 31, 123456),
+        dt.datetime(2023, 12, 31, 23, 59, 59),
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 7, 15, 6, 30, 0),
+        dt.datetime(2021, 5, 3, 0, 0, 1),
+    ]
+    units = ["year", "quarter", "month", "week", "day", "hour", "minute", "second"]
+    df = spark.createDataFrame([(t,) for t in samples], "ts timestamp")
+    exprs = [F.date_trunc(u, "ts").alias(u) for u in units]
+    for row, ts in zip(df.select(*exprs).collect(), samples):
+        for u in units:
+            assert row[u] == _bucket_floor(ts, u), (ts, u, row[u])
+
+
+def test_full_invalidation_refresh_is_single_overwrite(spark, tables):
+    """When a source delete invalidates (nearly) every bucket, the
+    refresh lands as ONE overwrite commit — no merge + tombstone pair —
+    and still equals the recompute, including tombstoning emptied
+    cells."""
+    ev, source, rollup = tables
+    source.append(ev.filter(F.col("ts") < "2024-01-10"))
+    refresh_rollup(source, rollup)
+    # value > 20 is spread across every bucket; 'signup' cells with all
+    # rows above the bar empty out entirely
+    source.delete_where({"value": (">", 20.0)})
+    n_ops_before = len(rollup.history())
+    r = refresh_rollup(source, rollup)
+    new_ops = [s["operation"] for s in rollup.history()[n_ops_before:]]
+    assert new_ops == ["overwrite"], new_ops
+    assert r["refreshed_buckets"] > 0
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
+
+
+def test_disjoint_append_refresh_skips_dead_key_pass(spark, tables, monkeypatch):
+    """A refresh whose touched ranges intersect no existing rollup file
+    is a pure insert: exactly one merge commit, and the dead-key pass
+    never runs (nothing stale can exist)."""
+    ev, source, rollup = tables
+    source.append(ev.filter(F.col("ts") < "2024-01-10"))
+    refresh_rollup(source, rollup)
+    source.append(
+        ev.filter((F.col("ts") >= "2024-01-20") & (F.col("ts") < "2024-01-25"))
+    )
+    n_ops_before = len(rollup.history())
+
+    def boom(*a, **kw):  # the dead-key pass must not reach delete_by_key
+        raise AssertionError("dead-key tombstone ran on a pure-insert refresh")
+
+    monkeypatch.setattr(type(rollup), "delete_by_key", boom)
+    r = refresh_rollup(source, rollup)
+    monkeypatch.undo()
+    new_ops = [s["operation"] for s in rollup.history()[n_ops_before:]]
+    assert new_ops == ["merge"], new_ops
+    assert r["deleted_buckets"] == 0
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
+
+
+def test_changed_files_covers_append_and_rewrite(spark, tables):
+    """changed_files returns manifest entries (with stats) for files a
+    window added, removed, or tombstone-reached — the superset bound
+    behind stats invalidation."""
+    ev, source, rollup = tables
+    source.append(ev.filter(F.col("ts") < "2024-01-05"))
+    snap1 = source.current_snapshot_id
+    added = {f["file_path"] for f in source.plan_files()}
+    got = {f["file_path"] for f in source.changed_files(0, snap1)}
+    assert got == added
+    # a CoW delete rewrites files: both pre- and post-images are changed
+    pre_paths = {f["file_path"] for f in source.plan_files()}
+    source.delete_where({"value": (">", 50.0)})
+    post_paths = {f["file_path"] for f in source.plan_files()}
+    got2 = {f["file_path"] for f in source.changed_files(snap1)}
+    assert (pre_paths - post_paths) <= got2  # removed files present
+    assert (post_paths - pre_paths) <= got2  # rewritten files present
+    for f in source.changed_files(snap1):
+        assert "column_mins" in f and f["column_mins"]
+
+
+def test_refresh_changelog_fallback_matches_stats_path(spark, tables, monkeypatch):
+    """Forcing the row-level changelog fallback (as if a changed file
+    had no provable time stats) converges to the same rollup state."""
+    import icebergplus_spark.lake.rollup as rmod
+
+    ev, source, rollup = tables
+    source.append(ev.filter(F.col("ts") < "2024-01-08"))
+    refresh_rollup(source, rollup)
+    source.delete_where({"value": (">", 60.0)})
+    source.append(ev.filter((F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-12")))
+    monkeypatch.setattr(rmod, "_changed_ts_spans", lambda *a, **kw: None)
+    r = refresh_rollup(source, rollup)
+    monkeypatch.undo()
+    assert r["refreshed_buckets"] > 0
+    assert _canon(rollup.scan().drop("bucket_key")) == _canon(full_recompute(source))
