@@ -588,9 +588,6 @@ def refresh_materialized(catalog, name: str) -> dict:
     current = source.current_snapshot_id or 0
     if current <= last:
         return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
-    changes = source.scan_changelog(
-        from_snapshot_id=last, to_snapshot_id=current
-    ).filter(F.col(spec["time_col"]).isNotNull())
     ranges = _touched_ranges(
         source, spec["time_col"], spec["window"], last, current
     )

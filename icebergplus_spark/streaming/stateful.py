@@ -41,7 +41,16 @@ def _update_user_stats(
         batch_max = pdf["ts"].max()
         last = batch_max if last is None or batch_max > last else last
     state.update((n, total, last))
-    state.setTimeoutDuration(60 * 60 * 1000)  # 1h idle → state dropped
+    # EVENT-time idle horizon (r13): drop a user 1h of event time past
+    # the watermark. The previous setTimeoutDuration (processing time)
+    # forced the engine to keep scheduling wall-clock timer batches —
+    # an availableNow run would grind through empty ~0.5 s micro-batches
+    # for the full hour after the data was done (measured: 535 empty
+    # batches). Event-time timers resolve against the watermark the
+    # data itself advances, so the query terminates with the data, and
+    # "idle" means idle in the STREAM's time — the semantics the state
+    # bound was documented to have.
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60 * 60 * 1000)
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -63,7 +72,7 @@ def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -102,13 +102,36 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_no_unintended_cartesian(spark, sf_dir):
-    # every oracle-checked query except the intentional cross joins
+    # every oracle-checked query except the intentional cross joins.
+    # Building ~200 plans is mostly driver/py4j latency plus small
+    # setup jobs — a thread pool overlaps them (guide §2.6); Spark's
+    # scheduler handles concurrent jobs from one session natively.
+    from concurrent.futures import ThreadPoolExecutor
+
     intentional = {"q46_cross_join", "s01_topk_bruteforce"}
-    for name in sorted(QUERIES):
-        if name in intentional or name.startswith(("d0", "s0", "m0", "q49")):
-            continue
+    # Python-DataSource registration (spark.dataSource.register) is not
+    # thread-safe against concurrent lookups — keep those few serial.
+    serial_only = {
+        "q104_lake_batch_source",
+        "q105_lake_batch_writer",
+        "q82_python_datasource",
+    }
+    names = [
+        n
+        for n in sorted(QUERIES)
+        if n not in intentional and not n.startswith(("d0", "s0", "m0", "q49"))
+    ]
+
+    def check(name):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian product"
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for _ in pool.map(check, [n for n in names if n not in serial_only]):
+            pass
+    for n in names:
+        if n in serial_only:
+            check(n)
 
 
 def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
