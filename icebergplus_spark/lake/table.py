@@ -184,26 +184,68 @@ DELETE_MANIFEST_SCHEMA = pa.schema(
 # set per python worker, reused across batches/tasks. Keyed by the
 # ordered dv-parquet path tuple (content-stable: dv files are
 # immutable once committed); bounded — vectors are tombstone-scale.
-_DV_BLOB_CACHE: dict[tuple, dict] = {}
+_DV_INDEX_CACHE: dict[tuple, dict] = {}
+_DV_BLOB_CACHE: dict[tuple, bytes] = {}
 
 
-def _load_dv_blobs(dv_paths: tuple) -> dict:
-    """{data-file URI → vector blob}, last-wins in manifest order (a
-    later vector for a file supersedes — and contains — the earlier)."""
-    hit = _DV_BLOB_CACHE.get(dv_paths)
+def _dv_index(dv_paths: tuple) -> dict:
+    """{data-file URI → the dv parquet holding its SUPERSEDING vector}
+    (last-wins in manifest order: a later vector for a file contains
+    the earlier). Built from the ``file_path`` column only — a worker
+    holds O(vectored files) path strings, never the blob bytes (r13:
+    the full {file → blob} map held every live vector per worker,
+    which at ~10⁵ vectored files is the table's whole tombstone set
+    loaded for a scan that may touch a handful of them)."""
+    hit = _DV_INDEX_CACHE.get(dv_paths)
     if hit is not None:
         return hit
-    blobs: dict = {}
+    idx: dict = {}
     for p in dv_paths:
-        t = pq.read_table(p, columns=["file_path", "dv"])
-        for f, b in zip(
-            t.column("file_path").to_pylist(), t.column("dv").to_pylist()
-        ):
-            blobs[f] = bytes(b)
-    if len(_DV_BLOB_CACHE) > 8:
-        _DV_BLOB_CACHE.clear()
-    _DV_BLOB_CACHE[dv_paths] = blobs
-    return blobs
+        for f in pq.read_table(p, columns=["file_path"]).column(
+            "file_path"
+        ).to_pylist():
+            idx[f] = p
+    if len(_DV_INDEX_CACHE) > 8:
+        _DV_INDEX_CACHE.clear()
+    _DV_INDEX_CACHE[dv_paths] = idx
+    return idx
+
+
+def _dv_blobs_for(dv_paths: tuple, needed) -> dict:
+    """Vector blobs for exactly the ``needed`` data files: index lookup
+    + per-parquet predicate reads, so a task loads O(files it touches)
+    blob bytes. Per-(parquet, file) blobs are worker-cached across
+    batches and tasks."""
+    idx = _dv_index(dv_paths)
+    out: dict = {}
+    misses: dict[str, list] = {}
+    for f in needed:
+        p = idx.get(f)
+        if p is None:
+            continue
+        hit = _DV_BLOB_CACHE.get((p, f))
+        if hit is not None:
+            out[f] = hit
+        else:
+            misses.setdefault(p, []).append(f)
+    for p, files in misses.items():
+        t = pq.read_table(
+            p, columns=["file_path", "dv"], filters=[("file_path", "in", files)]
+        )
+        # row order preserved → a duplicate row for a file resolves to
+        # the LAST one, matching the old full-map loop
+        rows = {
+            f: bytes(b)
+            for f, b in zip(
+                t.column("file_path").to_pylist(), t.column("dv").to_pylist()
+            )
+        }
+        if len(_DV_BLOB_CACHE) > 4096:
+            _DV_BLOB_CACHE.clear()
+        for f, b in rows.items():
+            _DV_BLOB_CACHE[(p, f)] = b
+            out[f] = b
+    return out
 
 
 def _apply_dv_vectors(df: DataFrame, dv_paths: list[str]) -> DataFrame:
@@ -220,11 +262,13 @@ def _apply_dv_vectors(df: DataFrame, dv_paths: list[str]) -> DataFrame:
 
         from icebergplus_spark.lake import dv as _dv
 
-        blobs = _load_dv_blobs(paths)
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf
                 continue
+            # per-file keyed loads: this task pays for the vectors of
+            # the files ITS batches touch, not the table's live set
+            blobs = _dv_blobs_for(paths, pdf["__file"].unique())
             keep = np.ones(len(pdf), dtype=bool)
             pos = pdf["__pos"].to_numpy()
             for f, idx in pdf.groupby("__file", sort=False).indices.items():
@@ -2371,21 +2415,9 @@ class LakeTable:
             return self._commit_dv_delete(t0, snap, matches)
         out_dir = os.path.join(self.table_dir, "data", "deletes", f"pos-{uuid.uuid4().hex}")
         matches.write.mode("overwrite").parquet(out_dir)
-        new_entries = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    f = _harvest_footer(os.path.join(root, fn))
-                    new_entries.append(
-                        {
-                            "file_path": f["file_path"],
-                            "record_count": f["record_count"],
-                            "file_size_bytes": f["file_size_bytes"],
-                            "content": "position",
-                            "equality_cols": "",
-                            "applies_before": snap["snapshot_id"] if snap else 0,
-                        }
-                    )
+        new_entries = self._harvest_delete_files(
+            out_dir, "position", "", snap["snapshot_id"] if snap else 0
+        )
         if sum(e["record_count"] for e in new_entries) == 0:
             for e in new_entries:
                 os.remove(e["file_path"])
@@ -2432,9 +2464,8 @@ class LakeTable:
         def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
             import numpy as np
 
-            blobs = _load_dv_blobs(dv_paths)
             f = pdf["file_path"].iloc[0]
-            old = blobs.get(f)
+            old = _dv_blobs_for(dv_paths, [f]).get(f)
             pos = pdf["pos"].to_numpy()
             if old is not None:
                 blob = _dv.encode_dv(
@@ -2645,21 +2676,9 @@ class LakeTable:
         keys.select(
             *[_F.col(c).alias(p) for c, p in zip(keys.columns, phys_cols)]
         ).dropDuplicates().write.mode("overwrite").parquet(out_dir)
-        new_entries = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    f = _harvest_footer(os.path.join(root, fn))
-                    new_entries.append(
-                        {
-                            "file_path": f["file_path"],
-                            "record_count": f["record_count"],
-                            "file_size_bytes": f["file_size_bytes"],
-                            "content": "equality",
-                            "equality_cols": json.dumps(phys_cols),
-                            "applies_before": snap["snapshot_id"],
-                        }
-                    )
+        new_entries = self._harvest_delete_files(
+            out_dir, "equality", json.dumps(phys_cols), snap["snapshot_id"]
+        )
         dmanifest = self._write_delete_manifest(new_entries)
         self._commit_snapshot(
             "delete",
@@ -3084,6 +3103,32 @@ class LakeTable:
             entries = [e for e in entries if e["record_count"]]
         return sorted(entries, key=lambda e: e["file_path"])
 
+    def _harvest_delete_files(
+        self,
+        out_dir: str,
+        content: str,
+        equality_cols: str,
+        applies_before: int,
+    ) -> list[dict[str, Any]]:
+        """Delete-manifest entries for the tombstone files a delete job
+        wrote under ``out_dir`` — one batch through the shared harvest,
+        so past the distributed threshold the footer reads fan out as a
+        Spark job instead of a driver-serial loop (r13: the last
+        rewrite family the r12 harvest batching left driver-serial).
+        Projects exactly the delete-entry fields; the delete-manifest
+        schema is unchanged."""
+        return [
+            {
+                "file_path": e["file_path"],
+                "record_count": e["record_count"],
+                "file_size_bytes": e["file_size_bytes"],
+                "content": content,
+                "equality_cols": equality_cols,
+                "applies_before": applies_before,
+            }
+            for e in self._harvest_dir(out_dir)
+        ]
+
     def upsert(
         self,
         df: DataFrame,
@@ -3121,21 +3166,9 @@ class LakeTable:
         df.select(
             *[_F.col(c).alias(p) for c, p in zip(keys, phys_keys)]
         ).dropDuplicates().write.mode("overwrite").parquet(out_dir)
-        del_entries = []
-        for root, _dirs, fns in os.walk(out_dir):
-            for fn in fns:
-                if fn.endswith(".parquet"):
-                    f = _harvest_footer(os.path.join(root, fn))
-                    del_entries.append(
-                        {
-                            "file_path": f["file_path"],
-                            "record_count": f["record_count"],
-                            "file_size_bytes": f["file_size_bytes"],
-                            "content": "equality",
-                            "equality_cols": json.dumps(phys_keys),
-                            "applies_before": base["snapshot_id"],
-                        }
-                    )
+        del_entries = self._harvest_delete_files(
+            out_dir, "equality", json.dumps(phys_keys), base["snapshot_id"]
+        )
         dmanifest = self._write_delete_manifest(del_entries)
         entries, ndv, manifest = self._write_data_files(df, None)
         self._commit_snapshot(

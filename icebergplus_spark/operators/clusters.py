@@ -44,11 +44,29 @@ def connected_components(
     ~250-edge graph — pure per-round fixed cost). Past the cap, the
     distributed label-propagation runs unchanged; both tiers compute
     the identical min-label fixed point."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
     node_type = edges.schema[src].dataType
-    if node_type == edges.schema[dst].dataType:
+    # The driver tier needs hashable, Python-orderable node values whose
+    # order matches Spark's min aggregation: atomic ints and strings
+    # qualify; arrays/structs aren't dict keys, and float NaN orders
+    # differently than Spark's min (ADVICE r12) — those fall through to
+    # the distributed tier, like NULL endpoints below.
+    atomic = isinstance(
+        node_type, (ByteType, ShortType, IntegerType, LongType, StringType)
+    )
+    if atomic and node_type == edges.schema[dst].dataType:
         # ONE capped collect answers both the size probe and the edge
         # fetch (the C2 fused-probe pattern): an over-cap result falls
-        # through with only cap+1 rows ever reaching the driver.
+        # through with only cap+1 rows ever reaching the driver — the
+        # accepted one-time tier-probe cost (bounded; avoiding it would
+        # put an extra count action on the common under-cap path).
         rows = (
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .limit(driver_cap + 1)

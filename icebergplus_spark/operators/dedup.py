@@ -636,6 +636,17 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null vec_id / null embedding rows can never emit a pair in the old
     # plan (NULL join keys match nothing; NULL cos fails the filter) —
     # drop them before the numpy kernel, which needs dense arrays.
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    # the numpy kernel packs ids as int64 (and the declared output is
+    # doc_a/doc_b long) — refuse non-integral ids with a clear error
+    # instead of a downstream to_numpy crash (ADVICE r12)
+    id_type = emb.schema["vec_id"].dataType
+    if not isinstance(id_type, (LongType, IntegerType, ShortType)):
+        raise TypeError(
+            f"d08 requires an integral vec_id (got {id_type.simpleString()}); "
+            "the all-pairs kernel and its declared long output assume it"
+        )
     live = emb.select("vec_id", "embedding").where(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
@@ -658,32 +669,41 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as _pd
 
         bids, bM, bnorms = bc.value
+        # bound the dense (rows × corpus) accumulator to ~64 MB: a
+        # default 10k-row Arrow batch against a 200k corpus would
+        # otherwise allocate ~16 GB per task (ADVICE r12). Chunking
+        # input ROWS changes nothing per output element — each (i, j)
+        # still accumulates per dimension in the same fold order.
+        rows_per_chunk = max(1, 8_000_000 // max(1, len(bids)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            aids = pdf["vec_id"].to_numpy(dtype=_np.int64)
-            A = _np.array(
+            all_ids = pdf["vec_id"].to_numpy(dtype=_np.int64)
+            Afull = _np.array(
                 [_np.asarray(v) for v in pdf["embedding"]], dtype=_np.float32
             ).astype(_np.float64)
-            acc = _np.zeros((len(aids), len(bids)))
-            anorm = _np.zeros(len(aids))
-            for k in range(A.shape[1]):
-                acc += A[:, k : k + 1] * bM[None, :, k]
-                anorm += A[:, k] * A[:, k]
-            with _np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (_np.sqrt(anorm)[:, None] * bnorms[None, :])
-            keep = (aids[:, None] < bids[None, :]) & (
-                (cos >= cutoff) | ~_np.isfinite(cos)
-            )
-            ii, jj = _np.nonzero(keep)
-            if len(ii):
-                yield _pd.DataFrame(
-                    {
-                        "doc_a": aids[ii],
-                        "doc_b": bids[jj],
-                        "cos_raw": cos[ii, jj],
-                    }
+            for lo in range(0, len(all_ids), rows_per_chunk):
+                aids = all_ids[lo : lo + rows_per_chunk]
+                A = Afull[lo : lo + rows_per_chunk]
+                acc = _np.zeros((len(aids), len(bids)))
+                anorm = _np.zeros(len(aids))
+                for k in range(A.shape[1]):
+                    acc += A[:, k : k + 1] * bM[None, :, k]
+                    anorm += A[:, k] * A[:, k]
+                with _np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (_np.sqrt(anorm)[:, None] * bnorms[None, :])
+                keep = (aids[:, None] < bids[None, :]) & (
+                    (cos >= cutoff) | ~_np.isfinite(cos)
                 )
+                ii, jj = _np.nonzero(keep)
+                if len(ii):
+                    yield _pd.DataFrame(
+                        {
+                            "doc_a": aids[ii],
+                            "doc_b": bids[jj],
+                            "cos_raw": cos[ii, jj],
+                        }
+                    )
 
     raw = live.repartition(
         spark.sparkContext.defaultParallelism

@@ -459,3 +459,53 @@ def test_orphan_sweep_reclaims_crashed_dv_commit_debris(table):
     ]
     assert live_dv and all(_os.path.exists(p) for p in live_dv)
     assert sorted(r["k"] for r in table.scan().collect()) == list(range(3, 10))
+
+
+def test_dv_blob_loads_are_per_file(spark, tmp_path):
+    """r13: a scan task loads vectors for exactly the data files it
+    touches through a path-only index, never the table's whole live
+    blob set — and the keyed loads agree with the full manifest walk."""
+    from icebergplus_spark.lake.table import (
+        _DV_BLOB_CACHE,
+        _DV_INDEX_CACHE,
+        _dv_blobs_for,
+        _dv_index,
+    )
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.dvidx", SCHEMA)
+    t.set_property("delete.representation", "dv")
+    # 4 single-file appends → 4 data files, then 2 stacked deletes so
+    # some files carry superseding vectors across dv parquets
+    for lo in range(0, 40, 10):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"a{i}") for i in range(lo, lo + 10)], SCHEMA
+            ).coalesce(1)
+        )
+    t.delete_where({"k": (">", 25)})
+    t.delete_where({"k": ("<", 5)})
+    dv_paths = tuple(
+        e["file_path"]
+        for e in t._delete_entries(t.snapshot())
+        if e["content"] == "dv"
+    )
+    assert dv_paths
+    _DV_INDEX_CACHE.clear()
+    _DV_BLOB_CACHE.clear()
+    idx = _dv_index(dv_paths)
+    assert idx and all(isinstance(v, str) for v in idx.values())
+    full = _live_dv_state(t)  # authoritative full walk (last-wins)
+    assert set(idx) == set(full)
+    one = sorted(full)[0]
+    got = _dv_blobs_for(dv_paths, [one])
+    assert set(got) == {one}
+    assert got[one] == full[one]
+    # only the requested file's blob was cached — per-file, not per-set
+    assert {f for (_p, f) in _DV_BLOB_CACHE} == {one}
+    rest = _dv_blobs_for(dv_paths, sorted(full))
+    assert rest == full
+    # unknown files resolve to nothing rather than a full-map load
+    assert _dv_blobs_for(dv_paths, ["file:/nope.parquet"]) == {}
+    # and the scan itself stays exact under the keyed loads
+    assert sorted(r["k"] for r in t.scan().collect()) == list(range(5, 26))

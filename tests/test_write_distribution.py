@@ -291,3 +291,52 @@ def test_rewrite_paths_harvest_distributed_equivalence(spark, tmp_path):
     x_stats, x_rows = build(str(tmp_path / "wh_dist"), 0)
     assert d_rows == x_rows
     assert d_stats == x_stats
+
+
+def test_delete_file_harvest_distributed_equivalence(spark, tmp_path):
+    """r13: the DELETE-file writers (MoR position delete, equality
+    tombstone, atomic upsert) route their tombstone-file harvest
+    through the same batched ``_harvest_data_files`` as data files —
+    delete-manifest entries and the visible rows must be identical
+    either side of the distributed threshold."""
+
+    def build(root, threshold):
+        import pyarrow.parquet as _pq
+        import os as _os
+
+        cat = LocalLakeCatalog(spark, root).start()
+        t = cat.create_table("db.dvh", SCHEMA)
+        t.set_property(
+            "write.stats-harvest.distributed-threshold", str(threshold)
+        )
+        t.set_property("delete.mode", "merge-on-read")
+        t.refresh()
+        t.append(
+            spark.createDataFrame(
+                [(f"p{i % 3}", i) for i in range(240)], SCHEMA
+            ).repartition(4)
+        )
+        # MoR position delete + equality tombstone + atomic upsert: all
+        # three tombstone writers in one history
+        t.delete_where({"v": (">", 200)})
+        t.delete_by_key(spark.createDataFrame([("p1",)], "part string"))
+        t.upsert(
+            spark.createDataFrame([("p0", 5), ("pz", 999)], SCHEMA), "v"
+        )
+        snap = t.snapshot()
+        entries = []
+        for m in snap.get("delete_manifests", []):
+            for e in _pq.read_table(
+                _os.path.join(t._meta_dir, m)
+            ).to_pylist():
+                entries.append(
+                    (e["content"], e["equality_cols"], e["record_count"])
+                )
+        rows = sorted(map(tuple, t.scan().collect()))
+        return sorted(entries), rows
+
+    d_entries, d_rows = build(str(tmp_path / "wh_driver"), 10_000)
+    x_entries, x_rows = build(str(tmp_path / "wh_dist"), 0)
+    assert d_rows == x_rows
+    assert d_entries == x_entries
+    assert d_entries, "no delete-manifest entries harvested"
