@@ -28,9 +28,18 @@ sys.path.insert(
 from tools.sqlfuzz import SqlFuzzer, gen_statement, render, shrink_candidates
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
-def test_fuzz_differential(spark, tmp_path, seed):
-    SqlFuzzer(spark, str(tmp_path), seed).run(14)
+def test_fuzz_differential(spark, tmp_path):
+    """Seeds run concurrently (one catalog + seed-suffixed twin views
+    each — fully independent state); a failure names its seed in the
+    reproducer the harness raises."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(seed):
+        SqlFuzzer(spark, str(tmp_path), seed).run(14)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for _ in pool.map(run, [0, 1, 2, 3, 4, 5]):
+            pass
 
 
 def test_generator_is_deterministic():

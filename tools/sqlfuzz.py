@@ -432,6 +432,13 @@ class SqlFuzzer:
         self.rng = random.Random(seed)
         self.seed = seed
         self.duckdb = duckdb
+        # seed-unique temp-view names so concurrent seeds (the pytest
+        # battery thread-pools them) never clobber each other's twins
+        sfx = f"_s{seed}"
+        self.TABLES = {i: v + sfx for i, v in SqlFuzzer.TABLES.items()}
+        self._vt = self.TABLES["db.t"]
+        self._vpre = "fz_t_pre" + sfx
+        self._vstep = "fz_t_step" + sfx
         self.T = StructType(
             [
                 StructField("id", LongType(), True),
@@ -618,19 +625,19 @@ class SqlFuzzer:
             # anywhere aborts the whole block — state untouched.
             self.spark.createDataFrame(
                 pre, self.T
-            ).createOrReplaceTempView("fz_t_pre")
+            ).createOrReplaceTempView(self._vpre)
             cur = list(pre)
             for inner in st["inner"]:
                 self.spark.createDataFrame(
                     cur, self.T
-                ).createOrReplaceTempView("fz_t_step")
+                ).createOrReplaceTempView(self._vstep)
                 w = (
                     _render_where(inner.get("branches", []))
                     or "id < 0"
                 )
                 c = f"coalesce(({self._rewrite(w)}), false)"
                 if inner["kind"] == "delete":
-                    q = f"SELECT * FROM fz_t_step WHERE NOT {c}"
+                    q = f"SELECT * FROM {self._vstep} WHERE NOT {c}"
                 elif inner["kind"] == "update":
                     assigns = {}
                     for term in inner["sets"]:
@@ -649,12 +656,12 @@ class SqlFuzzer:
                         )
                         for x in self.T.fieldNames()
                     ]
-                    q = f"SELECT {', '.join(items)} FROM fz_t_step"
+                    q = f"SELECT {', '.join(items)} FROM {self._vstep}"
                 else:  # insert — source is the PRE-txn snapshot
-                    c_pre = c.replace("fz_t", "fz_t_pre")
+                    c_pre = c.replace(self._vt, self._vpre)
                     q = (
-                        "SELECT * FROM fz_t_step UNION ALL "
-                        "SELECT id + 1000, g, h, s, v FROM fz_t_pre "
+                        f"SELECT * FROM {self._vstep} UNION ALL "
+                        f"SELECT id + 1000, g, h, s, v FROM {self._vpre} "
                         f"WHERE {c_pre}"
                     )
                 cur = [tuple(r) for r in self.spark.sql(q).collect()]
@@ -681,23 +688,24 @@ class SqlFuzzer:
                 tw = _re.sub(r"\bt\.", "fz_t.", mcond)
                 tw = _re.sub(r"\bs\.", "ms.", tw)
                 inner += " AND (" + tw + ")"
+            vt, vms = self._vt, self.TABLES["db.msrc"]
             match = (
-                f"coalesce(EXISTS (SELECT 1 FROM fz_msrc ms WHERE {inner})"
+                f"coalesce(EXISTS (SELECT 1 FROM {vms} ms WHERE {inner})"
                 ", false)"
             )
             insert_leg = (
                 " UNION ALL SELECT ms.id, CAST(NULL AS BIGINT), "
                 "CAST(NULL AS BIGINT), CAST(NULL AS STRING), "
-                "CAST(NULL AS DOUBLE) FROM fz_msrc ms WHERE NOT EXISTS "
-                "(SELECT 1 FROM fz_t WHERE fz_t.id = ms.id)"
+                f"CAST(NULL AS DOUBLE) FROM {vms} ms WHERE NOT EXISTS "
+                f"(SELECT 1 FROM {vt} AS fz_t WHERE fz_t.id = ms.id)"
             )
             if st["action"] == "delete":
                 expect_sql = (
-                    f"SELECT * FROM fz_t AS fz_t WHERE NOT {match}"
+                    f"SELECT * FROM {vt} AS fz_t WHERE NOT {match}"
                 )
             elif st["action"] == "insert_only":
                 expect_sql = (
-                    "SELECT * FROM fz_t AS fz_t" + insert_leg
+                    f"SELECT * FROM {vt} AS fz_t" + insert_leg
                 )
             elif st["action"] == "bys_delete":
                 # BY SOURCE delete fires on target rows with NO source
@@ -710,16 +718,16 @@ class SqlFuzzer:
                         f"({match} OR NOT coalesce(({c_t}), false))"
                     )
                 expect_sql = (
-                    f"SELECT * FROM fz_t AS fz_t WHERE {keep}"
+                    f"SELECT * FROM {vt} AS fz_t WHERE {keep}"
                 )
             elif st["action"] == "upsert":
                 expect_sql = (
                     "SELECT id, g, h, s, CAST(CASE WHEN "
                     + match
-                    + " THEN (SELECT ms.v2 FROM fz_msrc ms WHERE "
+                    + f" THEN (SELECT ms.v2 FROM {vms} ms WHERE "
                     + inner
                     + ") ELSE v END AS double) AS v "
-                    "FROM fz_t AS fz_t" + insert_leg
+                    f"FROM {vt} AS fz_t" + insert_leg
                 )
             else:
                 assigns = {}
@@ -727,7 +735,7 @@ class SqlFuzzer:
                     col, _, expr = term.partition("=")
                     expr = _re.sub(
                         r"\bs\.(\w+)",
-                        r"(SELECT ms.\1 FROM fz_msrc ms WHERE "
+                        rf"(SELECT ms.\1 FROM {vms} ms WHERE "
                         + inner
                         + ")",
                         expr.strip(),
@@ -748,7 +756,7 @@ class SqlFuzzer:
                     for c in self.T.fieldNames()
                 ]
                 expect_sql = (
-                    f"SELECT {', '.join(items)} FROM fz_t AS fz_t"
+                    f"SELECT {', '.join(items)} FROM {vt} AS fz_t"
                 )
             expected = [
                 tuple(r) for r in self.spark.sql(expect_sql).collect()
@@ -769,7 +777,7 @@ class SqlFuzzer:
         where = _render_where(st.get("branches", [])) or "id < 0"
         cond = f"coalesce(({self._rewrite(where)}), false)"
         if st["kind"] == "delete":
-            expect_sql = f"SELECT * FROM fz_t WHERE NOT {cond}"
+            expect_sql = f"SELECT * FROM {self._vt} WHERE NOT {cond}"
         elif st["kind"] == "update":
             assigns = {}
             for term in st["sets"]:
@@ -785,11 +793,11 @@ class SqlFuzzer:
                 )
                 for c in self.T.fieldNames()
             ]
-            expect_sql = f"SELECT {', '.join(items)} FROM fz_t"
+            expect_sql = f"SELECT {', '.join(items)} FROM {self._vt}"
         else:  # insert
             expect_sql = (
-                "SELECT * FROM fz_t UNION ALL SELECT id + 1000, g, h, s, v "
-                f"FROM fz_t WHERE {cond}"
+                f"SELECT * FROM {self._vt} UNION ALL "
+                f"SELECT id + 1000, g, h, s, v FROM {self._vt} WHERE {cond}"
             )
         expected = [tuple(r) for r in self.spark.sql(expect_sql).collect()]
         try:
