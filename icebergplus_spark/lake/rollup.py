@@ -423,16 +423,15 @@ def refresh_rollup(
     if current <= last:
         return {"refreshed_buckets": 0, "from_snapshot": last, "to_snapshot": current}
 
-    # Bucket invalidation from the CHANGELOG, not the append stream
-    # (r5): scan_incremental skips delete commits, so a source DELETE /
-    # UPDATE / MoR tombstone would leave its buckets stale forever. The
-    # changelog names every gained AND lost row at bounded cost
-    # (appends read only added files; delete commits diff only affected
-    # files) — its buckets are exactly the invalidation set, the same
-    # contract a hypertable's invalidation log provides.
-    # Invalidation from manifest stats of the window's changed FILES —
-    # zero Spark actions in the common case; legacy stats fall back to
-    # one collect over the row-level changelog (r13, guide §1.2).
+    # Bucket invalidation from the COMMIT WINDOW's changed files, not
+    # the append stream (r5): scan_incremental skips delete commits, so
+    # a source DELETE / UPDATE / MoR tombstone would leave its buckets
+    # stale forever. r13: the invalidation ranges come from the changed
+    # files' manifest stats — zero Spark actions in the common case;
+    # legacy files without provable time stats fall back to one collect
+    # over the row-level changelog (guide §1.2). Either way the set
+    # covers every gained AND lost row's bucket, the contract a
+    # hypertable's invalidation log provides.
     ranges = _touched_ranges(source, "ts", window, last, current)
     if ranges is None:
         _record_refreshed_snapshot(rollup, current)

@@ -3111,12 +3111,34 @@ class LakeTable:
         applies_before: int,
     ) -> list[dict[str, Any]]:
         """Delete-manifest entries for the tombstone files a delete job
-        wrote under ``out_dir`` — one batch through the shared harvest,
-        so past the distributed threshold the footer reads fan out as a
-        Spark job instead of a driver-serial loop (r13: the last
-        rewrite family the r12 harvest batching left driver-serial).
-        Projects exactly the delete-entry fields; the delete-manifest
-        schema is unchanged."""
+        wrote under ``out_dir`` — footer-only stats (delete entries
+        carry no column stats, so the data-file harvest's column decode
+        would be pure waste here), batched so past the distributed
+        threshold the footer reads fan out as a Spark job instead of a
+        driver-serial loop (r13: the last rewrite family the r12
+        harvest batching left driver-serial). Below the threshold the
+        per-file work is byte-identical to the old loop."""
+        paths = sorted(
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(out_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        threshold = int(
+            self.properties.get("write.stats-harvest.distributed-threshold", "64")
+        )
+        if len(paths) <= threshold or self.spark is None:
+            footers = [_harvest_footer(p) for p in paths]
+        else:
+            sc = self.spark.sparkContext
+            footers = sorted(
+                sc.parallelize(
+                    paths, min(len(paths), sc.defaultParallelism)
+                )
+                .map(_harvest_footer)
+                .collect(),
+                key=lambda e: e["file_path"],
+            )
         return [
             {
                 "file_path": e["file_path"],
@@ -3126,7 +3148,7 @@ class LakeTable:
                 "equality_cols": equality_cols,
                 "applies_before": applies_before,
             }
-            for e in self._harvest_dir(out_dir)
+            for e in footers
         ]
 
     def upsert(
