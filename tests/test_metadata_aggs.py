@@ -18,6 +18,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog, rewrite_manifests
+from icebergplus_spark.localrel import local_rows_df
 
 SCHEMA = StructType(
     [StructField("k", IntegerType(), True), StructField("s", StringType(), True)]
@@ -30,15 +31,15 @@ def table(spark, tmp_path):
     t = cat.create_table("db.magg", SCHEMA)
     # three appends → three manifests; disjoint k ranges per file
     t.append(
-        spark.createDataFrame([(i, f"a{i}") for i in range(0, 10)], SCHEMA).coalesce(1)
+        local_rows_df(spark, [(i, f"a{i}") for i in range(0, 10)], SCHEMA)
     )
     t.append(
-        spark.createDataFrame([(i, f"b{i}") for i in range(10, 30)], SCHEMA).coalesce(1)
+        local_rows_df(spark, [(i, f"b{i}") for i in range(10, 30)], SCHEMA)
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, None if i % 2 else f"c{i}") for i in range(30, 35)], SCHEMA
-        ).coalesce(1)
+        )
     )
     return t
 
@@ -130,7 +131,7 @@ def test_rewrite_manifests_consolidates(table):
 def test_rewrite_manifests_after_append_keeps_planning_small(table):
     t = table
     rewrite_manifests(t)
-    t.append(t.spark.createDataFrame([(100, "z")], SCHEMA).coalesce(1))
+    t.append(local_rows_df(t.spark, [(100, "z")], SCHEMA))
     assert len(t.snapshot()["manifests"]) == 2  # consolidated + new append
     assert t.count_rows() == 36
     assert t.count_rows({"k": ("=", 100)}) == 1
@@ -146,8 +147,8 @@ def test_entries_and_metadata_log_tables(spark, tmp_path):
     )
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.ent", schema)
-    t.append(spark.createDataFrame([(1, "a")], schema).coalesce(1))
-    t.append(spark.createDataFrame([(2, "b")], schema).coalesce(1))
+    t.append(local_rows_df(spark, [(1, "a")], schema))
+    t.append(local_rows_df(spark, [(2, "b")], schema))
 
     ent = t.metadata_df("entries").collect()
     # snapshot 1: one ADDED entry; snapshot 2: that entry EXISTING + one ADDED
@@ -220,14 +221,14 @@ def test_sql_agg_select_with_where_routes_to_stats(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh2")).start()
     t = cat.create_table("db.aggw", SCHEMA)
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, f"a{i}") for i in range(0, 10)], SCHEMA
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, f"b{i}") for i in range(10, 30)], SCHEMA
-        ).coalesce(1)
+        )
     )
     [row] = lake_sql(
         cat,
@@ -339,14 +340,14 @@ def test_decimal_stats_never_fold(spark, tmp_path):
     t = cat.create_table("db.dec", schema)
     # '9.50' > '10.20' lexicographically — the fold-poison shape
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(1, Decimal("9.50")), (2, Decimal("10.20"))], schema
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(3, Decimal("100.05")), (4, Decimal("2.00"))], schema
-        ).coalesce(1)
+        )
     )
     assert t.stats_min_max("price") == (Decimal("2.00"), Decimal("100.05"))
     assert t.stats_min_max("price", predicates={"k": ("<", 3)}) == (
@@ -388,9 +389,9 @@ def test_having_on_countlike_column_name_declines(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whc")).start()
     t = cat.create_table("db.cnt", schema)
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(k, k % 3) for k in range(9)], schema
-        ).coalesce(1)
+        )
     )
     q = (
         "SELECT counter, COUNT(*) AS n FROM db.cnt "
@@ -653,12 +654,12 @@ def test_agg_by_all_null_agg_column(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whn")).start()
     t = cat.create_table("db.abn", SCHEMA, partition_cols=["s"])
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(None, "px"), (None, "px")], SCHEMA
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame([(5, "px"), (9, "px")], SCHEMA).coalesce(1)
+        local_rows_df(spark, [(5, "px"), (9, "px")], SCHEMA)
     )
     got = t.agg_by(
         "s", [("MIN", "k", "lo"), ("MAX", "k", "hi"), ("COUNT", None, "n")]

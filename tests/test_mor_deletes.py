@@ -17,6 +17,7 @@ from icebergplus_spark.lake import (
     expire_snapshots,
     remove_orphan_files,
 )
+from icebergplus_spark.localrel import local_rows_df
 
 SCHEMA = StructType(
     [StructField("k", IntegerType(), True), StructField("v", StringType(), True)]
@@ -32,8 +33,8 @@ def table(spark, tmp_path, request):
     t = cat.create_table("db.mor", SCHEMA)
     if request.param == "dv":
         t.set_property("delete.representation", "dv")
-    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(5)], SCHEMA).coalesce(1))
-    t.append(spark.createDataFrame([(i, f"b{i}") for i in range(5, 10)], SCHEMA).coalesce(1))
+    t.append(local_rows_df(spark, [(i, f"a{i}") for i in range(5)], SCHEMA))
+    t.append(local_rows_df(spark, [(i, f"b{i}") for i in range(5, 10)], SCHEMA))
     return t
 
 
@@ -97,7 +98,7 @@ def test_equality_delete_and_sequence_semantics(spark, table):
     assert table.snapshot()["summary"]["total-equality-deletes"] == 2
     # append the same key AFTER the delete: the new row survives
     # (applies_before ≈ Iceberg sequence numbers)
-    table.append(spark.createDataFrame([(2, "new2")], SCHEMA).coalesce(1))
+    table.append(local_rows_df(spark, [(2, "new2")], SCHEMA))
     assert _keys(table) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
     assert [r["v"] for r in table.scan().collect() if r["k"] == 2] == ["new2"]
 
@@ -109,7 +110,7 @@ def test_commit_metrics_report_delete_counters(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whm")).start()
     cat.set_metrics_reporter(MetricsReporter(sink))
     t = cat.create_table("db.metr", SCHEMA)
-    t.append(spark.createDataFrame([(i, "x") for i in range(4)], SCHEMA).coalesce(1))
+    t.append(local_rows_df(spark, [(i, "x") for i in range(4)], SCHEMA))
     t.delete_where({"k": ("<", 2)})
 
     def val(name):
@@ -195,10 +196,10 @@ def test_atomic_upsert_single_snapshot(spark, tmp_path):
     )
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.au", schema)
-    t.append(spark.createDataFrame([(1, "old"), (2, "keep")], schema).coalesce(1))
+    t.append(local_rows_df(spark, [(1, "old"), (2, "keep")], schema))
     n_before = len(t.history())
 
-    t.upsert(spark.createDataFrame([(1, "new"), (3, "add")], schema).coalesce(1), "k")
+    t.upsert(local_rows_df(spark, [(1, "new"), (3, "add")], schema), "k")
     assert len(t.history()) == n_before + 1  # ONE commit for delete+insert
     assert t.history()[-1]["operation"] == "upsert"
     got = {r["k"]: r["v"] for r in t.scan().collect()}
@@ -206,7 +207,7 @@ def test_atomic_upsert_single_snapshot(spark, tmp_path):
 
     # rows appended AFTER the upsert with the same key survive its
     # tombstone (applies_before semantics)
-    t.append(spark.createDataFrame([(1, "newer")], schema).coalesce(1))
+    t.append(local_rows_df(spark, [(1, "newer")], schema))
     vs = sorted(r["v"] for r in t.scan().filter("k = 1").collect())
     assert vs == ["new", "newer"]
 
@@ -307,7 +308,7 @@ def test_mor_update_sequence_semantics(spark, table):
     """A row appended AFTER a MoR update with the same key must survive
     subsequent scans untouched (DVs are positional, never key-based)."""
     table.update_where({"k": ("=", 5)}, {"v": "u5"})
-    table.append(spark.createDataFrame([(5, "later5")], SCHEMA).coalesce(1))
+    table.append(local_rows_df(spark, [(5, "later5")], SCHEMA))
     got = sorted(r["v"] for r in table.scan().filter("k = 5").collect())
     assert got == ["later5", "u5"]
 
@@ -423,9 +424,9 @@ def test_delete_by_key_type_mismatch_disables_pruning(spark, tmp_path):
     t = cat.create_table("db.tm", SCHEMA, bloom_cols=["k"])
     for lo in (0, 10):
         t.append(
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(i, f"v{i}") for i in range(lo, lo + 5)], SCHEMA
-            ).coalesce(1)
+            )
         )
     keys = spark.createDataFrame([(1.0,), (12.0,)], "k double")
     t.delete_by_key(keys)

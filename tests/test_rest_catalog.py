@@ -36,7 +36,11 @@ def _client(spark, server):
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(rows, SCHEMA)
+    # driver-held rows: appends of this frame take the r12 driver-write
+    # gate (no Spark write job per tiny append)
+    from icebergplus_spark.localrel import local_rows_df
+
+    return local_rows_df(spark, rows, SCHEMA)
 
 
 def test_roundtrip_over_http(spark, server):

@@ -17,6 +17,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import _parse_with, lake_sql
 
 FACT = StructType(
@@ -41,10 +42,10 @@ def cat(spark, tmp_path):
     # four files, k-ranges [0,10) [10,20) [20,30) [30,40)
     for lo in range(0, 40, 10):
         rows = [(k, k % 4, float(k)) for k in range(lo, lo + 10)]
-        fact.append(spark.createDataFrame(rows, FACT).coalesce(1))
+        fact.append(local_rows_df(spark, rows, FACT))
     dim = c.create_table("db.dim", DIM)
     dim.append(
-        spark.createDataFrame([(i, f"d{i}") for i in range(4)], DIM).coalesce(1)
+        local_rows_df(spark, [(i, f"d{i}") for i in range(4)], DIM)
     )
     return c
 

@@ -16,6 +16,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import lake_sql
 
 T = StructType(
@@ -34,12 +35,12 @@ def _mk(spark, tmp_path):
     t = c.create_table("db.fact", T)
     for lo in range(0, 40, 10):
         t.append(
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(i, float(i)) for i in range(lo, lo + 10)], T
-            ).coalesce(1)
+            )
         )
     keys = c.create_table("db.keys", K)
-    keys.append(spark.createDataFrame([(3,), (7,), (7,)], K).coalesce(1))
+    keys.append(local_rows_df(spark, [(3,), (7,), (7,)], K))
     return c, t, keys
 
 
@@ -82,7 +83,7 @@ def test_in_subquery_type_mismatch_disables_pruning(spark, tmp_path):
     same rows, zero pruning."""
     cat, t, _ = _mk(spark, tmp_path)
     skeys = cat.create_table("db.skeys", KS)
-    skeys.append(spark.createDataFrame([("3",), ("7",)], KS).coalesce(1))
+    skeys.append(local_rows_df(spark, [("3",), ("7",)], KS))
     str_keys = lake_sql(cat, "SELECT kk FROM db.skeys")
     assert t.scan_pruned_by_keys([("k", str_keys)]) is None
     rows = lake_sql(
@@ -109,7 +110,7 @@ def test_in_subquery_null_keys_inert(spark, tmp_path):
     """NULLs in the key set can't equal anything: pruning ignores
     them, rows still match the non-null keys."""
     cat, t, keys = _mk(spark, tmp_path)
-    keys.append(spark.createDataFrame([(None,)], K).coalesce(1))
+    keys.append(local_rows_df(spark, [(None,)], K))
     rows = lake_sql(cat, Q).collect()
     assert [r["k"] for r in rows] == [3, 7]
 
@@ -141,7 +142,7 @@ def test_correlated_in_subquery_declines_to_native(spark, tmp_path):
 def test_in_subquery_agg_tail(spark, tmp_path):
     """GROUP BY / ORDER BY tail survives the statement rebuild."""
     cat, t, keys = _mk(spark, tmp_path)
-    keys.append(spark.createDataFrame([(12,)], K).coalesce(1))
+    keys.append(local_rows_df(spark, [(12,)], K))
     rows = lake_sql(
         cat,
         "SELECT COUNT(*) AS n, SUM(k) AS s FROM db.fact "
@@ -158,7 +159,7 @@ def test_two_in_conjuncts_prune_by_union(spark, tmp_path):
     tighter than either term alone."""
     cat, t, _ = _mk(spark, tmp_path)
     k2 = cat.create_table("db.keys2", K)
-    k2.append(spark.createDataFrame([(7,), (12,)], K).coalesce(1))
+    k2.append(local_rows_df(spark, [(7,), (12,)], K))
     df = lake_sql(
         cat,
         "SELECT k FROM db.fact WHERE k IN (SELECT kk FROM db.keys) "

@@ -39,18 +39,19 @@ DIM = StructType(
 
 @pytest.fixture()
 def cat(spark, tmp_path):
+    # local_rows_df: driver-held batches take the r12 driver-write gate
+    # (one file per append, same stats — pinned by test_driver_write),
+    # saving a Spark write job per append across this battery
+    from icebergplus_spark.localrel import local_rows_df
+
     c = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     fact = c.create_table("db.fact", FACT)
     # four files, k-ranges [0,10) [10,20) [20,30) [30,40)
     for lo in range(0, 40, 10):
         rows = [(k, k % 4, float(k)) for k in range(lo, lo + 10)]
-        fact.append(spark.createDataFrame(rows, FACT).coalesce(1))
+        fact.append(local_rows_df(spark, rows, FACT))
     dim = c.create_table("db.dim", DIM)
-    dim.append(
-        spark.createDataFrame(
-            [(i, f"d{i}") for i in range(4)], DIM
-        ).coalesce(1)
-    )
+    dim.append(local_rows_df(spark, [(i, f"d{i}") for i in range(4)], DIM))
     return c
 
 

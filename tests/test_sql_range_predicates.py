@@ -19,6 +19,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import (
     UnsupportedSQL,
     _parse_where,
@@ -55,7 +56,7 @@ def table(spark, tmp_path, request):
         t.set_property("delete.representation", "dv")
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     return cat, t
 
 
@@ -178,7 +179,7 @@ def test_closed_range_delete_prunes_both_bounds(spark, tmp_path):
     t = cat.create_table("db.p", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     tags_of = {
         f["file_path"]: day
         for day, f in zip((1, 2, 3, 4), sorted(
@@ -209,7 +210,7 @@ def test_or_delete_plans_once_and_prunes(spark, tmp_path):
     t = cat.create_table("db.p2", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     calls = _recording(t, "plan_files_any")
     cat.load_table = lambda ident: t
     lake_sql(
@@ -227,7 +228,7 @@ def test_select_fast_path_prunes_scan(spark, tmp_path):
     t = cat.create_table("db.p3", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     calls = _recording(t, "plan_files_any")
     cat.load_table = lambda ident: t
     q = (
@@ -282,7 +283,7 @@ def test_sql_delete_honors_write_delete_mode(spark, tmp_path):
     t.set_property("delete.representation", "dv")
     t.set_property("write.delete.mode", "merge-on-read")
     for day, ks in ((1, range(0, 5)), (2, range(5, 10))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     before_paths = {f["file_path"] for f in t.plan_files()}
     lake_sql(
         cat, "DELETE FROM db.wm WHERE (k >= 1 AND k < 3) OR (k >= 8 AND k < 10)"
@@ -339,7 +340,7 @@ def test_in_list_prunes_equality_branches(spark, tmp_path):
     t = cat.create_table("db.pin", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     calls = _recording(t, "plan_files_any")
     cat.load_table = lambda ident: t
     lake_sql(cat, "DELETE FROM db.pin WHERE k IN (2, 17)")
@@ -356,7 +357,7 @@ def test_count_rows_metadata_path_and_or_branches(spark, tmp_path):
     t = cat.create_table("db.cnt", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     reads = []
     orig = t._read_live
     t._read_live = lambda *a, **kw: (reads.append(a[0]) or orig(*a, **kw))
@@ -385,7 +386,7 @@ def test_sql_count_star_fast_path(spark, tmp_path):
     t = cat.create_table("db.csql", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     counts = []
     orig = t.count_rows
     t.count_rows = lambda *a, **kw: (counts.append(a) or orig(*a, **kw))
@@ -444,7 +445,7 @@ def test_select_fast_path_intraday_literals_no_lost_rows(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.sel", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     cat.load_table = lambda ident: t
     # day-2 rows sit at hours 11..15; a 13:00 upper bound is intra-day
     expect = sorted(
@@ -466,7 +467,7 @@ def test_count_rows_tombstone_fallback_still_prunes(spark, tmp_path):
     t = cat.create_table("db.cnt2", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10)),
                     (3, range(10, 15)), (4, range(15, 20))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     t.delete_where({"k": ("=", 6)})
     reads = []
     orig = t._read_live
@@ -489,7 +490,7 @@ def test_sql_inventory_agg_zero_data_reads(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.inv", SCHEMA)
     for day, ks in ((1, range(0, 5)), (2, range(5, 10))):
-        t.append(spark.createDataFrame(_day_rows(day, ks), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _day_rows(day, ks), SCHEMA))
     reads = []
     orig = t._read_live
     t._read_live = lambda *a, **kw: (reads.append(a[0]) or orig(*a, **kw))

@@ -17,6 +17,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import (
     UnsupportedSQL,
     _inc_prefix,
@@ -56,7 +57,7 @@ def table(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.res", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     return cat, t
 
 
@@ -192,7 +193,7 @@ def test_is_null_prunes_zero_null_files(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.pn", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     assert len(t.plan_files()) == 4
     calls = _recording(t, "plan_files")
     cat.load_table = lambda ident: t
@@ -207,7 +208,7 @@ def test_not_null_prunes_all_null_file(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.pnn", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     calls = _recording(t, "plan_files")
     cat.load_table = lambda ident: t
     lake_sql(cat, "DELETE FROM db.pnn WHERE tag IS NOT NULL")
@@ -222,7 +223,7 @@ def test_like_prefix_prunes_by_range(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.pl", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     calls = _recording(t, "plan_files")
     cat.load_table = lambda ident: t
     lake_sql(cat, "DELETE FROM db.pl WHERE tag LIKE 'al%'")
@@ -240,7 +241,7 @@ def test_neq_prunes_constant_file(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.pq", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     calls = _recording(t, "plan_files")
     cat.load_table = lambda ident: t
     lake_sql(cat, "DELETE FROM db.pq WHERE tag != 'ok'")
@@ -258,7 +259,7 @@ def test_select_like_fast_path_prunes(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.ps", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     calls = _recording(t, "plan_files_any")
     cat.load_table = lambda ident: t
     got = sorted(
@@ -278,7 +279,7 @@ def test_like_on_non_string_column_falls_back(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.pnum", SCHEMA)
     rows = [(1, "a", 1.0), (15, "b", 2.0), (102, "c", 3.0), (2, "d", 4.0)]
-    t.append(spark.createDataFrame(rows, SCHEMA).coalesce(1))
+    t.append(local_rows_df(spark, rows, SCHEMA))
     calls = _recording(t, "plan_files_any")
     cat.load_table = lambda ident: t
     got = sorted(
@@ -300,7 +301,7 @@ def test_count_not_null_metadata_fold(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.pc", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     cat.load_table = lambda ident: t
     [row] = lake_sql(
         cat, "SELECT COUNT(*) AS n FROM db.pc WHERE tag IS NOT NULL"
@@ -321,7 +322,7 @@ def test_delete_in_subquery(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whs")).start()
     t = cat.create_table("db.main", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     side = cat.create_table(
         "db.side",
         StructType([StructField("kk", IntegerType(), True)]),
@@ -379,9 +380,9 @@ def test_decimal_literal_comparisons_exact(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whd")).start()
     t = cat.create_table("db.decp", schema)
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(1, Decimal("100.05")), (2, Decimal("2.00"))], schema
-        ).coalesce(1)
+        )
     )
     got = sorted(
         r["k"]
@@ -401,7 +402,7 @@ def test_update_in_subquery(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "whu")).start()
     t = cat.create_table("db.upd", SCHEMA)
     for ks, tags in FILES:
-        t.append(spark.createDataFrame(_rows(ks, tags), SCHEMA).coalesce(1))
+        t.append(local_rows_df(spark, _rows(ks, tags), SCHEMA))
     side = cat.create_table(
         "db.keys", StructType([StructField("kk", IntegerType(), True)])
     )

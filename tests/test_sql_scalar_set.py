@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
 
 T = StructType(
@@ -37,12 +38,12 @@ def _mk(spark, tmp_path):
     c = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = c.create_table("db.t", T)
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")], T
-        ).coalesce(1)
+        )
     )
     cap = c.create_table("db.cap", CAP)
-    cap.append(spark.createDataFrame([(77,), (55,)], CAP).coalesce(1))
+    cap.append(local_rows_df(spark, [(77,), (55,)], CAP))
     return c, t, cap
 
 

@@ -24,6 +24,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
 
 T = StructType(
@@ -43,14 +44,14 @@ def cat(spark, tmp_path):
     # file A: ts 1..4 plus a NULL-key row; file B: ts 10..13 — the
     # range conjunct ts < 5 must leave file B untouched on disk
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, i, f"v{i}") for i in range(1, 5)] + [(None, 1, "vnull")], T
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, i + 5, f"v{i}") for i in range(5, 9)], T
-        ).coalesce(1)
+        )
     )
     ks = c.create_table("db.keys", K)
     ks.append(spark.createDataFrame([(2,), (6,)], K))
@@ -289,14 +290,14 @@ def test_compound_on_mor_dv_table(spark, cat, tmp_path):
     t = c.create_table("db.m", T)
     t.set_property("delete.representation", "dv")
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, i, f"v{i}") for i in range(1, 5)], T
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, i + 5, f"v{i}") for i in range(5, 9)], T
-        ).coalesce(1)
+        )
     )
     ks = c.create_table("db.mkeys", K)
     ks.append(spark.createDataFrame([(2,), (6,)], K))

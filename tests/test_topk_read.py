@@ -19,6 +19,7 @@ from pyspark.sql.types import (
 )
 
 from icebergplus_spark.lake import LocalLakeCatalog
+from icebergplus_spark.localrel import local_rows_df
 from icebergplus_spark.lake.sql_dml import lake_sql
 
 T = StructType(
@@ -43,7 +44,7 @@ def _mk(spark, tmp_path, name="db.t", chunks=4, rows=20):
             (n + i, c * rows + i, float(i), f"tag{(n + i) % 3}")
             for i in range(rows)
         ]
-        t.append(spark.createDataFrame(data, T).coalesce(1))
+        t.append(local_rows_df(spark, data, T))
         n += rows
     return cat, t
 
@@ -102,10 +103,10 @@ def test_min_bound_soundness_big_max_small_rows(spark, tmp_path):
     t = cat.create_table("db.trap", T)
     # file A: one row ts=1000, 19 rows ts in [0, 19)
     a = [(i, (1000 if i == 0 else i), 0.0, "a") for i in range(20)]
-    t.append(spark.createDataFrame(a, T).coalesce(1))
+    t.append(local_rows_df(spark, a, T))
     # file B: 20 rows ts in [500, 520)
     b = [(100 + i, 500 + i, 0.0, "b") for i in range(20)]
-    t.append(spark.createDataFrame(b, T).coalesce(1))
+    t.append(local_rows_df(spark, b, T))
     got = lake_sql(
         cat, "SELECT ts FROM db.trap ORDER BY ts DESC LIMIT 10"
     ).collect()
@@ -144,14 +145,14 @@ def test_topk_ties_all_kept(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.ties", T)
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, 50, float(i), "x") for i in range(10)], T
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(100 + i, 50, float(i), "y") for i in range(10)], T
-        ).coalesce(1)
+        )
     )
     kept = t.plan_files_topk("ts", 3, descending=True)
     assert kept is not None and len(kept) == 2
@@ -173,9 +174,9 @@ def test_declines(spark, tmp_path):
     # FIRST — with any null present the fast path must decline
     t2 = cat.create_table("db.nullable", T)
     t2.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, None if i == 0 else i, 0.0, "x") for i in range(10)], T
-        ).coalesce(1)
+        )
     )
     assert t2.plan_files_topk(
         "ts", 3, descending=False, require_no_nulls=True
@@ -231,13 +232,13 @@ def test_topk_engages_on_timestamp_order_col(spark, tmp_path):
     t = cat.create_table("db.ev", S)
     for year in (1994, 1995, 1996):
         t.append(
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [
                     (year * 100 + d, datetime(year, 1 + d % 12, 1 + d % 28))
                     for d in range(24)
                 ],
                 S,
-            ).coalesce(1)
+            )
         )
     stmt = (
         "SELECT id, ts FROM db.ev WHERE ts >= '1995-01-01' "
@@ -268,14 +269,14 @@ def test_all_null_files_pruned_desc(spark, tmp_path):
     cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
     t = cat.create_table("db.an", T)
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, i, 0.0, "x") for i in range(10)], T
-        ).coalesce(1)
+        )
     )
     t.append(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(100 + i, None, 0.0, "y") for i in range(10)], T
-        ).coalesce(1)
+        )
     )
     kept = t.plan_files_topk("ts", 3, descending=True)
     assert kept is not None and len(kept) == 1  # all-null file dropped
