@@ -2221,9 +2221,15 @@ def _with_select(catalog: LocalLakeCatalog, stmt: str):
                 # carry the RENAMED schema or sibling references would
                 # see the body's original names (review r10)
                 df = df.toDF(*cols)
+            import threading as _threading
+
+            # thread-id salt: same rationale as _lake_view_name — two
+            # threads resolving an identically-texted CTE over
+            # different catalogs must not share the materialized view
             view = (
                 f"__lake_cte_{name}_"
                 f"{hashlib.md5(body.encode()).hexdigest()[:8]}"
+                f"_t{_threading.get_ident()}"
             )
             df.createOrReplaceTempView(view)
             if not cols or len(cols) == len(df.columns):
@@ -2424,11 +2430,21 @@ def _rewrite_time_travel(catalog: LocalLakeCatalog, stmt: str) -> str:
 def _lake_view_name(ident: str) -> str:
     """Collision-free temp-view name for a lake identifier: the
     dot-to-underscore flattening alone would merge ``db.x_y`` with
-    ``db_x.y``, so an md5 suffix of the EXACT identifier disambiguates."""
+    ``db_x.y``, so an md5 suffix of the EXACT identifier disambiguates.
+    The thread-id salt makes concurrent ``lake_sql`` calls safe — two
+    threads (or two catalogs driven from different threads) with the
+    same table name would otherwise clobber each other's views between
+    registration and use (r13: surfaced by the concurrent fuzz seeds).
+    Within a thread names are stable, so nothing accumulates; each
+    statement re-registers its views before embedding them."""
     import hashlib
+    import threading
 
     digest = hashlib.md5(ident.encode()).hexdigest()[:8]
-    return f"__lake_{ident.replace('.', '_')}_{digest}"
+    return (
+        f"__lake_{ident.replace('.', '_')}_{digest}"
+        f"_t{threading.get_ident()}"
+    )
 
 
 # metadata-table suffixes resolvable in SQL reads (metadata_df kinds)
