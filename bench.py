@@ -504,6 +504,14 @@ class _ABPeer:
             check=True,
             capture_output=True,
         )
+        # PYTHONPATH + cwd must point at the REF tree: the driver-side
+        # sys.path insert in bench_server.py does not reach the PYTHON
+        # WORKERS, which resolve cloudpickled module references through
+        # their own sys.path — without this they silently imported the
+        # MAIN tree's modules (and crashed outright once a module-level
+        # helper was renamed between the trees; r13 measurement fix).
+        env = dict(os.environ)
+        env["PYTHONPATH"] = self.tree + os.pathsep + env.get("PYTHONPATH", "")
         self.proc = subprocess.Popen(
             [
                 sys.executable,
@@ -513,6 +521,8 @@ class _ABPeer:
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             text=True,
+            cwd=self.tree,
+            env=env,
         )
         ready = self._recv()
         assert ready.get("ready"), f"ab server failed to start: {ready}"
