@@ -4061,7 +4061,20 @@ class LakeTable:
         # side is not shuffled at all when the source fits the
         # threshold) and stops materializing unmatched source rows in
         # the checkpoint.
-        join_how = "full_outer" if when_not_matched_insert else "left_outer"
+        #
+        # With BY SOURCE also off, target-only rows fire nothing either
+        # (every remaining gate requires __s non-null), so the join is
+        # INNER (r13): the checkpoint then materializes only rows with
+        # a key match — bounded by the source, not the table — instead
+        # of every row of every affected file. MoR is exactly the case
+        # where that matters: unfired rows never leave their files, so
+        # carrying them through the checkpoint was pure waste.
+        if when_not_matched_insert:
+            join_how = "full_outer"
+        elif by_source:
+            join_how = "left_outer"
+        else:
+            join_how = "inner"
         joined = target.join(src, join_cond, join_how).localCheckpoint()
         is_matched = _F.col("__t").isNotNull() & _F.col("__s").isNotNull()
         gate = (
@@ -4133,47 +4146,59 @@ class LakeTable:
             append_gate = append_gate | bys_gate
         if when_not_matched_insert:
             append_gate = append_gate | ins_gate
-        if carry_lineage:
-            # updated rows keep their id, NULL birth (resolves to this
-            # snapshot at read); source-only inserts carry NULL id AND
-            # birth — the inheritance rule mints theirs from the new
-            # file's committed first-row-id, same as the CoW path
-            birth = _F.when(
-                gate | (bys_gate if when_not_matched_by_source_update else _F.lit(False)),
-                _F.lit(None).cast("long"),
-            ).otherwise(_F.col(self.LINEAGE_BIRTH_COL))
-            appended = joined.filter(append_gate).select(
-                *out_cols,
-                _F.col(self.LINEAGE_ID_COL),
-                birth.alias(self.LINEAGE_BIRTH_COL),
+        # Delete-only merges cannot append a row: append_gate is the
+        # static False literal (no update clause, no BY SOURCE update,
+        # no insert clause), so the write job, the constraint agg, and
+        # the harvest would all run over a provably empty frame — skip
+        # the three actions outright (r13).
+        can_append = bool(
+            when_matched_update
+            or when_not_matched_by_source_update
+            or when_not_matched_insert
+        )
+        out_dir = None
+        new_entries: list[dict[str, Any]] = []
+        if can_append:
+            if carry_lineage:
+                # updated rows keep their id, NULL birth (resolves to this
+                # snapshot at read); source-only inserts carry NULL id AND
+                # birth — the inheritance rule mints theirs from the new
+                # file's committed first-row-id, same as the CoW path
+                birth = _F.when(
+                    gate | (bys_gate if when_not_matched_by_source_update else _F.lit(False)),
+                    _F.lit(None).cast("long"),
+                ).otherwise(_F.col(self.LINEAGE_BIRTH_COL))
+                appended = joined.filter(append_gate).select(
+                    *out_cols,
+                    _F.col(self.LINEAGE_ID_COL),
+                    birth.alias(self.LINEAGE_BIRTH_COL),
+                )
+            else:
+                appended = joined.filter(append_gate).select(*out_cols)
+            self._enforce_constraints(
+                appended.select(*[f.name for f in self.schema.fields])
             )
-        else:
-            appended = joined.filter(append_gate).select(*out_cols)
-        self._enforce_constraints(
-            appended.select(*[f.name for f in self.schema.fields])
-        )
-        phys = appended.select(
-            *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields],
-            *(lin_cols if carry_lineage else []),
-        )
-        phys, pcols = self._apply_partition_transforms(phys)
-        out_dir = os.path.join(
-            self.table_dir, "data", f"merge-{uuid.uuid4().hex}"
-        )
-        writer = phys.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(out_dir)
-        new_entries: list[dict[str, Any]] = self._harvest_dir(
-            out_dir, drop_empty=True
-        )
+            phys = appended.select(
+                *[_F.col(f.name).alias(mapping[f.name]) for f in self.schema.fields],
+                *(lin_cols if carry_lineage else []),
+            )
+            phys, pcols = self._apply_partition_transforms(phys)
+            out_dir = os.path.join(
+                self.table_dir, "data", f"merge-{uuid.uuid4().hex}"
+            )
+            writer = phys.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(out_dir)
+            new_entries = self._harvest_dir(out_dir, drop_empty=True)
         dmanifest = (
             self._build_dv_manifest(snap, matches) if snap else None
         )
         if dmanifest is None and not new_entries:
             import shutil as _shutil
 
-            _shutil.rmtree(out_dir, ignore_errors=True)
+            if out_dir is not None:
+                _shutil.rmtree(out_dir, ignore_errors=True)
             return self  # no clause fired on any row
         manifests = list(snap["manifests"]) if snap else []
         if new_entries:

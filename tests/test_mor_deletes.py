@@ -442,3 +442,55 @@ def test_delete_by_key_type_mismatch_disables_pruning(spark, tmp_path):
     )
     t2.delete_by_key(spark.createDataFrame([(3.0,), (6.0,)], "k double"))
     assert sorted(r["k"] for r in t2.scan().collect()) == [0, 1, 2, 4, 5, 7]
+
+
+def test_mor_delete_only_merge_skips_append_write(spark, table):
+    """r13: a delete-only MoR merge cannot append a row (no update, no
+    BY SOURCE update, no insert clause) — the append write job must be
+    skipped outright: no data/merge-* directory appears, the commit
+    adds zero data files, and the delete is still exact."""
+    if (table.properties or {}).get("delete.representation") != "dv":
+        return
+    src = local_rows_df(spark, [(2, "x"), (7, "x")], SCHEMA)
+    data_dir = os.path.join(table.table_dir, "data")
+
+    def merge_dirs():
+        return sorted(
+            d for d in os.listdir(data_dir) if d.startswith("merge-")
+        )
+
+    before_dirs = merge_dirs()
+    table.merge_into(
+        src, on="k", when_matched_delete=True, when_not_matched_insert=False
+    )
+    assert merge_dirs() == before_dirs, "delete-only merge wrote data files"
+    snap = table.snapshot()
+    assert snap["operation"] == "merge"
+    assert sorted(r["k"] for r in table.scan().collect()) == [
+        0, 1, 3, 4, 5, 6, 8, 9,
+    ]
+
+
+def test_mor_insert_off_merge_null_keys_fire_nothing(spark, table):
+    """r13 (inner-join rewrite): with the insert and BY SOURCE clauses
+    off, NULL-keyed rows on either side match nothing and fire nothing
+    — the table is unchanged for them, exactly as under the old outer
+    join."""
+    if (table.properties or {}).get("delete.representation") != "dv":
+        return
+    import pyspark.sql.functions as F
+
+    table.append(local_rows_df(spark, [(None, "nullrow")], SCHEMA))
+    src = local_rows_df(
+        spark, [(None, "srcnull"), (4, "hit")], SCHEMA
+    )
+    table.merge_into(
+        src,
+        on="k",
+        when_matched_update={"v": F.col("src_v")},
+        when_not_matched_insert=False,
+    )
+    rows = {r["k"]: r["v"] for r in table.scan().collect()}
+    assert rows[4] == "hit", "matched update did not fire"
+    assert rows[None] == "nullrow", "NULL-keyed target row was touched"
+    assert len(rows) == 11, "row count changed under insert-off merge"
