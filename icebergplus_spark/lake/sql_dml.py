@@ -584,6 +584,18 @@ _NOT_IN_SUBQUERY = re.compile(
 )
 _EXISTS_SUBQUERY = re.compile(r"\bEXISTS\s*\(", re.IGNORECASE)
 
+# ``SELECT col FROM table [WHERE ...]`` — the shape whose key set is
+# provably a subset of one table column, so file-stats null proofs
+# apply (r13). The WHERE tail may be arbitrary EXCEPT set operations,
+# joins, or nested SELECTs, any of which could smuggle in values from
+# another relation; the screen is a conservative word match (a literal
+# containing 'JOIN' merely declines the fast path).
+_SIMPLE_COL_PROJ = re.compile(
+    rf"^SELECT\s+({_IDENT})\s+FROM\s+({_IDENT})"
+    rf"\s*(?:$|WHERE\s+(?!.*\b(?:UNION|INTERSECT|EXCEPT|SELECT|JOIN)\b).+$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def _subquery_keys(
     catalog: LocalLakeCatalog,
@@ -613,6 +625,56 @@ def _subquery_keys(
     src = keys.select(F.col(keys.columns[0]).cast(dtype).alias(col))
     if not probe:
         return src, False, False
+    # Zero-action probe tiers (r13, guide §1.2). has_null must be EXACT
+    # (a NULL-bearing NOT IN set voids the statement); is_empty is only
+    # a fast-path — an anti join / BY SOURCE clause against a provably
+    # non-NULL empty key set already computes NOT IN {} = TRUE row for
+    # row — so a conservative False is sound when emptiness is unknown.
+    # Both tiers require the subquery column's type to EQUAL the target
+    # column's: the cast above is then an identity and cannot mint new
+    # NULLs from uncastable values.
+    key_type = keys.schema.fields[0].dataType
+    if key_type == dtype:
+        lr = attached_rows(keys)
+        if lr is not None:  # driver-held frame: answer without Spark
+            return (
+                src,
+                any(r[0] is None for r in lr),
+                len(lr) == 0,
+            )
+        m = _SIMPLE_COL_PROJ.match(subq.strip())
+        if m:
+            # SELECT col2 FROM laketable [WHERE ...]: the projection is
+            # a subset of the table's rows whatever the WHERE says, so
+            # live-file stats proving ZERO nulls in col2 prove the key
+            # set NULL-free with no action. The conservative
+            # is_empty=False is only sound when the TARGET key column
+            # also provably holds no NULLs: an actually-empty set makes
+            # ``NOT IN {}`` TRUE even for a NULL target key, which the
+            # downstream isNotNull-gated join paths would keep — so the
+            # tier additionally requires zero nulls on the target side
+            # (then no such row exists and the paths agree row for
+            # row). Unknown/absent stats fall through to the exact
+            # aggregate.
+            try:
+                import json as _json
+
+                def _zero_nulls(tbl, logical_col):
+                    phys = tbl._column_mapping.get(logical_col, logical_col)
+                    files = tbl.plan_files()
+                    return bool(files) and all(
+                        _json.loads(
+                            f.get("column_null_counts") or "{}"
+                        ).get(phys) == 0
+                        for f in files
+                    )
+
+                if _zero_nulls(
+                    catalog.load_table(m.group(2)), m.group(1)
+                ) and _zero_nulls(t, col):
+                    return src, False, False
+            except Exception:
+                pass  # not a lake table / no stats — exact probe below
     row = src.agg(
         F.count(F.lit(1)).alias("n"), F.count(col).alias("nn")
     ).first()

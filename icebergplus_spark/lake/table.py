@@ -3824,9 +3824,44 @@ class LakeTable:
         keys_phys = None
         if fused:
             phys_cols = [mapping.get(c, c) for c in keys]
-            keys_phys = source.select(
+            keys_sel = source.select(
                 *[_F.col(c).alias(p) for c, p in zip(keys, phys_cols)]
-            ).dropDuplicates()
+            )
+            keys_phys = keys_sel.dropDuplicates()
+            # Raw-first tier (r13, guide §2.4 — remove the shuffle
+            # outright): a capped CollectLimit on the UN-deduped key
+            # projection needs no exchange, where dropDuplicates pays a
+            # full shuffle before its limit. When the raw rows fit the
+            # cap they are the complete key multiset — dedup driver-side
+            # and the sample is exactly as complete as the shuffled one.
+            # Float/double in ANY key position declines this tier:
+            # Python tuple equality diverges from Spark's grouping
+            # equality on NaN and -0.0 (the dedup tier normalizes them),
+            # and a raw -0.0 probed against a bloom built from 0.0 could
+            # wrongly exempt a file. Over-cap sources pay one bounded
+            # (cap+1)-row partial scan before the unchanged dedup tier.
+            raw_ok = not any(
+                isinstance(types[c], (FloatType, DoubleType)) for c in keys
+            )
+            if raw_ok:
+                raw = keys_sel.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
+                if len(raw) <= self.EQ_SKIP_KEYS_CAP:
+                    seen: set = set()
+                    sample = []
+                    for r in raw:
+                        t = tuple(r)
+                        if t not in seen:
+                            seen.add(t)
+                            sample.append(r)
+                    k0_vals = [r[0] for r in sample if r[0] is not None]
+                    return (
+                        {
+                            "lo": min(k0_vals, default=None),
+                            "hi": max(k0_vals, default=None),
+                        },
+                        sample,
+                        keys_phys,
+                    )
             sample = keys_phys.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
             if len(sample) <= self.EQ_SKIP_KEYS_CAP:
                 k0_vals = [r[0] for r in sample if r[0] is not None]
@@ -3946,6 +3981,21 @@ class LakeTable:
         )
         snap = self.snapshot()
         k0 = keys[0]
+        # target_branches prune before the source probe (r13, same
+        # reorder as the CoW path): pure driver metadata; an all-files-
+        # pruned branch list makes the merge a zero-job no-op.
+        branch_keep: set | None = None
+        if target_branches:
+            branch_keep = {
+                f["file_path"]
+                for f in (
+                    self.plan_files(target_branches[0])
+                    if len(target_branches) == 1
+                    else self.plan_files_any(target_branches)
+                )
+            }
+            if not branch_keep:
+                return self
         # BY SOURCE clauses scan every target file regardless of the
         # source key range — bounds are never consulted there, so the
         # probe action is skipped outright (r12).
@@ -3978,22 +4028,19 @@ class LakeTable:
                 for f in affected
                 if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
             ]
+            if branch_keep is not None:
+                # branch prune before the per-key exemption probes
+                affected = [
+                    f for f in affected if f["file_path"] in branch_keep
+                ]
             affected = self._merge_unhit_exempt(
                 affected, source, keys, sample=key_sample, keys_phys=keys_phys
             )
-        if target_branches:
+        if branch_keep is not None:
             # same caller-gated prune as the CoW path (r10): unread
             # files' rows can't fire any clause, so they keep their DV
             # state and bytes untouched
-            keep = {
-                f["file_path"]
-                for f in (
-                    self.plan_files(target_branches[0])
-                    if len(target_branches) == 1
-                    else self.plan_files_any(target_branches)
-                )
-            }
-            affected = [f for f in affected if f["file_path"] in keep]
+            affected = [f for f in affected if f["file_path"] in branch_keep]
         if not affected and not when_not_matched_insert:
             # Stats-proven no-op (r12): zero target files survive the
             # range/key/branch prune, so no row can match any clause
@@ -4345,6 +4392,25 @@ class LakeTable:
 
         # stats-target affected files by the source's key range (first key)
         k0 = keys[0]
+        # target_branches prune is pure driver metadata — evaluate it
+        # BEFORE the source probe (r13, guide §1.2): when the branch
+        # list rules out every file, no row can fire any clause (insert
+        # is off by the target_branches contract), so the merge is a
+        # no-op without ever paying the probe's Spark action. A
+        # branch-windowed DELETE/UPDATE that misses the table costs
+        # zero jobs.
+        branch_keep: set | None = None
+        if target_branches:
+            branch_keep = {
+                f["file_path"]
+                for f in (
+                    self.plan_files(target_branches[0])
+                    if len(target_branches) == 1
+                    else self.plan_files_any(target_branches)
+                )
+            }
+            if not branch_keep:
+                return self
         # BY SOURCE clauses scan every target file regardless of the
         # source key range — bounds are never consulted there, so the
         # probe action is skipped outright (r12).
@@ -4381,23 +4447,22 @@ class LakeTable:
                 for f in affected
                 if _file_matches(f, {mapping.get(k0, k0): ("<=", bounds["hi"])})
             ]
+            if branch_keep is not None:
+                # apply the branch prune BEFORE the per-key exemption
+                # probes so blooms are only consulted for files that
+                # survive the caller's branch gate
+                affected = [
+                    f for f in affected if f["file_path"] in branch_keep
+                ]
             affected = self._merge_unhit_exempt(
                 affected, source, keys, sample=key_sample, keys_phys=keys_phys
             )
-        if target_branches:
+        if branch_keep is not None:
             # caller-gated clauses can only fire on rows matching some
             # branch; files ruled out by stats carry over unexamined
             # (sound because when_not_matched_insert is off — validated
             # above — so no clause judges rows from pruned files)
-            keep = {
-                f["file_path"]
-                for f in (
-                    self.plan_files(target_branches[0])
-                    if len(target_branches) == 1
-                    else self.plan_files_any(target_branches)
-                )
-            }
-            affected = [f for f in affected if f["file_path"] in keep]
+            affected = [f for f in affected if f["file_path"] in branch_keep]
         if not affected and not when_not_matched_insert:
             # Stats-proven no-op (r12): zero target files survive the
             # range/key/branch prune, so no row can match any clause

@@ -197,3 +197,53 @@ def test_single_file_source_declines(spark, tmp_path):
         spark.createDataFrame([(999, 0.0, "s")], T).coalesce(1)
     )
     assert one.scan_pruned_for_merge(tgt, ["k"]) is None
+
+
+def test_branch_pruned_noop_merge_runs_zero_jobs(spark, tmp_path):
+    """r13 (guide §1.2): target_branches prune is driver metadata, so a
+    merge whose branch list rules out EVERY file must no-op before the
+    source probe ever runs — zero Spark jobs, no snapshot churn — on
+    both the CoW and the MoR path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("ts", IntegerType(), True),
+        ]
+    )
+
+    def jmax():
+        j = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        return max(j) if j else -1
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    for name, dv in (("db.cow", False), ("db.mor", True)):
+        t = cat.create_table(name, schema)
+        if dv:
+            t.set_property("delete.representation", "dv")
+        t.append(
+            spark.createDataFrame([(i, 100 + i) for i in range(8)], schema)
+        )
+        snap_before = t.current_snapshot_id
+        src = spark.createDataFrame([(2, 0), (5, 0)], schema).select("k")
+        j0 = jmax()
+        t.merge_into(
+            src,
+            on="k",
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+            matched_condition=F.col("ts") < 50,
+            target_branches=[{"ts": ("<", 50)}],
+        )
+        assert jmax() == j0, f"{name}: branch-pruned no-op merge ran a job"
+        assert t.current_snapshot_id == snap_before, f"{name}: snapshot churn"
+        assert t.scan().count() == 8, f"{name}: rows changed"

@@ -333,3 +333,57 @@ def test_delete_without_where_removes_every_row(spark, cat):
         r["k"] for r in t.scan(snapshot_id=before_snap).collect()
         if r["k"] is not None
     ) == list(range(1, 9))
+
+
+def _jmax(spark):
+    j = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    return max(j) if j else -1
+
+
+def test_not_in_probe_stats_fast_path_zero_jobs(spark, tmp_path):
+    """r13: when file stats prove the subquery column AND the target
+    key column NULL-free, the NOT IN null probe answers from driver
+    metadata — zero Spark jobs; a NULL-bearing key set (stats show a
+    null) still takes the exact aggregate and reports has_null."""
+    from icebergplus_spark.lake.sql_dml import _subquery_keys
+
+    c = LocalLakeCatalog(spark, str(tmp_path / "whp")).start()
+    t = c.create_table("db.c", T)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(1, 7)], T))
+    ks = c.create_table("db.ck", KEYS)
+    ks.append(spark.createDataFrame([(2,), (4,)], KEYS))
+    ksn = c.create_table("db.ckn", KEYS)
+    ksn.append(spark.createDataFrame([(2,), (None,)], KEYS))
+
+    j0 = _jmax(spark)
+    _, has_null, empty = _subquery_keys(
+        c, t, "k", "SELECT kk FROM db.ck", probe=True
+    )
+    assert _jmax(spark) == j0, "stats-proven probe ran a Spark job"
+    assert has_null is False and empty is False
+
+    _, has_null, _ = _subquery_keys(
+        c, t, "k", "SELECT kk FROM db.ckn", probe=True
+    )
+    assert has_null is True, "NULL-bearing set must report has_null"
+
+
+def test_not_in_empty_set_through_anti_join_path(spark, tmp_path):
+    """r13: the stats fast path cannot see emptiness, so an
+    ACTUALLY-EMPTY key set now routes through the BY SOURCE anti-join
+    instead of the grammar-only fold — NOT IN {} is TRUE for every
+    row, so the two must delete identically (the tier requires a
+    NULL-free target key column, so the isNotNull gate is inert)."""
+    c = LocalLakeCatalog(spark, str(tmp_path / "whe")).start()
+    t = c.create_table("db.c", T)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(1, 7)], T))
+    ks = c.create_table("db.ck", KEYS)
+    ks.append(spark.createDataFrame([(2,), (4,)], KEYS))
+    lake_sql(
+        c,
+        "DELETE FROM db.c WHERE k NOT IN "
+        "(SELECT kk FROM db.ck WHERE kk > 100) AND k >= 4",
+    )
+    assert sorted(
+        r["k"] for r in c.load_table("db.c").scan().collect()
+    ) == [1, 2, 3], "NOT IN {} must delete every remainder-matching row"
