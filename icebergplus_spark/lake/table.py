@@ -519,6 +519,32 @@ def _apply_column_distincts(
     entry["column_distincts"] = json.dumps(out)
 
 
+def _dense_hll_regs(h: "Any", p: int) -> "Any":
+    """Dense HLL register array (2^p uint8) from a numpy array of
+    64-bit hashes — the classic h→(idx, rho) update, fully vectorized
+    (np.maximum.at). Requires p >= 11 so the rho operand w < 2^(64-p)
+    <= 2^53 stays exactly representable in float64 and bit_length via
+    floor(log2)+1 is exact. Shared by the write-time
+    APPROX_COUNT_DISTINCT sketches and the NDV summary sketch."""
+    import numpy as np
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h):
+        shift = np.uint64(64 - p)
+        mask = np.uint64((1 << (64 - p)) - 1)
+        idx = (h >> shift).astype(np.int64)
+        w = h & mask
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w != 0
+        bl[nz] = (
+            np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        )
+        rho = np.minimum(255, (64 - p) - bl + 1).astype(np.uint8)
+        np.maximum.at(regs, idx, rho)
+    return regs
+
+
 def _apply_column_hlls(
     entry: dict[str, Any],
     data: "pa.Table | None",
@@ -526,14 +552,21 @@ def _apply_column_hlls(
     p: int,
 ) -> None:
     """Per-file dense HyperLogLog sketches (r12, VERDICT r11 #7) for
-    the opted-in ``write.stats.hll-columns``: md5 over the
-    bloom-canonical bytes of each DISTINCT non-null value (the uniques
-    the shared harvest read already computes for blooms/distinct sets)
-    feeds the classic register update h→(idx, rho). md5 keeps the
-    sketch engine-neutral and identical on driver and executors
-    (PYTHONHASHSEED-free). Registers are 1 byte each; the JSON value
-    is the hex of the 2^p-byte array. All-null columns store an
-    all-zero sketch (estimate 0)."""
+    the opted-in ``write.stats.hll-columns``. Registers are 1 byte
+    each; the JSON value is the hex of the 2^p-byte array. All-null
+    columns store an all-zero sketch (estimate 0).
+
+    Hash domain (r13): vectorizable column types ride the NDV sketch's
+    splitmix64/siphash hasher (``_ndv_hash64`` — pure numpy/pandas,
+    deterministic, PYTHONHASHSEED-free); the old md5-per-distinct-value
+    Python loop cost ~2 µs/value and dominated every HLL-opted
+    harvest. The md5 loop remains for types the vectorized hasher
+    declines and for p < 11 (where the float64 bit-length trick loses
+    exactness). The scheme is a pure function of (column type, p), so
+    every file of a table sketches a column in ONE domain and the
+    read-side register max-merge stays sound. NOTE: sketches written
+    before r13 used the md5 domain — estimates differ (both within the
+    rsd bound); tables mixing pre/post files should rewrite stats."""
     import pyarrow.compute as pc
 
     out: dict[str, str] = {}
@@ -544,15 +577,25 @@ def _apply_column_hlls(
         for c in hll_cols:
             if c not in data.schema.names:
                 continue
+            uniq = pc.unique(data.column(c))
+            h = None
+            if p >= 11:
+                try:
+                    h = _ndv_hash64(uniq.drop_null())
+                except Exception:
+                    h = None
+            if h is not None:
+                out[c] = _dense_hll_regs(h, p).tobytes().hex()
+                continue
             regs = bytearray(m)
-            for v in pc.unique(data.column(c)).to_pylist():
+            for v in uniq.to_pylist():
                 if v is None:
                     continue
-                h = int.from_bytes(
+                hv = int.from_bytes(
                     hashlib.md5(_bloom_key(v)).digest()[:8], "little"
                 )
-                idx = h >> shift
-                w = h & mask
+                idx = hv >> shift
+                w = hv & mask
                 rho = shift - w.bit_length() + 1
                 if rho > regs[idx]:
                     regs[idx] = rho
@@ -625,12 +668,8 @@ def _ndv_sketch_columns(
     sketch rides the harvest's shared column read next to the
     just-written file, instead of a per-row HLL++ update inside every
     write job)."""
-    import numpy as np
     import pyarrow.compute as pc
 
-    m = 1 << p
-    shift = np.uint64(64 - p)
-    mask = np.uint64((1 << (64 - p)) - 1)
     out: dict[str, str] = {}
     for c in cols:
         if c not in data.schema.names:
@@ -643,21 +682,7 @@ def _ndv_sketch_columns(
         h = _ndv_hash64(uniq)
         if h is None:
             continue
-        regs = np.zeros(m, dtype=np.uint8)
-        if len(h):
-            idx = (h >> shift).astype(np.int64)
-            w = h & mask
-            bl = np.zeros(len(w), dtype=np.int64)
-            nz = w != 0
-            # w < 2^(64-p) <= 2^53 for p >= 11: float64 log2 is exact
-            # at these magnitudes, so bit_length via floor(log2)+1 is
-            bl[nz] = (
-                np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
-                + 1
-            )
-            rho = np.minimum(255, (64 - p) - bl + 1).astype(np.uint8)
-            np.maximum.at(regs, idx, rho)
-        out[c] = regs.tobytes().hex()
+        out[c] = _dense_hll_regs(h, p).tobytes().hex()
     return out
 
 
