@@ -419,6 +419,12 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sigs = _spread(docs).select("doc_id", simhash64("text").alias("simhash"))
+    # Materialize the signatures ONCE (r13, guide §4.4/§3.3): the
+    # banding self-join below duplicates its input subtree, so without
+    # this the pandas UDF re-hashed the whole corpus on BOTH sides
+    # (two ArrowEvalPython nodes in the executed plan). The
+    # checkpointed frame is (doc_id, simhash) — tiny — and per-run.
+    sigs = sigs.localCheckpoint()
     # Band the 64-bit signature into 4×16-bit chunks: near-dups (hamming
     # distance ≤ 3) must collide on ≥1 chunk (pigeonhole).
     chunks = sigs.select(
@@ -551,6 +557,14 @@ def d12_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
+    # Materialize the band table ONCE (r13, guide §4.4/§3.3): the
+    # candidate self-join duplicates its input subtree, so without this
+    # the K-way md5 signature aggregation (explode + groupBy over every
+    # shingle) ran on BOTH sides of the join — d04 avoids that via its
+    # session-cached signature artifact, d12's portable scheme has no
+    # cache. (doc_id, band_id, band_hash) is tiny and per-run; the md5
+    # scheme — the oracle contract — is untouched.
+    bands = bands.localCheckpoint()
     cands = (
         bands.alias("l")
         .join(
