@@ -497,6 +497,12 @@ def phash_neardup_pairs(media: DataFrame) -> DataFrame:
     band is clean) → bucket self-join → exact bit_count(xor) filter.
     No cross join at any scale."""
     sigs = media.mapInPandas(_phash_worker, schema="doc_id bigint, phash bigint")
+    # Materialize the signatures ONCE (r13, guide §4.4/§3.3): the band
+    # self-join below duplicates its input subtree, so without this the
+    # phash worker re-hashed every payload on BOTH join sides (two
+    # MapInPandas nodes in the executed plan). (doc_id, phash) is tiny
+    # and per-run.
+    sigs = sigs.localCheckpoint()
     # band into 4×16-bit chunks (unsigned view of the signed long)
     usig = F.conv(F.hex(F.col("phash")), 16, 10).cast("decimal(20,0)")
     chunks = sigs.select(
