@@ -597,6 +597,26 @@ _SIMPLE_COL_PROJ = re.compile(
 )
 
 
+def _rest_prunes_all(t: LakeTable, rest_branches: list) -> bool:
+    """True when the grammar remainder's branch list rules out EVERY
+    live file by stats (r13, guide §1.2): every clause of a subquery
+    DML fires only on rows satisfying the remainder, so a statement
+    whose remainder matches no file is a proven no-op — decided from
+    driver metadata BEFORE any subquery frame is even built (a
+    branch-windowed DELETE/UPDATE that misses the table costs zero
+    Spark jobs and no plan construction). An empty table also returns
+    True: no rows, no-op either way."""
+    try:
+        files = (
+            t.plan_files(rest_branches[0])
+            if len(rest_branches) == 1
+            else t.plan_files_any(rest_branches)
+        )
+        return not files
+    except Exception:
+        return False  # unprunable branch shape — run the full path
+
+
 def _subquery_keys(
     catalog: LocalLakeCatalog,
     t: LakeTable,
@@ -1219,6 +1239,8 @@ def _subquery_dml(
         # own loud error — never a silent semantic narrowing
         rest_branches = _finalize_branches(t, _parse_branch(rest_text))
         cond = _branches_match_cond(rest_branches, lambda c: c)
+        if _rest_prunes_all(t, rest_branches):
+            return t  # r13: remainder matches no file — statement no-op
 
     def _grammar_only():
         """The statement minus the subquery term — used when the term
@@ -1337,6 +1359,8 @@ def _multi_subquery_dml(
     if rest_text:
         rest_branches = _finalize_branches(t, _parse_branch(rest_text))
         cond = _branches_match_cond(rest_branches, lambda c: c)
+        if _rest_prunes_all(t, rest_branches):
+            return t  # r13: remainder matches no file — statement no-op
     terms: list[tuple[str, str, Any]] = []
     for kind, payload in subs:
         if kind in ("exists", "not_exists"):
