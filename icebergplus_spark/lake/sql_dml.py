@@ -597,24 +597,41 @@ _SIMPLE_COL_PROJ = re.compile(
 )
 
 
-def _rest_prunes_all(t: LakeTable, rest_branches: list) -> bool:
-    """True when the grammar remainder's branch list rules out EVERY
-    live file by stats (r13, guide §1.2): every clause of a subquery
-    DML fires only on rows satisfying the remainder, so a statement
-    whose remainder matches no file is a proven no-op — decided from
-    driver metadata BEFORE any subquery frame is even built (a
-    branch-windowed DELETE/UPDATE that misses the table costs zero
-    Spark jobs and no plan construction). An empty table also returns
-    True: no rows, no-op either way."""
+def _rest_branch_keep(t: LakeTable, rest_branches: list) -> set | None:
+    """File paths the grammar remainder's branch list can match, from
+    driver metadata (r13, guide §1.2) — or None when the branch shape
+    is unprunable (merge_into then re-plans and raises its own loud
+    error). An EMPTY set proves the statement a no-op: every clause of
+    a subquery DML fires only on rows satisfying the remainder, so a
+    branch-windowed DELETE/UPDATE whose window misses the table costs
+    zero Spark jobs. The set is threaded into ``merge_into`` as
+    ``_branch_keep`` so the planning pass runs once per statement. The
+    short-circuit exits only AFTER every subquery term's frame has been
+    built (schema/column/table validation is analysis-time), so
+    statements that raised loudly pre-r13 still raise — the no-op is
+    data-dependent, the error surface is not."""
     try:
-        files = (
-            t.plan_files(rest_branches[0])
-            if len(rest_branches) == 1
-            else t.plan_files_any(rest_branches)
-        )
-        return not files
+        return {
+            f["file_path"]
+            for f in (
+                t.plan_files(rest_branches[0])
+                if len(rest_branches) == 1
+                else t.plan_files_any(rest_branches)
+            )
+        }
     except Exception:
-        return False  # unprunable branch shape — run the full path
+        return None  # unprunable branch shape — run the full path
+
+
+def _check_assignment_cols(t: LakeTable, assignments) -> None:
+    """The loud bad-SET-column error merge_into would have raised —
+    kept on the short-circuit path so a pruned-to-no-op UPDATE still
+    rejects a nonexistent column (r13 review)."""
+    if assignments:
+        names = t.schema.fieldNames()
+        bad = [c for c in assignments if c not in names]
+        if bad:
+            raise KeyError(f"no such column(s): {bad}")
 
 
 def _subquery_keys(
@@ -1233,14 +1250,18 @@ def _subquery_dml(
     kind, payload = subs[0]
     rest_text = " AND ".join(rest).strip()
     rest_branches = cond = None
+    branch_keep: set | None = None
     if rest_text:
         # the remainder must be ONE grammar conjunction (IN-lists may
         # expand it to branches); a parse failure raises the grammar's
         # own loud error — never a silent semantic narrowing
         rest_branches = _finalize_branches(t, _parse_branch(rest_text))
         cond = _branches_match_cond(rest_branches, lambda c: c)
-        if _rest_prunes_all(t, rest_branches):
-            return t  # r13: remainder matches no file — statement no-op
+        branch_keep = _rest_branch_keep(t, rest_branches)
+    # remainder matches no file ⇒ proven no-op, but ONLY exit after the
+    # subquery frame is built (analysis-time validation) — see
+    # _rest_branch_keep. Probes/actions are what the exit skips.
+    short = branch_keep is not None and not branch_keep
 
     def _grammar_only():
         """The statement minus the subquery term — used when the term
@@ -1260,11 +1281,18 @@ def _subquery_dml(
     if kind in ("exists", "not_exists"):
         corr = _exists_correlation(t, ident, payload)
         if corr is None:  # uncorrelated — probe once, constant gate
-            nonempty = lake_sql(catalog, payload.strip()).limit(1).count() > 0
+            gate_frame = lake_sql(catalog, payload.strip())  # validates
+            if short:
+                _check_assignment_cols(t, assignments)
+                return t  # fire or not, the remainder matches nothing
+            nonempty = gate_frame.limit(1).count() > 0
             fire = nonempty if kind == "exists" else not nonempty
             return _grammar_only() if fire else t
         col, keys_sql = corr
         src, _, _ = _subquery_keys(catalog, t, col, keys_sql)
+        if short:
+            _check_assignment_cols(t, assignments)
+            return t
         if kind == "exists":
             return t.merge_into(
                 src.distinct(),
@@ -1274,6 +1302,7 @@ def _subquery_dml(
                 matched_condition=cond,
                 when_not_matched_insert=False,
                 target_branches=rest_branches,
+                _branch_keep=branch_keep,
             )
         return t.merge_into(
             src.distinct(),
@@ -1283,11 +1312,15 @@ def _subquery_dml(
             when_not_matched_by_source_update=assignments,
             not_matched_by_source_condition=cond,
             target_branches=rest_branches,
+            _branch_keep=branch_keep,
         )
 
     col, subq = payload
     if kind == "in":
         src, _, _ = _subquery_keys(catalog, t, col, subq)
+        if short:
+            _check_assignment_cols(t, assignments)
+            return t
         return t.merge_into(
             src.distinct(),
             on=col,
@@ -1296,8 +1329,16 @@ def _subquery_dml(
             matched_condition=cond,
             when_not_matched_insert=False,
             target_branches=rest_branches,
+            _branch_keep=branch_keep,
         )
-    src, has_null, empty = _subquery_keys(catalog, t, col, subq, probe=True)
+    src, has_null, empty = _subquery_keys(
+        catalog, t, col, subq, probe=not short
+    )
+    if short:
+        # NULL-probe skipped: a NULL-bearing set voids the statement
+        # and a pruned remainder voids it too — t either way
+        _check_assignment_cols(t, assignments)
+        return t
     if has_null:
         return t  # NOT IN over a NULL-bearing set: statement no-op
     if empty:
@@ -1311,6 +1352,7 @@ def _subquery_dml(
         when_not_matched_by_source_update=assignments,
         not_matched_by_source_condition=bys,
         target_branches=rest_branches,
+        _branch_keep=branch_keep,
     )
 
 
@@ -1356,19 +1398,24 @@ def _multi_subquery_dml(
 
     rest_text = " AND ".join(rest).strip()
     rest_branches = cond = None
+    branch_keep: set | None = None
     if rest_text:
         rest_branches = _finalize_branches(t, _parse_branch(rest_text))
         cond = _branches_match_cond(rest_branches, lambda c: c)
-        if _rest_prunes_all(t, rest_branches):
-            return t  # r13: remainder matches no file — statement no-op
+        branch_keep = _rest_branch_keep(t, rest_branches)
+    # remainder matches no file ⇒ proven no-op; the exit below still
+    # builds and validates every term's frame first and skips only the
+    # probe actions and the join pipeline (see _rest_branch_keep)
+    short = branch_keep is not None and not branch_keep
     terms: list[tuple[str, str, Any]] = []
     for kind, payload in subs:
         if kind in ("exists", "not_exists"):
             corr = _exists_correlation(t, ident, payload)
             if corr is None:  # uncorrelated — probe once, constant gate
-                nonempty = (
-                    lake_sql(catalog, payload.strip()).limit(1).count() > 0
-                )
+                gate_frame = lake_sql(catalog, payload.strip())  # validates
+                if short:
+                    continue  # fire or not: remainder matches nothing
+                nonempty = gate_frame.limit(1).count() > 0
                 fire = nonempty if kind == "exists" else not nonempty
                 if not fire:
                     return t  # constant-FALSE conjunct: statement no-op
@@ -1390,13 +1437,16 @@ def _multi_subquery_dml(
             terms.append(("left_semi", col, src))
             continue
         src, has_null, empty = _subquery_keys(
-            catalog, t, col, subq, probe=True
+            catalog, t, col, subq, probe=not short
         )
         if has_null:
             return t  # NOT IN over a NULL-bearing set: statement no-op
         if empty:
             continue  # NOT IN {} is TRUE for every row — term drops out
         terms.append(("left_anti", col, src))
+    if short:
+        _check_assignment_cols(t, assignments)
+        return t  # every term validated; remainder matches no file
     if not terms:
         # every term folded to constant TRUE — grammar remainder only
         if not rest_branches:
@@ -1436,6 +1486,7 @@ def _multi_subquery_dml(
         matched_condition=cond,
         when_not_matched_insert=False,
         target_branches=rest_branches,
+        _branch_keep=branch_keep,
     )
 
 

@@ -562,14 +562,21 @@ def _apply_column_hlls(
     Python loop cost ~2 µs/value and dominated every HLL-opted
     harvest. The md5 loop remains for types the vectorized hasher
     declines and for p < 11 (where the float64 bit-length trick loses
-    exactness). The scheme is a pure function of (column type, p), so
+    exactness). The domain choice is decided from the column TYPE and
+    p ALONE — never from per-file data or a caught exception — so
     every file of a table sketches a column in ONE domain and the
-    read-side register max-merge stays sound. NOTE: sketches written
-    before r13 used the md5 domain — estimates differ (both within the
-    rsd bound); tables mixing pre/post files should rewrite stats."""
+    read-side register max-merge stays sound; a supported type that
+    unexpectedly fails to hash raises instead of silently falling back
+    (a loud write beats a cross-domain merge). Each non-md5 column is
+    recorded in the reserved ``__domains`` map inside the same JSON
+    (absent = md5, which also covers every pre-r13 sketch); the fold
+    readers decline to the exact scan when live files disagree on a
+    column's domain, so upgraded tables degrade to correct-but-slower
+    instead of silently over-counting."""
     import pyarrow.compute as pc
 
-    out: dict[str, str] = {}
+    out: dict[str, Any] = {}
+    doms: dict[str, str] = {}
     if data is not None:
         m = 1 << p
         shift = 64 - p
@@ -578,14 +585,16 @@ def _apply_column_hlls(
             if c not in data.schema.names:
                 continue
             uniq = pc.unique(data.column(c))
-            h = None
-            if p >= 11:
-                try:
-                    h = _ndv_hash64(uniq.drop_null())
-                except Exception:
-                    h = None
-            if h is not None:
+            if p >= 11 and _hll_vectorizable(uniq.type):
+                h = _ndv_hash64(uniq.drop_null())
+                if h is None:
+                    raise RuntimeError(
+                        f"HLL sketch for column {c!r}: vectorizable type "
+                        f"{uniq.type} failed to hash — refusing a silent "
+                        "per-file domain fallback"
+                    )
                 out[c] = _dense_hll_regs(h, p).tobytes().hex()
+                doms[c] = "x64"
                 continue
             regs = bytearray(m)
             for v in uniq.to_pylist():
@@ -600,10 +609,30 @@ def _apply_column_hlls(
                 if rho > regs[idx]:
                     regs[idx] = rho
             out[c] = bytes(regs).hex()
+    if doms:
+        out["__domains"] = doms
     entry["column_hlls"] = json.dumps(out)
 
 
 _NDV_P = 12  # dense-HLL precision for the write-time NDV sketch (rsd ~1.6%)
+
+
+def _hll_vectorizable(t: "pa.DataType") -> bool:
+    """Pure TYPE predicate for the vectorized HLL hash domain — must
+    mirror ``_ndv_hash64``'s type dispatch exactly. The domain choice
+    being a function of the type alone (never per-file data or a
+    caught exception) is what keeps every file of a table in one
+    domain (see ``_apply_column_hlls``)."""
+    return bool(
+        pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_temporal(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_decimal(t)
+    )
 
 
 def _ndv_hash64(uniq: "pa.Array") -> "Any":
@@ -611,9 +640,13 @@ def _ndv_hash64(uniq: "pa.Array") -> "Any":
     values: numeric/temporal/bool values go through a splitmix64
     finalizer over their raw 64-bit representation (pure numpy);
     strings/decimals/other objects through pandas' vectorized siphash.
-    Internal to the NDV summary sketch — deliberately NOT the md5
-    domain the oracled APPROX_COUNT_DISTINCT folds use. Returns None
-    for types neither path can hash (nested) — the column is skipped."""
+    Shared by the NDV summary sketch and — since r13 — the write-time
+    APPROX_COUNT_DISTINCT sketches for vectorizable types
+    (``_apply_column_hlls``), whose persisted registers depend on this
+    exact hash: changing it invalidates every stored ``column_hlls``
+    sketch in the x64 domain (the ``__domains`` marker lets readers
+    detect, not repair, that). Returns None for types neither path can
+    hash (nested) — the column is skipped."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -3859,15 +3892,36 @@ class LakeTable:
             # full shuffle before its limit. When the raw rows fit the
             # cap they are the complete key multiset — dedup driver-side
             # and the sample is exactly as complete as the shuffled one.
-            # Float/double in ANY key position declines this tier:
-            # Python tuple equality diverges from Spark's grouping
-            # equality on NaN and -0.0 (the dedup tier normalizes them),
-            # and a raw -0.0 probed against a bloom built from 0.0 could
-            # wrongly exempt a file. Over-cap sources pay one bounded
-            # (cap+1)-row partial scan before the unchanged dedup tier.
-            raw_ok = not any(
-                isinstance(types[c], (FloatType, DoubleType)) for c in keys
+            # The tier requires key types whose Python values are BOTH
+            # hashable and equality-faithful to Spark's grouping:
+            # float/double decline (NaN/-0.0 diverge — a raw -0.0
+            # probed against a bloom built from normalized 0.0 could
+            # wrongly exempt a file), and binary/array/map/struct
+            # decline (PySpark returns bytearray/list/dict — unhashable
+            # in a tuple, where the old dropDuplicates path never
+            # hashed rows driver-side). Over-cap sources pay one
+            # bounded (cap+1)-row partial scan before the unchanged
+            # dedup tier.
+            from pyspark.sql.types import (
+                BooleanType,
+                DateType,
+                DecimalType,
+                IntegralType,
+                StringType,
+                TimestampNTZType,
+                TimestampType,
             )
+
+            _RAW_TYPES = (
+                IntegralType,
+                StringType,
+                BooleanType,
+                DateType,
+                TimestampType,
+                TimestampNTZType,
+                DecimalType,
+            )
+            raw_ok = all(isinstance(types[c], _RAW_TYPES) for c in keys)
             if raw_ok:
                 raw = keys_sel.limit(self.EQ_SKIP_KEYS_CAP + 1).collect()
                 if len(raw) <= self.EQ_SKIP_KEYS_CAP:
@@ -3980,6 +4034,7 @@ class LakeTable:
         not_matched_insert_condition: Any | None = None,
         when_not_matched_by_source_update: dict[str, Any] | None = None,
         target_branches: list[dict[str, Any]] | None = None,
+        _branch_keep: set | None = None,
     ) -> "LakeTable":
         """Merge-on-read MERGE under deletion vectors: the same
         clause/gate semantics as the copy-on-write ``merge_into``
@@ -4008,17 +4063,22 @@ class LakeTable:
         k0 = keys[0]
         # target_branches prune before the source probe (r13, same
         # reorder as the CoW path): pure driver metadata; an all-files-
-        # pruned branch list makes the merge a zero-job no-op.
+        # pruned branch list makes the merge a zero-job no-op. The SQL
+        # routers hand in their already-planned set via _branch_keep.
         branch_keep: set | None = None
         if target_branches:
-            branch_keep = {
-                f["file_path"]
-                for f in (
-                    self.plan_files(target_branches[0])
-                    if len(target_branches) == 1
-                    else self.plan_files_any(target_branches)
-                )
-            }
+            branch_keep = (
+                _branch_keep
+                if _branch_keep is not None
+                else {
+                    f["file_path"]
+                    for f in (
+                        self.plan_files(target_branches[0])
+                        if len(target_branches) == 1
+                        else self.plan_files_any(target_branches)
+                    )
+                }
+            )
             if not branch_keep:
                 return self
         # BY SOURCE clauses scan every target file regardless of the
@@ -4303,6 +4363,7 @@ class LakeTable:
         not_matched_insert_condition: Any | None = None,
         when_not_matched_by_source_update: dict[str, Any] | None = None,
         target_branches: list[dict[str, Any]] | None = None,
+        _branch_keep: set | None = None,
     ) -> "LakeTable":
         """Multi-clause MERGE (Iceberg/Delta ``MERGE INTO`` parity,
         beyond the single-clause upsert ``merge``):
@@ -4408,6 +4469,7 @@ class LakeTable:
                 not_matched_insert_condition,
                 when_not_matched_by_source_update,
                 target_branches,
+                _branch_keep,
             )
         mapping = self._column_mapping
         by_source = bool(
@@ -4423,17 +4485,23 @@ class LakeTable:
         # is off by the target_branches contract), so the merge is a
         # no-op without ever paying the probe's Spark action. A
         # branch-windowed DELETE/UPDATE that misses the table costs
-        # zero jobs.
+        # zero jobs. ``_branch_keep`` lets the SQL routers, which plan
+        # the same branches for their own short-circuit, hand the set
+        # in so the planning pass runs once per statement.
         branch_keep: set | None = None
         if target_branches:
-            branch_keep = {
-                f["file_path"]
-                for f in (
-                    self.plan_files(target_branches[0])
-                    if len(target_branches) == 1
-                    else self.plan_files_any(target_branches)
-                )
-            }
+            branch_keep = (
+                _branch_keep
+                if _branch_keep is not None
+                else {
+                    f["file_path"]
+                    for f in (
+                        self.plan_files(target_branches[0])
+                        if len(target_branches) == 1
+                        else self.plan_files_any(target_branches)
+                    )
+                }
+            )
             if not branch_keep:
                 return self
         # BY SOURCE clauses scan every target file regardless of the
@@ -7575,6 +7643,7 @@ class LakeTable:
             ]
         sketches: list[bytes] = []
         size = None
+        dom = None
         for r in files:
             if phys_branches is not None and not any(
                 _file_fully_matches(r, pb) for pb in phys_branches
@@ -7587,6 +7656,11 @@ class LakeTable:
             hx = hlls.get(phys)
             if not hx:
                 return None  # unsketched live file — scan fallback
+            d = (hlls.get("__domains") or {}).get(phys, "md5")
+            if dom is None:
+                dom = d
+            elif d != dom:
+                return None  # mixed hash domains can't merge (r13)
             regs = bytes.fromhex(hx)
             if size is None:
                 size = len(regs)
@@ -7674,6 +7748,7 @@ class LakeTable:
             ]
         state: dict[tuple, dict[str, Any]] = {}
         size = None
+        doms: dict[str, str] = {}
         for r in files:
             if phys_branches is not None and not any(
                 _file_fully_matches(r, pb) for pb in phys_branches
@@ -7710,6 +7785,9 @@ class LakeTable:
                 hx = hlls.get(phys)
                 if not hx:
                     return None
+                d = (hlls.get("__domains") or {}).get(phys, "md5")
+                if doms.setdefault(c, d) != d:
+                    return None  # mixed hash domains can't merge (r13)
                 regs = bytes.fromhex(hx)
                 if size is None:
                     size = len(regs)

@@ -236,3 +236,34 @@ def test_distributed_harvest_writes_sketches(spark, tmp_path):
         assert "u" in json.loads(f.get("column_hlls") or "{}")
     v = t.hll_count_distinct("u")
     assert v is not None and abs(v - 400) <= 40
+
+
+def test_mixed_hash_domain_declines_fold(spark, tmp_path, monkeypatch):
+    """r13: sketches written in different hash domains (pre-r13 md5 vs
+    the vectorized x64 path) must NOT max-merge — the fold declines to
+    the exact scan instead of silently over-counting. Simulated by
+    forcing the md5 domain (via the type predicate) for one append."""
+    import icebergplus_spark.lake.table as tmod
+
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whmix")).start()
+    t = cat.create_table("db.mix", T)
+    t.set_property("write.stats.hll-columns", "u")
+    rows = [(i, i % 700, f"s{i}") for i in range(1000)]
+    t.append(spark.createDataFrame(rows[:500], T).coalesce(1))  # x64 domain
+    monkeypatch.setattr(tmod, "_hll_vectorizable", lambda _t: False)
+    t.append(spark.createDataFrame(rows[500:], T).coalesce(1))  # md5 domain
+    monkeypatch.undo()
+    assert t.hll_count_distinct("u") is None, (
+        "mixed-domain sketches must decline the metadata fold"
+    )
+    # the SQL surface stays correct through the scan fallback
+    got = lake_sql(
+        cat, "SELECT APPROX_COUNT_DISTINCT(u) AS a FROM db.mix"
+    ).first()["a"]
+    assert abs(got - 700) <= 70
+    # single-domain table still folds
+    t2 = cat.create_table("db.same", T)
+    t2.set_property("write.stats.hll-columns", "u")
+    t2.append(spark.createDataFrame(rows[:500], T).coalesce(1))
+    t2.append(spark.createDataFrame(rows[500:], T).coalesce(1))
+    assert t2.hll_count_distinct("u") is not None

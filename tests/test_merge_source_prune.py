@@ -247,3 +247,36 @@ def test_branch_pruned_noop_merge_runs_zero_jobs(spark, tmp_path):
         assert jmax() == j0, f"{name}: branch-pruned no-op merge ran a job"
         assert t.current_snapshot_id == snap_before, f"{name}: snapshot churn"
         assert t.scan().count() == 8, f"{name}: rows changed"
+
+
+def test_merge_probe_handles_binary_keys(spark, tmp_path):
+    """r13 review: the raw-first probe tier hashes key tuples
+    driver-side, which PySpark's bytearray/list values for
+    binary/array keys cannot join — those types must decline the raw
+    tier (back to the shuffled-dedup tier) and the merge itself must
+    stay correct."""
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+
+    schema = StructType(
+        [
+            StructField("k", BinaryType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "whb")).start()
+    t = cat.create_table("db.bin", schema)
+    rows = [(bytes([i]), f"v{i}") for i in range(6)]
+    t.append(spark.createDataFrame(rows, schema))
+    src = spark.createDataFrame([(bytes([2]), "x"), (bytes([4]), "x")], schema)
+    t.merge_into(
+        src, on="k", when_matched_delete=True, when_not_matched_insert=False
+    )
+    left = sorted(bytes(r["k"])[0] for r in t.scan().collect())
+    assert left == [0, 1, 3, 5]

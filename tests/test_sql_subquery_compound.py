@@ -363,3 +363,65 @@ def test_exists_uppercase_alias_shadow_refused(spark, cat):
             "(SELECT 1 FROM db.keys T WHERE T.kk = t.k)",
         )
     assert _rows(cat) == before
+
+
+def test_pruned_noop_statement_still_raises_loud_errors(spark, tmp_path):
+    """r13 review: the remainder-prunes-all short-circuit must not
+    swallow analysis errors — a malformed subquery or a bad SET column
+    raises identically whether or not the branch window matches any
+    file (the no-op is data-dependent, the error surface is not)."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from icebergplus_spark.lake import LocalLakeCatalog
+    from icebergplus_spark.lake.sql_dml import UnsupportedSQL, lake_sql
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("ts", IntegerType(), True),
+        ]
+    )
+    cat = LocalLakeCatalog(spark, str(tmp_path / "wh")).start()
+    t = cat.create_table("db.t", schema)
+    s = cat.create_table("db.s", schema)
+    t.append(spark.createDataFrame([(i, 100 + i) for i in range(4)], schema))
+    s.append(spark.createDataFrame([(1, 1)], schema))
+    snap = t.current_snapshot_id
+    # ts < 0 prunes every file (ts >= 100), yet these must still raise:
+    with pytest.raises(UnsupportedSQL, match="one column"):
+        lake_sql(
+            cat,
+            "DELETE FROM db.t WHERE k IN (SELECT k, ts FROM db.s) "
+            "AND ts < 0",
+        )
+    with pytest.raises(Exception):  # nonexistent subquery table
+        lake_sql(
+            cat,
+            "DELETE FROM db.t WHERE k IN (SELECT k FROM db.nope) "
+            "AND ts < 0",
+        )
+    with pytest.raises(KeyError, match="no such column"):
+        lake_sql(
+            cat,
+            "UPDATE db.t SET bogus = 1 WHERE k IN (SELECT k FROM db.s) "
+            "AND ts < 0",
+        )
+    # the multi-subquery router too
+    with pytest.raises(UnsupportedSQL, match="one column"):
+        lake_sql(
+            cat,
+            "DELETE FROM db.t WHERE k IN (SELECT k, ts FROM db.s) "
+            "AND k NOT IN (SELECT k FROM db.s) AND ts < 0",
+        )
+    # and a VALID pruned statement stays a zero-churn no-op
+    lake_sql(
+        cat,
+        "DELETE FROM db.t WHERE k IN (SELECT k FROM db.s) AND ts < 0",
+    )
+    assert t.current_snapshot_id == snap
+    assert t.scan().count() == 4
